@@ -1,0 +1,188 @@
+"""Bucketed aggregation (reference operators O24-O35).
+
+The reference merges per-series DESC-ts streams with a k-way heap
+(src/merge.rs:36-76) into a greedy streaming bucketizer
+(src/agg/stream.rs:24-98). Two modes are offered here (SURVEY.md §2.3):
+
+- **aligned** (``B_al``): group by ``floor(ts / width)``. A plain
+  distributed hash aggregate — partial (map-side) + final, no sort, one
+  shuffle on (group, bucket). This is the scalable default and the
+  oracle-friendly semantics.
+- **greedy** (``B_gr``): the reference's data-anchored segmentation — the
+  newest point anchors ``bucket.end`` and a point joins the open bucket
+  while ``end - ts <= width`` (inclusive, src/agg/stream.rs:76), else the
+  bucket is emitted and re-anchored at that point. Inherently sequential
+  per group (exactly as the reference, which is single-threaded), so it
+  runs as an Arrow-batched grouped-map pandas UDF: one shuffle on the group
+  tag, then a linear numpy pass per group. Scale caveat: one group's points
+  must fit in a pandas partition; the reference has the identical
+  constraint in time rather than memory. For unbounded groups use aligned
+  mode — the same escape hatch the reference's granularity API offers.
+
+Every bucket carries ``start=min(ts), end=max(ts), len=count`` alongside
+the aggregated ``value`` (O33); ``count`` also reports the count as the
+float ``value`` (O32, src/agg/count.rs:4-12).
+
+Integer division (``ts div width``) is used for bucket indices — float
+division of ns-scale int64 loses precision above 2^53.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from talna_spark.schema import RESULT_SCHEMA
+
+AGG_KINDS = ("avg", "sum", "min", "max", "count")
+
+
+@dataclass(frozen=True)
+class Bucket:
+    """Aggregated time span (reference src/agg/mod.rs:20-43)."""
+
+    start: int
+    end: int
+    value: float
+    len: int
+
+    def middle(self) -> int:
+        """Mid timestamp (reference ``Bucket::middle``, src/agg/mod.rs:36-42)."""
+        return self.start + (self.end - self.start) // 2
+
+
+def _value_agg(kind: str) -> Column:
+    # O28-O32: the five aggregations, as JVM-side built-ins (no UDFs).
+    if kind == "avg":
+        return F.avg("value")
+    if kind == "sum":
+        return F.sum("value")
+    if kind == "min":
+        return F.min("value")
+    if kind == "max":
+        return F.max("value")
+    if kind == "count":
+        # count reports the count as a float value AND as len (O32).
+        return F.count(F.lit(1)).cast("double")
+    raise ValueError(f"unknown aggregation: {kind}")
+
+
+def aligned_buckets(
+    scan: DataFrame, group_col: Column, kind: str, width: int | None
+) -> DataFrame:
+    """B_al: epoch-aligned bucketed aggregation; width=None -> one bucket.
+
+    One hash aggregate: Catalyst plans partial_agg -> shuffle(grp, bucket)
+    -> final_agg; with AQE the shuffle partition count adapts to data size.
+    """
+    keys = [group_col.alias("grp")]
+    if width is not None:
+        keys.append(F.expr(f"ts div {int(width)}").alias("_bucket"))
+    out = scan.groupBy(*keys).agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        _value_agg(kind).alias("value"),
+        F.count(F.lit(1)).alias("len"),
+    )
+    return out.select("grp", "start_ts", "end_ts", "value", "len")
+
+
+def _greedy_segment_ids(ts_desc: np.ndarray, width: int) -> np.ndarray:
+    """Segment a DESC-sorted int64 ts array per the reference's greedy rule.
+
+    Literal port of the loop at src/agg/stream.rs:60-97: the first (newest)
+    point anchors ``end``; a point joins while ``end - ts <= width``
+    (inclusive, line 76); otherwise the bucket closes and the point
+    re-anchors. Returns a bucket id per element (0-based, newest bucket 0).
+    """
+    n = ts_desc.shape[0]
+    ids = np.empty(n, dtype=np.int64)
+    bucket = 0
+    anchor = ts_desc[0] if n else 0
+    for i in range(n):
+        if anchor - ts_desc[i] > width:
+            bucket += 1
+            anchor = ts_desc[i]
+        ids[i] = bucket
+    return ids
+
+
+def greedy_buckets(
+    scan: DataFrame, group_col: Column, kind: str, width: int
+) -> DataFrame:
+    """B_gr: the reference's data-anchored greedy bucketing (O27), faithful.
+
+    Grouped-map pandas UDF: shuffle once on the group tag, sort each group
+    DESC by ts in the Arrow batch, run the linear segmentation, then a
+    vectorized pandas groupby for the per-bucket aggregates.
+    """
+    kind_b = kind  # capture for the closure
+
+    # NOTE: the closure must be self-contained (no talna_spark module
+    # references) — executors' Python workers may not have this repo on
+    # their import path, and cloudpickle serializes module-level functions
+    # by reference. Locals + numpy/pandas only.
+    def _bucketize(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["grp", "start_ts", "end_ts", "value", "len"])
+        # Tie order fixed as ts DESC (cross-series ties are unspecified in
+        # the reference — heap comparator src/merge.rs:9-25; aggregates are
+        # order-insensitive so ties cannot change results).
+        pdf = pdf.sort_values("ts", ascending=False, kind="mergesort")
+        ts = pdf["ts"].to_numpy(dtype=np.int64)
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        # inline greedy segmentation (see _greedy_segment_ids)
+        n = ts.shape[0]
+        seg = np.empty(n, dtype=np.int64)
+        bucket = 0
+        anchor = ts[0] if n else 0
+        for i in range(n):
+            if anchor - ts[i] > width:
+                bucket += 1
+                anchor = ts[i]
+            seg[i] = bucket
+        tmp = pd.DataFrame({"seg": seg, "ts": ts, "value": val})
+        g = tmp.groupby("seg", sort=True)
+        out = pd.DataFrame(
+            {
+                "start_ts": g["ts"].min(),
+                "end_ts": g["ts"].max(),
+                "len": g["ts"].count().astype("int64"),
+            }
+        )
+        if kind_b == "avg":
+            out["value"] = g["value"].mean()
+        elif kind_b == "sum":
+            out["value"] = g["value"].sum()
+        elif kind_b == "min":
+            out["value"] = g["value"].min()
+        elif kind_b == "max":
+            out["value"] = g["value"].max()
+        elif kind_b == "count":
+            out["value"] = out["len"].astype("float64")
+        else:
+            raise ValueError(f"unknown aggregation: {kind_b}")
+        out["grp"] = pdf["grp"].iloc[0]
+        return out[["grp", "start_ts", "end_ts", "value", "len"]]
+
+    prepared = scan.select(group_col.alias("grp"), "ts", "value")
+    return prepared.groupBy("grp").applyInPandas(_bucketize, schema=RESULT_SCHEMA)
+
+
+def rows_to_bucket_map(rows: Iterable) -> dict[str, list[Bucket]]:
+    """Collect result rows into the reference's output shape
+    ``HashMap<group, Vec<Bucket>>`` (src/agg/group.rs:58-73), buckets
+    ordered newest -> oldest like the reference's stream."""
+    out: dict[str, list[Bucket]] = {}
+    for r in rows:
+        out.setdefault(r["grp"], []).append(
+            Bucket(start=r["start_ts"], end=r["end_ts"], value=r["value"], len=r["len"])
+        )
+    for buckets in out.values():
+        buckets.sort(key=lambda b: -b.end)
+    return out

@@ -1,0 +1,228 @@
+"""The Database facade + query builders (reference operators O1-O8, O13,
+O36-O41: src/db.rs:184-312, src/agg/builder.rs:10-140).
+
+Two backends behind one API:
+
+- :class:`ViewBackend` — query any in-memory/derived ``points`` DataFrame
+  ``(metric, ts, value, tags)``. Predicates compile straight onto the tags
+  map column; Catalyst pushes metric/ts filters into the scan.
+- :class:`WarehouseBackend` — the 100 TB layout (SURVEY.md §1.4): a fact
+  table ``points(series_id, ts, value)`` partitioned by ``metric, ts_day``
+  and a small ``series`` dimension. The filter DSL evaluates on the
+  dimension only (the reference's inverted-index role, src/tag_index.rs),
+  and matching series reach the fact scan via an explicit broadcast join —
+  postings-list intersection re-expressed as Catalyst set algebra.
+
+Query lifecycle mirrors the reference's (SURVEY.md §3.1): builder ->
+parse DSL -> compile predicate -> scan+join -> group -> bucket-aggregate;
+steps 4-7 collapse into one declarative DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talna_spark.aggregate import aligned_buckets, greedy_buckets, rows_to_bucket_map
+from talna_spark.dsl.compiler import compile_to_column
+from talna_spark.dsl.parser import parse_filter_query
+from talna_spark.duration import Duration
+from talna_spark.errors import InvalidQueryError
+from talna_spark.metric import validate_metric_name
+from talna_spark.timeutil import timestamp
+
+MINUTE_NS = Duration.MINUTE  # default granularity (reference src/db.rs:21)
+
+
+def _ns_to_date(ns: int) -> str:
+    return _dt.datetime.fromtimestamp(ns / 1e9, tz=_dt.timezone.utc).strftime(
+        "%Y-%m-%d"
+    )
+
+
+class ViewBackend:
+    """Backend over a logical points DataFrame (metric, ts, value, tags)."""
+
+    def __init__(self, points: DataFrame):
+        self.points = points
+
+    def scan(self, metric: str, node, start: Optional[int], end: Optional[int]) -> DataFrame:
+        df = self.points.filter(F.col("metric") == metric)
+        # Time-range pushdown (O11): plain ts predicates reach the parquet
+        # scan as PushedFilters / row-group min-max skipping.
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(int(start)))
+        if end is not None:
+            df = df.filter(F.col("ts") <= F.lit(int(end)))
+        return df.filter(compile_to_column(node, F.col("tags")))
+
+
+class WarehouseBackend:
+    """Backend over the partitioned warehouse written by ingest.write_batch."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        from talna_spark.ingest import read_series_dim
+
+        self.spark = spark
+        self.path = path
+        self.series = read_series_dim(spark, path)
+
+    def scan(self, metric: str, node, start: Optional[int], end: Optional[int]) -> DataFrame:
+        # 1) Series selection on the small dimension (the reference's
+        #    inverted-index evaluation, src/query/filter.rs:92-139).
+        from talna_spark.ingest import read_facts
+
+        dim = self.series.filter(F.col("metric") == metric).filter(
+            compile_to_column(node, F.col("tags"))
+        )
+        facts = read_facts(self.spark, self.path)
+        # 2) Partition pruning: metric is a physical partition column; ts_day
+        #    prunes whole day-directories before any row-group is touched.
+        facts = facts.filter(F.col("metric") == metric)
+        if start is not None:
+            facts = facts.filter(F.col("ts") >= F.lit(int(start))).filter(
+                F.col("ts_day") >= _ns_to_date(int(start))
+            )
+        if end is not None:
+            facts = facts.filter(F.col("ts") <= F.lit(int(end))).filter(
+                F.col("ts_day") <= _ns_to_date(int(end))
+            )
+        # 3) Broadcast the matched series into the fact scan — the postings
+        #    semi-join (O17) without a materialized index. The dimension is
+        #    tiny relative to facts by construction (one row per series).
+        return facts.join(
+            F.broadcast(dim.select("series_id", "tags")), "series_id", "inner"
+        ).select("ts", "value", "tags")
+
+
+class QueryBuilder:
+    """Fluent aggregation builder (reference src/agg/builder.rs:10-140).
+
+    Defaults mirror the reference: filter ``"*"`` (src/db.rs:222) and
+    granularity 1 minute (src/db.rs:223). Time bounds are inclusive on both
+    ends (src/agg/builder.rs:106-113).
+    """
+
+    def __init__(self, db: "Database", kind: str, metric: str, group_by: str):
+        self._db = db
+        self._kind = kind
+        self._metric = validate_metric_name(metric)
+        self._group_by = group_by
+        self._filter = "*"
+        self._start: Optional[int] = None
+        self._end: Optional[int] = None
+        self._granularity: Optional[int] = MINUTE_NS
+        self._mode = "aligned"
+
+    def filter(self, expr: str) -> "QueryBuilder":
+        self._filter = expr
+        return self
+
+    def start(self, ts_ns: int) -> "QueryBuilder":
+        self._start = int(ts_ns)
+        return self
+
+    def end(self, ts_ns: int) -> "QueryBuilder":
+        self._end = int(ts_ns)
+        return self
+
+    def start_relative(self, duration_ns: int) -> "QueryBuilder":
+        # reference src/agg/builder.rs:74-77: now() - duration
+        self._start = timestamp() - int(duration_ns)
+        return self
+
+    def end_relative(self, duration_ns: int) -> "QueryBuilder":
+        self._end = timestamp() - int(duration_ns)
+        return self
+
+    def granularity(self, width_ns: Optional[int]) -> "QueryBuilder":
+        """Bucket width in ns; ``None`` = a single unbounded bucket per group."""
+        if width_ns is not None and width_ns <= 0:
+            raise InvalidQueryError("granularity must be positive")
+        self._granularity = None if width_ns is None else int(width_ns)
+        return self
+
+    def mode(self, mode: str) -> "QueryBuilder":
+        """``aligned`` (scalable default) or ``greedy`` (reference-faithful O27)."""
+        if mode not in ("aligned", "greedy"):
+            raise InvalidQueryError(f"unknown bucketing mode: {mode}")
+        self._mode = mode
+        return self
+
+    # -- plan assembly (reference `build()`, src/agg/builder.rs:95-140) -----
+    def to_df(self) -> DataFrame:
+        node = parse_filter_query(self._filter)  # may raise InvalidQueryError
+        scan = self._db._backend.scan(self._metric, node, self._start, self._end)
+        group_col = F.col("tags").getItem(self._group_by)
+        # Series lacking the group tag are silently dropped (O25,
+        # reference src/agg/builder.rs:120-122).
+        scan = scan.filter(group_col.isNotNull())
+        if self._mode == "greedy":
+            if self._granularity is None:
+                raise InvalidQueryError("greedy mode requires a finite granularity")
+            return greedy_buckets(scan, group_col, self._kind, self._granularity)
+        return aligned_buckets(scan, group_col, self._kind, self._granularity)
+
+    build = to_df  # reference naming (src/agg/builder.rs:95)
+
+    def collect(self) -> dict:
+        """Materialize as ``{group: [Bucket, ...]}`` newest-first
+        (reference ``GroupedAggregation::collect``, src/agg/group.rs:58-73)."""
+        return rows_to_bucket_map(r.asDict() for r in self.to_df().collect())
+
+
+class Database:
+    """Engine facade (reference ``Database``, src/db.rs)."""
+
+    def __init__(self, spark: SparkSession, backend):
+        self.spark = spark
+        self._backend = backend
+
+    # -- constructors (O1/O2) ----------------------------------------------
+    @classmethod
+    def from_points(cls, spark: SparkSession, points: DataFrame) -> "Database":
+        """Open over any DataFrame with columns (metric, ts, value, tags)."""
+        return cls(spark, ViewBackend(points))
+
+    @classmethod
+    def from_events(cls, spark: SparkSession, sf_dir: str) -> "Database":
+        """Open over the driver testdata events table mapped to points
+        (FIXTURES.md F8)."""
+        from talna_spark.sources.events import points_from_events
+
+        return cls(spark, ViewBackend(points_from_events(spark, sf_dir)))
+
+    @classmethod
+    def open(cls, spark: SparkSession, warehouse_path: str) -> "Database":
+        """Open a partitioned warehouse written by :meth:`write_batch`."""
+        return cls(spark, WarehouseBackend(spark, warehouse_path))
+
+    # -- ingest (O5/O6) -----------------------------------------------------
+    def write_batch(self, points: DataFrame) -> None:
+        """Append a batch of (metric, ts, value, tags) rows to the warehouse."""
+        if not isinstance(self._backend, WarehouseBackend):
+            raise InvalidQueryError("write_batch requires a warehouse-backed Database")
+        from talna_spark.ingest import write_batch
+
+        write_batch(points, self._backend.path)
+        # refresh the dimension view
+        self._backend.__init__(self.spark, self._backend.path)
+
+    # -- query entry points (O41, src/db.rs:213-312) ------------------------
+    def avg(self, metric: str, group_by: str) -> QueryBuilder:
+        return QueryBuilder(self, "avg", metric, group_by)
+
+    def sum(self, metric: str, group_by: str) -> QueryBuilder:
+        return QueryBuilder(self, "sum", metric, group_by)
+
+    def min(self, metric: str, group_by: str) -> QueryBuilder:
+        return QueryBuilder(self, "min", metric, group_by)
+
+    def max(self, metric: str, group_by: str) -> QueryBuilder:
+        return QueryBuilder(self, "max", metric, group_by)
+
+    def count(self, metric: str, group_by: str) -> QueryBuilder:
+        return QueryBuilder(self, "count", metric, group_by)

@@ -1,0 +1,82 @@
+"""Regex tokenizer for the filter DSL (reference src/query/lexer.rs:3-35,
+operator O21), extended with the reference's declared Set syntax
+``key:[a, b, c]`` (src/query/parser/mod.rs:14-100, planned per README).
+
+Token kinds: NOT ``!``, AND, OR, LPAREN, RPAREN, STAR ``*`` (AllStar,
+whole-expression special case handled by the parser), SET, WILDCARD, EQ.
+Whitespace is skipped (src/query/lexer.rs:8).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from talna_spark.errors import InvalidQueryError
+
+KEY = r"[a-zA-Z_-]+"
+VALUE = r"[a-zA-Z0-9_.\-]+"
+
+# Order matters: SET before WILDCARD before EQ; keywords before nothing else
+# can swallow them because KEY tokens always carry a ':'.
+_TOKEN_RE = re.compile(
+    rf"""
+    (?P<WS>\s+)
+  | (?P<SET>({KEY}):\[\s*{VALUE}(\s*,\s*{VALUE})*\s*\])
+  | (?P<WILDCARD>({KEY}):({VALUE})?\*)
+  | (?P<EQ>({KEY}):({VALUE}))
+  | (?P<AND>AND\b)
+  | (?P<OR>OR\b)
+  | (?P<NOT>!)
+  | (?P<LPAREN>\()
+  | (?P<RPAREN>\))
+  | (?P<STAR>\*)
+    """,
+    re.VERBOSE,
+)
+
+_SET_SPLIT_RE = re.compile(rf"({KEY}):\[(.*)\]", re.DOTALL)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # AND OR NOT LPAREN RPAREN STAR SET WILDCARD EQ
+    key: str | None = None
+    value: str | None = None          # EQ value or WILDCARD prefix ("" allowed)
+    values: tuple[str, ...] | None = None  # SET members
+
+
+def tokenize(text: str) -> list[Token]:
+    """Tokenize ``text``; raise :class:`InvalidQueryError` on any garbage.
+
+    Mirrors the logos-derived lexer (reference src/query/lexer.rs:33-35):
+    an unrecognized character is a lex error, surfaced as InvalidQuery.
+    """
+    tokens: list[Token] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise InvalidQueryError(
+                f"invalid filter query: unexpected character at {pos}: {text[pos:]!r}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        raw = m.group(0)
+        if kind == "SET":
+            sm = _SET_SPLIT_RE.fullmatch(raw)
+            assert sm is not None
+            key = sm.group(1)
+            values = tuple(v.strip() for v in sm.group(2).split(","))
+            tokens.append(Token("SET", key=key, values=values))
+        elif kind == "WILDCARD":
+            key, _, rest = raw.partition(":")
+            tokens.append(Token("WILDCARD", key=key, value=rest[:-1]))  # strip '*'
+        elif kind == "EQ":
+            key, _, value = raw.partition(":")
+            tokens.append(Token("EQ", key=key, value=value))
+        else:
+            tokens.append(Token(kind))
+    return tokens

@@ -1,0 +1,100 @@
+"""Batch ingest into the partitioned warehouse (reference write path,
+src/db.rs:319-400, operators O5-O7 — re-expressed as one declarative job).
+
+Identity derivation (SURVEY.md §1.4):
+- ``series_key`` = canonical ``metric#k1:v1;k2:v2`` with tags sorted by key
+  (reference src/series_key.rs:20-41) — built with map_entries ->
+  sort_array -> transform -> array_join, all JVM-side builtins.
+- ``series_id`` = ``xxhash64(series_key)`` — deterministic and cluster-safe,
+  replacing the reference's non-atomic partition-length counter (its own
+  TODO at src/db.rs:376). No coordination, no sequence bottleneck at scale.
+
+Layout:
+- ``{path}/points`` parquet partitioned by (metric, ts_day): metric pruning
+  ≙ the reference's per-metric postings scoping; ts_day pruning ≙ its
+  time-range key bounds (src/db.rs:129-146). zstd + 128 MB row groups.
+- ``{path}/series`` parquet append-only; deduplicated on read (a periodic
+  compaction job would do this at scale). One row per distinct series —
+  small by construction.
+
+Out-of-order / late points need no special handling: append lands them in
+their (metric, ts_day) partition and queries see them immediately — the
+same behavior as the reference's LSM insert at key position
+(src/db.rs:342-343).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def series_key_col(metric: Column, tags: Column) -> Column:
+    """Canonical series key: ``metric#k1:v1;k2:v2`` with keys sorted
+    (reference src/series_key.rs:20-41)."""
+    joined = F.array_join(
+        F.transform(
+            F.sort_array(F.map_entries(tags)),
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+        ),
+        ";",
+    )
+    return F.concat(metric, F.lit("#"), F.coalesce(joined, F.lit("")))
+
+
+def with_series_identity(points: DataFrame) -> DataFrame:
+    """Add series_key + series_id (xxhash64) columns to a points batch."""
+    return points.withColumn(
+        "series_key", series_key_col(F.col("metric"), F.col("tags"))
+    ).withColumn("series_id", F.xxhash64(F.col("series_key")))
+
+
+def write_batch(points: DataFrame, path: str) -> None:
+    """Append (metric, ts, value, tags) rows to the warehouse at ``path``."""
+    enriched = with_series_identity(points).withColumn(
+        "ts_day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    )
+    (
+        enriched.select("series_id", "ts", "value", "metric", "ts_day")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("metric", "ts_day")
+        .parquet(f"{path}/points")
+    )
+    (
+        enriched.select("series_id", "metric", "series_key", "tags")
+        .dropDuplicates(["series_id"])
+        .write.mode("append")
+        .option("compression", "zstd")
+        .parquet(f"{path}/series")
+    )
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def read_series_dim(spark: SparkSession, path: str) -> DataFrame:
+    """The series dimension, deduplicated across appended batches.
+
+    A warehouse that has never been written to is a valid empty database
+    (the reference opens fresh keyspaces the same way, src/db.rs:66-97).
+    """
+    import os
+
+    from talna_spark.schema import SERIES_SCHEMA
+
+    if not os.path.exists(os.path.join(path, "series")):
+        return _empty(spark, SERIES_SCHEMA)
+    return spark.read.parquet(f"{path}/series").dropDuplicates(["series_id"])
+
+
+def read_facts(spark: SparkSession, path: str) -> DataFrame:
+    """The fact table; empty DataFrame when nothing has been ingested."""
+    import os
+
+    from talna_spark.schema import FACT_SCHEMA
+
+    if not os.path.exists(os.path.join(path, "points")):
+        return _empty(spark, FACT_SCHEMA)
+    return spark.read.parquet(f"{path}/points")

@@ -1,0 +1,172 @@
+"""End-to-end aggregation tests mirroring the reference's own unit tests
+(FIXTURES.md F2/F3/F4; reference src/db.rs:421-1135)."""
+
+from __future__ import annotations
+
+import pytest
+
+from talna_spark.database import Database
+from tests.conftest import make_points
+
+# F2: literal rows from reference src/db.rs:545-607 (metric `hello`)
+F2_ROWS = [
+    ("hello", 0, 4.0, {"service": "talna"}),
+    ("hello", 1, 10.0, {"service": "talna"}),
+    ("hello", 2, 6.0, {"service": "talna"}),
+    ("hello", 3, 10.0, {"service": "talna"}),
+    ("hello", 4, 20.0, {"service": "talna"}),
+    ("hello", 5, 7.0, {"service": "smoltable"}),
+    ("hello", 6, 5.0, {"service": "smoltable"}),
+]
+
+
+@pytest.fixture(scope="module")
+def f2_db(spark):
+    return Database.from_points(spark, make_points(spark, F2_ROWS))
+
+
+def one_bucket(result, grp):
+    assert grp in result, result
+    assert len(result[grp]) == 1
+    return result[grp][0]
+
+
+def test_agg_count(f2_db):
+    # reference test_agg_cnt src/db.rs:545-638
+    res = f2_db.count("hello", "service").collect()
+    t = one_bucket(res, "talna")
+    assert (t.value, t.len, t.start, t.end) == (5.0, 5, 0, 4)
+    s = one_bucket(res, "smoltable")
+    assert (s.value, s.len, s.start, s.end) == (2.0, 2, 5, 6)
+
+
+def test_agg_max_min_sum_avg(f2_db):
+    # reference src/db.rs:639-1012
+    assert one_bucket(f2_db.max("hello", "service").collect(), "talna").value == 20.0
+    assert one_bucket(f2_db.max("hello", "service").collect(), "smoltable").value == 7.0
+    assert one_bucket(f2_db.min("hello", "service").collect(), "talna").value == 4.0
+    assert one_bucket(f2_db.min("hello", "service").collect(), "smoltable").value == 5.0
+    assert one_bucket(f2_db.sum("hello", "service").collect(), "talna").value == 50.0
+    assert one_bucket(f2_db.sum("hello", "service").collect(), "smoltable").value == 12.0
+    assert one_bucket(f2_db.avg("hello", "service").collect(), "talna").value == 10.0
+    assert one_bucket(f2_db.avg("hello", "service").collect(), "smoltable").value == 6.0
+
+
+def test_time_bounds_inclusive(f2_db):
+    # reference test_range_cnt src/db.rs:429-542; bounds inclusive both ends
+    # (src/agg/builder.rs:106-113)
+    res = f2_db.count("hello", "service").start(2).collect()
+    t = one_bucket(res, "talna")
+    assert (t.value, t.start, t.end) == (3.0, 2, 4)
+
+    res = f2_db.count("hello", "service").end(3).collect()
+    t = one_bucket(res, "talna")
+    assert (t.value, t.start, t.end) == (4.0, 0, 3)
+
+    res = f2_db.count("hello", "service").start(1).end(3).collect()
+    t = one_bucket(res, "talna")
+    assert (t.value, t.start, t.end) == (3.0, 1, 3)
+
+
+# F3: wildcard/key-exists rows (reference src/db.rs:1014-1135)
+F3_SERVICES = [
+    "server.nginx",
+    "db.bigtable",
+    "db.neon",
+    "db.postgres.14",
+    "db.postgres.15",
+    "db.postgres.16",
+]
+F3_ROWS = [
+    ("hello", 0, 4.0, {"env": "prod", "service": s}) for s in F3_SERVICES
+]
+
+
+@pytest.fixture(scope="module")
+def f3_db(spark):
+    return Database.from_points(spark, make_points(spark, F3_ROWS))
+
+
+@pytest.mark.parametrize(
+    "flt,expected",
+    [
+        ("*", 6.0),
+        ("service:db.postgres.16", 1.0),
+        ("service:db.postgres.*", 3.0),
+        ("service:db.*", 5.0),
+        ("service:*", 6.0),  # key-exists (src/db.rs:1124-1132)
+    ],
+)
+def test_wildcard_counts(f3_db, flt, expected):
+    res = f3_db.count("hello", "env").filter(flt).collect()
+    assert one_bucket(res, "prod").value == expected
+
+
+def test_not_filter(f3_db):
+    # NOT scoped to the metric (documented deviation, SURVEY.md O19)
+    res = f3_db.count("hello", "env").filter("!service:db.postgres.14").collect()
+    assert one_bucket(res, "prod").value == 5.0
+
+
+def test_not_includes_missing_tag(spark):
+    # a series LACKING tag k must be included by !k:v (complement semantics)
+    rows = [
+        ("m", 0, 1.0, {"g": "a", "k": "x"}),
+        ("m", 1, 1.0, {"g": "a"}),  # no tag k
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.count("m", "g").filter("!k:x").collect()
+    assert one_bucket(res, "a").value == 1.0  # only the k-less point
+    res = db.count("m", "g").filter("!k:nomatch").collect()
+    assert one_bucket(res, "a").value == 2.0  # both points
+
+
+def test_empty_filter_result(f3_db):
+    # empty series selection -> empty output map (src/db.rs:195-198)
+    res = f3_db.count("hello", "env").filter("service:zzz AND env:prod").collect()
+    assert res == {}
+
+
+def test_missing_group_tag_dropped(spark):
+    # F4: series without the group_by tag silently dropped
+    # (reference src/agg/builder.rs:120-122)
+    rows = [("m", i * 10**9, float(i), {"host": "h-1", "region": "eu"}) for i in range(10)]
+    rows += [("m", i * 10**9, float(i), {"host": "h-2"}) for i in range(10)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.avg("m", "region").granularity(None).collect()
+    assert set(res) == {"eu"}
+    assert res["eu"][0].len == 10
+
+
+def test_set_syntax_filter(spark):
+    rows = [("m", 0, float(i), {"host": f"h-{i}"}) for i in range(6)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.sum("m", "host").filter("host:[h-1, h-2, h-3]").collect()
+    assert set(res) == {"h-1", "h-2", "h-3"}
+
+
+def test_aligned_minute_buckets(spark):
+    # two minutes of data -> two aligned buckets per group
+    m = 60 * 10**9
+    rows = [
+        ("m", 0, 1.0, {"h": "a"}),
+        ("m", m - 1, 3.0, {"h": "a"}),
+        ("m", m, 5.0, {"h": "a"}),
+        ("m", m + 1, 7.0, {"h": "a"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.avg("m", "h").collect()
+    buckets = res["a"]
+    assert len(buckets) == 2
+    # newest-first ordering (reference stream order)
+    assert (buckets[0].start, buckets[0].end, buckets[0].value, buckets[0].len) == (
+        m, m + 1, 6.0, 2)
+    assert (buckets[1].start, buckets[1].end, buckets[1].value, buckets[1].len) == (
+        0, m - 1, 2.0, 2)
+
+
+def test_bucket_middle():
+    from talna_spark.aggregate import Bucket
+
+    assert Bucket(start=0, end=10, value=0.0, len=1).middle() == 5
+    assert Bucket(start=5, end=6, value=0.0, len=1).middle() == 5
