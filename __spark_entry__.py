@@ -1,38 +1,106 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Inventory: the SURVEY.md §2.3 declared queries Q01-Q20, expressed over the
+driver testdata ``events`` table mapped to the points model (FIXTURES.md
+F8). Oracle SQL is GENERATED from the same filter AST and tag mapping the
+Spark path executes (talna_spark.oracle), so the two sides cannot drift.
+Greedy-mode queries (Q17, Q18) are the reference's sequential bucketing —
+not SQL-expressible — and intentionally have no oracle entry (driver
+records the weaker rows-only check; SURVEY.md §2.3 declares this).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talna_spark import Database, Duration
+from talna_spark.oracle import events_query_sql
+
+MIN = Duration.MINUTE
+HOUR = Duration.HOUR
+DAY = Duration.DAY
+
+# Absolute ns bounds inside the events time range (2024-01-01 .. 2024-01-31).
+T_JAN10 = 1_704_844_800 * 10**9
+T_JAN20 = 1_705_708_800 * 10**9
+T_JAN24 = 1_706_054_400 * 10**9
+
+# name -> (kind, metric, group_by, filter, start, end, granularity, mode)
+_SPEC: dict[str, tuple] = {
+    # Q01-Q05: the five aggregations, AllStar filter (reference agg tests)
+    "q01_avg": ("avg", "app.purchase", "user", "*", None, None, MIN, "aligned"),
+    "q02_sum": ("sum", "app.purchase", "user", "*", None, None, 5 * MIN, "aligned"),
+    "q03_min": ("min", "app.click", "user", "*", None, None, HOUR, "aligned"),
+    "q04_max": ("max", "app.click", "user", "*", None, None, HOUR, "aligned"),
+    "q05_count": ("count", "app.view", "user", "*", None, None, DAY, "aligned"),
+    # Q06-Q12: filter DSL coverage (AND/OR/NOT/wildcard/key-exists/nesting/set)
+    "q06_and": ("avg", "app.purchase", "user", "hi:yes AND user:3", None, None, HOUR, "aligned"),
+    "q07_or": ("avg", "app.purchase", "user", "k:12 OR k:13", None, None, HOUR, "aligned"),
+    "q08_not": ("count", "app.click", "user", "!hi:yes", None, None, HOUR, "aligned"),
+    "q09_wildcard": ("count", "app.signup", "user", "k:1*", None, None, HOUR, "aligned"),
+    "q10_key_exists": ("count", "app.error", "user", "hi:*", None, None, HOUR, "aligned"),
+    "q11_precedence": (
+        "avg", "app.purchase", "user",
+        "user:3 AND k:1* OR user:4 AND k:2*", None, None, HOUR, "aligned",
+    ),
+    "q12_set": ("avg", "app.purchase", "user", "user:[1, 2, 3]", None, None, HOUR, "aligned"),
+    # Q13-Q15: inclusive time bounds, single unbounded bucket
+    "q13_start": ("count", "app.click", "user", "*", T_JAN10, None, None, "aligned"),
+    "q14_end": ("count", "app.click", "user", "*", None, T_JAN20, None, "aligned"),
+    "q15_range": ("count", "app.click", "user", "*", T_JAN10, T_JAN20, None, "aligned"),
+    # Q16: the benchmark-shaped query (billion/src/main.rs:123-137 analog)
+    "q16_bench": ("avg", "app.purchase", "user", "user:9 OR user:8", T_JAN24, None, MIN, "aligned"),
+    # Q17-Q18: reference-faithful greedy bucketing (no SQL oracle by design)
+    "q17_greedy_avg": ("avg", "app.purchase", "user", "*", None, None, MIN, "greedy"),
+    "q18_greedy_sum": ("sum", "app.purchase", "user", "hi:yes", T_JAN10, T_JAN20, 5 * MIN, "greedy"),
+    # Q19: series lacking the group tag are dropped (src/agg/builder.rs:120-122)
+    "q19_group_drop": ("avg", "app.view", "hi", "*", None, None, HOUR, "aligned"),
+    # Q20: empty series selection -> empty result (src/db.rs:195-198)
+    "q20_empty": ("avg", "app.purchase", "user", "user:3 AND nosuch:tag", None, None, MIN, "aligned"),
+}
+
+
+def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
+    kind, metric, group_by, flt, start, end, gran, mode = spec
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        b = getattr(Database.from_events(spark, sf_dir), kind)(metric, group_by)
+        b = b.filter(flt).granularity(gran).mode(mode)
+        if start is not None:
+            b = b.start(start)
+        if end is not None:
+            b = b.end(end)
+        # round like the oracle (absorbs summation-order float noise)
+        return b.to_df().withColumn("value", F.round("value", 6))
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (Q16 analog)."""
+    return _make_query(_SPEC["q16_bench"])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _make_query(spec) for name, spec in _SPEC.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, (kind, metric, group_by, flt, start, end, gran, mode) in _SPEC.items():
+        if mode != "aligned":
+            continue  # greedy is non-SQL-expressible (SURVEY.md §2.3)
+        out[name] = events_query_sql(kind, metric, group_by, flt, start, end, gran)
+    return out

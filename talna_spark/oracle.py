@@ -1,0 +1,71 @@
+"""DuckDB-oracle SQL generation for the declared query inventory
+(SURVEY.md §2.3). The oracle is generated from the SAME parsed AST the
+Spark path executes (talna_spark.dsl.compiler.compile_to_sql), over the
+same events->points mapping (talna_spark.sources.events.TAG_SQL), so the
+two sides cannot drift.
+
+Output contract (driver hash-compare): columns (grp, start_ts, end_ts,
+value, len); aggregate ``value`` rounded to 6 decimals on BOTH sides to
+absorb summation-order float differences between Spark's partial/final
+aggregation and DuckDB's sequential aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from talna_spark.dsl.compiler import compile_to_sql
+from talna_spark.dsl.parser import parse_filter_query
+from talna_spark.sources.events import METRIC_SQL, TAG_SQL, TS_SQL
+
+_AGG_SQL = {
+    "avg": "AVG(value)",
+    "sum": "SUM(value)",
+    "min": "MIN(value)",
+    "max": "MAX(value)",
+    "count": "CAST(COUNT(*) AS DOUBLE)",
+}
+
+_PTS_CTE = (
+    "WITH pts AS (SELECT "
+    + METRIC_SQL
+    + " AS metric, "
+    + TS_SQL
+    + " AS ts, value, "
+    + ", ".join(f"{expr} AS tag_{k}" for k, expr in TAG_SQL.items())
+    + " FROM events)"
+)
+
+
+def _tag_lookup(key: str) -> str:
+    return f"tag_{key}" if key in TAG_SQL else "NULL"
+
+
+def events_query_sql(
+    kind: str,
+    metric: str,
+    group_by: str,
+    flt: str = "*",
+    start: Optional[int] = None,
+    end: Optional[int] = None,
+    granularity: Optional[int] = 60_000_000_000,
+) -> str:
+    """DuckDB SQL equivalent of an aligned-mode events query."""
+    node = parse_filter_query(flt)
+    pred = compile_to_sql(node, _tag_lookup)
+    grp = _tag_lookup(group_by)
+    where = [f"metric = '{metric}'", f"({pred})", f"{grp} IS NOT NULL"]
+    if start is not None:
+        where.append(f"ts >= {int(start)}")
+    if end is not None:
+        where.append(f"ts <= {int(end)}")
+    group_keys = [grp]
+    if granularity is not None:
+        group_keys.append(f"(ts // {int(granularity)})")
+    return (
+        f"{_PTS_CTE} "
+        f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
+        f"ROUND({_AGG_SQL[kind]}, 6) AS value, COUNT(*) AS len "
+        f"FROM pts WHERE {' AND '.join(where)} "
+        f"GROUP BY {', '.join(group_keys)}"
+    )

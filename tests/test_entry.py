@@ -1,0 +1,101 @@
+"""Mini-driver: run every __spark_entry__ query against its DuckDB oracle
+at sf0.001, emulating the driver's correctness gate (row count + schema +
+order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, columns):
+    out = []
+    for r in rows:
+        vals = []
+        for c in columns:
+            v = r[c] if not isinstance(r, tuple) else r[columns.index(c)]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in cols) for r in sdf.collect()]
+
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        # greedy-mode: weaker rows-only check, like the driver
+        assert isinstance(spark_rows, list)
+        if name != "q20_empty":
+            assert len(spark_rows) > 0, f"{name}: expected non-empty result"
+        return
+
+    odf = duck.execute(oracles[name]).fetch_df()
+    assert sorted(odf.columns.tolist()) == cols, f"{name}: column mismatch"
+    duck_rows = [tuple(row[c] for c in cols) for _, row in odf.iterrows()]
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} != oracle {len(duck_rows)}"
+    )
+    s_n = normalize([dict(zip(cols, r)) for r in spark_rows], cols)
+    d_n = normalize([dict(zip(cols, r)) for r in duck_rows], cols)
+    mismatches = [
+        (a, b)
+        for a, b in zip(s_n, d_n)
+        if not all(
+            (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+             if isinstance(x, float) else x == y)
+            for x, y in zip(a, b)
+        )
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    # strict equality too — this is what the driver's value-hash effectively does
+    assert s_n == d_n, f"{name}: exact (rounded) values differ"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["grp", "start_ts", "end_ts", "value", "len"]
+    assert len(rows) >= 0
+
+
+def test_nonempty_queries(spark):
+    """Every query except q20_empty should return rows at sf0.001 — an
+    accidentally-empty result would vacuously 'match' any oracle."""
+    for name, q in entrymod.queries().items():
+        n = q(spark, SF_DIR).count()
+        if name == "q20_empty":
+            assert n == 0, name
+        else:
+            assert n > 0, f"{name} returned 0 rows at sf0.001"
