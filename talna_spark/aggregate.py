@@ -136,35 +136,38 @@ def greedy_buckets(
         pdf = pdf.sort_values("ts", ascending=False, kind="mergesort")
         ts = pdf["ts"].to_numpy(dtype=np.int64)
         val = pdf["value"].to_numpy(dtype=np.float64)
-        # inline greedy segmentation (see _greedy_segment_ids)
-        n = ts.shape[0]
-        seg = np.empty(n, dtype=np.int64)
-        bucket = 0
-        anchor = ts[0] if n else 0
-        for i in range(n):
-            if anchor - ts[i] > width:
-                bucket += 1
-                anchor = ts[i]
-            seg[i] = bucket
-        tmp = pd.DataFrame({"seg": seg, "ts": ts, "value": val})
-        g = tmp.groupby("seg", sort=True)
+        # Greedy anchor scan over plain python ints (numpy scalar indexing
+        # in a loop is ~20x slower); only segment START indices are kept.
+        ts_list = ts.tolist()
+        n = len(ts_list)
+        starts_list = [0]
+        anchor = ts_list[0]
+        w = int(width)
+        for i in range(1, n):
+            t = ts_list[i]
+            if anchor - t > w:
+                starts_list.append(i)
+                anchor = t
+        starts = np.asarray(starts_list, dtype=np.int64)
+        lens = np.diff(np.append(starts, n))
+        # DESC order: segment max ts = first element, min ts = last element.
         out = pd.DataFrame(
             {
-                "start_ts": g["ts"].min(),
-                "end_ts": g["ts"].max(),
-                "len": g["ts"].count().astype("int64"),
+                "start_ts": ts[np.append(starts[1:], n) - 1],
+                "end_ts": ts[starts],
+                "len": lens,
             }
         )
         if kind_b == "avg":
-            out["value"] = g["value"].mean()
+            out["value"] = np.add.reduceat(val, starts) / lens
         elif kind_b == "sum":
-            out["value"] = g["value"].sum()
+            out["value"] = np.add.reduceat(val, starts)
         elif kind_b == "min":
-            out["value"] = g["value"].min()
+            out["value"] = np.minimum.reduceat(val, starts)
         elif kind_b == "max":
-            out["value"] = g["value"].max()
+            out["value"] = np.maximum.reduceat(val, starts)
         elif kind_b == "count":
-            out["value"] = out["len"].astype("float64")
+            out["value"] = lens.astype("float64")
         else:
             raise ValueError(f"unknown aggregation: {kind_b}")
         out["grp"] = pdf["grp"].iloc[0]

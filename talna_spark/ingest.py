@@ -50,12 +50,28 @@ def with_series_identity(points: DataFrame) -> DataFrame:
 
 
 def write_batch(points: DataFrame, path: str) -> None:
-    """Append (metric, ts, value, tags) rows to the warehouse at ``path``."""
+    """Append (metric, ts, value, tags) rows to the warehouse at ``path``.
+
+    The enriched batch is persisted across the two output writes (facts +
+    series dim) so the source is scanned and the identity derivation
+    computed once. Batch sizing is the caller's concern: at cluster scale
+    ingest arrives in bounded increments (one day / one upstream file set
+    per job), each of which comfortably fits MEMORY_AND_DISK.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     enriched = with_series_identity(points).withColumn(
         "ts_day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
     )
+    enriched.persist(StorageLevel.MEMORY_AND_DISK)
     (
         enriched.select("series_id", "ts", "value", "metric", "ts_day")
+        # Co-partition with the physical layout so each task writes exactly
+        # one file per (metric, day) instead of every task opening a writer
+        # for every partition — at scale this is the difference between
+        # O(tasks) and O(tasks × partitions) output files. AQE coalesces
+        # small shuffle partitions; skewed days split via skew-join handling.
+        .repartition(F.col("metric"), F.col("ts_day"))
         .write.mode("append")
         .option("compression", "zstd")
         .partitionBy("metric", "ts_day")
@@ -68,6 +84,7 @@ def write_batch(points: DataFrame, path: str) -> None:
         .option("compression", "zstd")
         .parquet(f"{path}/series")
     )
+    enriched.unpersist()
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:

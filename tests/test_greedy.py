@@ -1,0 +1,81 @@
+"""Greedy-bucketing fidelity tests (FIXTURES.md F6): Spark greedy mode vs a
+literal single-threaded port of the reference loop (src/agg/stream.rs:60-97),
+on timestamps chosen so greedy anchoring diverges from floor-alignment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from talna_spark.aggregate import _greedy_segment_ids
+from talna_spark.database import Database
+from talna_spark.duration import Duration
+from tests.conftest import make_points
+
+S = Duration.SECOND
+# clusters straddling floor boundaries and gaps > width (F6)
+F6_TS = [0, int(0.5 * S), int(0.9 * S), int(1.7 * S), int(2.5 * S),
+         10 * S, int(10.4 * S), 61 * S]
+
+
+def python_greedy(ts_values, width, kind):
+    """Independent oracle: reference loop + per-bucket aggregation."""
+    pairs = sorted(ts_values, key=lambda p: -p[0])
+    ts = np.array([p[0] for p in pairs], dtype=np.int64)
+    vals = np.array([p[1] for p in pairs], dtype=np.float64)
+    seg = _greedy_segment_ids(ts, width)
+    out = []
+    for s in sorted(set(seg.tolist())):
+        m = seg == s
+        v = vals[m]
+        agg = {
+            "avg": v.mean(), "sum": v.sum(), "min": v.min(),
+            "max": v.max(), "count": float(v.size),
+        }[kind]
+        out.append((int(ts[m].min()), int(ts[m].max()), float(agg), int(v.size)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("kind", ["avg", "sum", "min", "max", "count"])
+def test_greedy_matches_reference_loop(spark, kind):
+    rows = [("m", t, float(i + 1), {"host": "h-1"}) for i, t in enumerate(F6_TS)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    df = getattr(db, kind)("m", "host").mode("greedy").granularity(S).to_df()
+    got = sorted(
+        (r["start_ts"], r["end_ts"], r["value"], r["len"]) for r in df.collect()
+    )
+    expected = python_greedy(
+        [(t, float(i + 1)) for i, t in enumerate(F6_TS)], S, kind
+    )
+    assert got == expected
+
+
+def test_greedy_segmentation_shape(spark):
+    # width=1s: anchors at 61, 10.4, 2.5, then 0.9 (since 2.5-0.9>1) joins
+    # 0.5 and 0 (0.9-0<=1 inclusive)
+    ts = np.array(sorted(F6_TS, reverse=True), dtype=np.int64)
+    seg = _greedy_segment_ids(ts, S)
+    # newest bucket 0 = {61s}; bucket 1 = {10.4, 10}; bucket 2 = {2.5, 1.7};
+    # bucket 3 = {0.9, 0.5, 0}
+    assert seg.tolist() == [0, 1, 1, 2, 2, 3, 3, 3]
+
+
+def test_greedy_inclusive_boundary(spark):
+    # a point exactly `width` older than the anchor joins the bucket
+    # (reference src/agg/stream.rs:76: end - ts <= width)
+    rows = [("m", 0, 1.0, {"h": "a"}), ("m", S, 2.0, {"h": "a"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.count("m", "h").mode("greedy").granularity(S).collect()
+    assert len(res["a"]) == 1
+    assert res["a"][0].len == 2
+
+
+def test_greedy_multi_series_merge(spark):
+    # greedy runs over the MERGED stream of all matched series in the group
+    # (reference merges k series before bucketing, src/merge.rs:36-76)
+    rows = [("m", 0, 1.0, {"g": "x", "s": "a"}), ("m", int(0.6 * S), 2.0, {"g": "x", "s": "b"}),
+            ("m", int(1.2 * S), 3.0, {"g": "x", "s": "a"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.sum("m", "g").mode("greedy").granularity(S).collect()
+    # anchor at 1.2s joins 0.6s and ... 1.2-0 > 1s so 0 starts a new bucket
+    assert [b.len for b in res["x"]] == [2, 1]
