@@ -72,6 +72,33 @@ _SPEC: dict[str, tuple] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension operators (SURVEY.md §7 PR4 / BASELINE north star):
+# dedup, similarity search, text analysis, multimodal columns.
+# Each entry: (spark_builder, oracle_sql_or_None).
+# ---------------------------------------------------------------------------
+from talna_spark.pipeline import dedup as _dedup
+from talna_spark.pipeline import multimodal as _mm
+from talna_spark.pipeline import similarity as _sim
+from talna_spark.pipeline import text as _text
+
+_EXT: dict[str, tuple] = {
+    "x01_text_tokens": (_text.token_stats, _text.token_stats_sql()),
+    "x02_text_quality": (_text.quality, _text.quality_sql()),
+    "x03_text_langid": (_text.lang_id, _text.lang_id_sql()),
+    "x04_text_fingerprint": (_text.fingerprint, _text.fingerprint_sql()),
+    "x05_dedup_exact": (_dedup.exact_survivors, _dedup.exact_survivors_sql()),
+    "x06_dedup_minhash_sig": (_dedup.minhash_signatures, _dedup.minhash_signatures_sql()),
+    "x07_dedup_lsh_pairs": (_dedup.lsh_near_dup_pairs, _dedup.lsh_near_dup_pairs_sql()),
+    "x08_dedup_simhash": (_dedup.simhash, _dedup.simhash_sql()),
+    "x09_dedup_ngram_jaccard": (_dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql()),
+    "x10_ann_bruteforce": (_sim.brute_force_topk, _sim.brute_force_topk_sql()),
+    "x11_ann_ivf": (_sim.ivf_topk, _sim.ivf_topk_sql()),
+    "x12_embedding_near_dup": (_sim.label_nearest_neighbor, _sim.label_nearest_neighbor_sql()),
+    "x13_multimodal_features": (_mm.extract_features, _mm.extract_features_sql()),
+}
+
+
 def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
     kind, metric, group_by, flt, start, end, gran, mode = spec
 
@@ -94,7 +121,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _make_query(spec) for name, spec in _SPEC.items()}
+    out = {name: _make_query(spec) for name, spec in _SPEC.items()}
+    for name, (fn, _sql) in _EXT.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -103,4 +133,7 @@ def oracle_sql() -> dict[str, str]:
         if mode != "aligned":
             continue  # greedy is non-SQL-expressible (SURVEY.md §2.3)
         out[name] = events_query_sql(kind, metric, group_by, flt, start, end, gran)
+    for name, (_fn, sql) in _EXT.items():
+        if sql is not None:
+            out[name] = sql
     return out

@@ -1,0 +1,270 @@
+"""Deduplication over the ``documents`` table: exact, MinHash+LSH,
+SimHash, and n-gram-Jaccard — the operators a 100 TB training-data
+pipeline needs.
+
+Scale design notes (the reason each operator is shaped the way it is):
+- exact: one hash-groupBy; map-side partial aggregation makes the shuffle
+  carry one row per distinct hash, not per document.
+- MinHash+LSH: signatures are a map-only pass; candidate generation
+  explodes B band keys per doc and self-joins on the band bucket — the
+  join key IS the LSH bucket, so the shuffle is proportional to candidate
+  pairs, never to |docs|^2. Verification (exact Jaccard) runs only on
+  band-matched pairs.
+- SimHash: frequency-weighted bitwise majority of token hashes, all
+  JVM-side aggregate() folds; near-dup = small Hamming distance on the
+  compact signature.
+- n-gram Jaccard: blocked all-pairs (same length bucket) — the classic
+  quadratic verifier, kept for parity/comparison; LSH is the scale path.
+
+Every operator has a DuckDB oracle generated from the same constants via
+talna_spark.pipeline.portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.portable import (
+    hash64,
+    hash64_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+SHINGLE_K = 3          # word 3-grams
+MINHASH_H = 8          # hash functions
+LSH_BANDS = 4          # bands of 2 rows each (B*R = H)
+LSH_ROWS = MINHASH_H // LSH_BANDS
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 16
+LENGTH_BUCKET = 64     # chars, blocking key for the quadratic verifier
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -------------------------------------------------------------- exact dedup
+def exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: the surviving (canonical) doc per
+    distinct text = min doc_id, with the group size. A pipeline keeps
+    ``keep_doc`` and drops the rest."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_survivors_sql() -> str:
+    return (
+        "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc, "
+        "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"
+    )
+
+
+# --------------------------------------------------------------- minhash
+def _minhash_cols(sh):
+    """H minhash values: min over shingles of hash64(i | shingle)."""
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: hash64(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"h{i}")
+        for i in range(MINHASH_H)
+    ]
+
+
+def _minhash_cols_sql():
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    return [
+        (
+            f"list_aggregate(list_transform({sh}, "
+            f"s -> {hash64_sql(chr(39) + str(i) + '|' + chr(39) + ' || s')}), 'min')"
+            f" AS h{i}"
+        )
+        for i in range(MINHASH_H)
+    ]
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    return d.select("doc_id", *_minhash_cols(sh))
+
+
+def minhash_signatures_sql() -> str:
+    return f"SELECT doc_id, {', '.join(_minhash_cols_sql())} FROM documents"
+
+
+# ------------------------------------------------------- LSH near-dup pairs
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates -> exact-Jaccard verification >= threshold.
+
+    Plan shape: map-only signature pass -> explode B band keys -> shuffle
+    on (band_idx, band_key) -> self-join inside buckets -> verify. The
+    |docs|^2 comparison never materializes.
+    """
+    d = _docs(spark, sf_dir)
+    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    sig = d.select("doc_id", sh.alias("sh"), *_minhash_cols(sh))
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"h{b * LSH_ROWS + r}")
+                                for r in range(LSH_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def lsh_near_dup_pairs_sql() -> str:
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    sig_cols = ", ".join(_minhash_cols_sql())
+    band_structs = ", ".join(
+        "{'band': %d, 'key': concat_ws('_', %s)}"
+        % (b, ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+        for b in range(LSH_BANDS)
+    )
+    inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    return (
+        f"WITH sig AS (SELECT doc_id, {sh} AS sh, {sig_cols} FROM documents), "
+        f"bands AS (SELECT doc_id, sh, unnest([{band_structs}], recursive := true) "
+        f"FROM sig), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        f"AND a.doc_id < b.doc_id), "
+        f"verified AS (SELECT doc_a, doc_b, "
+        f"ROUND({inter}::DOUBLE / (len(a.sh) + len(b.sh) - {inter}), 6) AS jaccard "
+        f"FROM cand JOIN sig a ON cand.doc_a = a.doc_id "
+        f"JOIN sig b ON cand.doc_b = b.doc_id) "
+        f"SELECT doc_a, doc_b, jaccard FROM verified "
+        f"WHERE jaccard >= {JACCARD_THRESHOLD}"
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted SimHash over token hashes (SIMHASH_BITS wide),
+    entirely as JVM-side aggregate() folds — no UDF, no shuffle."""
+    d = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    th = F.transform(w, lambda t: hash64(t))
+    # exact bit extraction via shift+mask — double division would lose
+    # the low bits of a 60-bit hash (53-bit mantissa). The bit index is
+    # bound through a factory: pyspark requires exactly-2-arg lambdas for
+    # aggregate(), so a `b=b` default parameter would break arity checks.
+    def _bit_score(bit: int):
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        score = _bit_score(b)
+        bit_terms.append(F.when(score > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return d.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    w = tokens_sql("text")
+    th = f"list_transform({w}, t -> {hash64_sql('t')})"
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        score = (
+            f"list_sum(list_transform({th}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {score} > 0 THEN {2**b} ELSE 0 END)")
+    return (
+        f"SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash "
+        f"FROM documents"
+    )
+
+
+# -------------------------------------------------- n-gram jaccard (blocked)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic Jaccard verifier blocked by text-length bucket — the
+    brute-force comparison path, bounded by the blocking key. Kept as the
+    recall baseline for LSH (at scale, run LSH; this verifies it)."""
+    d = _docs(spark, sf_dir)
+    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    # integer division on both sides: DuckDB CAST(float AS BIGINT) rounds
+    # half-to-even while Spark's cast truncates — `div` / `//` sidestep it
+    base = d.select(
+        "doc_id", sh.alias("sh"),
+        F.expr(f"length(text) div {LENGTH_BUCKET}").alias("lb"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.lb") == F.col("b.lb")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("jaccard", F.round(_jaccard(F.col("a.sh"), F.col("b.sh")), 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+def ngram_jaccard_pairs_sql() -> str:
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    return (
+        f"WITH base AS (SELECT doc_id, {sh} AS sh, "
+        f"length(text) // {LENGTH_BUCKET} AS lb FROM documents) "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"ROUND({inter}::DOUBLE / (len(a.sh) + len(b.sh) - {inter}), 6) AS jaccard "
+        f"FROM base a JOIN base b ON a.lb = b.lb AND a.doc_id < b.doc_id "
+        f"WHERE ROUND({inter}::DOUBLE / (len(a.sh) + len(b.sh) - {inter}), 6) "
+        f">= {JACCARD_THRESHOLD}"
+    )

@@ -1,0 +1,86 @@
+"""Portable expression helpers: constructs proven to produce IDENTICAL
+results in Spark SQL and DuckDB 1.0, used to build extension operators and
+their oracles from one spec.
+
+Verified primitives (see tests/test_portable.py):
+- md5(utf8 string) -> same lowercase hex in both engines
+- 64-bit hash: first 15 hex chars of md5 -> int  (< 2^60, fits BIGINT)
+    Spark:  CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+- tokens: regexp split of trimmed, lowercased text on \\s+
+- word k-shingles: k consecutive tokens joined by ' '; both sides guard
+  the "< k tokens" case to an empty list (Spark's sequence(1,0) counts
+  DOWN, DuckDB's generate_series(1,0) is empty — the guard hides the
+  divergence).
+- cosine similarity over DOUBLE arrays: Spark zip_with+aggregate fold vs
+  DuckDB list_cosine_similarity; equal after ROUND(.., 6).
+
+All floats that feed a driver value-hash must be rounded (6 dp) on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- hashing
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit int hash of a string (md5-prefix based)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- tokens
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return rf"regexp_split_to_array(trim(lower({expr})), '\s+')"
+
+
+# ---------------------------------------------------------------- shingles
+def shingles(words: Column, k: int) -> Column:
+    """Distinct word k-shingles; empty array when fewer than k words."""
+    n = F.size(words) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(words_expr: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({words_expr}) - {k - 1}, 0)), "
+        f"i -> array_to_string(({words_expr})[i:i+{k - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------- cosine
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side fold
+    (no UDF): zip_with products, sequential aggregate sum — the same
+    left-to-right accumulation DuckDB's list_cosine_similarity performs."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"list_cosine_similarity({a}, {b})"

@@ -1,0 +1,184 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+- brute-force cosine top-k: the correctness baseline. Query vectors are
+  broadcast (a handful of rows) against the corpus scan; per-query top-k
+  via window rank. At 100 TB the corpus scan dominates and is perfectly
+  parallel; the shuffled (query, candidate) stream carries only
+  (ids, score) pairs, never vectors.
+- IVF (inverted-file) variant: vectors are assigned to the nearest of a
+  fixed centroid set (map-side broadcast argmax — one pass), and queries
+  probe ONLY their own cluster: the classic scale path that turns a full
+  scan into a 1/N_CLUSTERS partition scan. Cluster assignment doubles as
+  the physical partition key at scale.
+
+Cosine is computed with JVM-side zip_with/aggregate folds (portable.cosine)
+— no UDFs — and scores are rounded to 6 dp BEFORE ranking so ranks are
+deterministic across engines (float last-ulp differences cannot flip
+neighbors). Ties break by neighbor id ascending.
+
+All operators ship DuckDB oracles over the same constants
+(list_cosine_similarity; verified equal post-rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.portable import cosine
+
+N_QUERIES = 8        # query set: vec_id < 8
+TOP_K = 5
+IVF_CENTROIDS = 16   # centroid set: vec_id < 16 (training-free seeds)
+IVF_TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def brute_force_topk_sql() -> str:
+    return (
+        f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}), "
+        f"pairs AS (SELECT query_id, e.vec_id AS neighbor_id, "
+        f"ROUND(list_cosine_similarity(qv, v), 6) AS cos "
+        f"FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+        f"ranked AS (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+        f"FROM pairs) "
+        f"SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}"
+    )
+
+
+def _assignments(e: DataFrame) -> DataFrame:
+    """Map each vector to its nearest centroid (broadcast argmax)."""
+    c = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = e.join(F.broadcast(c), how="cross").select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: probe only the query's own IVF cluster."""
+    e = _emb(spark, sf_dir)
+    a = _assignments(e)
+    q = a.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cluster").alias("qcluster"),
+    )
+    pairs = a.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk_sql() -> str:
+    return (
+        f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"c AS (SELECT vec_id AS centroid_id, v AS cv FROM e "
+        f"WHERE vec_id < {IVF_CENTROIDS}), "
+        f"scored AS (SELECT e.vec_id, e.v, centroid_id, "
+        f"ROUND(list_cosine_similarity(v, cv), 6) AS ccos FROM e CROSS JOIN c), "
+        f"assigned AS (SELECT vec_id, v, centroid_id AS cluster FROM "
+        f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        f"ORDER BY ccos DESC, centroid_id ASC) AS rn FROM scored) WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qcluster "
+        f"FROM assigned WHERE vec_id < {N_QUERIES}), "
+        f"pairs AS (SELECT query_id, a.vec_id AS neighbor_id, "
+        f"ROUND(list_cosine_similarity(qv, a.v), 6) AS cos "
+        f"FROM assigned a JOIN q ON a.cluster = q.qcluster "
+        f"AND a.vec_id <> q.query_id), "
+        f"ranked AS (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+        f"FROM pairs) "
+        f"SELECT query_id, neighbor_id, rank, cos FROM ranked "
+        f"WHERE rank <= {IVF_TOP_K}"
+    )
+
+
+def label_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scan: each vector's nearest neighbor within its
+    label partition (the blocked all-pairs shape; at scale the label — or
+    an LSH bucket — is the join key, so the shuffle is per-block)."""
+    e = _emb(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "cos")
+    )
+
+
+def label_nearest_neighbor_sql() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label "
+        "FROM embeddings), "
+        "pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pairs) "
+        "SELECT vec_id, neighbor_id, cos FROM ranked WHERE rn = 1"
+    )

@@ -1,0 +1,164 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language-ID (marker-word heuristic), document fingerprinting.
+
+All expressions are JVM-side builtins (whole-stage codegen; no UDFs), and
+each operator ships a DuckDB oracle generated from the same constants.
+At scale these are embarrassingly parallel map-side transforms — no
+shuffle at all; filters on the outputs push down into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.portable import (
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+PUNCT_CLASS = "[.,!?;:]"
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+FINGERPRINT_K = 5  # word 5-grams, min-md5 fingerprint (winnowing-style)
+
+# language -> marker function words (argmax score, tie -> lexicographic;
+# all-zero -> 'und'). A real system would use char n-gram profiles; the
+# marker heuristic keeps the operator portable to the SQL oracle while
+# exercising the same Spark plumbing (array intersections, map-side only).
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _count_in(words, wordset) -> "F.Column":
+    return F.size(F.filter(words, lambda w: w.isin(*wordset)))
+
+
+def _count_in_sql(words_expr: str, wordset) -> str:
+    lst = ", ".join(f"'{w}'" for w in wordset)
+    return f"len(list_filter({words_expr}, w -> w IN ({lst})))"
+
+
+# ------------------------------------------------------------ token stats
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.round(F.length("text") / F.size(w), 6).alias("chars_per_token"),
+    )
+
+
+def token_stats_sql() -> str:
+    w = tokens_sql("text")
+    return (
+        f"SELECT doc_id, len({w}) AS n_tokens, "
+        f"length(text) AS n_chars_text, "
+        f"ROUND(length(text) / len({w}), 6) AS chars_per_token "
+        f"FROM documents"
+    )
+
+
+# -------------------------------------------------------- quality scoring
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    n_tok = F.size(w)
+    punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    punct_ratio = punct / F.length("text")
+    stop_ratio = _count_in(w, STOPWORDS) / n_tok
+    # clamped linear quality: enough tokens, some stopwords, little punct
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        * (F.lit(1.0) - punct_ratio)
+        * F.least(F.lit(0.5) + stop_ratio, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def quality_sql() -> str:
+    w = tokens_sql("text")
+    punct = f"(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))"
+    stop = _count_in_sql(w, STOPWORDS)
+    return (
+        f"SELECT doc_id, len({w}) AS n_tokens, "
+        f"ROUND({punct} / length(text), 6) AS punct_ratio, "
+        f"ROUND({stop} / len({w}), 6) AS stop_ratio, "
+        f"ROUND(least(len({w}) / 50.0, 1.0) * (1.0 - {punct} / length(text)) "
+        f"* least(0.5 + {stop} / len({w}), 1.0), 6) AS quality "
+        f"FROM documents"
+    )
+
+
+# ------------------------------------------------------------ language ID
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    scores = {code: _count_in(w, mk) for code, mk in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # argmax with lexicographic tie-break: first code reaching the max wins
+    for code in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[code] == best, F.lit(code)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("long").alias("marker_hits"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+def lang_id_sql() -> str:
+    w = tokens_sql("text")
+    scores = {
+        code: _count_in_sql(w, mk) for code, mk in sorted(LANG_MARKERS.items())
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    whens = " ".join(
+        f"WHEN {scores[c]} = {best} THEN '{c}'" for c in sorted(LANG_MARKERS)
+    )
+    return (
+        f"SELECT doc_id, "
+        f"CASE WHEN {best} > 0 THEN (CASE {whens} END) ELSE 'und' END AS pred_lang, "
+        f"CAST({best} AS BIGINT) AS marker_hits, "
+        f"lang AS labeled_lang "
+        f"FROM documents"
+    )
+
+
+# ---------------------------------------------------------- fingerprinting
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash-of-shingles document fingerprint (rolling-window analog of
+    Karp-Rabin winnowing): the lexicographic min of md5 over word 5-grams.
+    Stable under small edits away from the minimizing window."""
+    d = _docs(spark, sf_dir)
+    sh = shingles(tokens(F.col("text")), FINGERPRINT_K)
+    fp = F.array_min(F.transform(sh, F.md5))
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprint_sql() -> str:
+    sh = shingles_sql(tokens_sql("text"), FINGERPRINT_K)
+    return (
+        f"SELECT doc_id, "
+        f"list_aggregate(list_transform({sh}, s -> md5(s)), 'min') AS fingerprint "
+        f"FROM documents"
+    )
