@@ -45,14 +45,18 @@ def tokens_sql(expr: str) -> str:
 
 # ---------------------------------------------------------------- shingles
 def shingles(words: Column, k: int) -> Column:
-    """Distinct word k-shingles; empty array when fewer than k words."""
+    """Distinct word k-shingles as a SORTED list (canonical set encoding —
+    DuckDB's list_distinct does not preserve input order, so only the
+    sorted form is cross-engine deterministic); empty when < k words."""
     n = F.size(words) - (k - 1)
     return F.when(
         n >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.array_join(F.slice(words, i, k), " "),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.array_join(F.slice(words, i, k), " "),
+                )
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -60,9 +64,9 @@ def shingles(words: Column, k: int) -> Column:
 
 def shingles_sql(words_expr: str, k: int) -> str:
     return (
-        f"list_distinct(list_transform("
+        f"list_sort(list_distinct(list_transform("
         f"generate_series(1, greatest(len({words_expr}) - {k - 1}, 0)), "
-        f"i -> array_to_string(({words_expr})[i:i+{k - 1}], ' ')))"
+        f"i -> array_to_string(({words_expr})[i:i+{k - 1}], ' '))))"
     )
 
 

@@ -1,0 +1,75 @@
+"""Streaming ingest + windowed pre-aggregation.
+
+The reference ingests point-at-a-time into an LSM (src/db.rs:319-350);
+the Spark-native equivalent is micro-batched Structured Streaming:
+
+- :func:`stream_ingest` — readStream source -> ``foreachBatch`` running the
+  exact batch ingest (talna_spark.ingest.write_batch), so streaming and
+  batch writes share one code path and one warehouse layout. Out-of-order
+  points need no special handling (they land in their (metric, ts_day)
+  partition, same as the reference's insert-at-key-position,
+  src/db.rs:342-343).
+- :func:`windowed_rollup` — event-time tumbling-window aggregation with a
+  watermark: the streaming analog of the aligned bucketizer (B_al), with
+  late data handled by the watermark instead of talna's
+  visible-on-next-query semantics. Output schema matches the batch result
+  (grp, start_ts, end_ts, value, len) so a rollup sink can serve the same
+  queries pre-aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from talna_spark.aggregate import _value_agg
+
+
+def stream_ingest(points_stream: DataFrame, warehouse_path: str, checkpoint: str):
+    """Start a streaming query appending (metric, ts, value, tags) rows to
+    the warehouse via the batch ingest path. Returns the StreamingQuery."""
+    from talna_spark.ingest import write_batch
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_batch(batch_df, warehouse_path)
+
+    return (
+        points_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def windowed_rollup(
+    points_stream: DataFrame,
+    group_by: str,
+    kind: str = "avg",
+    width_seconds: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window streaming aggregation keyed by a tag.
+
+    Event time is derived from the int64-ns ``ts`` column. The watermark
+    bounds state: buckets older than it are finalized and late points
+    beyond it are dropped (documented deviation from the reference, which
+    simply makes late writes visible to later queries — exactly what the
+    batch path here does too; the rollup is an *additional* materialization).
+    """
+    grp = F.col("tags").getItem(group_by)
+    evt = F.timestamp_micros(F.expr("ts div 1000"))
+    windowed = (
+        points_stream.withColumn("_evt", evt)
+        .filter(grp.isNotNull())
+        .withWatermark("_evt", watermark)
+        .groupBy(grp.alias("grp"), F.window("_evt", f"{width_seconds} seconds"))
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            _value_agg(kind).alias("value"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+    return windowed.select("grp", "start_ts", "end_ts", "value", "len")
