@@ -43,6 +43,14 @@ def _ns_to_date(ns: int) -> str:
     )
 
 
+# A view may expose `_raw_ts`: the stored (pre-transformation) timestamp
+# column, guaranteed to satisfy ts <= _raw_ts <= ts + RAW_TS_SLACK_NS.
+# Predicates on the derived `ts` cannot reach the file scan, but widened
+# bounds on `_raw_ts` are attribute-level and push down to row-group
+# skipping; the exact `ts` predicate then filters the residue.
+RAW_TS_SLACK_NS = 999
+
+
 class ViewBackend:
     """Backend over a logical points DataFrame (metric, ts, value, tags)."""
 
@@ -51,12 +59,17 @@ class ViewBackend:
 
     def scan(self, metric: str, node, start: Optional[int], end: Optional[int]) -> DataFrame:
         df = self.points.filter(F.col("metric") == metric)
+        has_raw = "_raw_ts" in self.points.columns
         # Time-range pushdown (O11): plain ts predicates reach the parquet
         # scan as PushedFilters / row-group min-max skipping.
         if start is not None:
             df = df.filter(F.col("ts") >= F.lit(int(start)))
+            if has_raw:  # ts <= _raw_ts, so ts >= start implies _raw_ts >= start
+                df = df.filter(F.col("_raw_ts") >= F.lit(int(start)))
         if end is not None:
             df = df.filter(F.col("ts") <= F.lit(int(end)))
+            if has_raw:  # _raw_ts <= ts + slack <= end + slack
+                df = df.filter(F.col("_raw_ts") <= F.lit(int(end) + RAW_TS_SLACK_NS))
         return df.filter(compile_to_column(node, F.col("tags")))
 
 
@@ -174,12 +187,43 @@ class QueryBuilder:
         return rows_to_bucket_map(r.asDict() for r in self.to_df().collect())
 
 
+class DatabaseBuilder:
+    """Builder mirroring ``Database::builder()`` (reference
+    src/db_builder.rs:48-56, operators O1-O4).
+
+    ``cache_size_mib`` and ``hyper_mode`` are accepted for API parity and
+    deliberately do nothing: block-cache sizing maps to Spark executor
+    memory / ``df.cache()`` decisions, and hyper_mode's per-write
+    durability tradeoff (src/db.rs:345-347) has no analog — every batch
+    write here is an atomic parquet job commit (SURVEY.md O3/O4).
+    """
+
+    def __init__(self) -> None:
+        self._cache_size_mib = 32
+        self._hyper_mode = False
+
+    def cache_size_mib(self, mib: int) -> "DatabaseBuilder":
+        self._cache_size_mib = mib
+        return self
+
+    def hyper_mode(self, enabled: bool) -> "DatabaseBuilder":
+        self._hyper_mode = enabled
+        return self
+
+    def open(self, spark: SparkSession, warehouse_path: str) -> "Database":
+        return Database.open(spark, warehouse_path)
+
+
 class Database:
     """Engine facade (reference ``Database``, src/db.rs)."""
 
     def __init__(self, spark: SparkSession, backend):
         self.spark = spark
         self._backend = backend
+
+    @staticmethod
+    def builder() -> DatabaseBuilder:
+        return DatabaseBuilder()
 
     # -- constructors (O1/O2) ----------------------------------------------
     @classmethod
@@ -210,6 +254,22 @@ class Database:
         write_batch(points, self._backend.path)
         # refresh the dimension view
         self._backend.__init__(self.spark, self._backend.path)
+
+    def write(self, metric: str, value: float, tags: dict) -> None:
+        """Ingest one point at now() (reference ``Database::write``,
+        src/db.rs:319-321, O5). Single-row convenience — real ingest goes
+        through :meth:`write_batch`; one parquet file per point is exactly
+        the write amplification the batch path exists to avoid."""
+        self.write_at(metric, timestamp(), value, tags)
+
+    def write_at(self, metric: str, ts_ns: int, value: float, tags: dict) -> None:
+        """Ingest one point at an explicit timestamp (reference
+        ``Database::write_at``, src/db.rs:323-350, O6)."""
+        from talna_spark.schema import POINTS_SCHEMA
+
+        validate_metric_name(metric)
+        row = [(metric, int(ts_ns), float(value), dict(tags))]
+        self.write_batch(self.spark.createDataFrame(row, POINTS_SCHEMA))
 
     # -- query entry points (O41, src/db.rs:213-312) ------------------------
     def avg(self, metric: str, group_by: str) -> QueryBuilder:

@@ -115,9 +115,11 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = shingles(tokens(F.col("text")), SHINGLE_K)
     sig = d.select("doc_id", sh.alias("sh"), *_minhash_cols(sh))
+    # Band rows carry ONLY (doc_id, band, key): the band self-join shuffles
+    # O(docs x B) id-sized rows, and shingle sets are joined back just for
+    # the (few) surviving candidates — never through the explode.
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -135,7 +137,7 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -145,17 +147,19 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    shs = sig.select("doc_id", "sh")
+    verified = (
+        cand.join(shs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(shs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard", F.round(_jaccard(F.col("sa.sh"), F.col("sb.sh")), 6)
+        )
+    )
     return (
-        cand.withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
 

@@ -57,6 +57,11 @@ def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("app."), F.lower("event_type")).alias("metric"),
         # int64 ns via nanosAsLong, truncated to µs to match DuckDB
         F.expr("(ts div 1000) * 1000").cast("long").alias("ts"),
+        # raw (untruncated) ts under the pushdown convention: predicates on
+        # the derived `ts` cannot reach the parquet scan, but `_raw_ts` is a
+        # plain alias of the stored column, so widened time bounds on it
+        # push down to row-group skipping (see ViewBackend.scan).
+        F.col("ts").cast("long").alias("_raw_ts"),
         F.col("value").cast("double").alias("value"),
         tags.alias("tags"),
     )
