@@ -74,23 +74,48 @@ class ViewBackend:
 
 
 class WarehouseBackend:
-    """Backend over the partitioned warehouse written by ingest.write_batch."""
+    """Backend over the partitioned warehouse written by ingest.write_batch.
 
-    def __init__(self, spark: SparkSession, path: str):
+    Series selection has two strategies:
+    - dim-predicate (default): compile the AST onto the series dim's tag
+      map — optimal while the dim is broadcast-sized;
+    - inverted tag index (auto when ``series_tag`` exists, see
+      talna_spark.tag_index): the reference's postings algebra as id-only
+      set operations — the path for billions of series, where per-row
+      map_extract over the whole dim loses to indexed (key, value) scans.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, use_tag_index: Optional[bool] = None):
         from talna_spark.ingest import read_series_dim
+        from talna_spark.tag_index import has_tag_index
 
         self.spark = spark
         self.path = path
         self.series = read_series_dim(spark, path)
+        self.use_tag_index = (
+            has_tag_index(path) if use_tag_index is None else use_tag_index
+        )
+
+    def _matched_series(self, metric: str, node) -> DataFrame:
+        """(series_id, tags) for every series matching the filter — the
+        reference's inverted-index evaluation (src/query/filter.rs:92-139)."""
+        dim = self.series.filter(F.col("metric") == metric)
+        if self.use_tag_index:
+            from talna_spark.tag_index import evaluate_postings
+
+            ids = evaluate_postings(self.spark, self.path, metric, node)
+            # tags re-attached from the dim for GROUP BY (the reference's
+            # per-id tagset lookup, src/db.rs:122)
+            return dim.join(ids, "series_id", "inner").select("series_id", "tags")
+        return dim.filter(compile_to_column(node, F.col("tags"))).select(
+            "series_id", "tags"
+        )
 
     def scan(self, metric: str, node, start: Optional[int], end: Optional[int]) -> DataFrame:
-        # 1) Series selection on the small dimension (the reference's
-        #    inverted-index evaluation, src/query/filter.rs:92-139).
+        # 1) Series selection (dim predicate or inverted tag index).
         from talna_spark.ingest import read_facts
 
-        dim = self.series.filter(F.col("metric") == metric).filter(
-            compile_to_column(node, F.col("tags"))
-        )
+        dim = self._matched_series(metric, node)
         facts = read_facts(self.spark, self.path)
         # 2) Partition pruning: metric is a physical partition column; ts_day
         #    prunes whole day-directories before any row-group is touched.
@@ -240,9 +265,28 @@ class Database:
         return cls(spark, ViewBackend(points_from_events(spark, sf_dir)))
 
     @classmethod
-    def open(cls, spark: SparkSession, warehouse_path: str) -> "Database":
-        """Open a partitioned warehouse written by :meth:`write_batch`."""
-        return cls(spark, WarehouseBackend(spark, warehouse_path))
+    def open(
+        cls,
+        spark: SparkSession,
+        warehouse_path: str,
+        use_tag_index: Optional[bool] = None,
+    ) -> "Database":
+        """Open a partitioned warehouse written by :meth:`write_batch`.
+
+        ``use_tag_index``: force the inverted-index series-selection path
+        on/off; default auto-detects a materialized ``series_tag`` table.
+        """
+        return cls(spark, WarehouseBackend(spark, warehouse_path, use_tag_index))
+
+    def compact(self) -> None:
+        """Run warehouse maintenance: series-dim compaction + tag-index
+        refresh (talna_spark.maintenance)."""
+        if not isinstance(self._backend, WarehouseBackend):
+            raise InvalidQueryError("compact requires a warehouse-backed Database")
+        from talna_spark.maintenance import compact
+
+        compact(self.spark, self._backend.path)
+        self._backend.__init__(self.spark, self._backend.path)
 
     # -- ingest (O5/O6) -----------------------------------------------------
     def write_batch(self, points: DataFrame) -> None:

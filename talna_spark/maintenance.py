@@ -1,0 +1,49 @@
+"""Warehouse maintenance jobs: series-dimension compaction + tag-index
+refresh.
+
+The reference maintains its smap/tidx/tags partitions transactionally per
+write (src/db.rs:352-400) because it is an embedded single-writer store.
+A cluster warehouse instead appends cheaply and compacts periodically —
+the classic LSM-to-lakehouse translation of the same idea. On a real
+deployment these writes would go through a transactional table format
+(Delta/Iceberg) instead of the directory swap used here; the job shapes
+are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from talna_spark.tag_index import build_tag_index
+
+
+def compact_series(spark: SparkSession, warehouse_path: str) -> None:
+    """Rewrite the append-only series dimension as a single deduplicated
+    parquet (bounded: one row per live series)."""
+    from talna_spark.ingest import read_series_dim
+
+    src = os.path.join(warehouse_path, "series")
+    if not os.path.exists(src):
+        return
+    tmp = os.path.join(warehouse_path, "series__compact_tmp")
+    (
+        read_series_dim(spark, warehouse_path)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(tmp)
+    )
+    old = os.path.join(warehouse_path, "series__old")
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact(spark: SparkSession, warehouse_path: str) -> None:
+    """Full maintenance pass: dedupe the series dim, refresh the inverted
+    tag index (talna_spark.tag_index)."""
+    compact_series(spark, warehouse_path)
+    build_tag_index(spark, warehouse_path)

@@ -1,0 +1,69 @@
+"""Inverted tag-index path: postings algebra must agree exactly with the
+dim-predicate path for every DSL shape (the two strategies implement the
+same reference semantics, src/query/filter.rs:92-139)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from talna_spark.database import Database
+from talna_spark.sources.events import points_from_events
+
+FILTERS = [
+    "*",
+    "user:3",
+    "k:1*",
+    "k:*",
+    "!user:3",
+    "!hi:yes",                      # NOT over a sometimes-missing tag
+    "user:3 AND k:1*",
+    "k:12 OR k:13",
+    "user:3 AND k:1* OR user:4 AND k:2*",
+    "user:[1, 2, 3]",
+    "!(user:3 OR user:4)",
+    "user:3 AND nosuch:tag",        # empty
+]
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    wh = tempfile.mkdtemp(prefix="talna_tidx_wh_")
+    pts = points_from_events(spark, "/root/testdata/sf0.001")
+    db = Database.open(spark, wh)
+    db.write_batch(pts)
+    db.compact()  # builds the tag index
+    yield wh
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def _result_key(df):
+    return sorted(
+        (r["grp"], r["start_ts"], r["end_ts"], round(r["value"], 9), r["len"])
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("flt", FILTERS)
+def test_index_path_equals_dim_path(spark, warehouse, flt):
+    with_idx = Database.open(spark, warehouse, use_tag_index=True)
+    without = Database.open(spark, warehouse, use_tag_index=False)
+    assert with_idx._backend.use_tag_index is True
+    a = _result_key(with_idx.avg("app.purchase", "user").filter(flt).to_df())
+    b = _result_key(without.avg("app.purchase", "user").filter(flt).to_df())
+    assert a == b, f"filter {flt!r}: index path diverges from dim path"
+
+
+def test_auto_detection(spark, warehouse):
+    db = Database.open(spark, warehouse)
+    assert db._backend.use_tag_index is True
+
+
+def test_compact_bounds_series_dim(spark, warehouse):
+    import glob
+
+    # after compaction the series dim is a single file
+    files = glob.glob(f"{warehouse}/series/*.parquet")
+    assert len(files) == 1
