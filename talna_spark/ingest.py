@@ -103,15 +103,26 @@ def read_series_dim(spark: SparkSession, path: str) -> DataFrame:
 
     if not os.path.exists(os.path.join(path, "series")):
         return _empty(spark, SERIES_SCHEMA)
-    return spark.read.parquet(f"{path}/series").dropDuplicates(["series_id"])
+    return (
+        spark.read.schema(SERIES_SCHEMA)
+        .parquet(f"{path}/series")
+        .dropDuplicates(["series_id"])
+    )
 
 
 def read_facts(spark: SparkSession, path: str) -> DataFrame:
-    """The fact table; empty DataFrame when nothing has been ingested."""
+    """The fact table; empty DataFrame when nothing has been ingested.
+
+    The schema is supplied explicitly: with (metric, ts_day) producing many
+    partition directories, letting Spark infer the schema reads parquet
+    footers across directories on every open — pure overhead for a fixed
+    layout. ts_day stays a string (ISO dates compare correctly
+    lexicographically, so partition pruning predicates are unaffected).
+    """
     import os
 
     from talna_spark.schema import FACT_SCHEMA
 
     if not os.path.exists(os.path.join(path, "points")):
         return _empty(spark, FACT_SCHEMA)
-    return spark.read.parquet(f"{path}/points")
+    return spark.read.schema(FACT_SCHEMA).parquet(f"{path}/points")

@@ -16,6 +16,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from talna_spark.tag_index import build_tag_index
 
@@ -42,8 +43,41 @@ def compact_series(spark: SparkSession, warehouse_path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def compact_facts(spark: SparkSession, warehouse_path: str) -> None:
+    """Rewrite the fact table clustered by (series_id, ts DESC) within each
+    (metric, ts_day) partition.
+
+    This is the lakehouse analog of the reference's LSM compaction (fjall's
+    background merge of sorted runs): appended batches leave each partition
+    as several unsorted files; after clustering, parquet row-group min/max
+    stats on ``series_id`` let a narrow filter (few matched series) skip
+    most row groups inside a day, and DESC ``ts`` matches the engine's
+    newest-first read bias (reference key negation, src/db.rs:106).
+    """
+    from talna_spark.ingest import read_facts
+
+    src = os.path.join(warehouse_path, "points")
+    if not os.path.exists(src):
+        return
+    tmp = os.path.join(warehouse_path, "points__compact_tmp")
+    (
+        read_facts(spark, warehouse_path)
+        .repartition(F.col("metric"), F.col("ts_day"))
+        .sortWithinPartitions("series_id", F.desc("ts"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("metric", "ts_day")
+        .parquet(tmp)
+    )
+    old = os.path.join(warehouse_path, "points__old")
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact(spark: SparkSession, warehouse_path: str) -> None:
-    """Full maintenance pass: dedupe the series dim, refresh the inverted
-    tag index (talna_spark.tag_index)."""
+    """Full maintenance pass: dedupe the series dim, cluster the fact
+    table, refresh the inverted tag index (talna_spark.tag_index)."""
     compact_series(spark, warehouse_path)
+    compact_facts(spark, warehouse_path)
     build_tag_index(spark, warehouse_path)

@@ -67,3 +67,24 @@ def test_compact_bounds_series_dim(spark, warehouse):
     # after compaction the series dim is a single file
     files = glob.glob(f"{warehouse}/series/*.parquet")
     assert len(files) == 1
+
+
+def test_compact_facts_preserves_data_and_results(spark):
+    """compact_facts rewrites every point exactly once and leaves query
+    results unchanged (it only reclusters the physical layout)."""
+    wh = tempfile.mkdtemp(prefix="talna_cfacts_wh_")
+    try:
+        pts = points_from_events(spark, "/root/testdata/sf0.001")
+        db = Database.open(spark, wh)
+        db.write_batch(pts)
+        n_before = db._backend and spark.read.parquet(f"{wh}/points").count()
+        before = _result_key(db.avg("app.purchase", "user").filter("k:1*").to_df())
+        from talna_spark.maintenance import compact_facts
+
+        compact_facts(spark, wh)
+        db2 = Database.open(spark, wh, use_tag_index=False)
+        assert spark.read.parquet(f"{wh}/points").count() == n_before
+        after = _result_key(db2.avg("app.purchase", "user").filter("k:1*").to_df())
+        assert before == after
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
