@@ -92,6 +92,7 @@ _EXT: dict[str, tuple] = {
     "x07_dedup_lsh_pairs": (_dedup.lsh_near_dup_pairs, _dedup.lsh_near_dup_pairs_sql()),
     "x08_dedup_simhash": (_dedup.simhash, _dedup.simhash_sql()),
     "x09_dedup_ngram_jaccard": (_dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql()),
+    "x14_dedup_clusters": (_dedup.dedup_clusters, _dedup.dedup_clusters_sql()),
     "x10_ann_bruteforce": (_sim.brute_force_topk, _sim.brute_force_topk_sql()),
     "x11_ann_ivf": (_sim.ivf_topk, _sim.ivf_topk_sql()),
     "x12_embedding_near_dup": (_sim.label_nearest_neighbor, _sim.label_nearest_neighbor_sql()),

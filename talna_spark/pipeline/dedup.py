@@ -234,6 +234,83 @@ def simhash_sql() -> str:
     )
 
 
+# ------------------------------------------------- duplicate clustering (CC)
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
+    """Connected components over the verified near-dup pair graph: every
+    doc gets a ``cluster`` label (the min doc_id in its component) and a
+    ``keep`` flag (true for the canonical survivor) — the step that turns
+    candidate pairs into an actionable drop-list.
+
+    Algorithm: Pregel-style hash-min label propagation — each round every
+    node takes the min of its label and its neighbors' labels; rounds are
+    plain self-joins on the (small) edge list, so the shuffle carries only
+    (id, label) longs, never document payloads. Converges in O(component
+    diameter) rounds; near-dup components are shallow (chains of copies),
+    so a handful of rounds suffices. At extreme diameters the alternating
+    small-star/large-star variant (CC in MapReduce, Kiveris et al.) bounds
+    rounds at O(log^2 n) with the same join shape. ``localCheckpoint``
+    truncates the growing lineage each round — without it, plan depth (and
+    task serialization time) doubles per iteration.
+    """
+    pairs = lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", "nlabel").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("cluster"),
+    )
+    return out.withColumn("keep", F.col("doc_id") == F.col("cluster"))
+
+
+def dedup_clusters_sql() -> str:
+    """Transitive-closure oracle: reach = all (id, reachable-id) pairs via
+    a recursive CTE (safe at oracle scale — components are tiny), then
+    cluster = min(id, reachable ids)."""
+    return (
+        f"WITH RECURSIVE pairs AS ({lsh_near_dup_pairs_sql()}), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS (SELECT src, dst FROM edges "
+        "UNION SELECT reach.id, edges.dst FROM reach "
+        "JOIN edges ON reach.r = edges.src), "
+        "comp AS (SELECT id, MIN(r) AS mn FROM reach GROUP BY id) "
+        "SELECT d.doc_id, "
+        "COALESCE(LEAST(comp.id, comp.mn), d.doc_id) AS cluster, "
+        "(d.doc_id = COALESCE(LEAST(comp.id, comp.mn), d.doc_id)) AS keep "
+        "FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"
+    )
+
+
 # -------------------------------------------------- n-gram jaccard (blocked)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadratic Jaccard verifier blocked by text-length bucket — the
