@@ -69,6 +69,11 @@ _SPEC: dict[str, tuple] = {
     "q19_group_drop": ("avg", "app.view", "hi", "*", None, None, HOUR, "aligned"),
     # Q20: empty series selection -> empty result (src/db.rs:195-198)
     "q20_empty": ("avg", "app.purchase", "user", "user:3 AND nosuch:tag", None, None, MIN, "aligned"),
+    # Q21-Q22: extension aggregates beyond the reference (SURVEY.md §2.2
+    # gaps filled Spark-side): exact interpolated percentile; per-series
+    # rate-of-change averaged per bucket.
+    "q21_p95": ("p95", "app.purchase", "user", "*", None, None, HOUR, "aligned"),
+    "q22_rate": ("rate", "app.click", "etype", "*", None, None, 6 * HOUR, "aligned"),
 }
 
 
@@ -104,7 +109,14 @@ def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
     kind, metric, group_by, flt, start, end, gran, mode = spec
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        b = getattr(Database.from_events(spark, sf_dir), kind)(metric, group_by)
+        from talna_spark.aggregate import percentile_q
+
+        db = Database.from_events(spark, sf_dir)
+        q = percentile_q(kind)
+        if q is not None:
+            b = db.percentile(metric, group_by, q)
+        else:
+            b = getattr(db, kind)(metric, group_by)
         b = b.filter(flt).granularity(gran).mode(mode)
         if start is not None:
             b = b.start(start)

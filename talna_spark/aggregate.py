@@ -40,6 +40,22 @@ from pyspark.sql import functions as F
 from talna_spark.schema import RESULT_SCHEMA
 
 AGG_KINDS = ("avg", "sum", "min", "max", "count")
+# Extension aggregates beyond the reference's five (src/agg/*.rs): exact
+# interpolated percentiles — "p50", "p95", "p99.9", ... Spark's built-in
+# `percentile` and DuckDB's `quantile_cont` share linear-interpolation
+# semantics, so oracle comparison is exact.
+_P_PREFIX = "p"
+
+
+def percentile_q(kind: str) -> float | None:
+    """``"p95"`` -> 0.95; None when ``kind`` is not a percentile kind."""
+    if not kind.startswith(_P_PREFIX):
+        return None
+    try:
+        q = float(kind[1:]) / 100.0
+    except ValueError:
+        return None
+    return q if 0.0 < q < 1.0 else None
 
 
 @dataclass(frozen=True)
@@ -69,6 +85,9 @@ def _value_agg(kind: str) -> Column:
     if kind == "count":
         # count reports the count as a float value AND as len (O32).
         return F.count(F.lit(1)).cast("double")
+    q = percentile_q(kind)
+    if q is not None:
+        return F.percentile("value", F.lit(q))
     raise ValueError(f"unknown aggregation: {kind}")
 
 
@@ -129,6 +148,7 @@ def greedy_buckets(
     scale it keeps the Python cost proportional to rows, not groups.
     """
     kind_b = kind  # capture for the closure
+    pq = percentile_q(kind)  # float (not a module ref) — safe to capture
     w = int(width)
 
     # NOTE: the closure must be self-contained (no talna_spark module
@@ -177,6 +197,15 @@ def greedy_buckets(
             out["value"] = np.maximum.reduceat(val, starts)
         elif kind_b == "count":
             out["value"] = lens.astype("float64")
+        elif pq is not None:
+            # percentile: no reduceat analog — slice per segment.
+            # np.percentile's linear interpolation matches Spark
+            # `percentile` and DuckDB `quantile_cont` exactly.
+            bounds = np.append(starts, n)
+            out["value"] = [
+                float(np.percentile(val[bounds[i]: bounds[i + 1]], pq * 100.0))
+                for i in range(len(starts))
+            ]
         else:
             raise ValueError(f"unknown aggregation: {kind_b}")
         return out[["grp", "start_ts", "end_ts", "value", "len"]]

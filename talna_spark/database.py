@@ -136,6 +136,37 @@ class WarehouseBackend:
         ).select("ts", "value", "tags")
 
 
+def _rate_transform(scan: DataFrame, metric: str) -> DataFrame:
+    """Per-series derivative (extension beyond the reference — the
+    Datadog-model ``rate()`` the tagging scheme is built for): value becomes
+    ``(value - lag(value)) / ((ts - lag(ts)) / 1e9)`` in units/second, the
+    point is labeled at the later timestamp, and each series' first point
+    (no predecessor) is dropped.
+
+    Series identity is the canonical series key derived from the tags map
+    (reference src/series_key.rs:20-41) — one JVM-side hash per row; the
+    window shuffles on it, so rates never mix series. Equal-timestamp pairs
+    within a series are ordered by value for determinism and their dt=0
+    rows dropped (both sides of the oracle comparison do the same).
+    """
+    from talna_spark.ingest import series_key_col
+
+    from pyspark.sql.window import Window
+
+    sid = F.xxhash64(series_key_col(F.lit(metric), F.col("tags")))
+    w = Window.partitionBy("_sid").orderBy("ts", "value")
+    df = (
+        scan.withColumn("_sid", sid)
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("_prev_v", F.lag("value").over(w))
+        .filter(F.col("_prev_ts").isNotNull() & (F.col("ts") > F.col("_prev_ts")))
+    )
+    rate = (F.col("value") - F.col("_prev_v")) / (
+        (F.col("ts") - F.col("_prev_ts")) / F.lit(1e9)
+    )
+    return df.select("ts", rate.alias("value"), "tags")
+
+
 class QueryBuilder:
     """Fluent aggregation builder (reference src/agg/builder.rs:10-140).
 
@@ -198,11 +229,17 @@ class QueryBuilder:
         # Series lacking the group tag are silently dropped (O25,
         # reference src/agg/builder.rs:120-122).
         scan = scan.filter(group_col.isNotNull())
+        kind = self._kind
+        if kind == "rate":
+            # per-series derivative first; buckets then average the
+            # instantaneous rates (Datadog-style rate()).
+            scan = _rate_transform(scan, self._metric)
+            kind = "avg"
         if self._mode == "greedy":
             if self._granularity is None:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
-            return greedy_buckets(scan, group_col, self._kind, self._granularity)
-        return aligned_buckets(scan, group_col, self._kind, self._granularity)
+            return greedy_buckets(scan, group_col, kind, self._granularity)
+        return aligned_buckets(scan, group_col, kind, self._granularity)
 
     build = to_df  # reference naming (src/agg/builder.rs:95)
 
@@ -330,3 +367,17 @@ class Database:
 
     def count(self, metric: str, group_by: str) -> QueryBuilder:
         return QueryBuilder(self, "count", metric, group_by)
+
+    # -- extension aggregates (beyond the reference's five) ------------------
+    def percentile(self, metric: str, group_by: str, q: float) -> QueryBuilder:
+        """Exact interpolated percentile per bucket, ``0 < q < 1``
+        (e.g. ``0.95`` -> p95). Extension beyond the reference."""
+        if not 0.0 < q < 1.0:
+            raise InvalidQueryError("percentile q must be in (0, 1)")
+        return QueryBuilder(self, f"p{q * 100:g}", metric, group_by)
+
+    def rate(self, metric: str, group_by: str) -> QueryBuilder:
+        """Average per-second rate of change per bucket, computed from
+        per-series consecutive-point derivatives. Extension beyond the
+        reference."""
+        return QueryBuilder(self, "rate", metric, group_by)

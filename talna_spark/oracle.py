@@ -26,6 +26,20 @@ _AGG_SQL = {
     "count": "CAST(COUNT(*) AS DOUBLE)",
 }
 
+
+def _agg_sql(kind: str) -> str:
+    """Aggregate expression for a kind, including percentile extension
+    kinds ("p95" -> quantile_cont: linear interpolation, same as Spark's
+    `percentile`)."""
+    from talna_spark.aggregate import percentile_q
+
+    if kind in _AGG_SQL:
+        return _AGG_SQL[kind]
+    q = percentile_q(kind)
+    if q is not None:
+        return f"quantile_cont(value, {q!r}::DOUBLE)"
+    raise ValueError(f"unknown aggregation: {kind}")
+
 _PTS_CTE = (
     "WITH pts AS (SELECT "
     + METRIC_SQL
@@ -62,10 +76,28 @@ def events_query_sql(
     group_keys = [grp]
     if granularity is not None:
         group_keys.append(f"(ts // {int(granularity)})")
+    src = "pts"
+    agg = _agg_sql("avg" if kind == "rate" else kind)
+    rate_cte = ""
+    if kind == "rate":
+        # Mirror talna_spark.database._rate_transform: filters and time
+        # bounds apply BEFORE the window (they select which points exist,
+        # hence which pairs are consecutive); series identity = the full
+        # tagset; ties ordered by value; dt=0 pairs dropped.
+        part = ", ".join(f"tag_{k}" for k in TAG_SQL)
+        rate_cte = (
+            f", sel AS (SELECT * FROM pts WHERE {' AND '.join(where)}), "
+            f"rated AS (SELECT {grp}, ts, "
+            f"(value - LAG(value) OVER w) / ((ts - LAG(ts) OVER w) / 1e9) "
+            f"AS value, LAG(ts) OVER w AS prev_ts FROM sel "
+            f"WINDOW w AS (PARTITION BY {part} ORDER BY ts, value))"
+        )
+        src = "rated"
+        where = ["prev_ts IS NOT NULL", "ts > prev_ts"]
     return (
-        f"{_PTS_CTE} "
+        f"{_PTS_CTE}{rate_cte} "
         f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
-        f"ROUND({_AGG_SQL[kind]}, 6) AS value, COUNT(*) AS len "
-        f"FROM pts WHERE {' AND '.join(where)} "
+        f"ROUND({agg}, 6) AS value, COUNT(*) AS len "
+        f"FROM {src} WHERE {' AND '.join(where)} "
         f"GROUP BY {', '.join(group_keys)}"
     )

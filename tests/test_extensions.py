@@ -1,0 +1,83 @@
+"""Extension aggregates beyond the reference's five (SURVEY.md §2.2 gaps
+filled Spark-side): exact interpolated percentiles and per-series rate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from talna_spark.database import Database
+from talna_spark.duration import Duration
+from talna_spark.errors import InvalidQueryError
+from tests.conftest import make_points
+
+S = Duration.SECOND
+
+
+def test_percentile_aligned_matches_numpy(spark):
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+    rows = [("m", i, v, {"h": "a"}) for i, v in enumerate(vals)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.percentile("m", "h", 0.95).granularity(Duration.minutes(1)).collect()
+    assert len(res["a"]) == 1
+    b = res["a"][0]
+    assert b.value == pytest.approx(np.percentile(vals, 95), abs=1e-12)
+    assert b.len == 5
+
+
+def test_percentile_greedy_per_segment(spark):
+    # two greedy segments: {0, 0.5s} and {10s, 10.2s} (gap > width)
+    rows = [
+        ("m", 0, 1.0, {"h": "a"}),
+        ("m", int(0.5 * S), 3.0, {"h": "a"}),
+        ("m", 10 * S, 5.0, {"h": "a"}),
+        ("m", int(10.2 * S), 7.0, {"h": "a"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.percentile("m", "h", 0.5).mode("greedy").granularity(S).collect()
+    got = sorted(b.value for b in res["a"])
+    assert got == [pytest.approx(2.0), pytest.approx(6.0)]  # medians per segment
+
+
+def test_percentile_q_validation(spark):
+    db = Database.from_points(spark, make_points(spark, []))
+    with pytest.raises(InvalidQueryError):
+        db.percentile("m", "h", 1.5)
+
+
+def test_rate_simple_series(spark):
+    # one series: value rises 2.0 per second -> rate 2.0 everywhere
+    rows = [("m", i * S, 2.0 * i, {"h": "a"}) for i in range(5)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.rate("m", "h").granularity(Duration.minutes(1)).collect()
+    assert len(res["a"]) == 1
+    b = res["a"][0]
+    assert b.value == pytest.approx(2.0)
+    assert b.len == 4  # first point of the series has no predecessor
+    assert b.start == S  # rate points are labeled at the later timestamp
+
+
+def test_rate_does_not_mix_series(spark):
+    # two series with different slopes under one group tag: the bucket
+    # averages per-series rates (1.0 and 3.0), never cross-series deltas
+    rows = []
+    for i in range(3):
+        rows.append(("m", i * S, 1.0 * i, {"h": "a", "s": "x"}))
+        rows.append(("m", i * S + 1000, 3.0 * i, {"h": "a", "s": "y"}))
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.rate("m", "h").granularity(Duration.minutes(1)).collect()
+    assert res["a"][0].value == pytest.approx(2.0)  # mean(1.0, 1.0, 3.0, 3.0)
+    assert res["a"][0].len == 4
+
+
+def test_rate_drops_zero_dt_pairs(spark):
+    rows = [
+        ("m", 0, 1.0, {"h": "a"}),
+        ("m", 0, 5.0, {"h": "a"}),  # duplicate ts within the series
+        ("m", S, 2.0, {"h": "a"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.rate("m", "h").granularity(Duration.minutes(1)).collect()
+    # ties ordered by value: (0,1.0)->(0,5.0) dropped (dt=0); (0,5.0)->(S,2.0) kept
+    assert res["a"][0].len == 1
+    assert res["a"][0].value == pytest.approx(-3.0)
