@@ -36,7 +36,9 @@ METRIC_SQL = "'app.' || lower(event_type)"
 TS_SQL = "epoch_ns(ts)"
 
 
-def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def points_from_events(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+) -> DataFrame:
     # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
     # reader rejects by default; nanosAsLong reads it as int64 ns — exactly
     # our timestamp representation. DuckDB truncates the same column to µs
@@ -44,6 +46,13 @@ def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches bit-for-bit.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if parallelism:
+        # Ingest-only knob: a single-row-group file scans as ONE task, and
+        # the JSON/tag projection would run serially above it. Shuffling
+        # the RAW rows first puts the projection above the exchange, i.e.
+        # parallel. Leave unset for queries — an exchange below the
+        # projection would break filter pushdown into the file scan.
+        ev = ev.repartition(parallelism)
     tags = F.map_filter(
         F.create_map(
             F.lit("user"), F.col("user_id").cast("string"),
