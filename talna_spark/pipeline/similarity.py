@@ -39,6 +39,34 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _per_query_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k: partial top-k within each (query, input-partition)
+    slice first, then the final top-k over the <= k x P survivors.
+
+    A single window partitioned by query_id alone would funnel the entire
+    scored corpus for one query through ONE reducer task — the classic
+    low-cardinality-key hotspot (8 queries -> 8 tasks regardless of
+    cluster size). The partial phase keys the shuffle by (query_id,
+    spark_partition_id), spreading it across all cores; the final phase
+    then ranks a bounded candidate set. Same result, same tie-break
+    (cos DESC, neighbor_id ASC on pre-rounded scores).
+    """
+    w1 = Window.partitionBy("query_id", "_p").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -49,14 +77,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _per_query_topk(pairs, TOP_K)
 
 
 def brute_force_topk_sql() -> str:
@@ -112,14 +133,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= IVF_TOP_K)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _per_query_topk(pairs, IVF_TOP_K)
 
 
 def ivf_topk_sql() -> str:
