@@ -85,6 +85,13 @@ def write_batch(points: DataFrame, path: str) -> None:
         .parquet(f"{path}/series")
     )
     enriched.unpersist()
+    # appends may reintroduce duplicate series rows across batches — drop
+    # the compaction-time uniqueness marker (see maintenance.compact_series)
+    import os
+
+    marker = os.path.join(path, "series", "_UNIQUE")
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
@@ -103,11 +110,12 @@ def read_series_dim(spark: SparkSession, path: str) -> DataFrame:
 
     if not os.path.exists(os.path.join(path, "series")):
         return _empty(spark, SERIES_SCHEMA)
-    return (
-        spark.read.schema(SERIES_SCHEMA)
-        .parquet(f"{path}/series")
-        .dropDuplicates(["series_id"])
-    )
+    dim = spark.read.schema(SERIES_SCHEMA).parquet(f"{path}/series")
+    if os.path.exists(os.path.join(path, "series", "_UNIQUE")):
+        # compacted dim is already one row per series: skip the dedup
+        # shuffle that would otherwise run inside every query's broadcast
+        return dim
+    return dim.dropDuplicates(["series_id"])
 
 
 def read_facts(spark: SparkSession, path: str) -> DataFrame:

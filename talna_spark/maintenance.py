@@ -41,6 +41,11 @@ def compact_series(spark: SparkSession, warehouse_path: str) -> None:
     os.rename(src, old)
     os.rename(tmp, src)
     shutil.rmtree(old, ignore_errors=True)
+    # uniqueness marker: read_series_dim skips its dedup shuffle while this
+    # holds; the next append invalidates it (underscore prefix = invisible
+    # to Spark's parquet reader)
+    with open(os.path.join(src, "_UNIQUE"), "w"):
+        pass
 
 
 def compact_facts(spark: SparkSession, warehouse_path: str) -> None:

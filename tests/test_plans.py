@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the perf-critical plan properties (broadcast
+join, predicate pushdown, partition pruning, partial aggregation, no
+row-at-a-time Python) are part of the contract — a regression here is a
+scale bug even when results stay correct."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from talna_spark.database import Database
+from talna_spark.sources.events import points_from_events
+
+T0 = 1_704_844_800 * 10**9  # 2024-01-10
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def wh_db(spark):
+    wh = tempfile.mkdtemp(prefix="talna_plans_wh_")
+    db = Database.open(spark, wh)
+    db.write_batch(points_from_events(spark, "/root/testdata/sf0.001"))
+    yield db
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_warehouse_broadcasts_series_dim(spark, wh_db):
+    plan = plan_of(wh_db.avg("app.purchase", "user").filter("user:3").to_df())
+    assert "BroadcastHashJoin" in plan, "series dim must broadcast, never shuffle facts"
+    assert "SortMergeJoin" not in plan
+
+
+def test_warehouse_partition_pruning_and_pushdown(spark, wh_db):
+    plan = plan_of(
+        wh_db.avg("app.purchase", "user").start(T0).end(T0 + 86_400 * 10**9).to_df()
+    )
+    # metric is a physical partition filter; ts_day bounds prune directories
+    assert "PartitionFilters" in plan
+    i = plan.find("PartitionFilters")
+    pf = plan[i : i + 300]
+    assert "metric" in pf and "ts_day" in pf
+    # ts bounds reach the parquet row-group stats
+    j = plan.find("PushedFilters")
+    assert j >= 0 and "GreaterThanOrEqual(ts" in plan[j : j + 300]
+
+
+def test_view_path_ts_pushdown(spark):
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    plan = plan_of(db.avg("app.purchase", "user").start(T0).to_df())
+    j = plan.find("PushedFilters")
+    assert j >= 0 and "GreaterThanOrEqual(ts" in plan[j : j + 300], (
+        "time bounds must reach the file scan via the _raw_ts alias"
+    )
+
+
+def test_aligned_agg_is_partial_plus_final(spark):
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    plan = plan_of(db.avg("app.purchase", "user").to_df())
+    # partial (map-side) + final hash aggregate: the shuffle carries one
+    # row per (group, bucket), not per point
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan or "partial_average" in plan
+
+
+def test_no_row_at_a_time_python(spark, wh_db):
+    # core query paths must stay JVM-side: no BatchEvalPython (pickled
+    # row-at-a-time UDFs) anywhere; greedy mode uses Arrow (mapInPandas)
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    for df in [
+        db.avg("app.purchase", "user").filter("user:3 AND k:1*").to_df(),
+        wh_db.count("app.click", "user").to_df(),
+        db.percentile("app.purchase", "user", 0.95).to_df(),
+        db.rate("app.purchase", "user").to_df(),
+    ]:
+        assert "BatchEvalPython" not in plan_of(df)
+    greedy = plan_of(db.avg("app.purchase", "user").mode("greedy").to_df())
+    assert "BatchEvalPython" not in greedy
+    assert "MapInPandas" in greedy or "mapInPandas" in greedy.lower()
+
+
+def test_tag_index_path_stays_id_only(spark, wh_db):
+    # with the inverted index, the postings evaluation plan joins only
+    # series_id columns (8-byte rows) — never tags/values
+    from talna_spark.maintenance import compact
+
+    compact(spark, wh_db._backend.path)
+    db = Database.open(spark, wh_db._backend.path, use_tag_index=True)
+    df = db.avg("app.purchase", "user").filter("user:3 AND k:1*").to_df()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the series_tag scans must push (key, value) equality into parquet
+    j = plan.find("series_tag")
+    assert j >= 0
