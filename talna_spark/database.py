@@ -224,6 +224,9 @@ class QueryBuilder:
     # -- plan assembly (reference `build()`, src/agg/builder.rs:95-140) -----
     def to_df(self) -> DataFrame:
         node = parse_filter_query(self._filter)  # may raise InvalidQueryError
+        rollup_df = self._try_rollup(node)
+        if rollup_df is not None:
+            return rollup_df
         scan = self._db._backend.scan(self._metric, node, self._start, self._end)
         group_col = F.col("tags").getItem(self._group_by)
         # Series lacking the group tag are silently dropped (O25,
@@ -240,6 +243,31 @@ class QueryBuilder:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
             return greedy_buckets(scan, group_col, kind, self._granularity)
         return aligned_buckets(scan, group_col, kind, self._granularity)
+
+    def _try_rollup(self, node) -> Optional[DataFrame]:
+        """Rewrite onto a materialized rollup when exact (talna_spark.rollup):
+        aligned mode, decomposable aggregation, granularity a multiple of a
+        rollup width, bounds on rollup-bucket edges. Returns None (use the
+        raw scan) otherwise — correctness never depends on rollups."""
+        backend = self._db._backend
+        if not isinstance(backend, WarehouseBackend):
+            return None
+        from talna_spark.rollup import pick_rollup, rollup_aggregate, rollup_scan
+
+        w = pick_rollup(
+            backend.path, self._kind, self._mode, self._granularity,
+            self._start, self._end,
+        )
+        if w is None:
+            return None
+        matched = backend._matched_series(self._metric, node)
+        scan = rollup_scan(
+            backend.spark, backend.path, w, self._metric, matched,
+            self._start, self._end,
+        )
+        group_col = F.col("tags").getItem(self._group_by)
+        scan = scan.filter(group_col.isNotNull())
+        return rollup_aggregate(scan, group_col, self._kind, w, self._granularity)
 
     build = to_df  # reference naming (src/agg/builder.rs:95)
 
@@ -324,6 +352,19 @@ class Database:
 
         compact(self.spark, self._backend.path)
         self._backend.__init__(self.spark, self._backend.path)
+
+    def build_rollup(self, width_ns: int) -> None:
+        """Materialize a downsampled rollup (talna_spark.rollup); aligned
+        queries whose granularity/bounds line up rewrite onto it
+        automatically. Re-run after ingest to refresh (stale rollups are
+        never consulted for bounds/kinds they can't answer exactly, but a
+        rollup built before an append does NOT see the new points — refresh
+        belongs in the same maintenance cadence as compact())."""
+        if not isinstance(self._backend, WarehouseBackend):
+            raise InvalidQueryError("build_rollup requires a warehouse-backed Database")
+        from talna_spark.rollup import build_rollup
+
+        build_rollup(self.spark, self._backend.path, int(width_ns))
 
     # -- ingest (O5/O6) -----------------------------------------------------
     def write_batch(self, points: DataFrame) -> None:

@@ -87,11 +87,17 @@ def write_batch(points: DataFrame, path: str) -> None:
     enriched.unpersist()
     # appends may reintroduce duplicate series rows across batches — drop
     # the compaction-time uniqueness marker (see maintenance.compact_series)
+    import glob
     import os
 
     marker = os.path.join(path, "series", "_UNIQUE")
     if os.path.exists(marker):
         os.remove(marker)
+    # ... and invalidate every materialized rollup: new raw points make
+    # them stale, and a stale rollup must never answer a query
+    # (talna_spark.rollup.available_rollups checks this marker)
+    for fresh in glob.glob(os.path.join(path, "rollup_*", "_FRESH")):
+        os.remove(fresh)
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
