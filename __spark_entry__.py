@@ -74,6 +74,8 @@ _SPEC: dict[str, tuple] = {
     # rate-of-change averaged per bucket.
     "q21_p95": ("p95", "app.purchase", "user", "*", None, None, HOUR, "aligned"),
     "q22_rate": ("rate", "app.click", "etype", "*", None, None, 6 * HOUR, "aligned"),
+    # Q23: distinct contributing series per bucket (exact distinct agg)
+    "q23_distinct_series": ("distinct_series", "app.view", "etype", "*", None, None, DAY, "aligned"),
 }
 
 
@@ -103,6 +105,22 @@ _EXT: dict[str, tuple] = {
     "x12_embedding_near_dup": (_sim.label_nearest_neighbor, _sim.label_nearest_neighbor_sql()),
     "x13_multimodal_features": (_mm.extract_features, _mm.extract_features_sql()),
 }
+
+
+def _q24_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by total purchase value (QueryBuilder.top: two-phase
+    rank — SURVEY.md §2.2 'Sorts/limits/top-k', absent in the reference)."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .sum("app.purchase", "user")
+        .granularity(None)
+        .top(5)
+    )
+
+
+from talna_spark.oracle import events_topk_sql  # noqa: E402
+
+_EXT["q24_topk"] = (_q24_topk, events_topk_sql("sum", "app.purchase", "user", "*", 5))
 
 
 def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:

@@ -102,10 +102,19 @@ def aligned_buckets(
     keys = [group_col.alias("grp")]
     if width is not None:
         keys.append(F.expr(f"ts div {int(width)}").alias("_bucket"))
+    if kind == "distinct_series":
+        # extension: distinct contributing series per bucket. The scan must
+        # carry the canonical series key (_series_key); exact distinct — a
+        # deliberately shuffle-heavier op (expand + two-phase agg in
+        # Catalyst); approx_count_distinct is the sketch alternative when
+        # ±2% error is acceptable at scale.
+        value = F.count_distinct(F.col("_series_key")).cast("double")
+    else:
+        value = _value_agg(kind)
     out = scan.groupBy(*keys).agg(
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
-        _value_agg(kind).alias("value"),
+        value.alias("value"),
         F.count(F.lit(1)).alias("len"),
     )
     return out.select("grp", "start_ts", "end_ts", "value", "len")

@@ -238,11 +238,48 @@ class QueryBuilder:
             # instantaneous rates (Datadog-style rate()).
             scan = _rate_transform(scan, self._metric)
             kind = "avg"
+        elif kind == "distinct_series":
+            from talna_spark.ingest import series_key_col
+
+            if self._mode == "greedy":
+                raise InvalidQueryError(
+                    "distinct_series supports aligned mode only"
+                )
+            scan = scan.withColumn(
+                "_series_key", series_key_col(F.lit(self._metric), F.col("tags"))
+            )
         if self._mode == "greedy":
             if self._granularity is None:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
             return greedy_buckets(scan, group_col, kind, self._granularity)
         return aligned_buckets(scan, group_col, kind, self._granularity)
+
+    def top(self, k: int) -> DataFrame:
+        """Top-k groups ranked by aggregate ``value`` (extension: the
+        reference has no top-k operator, SURVEY.md §2.2 "Sorts/limits").
+
+        Ranks the *aggregated* rows (one per group x bucket), ordering by
+        value DESC with grp ASC tie-break on 6-dp-rounded values so ranks
+        are reproducible across engines. Two-phase like the ANN top-k:
+        partial top-k per partition, then final over <= k x P survivors —
+        no single-reducer hotspot at high group cardinality.
+        """
+        if k <= 0:
+            raise InvalidQueryError("top k must be positive")
+        from pyspark.sql.window import Window
+
+        agg = self.to_df().withColumn("value", F.round("value", 6))
+        order = [F.col("value").desc(), F.col("grp").asc(), F.col("start_ts").asc()]
+        w1 = Window.partitionBy("_p").orderBy(*order)
+        w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+        return (
+            agg.withColumn("_p", F.spark_partition_id())
+            .withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= k)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("grp", "start_ts", "end_ts", "value", "len", "rank")
+        )
 
     def _try_rollup(self, node) -> Optional[DataFrame]:
         """Rewrite onto a materialized rollup when exact (talna_spark.rollup):
@@ -422,3 +459,8 @@ class Database:
         per-series consecutive-point derivatives. Extension beyond the
         reference."""
         return QueryBuilder(self, "rate", metric, group_by)
+
+    def distinct_series(self, metric: str, group_by: str) -> QueryBuilder:
+        """Distinct contributing series per bucket (exact; aligned mode
+        only). Extension beyond the reference."""
+        return QueryBuilder(self, "distinct_series", metric, group_by)

@@ -77,7 +77,13 @@ def events_query_sql(
     if granularity is not None:
         group_keys.append(f"(ts // {int(granularity)})")
     src = "pts"
-    agg = _agg_sql("avg" if kind == "rate" else kind)
+    if kind == "distinct_series":
+        # series identity = the full tagset (bijective with the canonical
+        # series key the Spark side hashes): distinct tag tuples
+        tup = ", ".join(f"tag_{k}" for k in TAG_SQL)
+        agg = f"CAST(COUNT(DISTINCT ({tup})) AS DOUBLE)"
+    else:
+        agg = _agg_sql("avg" if kind == "rate" else kind)
     rate_cte = ""
     if kind == "rate":
         # Mirror talna_spark.database._rate_transform: filters and time
@@ -100,4 +106,25 @@ def events_query_sql(
         f"ROUND({agg}, 6) AS value, COUNT(*) AS len "
         f"FROM {src} WHERE {' AND '.join(where)} "
         f"GROUP BY {', '.join(group_keys)}"
+    )
+
+
+def events_topk_sql(
+    kind: str,
+    metric: str,
+    group_by: str,
+    flt: str = "*",
+    k: int = 5,
+    granularity: Optional[int] = None,
+) -> str:
+    """Oracle for QueryBuilder.top(k): rank aggregated rows by 6-dp-rounded
+    value DESC with (grp, start_ts) ASC tie-break — identical ordering to
+    the Spark side."""
+    base = events_query_sql(kind, metric, group_by, flt, None, None, granularity)
+    return (
+        f"WITH agg AS ({base}) "
+        f"SELECT grp, start_ts, end_ts, value, len, rank FROM ("
+        f"SELECT *, ROW_NUMBER() OVER "
+        f"(ORDER BY value DESC, grp ASC, start_ts ASC) AS rank FROM agg) "
+        f"WHERE rank <= {int(k)}"
     )

@@ -70,6 +70,39 @@ def test_rate_does_not_mix_series(spark):
     assert res["a"][0].len == 4
 
 
+def test_distinct_series_counts_series_not_points(spark):
+    rows = [
+        ("m", 0, 1.0, {"h": "a", "s": "x"}),
+        ("m", 1, 2.0, {"h": "a", "s": "x"}),  # same series, 2nd point
+        ("m", 2, 3.0, {"h": "a", "s": "y"}),
+        ("m", 3, 4.0, {"h": "b", "s": "z"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.distinct_series("m", "h").granularity(Duration.minutes(1)).collect()
+    assert res["a"][0].value == 2.0  # two distinct series under h=a
+    assert res["a"][0].len == 3      # but three points
+    assert res["b"][0].value == 1.0
+
+
+def test_distinct_series_greedy_rejected(spark):
+    db = Database.from_points(spark, make_points(spark, []))
+    with pytest.raises(InvalidQueryError):
+        db.distinct_series("m", "h").mode("greedy").granularity(S).to_df()
+
+
+def test_top_groups_rank_and_ties(spark):
+    rows = [
+        ("m", 0, 5.0, {"h": "a"}),
+        ("m", 1, 5.0, {"h": "c"}),  # ties with a on value -> grp ASC order
+        ("m", 2, 9.0, {"h": "b"}),
+        ("m", 3, 1.0, {"h": "d"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    out = db.sum("m", "h").granularity(None).top(3).collect()
+    got = [(r["grp"], r["rank"], r["value"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [("b", 1, 9.0), ("a", 2, 5.0), ("c", 3, 5.0)]
+
+
 def test_rate_drops_zero_dt_pairs(spark):
     rows = [
         ("m", 0, 1.0, {"h": "a"}),
