@@ -60,12 +60,23 @@ def write_batch(points: DataFrame, path: str) -> None:
     """
     from pyspark.storagelevel import StorageLevel
 
-    enriched = with_series_identity(points).withColumn(
-        "ts_day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    import time
+
+    enriched = (
+        with_series_identity(points)
+        .withColumn(
+            "ts_day",
+            F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"),
+        )
+        # batch stamp for last-writer-wins on duplicate (series, ts) keys —
+        # the reference's LSM upsert semantics (src/db.rs:342-343), applied
+        # lazily by compact_facts; between compactions both versions are
+        # visible (documented deviation from the reference's immediacy)
+        .withColumn("ingest_seq", F.lit(time.time_ns()))
     )
     enriched.persist(StorageLevel.MEMORY_AND_DISK)
     (
-        enriched.select("series_id", "ts", "value", "metric", "ts_day")
+        enriched.select("series_id", "ts", "value", "ingest_seq", "metric", "ts_day")
         # Co-partition with the physical layout so each task writes exactly
         # one file per (metric, day) instead of every task opening a writer
         # for every partition — at scale this is the difference between

@@ -65,8 +65,21 @@ def compact_facts(spark: SparkSession, warehouse_path: str) -> None:
     if not os.path.exists(src):
         return
     tmp = os.path.join(warehouse_path, "points__compact_tmp")
+    # Last-writer-wins on duplicate (series, ts) keys — the reference's LSM
+    # upsert (insert replaces, src/db.rs:342-343), realized here exactly
+    # like an LSM realizes it: at compaction. max_by picks the newest
+    # batch's value (null ingest_seq = pre-column data = oldest; equal-seq
+    # intra-batch duplicates tie-break by max value for determinism — a
+    # DataFrame batch has no row order to replay). One hash aggregate with
+    # map-side partial combine; no window shuffle.
+    deduped = read_facts(spark, warehouse_path).groupBy(
+        "metric", "ts_day", "series_id", "ts"
+    ).agg(
+        F.max_by("value", F.struct("ingest_seq", "value")).alias("value"),
+        F.max("ingest_seq").alias("ingest_seq"),
+    )
     (
-        read_facts(spark, warehouse_path)
+        deduped.select("series_id", "ts", "value", "ingest_seq", "metric", "ts_day")
         .repartition(F.col("metric"), F.col("ts_day"))
         .sortWithinPartitions("series_id", F.desc("ts"))
         .write.mode("overwrite")
@@ -78,6 +91,11 @@ def compact_facts(spark: SparkSession, warehouse_path: str) -> None:
     os.rename(src, old)
     os.rename(tmp, src)
     shutil.rmtree(old, ignore_errors=True)
+    # point dedup may change the visible multiset -> rollups are stale
+    import glob
+
+    for fresh in glob.glob(os.path.join(warehouse_path, "rollup_*", "_FRESH")):
+        os.remove(fresh)
 
 
 def compact(spark: SparkSession, warehouse_path: str) -> None:

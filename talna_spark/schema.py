@@ -38,11 +38,16 @@ POINTS_SCHEMA = StructType(
 )
 
 # Warehouse fact table (adds derived identity + partition columns).
+# ingest_seq: per-batch stamp supporting the reference's last-writer-wins
+# key semantics (LSM insert = upsert, src/db.rs:342-343), applied at
+# compaction time (see maintenance.compact_facts). Nullable so warehouses
+# written before this column existed still read (as null = oldest).
 FACT_SCHEMA = StructType(
     [
         StructField("series_id", LongType(), False),  # xxhash64(series_key)
         StructField("ts", LongType(), False),
         StructField("value", DoubleType(), False),
+        StructField("ingest_seq", LongType(), True),
         StructField("metric", StringType(), False),   # partition column
         StructField("ts_day", StringType(), False),   # partition column (date)
     ]

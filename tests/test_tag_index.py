@@ -69,6 +69,31 @@ def test_compact_bounds_series_dim(spark, warehouse):
     assert len(files) == 1
 
 
+def test_duplicate_key_last_writer_wins_at_compaction(spark):
+    """Reference LSM semantics: inserting the same (series, ts) key again
+    replaces the value (src/db.rs:342-343). Realized at compaction —
+    between compactions both versions are visible (documented)."""
+    from talna_spark.schema import POINTS_SCHEMA
+
+    wh = tempfile.mkdtemp(prefix="talna_lww_wh_")
+    try:
+        db = Database.open(spark, wh)
+        mk = lambda v: spark.createDataFrame(
+            [("m", 1_000, float(v), {"h": "a"})], POINTS_SCHEMA
+        )
+        db.write_batch(mk(1.0))
+        db.write_batch(mk(9.0))  # same (series, ts), later batch
+        pre = db.count("m", "h").collect()["a"][0]
+        assert pre.len == 2  # both visible pre-compaction
+        db.compact()
+        db2 = Database.open(spark, wh)
+        post = db2.avg("m", "h").collect()["a"][0]
+        assert post.len == 1
+        assert post.value == 9.0  # the newer batch's value survived
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def test_compact_facts_preserves_data_and_results(spark):
     """compact_facts rewrites every point exactly once and leaves query
     results unchanged (it only reclusters the physical layout)."""
