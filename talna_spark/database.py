@@ -403,6 +403,20 @@ class Database:
 
         build_rollup(self.spark, self._backend.path, int(width_ns))
 
+    def refresh_rollup(self, width_ns: int) -> None:
+        """Incrementally refresh a rollup: re-aggregate only the
+        (metric, day) partitions appended since the last build/refresh
+        (talna_spark.rollup changelog) — maintenance cost scales with new
+        data, not table size. Falls back to a full rebuild after
+        compaction (the dedup can touch unknown partitions)."""
+        if not isinstance(self._backend, WarehouseBackend):
+            raise InvalidQueryError(
+                "refresh_rollup requires a warehouse-backed Database"
+            )
+        from talna_spark.rollup import refresh_rollup
+
+        refresh_rollup(self.spark, self._backend.path, int(width_ns))
+
     # -- ingest (O5/O6) -----------------------------------------------------
     def write_batch(self, points: DataFrame) -> None:
         """Append a batch of (metric, ts, value, tags) rows to the warehouse."""

@@ -95,6 +95,13 @@ def write_batch(points: DataFrame, path: str) -> None:
         .option("compression", "zstd")
         .parquet(f"{path}/series")
     )
+    # touched (metric, day) partitions — read from the PERSISTED batch
+    # (before unpersist) for the rollup changelog, so refresh_rollup can
+    # re-aggregate only these
+    touched = [
+        (r["metric"], r["ts_day"])
+        for r in enriched.select("metric", "ts_day").distinct().collect()
+    ]
     enriched.unpersist()
     # appends may reintroduce duplicate series rows across batches — drop
     # the compaction-time uniqueness marker (see maintenance.compact_series)
@@ -107,8 +114,11 @@ def write_batch(points: DataFrame, path: str) -> None:
     # ... and invalidate every materialized rollup: new raw points make
     # them stale, and a stale rollup must never answer a query
     # (talna_spark.rollup.available_rollups checks this marker)
+    from talna_spark.rollup import append_changelog
+
     for fresh in glob.glob(os.path.join(path, "rollup_*", "_FRESH")):
         os.remove(fresh)
+    append_changelog(path, touched)
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:

@@ -91,11 +91,15 @@ def compact_facts(spark: SparkSession, warehouse_path: str) -> None:
     os.rename(src, old)
     os.rename(tmp, src)
     shutil.rmtree(old, ignore_errors=True)
-    # point dedup may change the visible multiset -> rollups are stale
+    # point dedup may change the visible multiset in unknown partitions ->
+    # rollups are stale and the next refresh must be a full rebuild
     import glob
+
+    from talna_spark.rollup import FULL_REBUILD, append_changelog
 
     for fresh in glob.glob(os.path.join(warehouse_path, "rollup_*", "_FRESH")):
         os.remove(fresh)
+    append_changelog(warehouse_path, [(FULL_REBUILD, FULL_REBUILD)])
 
 
 def compact(spark: SparkSession, warehouse_path: str) -> None:

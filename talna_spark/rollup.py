@@ -61,20 +61,10 @@ def available_rollups(warehouse_path: str) -> list[int]:
     return sorted(out)
 
 
-def build_rollup(spark: SparkSession, warehouse_path: str, width_ns: int) -> None:
-    """Materialize/refresh the width_ns rollup from the raw fact table.
-
-    One distributed aggregate over the facts; at scale this is an
-    incremental job (aggregate only new ts_day partitions and merge), but
-    the full rebuild keeps the same shape.
-    """
-    from talna_spark.ingest import read_facts
-
-    w = int(width_ns)
-    facts = read_facts(spark, warehouse_path)
-    (
+def _aggregate_facts(facts: DataFrame, w: int) -> DataFrame:
+    return (
         facts.groupBy(
-            "metric", F.expr(f"ts div {w}").alias("bucket"), "series_id"
+            "metric", "ts_day", F.expr(f"ts div {w}").alias("bucket"), "series_id"
         )
         .agg(
             F.min("ts").alias("start_ts"),
@@ -84,14 +74,149 @@ def build_rollup(spark: SparkSession, warehouse_path: str, width_ns: int) -> Non
             F.max("value").alias("vmax"),
             F.count(F.lit(1)).alias("vcnt"),
         )
-        .repartition("metric")
+    )
+
+
+def _write_rollup(df: DataFrame, path: str, dynamic: bool) -> None:
+    # dynamic=False: full static overwrite (build — drops partitions whose
+    # days vanished); dynamic=True: overwrite only the partitions present
+    # in df (incremental refresh)
+    w = (
+        df.select(
+            "series_id", "bucket", "start_ts", "end_ts",
+            "vsum", "vmin", "vmax", "vcnt", "metric", "ts_day",
+        )
+        .repartition("metric", "ts_day")
         .sortWithinPartitions("bucket", "series_id")
         .write.mode("overwrite")
         .option("compression", "zstd")
-        .partitionBy("metric")
-        .parquet(rollup_path(warehouse_path, w))
     )
-    with open(os.path.join(rollup_path(warehouse_path, w), "_FRESH"), "w"):
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("metric", "ts_day").parquet(path)
+
+
+def build_rollup(spark: SparkSession, warehouse_path: str, width_ns: int) -> None:
+    """Materialize the width_ns rollup with a full rebuild over the facts.
+
+    Layout is partitioned (metric, ts_day) like the facts so
+    :func:`refresh_rollup` can later overwrite ONLY the day partitions an
+    append touched (dynamic partition overwrite) — maintenance cost then
+    scales with appended data, not table size. Buckets never span days
+    when W divides a day (the epoch is day-aligned); for W > 1 day use
+    full rebuilds.
+    """
+    from talna_spark.ingest import read_facts
+
+    w = int(width_ns)
+    _write_rollup(
+        _aggregate_facts(read_facts(spark, warehouse_path), w),
+        rollup_path(warehouse_path, w),
+        dynamic=False,
+    )
+    mark_fresh(warehouse_path, w)
+    clear_changelog(warehouse_path)
+
+
+def refresh_rollup(spark: SparkSession, warehouse_path: str, width_ns: int) -> None:
+    """Incremental refresh: re-aggregate only the (metric, ts_day)
+    partitions appended since the last build/refresh (per the ingest
+    changelog) and dynamically overwrite those rollup partitions.
+
+    Correct for ANY width: rollup rows are grained by (ts_day, bucket), so
+    a bucket spanning days exists as per-day fragments that the query-time
+    final aggregate re-merges — replacing one day's fragments never
+    corrupts a neighboring day's.
+    """
+    from talna_spark.ingest import read_facts
+
+    w = int(width_ns)
+    if not os.path.exists(rollup_path(warehouse_path, w)):
+        return build_rollup(spark, warehouse_path, w)
+    days = read_changelog(warehouse_path)
+    if (FULL_REBUILD, FULL_REBUILD) in days:
+        # compaction changed the visible multiset in unknown partitions
+        return build_rollup(spark, warehouse_path, w)
+    if days:
+        facts = read_facts(spark, warehouse_path).filter(
+            F.concat_ws("|", "metric", "ts_day").isin(
+                [f"{m}|{d}" for m, d in days]
+            )
+        )
+        _write_rollup(
+            _aggregate_facts(facts, w), rollup_path(warehouse_path, w), dynamic=True
+        )
+    mark_fresh(warehouse_path, w)
+    clear_changelog(warehouse_path)
+
+
+# ---------------------------------------------------------- ingest changelog
+# write_batch appends the (metric, ts_day) partitions each batch touched;
+# refresh_rollup consumes exactly those. Plain line files — tiny, append-only,
+# atomic enough for a single-writer maintenance cadence (a transactional
+# table format would carry this in its commit log).
+
+FULL_REBUILD = "*"  # changelog sentinel: compaction rewrote unknown partitions
+
+
+def _changelog_dir(warehouse_path: str) -> str:
+    return os.path.join(warehouse_path, "_changelog")
+
+
+def append_changelog(warehouse_path: str, pairs: list[tuple[str, str]]) -> None:
+    """Record touched (metric, ts_day) partitions. No-op while no rollup is
+    materialized (nothing consumes the log, so it must not accumulate)."""
+    if not _all_rollup_dirs(warehouse_path):
+        return
+    os.makedirs(_changelog_dir(warehouse_path), exist_ok=True)
+    import time
+
+    p = os.path.join(_changelog_dir(warehouse_path), f"batch-{time.time_ns()}.log")
+    with open(p, "w") as f:
+        for m, d in pairs:
+            f.write(f"{m}\t{d}\n")
+
+
+def read_changelog(warehouse_path: str) -> list[tuple[str, str]]:
+    d = _changelog_dir(warehouse_path)
+    if not os.path.isdir(d):
+        return []
+    out = set()
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name)) as f:
+            for line in f:
+                m, day = line.rstrip("\n").split("\t")
+                out.add((m, day))
+    return sorted(out)
+
+
+def clear_changelog(warehouse_path: str) -> None:
+    """Drop consumed changelog entries once every materialized width is
+    fresh again (the log is shared across widths — refresh them together
+    in one maintenance pass)."""
+    stale = set(_all_rollup_dirs(warehouse_path)) - set(
+        available_rollups(warehouse_path)
+    )
+    if stale:
+        return
+    d = _changelog_dir(warehouse_path)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            os.remove(os.path.join(d, name))
+
+
+def _all_rollup_dirs(warehouse_path: str) -> list[int]:
+    try:
+        names = os.listdir(warehouse_path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1)) for n in names if (m := _DIR_RE.match(n))
+    )
+
+
+def mark_fresh(warehouse_path: str, width_ns: int) -> None:
+    with open(os.path.join(rollup_path(warehouse_path, int(width_ns)), "_FRESH"), "w"):
         pass
 
 
@@ -123,10 +248,38 @@ def pick_rollup(
     return best
 
 
+def _rollup_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("series_id", LongType()),
+            StructField("bucket", LongType()),
+            StructField("start_ts", LongType()),
+            StructField("end_ts", LongType()),
+            StructField("vsum", DoubleType()),
+            StructField("vmin", DoubleType()),
+            StructField("vmax", DoubleType()),
+            StructField("vcnt", LongType()),
+            StructField("metric", StringType()),
+            StructField("ts_day", StringType()),
+        ]
+    )
+
+
 def read_rollup(
     spark: SparkSession, warehouse_path: str, width_ns: int
 ) -> DataFrame:
-    return spark.read.parquet(rollup_path(warehouse_path, width_ns))
+    # explicit schema: skip footer inference across partition directories
+    return spark.read.schema(_rollup_schema()).parquet(
+        rollup_path(warehouse_path, width_ns)
+    )
 
 
 def rollup_scan(
@@ -140,12 +293,24 @@ def rollup_scan(
 ) -> DataFrame:
     """Partial-aggregate scan: rollup rows for the matched series within
     bounds, with tags attached (broadcast, same shape as the raw path)."""
+    import datetime as _dt
+
+    def _day(ns: int) -> str:
+        return _dt.datetime.fromtimestamp(
+            ns / 1e9, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%d")
+
     w = int(width_ns)
     r = read_rollup(spark, warehouse_path, w).filter(F.col("metric") == metric)
     if start is not None:
-        r = r.filter(F.col("bucket") >= start // w)
+        # bucket bound skips row groups; ts_day bound prunes directories
+        r = r.filter(F.col("bucket") >= start // w).filter(
+            F.col("ts_day") >= _day(start)
+        )
     if end is not None:
-        r = r.filter(F.col("bucket") <= end // w)
+        r = r.filter(F.col("bucket") <= end // w).filter(
+            F.col("ts_day") <= _day(end)
+        )
     return r.join(
         F.broadcast(matched_series.select("series_id", "tags")),
         "series_id",

@@ -113,6 +113,67 @@ def test_append_invalidates_rollup(spark, wh):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_incremental_refresh_equals_full_rebuild(spark):
+    """Append -> refresh_rollup re-aggregates only the touched days, and
+    the result is identical to a from-scratch rebuild."""
+    from talna_spark.rollup import read_changelog, read_rollup
+
+    d = tempfile.mkdtemp(prefix="talna_rollup_incr_")
+    try:
+        pts = points_from_events(spark, "/root/testdata/sf0.001")
+        db = Database.open(spark, d)
+        # first 2024-01-05 half, then the rest as the "append"
+        cut = (1_704_067_200 + 4 * 86_400) * 10**9
+        from pyspark.sql import functions as F
+
+        db.write_batch(pts.filter(F.col("ts") < cut))
+        db.build_rollup(MIN)
+        db2 = Database.open(spark, d)
+        db2.write_batch(pts.filter(F.col("ts") >= cut))
+        log = read_changelog(d)
+        assert log, "append must record touched partitions"
+        assert all(day >= "2024-01-05" for _m, day in log)
+        db2.refresh_rollup(MIN)
+        assert read_changelog(d) == []  # consumed
+        incr = sorted(
+            map(tuple, read_rollup(spark, d, MIN).collect())
+        )
+        db2.build_rollup(MIN)  # authoritative full rebuild
+        full = sorted(map(tuple, read_rollup(spark, d, MIN).collect()))
+        assert incr == full
+        # and the rollup-served query equals the raw-path answer
+        db3 = Database.open(spark, d)
+        db3.build_rollup(MIN)
+        q = lambda: db3.avg("app.purchase", "user").granularity(HOUR)
+        with_r = _key(q().to_df())
+        os.rename(f"{d}/rollup_{MIN}/_FRESH", f"{d}/rollup_{MIN}/_FRESH.bak")
+        try:
+            assert _key(q().to_df()) == with_r
+        finally:
+            os.rename(f"{d}/rollup_{MIN}/_FRESH.bak", f"{d}/rollup_{MIN}/_FRESH")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compaction_forces_full_rebuild_sentinel(spark):
+    from talna_spark.rollup import FULL_REBUILD, available_rollups, read_changelog
+
+    d = tempfile.mkdtemp(prefix="talna_rollup_sentinel_")
+    try:
+        db = Database.open(spark, d)
+        db.write_batch(points_from_events(spark, "/root/testdata/sf0.001"))
+        db.build_rollup(MIN)
+        db.compact()
+        assert available_rollups(d) == []  # stale after compaction
+        assert (FULL_REBUILD, FULL_REBUILD) in read_changelog(d)
+        db2 = Database.open(spark, d)
+        db2.refresh_rollup(MIN)  # sentinel -> full rebuild path
+        assert available_rollups(d) == [MIN]
+        assert read_changelog(d) == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_filters_respected_through_rollup(spark, wh):
     db = Database.open(spark, wh)
     q = lambda: db.avg("app.purchase", "user").filter("k:1* OR user:3").granularity(HOUR)
