@@ -118,9 +118,31 @@ def _q24_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from talna_spark.oracle import events_topk_sql  # noqa: E402
+from talna_spark.oracle import events_gapfill_sql, events_topk_sql  # noqa: E402
 
 _EXT["q24_topk"] = (_q24_topk, events_topk_sql("sum", "app.purchase", "user", "*", 5))
+
+
+def _q25_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded daily count with LOCF gap filling (TimescaleDB-style
+    time_bucket_gapfill — the reference emits only non-empty buckets)."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .count("app.signup", "k")
+        .filter("k:1*")
+        .start(T_JAN10)
+        .end(T_JAN24)
+        .granularity(DAY)
+        .gapfill("locf")
+        .to_df()
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+_EXT["q25_gapfill"] = (
+    _q25_gapfill,
+    events_gapfill_sql("count", "app.signup", "k", "k:1*", T_JAN10, T_JAN24, DAY, "locf"),
+)
 
 
 def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:

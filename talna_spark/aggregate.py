@@ -247,6 +247,69 @@ def greedy_buckets(
     return prepared.mapInPandas(_bucketize, schema=RESULT_SCHEMA)
 
 
+def gapfill_buckets(
+    agg: DataFrame,
+    width: int,
+    mode: str = "null",
+    lo_bucket: int | None = None,
+    hi_bucket: int | None = None,
+) -> DataFrame:
+    """Materialize empty buckets per group (extension: TimescaleDB-style
+    ``time_bucket_gapfill``; the reference emits only non-empty buckets).
+
+    For every group present in the result, a spine of bucket indices is
+    generated — the query's [start, end] range when bounded, else the
+    group's own [min, max] bucket — and missing buckets appear with
+    ``len = 0``, ``start_ts``/``end_ts`` at the bucket's epoch edges, and
+    ``value`` per ``mode``: ``null`` | ``zero`` | ``locf`` (last
+    observation carried forward within the group).
+
+    Scale shape: the spine is one sequence() explode per GROUP (rows =
+    groups x buckets — the output size itself), a broadcast-able join back
+    to the aggregated rows (already reduced, never raw points), and for
+    locf one window per group ordered by bucket — cardinality = output
+    rows. Groups with zero points in range do not appear (series selection
+    happens before aggregation, same as the reference's group map).
+    """
+    if mode not in ("null", "zero", "locf"):
+        raise ValueError(f"unknown gapfill mode: {mode}")
+    w = int(width)
+    b = agg.withColumn("_b", F.expr(f"start_ts div {w}"))
+    if lo_bucket is not None and hi_bucket is not None:
+        rng = b.select("grp").distinct().select(
+            "grp", F.lit(int(lo_bucket)).alias("_lo"), F.lit(int(hi_bucket)).alias("_hi")
+        )
+    else:
+        rng = b.groupBy("grp").agg(
+            F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+        )
+    spine = rng.select(
+        "grp", F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    filled = spine.join(b, ["grp", "_b"], "left").select(
+        "grp",
+        "_b",
+        F.coalesce("start_ts", F.expr(f"_b * {w}")).alias("start_ts"),
+        F.coalesce("end_ts", F.expr(f"_b * {w} + {w - 1}")).alias("end_ts"),
+        "value",
+        F.coalesce("len", F.lit(0)).alias("len"),
+    )
+    if mode == "zero":
+        filled = filled.withColumn("value", F.coalesce("value", F.lit(0.0)))
+    elif mode == "locf":
+        from pyspark.sql.window import Window
+
+        wspec = (
+            Window.partitionBy("grp")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = filled.withColumn(
+            "value", F.last("value", ignorenulls=True).over(wspec)
+        )
+    return filled.select("grp", "start_ts", "end_ts", "value", "len")
+
+
 def rows_to_bucket_map(rows: Iterable) -> dict[str, list[Bucket]]:
     """Collect result rows into the reference's output shape
     ``HashMap<group, Vec<Bucket>>`` (src/agg/group.rs:58-73), buckets

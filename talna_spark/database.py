@@ -185,6 +185,7 @@ class QueryBuilder:
         self._end: Optional[int] = None
         self._granularity: Optional[int] = MINUTE_NS
         self._mode = "aligned"
+        self._gapfill: Optional[str] = None
 
     def filter(self, expr: str) -> "QueryBuilder":
         self._filter = expr
@@ -221,12 +222,20 @@ class QueryBuilder:
         self._mode = mode
         return self
 
+    def gapfill(self, mode: str = "null") -> "QueryBuilder":
+        """Materialize empty buckets (extension; aligned mode + finite
+        granularity only): ``null`` | ``zero`` | ``locf``."""
+        if mode not in ("null", "zero", "locf"):
+            raise InvalidQueryError(f"unknown gapfill mode: {mode}")
+        self._gapfill = mode
+        return self
+
     # -- plan assembly (reference `build()`, src/agg/builder.rs:95-140) -----
     def to_df(self) -> DataFrame:
         node = parse_filter_query(self._filter)  # may raise InvalidQueryError
         rollup_df = self._try_rollup(node)
         if rollup_df is not None:
-            return rollup_df
+            return self._apply_gapfill(rollup_df)
         scan = self._db._backend.scan(self._metric, node, self._start, self._end)
         group_col = F.col("tags").getItem(self._group_by)
         # Series lacking the group tag are silently dropped (O25,
@@ -251,8 +260,29 @@ class QueryBuilder:
         if self._mode == "greedy":
             if self._granularity is None:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
+            if self._gapfill is not None:
+                raise InvalidQueryError("gapfill requires aligned mode")
             return greedy_buckets(scan, group_col, kind, self._granularity)
-        return aligned_buckets(scan, group_col, kind, self._granularity)
+        return self._apply_gapfill(
+            aligned_buckets(scan, group_col, kind, self._granularity)
+        )
+
+    def _apply_gapfill(self, agg: DataFrame) -> DataFrame:
+        if self._gapfill is None:
+            return agg
+        if self._granularity is None:
+            raise InvalidQueryError("gapfill requires a finite granularity")
+        from talna_spark.aggregate import gapfill_buckets
+
+        g = self._granularity
+        lo = self._start // g if self._start is not None else None
+        hi = self._end // g if self._end is not None else None
+        both = lo is not None and hi is not None
+        return gapfill_buckets(
+            agg, g, self._gapfill,
+            lo_bucket=lo if both else None,
+            hi_bucket=hi if both else None,
+        )
 
     def top(self, k: int) -> DataFrame:
         """Top-k groups ranked by aggregate ``value`` (extension: the

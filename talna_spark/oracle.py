@@ -109,6 +109,52 @@ def events_query_sql(
     )
 
 
+def events_gapfill_sql(
+    kind: str,
+    metric: str,
+    group_by: str,
+    flt: str,
+    start: Optional[int],
+    end: Optional[int],
+    granularity: int,
+    mode: str,
+) -> str:
+    """Oracle for QueryBuilder.gapfill: per-group bucket spine
+    (generate_series), left join, fill per mode — mirrors
+    talna_spark.aggregate.gapfill_buckets."""
+    g = int(granularity)
+    base = events_query_sql(kind, metric, group_by, flt, start, end, g)
+    if start is not None and end is not None:
+        rng = (
+            f"rng AS (SELECT grp, {start // g} AS lo, {end // g} AS hi "
+            f"FROM (SELECT DISTINCT grp FROM agg))"
+        )
+    else:
+        rng = (
+            f"rng AS (SELECT grp, MIN(start_ts // {g}) AS lo, "
+            f"MAX(start_ts // {g}) AS hi FROM agg GROUP BY grp)"
+        )
+    value = "value"
+    if mode == "zero":
+        value = "COALESCE(value, 0.0) AS value"
+    elif mode == "locf":
+        value = (
+            "last_value(value IGNORE NULLS) OVER (PARTITION BY grp ORDER BY b "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value"
+        )
+    return (
+        f"WITH agg AS ({base}), {rng}, "
+        f"spine AS (SELECT grp, unnest(generate_series(lo, hi)) AS b FROM rng), "
+        f"filled AS (SELECT s.grp, s.b, "
+        f"COALESCE(a.start_ts, s.b * {g}) AS start_ts, "
+        f"COALESCE(a.end_ts, s.b * {g} + {g - 1}) AS end_ts, "
+        f"a.value AS value, COALESCE(a.len, 0) AS len "
+        f"FROM spine s LEFT JOIN agg a ON a.grp = s.grp "
+        f"AND a.start_ts // {g} = s.b) "
+        f"SELECT grp, start_ts, end_ts, {value}, len FROM filled"
+    )
+
+
 def events_topk_sql(
     kind: str,
     metric: str,

@@ -103,6 +103,49 @@ def test_top_groups_rank_and_ties(spark):
     assert got == [("b", 1, 9.0), ("a", 2, 5.0), ("c", 3, 5.0)]
 
 
+M = Duration.MINUTE
+
+
+def test_gapfill_modes(spark):
+    # points in minute-buckets 0 and 3 -> buckets 1, 2 are gaps
+    rows = [("m", 10, 4.0, {"h": "a"}), ("m", 3 * M + 10, 8.0, {"h": "a"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    base = lambda: db.avg("m", "h").granularity(M)
+
+    nulls = {r["start_ts"]: (r["value"], r["len"])
+             for r in base().gapfill("null").to_df().collect()}
+    assert len(nulls) == 4
+    assert nulls[M] == (None, 0) and nulls[2 * M] == (None, 0)
+    assert nulls[M * 2 - 1 - (M - 1)] == nulls[M]  # empty bucket at epoch edges
+
+    zeros = {r["start_ts"]: r["value"]
+             for r in base().gapfill("zero").to_df().collect()}
+    assert zeros[M] == 0.0 and zeros[2 * M] == 0.0 and zeros[10] == 4.0
+
+    locf = {r["start_ts"]: r["value"]
+            for r in base().gapfill("locf").to_df().collect()}
+    assert locf[M] == 4.0 and locf[2 * M] == 4.0 and locf[3 * M + 10] == 8.0
+
+
+def test_gapfill_bounded_spine(spark):
+    rows = [("m", 2 * M + 5, 1.0, {"h": "a"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    out = (db.count("m", "h").start(0).end(5 * M - 1).granularity(M)
+           .gapfill("zero").to_df().collect())
+    assert len(out) == 5  # full [0, 5m) spine even though data spans 1 bucket
+    assert sum(r["len"] for r in out) == 1
+
+
+def test_gapfill_requires_aligned_finite(spark):
+    db = Database.from_points(spark, make_points(spark, []))
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").mode("greedy").gapfill("zero").granularity(M).to_df()
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").granularity(None).gapfill("zero").to_df()
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").gapfill("bogus")
+
+
 def test_rate_drops_zero_dt_pairs(spark):
     rows = [
         ("m", 0, 1.0, {"h": "a"}),
