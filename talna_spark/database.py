@@ -20,7 +20,6 @@ steps 4-7 collapse into one declarative DataFrame plan.
 
 from __future__ import annotations
 
-import datetime as _dt
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,10 +36,7 @@ from talna_spark.timeutil import timestamp
 MINUTE_NS = Duration.MINUTE  # default granularity (reference src/db.rs:21)
 
 
-def _ns_to_date(ns: int) -> str:
-    return _dt.datetime.fromtimestamp(ns / 1e9, tz=_dt.timezone.utc).strftime(
-        "%Y-%m-%d"
-    )
+from talna_spark.timeutil import ns_to_day as _ns_to_date  # one shared definition
 
 
 # A view may expose `_raw_ts`: the stored (pre-transformation) timestamp
@@ -92,9 +88,13 @@ class WarehouseBackend:
         self.spark = spark
         self.path = path
         self.series = read_series_dim(spark, path)
-        self.use_tag_index = (
-            has_tag_index(path) if use_tag_index is None else use_tag_index
-        )
+        # the user's stated preference survives backend reinit (write_batch
+        # / compact); the EFFECTIVE flag additionally requires a FRESH index
+        # — a stale one (appends since the last build) would silently drop
+        # new series, so even use_tag_index=True falls back to the dim path
+        self._tag_index_pref = use_tag_index
+        fresh = has_tag_index(path)
+        self.use_tag_index = fresh if use_tag_index is None else bool(use_tag_index) and fresh
 
     def _matched_series(self, metric: str, node) -> DataFrame:
         """(series_id, tags) for every series matching the filter — the
@@ -418,7 +418,9 @@ class Database:
         from talna_spark.maintenance import compact
 
         compact(self.spark, self._backend.path)
-        self._backend.__init__(self.spark, self._backend.path)
+        self._backend.__init__(
+            self.spark, self._backend.path, self._backend._tag_index_pref
+        )
 
     def build_rollup(self, width_ns: int) -> None:
         """Materialize a downsampled rollup (talna_spark.rollup); aligned
@@ -456,7 +458,9 @@ class Database:
 
         write_batch(points, self._backend.path)
         # refresh the dimension view
-        self._backend.__init__(self.spark, self._backend.path)
+        self._backend.__init__(
+            self.spark, self._backend.path, self._backend._tag_index_pref
+        )
 
     def write(self, metric: str, value: float, tags: dict) -> None:
         """Ingest one point at now() (reference ``Database::write``,
@@ -496,7 +500,14 @@ class Database:
         (e.g. ``0.95`` -> p95). Extension beyond the reference."""
         if not 0.0 < q < 1.0:
             raise InvalidQueryError("percentile q must be in (0, 1)")
-        return QueryBuilder(self, f"p{q * 100:g}", metric, group_by)
+        from talna_spark.aggregate import percentile_q
+
+        # 17 significant digits round-trips any double; reject values whose
+        # encoding escapes (0,1) (e.g. q one ulp below 1 formats to p100)
+        kind = f"p{q * 100:.17g}"
+        if percentile_q(kind) is None:
+            raise InvalidQueryError(f"percentile q={q!r} not representable")
+        return QueryBuilder(self, kind, metric, group_by)
 
     def rate(self, metric: str, group_by: str) -> QueryBuilder:
         """Average per-second rate of change per bucket, computed from

@@ -62,12 +62,13 @@ def write_batch(points: DataFrame, path: str) -> None:
 
     import time
 
+    from talna_spark.timeutil import day_col
+
     enriched = (
         with_series_identity(points)
-        .withColumn(
-            "ts_day",
-            F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"),
-        )
+        # UTC-stable day partition (timeutil.day_col == timeutil.ns_to_day
+        # used by query-side pruning — session timezone must never leak in)
+        .withColumn("ts_day", day_col("ts"))
         # batch stamp for last-writer-wins on duplicate (series, ts) keys —
         # the reference's LSM upsert semantics (src/db.rs:342-343), applied
         # lazily by compact_facts; between compactions both versions are
@@ -97,11 +98,19 @@ def write_batch(points: DataFrame, path: str) -> None:
     )
     # touched (metric, day) partitions — read from the PERSISTED batch
     # (before unpersist) for the rollup changelog, so refresh_rollup can
-    # re-aggregate only these
-    touched = [
-        (r["metric"], r["ts_day"])
-        for r in enriched.select("metric", "ts_day").distinct().collect()
-    ]
+    # re-aggregate only these. Skipped entirely while no rollup exists:
+    # append_changelog would discard the result, so don't pay the extra
+    # job per batch (matters for streaming foreachBatch micro-batches).
+    from talna_spark.rollup import _all_rollup_dirs, append_changelog
+
+    touched = (
+        [
+            (r["metric"], r["ts_day"])
+            for r in enriched.select("metric", "ts_day").distinct().collect()
+        ]
+        if _all_rollup_dirs(path)
+        else []
+    )
     enriched.unpersist()
     # appends may reintroduce duplicate series rows across batches — drop
     # the compaction-time uniqueness marker (see maintenance.compact_series)
@@ -111,14 +120,19 @@ def write_batch(points: DataFrame, path: str) -> None:
     marker = os.path.join(path, "series", "_UNIQUE")
     if os.path.exists(marker):
         os.remove(marker)
+    # a new batch can create new series the materialized inverted index
+    # doesn't know — mark it stale so queries fall back to the dim path
+    # until the next compact() rebuilds it
+    tidx_marker = os.path.join(path, "series_tag", "_FRESH")
+    if os.path.exists(tidx_marker):
+        os.remove(tidx_marker)
     # ... and invalidate every materialized rollup: new raw points make
     # them stale, and a stale rollup must never answer a query
     # (talna_spark.rollup.available_rollups checks this marker)
-    from talna_spark.rollup import append_changelog
-
     for fresh in glob.glob(os.path.join(path, "rollup_*", "_FRESH")):
         os.remove(fresh)
-    append_changelog(path, touched)
+    if touched:
+        append_changelog(path, touched)
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:

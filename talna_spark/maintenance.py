@@ -32,7 +32,10 @@ def compact_series(spark: SparkSession, warehouse_path: str) -> None:
     tmp = os.path.join(warehouse_path, "series__compact_tmp")
     (
         read_series_dim(spark, warehouse_path)
-        .coalesce(1)
+        # repartition by metric, not coalesce(1): a single-task single-file
+        # rewrite caps out exactly at the billions-of-series scale the tag
+        # index targets; per-metric files keep the job parallel and bounded
+        .repartition("metric")
         .write.mode("overwrite")
         .option("compression", "zstd")
         .parquet(tmp)

@@ -284,6 +284,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> Data
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split components and keep multiple
+        # "canonical" survivors from one duplicate class
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(component diameter too large — raise max_iter or use the "
+            "small-star/large-star variant)"
+        )
     docs = _docs(spark, sf_dir).select("doc_id")
     out = docs.join(labels, docs.doc_id == labels.id, "left").select(
         "doc_id",

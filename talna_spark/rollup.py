@@ -293,12 +293,7 @@ def rollup_scan(
 ) -> DataFrame:
     """Partial-aggregate scan: rollup rows for the matched series within
     bounds, with tags attached (broadcast, same shape as the raw path)."""
-    import datetime as _dt
-
-    def _day(ns: int) -> str:
-        return _dt.datetime.fromtimestamp(
-            ns / 1e9, tz=_dt.timezone.utc
-        ).strftime("%Y-%m-%d")
+    from talna_spark.timeutil import ns_to_day as _day
 
     w = int(width_ns)
     r = read_rollup(spark, warehouse_path, w).filter(F.col("metric") == metric)

@@ -58,10 +58,16 @@ def build_tag_index(spark: SparkSession, warehouse_path: str) -> None:
         .option("compression", "zstd")
         .parquet(f"{warehouse_path}/series_tag")
     )
+    # freshness marker: ingest removes it on append (a stale index would
+    # silently drop newly-created series from every query — same protocol
+    # as rollup _FRESH / series _UNIQUE)
+    with open(os.path.join(warehouse_path, "series_tag", "_FRESH"), "w"):
+        pass
 
 
 def has_tag_index(warehouse_path: str) -> bool:
-    return os.path.exists(os.path.join(warehouse_path, "series_tag"))
+    """True only for a FRESH index (built since the last append)."""
+    return os.path.exists(os.path.join(warehouse_path, "series_tag", "_FRESH"))
 
 
 def _read(spark: SparkSession, warehouse_path: str) -> DataFrame:

@@ -64,9 +64,71 @@ def test_auto_detection(spark, warehouse):
 def test_compact_bounds_series_dim(spark, warehouse):
     import glob
 
-    # after compaction the series dim is a single file
+    # after compaction the series dim is bounded: at most one file per
+    # metric partition (parallel rewrite, no single-task coalesce) and
+    # exactly one row per live series
     files = glob.glob(f"{warehouse}/series/*.parquet")
-    assert len(files) == 1
+    dim = spark.read.parquet(f"{warehouse}/series")
+    n_metrics = dim.select("metric").distinct().count()
+    assert 1 <= len(files) <= n_metrics
+    assert dim.count() == dim.select("series_id").distinct().count()
+
+
+def test_ts_day_is_session_timezone_proof(spark):
+    """ts_day partition values and pruning bounds must both be UTC days:
+    with a non-UTC session timezone, a near-midnight point must neither
+    change partitions nor be pruned out of a bounded query."""
+    from talna_spark.schema import POINTS_SCHEMA
+
+    wh = tempfile.mkdtemp(prefix="talna_tz_wh_")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Auckland")  # UTC+12/13
+        db = Database.open(spark, wh)
+        ts = 1_704_153_540 * 10**9  # 2024-01-01T23:59:00Z
+        db.write_batch(
+            spark.createDataFrame([("m", ts, 1.0, {"h": "a"})], POINTS_SCHEMA)
+        )
+        import glob
+
+        days = sorted(
+            p.split("ts_day=")[1]
+            for p in glob.glob(f"{wh}/points/metric=m/ts_day=*")
+        )
+        assert days == ["2024-01-01"], f"partition rendered in session tz: {days}"
+        res = db.count("m", "h").start(ts - 10**9).end(ts + 10**9).collect()
+        assert res["a"][0].len == 1, "near-midnight point pruned away"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_append_stales_tag_index_and_preserves_pref(spark):
+    """An append invalidates the inverted index (new series would be
+    silently dropped by a stale postings table) and write_batch keeps the
+    user's explicit use_tag_index preference across backend reinit."""
+    wh = tempfile.mkdtemp(prefix="talna_tidx_stale_")
+    try:
+        pts = points_from_events(spark, "/root/testdata/sf0.001")
+        db = Database.open(spark, wh)
+        db.write_batch(pts)
+        db.compact()
+        assert Database.open(spark, wh)._backend.use_tag_index is True
+
+        forced_off = Database.open(spark, wh, use_tag_index=False)
+        forced_off.write_batch(pts.limit(5))
+        # preference survives the reinit...
+        assert forced_off._backend._tag_index_pref is False
+        assert forced_off._backend.use_tag_index is False
+        # ...and even a True preference yields the dim path while stale
+        assert Database.open(spark, wh, use_tag_index=True)._backend.use_tag_index is False
+        assert Database.open(spark, wh)._backend.use_tag_index is False
+        # rebuild restores the index path
+        db2 = Database.open(spark, wh)
+        db2.compact()
+        assert Database.open(spark, wh, use_tag_index=True)._backend.use_tag_index is True
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 def test_duplicate_key_last_writer_wins_at_compaction(spark):
