@@ -76,7 +76,11 @@ _SPEC: dict[str, tuple] = {
     "q22_rate": ("rate", "app.click", "etype", "*", None, None, 6 * HOUR, "aligned"),
     # Q23: distinct contributing series per bucket (exact distinct agg)
     "q23_distinct_series": ("distinct_series", "app.view", "etype", "*", None, None, DAY, "aligned"),
+    # Q26: time-weighted average (step interpolation; zero-weight buckets dropped)
+    "q26_twa": ("twa", "app.purchase", "etype", "*", None, None, 6 * HOUR, "aligned"),
 }
+
+_METHOD_ALIASES = {"twa": "time_weighted_avg"}
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +152,25 @@ _EXT["q25_gapfill"] = (
 )
 
 
+def _q27_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavored revenue by returnflag over the lineitem view
+    adapter (sources.lineitem) — the engine over a second real table."""
+    from talna_spark.sources.lineitem import METRIC, points_from_lineitem
+
+    db = Database.from_points(spark, points_from_lineitem(spark, sf_dir))
+    return (
+        db.sum(METRIC, "rf")
+        .granularity(90 * DAY)
+        .to_df()
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+from talna_spark.sources.lineitem import revenue_by_returnflag_sql  # noqa: E402
+
+_EXT["q27_lineitem_revenue"] = (_q27_lineitem, revenue_by_returnflag_sql(90 * DAY))
+
+
 def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
     kind, metric, group_by, flt, start, end, gran, mode = spec
 
@@ -159,7 +182,7 @@ def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
         if q is not None:
             b = db.percentile(metric, group_by, q)
         else:
-            b = getattr(db, kind)(metric, group_by)
+            b = getattr(db, _METHOD_ALIASES.get(kind, kind))(metric, group_by)
         b = b.filter(flt).granularity(gran).mode(mode)
         if start is not None:
             b = b.start(start)

@@ -109,14 +109,25 @@ def aligned_buckets(
         # Catalyst); approx_count_distinct is the sketch alternative when
         # ±2% error is acceptable at scale.
         value = F.count_distinct(F.col("_series_key")).cast("double")
+    elif kind == "twa":
+        # extension: time-weighted average. The scan carries _w (ns until
+        # the series' next point; 0 for its last) — buckets with zero
+        # total weight (only trailing points) are dropped on BOTH engine
+        # and oracle sides, so no 0/0 null ambiguity reaches results.
+        value = F.sum(F.col("value") * F.col("_w")) / F.sum("_w")
     else:
         value = _value_agg(kind)
-    out = scan.groupBy(*keys).agg(
+    aggs = [
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
         value.alias("value"),
         F.count(F.lit(1)).alias("len"),
-    )
+    ]
+    if kind == "twa":
+        aggs.append(F.sum("_w").alias("_sw"))
+    out = scan.groupBy(*keys).agg(*aggs)
+    if kind == "twa":
+        out = out.filter(F.col("_sw") > 0)
     return out.select("grp", "start_ts", "end_ts", "value", "len")
 
 

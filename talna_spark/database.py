@@ -136,6 +136,26 @@ class WarehouseBackend:
         ).select("ts", "value", "tags")
 
 
+def _twa_transform(scan: DataFrame, metric: str) -> DataFrame:
+    """Attach the time weight for time-weighted averaging (extension):
+    each point carries the ns until its series' NEXT point (its value is
+    "held" for that interval — step interpolation); a series' last point
+    holds nothing and weighs 0. Intervals attribute wholly to the bucket
+    of their starting point (documented simplification: no splitting at
+    bucket edges). Same per-series window shape as rate()."""
+    from pyspark.sql.window import Window
+
+    from talna_spark.ingest import series_key_col
+
+    sid = F.xxhash64(series_key_col(F.lit(metric), F.col("tags")))
+    w = Window.partitionBy("_sid").orderBy("ts", "value")
+    return (
+        scan.withColumn("_sid", sid)
+        .withColumn("_w", F.coalesce(F.lead("ts").over(w) - F.col("ts"), F.lit(0)))
+        .select("ts", "value", "tags", "_w")
+    )
+
+
 def _rate_transform(scan: DataFrame, metric: str) -> DataFrame:
     """Per-series derivative (extension beyond the reference — the
     Datadog-model ``rate()`` the tagging scheme is built for): value becomes
@@ -257,6 +277,10 @@ class QueryBuilder:
             scan = scan.withColumn(
                 "_series_key", series_key_col(F.lit(self._metric), F.col("tags"))
             )
+        elif kind == "twa":
+            if self._mode == "greedy":
+                raise InvalidQueryError("twa supports aligned mode only")
+            scan = _twa_transform(scan, self._metric)
         if self._mode == "greedy":
             if self._granularity is None:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
@@ -519,3 +543,10 @@ class Database:
         """Distinct contributing series per bucket (exact; aligned mode
         only). Extension beyond the reference."""
         return QueryBuilder(self, "distinct_series", metric, group_by)
+
+    def time_weighted_avg(self, metric: str, group_by: str) -> QueryBuilder:
+        """Time-weighted average per bucket: each point's value weighted by
+        the interval it is held (until the series' next point; step
+        interpolation). Aligned mode only. Extension beyond the
+        reference — the standard irregular-sampling mean."""
+        return QueryBuilder(self, "twa", metric, group_by)

@@ -77,14 +77,30 @@ def events_query_sql(
     if granularity is not None:
         group_keys.append(f"(ts // {int(granularity)})")
     src = "pts"
+    having = ""
     if kind == "distinct_series":
         # series identity = the full tagset (bijective with the canonical
         # series key the Spark side hashes): distinct tag tuples
         tup = ", ".join(f"tag_{k}" for k in TAG_SQL)
         agg = f"CAST(COUNT(DISTINCT ({tup})) AS DOUBLE)"
+    elif kind == "twa":
+        agg = "SUM(value * wgt) / SUM(wgt)"
     else:
         agg = _agg_sql("avg" if kind == "rate" else kind)
     rate_cte = ""
+    if kind == "twa":
+        # mirror talna_spark.database._twa_transform: weight = ns until the
+        # series' next point (0 for its last); zero-weight buckets dropped
+        part = ", ".join(f"tag_{k}" for k in TAG_SQL)
+        rate_cte = (
+            f", sel AS (SELECT * FROM pts WHERE {' AND '.join(where)}), "
+            f"wtd AS (SELECT {grp}, ts, value, "
+            f"COALESCE(LEAD(ts) OVER w - ts, 0) AS wgt FROM sel "
+            f"WINDOW w AS (PARTITION BY {part} ORDER BY ts, value))"
+        )
+        src = "wtd"
+        where = ["1=1"]
+        having = " HAVING SUM(wgt) > 0"
     if kind == "rate":
         # Mirror talna_spark.database._rate_transform: filters and time
         # bounds apply BEFORE the window (they select which points exist,
@@ -105,7 +121,7 @@ def events_query_sql(
         f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
         f"ROUND({agg}, 6) AS value, COUNT(*) AS len "
         f"FROM {src} WHERE {' AND '.join(where)} "
-        f"GROUP BY {', '.join(group_keys)}"
+        f"GROUP BY {', '.join(group_keys)}{having}"
     )
 
 

@@ -146,6 +146,44 @@ def test_gapfill_requires_aligned_finite(spark):
         db.avg("m", "h").gapfill("bogus")
 
 
+def test_time_weighted_avg_step_interpolation(spark):
+    # value 10 held for 3s, then 20 held for 1s, then 99 (trailing, weight 0)
+    rows = [
+        ("m", 0 * S, 10.0, {"h": "a"}),
+        ("m", 3 * S, 20.0, {"h": "a"}),
+        ("m", 4 * S, 99.0, {"h": "a"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.time_weighted_avg("m", "h").granularity(Duration.minutes(1)).collect()
+    b = res["a"][0]
+    # twa = (10*3 + 20*1 + 99*0) / (3 + 1) = 12.5 — plain avg would be 43
+    assert b.value == pytest.approx(12.5)
+    assert b.len == 3
+
+
+def test_time_weighted_avg_drops_zero_weight_buckets(spark):
+    # a single trailing point in its own bucket has total weight 0
+    rows = [("m", 0, 1.0, {"h": "a"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.time_weighted_avg("m", "h").granularity(Duration.minutes(1)).collect()
+    assert res == {}
+
+
+def test_twa_does_not_mix_series(spark):
+    # two interleaved series: weights computed within each series only
+    rows = [
+        ("m", 0 * S, 10.0, {"h": "a", "s": "x"}),
+        ("m", 1 * S, 50.0, {"h": "a", "s": "y"}),   # different series
+        ("m", 4 * S, 20.0, {"h": "a", "s": "x"}),   # x: 10 held 4s
+        ("m", 3 * S, 70.0, {"h": "a", "s": "y"}),   # y: 50 held 2s
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.time_weighted_avg("m", "h").granularity(Duration.minutes(1)).collect()
+    b = res["a"][0]
+    # (10*4 + 50*2) / (4 + 2) = 140/6
+    assert b.value == pytest.approx(140 / 6)
+
+
 def test_rate_drops_zero_dt_pairs(spark):
     rows = [
         ("m", 0, 1.0, {"h": "a"}),
