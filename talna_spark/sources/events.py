@@ -39,6 +39,17 @@ TS_SQL = "epoch_ns(ts)"
 def points_from_events(
     spark: SparkSession, sf_dir: str, parallelism: int | None = None
 ) -> DataFrame:
+    # The unresolved view is pure (reader + column expressions); rebuilding
+    # it costs ~0.35 s of py4j/analysis chatter per query, so cache it on
+    # the session. Spark itself caches the file listing for the session, so
+    # this adds no staleness beyond what spark.read already has.
+    cache = getattr(spark, "_talna_points_cache", None)
+    if cache is None:
+        cache = {}
+        spark._talna_points_cache = cache
+    key = (sf_dir, parallelism)
+    if key in cache:
+        return cache[key]
     # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
     # reader rejects by default; nanosAsLong reads it as int64 ns — exactly
     # our timestamp representation. DuckDB truncates the same column to µs
@@ -62,7 +73,7 @@ def points_from_events(
         ),
         lambda _k, v: v.isNotNull(),
     )
-    return ev.select(
+    out = cache[key] = ev.select(
         F.concat(F.lit("app."), F.lower("event_type")).alias("metric"),
         # int64 ns via nanosAsLong, truncated to µs to match DuckDB
         F.expr("(ts div 1000) * 1000").cast("long").alias("ts"),
@@ -74,3 +85,4 @@ def points_from_events(
         F.col("value").cast("double").alias("value"),
         tags.alias("tags"),
     )
+    return out
