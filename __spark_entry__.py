@@ -78,6 +78,8 @@ _SPEC: dict[str, tuple] = {
     "q23_distinct_series": ("distinct_series", "app.view", "etype", "*", None, None, DAY, "aligned"),
     # Q26: time-weighted average (step interpolation; zero-weight buckets dropped)
     "q26_twa": ("twa", "app.purchase", "etype", "*", None, None, 6 * HOUR, "aligned"),
+    # extension: snapshot (value at max ts per group per bucket)
+    "q28_latest": ("latest", "app.error", "user", "*", None, None, DAY, "aligned"),
 }
 
 _METHOD_ALIASES = {"twa": "time_weighted_avg"}

@@ -115,6 +115,15 @@ def aligned_buckets(
         # total weight (only trailing points) are dropped on BOTH engine
         # and oracle sides, so no 0/0 null ambiguity reaches results.
         value = F.sum(F.col("value") * F.col("_w")) / F.sum("_w")
+    elif kind == "latest":
+        # extension: snapshot — the value at the max ts per (group, bucket).
+        # Lexicographic struct max; ties at the max ts resolve to the
+        # larger value, identically to the oracle's max(row(ts, value)).
+        # Physical: struct buffers aren't hash-aggregable, so Catalyst
+        # plans SortAggregate — still one shuffle with map-side partials
+        # (the sort is per-partition on group keys), vs. the two shuffles
+        # a window/row_number formulation would cost.
+        value = F.max(F.struct("ts", "value"))["value"]
     else:
         value = _value_agg(kind)
     aggs = [

@@ -281,6 +281,8 @@ class QueryBuilder:
             if self._mode == "greedy":
                 raise InvalidQueryError("twa supports aligned mode only")
             scan = _twa_transform(scan, self._metric)
+        elif kind == "latest" and self._mode == "greedy":
+            raise InvalidQueryError("latest supports aligned mode only")
         if self._mode == "greedy":
             if self._granularity is None:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
@@ -543,6 +545,12 @@ class Database:
         """Distinct contributing series per bucket (exact; aligned mode
         only). Extension beyond the reference."""
         return QueryBuilder(self, "distinct_series", metric, group_by)
+
+    def latest(self, metric: str, group_by: str) -> QueryBuilder:
+        """Snapshot: the most recent value per group per bucket (value at
+        max ts; ties take the larger value). Aligned mode only. Extension
+        beyond the reference — the standard TSDB "current value" query."""
+        return QueryBuilder(self, "latest", metric, group_by)
 
     def time_weighted_avg(self, metric: str, group_by: str) -> QueryBuilder:
         """Time-weighted average per bucket: each point's value weighted by
