@@ -73,3 +73,43 @@ def windowed_rollup(
         )
     )
     return windowed.select("grp", "start_ts", "end_ts", "value", "len")
+
+
+def session_rollup(
+    points_stream: DataFrame,
+    group_by: str,
+    kind: str = "avg",
+    gap_seconds: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Session-window streaming aggregation keyed by a tag.
+
+    A bucket stays open while successive points for a group arrive within
+    ``gap_seconds`` of each other and closes after a quiet gap — the
+    event-time analog of the reference's greedy data-anchored bucketizer
+    (O27, src/agg/stream.rs:60-97), which likewise anchors on arriving data
+    and closes a bucket once the next point falls outside the width. The
+    semantics differ at the edges (sessions extend while points keep
+    coming; the greedy bucket is capped at ``width`` from its anchor), so
+    this is the streaming *cousin*, not an oracle-equivalent — batch greedy
+    mode remains the faithful implementation.
+
+    State is bounded by the watermark (session windows require one in
+    append mode); output schema matches the batch result
+    (grp, start_ts, end_ts, value, len).
+    """
+    grp = F.col("tags").getItem(group_by)
+    evt = F.timestamp_micros(F.expr("ts div 1000"))
+    windowed = (
+        points_stream.withColumn("_evt", evt)
+        .filter(grp.isNotNull())
+        .withWatermark("_evt", watermark)
+        .groupBy(grp.alias("grp"), F.session_window("_evt", f"{gap_seconds} seconds"))
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            _value_agg(kind).alias("value"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+    return windowed.select("grp", "start_ts", "end_ts", "value", "len")

@@ -82,3 +82,41 @@ def test_windowed_rollup_output(spark, dirs):
         else:
             assert r["value"] == pytest.approx(7.0)
             assert r["len"] == 2
+
+
+def test_session_rollup_output(spark, dirs):
+    # h=a: points at 1s,2s,3s (one session, gap 30s) then 62s (new session
+    # after a 59s quiet gap); h=b: single point -> single session
+    rows = [
+        ("m", 1_000_000_000, 1.0, {"h": "a"}),
+        ("m", 2_000_000_000, 3.0, {"h": "a"}),
+        ("m", 3_000_000_000, 7.0, {"h": "a"}),
+        ("m", 62_000_000_000, 9.0, {"h": "a"}),
+        ("m", 5_000_000_000, 5.0, {"h": "b"}),
+        # a far-future point pushes the watermark past every session above
+        # so append mode finalizes and emits them in this one micro-batch
+        ("m", 3_600_000_000_000, 0.0, {"h": "wm"}),
+    ]
+    from talna_spark.streaming.ingest import session_rollup
+
+    make_points(spark, rows).write.mode("append").parquet(dirs["src"])
+    stream = spark.readStream.schema(POINTS_SCHEMA).parquet(dirs["src"])
+    rollup = session_rollup(stream, group_by="h", kind="sum", gap_seconds=30)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["grp"], r["start_ts"]): (r["value"], r["len"], r["end_ts"])
+        for r in spark.sql("SELECT * FROM session_sink").collect()
+    }
+    assert got[("a", 1_000_000_000)] == (11.0, 3, 3_000_000_000)
+    assert got[("a", 62_000_000_000)] == (9.0, 1, 62_000_000_000)
+    assert got[("b", 5_000_000_000)] == (5.0, 1, 5_000_000_000)
