@@ -2,7 +2,16 @@
 surface, SURVEY.md §2.2: talna has no streaming machinery — these are the
 Spark-native equivalents a continuously-ingesting deployment needs)."""
 
-from talna_spark.streaming.ingest import stream_ingest, windowed_rollup
+from talna_spark.streaming.ingest import (
+    session_rollup,
+    stream_ingest,
+    windowed_rollup,
+)
 from talna_spark.streaming.stateful import greedy_rollup_stream
 
-__all__ = ["stream_ingest", "windowed_rollup", "greedy_rollup_stream"]
+__all__ = [
+    "stream_ingest",
+    "windowed_rollup",
+    "session_rollup",
+    "greedy_rollup_stream",
+]
