@@ -34,6 +34,20 @@ from pyspark.sql import functions as F
 _ROWS_PER_WRITE_TASK = 4_000_000
 
 
+def write_fanout(n_rows: int, default_parallelism: int) -> int:
+    """Shuffle partition count for the points write.
+
+    Scales with batch size (one ~row-group-sized file per task at cluster
+    scale) but never below a small floor: a micro-batch still fans out
+    across the (metric, day) output dirs instead of one task writing them
+    all sequentially (measured 3-4x slower), and AQE's byte-based
+    coalescing — which would collapse this tiny shuffle to 1-2 tasks — is
+    bypassed by passing the count explicitly.
+    """
+    floor = max(1, min(16, default_parallelism))
+    return max(floor, -(-n_rows // _ROWS_PER_WRITE_TASK))
+
+
 def series_key_col(metric: Column, tags: Column) -> Column:
     """Canonical series key: ``metric#k1:v1;k2:v2`` with keys sorted
     (reference src/series_key.rs:20-41)."""
@@ -89,8 +103,7 @@ def write_batch(points: DataFrame, path: str) -> None:
     # size at cluster scale (a 100 TB batch fans out to ~rows/4M tasks).
     n_rows = enriched.count()  # cheap: batch is persisted
     spark = points.sparkSession
-    floor = min(16, spark.sparkContext.defaultParallelism)
-    num_parts = max(floor, -(-n_rows // _ROWS_PER_WRITE_TASK))
+    num_parts = write_fanout(n_rows, spark.sparkContext.defaultParallelism)
     (
         enriched.select("series_id", "ts", "value", "ingest_seq", "metric", "ts_day")
         # Range-partition on (metric, ts_day, ts): co-partitions with the

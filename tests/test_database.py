@@ -170,3 +170,17 @@ def test_bucket_middle():
 
     assert Bucket(start=0, end=10, value=0.0, len=1).middle() == 5
     assert Bucket(start=5, end=6, value=0.0, len=1).middle() == 5
+
+
+def test_write_fanout_heuristic():
+    from talna_spark.ingest import _ROWS_PER_WRITE_TASK, write_fanout
+
+    # micro-batches keep the small-floor fan-out (parallel dir writes)
+    assert write_fanout(0, 32) == 16
+    assert write_fanout(100_000, 32) == 16
+    # the floor never exceeds the cluster's parallelism
+    assert write_fanout(100_000, 4) == 4
+    assert write_fanout(100_000, 0) == 1
+    # large batches scale by the per-task row target (ceil division)
+    assert write_fanout(_ROWS_PER_WRITE_TASK * 100, 32) == 100
+    assert write_fanout(_ROWS_PER_WRITE_TASK * 100 + 1, 32) == 101
