@@ -80,6 +80,13 @@ _SPEC: dict[str, tuple] = {
     "q26_twa": ("twa", "app.purchase", "etype", "*", None, None, 6 * HOUR, "aligned"),
     # extension: snapshot (value at max ts per group per bucket)
     "q28_latest": ("latest", "app.error", "user", "*", None, None, DAY, "aligned"),
+    # Q29: multi-tag group-by (Datadog-style `by {user,hi}`; the reference
+    # groups by exactly one tag) — composed group "user:V,hi:W"; series
+    # lacking ANY group tag are dropped (O25 generalized)
+    "q29_multigroup": ("avg", "app.purchase", ("user", "hi"), "*", None, None, 6 * HOUR, "aligned"),
+    # Q30: reset-aware counter increase (PromQL increase(); per-series
+    # deltas, resets restart from 0), summed per bucket
+    "q30_increase": ("increase", "app.view", "etype", "*", None, None, 6 * HOUR, "aligned"),
 }
 
 _METHOD_ALIASES = {"twa": "time_weighted_avg"}

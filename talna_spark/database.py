@@ -156,6 +156,35 @@ def _twa_transform(scan: DataFrame, metric: str) -> DataFrame:
     )
 
 
+def _increase_transform(scan: DataFrame, metric: str) -> DataFrame:
+    """Counter increase with reset handling (extension beyond the
+    reference — the PromQL-style ``increase()`` for monotonic counters):
+    per series, each consecutive-point delta is ``value - lag(value)``
+    when the counter grew, else ``value`` (a smaller reading means the
+    counter reset and restarted from 0, so the new reading IS the
+    increase since the reset). Deltas label at the later timestamp;
+    each series' first point contributes nothing. Buckets then SUM the
+    deltas. Same single-shuffle per-series window shape as rate();
+    equal-timestamp pairs are ordered by value and their dt=0 rows
+    dropped (both oracle sides do the same)."""
+    from pyspark.sql.window import Window
+
+    from talna_spark.ingest import series_key_col
+
+    sid = F.xxhash64(series_key_col(F.lit(metric), F.col("tags")))
+    w = Window.partitionBy("_sid").orderBy("ts", "value")
+    df = (
+        scan.withColumn("_sid", sid)
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("_prev_v", F.lag("value").over(w))
+        .filter(F.col("_prev_ts").isNotNull() & (F.col("ts") > F.col("_prev_ts")))
+    )
+    delta = F.when(
+        F.col("value") >= F.col("_prev_v"), F.col("value") - F.col("_prev_v")
+    ).otherwise(F.col("value"))
+    return df.select("ts", delta.alias("value"), "tags")
+
+
 def _rate_transform(scan: DataFrame, metric: str) -> DataFrame:
     """Per-series derivative (extension beyond the reference — the
     Datadog-model ``rate()`` the tagging scheme is built for): value becomes
@@ -195,11 +224,24 @@ class QueryBuilder:
     ends (src/agg/builder.rs:106-113).
     """
 
-    def __init__(self, db: "Database", kind: str, metric: str, group_by: str):
+    def __init__(self, db: "Database", kind: str, metric: str, group_by):
         self._db = db
         self._kind = kind
         self._metric = validate_metric_name(metric)
-        self._group_by = group_by
+        # group_by: one tag key (reference semantics, group-by-ONE-tag) or a
+        # sequence of keys (extension: Datadog-style `by {host,env}`). Multi
+        # grouping composes the keys into one string group "k1:v1,k2:v2" —
+        # injective because tag values cannot contain ':' or ',' (DSL
+        # charset, src/query/lexer.rs:21).
+        if isinstance(group_by, str):
+            self._group_by: tuple[str, ...] | str = group_by
+        else:
+            gb = tuple(group_by)
+            if not gb or not all(isinstance(k, str) and k for k in gb):
+                raise InvalidQueryError(
+                    "group_by must be a tag key or a non-empty sequence of tag keys"
+                )
+            self._group_by = gb[0] if len(gb) == 1 else gb
         self._filter = "*"
         self._start: Optional[int] = None
         self._end: Optional[int] = None
@@ -250,6 +292,25 @@ class QueryBuilder:
         self._gapfill = mode
         return self
 
+    def _group_keys(self) -> tuple[str, ...]:
+        gb = self._group_by
+        return (gb,) if isinstance(gb, str) else gb
+
+    def _group_col(self) -> "F.Column":
+        keys = self._group_keys()
+        if len(keys) == 1:
+            return F.col("tags").getItem(keys[0])
+        return F.concat_ws(
+            ",", *(F.concat(F.lit(f"{k}:"), F.col("tags").getItem(k)) for k in keys)
+        )
+
+    def _group_drop_filter(self, df: DataFrame) -> DataFrame:
+        # Series lacking ANY group tag are silently dropped (O25,
+        # reference src/agg/builder.rs:120-122, generalized to multi-key).
+        for k in self._group_keys():
+            df = df.filter(F.col("tags").getItem(k).isNotNull())
+        return df
+
     # -- plan assembly (reference `build()`, src/agg/builder.rs:95-140) -----
     def to_df(self) -> DataFrame:
         node = parse_filter_query(self._filter)  # may raise InvalidQueryError
@@ -257,16 +318,18 @@ class QueryBuilder:
         if rollup_df is not None:
             return self._apply_gapfill(rollup_df)
         scan = self._db._backend.scan(self._metric, node, self._start, self._end)
-        group_col = F.col("tags").getItem(self._group_by)
-        # Series lacking the group tag are silently dropped (O25,
-        # reference src/agg/builder.rs:120-122).
-        scan = scan.filter(group_col.isNotNull())
+        group_col = self._group_col()
+        scan = self._group_drop_filter(scan)
         kind = self._kind
         if kind == "rate":
             # per-series derivative first; buckets then average the
             # instantaneous rates (Datadog-style rate()).
             scan = _rate_transform(scan, self._metric)
             kind = "avg"
+        elif kind == "increase":
+            # per-series reset-aware counter deltas; buckets sum them.
+            scan = _increase_transform(scan, self._metric)
+            kind = "sum"
         elif kind == "distinct_series":
             from talna_spark.ingest import series_key_col
 
@@ -358,9 +421,10 @@ class QueryBuilder:
             backend.spark, backend.path, w, self._metric, matched,
             self._start, self._end,
         )
-        group_col = F.col("tags").getItem(self._group_by)
-        scan = scan.filter(group_col.isNotNull())
-        return rollup_aggregate(scan, group_col, self._kind, w, self._granularity)
+        scan = self._group_drop_filter(scan)
+        return rollup_aggregate(
+            scan, self._group_col(), self._kind, w, self._granularity
+        )
 
     build = to_df  # reference naming (src/agg/builder.rs:95)
 
@@ -505,23 +569,23 @@ class Database:
         self.write_batch(self.spark.createDataFrame(row, POINTS_SCHEMA))
 
     # -- query entry points (O41, src/db.rs:213-312) ------------------------
-    def avg(self, metric: str, group_by: str) -> QueryBuilder:
+    def avg(self, metric: str, group_by) -> QueryBuilder:
         return QueryBuilder(self, "avg", metric, group_by)
 
-    def sum(self, metric: str, group_by: str) -> QueryBuilder:
+    def sum(self, metric: str, group_by) -> QueryBuilder:
         return QueryBuilder(self, "sum", metric, group_by)
 
-    def min(self, metric: str, group_by: str) -> QueryBuilder:
+    def min(self, metric: str, group_by) -> QueryBuilder:
         return QueryBuilder(self, "min", metric, group_by)
 
-    def max(self, metric: str, group_by: str) -> QueryBuilder:
+    def max(self, metric: str, group_by) -> QueryBuilder:
         return QueryBuilder(self, "max", metric, group_by)
 
-    def count(self, metric: str, group_by: str) -> QueryBuilder:
+    def count(self, metric: str, group_by) -> QueryBuilder:
         return QueryBuilder(self, "count", metric, group_by)
 
     # -- extension aggregates (beyond the reference's five) ------------------
-    def percentile(self, metric: str, group_by: str, q: float) -> QueryBuilder:
+    def percentile(self, metric: str, group_by, q: float) -> QueryBuilder:
         """Exact interpolated percentile per bucket, ``0 < q < 1``
         (e.g. ``0.95`` -> p95). Extension beyond the reference."""
         if not 0.0 < q < 1.0:
@@ -535,11 +599,18 @@ class Database:
             raise InvalidQueryError(f"percentile q={q!r} not representable")
         return QueryBuilder(self, kind, metric, group_by)
 
-    def rate(self, metric: str, group_by: str) -> QueryBuilder:
+    def rate(self, metric: str, group_by) -> QueryBuilder:
         """Average per-second rate of change per bucket, computed from
         per-series consecutive-point derivatives. Extension beyond the
         reference."""
         return QueryBuilder(self, "rate", metric, group_by)
+
+    def increase(self, metric: str, group_by) -> QueryBuilder:
+        """Total counter increase per bucket from per-series reset-aware
+        consecutive-point deltas (a smaller reading = counter reset; the
+        new reading counts wholly). Extension beyond the reference — the
+        PromQL ``increase()`` for monotonic counters."""
+        return QueryBuilder(self, "increase", metric, group_by)
 
     def distinct_series(self, metric: str, group_by: str) -> QueryBuilder:
         """Distinct contributing series per bucket (exact; aligned mode

@@ -58,10 +58,23 @@ def _tag_lookup(key: str) -> str:
     return f"tag_{key}" if key in TAG_SQL else "NULL"
 
 
+def _grp_sql(group_by) -> tuple[str, list[str]]:
+    """Group expression + not-null predicates. ``group_by`` is one tag key
+    (reference semantics) or a sequence of keys (multi-group extension:
+    grp = "k1:v1,k2:v2", mirroring QueryBuilder._group_col)."""
+    if isinstance(group_by, str):
+        grp = _tag_lookup(group_by)
+        return grp, [f"{grp} IS NOT NULL"]
+    parts = " || ',' || ".join(
+        f"'{k}:' || {_tag_lookup(k)}" for k in group_by
+    )
+    return parts, [f"{_tag_lookup(k)} IS NOT NULL" for k in group_by]
+
+
 def events_query_sql(
     kind: str,
     metric: str,
-    group_by: str,
+    group_by,
     flt: str = "*",
     start: Optional[int] = None,
     end: Optional[int] = None,
@@ -70,15 +83,12 @@ def events_query_sql(
     """DuckDB SQL equivalent of an aligned-mode events query."""
     node = parse_filter_query(flt)
     pred = compile_to_sql(node, _tag_lookup)
-    grp = _tag_lookup(group_by)
-    where = [f"metric = '{metric}'", f"({pred})", f"{grp} IS NOT NULL"]
+    grp, notnull = _grp_sql(group_by)
+    where = [f"metric = '{metric}'", f"({pred})"] + notnull
     if start is not None:
         where.append(f"ts >= {int(start)}")
     if end is not None:
         where.append(f"ts <= {int(end)}")
-    group_keys = [grp]
-    if granularity is not None:
-        group_keys.append(f"(ts // {int(granularity)})")
     src = "pts"
     having = ""
     if kind == "distinct_series":
@@ -89,7 +99,7 @@ def events_query_sql(
     elif kind == "twa":
         agg = "SUM(value * wgt) / SUM(wgt)"
     else:
-        agg = _agg_sql("avg" if kind == "rate" else kind)
+        agg = _agg_sql({"rate": "avg", "increase": "sum"}.get(kind, kind))
     rate_cte = ""
     if kind == "twa":
         # mirror talna_spark.database._twa_transform: weight = ns until the
@@ -97,28 +107,41 @@ def events_query_sql(
         part = ", ".join(f"tag_{k}" for k in TAG_SQL)
         rate_cte = (
             f", sel AS (SELECT * FROM pts WHERE {' AND '.join(where)}), "
-            f"wtd AS (SELECT {grp}, ts, value, "
+            f"wtd AS (SELECT {grp} AS grpv, ts, value, "
             f"COALESCE(LEAD(ts) OVER w - ts, 0) AS wgt FROM sel "
             f"WINDOW w AS (PARTITION BY {part} ORDER BY ts, value))"
         )
         src = "wtd"
+        grp = "grpv"
         where = ["1=1"]
         having = " HAVING SUM(wgt) > 0"
-    if kind == "rate":
-        # Mirror talna_spark.database._rate_transform: filters and time
-        # bounds apply BEFORE the window (they select which points exist,
-        # hence which pairs are consecutive); series identity = the full
-        # tagset; ties ordered by value; dt=0 pairs dropped.
+    if kind in ("rate", "increase"):
+        # Mirror talna_spark.database._rate_transform/_increase_transform:
+        # filters and time bounds apply BEFORE the window (they select
+        # which points exist, hence which pairs are consecutive); series
+        # identity = the full tagset; ties ordered by value; dt=0 pairs
+        # dropped. increase: reset-aware delta (smaller reading = restart
+        # from 0, the new reading IS the increase).
         part = ", ".join(f"tag_{k}" for k in TAG_SQL)
+        if kind == "increase":
+            vexpr = (
+                "CASE WHEN value >= LAG(value) OVER w "
+                "THEN value - LAG(value) OVER w ELSE value END"
+            )
+        else:
+            vexpr = "(value - LAG(value) OVER w) / ((ts - LAG(ts) OVER w) / 1e9)"
         rate_cte = (
             f", sel AS (SELECT * FROM pts WHERE {' AND '.join(where)}), "
-            f"rated AS (SELECT {grp}, ts, "
-            f"(value - LAG(value) OVER w) / ((ts - LAG(ts) OVER w) / 1e9) "
-            f"AS value, LAG(ts) OVER w AS prev_ts FROM sel "
+            f"rated AS (SELECT {grp} AS grpv, ts, "
+            f"{vexpr} AS value, LAG(ts) OVER w AS prev_ts FROM sel "
             f"WINDOW w AS (PARTITION BY {part} ORDER BY ts, value))"
         )
         src = "rated"
+        grp = "grpv"
         where = ["prev_ts IS NOT NULL", "ts > prev_ts"]
+    group_keys = [grp]
+    if granularity is not None:
+        group_keys.append(f"(ts // {int(granularity)})")
     return (
         f"{_PTS_CTE}{rate_cte} "
         f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "

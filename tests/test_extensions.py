@@ -195,3 +195,66 @@ def test_rate_drops_zero_dt_pairs(spark):
     # ties ordered by value: (0,1.0)->(0,5.0) dropped (dt=0); (0,5.0)->(S,2.0) kept
     assert res["a"][0].len == 1
     assert res["a"][0].value == pytest.approx(-3.0)
+
+
+def test_increase_monotonic_counter(spark):
+    # counter 0,3,7,12 in one bucket -> increase = 12 (sum of deltas 3,4,5)
+    rows = [("m", i * S, v, {"h": "a"}) for i, v in enumerate([0.0, 3.0, 7.0, 12.0])]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.increase("m", "h").granularity(Duration.minutes(1)).collect()
+    assert len(res["a"]) == 1
+    b = res["a"][0]
+    assert b.value == pytest.approx(12.0)
+    assert b.len == 3  # first point has no predecessor
+    assert b.start == S  # deltas label at the later timestamp
+
+
+def test_increase_handles_counter_reset(spark):
+    # 10, 14, then reset to 2, then 5: deltas 4, 2 (reset: new reading
+    # counts wholly), 3 -> total 9
+    rows = [("m", i * S, v, {"h": "a"}) for i, v in enumerate([10.0, 14.0, 2.0, 5.0])]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.increase("m", "h").granularity(Duration.minutes(1)).collect()
+    assert res["a"][0].value == pytest.approx(4.0 + 2.0 + 3.0)
+
+
+def test_increase_does_not_mix_series(spark):
+    # two interleaved counters under one group tag: per-series deltas only
+    rows = []
+    for i in range(3):
+        rows.append(("m", i * S, 10.0 * i, {"h": "a", "s": "x"}))
+        rows.append(("m", i * S + 1000, 100.0 * i, {"h": "a", "s": "y"}))
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.increase("m", "h").granularity(Duration.minutes(1)).collect()
+    # x: 10+10, y: 100+100 -> 220 total (cross-series deltas would differ)
+    assert res["a"][0].value == pytest.approx(220.0)
+
+
+def test_multigroup_composes_keys_and_drops_missing(spark):
+    rows = [
+        ("m", 0, 1.0, {"h": "a", "env": "p"}),
+        ("m", 1, 3.0, {"h": "a", "env": "p"}),
+        ("m", 2, 5.0, {"h": "a", "env": "q"}),
+        ("m", 3, 7.0, {"h": "b", "env": "p"}),
+        ("m", 4, 9.0, {"h": "a"}),  # lacks env -> dropped (O25 generalized)
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.avg("m", ["h", "env"]).granularity(Duration.minutes(1)).collect()
+    assert set(res) == {"h:a,env:p", "h:a,env:q", "h:b,env:p"}
+    assert res["h:a,env:p"][0].value == pytest.approx(2.0)
+    assert res["h:a,env:p"][0].len == 2
+    assert res["h:b,env:p"][0].value == pytest.approx(7.0)
+
+
+def test_multigroup_single_key_list_equals_plain(spark):
+    rows = [("m", i, float(i), {"h": "a"}) for i in range(4)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    a = db.sum("m", ["h"]).granularity(None).collect()
+    b = db.sum("m", "h").granularity(None).collect()
+    assert a == b
+
+
+def test_multigroup_empty_list_rejected(spark):
+    db = Database.from_points(spark, make_points(spark, []))
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", [])
