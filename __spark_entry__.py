@@ -161,6 +161,42 @@ _EXT["q25_gapfill"] = (
 )
 
 
+def _q31_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-bucket moving average over 6h buckets (window-function
+    category — absent in the reference, SURVEY.md §2.2)."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .avg("app.purchase", "user")
+        .granularity(6 * HOUR)
+        .rolling(4)
+        .to_df()
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+def _q32_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows: 2-day windows every day (overlap 2x) — sliding
+    windows, absent in the reference."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .sum("app.click", "user")
+        .sliding(2 * DAY, DAY)
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+from talna_spark.oracle import events_rolling_sql, events_sliding_sql  # noqa: E402
+
+_EXT["q31_rolling"] = (
+    _q31_rolling,
+    events_rolling_sql("avg", "app.purchase", "user", "*", 6 * HOUR, 4),
+)
+_EXT["q32_sliding"] = (
+    _q32_sliding,
+    events_sliding_sql("sum", "app.click", "user", "*", 2 * DAY, DAY),
+)
+
+
 def _q27_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-flavored revenue by returnflag over the lineitem view
     adapter (sources.lineitem) — the engine over a second real table."""

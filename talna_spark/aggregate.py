@@ -267,6 +267,83 @@ def greedy_buckets(
     return prepared.mapInPandas(_bucketize, schema=RESULT_SCHEMA)
 
 
+def rolling_buckets(agg: DataFrame, width: int, k: int) -> DataFrame:
+    """Trailing k-bucket moving average over aligned buckets (extension:
+    the Datadog-style "moving rollup"; the window-function category is
+    absent in the reference, SURVEY.md §2.2). Each bucket's ``value``
+    becomes the mean of bucket values within the last ``k`` bucket-widths
+    of time — RANGE-based on the bucket index, so gaps in the data shrink
+    the frame rather than stretching it over older rows. ``start_ts``,
+    ``end_ts`` and ``len`` stay the bucket's own.
+
+    Scale shape: one window over ALREADY-AGGREGATED rows (groups x
+    buckets), partitioned by group — the extra shuffle moves reduced
+    data, never raw points.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.expr(f"start_ts div {int(width)}"))
+        .rangeBetween(-(int(k) - 1), 0)
+    )
+    return agg.withColumn("value", F.avg("value").over(w)).select(
+        "grp", "start_ts", "end_ts", "value", "len"
+    )
+
+
+def sliding_buckets(
+    scan: DataFrame, group_col: Column, kind: str, width: int, slide: int
+) -> DataFrame:
+    """Hopping-window aggregation (extension: Flink/Spark-style sliding
+    windows; the reference has only disjoint buckets). Window ``i`` covers
+    ``[i*slide, i*slide + width - 1]``; a point belongs to every window
+    containing its ts — ``width/slide`` of them, materialized by exploding
+    a ``sequence()`` of window indices (row amplification = width/slide;
+    callers choose the ratio). Output adds ``win_start`` (the window's
+    epoch edge) alongside the observed ``start_ts``/``end_ts``.
+
+    One shuffle on (group, window) after a JVM-side explode — the same
+    hash-aggregate shape as aligned buckets, amplified. Spark's ``div``
+    truncates toward zero while the window math needs FLOOR division
+    (they differ when ts < width), so the index expressions floor
+    explicitly in pure int64 — float division would lose precision on
+    ns-scale values above 2^53.
+    """
+    w, s = int(width), int(slide)
+    if w <= 0 or s <= 0 or w % s != 0:
+        raise ValueError("sliding requires width > 0, slide > 0, width % slide == 0")
+
+    def floordiv(num: str) -> str:
+        return (
+            f"(({num}) div {s}) - "
+            f"(CASE WHEN ({num}) % {s} != 0 AND ({num}) < 0 THEN 1 ELSE 0 END)"
+        )
+
+    win = scan.withColumn(
+        "_win",
+        F.explode(
+            F.sequence(
+                F.expr(floordiv(f"ts - {w} + {s}")), F.expr(floordiv("ts"))
+            )
+        ),
+    )
+    out = win.groupBy(group_col.alias("grp"), F.col("_win")).agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        _value_agg(kind).alias("value"),
+        F.count(F.lit(1)).alias("len"),
+    )
+    return out.select(
+        "grp",
+        (F.col("_win") * s).alias("win_start"),
+        "start_ts",
+        "end_ts",
+        "value",
+        "len",
+    )
+
+
 def gapfill_buckets(
     agg: DataFrame,
     width: int,

@@ -248,6 +248,7 @@ class QueryBuilder:
         self._granularity: Optional[int] = MINUTE_NS
         self._mode = "aligned"
         self._gapfill: Optional[str] = None
+        self._rolling: Optional[int] = None
 
     def filter(self, expr: str) -> "QueryBuilder":
         self._filter = expr
@@ -292,6 +293,35 @@ class QueryBuilder:
         self._gapfill = mode
         return self
 
+    def rolling(self, k: int) -> "QueryBuilder":
+        """Smooth bucket values with a trailing k-bucket moving average
+        (extension; aligned mode + finite granularity only). Applied after
+        gapfill when both are set — zero-filled buckets participate in the
+        frame; null-filled ones are skipped by AVG on both engines."""
+        if int(k) <= 1:
+            raise InvalidQueryError("rolling k must be > 1")
+        self._rolling = int(k)
+        return self
+
+    def sliding(self, width_ns: int, slide_ns: int) -> DataFrame:
+        """Hopping-window aggregation (extension: overlapping windows of
+        ``width_ns`` every ``slide_ns``; the reference has only disjoint
+        buckets). Ignores granularity/mode; returns the result DataFrame
+        directly with a ``win_start`` column — overlapping windows are not
+        uniquely keyed by their observed min/max ts."""
+        from talna_spark.aggregate import sliding_buckets
+
+        if self._gapfill is not None or self._rolling is not None:
+            raise InvalidQueryError("sliding cannot combine with gapfill/rolling")
+        node = parse_filter_query(self._filter)
+        scan = self._db._backend.scan(self._metric, node, self._start, self._end)
+        scan = self._group_drop_filter(scan)
+        if self._kind not in ("avg", "sum", "min", "max", "count"):
+            raise InvalidQueryError("sliding supports the five basic aggregations")
+        return sliding_buckets(
+            scan, self._group_col(), self._kind, int(width_ns), int(slide_ns)
+        )
+
     def _group_keys(self) -> tuple[str, ...]:
         gb = self._group_by
         return (gb,) if isinstance(gb, str) else gb
@@ -316,7 +346,7 @@ class QueryBuilder:
         node = parse_filter_query(self._filter)  # may raise InvalidQueryError
         rollup_df = self._try_rollup(node)
         if rollup_df is not None:
-            return self._apply_gapfill(rollup_df)
+            return self._apply_rolling(self._apply_gapfill(rollup_df))
         scan = self._db._backend.scan(self._metric, node, self._start, self._end)
         group_col = self._group_col()
         scan = self._group_drop_filter(scan)
@@ -351,9 +381,13 @@ class QueryBuilder:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
             if self._gapfill is not None:
                 raise InvalidQueryError("gapfill requires aligned mode")
+            if self._rolling is not None:
+                raise InvalidQueryError("rolling requires aligned mode")
             return greedy_buckets(scan, group_col, kind, self._granularity)
-        return self._apply_gapfill(
-            aligned_buckets(scan, group_col, kind, self._granularity)
+        return self._apply_rolling(
+            self._apply_gapfill(
+                aligned_buckets(scan, group_col, kind, self._granularity)
+            )
         )
 
     def _apply_gapfill(self, agg: DataFrame) -> DataFrame:
@@ -372,6 +406,15 @@ class QueryBuilder:
             lo_bucket=lo if both else None,
             hi_bucket=hi if both else None,
         )
+
+    def _apply_rolling(self, agg: DataFrame) -> DataFrame:
+        if self._rolling is None:
+            return agg
+        if self._granularity is None:
+            raise InvalidQueryError("rolling requires a finite granularity")
+        from talna_spark.aggregate import rolling_buckets
+
+        return rolling_buckets(agg, self._granularity, self._rolling)
 
     def top(self, k: int) -> DataFrame:
         """Top-k groups ranked by aggregate ``value`` (extension: the

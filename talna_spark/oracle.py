@@ -79,8 +79,11 @@ def events_query_sql(
     start: Optional[int] = None,
     end: Optional[int] = None,
     granularity: Optional[int] = 60_000_000_000,
+    round_value: bool = True,
 ) -> str:
-    """DuckDB SQL equivalent of an aligned-mode events query."""
+    """DuckDB SQL equivalent of an aligned-mode events query.
+    ``round_value=False`` leaves ``value`` unrounded — for wrappers
+    (rolling) that aggregate bucket values further before rounding."""
     node = parse_filter_query(flt)
     pred = compile_to_sql(node, _tag_lookup)
     grp, notnull = _grp_sql(group_by)
@@ -142,12 +145,66 @@ def events_query_sql(
     group_keys = [grp]
     if granularity is not None:
         group_keys.append(f"(ts // {int(granularity)})")
+    val = f"ROUND({agg}, 6)" if round_value else agg
     return (
         f"{_PTS_CTE}{rate_cte} "
         f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
-        f"ROUND({agg}, 6) AS value, COUNT(*) AS len "
+        f"{val} AS value, COUNT(*) AS len "
         f"FROM {src} WHERE {' AND '.join(where)} "
         f"GROUP BY {', '.join(group_keys)}{having}"
+    )
+
+
+def events_rolling_sql(
+    kind: str,
+    metric: str,
+    group_by,
+    flt: str,
+    granularity: int,
+    k: int,
+) -> str:
+    """Oracle for QueryBuilder.rolling(k): trailing k-bucket moving average
+    over the aligned buckets, RANGE-framed on the bucket index — mirrors
+    talna_spark.aggregate.rolling_buckets (rounding only at the end)."""
+    g = int(granularity)
+    base = events_query_sql(
+        kind, metric, group_by, flt, None, None, g, round_value=False
+    )
+    return (
+        f"WITH agg AS ({base}) "
+        f"SELECT grp, start_ts, end_ts, "
+        f"ROUND(AVG(value) OVER (PARTITION BY grp ORDER BY (start_ts // {g}) "
+        f"RANGE BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW), 6) AS value, "
+        f"len FROM agg"
+    )
+
+
+def events_sliding_sql(
+    kind: str,
+    metric: str,
+    group_by,
+    flt: str,
+    width: int,
+    slide: int,
+) -> str:
+    """Oracle for QueryBuilder.sliding: hopping windows via a
+    generate_series explode of window indices — mirrors
+    talna_spark.aggregate.sliding_buckets (window i covers
+    [i*slide, i*slide + width - 1])."""
+    node = parse_filter_query(flt)
+    pred = compile_to_sql(node, _tag_lookup)
+    grp, notnull = _grp_sql(group_by)
+    w, s = int(width), int(slide)
+    where = [f"metric = '{metric}'", f"({pred})"] + notnull
+    return (
+        f"{_PTS_CTE}, sel AS (SELECT * FROM pts WHERE {' AND '.join(where)}), "
+        f"win AS (SELECT {grp} AS grpv, ts, value, "
+        f"unnest(generate_series((ts - {w} + {s}) // {s}, ts // {s})) AS i "
+        f"FROM sel) "
+        f"SELECT grpv AS grp, i * {s} AS win_start, "
+        f"MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
+        f"ROUND({_agg_sql(kind)}, 6) AS value, COUNT(*) AS len "
+        f"FROM win GROUP BY grpv, i"
     )
 
 

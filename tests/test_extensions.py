@@ -258,3 +258,60 @@ def test_multigroup_empty_list_rejected(spark):
     db = Database.from_points(spark, make_points(spark, []))
     with pytest.raises(InvalidQueryError):
         db.avg("m", [])
+
+
+def test_rolling_moving_average(spark):
+    # bucket values 1, 3, 5 (one point per minute-bucket); rolling(2) ->
+    # 1, mean(1,3)=2, mean(3,5)=4
+    M = Duration.MINUTE
+    rows = [("m", i * M, float(2 * i + 1), {"h": "a"}) for i in range(3)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.avg("m", "h").granularity(M).rolling(2).collect()
+    got = [b.value for b in sorted(res["a"], key=lambda b: b.start)]
+    assert got == [pytest.approx(1.0), pytest.approx(2.0), pytest.approx(4.0)]
+
+
+def test_rolling_range_frame_skips_gap(spark):
+    # buckets 0 and 5 with a 4-bucket gap: rolling(2) frames are RANGE-based
+    # on bucket index, so bucket 5 does NOT see bucket 0's value
+    M = Duration.MINUTE
+    rows = [("m", 0, 10.0, {"h": "a"}), ("m", 5 * M, 2.0, {"h": "a"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.avg("m", "h").granularity(M).rolling(2).collect()
+    got = {b.start: b.value for b in res["a"]}
+    assert got[0] == pytest.approx(10.0)
+    assert got[5 * M] == pytest.approx(2.0)  # not mean(10, 2)
+
+
+def test_rolling_requires_aligned_finite(spark):
+    db = Database.from_points(spark, make_points(spark, []))
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").rolling(1)
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").granularity(None).rolling(2).to_df()
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").mode("greedy").rolling(2).to_df()
+
+
+def test_sliding_windows_overlap(spark):
+    # width 2s, slide 1s: point at t=1.5s lands in windows [0,2) and [1,3)
+    # (win_start 0 and 1s); points at 0.5s only in window starting 0... etc.
+    rows = [
+        ("m", int(0.5 * S), 1.0, {"h": "a"}),
+        ("m", int(1.5 * S), 10.0, {"h": "a"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    out = db.sum("m", "h").sliding(2 * S, S).collect()
+    got = {r["win_start"]: (r["value"], r["len"]) for r in out}
+    # window -1s covers [-1s, 1s): only the 0.5s point
+    assert got[-S] == (pytest.approx(1.0), 1)
+    # window 0 covers [0, 2s): both points
+    assert got[0] == (pytest.approx(11.0), 2)
+    # window 1s covers [1s, 3s): only the 1.5s point
+    assert got[S] == (pytest.approx(10.0), 1)
+
+
+def test_sliding_validates_ratio(spark):
+    db = Database.from_points(spark, make_points(spark, []))
+    with pytest.raises(Exception):
+        db.sum("m", "h").sliding(3, 2)  # width not a multiple of slide
