@@ -4,6 +4,7 @@ Spark-native equivalents a continuously-ingesting deployment needs)."""
 
 from talna_spark.streaming.ingest import (
     session_rollup,
+    sliding_rollup,
     stream_ingest,
     windowed_rollup,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "stream_ingest",
     "windowed_rollup",
     "session_rollup",
+    "sliding_rollup",
     "greedy_rollup_stream",
 ]

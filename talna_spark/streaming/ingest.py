@@ -75,6 +75,48 @@ def windowed_rollup(
     return windowed.select("grp", "start_ts", "end_ts", "value", "len")
 
 
+def sliding_rollup(
+    points_stream: DataFrame,
+    group_by: str,
+    kind: str = "avg",
+    width_seconds: int = 120,
+    slide_seconds: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window streaming aggregation keyed by a tag — the
+    streaming counterpart of the batch ``QueryBuilder.sliding`` extension.
+    Spark's built-in ``window(evt, width, slide)`` assigns each point to
+    its ``width/slide`` overlapping windows; state is bounded by the
+    watermark. Output adds ``win_start`` (epoch ns of the window edge)
+    alongside the observed start/end, matching the batch sliding schema.
+    """
+    grp = F.col("tags").getItem(group_by)
+    evt = F.timestamp_micros(F.expr("ts div 1000"))
+    windowed = (
+        points_stream.withColumn("_evt", evt)
+        .filter(grp.isNotNull())
+        .withWatermark("_evt", watermark)
+        .groupBy(
+            grp.alias("grp"),
+            F.window("_evt", f"{width_seconds} seconds", f"{slide_seconds} seconds"),
+        )
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            _value_agg(kind).alias("value"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+    return windowed.select(
+        "grp",
+        (F.unix_micros(F.col("window.start")) * F.lit(1000)).alias("win_start"),
+        "start_ts",
+        "end_ts",
+        "value",
+        "len",
+    )
+
+
 def session_rollup(
     points_stream: DataFrame,
     group_by: str,

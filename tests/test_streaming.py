@@ -120,3 +120,39 @@ def test_session_rollup_output(spark, dirs):
     assert got[("a", 1_000_000_000)] == (11.0, 3, 3_000_000_000)
     assert got[("a", 62_000_000_000)] == (9.0, 1, 62_000_000_000)
     assert got[("b", 5_000_000_000)] == (5.0, 1, 5_000_000_000)
+
+
+def test_sliding_rollup_output(spark, dirs):
+    # width 120s, slide 60s: the 61s point lands in windows starting 0s
+    # and 60s; the 1s point in windows starting -60s and 0s
+    rows = [
+        ("m", 1_000_000_000, 2.0, {"h": "a"}),
+        ("m", 61_000_000_000, 10.0, {"h": "a"}),
+        # far-future watermark pusher so append mode emits everything
+        ("m", 3_600_000_000_000, 0.0, {"h": "wm"}),
+    ]
+    from talna_spark.streaming.ingest import sliding_rollup
+
+    make_points(spark, rows).write.mode("append").parquet(dirs["src"])
+    stream = spark.readStream.schema(POINTS_SCHEMA).parquet(dirs["src"])
+    rollup = sliding_rollup(
+        stream, group_by="h", kind="sum", width_seconds=120, slide_seconds=60
+    )
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("sliding_sink")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["grp"], r["win_start"]): (r["value"], r["len"])
+        for r in spark.sql("SELECT * FROM sliding_sink").collect()
+    }
+    assert got[("a", -60_000_000_000)] == (2.0, 1)
+    assert got[("a", 0)] == (12.0, 2)
+    assert got[("a", 60_000_000_000)] == (10.0, 1)
