@@ -185,7 +185,30 @@ def _q32_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from talna_spark.oracle import events_rolling_sql, events_sliding_sql  # noqa: E402
+def _q33_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly scoring vs the trailing 4 buckets (the
+    'how unusual is this bucket' detector; window category)."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .avg("app.purchase", "etype")
+        .granularity(6 * HOUR)
+        .zscore(4)
+        .to_df()
+        .filter(F.col("value").isNotNull())  # match oracle's NULL drop
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+from talna_spark.oracle import (  # noqa: E402
+    events_rolling_sql,
+    events_sliding_sql,
+    events_zscore_sql,
+)
+
+_EXT["q33_zscore"] = (
+    _q33_zscore,
+    events_zscore_sql("avg", "app.purchase", "etype", "*", 6 * HOUR, 4),
+)
 
 _EXT["q31_rolling"] = (
     _q31_rolling,

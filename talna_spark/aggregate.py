@@ -292,6 +292,32 @@ def rolling_buckets(agg: DataFrame, width: int, k: int) -> DataFrame:
     )
 
 
+def zscore_buckets(agg: DataFrame, width: int, k: int) -> DataFrame:
+    """Rolling z-score anomaly scoring over aligned buckets (extension:
+    the standard "how unusual is this bucket vs its trailing baseline"
+    detector). ``value`` becomes
+    ``(value - mean(trailing k buckets)) / stddev_samp(trailing k)`` with
+    the frame RANGE-based on the bucket index (gaps shrink the frame);
+    buckets whose frame holds < 2 rows (or zero variance) score NULL —
+    identical null semantics to SQL ``STDDEV_SAMP``/``NULLIF`` on the
+    oracle side. Same scale shape as rolling_buckets: one window over
+    already-reduced rows.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.expr(f"start_ts div {int(width)}"))
+        .rangeBetween(-(int(k) - 1), 0)
+    )
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    score = (F.col("value") - mean) / F.nullif(sd, F.lit(0.0))
+    return agg.withColumn("value", score).select(
+        "grp", "start_ts", "end_ts", "value", "len"
+    )
+
+
 def sliding_buckets(
     scan: DataFrame, group_col: Column, kind: str, width: int, slide: int
 ) -> DataFrame:

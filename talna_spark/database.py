@@ -249,6 +249,7 @@ class QueryBuilder:
         self._mode = "aligned"
         self._gapfill: Optional[str] = None
         self._rolling: Optional[int] = None
+        self._zscore: Optional[int] = None
 
     def filter(self, expr: str) -> "QueryBuilder":
         self._filter = expr
@@ -303,6 +304,18 @@ class QueryBuilder:
         self._rolling = int(k)
         return self
 
+    def zscore(self, k: int) -> "QueryBuilder":
+        """Replace bucket values with their rolling z-score vs the trailing
+        ``k`` buckets (extension; aligned mode + finite granularity only).
+        Buckets with an insufficient baseline (< 2 frame rows or zero
+        variance) score NULL. Mutually exclusive with :meth:`rolling`."""
+        if int(k) <= 1:
+            raise InvalidQueryError("zscore k must be > 1")
+        if self._rolling is not None:
+            raise InvalidQueryError("zscore cannot combine with rolling")
+        self._zscore = int(k)
+        return self
+
     def sliding(self, width_ns: int, slide_ns: int) -> DataFrame:
         """Hopping-window aggregation (extension: overlapping windows of
         ``width_ns`` every ``slide_ns``; the reference has only disjoint
@@ -311,8 +324,14 @@ class QueryBuilder:
         uniquely keyed by their observed min/max ts."""
         from talna_spark.aggregate import sliding_buckets
 
-        if self._gapfill is not None or self._rolling is not None:
-            raise InvalidQueryError("sliding cannot combine with gapfill/rolling")
+        if (
+            self._gapfill is not None
+            or self._rolling is not None
+            or self._zscore is not None
+        ):
+            raise InvalidQueryError(
+                "sliding cannot combine with gapfill/rolling/zscore"
+            )
         node = parse_filter_query(self._filter)
         scan = self._db._backend.scan(self._metric, node, self._start, self._end)
         scan = self._group_drop_filter(scan)
@@ -383,6 +402,8 @@ class QueryBuilder:
                 raise InvalidQueryError("gapfill requires aligned mode")
             if self._rolling is not None:
                 raise InvalidQueryError("rolling requires aligned mode")
+            if self._zscore is not None:
+                raise InvalidQueryError("zscore requires aligned mode")
             return greedy_buckets(scan, group_col, kind, self._granularity)
         return self._apply_rolling(
             self._apply_gapfill(
@@ -408,13 +429,19 @@ class QueryBuilder:
         )
 
     def _apply_rolling(self, agg: DataFrame) -> DataFrame:
-        if self._rolling is None:
-            return agg
-        if self._granularity is None:
-            raise InvalidQueryError("rolling requires a finite granularity")
-        from talna_spark.aggregate import rolling_buckets
+        if self._rolling is not None:
+            if self._granularity is None:
+                raise InvalidQueryError("rolling requires a finite granularity")
+            from talna_spark.aggregate import rolling_buckets
 
-        return rolling_buckets(agg, self._granularity, self._rolling)
+            return rolling_buckets(agg, self._granularity, self._rolling)
+        if self._zscore is not None:
+            if self._granularity is None:
+                raise InvalidQueryError("zscore requires a finite granularity")
+            from talna_spark.aggregate import zscore_buckets
+
+            return zscore_buckets(agg, self._granularity, self._zscore)
+        return agg
 
     def top(self, k: int) -> DataFrame:
         """Top-k groups ranked by aggregate ``value`` (extension: the

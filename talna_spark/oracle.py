@@ -179,6 +179,40 @@ def events_rolling_sql(
     )
 
 
+def events_zscore_sql(
+    kind: str,
+    metric: str,
+    group_by,
+    flt: str,
+    granularity: int,
+    k: int,
+) -> str:
+    """Oracle for QueryBuilder.zscore(k): rolling z-score vs the trailing
+    k buckets, RANGE-framed on the bucket index — mirrors
+    talna_spark.aggregate.zscore_buckets (NULL when the frame has < 2 rows
+    or zero variance)."""
+    g = int(granularity)
+    base = events_query_sql(
+        kind, metric, group_by, flt, None, None, g, round_value=False
+    )
+    frame = (
+        f"(PARTITION BY grp ORDER BY (start_ts // {g}) "
+        f"RANGE BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW)"
+    )
+    # Unscored buckets (frame < 2 rows / zero variance) are dropped: the
+    # driver's pandas-side compare renders SQL NULL floats as NaN and
+    # would flag them against Spark-side None (same gotcha as locf
+    # gapfill) — both engine wrapper and oracle filter identically.
+    return (
+        f"WITH agg AS ({base}), scored AS ("
+        f"SELECT grp, start_ts, end_ts, "
+        f"ROUND((value - AVG(value) OVER {frame}) / "
+        f"NULLIF(STDDEV_SAMP(value) OVER {frame}, 0.0), 6) AS value, "
+        f"len FROM agg) "
+        f"SELECT * FROM scored WHERE value IS NOT NULL"
+    )
+
+
 def events_sliding_sql(
     kind: str,
     metric: str,

@@ -315,3 +315,28 @@ def test_sliding_validates_ratio(spark):
     db = Database.from_points(spark, make_points(spark, []))
     with pytest.raises(Exception):
         db.sum("m", "h").sliding(3, 2)  # width not a multiple of slide
+
+
+def test_zscore_trailing_baseline(spark):
+    # bucket values 1, 1, 1, 10 (one point per minute-bucket); zscore(4):
+    # bucket 0 has no baseline (NULL); bucket 3 frame = [1,1,1,10]:
+    # mean 3.25, stddev_samp 4.5 -> (10-3.25)/4.5 = 1.5
+    M = Duration.MINUTE
+    vals = [1.0, 1.0, 1.0, 10.0]
+    rows = [("m", i * M, v, {"h": "a"}) for i, v in enumerate(vals)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.avg("m", "h").granularity(M).zscore(4).collect()
+    got = {b.start: b.value for b in res["a"]}
+    assert got[0] is None  # frame of 1: stddev_samp NULL
+    assert got[M] is None  # frame [1,1]: zero variance -> NULL
+    assert got[3 * M] == pytest.approx(1.5)
+
+
+def test_zscore_validation(spark):
+    db = Database.from_points(spark, make_points(spark, []))
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").zscore(1)
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").rolling(2).zscore(2)
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").mode("greedy").zscore(2).to_df()
