@@ -96,3 +96,42 @@ def test_tag_index_path_stays_id_only(spark, wh_db):
     # the series_tag scans must push (key, value) equality into parquet
     j = plan.find("series_tag")
     assert j >= 0
+
+
+def test_multigroup_single_hash_agg(spark):
+    # composed multi-tag group key must not add a shuffle: still exactly
+    # one exchange (partial+final hash agg), group concat is JVM-side
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    plan = plan_of(db.avg("app.purchase", ["user", "etype"]).to_df())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_sliding_explodes_before_single_shuffle(spark):
+    # the window-index explode is JVM-side (Generate) below one
+    # hash-agg exchange — no Python, no extra shuffle
+    from talna_spark.duration import Duration
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    plan = plan_of(db.sum("app.click", "user").sliding(2 * Duration.DAY, Duration.DAY))
+    assert "Generate explode" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_windows_over_reduced_rows(spark):
+    # rolling/zscore add one window exchange ON AGGREGATED rows: the plan
+    # has the agg's exchange plus the window's — and the window sits above
+    # the final HashAggregate, never above raw points
+    from talna_spark.duration import Duration
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    plan = plan_of(
+        db.avg("app.purchase", "user").granularity(Duration.HOUR).rolling(4).to_df()
+    )
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        "window must consume the aggregate output (plans print top-down)"
+    )
+    assert "BatchEvalPython" not in plan
