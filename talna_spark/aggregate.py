@@ -106,9 +106,15 @@ def aligned_buckets(
         # extension: distinct contributing series per bucket. The scan must
         # carry the canonical series key (_series_key); exact distinct — a
         # deliberately shuffle-heavier op (expand + two-phase agg in
-        # Catalyst); approx_count_distinct is the sketch alternative when
-        # ±2% error is acceptable at scale.
+        # Catalyst); distinct_series_approx below is the sketch alternative
+        # when ~2% error is acceptable at scale.
         value = F.count_distinct(F.col("_series_key")).cast("double")
+    elif kind == "distinct_series_approx":
+        # HyperLogLog++ sketch: single-pass, mergeable partials, no expand
+        # — the 100 TB path for high-cardinality series counting (rsd 2%).
+        value = F.approx_count_distinct(F.col("_series_key"), rsd=0.02).cast(
+            "double"
+        )
     elif kind == "twa":
         # extension: time-weighted average. The scan carries _w (ns until
         # the series' next point; 0 for its last) — buckets with zero

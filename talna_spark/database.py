@@ -379,7 +379,7 @@ class QueryBuilder:
             # per-series reset-aware counter deltas; buckets sum them.
             scan = _increase_transform(scan, self._metric)
             kind = "sum"
-        elif kind == "distinct_series":
+        elif kind in ("distinct_series", "distinct_series_approx"):
             from talna_spark.ingest import series_key_col
 
             if self._mode == "greedy":
@@ -686,6 +686,13 @@ class Database:
         """Distinct contributing series per bucket (exact; aligned mode
         only). Extension beyond the reference."""
         return QueryBuilder(self, "distinct_series", metric, group_by)
+
+    def distinct_series_approx(self, metric: str, group_by) -> QueryBuilder:
+        """Approximate distinct contributing series per bucket
+        (HyperLogLog++, ~2% relative error) — the sketch path for
+        high-cardinality counting at scale: single-pass mergeable
+        partials, no Catalyst expand. Extension beyond the reference."""
+        return QueryBuilder(self, "distinct_series_approx", metric, group_by)
 
     def latest(self, metric: str, group_by: str) -> QueryBuilder:
         """Snapshot: the most recent value per group per bucket (value at

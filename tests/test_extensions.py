@@ -340,3 +340,17 @@ def test_zscore_validation(spark):
         db.avg("m", "h").rolling(2).zscore(2)
     with pytest.raises(InvalidQueryError):
         db.avg("m", "h").mode("greedy").zscore(2).to_df()
+
+
+def test_distinct_series_approx_close_to_exact(spark):
+    # 40 distinct series; HLL at rsd=2% must land within 10% of exact here
+    rows = [
+        ("m", i, float(i), {"h": "a", "s": f"srv-{i % 40}"}) for i in range(200)
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    exact = db.distinct_series("m", "h").granularity(None).collect()["a"][0].value
+    approx = (
+        db.distinct_series_approx("m", "h").granularity(None).collect()["a"][0].value
+    )
+    assert exact == 40.0
+    assert abs(approx - exact) / exact < 0.10
