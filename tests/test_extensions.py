@@ -354,3 +354,25 @@ def test_distinct_series_approx_close_to_exact(spark):
     )
     assert exact == 40.0
     assert abs(approx - exact) / exact < 0.10
+
+
+def test_new_ops_on_warehouse_backend(spark, tmp_path):
+    # multigroup / increase / rolling / sliding must behave identically
+    # through the partitioned-warehouse scan (broadcast dim join path)
+    rows = [
+        ("m", i * S, float(i * i), {"h": "a", "env": "p"}) for i in range(6)
+    ] + [("m", i * S, 2.0 * i, {"h": "b", "env": "q"}) for i in range(6)]
+    pts = make_points(spark, rows)
+    vdb = Database.from_points(spark, pts)
+    wdb = Database.open(spark, str(tmp_path / "wh"))
+    wdb.write_batch(pts)
+    for build in [
+        lambda db: db.avg("m", ["h", "env"]).granularity(Duration.MINUTE).collect(),
+        lambda db: db.increase("m", "h").granularity(Duration.MINUTE).collect(),
+        lambda db: db.avg("m", "h").granularity(S).rolling(3).collect(),
+        lambda db: sorted(
+            (r["grp"], r["win_start"], r["value"], r["len"])
+            for r in db.sum("m", "h").sliding(2 * S, S).collect()
+        ),
+    ]:
+        assert build(vdb) == build(wdb)

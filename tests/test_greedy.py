@@ -79,3 +79,25 @@ def test_greedy_multi_series_merge(spark):
     res = db.sum("m", "g").mode("greedy").granularity(S).collect()
     # anchor at 1.2s joins 0.6s and ... 1.2-0 > 1s so 0 starts a new bucket
     assert [b.len for b in res["x"]] == [2, 1]
+
+
+def test_greedy_multigroup(spark):
+    # multi-tag grouping works in greedy mode: composed group key is a
+    # plain string column for the repartition + segment pass
+    from talna_spark.duration import Duration
+
+    S = Duration.SECOND
+    rows = [
+        ("m", 0, 1.0, {"h": "a", "env": "p"}),
+        ("m", int(0.5 * S), 3.0, {"h": "a", "env": "p"}),
+        ("m", 10 * S, 5.0, {"h": "a", "env": "p"}),  # gap > width: new bucket
+        ("m", 0, 7.0, {"h": "a", "env": "q"}),
+    ]
+    from talna_spark.database import Database
+    from tests.conftest import make_points
+
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.sum("m", ["h", "env"]).mode("greedy").granularity(S).collect()
+    assert sorted(res) == ["h:a,env:p", "h:a,env:q"]
+    assert sorted(b.value for b in res["h:a,env:p"]) == [4.0, 5.0]
+    assert res["h:a,env:q"][0].value == 7.0
