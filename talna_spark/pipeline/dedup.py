@@ -357,3 +357,49 @@ def ngram_jaccard_pairs_sql() -> str:
         f"WHERE ROUND({inter}::DOUBLE / (len(a.sh) + len(b.sh) - {inter}), 6) "
         f">= {JACCARD_THRESHOLD}"
     )
+
+
+# ------------------------------------------------- quality-aware survivors
+def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor per near-dup cluster, chosen by QUALITY (ties -> lowest
+    doc_id) — the selection step a training pipeline actually runs after
+    clustering: keep the best copy, not an arbitrary one.
+
+    Scale shape: clusters and quality are both id-keyed (no text payloads
+    in the shuffle); the argmax is a lexicographic struct max — one
+    hash-aggregate with map-side partials, no window. The 6-dp-rounded
+    quality from the quality() operator is used on BOTH engines so rounding
+    cannot flip the tie-break."""
+    from talna_spark.pipeline.text import quality
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    q = quality(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(q, "doc_id")
+    best = joined.groupBy("cluster").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b")
+    )
+    return best.select(
+        "cluster",
+        (-F.col("b.neg_id")).alias("survivor_id"),
+        F.round("b.quality", 6).alias("quality"),
+    )
+
+
+def neardup_survivors_sql() -> str:
+    """Oracle: same argmax via DuckDB struct max over (quality, -doc_id);
+    nested-CTE composition of the clusters + quality oracles."""
+    from talna_spark.pipeline.text import quality_sql
+
+    return (
+        f"WITH clus AS ({dedup_clusters_sql()}), "
+        f"qual AS ({quality_sql()}), "
+        "j AS (SELECT c.cluster, q.doc_id, q.quality FROM clus c "
+        "JOIN qual q ON c.doc_id = q.doc_id), "
+        "best AS (SELECT cluster, "
+        "MAX({'quality': quality, 'neg_id': -doc_id}) AS b FROM j "
+        "GROUP BY cluster) "
+        "SELECT cluster, -(b.neg_id) AS survivor_id, "
+        "ROUND(b.quality, 6) AS quality FROM best"
+    )

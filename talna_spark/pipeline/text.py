@@ -162,3 +162,76 @@ def fingerprint_sql() -> str:
         f"list_aggregate(list_transform({sh}, s -> md5(s)), 'min') AS fingerprint "
         f"FROM documents"
     )
+
+
+# ---------------------------------------------------------- corpus stats
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus rollup: doc count, total tokens, mean
+    quality — the "dataset card" numbers a training pipeline reports per
+    slice. Pure map-side expressions into one partial+final hash
+    aggregate; grouping keys are low-cardinality so the shuffle carries
+    one row per slice. The mean sums the 6-dp quality as EXACT integer
+    micro-units (int64) — float summation order differs between Spark's
+    partial/final tree and DuckDB's sequential loop, and a group landing
+    on a round-half boundary would flip the last digit."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    q = quality(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    micro = F.round(F.col("quality") * 1_000_000).cast("long")
+    return (
+        d.join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(micro) / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def corpus_stats_sql() -> str:
+    micro = "CAST(ROUND(q.quality * 1000000) AS BIGINT)"
+    return (
+        f"WITH qual AS ({quality_sql()}) "
+        "SELECT d.source, d.lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens, "
+        f"ROUND(SUM({micro}) / (COUNT(*) * 1000000.0), 6) AS mean_quality "
+        "FROM documents d JOIN qual q ON d.doc_id = q.doc_id "
+        "GROUP BY d.source, d.lang"
+    )
+
+
+# -------------------------------------------------------------- PII scan
+# ASCII-only patterns chosen to mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no unicode classes.
+EMAIL_RE = "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+"
+PHONE_RE = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII surface scan: counts of email-like and phone-like
+    matches plus a has_pii flag — the screening pass before a redaction
+    job. JVM-side regexp_extract_all (codegen), embarrassingly parallel,
+    no shuffle; a `filter(has_pii)` on the output pushes down to the
+    scan."""
+    d = _docs(spark, sf_dir)
+    emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+    phones = F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+    return d.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        (emails + phones > 0).alias("has_pii"),
+    )
+
+
+def pii_scan_sql() -> str:
+    return (
+        f"SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails, "
+        f"len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones, "
+        f"(len(regexp_extract_all(text, '{EMAIL_RE}')) + "
+        f"len(regexp_extract_all(text, '{PHONE_RE}'))) > 0 AS has_pii "
+        f"FROM documents"
+    )
