@@ -131,7 +131,7 @@ def main() -> None:
     # (b) headline view-path queries from the declared inventory
     headline = [
         "q01_avg", "q05_count", "q08_not", "q11_precedence",
-        "q16_bench", "q17_greedy_avg",
+        "q16_bench", "q17_greedy_avg", "q29_multigroup", "q32_sliding",
     ]
     qs = entrymod.queries()
     for name in headline:

@@ -376,3 +376,20 @@ def test_new_ops_on_warehouse_backend(spark, tmp_path):
         ),
     ]:
         assert build(vdb) == build(wdb)
+
+
+def test_increase_greedy_mode(spark):
+    # greedy bucketing over the per-series deltas: points at 0,1,2s then a
+    # >1m gap; counter 0,3,7 then 7,9 after reset-free continuation
+    M = Duration.MINUTE
+    rows = [
+        ("m", 0, 0.0, {"h": "a"}),
+        ("m", S, 3.0, {"h": "a"}),
+        ("m", 2 * S, 7.0, {"h": "a"}),
+        ("m", 5 * M, 9.0, {"h": "a"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.increase("m", "h").mode("greedy").granularity(M).collect()
+    # deltas: 3 (at 1s), 4 (at 2s), 2 (at 5m) -> greedy segments {1s,2s}, {5m}
+    got = sorted(b.value for b in res["a"])
+    assert got == [pytest.approx(2.0), pytest.approx(7.0)]
