@@ -582,6 +582,23 @@ class Database:
             self.spark, self._backend.path, self._backend._tag_index_pref
         )
 
+    def expire(self, cutoff_ns: int) -> int:
+        """Retention: drop fact (and rollup) partitions for days entirely
+        before ``cutoff_ns`` (day-granular; metadata-only deletes — see
+        talna_spark.maintenance.expire). Returns partitions removed."""
+        if not isinstance(self._backend, WarehouseBackend):
+            raise InvalidQueryError("expire requires a warehouse-backed Database")
+        from talna_spark.maintenance import expire
+
+        n = expire(self.spark, self._backend.path, int(cutoff_ns))
+        # partition-listing caches in the session would otherwise still
+        # reference the deleted directories
+        self.spark.catalog.clearCache()
+        self._backend.__init__(
+            self.spark, self._backend.path, self._backend._tag_index_pref
+        )
+        return n
+
     def build_rollup(self, width_ns: int) -> None:
         """Materialize a downsampled rollup (talna_spark.rollup); aligned
         queries whose granularity/bounds line up rewrite onto it

@@ -105,6 +105,49 @@ def compact_facts(spark: SparkSession, warehouse_path: str) -> None:
     append_changelog(warehouse_path, [(FULL_REBUILD, FULL_REBUILD)])
 
 
+def expire(spark: SparkSession, warehouse_path: str, cutoff_ns: int) -> int:
+    """Retention: drop every (metric, ts_day) fact partition whose day ends
+    BEFORE the cutoff timestamp — the TTL operation the reference lacks
+    entirely (an LSM would need tombstones + compaction; a partitioned
+    lakehouse deletes directory metadata, rewriting nothing).
+
+    Day-granular by design: the cutoff's own day is always retained, so no
+    partial-day rewrite ever happens. The same days are dropped from every
+    materialized rollup (same (metric, ts_day) layout) so rollup-path
+    queries cannot resurrect expired data. The series dim and tag index
+    are left as supersets (harmless: queries join facts); the next
+    ``compact()`` shrinks them. Returns the number of partition
+    directories removed.
+
+    At scale this is a pure metadata operation per partition directory —
+    O(days x metrics) filesystem deletes, zero data scanned; on
+    Delta/Iceberg it maps to ``DELETE WHERE ts_day < cutoff`` metadata
+    actions.
+    """
+    import glob
+
+    from talna_spark.timeutil import ns_to_day
+
+    cutoff_day = ns_to_day(int(cutoff_ns))
+    removed = 0
+    tables = [os.path.join(warehouse_path, "points")] + sorted(
+        glob.glob(os.path.join(warehouse_path, "rollup_*"))
+    )
+    for table in tables:
+        if not os.path.isdir(table):
+            continue
+        for daydir in glob.glob(os.path.join(table, "metric=*", "ts_day=*")):
+            day = os.path.basename(daydir).split("=", 1)[1]
+            if day < cutoff_day:  # ISO dates sort lexicographically
+                shutil.rmtree(daydir, ignore_errors=True)
+                removed += 1
+        # drop metric dirs left empty so partition discovery stays clean
+        for mdir in glob.glob(os.path.join(table, "metric=*")):
+            if not os.listdir(mdir):
+                os.rmdir(mdir)
+    return removed
+
+
 def compact(spark: SparkSession, warehouse_path: str) -> None:
     """Full maintenance pass: dedupe the series dim, cluster the fact
     table, refresh the inverted tag index (talna_spark.tag_index)."""

@@ -184,3 +184,25 @@ def test_write_fanout_heuristic():
     # large batches scale by the per-task row target (ceil division)
     assert write_fanout(_ROWS_PER_WRITE_TASK * 100, 32) == 100
     assert write_fanout(_ROWS_PER_WRITE_TASK * 100 + 1, 32) == 101
+
+
+def test_expire_drops_old_days_everywhere(spark, tmp_path):
+    """Retention is day-granular, consistent across facts and rollups."""
+    from talna_spark.duration import Duration
+    from tests.conftest import make_points
+
+    D = Duration.DAY
+    rows = [("m", d * D + 1000, float(d), {"h": "a"}) for d in range(5)]
+    db = Database.open(spark, str(tmp_path / "wh"))
+    db.write_batch(make_points(spark, rows))
+    db.build_rollup(Duration.HOUR)
+    # cutoff inside day 2: days 0 and 1 expire; day 2 (the cutoff's own
+    # day) is retained
+    n = db.expire(2 * D + 500)
+    assert n == 4  # 2 days x (points + rollup)
+    res = db.count("m", "h").granularity(D).collect()
+    assert sorted(b.start for b in res["a"]) == [d * D + 1000 for d in (2, 3, 4)]
+    # rollup-path query (granularity = multiple of rollup width, no bounds)
+    # must agree — expired days were dropped from the rollup too
+    res2 = db.sum("m", "h").granularity(D).collect()
+    assert sorted(b.value for b in res2["a"]) == [2.0, 3.0, 4.0]
