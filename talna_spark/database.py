@@ -231,8 +231,11 @@ class QueryBuilder:
         # group_by: one tag key (reference semantics, group-by-ONE-tag) or a
         # sequence of keys (extension: Datadog-style `by {host,env}`). Multi
         # grouping composes the keys into one string group "k1:v1,k2:v2" —
-        # injective because tag values cannot contain ':' or ',' (DSL
-        # charset, src/query/lexer.rs:21).
+        # injective for DSL-charset tag values (no ':'/',' possible,
+        # src/query/lexer.rs:21). Ingest does not validate tag charsets
+        # (neither does the reference's write_at), so adversarial values
+        # containing ':'/',' can collide groups — the same ambiguity the
+        # reference's series-key format has (src/series_key.rs:35-41).
         if isinstance(group_by, str):
             self._group_by: tuple[str, ...] | str = group_by
         else:
@@ -625,6 +628,27 @@ class Database:
         from talna_spark.rollup import refresh_rollup
 
         refresh_rollup(self.spark, self._backend.path, int(width_ns))
+
+    def register_views(self, prefix: str = "talna") -> None:
+        """Register the logical tables as session temp views
+        (``{prefix}_points``, and ``{prefix}_series`` on a warehouse) so
+        free-form Spark SQL can query them — the escape hatch the
+        reference cannot offer (no SQL surface at all)."""
+        if isinstance(self._backend, WarehouseBackend):
+            from talna_spark.ingest import read_facts
+
+            read_facts(self.spark, self._backend.path).createOrReplaceTempView(
+                f"{prefix}_points"
+            )
+            self._backend.series.createOrReplaceTempView(f"{prefix}_series")
+        else:
+            self._backend.points.createOrReplaceTempView(f"{prefix}_points")
+
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL against the registered views (calls
+        :meth:`register_views` with the default prefix first)."""
+        self.register_views()
+        return self.spark.sql(query)
 
     # -- ingest (O5/O6) -----------------------------------------------------
     def write_batch(self, points: DataFrame) -> None:

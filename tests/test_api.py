@@ -67,3 +67,27 @@ def test_collect_newest_first(spark, wh):
     # GroupedAggregation order: newest -> oldest (reference stream order)
     assert [b.value for b in buckets] == [3.0, 2.0, 1.0]
     assert buckets[0].middle() == buckets[0].start
+
+
+def test_sql_escape_hatch_view_backend(spark):
+    from tests.conftest import make_points
+
+    rows = [("m", i, float(i), {"h": "a"}) for i in range(5)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    got = db.sql(
+        "SELECT tags['h'] AS h, SUM(value) AS s FROM talna_points GROUP BY 1"
+    ).collect()
+    assert got[0]["h"] == "a" and got[0]["s"] == 10.0
+
+
+def test_sql_escape_hatch_warehouse(spark, tmp_path):
+    from tests.conftest import make_points
+
+    rows = [("m", i, float(i), {"h": "a"}) for i in range(5)]
+    db = Database.open(spark, str(tmp_path / "wh"))
+    db.write_batch(make_points(spark, rows))
+    n = db.sql(
+        "SELECT COUNT(*) AS n FROM talna_points p "
+        "JOIN talna_series s USING (series_id)"
+    ).collect()[0]["n"]
+    assert n == 5
