@@ -213,6 +213,28 @@ _EXT["q33_zscore"] = (
     events_zscore_sql("avg", "app.purchase", "etype", "*", 6 * HOUR, 4),
 )
 
+
+def _q34_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket sample stddev (extension aggregate). Single-point
+    buckets are NULL on both engines and dropped identically (driver
+    NULL-vs-NaN compare gotcha, as for q33)."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .stddev("app.error", "user")
+        .granularity(DAY)
+        .to_df()
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+_EXT["q34_stddev"] = (
+    _q34_stddev,
+    "SELECT * FROM ("
+    + events_query_sql("stddev", "app.error", "user", "*", None, None, DAY)
+    + ") WHERE value IS NOT NULL",
+)
+
 _EXT["q31_rolling"] = (
     _q31_rolling,
     events_rolling_sql("avg", "app.purchase", "user", "*", 6 * HOUR, 4),

@@ -85,6 +85,11 @@ def _value_agg(kind: str) -> Column:
     if kind == "count":
         # count reports the count as a float value AND as len (O32).
         return F.count(F.lit(1)).cast("double")
+    if kind == "stddev":
+        # extension: sample stddev per bucket (single-pass, mergeable
+        # partials in Catalyst — same shuffle shape as avg). NULL for
+        # single-point buckets, identically to SQL STDDEV_SAMP.
+        return F.stddev_samp("value")
     q = percentile_q(kind)
     if q is not None:
         return F.percentile("value", F.lit(q))
@@ -232,6 +237,16 @@ def greedy_buckets(
             out["value"] = np.maximum.reduceat(val, starts)
         elif kind_b == "count":
             out["value"] = lens.astype("float64")
+        elif kind_b == "stddev":
+            # sample stddev per segment; single-point segments -> NaN
+            # (emitted as NULL), matching SQL STDDEV_SAMP
+            bounds = np.append(starts, n)
+            out["value"] = [
+                float(np.std(val[bounds[i]: bounds[i + 1]], ddof=1))
+                if lens[i] > 1
+                else None
+                for i in range(len(starts))
+            ]
         elif pq is not None:
             # percentile: no reduceat analog — slice per segment.
             # np.percentile's linear interpolation matches Spark

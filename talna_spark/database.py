@@ -695,6 +695,12 @@ class Database:
     def count(self, metric: str, group_by) -> QueryBuilder:
         return QueryBuilder(self, "count", metric, group_by)
 
+    def stddev(self, metric: str, group_by) -> QueryBuilder:
+        """Sample standard deviation per bucket (extension beyond the
+        reference's five; NULL for single-point buckets like SQL
+        STDDEV_SAMP)."""
+        return QueryBuilder(self, "stddev", metric, group_by)
+
     # -- extension aggregates (beyond the reference's five) ------------------
     def percentile(self, metric: str, group_by, q: float) -> QueryBuilder:
         """Exact interpolated percentile per bucket, ``0 < q < 1``

@@ -24,6 +24,7 @@ _AGG_SQL = {
     "min": "MIN(value)",
     "max": "MAX(value)",
     "count": "CAST(COUNT(*) AS DOUBLE)",
+    "stddev": "STDDEV_SAMP(value)",
     # snapshot: value at max ts, ties -> larger value (struct max is
     # lexicographic in DuckDB exactly as in Spark)
     "latest": "(MAX({'ts': ts, 'v': value})).v",

@@ -393,3 +393,23 @@ def test_increase_greedy_mode(spark):
     # deltas: 3 (at 1s), 4 (at 2s), 2 (at 5m) -> greedy segments {1s,2s}, {5m}
     got = sorted(b.value for b in res["a"])
     assert got == [pytest.approx(2.0), pytest.approx(7.0)]
+
+
+def test_stddev_aligned_and_greedy(spark):
+    import numpy as np
+
+    vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    rows = [("m", i, v, {"h": "a"}) for i, v in enumerate(vals)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    b = db.stddev("m", "h").granularity(Duration.MINUTE).collect()["a"][0]
+    assert b.value == pytest.approx(float(np.std(vals, ddof=1)))
+    g = db.stddev("m", "h").mode("greedy").granularity(Duration.MINUTE).collect()
+    assert g["a"][0].value == pytest.approx(float(np.std(vals, ddof=1)))
+
+
+def test_stddev_single_point_is_null(spark):
+    rows = [("m", 0, 3.0, {"h": "a"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    assert db.stddev("m", "h").granularity(None).collect()["a"][0].value is None
+    g = db.stddev("m", "h").mode("greedy").granularity(Duration.MINUTE).collect()
+    assert g["a"][0].value is None
