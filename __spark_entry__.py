@@ -87,6 +87,8 @@ _SPEC: dict[str, tuple] = {
     # Q30: reset-aware counter increase (PromQL increase(); per-series
     # deltas, resets restart from 0), summed per bucket
     "q30_increase": ("increase", "app.view", "etype", "*", None, None, 6 * HOUR, "aligned"),
+    # Q35: gauge delta — net change across each bucket (struct extrema)
+    "q35_delta": ("delta", "app.purchase", "user", "*", None, None, DAY, "aligned"),
 }
 
 _METHOD_ALIASES = {"twa": "time_weighted_avg"}

@@ -126,6 +126,16 @@ def aligned_buckets(
         # total weight (only trailing points) are dropped on BOTH engine
         # and oracle sides, so no 0/0 null ambiguity reaches results.
         value = F.sum(F.col("value") * F.col("_w")) / F.sum("_w")
+    elif kind == "delta":
+        # extension: net change across the bucket — value at max ts minus
+        # value at min ts (lexicographic struct extrema; ties at the
+        # boundary ts resolve to larger/smaller value respectively,
+        # identically in DuckDB). Single hash-less SortAggregate shuffle
+        # like latest.
+        value = (
+            F.max(F.struct("ts", "value"))["value"]
+            - F.min(F.struct("ts", "value"))["value"]
+        )
     elif kind == "latest":
         # extension: snapshot — the value at the max ts per (group, bucket).
         # Lexicographic struct max; ties at the max ts resolve to the

@@ -396,8 +396,8 @@ class QueryBuilder:
             if self._mode == "greedy":
                 raise InvalidQueryError("twa supports aligned mode only")
             scan = _twa_transform(scan, self._metric)
-        elif kind == "latest" and self._mode == "greedy":
-            raise InvalidQueryError("latest supports aligned mode only")
+        elif kind in ("latest", "delta") and self._mode == "greedy":
+            raise InvalidQueryError(f"{kind} supports aligned mode only")
         if self._mode == "greedy":
             if self._granularity is None:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
@@ -740,6 +740,12 @@ class Database:
         high-cardinality counting at scale: single-pass mergeable
         partials, no Catalyst expand. Extension beyond the reference."""
         return QueryBuilder(self, "distinct_series_approx", metric, group_by)
+
+    def delta(self, metric: str, group_by) -> QueryBuilder:
+        """Net change across each bucket: value at max ts minus value at
+        min ts (gauge delta — vs :meth:`increase`, which sums per-series
+        reset-aware counter deltas). Aligned mode only. Extension."""
+        return QueryBuilder(self, "delta", metric, group_by)
 
     def latest(self, metric: str, group_by: str) -> QueryBuilder:
         """Snapshot: the most recent value per group per bucket (value at

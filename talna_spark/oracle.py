@@ -28,6 +28,8 @@ _AGG_SQL = {
     # snapshot: value at max ts, ties -> larger value (struct max is
     # lexicographic in DuckDB exactly as in Spark)
     "latest": "(MAX({'ts': ts, 'v': value})).v",
+    # net change: value at max ts minus value at min ts (struct extrema)
+    "delta": "(MAX({'ts': ts, 'v': value})).v - (MIN({'ts': ts, 'v': value})).v",
 }
 
 

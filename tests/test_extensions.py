@@ -413,3 +413,15 @@ def test_stddev_single_point_is_null(spark):
     assert db.stddev("m", "h").granularity(None).collect()["a"][0].value is None
     g = db.stddev("m", "h").mode("greedy").granularity(Duration.MINUTE).collect()
     assert g["a"][0].value is None
+
+
+def test_delta_net_change(spark):
+    # one bucket: first value 3 (ts 0), last value 11 (ts 3) -> delta 8;
+    # interior values irrelevant
+    rows = [("m", i, v, {"h": "a"}) for i, v in enumerate([3.0, 100.0, -5.0, 11.0])]
+    db = Database.from_points(spark, make_points(spark, rows))
+    b = db.delta("m", "h").granularity(Duration.MINUTE).collect()["a"][0]
+    assert b.value == pytest.approx(8.0)
+    assert b.len == 4
+    with pytest.raises(InvalidQueryError):
+        db.delta("m", "h").mode("greedy").to_df()
