@@ -341,9 +341,15 @@ def zscore_buckets(agg: DataFrame, width: int, k: int) -> DataFrame:
         .orderBy(F.expr(f"start_ts div {int(width)}"))
         .rangeBetween(-(int(k) - 1), 0)
     )
-    mean = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
-    score = (F.col("value") - mean) / F.nullif(sd, F.lit(0.0))
+    # Score over 6-dp-rounded bucket values: partial/final vs sequential
+    # float summation can differ by an ulp, and an unrounded frame sitting
+    # exactly at zero variance would NULL on one engine and produce a
+    # huge z on the other — rounding first pins the NULLIF knife edge
+    # identically on both sides of the oracle comparison.
+    v = F.round("value", 6)
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    score = (v - mean) / F.nullif(sd, F.lit(0.0))
     return agg.withColumn("value", score).select(
         "grp", "start_ts", "end_ts", "value", "len"
     )

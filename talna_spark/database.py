@@ -52,6 +52,7 @@ class ViewBackend:
 
     def __init__(self, points: DataFrame):
         self.points = points
+        self._views_registered = None  # sql() re-registers per generation
 
     def scan(self, metric: str, node, start: Optional[int], end: Optional[int]) -> DataFrame:
         df = self.points.filter(F.col("metric") == metric)
@@ -95,6 +96,10 @@ class WarehouseBackend:
         self._tag_index_pref = use_tag_index
         fresh = has_tag_index(path)
         self.use_tag_index = fresh if use_tag_index is None else bool(use_tag_index) and fresh
+        # write_batch/compact/expire re-run __init__ on this same instance:
+        # resetting here makes sql() re-register views against the new data
+        # generation (a stale view would read deleted/outdated file lists)
+        self._views_registered = None
 
     def _matched_series(self, metric: str, node) -> DataFrame:
         """(series_id, tags) for every series matching the filter — the
@@ -156,29 +161,40 @@ def _twa_transform(scan: DataFrame, metric: str) -> DataFrame:
     )
 
 
-def _increase_transform(scan: DataFrame, metric: str) -> DataFrame:
-    """Counter increase with reset handling (extension beyond the
-    reference — the PromQL-style ``increase()`` for monotonic counters):
-    per series, each consecutive-point delta is ``value - lag(value)``
-    when the counter grew, else ``value`` (a smaller reading means the
-    counter reset and restarted from 0, so the new reading IS the
-    increase since the reset). Deltas label at the later timestamp;
-    each series' first point contributes nothing. Buckets then SUM the
-    deltas. Same single-shuffle per-series window shape as rate();
-    equal-timestamp pairs are ordered by value and their dt=0 rows
-    dropped (both oracle sides do the same)."""
+def _lag_pairs(scan: DataFrame, metric: str) -> DataFrame:
+    """Consecutive-point pairs per series — the shared scaffold of the
+    rate()/increase() transforms (and the oracle's `rated` CTE, kept in
+    lockstep in talna_spark.oracle).
+
+    Series identity is the canonical series key derived from the tags map
+    (reference src/series_key.rs:20-41) — one JVM-side hash per row; the
+    window shuffles on it, so pairs never mix series. Equal-timestamp
+    pairs within a series are ordered by value for determinism and their
+    dt=0 rows dropped; each series' first point (no predecessor) is
+    dropped. Rows carry ``_prev_ts``/``_prev_v`` for the caller's delta
+    expression, labeled at the later timestamp."""
     from pyspark.sql.window import Window
 
     from talna_spark.ingest import series_key_col
 
     sid = F.xxhash64(series_key_col(F.lit(metric), F.col("tags")))
     w = Window.partitionBy("_sid").orderBy("ts", "value")
-    df = (
+    return (
         scan.withColumn("_sid", sid)
         .withColumn("_prev_ts", F.lag("ts").over(w))
         .withColumn("_prev_v", F.lag("value").over(w))
         .filter(F.col("_prev_ts").isNotNull() & (F.col("ts") > F.col("_prev_ts")))
     )
+
+
+def _increase_transform(scan: DataFrame, metric: str) -> DataFrame:
+    """Counter increase with reset handling (extension beyond the
+    reference — the PromQL-style ``increase()`` for monotonic counters):
+    per series, each consecutive-point delta is ``value - lag(value)``
+    when the counter grew, else ``value`` (a smaller reading means the
+    counter reset and restarted from 0, so the new reading IS the
+    increase since the reset). Buckets then SUM the deltas."""
+    df = _lag_pairs(scan, metric)
     delta = F.when(
         F.col("value") >= F.col("_prev_v"), F.col("value") - F.col("_prev_v")
     ).otherwise(F.col("value"))
@@ -187,29 +203,10 @@ def _increase_transform(scan: DataFrame, metric: str) -> DataFrame:
 
 def _rate_transform(scan: DataFrame, metric: str) -> DataFrame:
     """Per-series derivative (extension beyond the reference — the
-    Datadog-model ``rate()`` the tagging scheme is built for): value becomes
-    ``(value - lag(value)) / ((ts - lag(ts)) / 1e9)`` in units/second, the
-    point is labeled at the later timestamp, and each series' first point
-    (no predecessor) is dropped.
-
-    Series identity is the canonical series key derived from the tags map
-    (reference src/series_key.rs:20-41) — one JVM-side hash per row; the
-    window shuffles on it, so rates never mix series. Equal-timestamp pairs
-    within a series are ordered by value for determinism and their dt=0
-    rows dropped (both sides of the oracle comparison do the same).
-    """
-    from talna_spark.ingest import series_key_col
-
-    from pyspark.sql.window import Window
-
-    sid = F.xxhash64(series_key_col(F.lit(metric), F.col("tags")))
-    w = Window.partitionBy("_sid").orderBy("ts", "value")
-    df = (
-        scan.withColumn("_sid", sid)
-        .withColumn("_prev_ts", F.lag("ts").over(w))
-        .withColumn("_prev_v", F.lag("value").over(w))
-        .filter(F.col("_prev_ts").isNotNull() & (F.col("ts") > F.col("_prev_ts")))
-    )
+    Datadog-model ``rate()`` the tagging scheme is built for): value
+    becomes ``(value - lag(value)) / ((ts - lag(ts)) / 1e9)`` in
+    units/second. Buckets then AVERAGE the instantaneous rates."""
+    df = _lag_pairs(scan, metric)
     rate = (F.col("value") - F.col("_prev_v")) / (
         (F.col("ts") - F.col("_prev_ts")) / F.lit(1e9)
     )
@@ -301,9 +298,12 @@ class QueryBuilder:
         """Smooth bucket values with a trailing k-bucket moving average
         (extension; aligned mode + finite granularity only). Applied after
         gapfill when both are set — zero-filled buckets participate in the
-        frame; null-filled ones are skipped by AVG on both engines."""
+        frame; null-filled ones are skipped by AVG on both engines.
+        Mutually exclusive with :meth:`zscore`."""
         if int(k) <= 1:
             raise InvalidQueryError("rolling k must be > 1")
+        if self._zscore is not None:
+            raise InvalidQueryError("rolling cannot combine with zscore")
         self._rolling = int(k)
         return self
 
@@ -335,14 +335,17 @@ class QueryBuilder:
             raise InvalidQueryError(
                 "sliding cannot combine with gapfill/rolling/zscore"
             )
+        w, s = int(width_ns), int(slide_ns)
+        if w <= 0 or s <= 0 or w % s != 0:
+            raise InvalidQueryError(
+                "sliding requires width > 0, slide > 0, width % slide == 0"
+            )
         node = parse_filter_query(self._filter)
         scan = self._db._backend.scan(self._metric, node, self._start, self._end)
         scan = self._group_drop_filter(scan)
         if self._kind not in ("avg", "sum", "min", "max", "count"):
             raise InvalidQueryError("sliding supports the five basic aggregations")
-        return sliding_buckets(
-            scan, self._group_col(), self._kind, int(width_ns), int(slide_ns)
-        )
+        return sliding_buckets(scan, self._group_col(), self._kind, w, s)
 
     def _group_keys(self) -> tuple[str, ...]:
         gb = self._group_by
@@ -594,9 +597,9 @@ class Database:
         from talna_spark.maintenance import expire
 
         n = expire(self.spark, self._backend.path, int(cutoff_ns))
-        # partition-listing caches in the session would otherwise still
-        # reference the deleted directories
-        self.spark.catalog.clearCache()
+        # backend re-init is enough: every query builds a fresh reader (and
+        # with it a fresh file listing), same invalidation as compact() —
+        # a session-wide clearCache would evict unrelated cached DataFrames
         self._backend.__init__(
             self.spark, self._backend.path, self._backend._tag_index_pref
         )
@@ -643,11 +646,15 @@ class Database:
             self._backend.series.createOrReplaceTempView(f"{prefix}_series")
         else:
             self._backend.points.createOrReplaceTempView(f"{prefix}_points")
+        # memoized per backend generation: write_batch/compact/expire swap
+        # the backend instance, so registration freshness tracks the data
+        self._backend._views_registered = prefix
 
     def sql(self, query: str) -> DataFrame:
-        """Run Spark SQL against the registered views (calls
-        :meth:`register_views` with the default prefix first)."""
-        self.register_views()
+        """Run Spark SQL against the registered views (registers them on
+        first use per backend generation)."""
+        if getattr(self._backend, "_views_registered", None) != "talna":
+            self.register_views()
         return self.spark.sql(query)
 
     # -- ingest (O5/O6) -----------------------------------------------------

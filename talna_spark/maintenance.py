@@ -139,7 +139,10 @@ def expire(spark: SparkSession, warehouse_path: str, cutoff_ns: int) -> int:
         for daydir in glob.glob(os.path.join(table, "metric=*", "ts_day=*")):
             day = os.path.basename(daydir).split("=", 1)[1]
             if day < cutoff_day:  # ISO dates sort lexicographically
-                shutil.rmtree(daydir, ignore_errors=True)
+                # raise on failure rather than report retention that did
+                # not happen (a TTL claiming success on failure is worse
+                # than an error)
+                shutil.rmtree(daydir)
                 removed += 1
         # drop metric dirs left empty so partition discovery stays clean
         for mdir in glob.glob(os.path.join(table, "metric=*")):

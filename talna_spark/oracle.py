@@ -195,9 +195,10 @@ def events_zscore_sql(
     talna_spark.aggregate.zscore_buckets (NULL when the frame has < 2 rows
     or zero variance)."""
     g = int(granularity)
-    base = events_query_sql(
-        kind, metric, group_by, flt, None, None, g, round_value=False
-    )
+    # Base values 6-dp-rounded (round_value default) BEFORE the window —
+    # mirrors zscore_buckets, pinning the zero-variance NULLIF knife edge
+    # identically on both engines.
+    base = events_query_sql(kind, metric, group_by, flt, None, None, g)
     frame = (
         f"(PARTITION BY grp ORDER BY (start_ts // {g}) "
         f"RANGE BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW)"
@@ -233,10 +234,20 @@ def events_sliding_sql(
     grp, notnull = _grp_sql(group_by)
     w, s = int(width), int(slide)
     where = [f"metric = '{metric}'", f"({pred})"] + notnull
+
+    # DuckDB's // truncates toward zero like Spark's div, but the window
+    # math needs FLOOR division (they differ when ts < width) — same
+    # explicit integer floor as talna_spark.aggregate.sliding_buckets.
+    def floordiv(num: str) -> str:
+        return (
+            f"(({num}) // {s}) - "
+            f"(CASE WHEN ({num}) % {s} <> 0 AND ({num}) < 0 THEN 1 ELSE 0 END)"
+        )
+
     return (
         f"{_PTS_CTE}, sel AS (SELECT * FROM pts WHERE {' AND '.join(where)}), "
         f"win AS (SELECT {grp} AS grpv, ts, value, "
-        f"unnest(generate_series((ts - {w} + {s}) // {s}, ts // {s})) AS i "
+        f"unnest(generate_series({floordiv(f'ts - {w} + {s}')}, {floordiv('ts')})) AS i "
         f"FROM sel) "
         f"SELECT grpv AS grp, i * {s} AS win_start, "
         f"MIN(ts) AS start_ts, MAX(ts) AS end_ts, "

@@ -43,6 +43,31 @@ def stream_ingest(points_stream: DataFrame, warehouse_path: str, checkpoint: str
     )
 
 
+def _windowed(
+    points_stream: DataFrame,
+    group_by: str,
+    kind: str,
+    window_col,
+    watermark: str,
+) -> DataFrame:
+    """Shared event-time windowed aggregation scaffold (tumbling, sliding,
+    and session rollups differ only in the window column)."""
+    grp = F.col("tags").getItem(group_by)
+    evt = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        points_stream.withColumn("_evt", evt)
+        .filter(grp.isNotNull())
+        .withWatermark("_evt", watermark)
+        .groupBy(grp.alias("grp"), window_col)
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            _value_agg(kind).alias("value"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+
+
 def windowed_rollup(
     points_stream: DataFrame,
     group_by: str,
@@ -58,21 +83,10 @@ def windowed_rollup(
     simply makes late writes visible to later queries — exactly what the
     batch path here does too; the rollup is an *additional* materialization).
     """
-    grp = F.col("tags").getItem(group_by)
-    evt = F.timestamp_micros(F.expr("ts div 1000"))
-    windowed = (
-        points_stream.withColumn("_evt", evt)
-        .filter(grp.isNotNull())
-        .withWatermark("_evt", watermark)
-        .groupBy(grp.alias("grp"), F.window("_evt", f"{width_seconds} seconds"))
-        .agg(
-            F.min("ts").alias("start_ts"),
-            F.max("ts").alias("end_ts"),
-            _value_agg(kind).alias("value"),
-            F.count(F.lit(1)).alias("len"),
-        )
+    win = F.window("_evt", f"{width_seconds} seconds")
+    return _windowed(points_stream, group_by, kind, win, watermark).select(
+        "grp", "start_ts", "end_ts", "value", "len"
     )
-    return windowed.select("grp", "start_ts", "end_ts", "value", "len")
 
 
 def sliding_rollup(
@@ -90,24 +104,10 @@ def sliding_rollup(
     watermark. Output adds ``win_start`` (epoch ns of the window edge)
     alongside the observed start/end, matching the batch sliding schema.
     """
-    grp = F.col("tags").getItem(group_by)
-    evt = F.timestamp_micros(F.expr("ts div 1000"))
-    windowed = (
-        points_stream.withColumn("_evt", evt)
-        .filter(grp.isNotNull())
-        .withWatermark("_evt", watermark)
-        .groupBy(
-            grp.alias("grp"),
-            F.window("_evt", f"{width_seconds} seconds", f"{slide_seconds} seconds"),
-        )
-        .agg(
-            F.min("ts").alias("start_ts"),
-            F.max("ts").alias("end_ts"),
-            _value_agg(kind).alias("value"),
-            F.count(F.lit(1)).alias("len"),
-        )
+    win = F.window(
+        "_evt", f"{width_seconds} seconds", f"{slide_seconds} seconds"
     )
-    return windowed.select(
+    return _windowed(points_stream, group_by, kind, win, watermark).select(
         "grp",
         (F.unix_micros(F.col("window.start")) * F.lit(1000)).alias("win_start"),
         "start_ts",
@@ -140,18 +140,7 @@ def session_rollup(
     append mode); output schema matches the batch result
     (grp, start_ts, end_ts, value, len).
     """
-    grp = F.col("tags").getItem(group_by)
-    evt = F.timestamp_micros(F.expr("ts div 1000"))
-    windowed = (
-        points_stream.withColumn("_evt", evt)
-        .filter(grp.isNotNull())
-        .withWatermark("_evt", watermark)
-        .groupBy(grp.alias("grp"), F.session_window("_evt", f"{gap_seconds} seconds"))
-        .agg(
-            F.min("ts").alias("start_ts"),
-            F.max("ts").alias("end_ts"),
-            _value_agg(kind).alias("value"),
-            F.count(F.lit(1)).alias("len"),
-        )
+    win = F.session_window("_evt", f"{gap_seconds} seconds")
+    return _windowed(points_stream, group_by, kind, win, watermark).select(
+        "grp", "start_ts", "end_ts", "value", "len"
     )
-    return windowed.select("grp", "start_ts", "end_ts", "value", "len")

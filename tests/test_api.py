@@ -91,3 +91,20 @@ def test_sql_escape_hatch_warehouse(spark, tmp_path):
         "JOIN talna_series s USING (series_id)"
     ).collect()[0]["n"]
     assert n == 5
+
+
+def test_sql_view_refreshes_across_generations(spark, tmp_path):
+    """sql()'s memoized view must re-register after write_batch/expire —
+    a stale view reads deleted/outdated file listings."""
+    from talna_spark.duration import Duration
+    from tests.conftest import make_points
+
+    D = Duration.DAY
+    db = Database.open(spark, str(tmp_path / "wh"))
+    db.write_batch(make_points(spark, [("m", d * D, 1.0, {"h": "a"}) for d in range(4)]))
+    q = "SELECT COUNT(*) AS n FROM talna_points"
+    assert db.sql(q).collect()[0]["n"] == 4
+    db.expire(2 * D)
+    assert db.sql(q).collect()[0]["n"] == 2
+    db.write_batch(make_points(spark, [("m", 10 * D, 1.0, {"h": "a"})]))
+    assert db.sql(q).collect()[0]["n"] == 3

@@ -313,7 +313,7 @@ def test_sliding_windows_overlap(spark):
 
 def test_sliding_validates_ratio(spark):
     db = Database.from_points(spark, make_points(spark, []))
-    with pytest.raises(Exception):
+    with pytest.raises(InvalidQueryError):
         db.sum("m", "h").sliding(3, 2)  # width not a multiple of slide
 
 
@@ -338,6 +338,8 @@ def test_zscore_validation(spark):
         db.avg("m", "h").zscore(1)
     with pytest.raises(InvalidQueryError):
         db.avg("m", "h").rolling(2).zscore(2)
+    with pytest.raises(InvalidQueryError):
+        db.avg("m", "h").zscore(2).rolling(2)  # either order is rejected
     with pytest.raises(InvalidQueryError):
         db.avg("m", "h").mode("greedy").zscore(2).to_df()
 
