@@ -122,6 +122,7 @@ _EXT: dict[str, tuple] = {
     "x15_neardup_survivors": (_dedup.neardup_survivors, _dedup.neardup_survivors_sql()),
     "x16_corpus_stats": (_text.corpus_stats, _text.corpus_stats_sql()),
     "x17_pii_scan": (_text.pii_scan, _text.pii_scan_sql()),
+    "x18_token_freq": (_text.token_freq, _text.token_freq_sql()),
 }
 
 

@@ -235,3 +235,47 @@ def pii_scan_sql() -> str:
         f"len(regexp_extract_all(text, '{PHONE_RE}'))) > 0 AS has_pii "
         f"FROM documents"
     )
+
+
+# ------------------------------------------------------- token frequency
+TOKEN_TOP_K = 50
+
+
+def token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k (count DESC, token ASC rank) —
+    the wordcount that seeds tokenizer/BPE training and stopword lists.
+
+    Scale shape: the explode amplifies rows but carries only the token
+    string; counting is one partial+final hash aggregate, and the top-k
+    is two-phase (per-partition row_number, then final over <= k x P
+    survivors) — no single-reducer sort of the full vocabulary."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("token").asc()]
+    w1 = Window.partitionBy("_p").orderBy(*order)
+    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return (
+        counts.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= TOKEN_TOP_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOKEN_TOP_K)
+        .select("token", "n", "rank")
+    )
+
+
+def token_freq_sql() -> str:
+    w = tokens_sql("text")
+    return (
+        f"SELECT token, n, rank FROM ("
+        f"SELECT token, COUNT(*) AS n, "
+        f"ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rank "
+        f"FROM (SELECT unnest({w}) AS token FROM documents) GROUP BY token"
+        f") WHERE rank <= {TOKEN_TOP_K}"
+    )
