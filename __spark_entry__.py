@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from talna_spark import Database, Duration
+from talna_spark.aggregate import round6
 from talna_spark.oracle import events_query_sql
 
 MIN = Duration.MINUTE
@@ -157,7 +158,7 @@ def _q25_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .granularity(DAY)
         .gapfill("zero")
         .to_df()
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", round6("value"))
     )
 
 
@@ -176,7 +177,7 @@ def _q31_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .granularity(6 * HOUR)
         .rolling(4)
         .to_df()
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", round6("value"))
     )
 
 
@@ -187,7 +188,7 @@ def _q32_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         Database.from_events(spark, sf_dir)
         .sum("app.click", "user")
         .sliding(2 * DAY, DAY)
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", round6("value"))
     )
 
 
@@ -201,7 +202,7 @@ def _q33_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .zscore(4)
         .to_df()
         .filter(F.col("value").isNotNull())  # match oracle's NULL drop
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", round6("value"))
     )
 
 
@@ -227,7 +228,7 @@ def _q34_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         .granularity(DAY)
         .to_df()
         .filter(F.col("value").isNotNull())
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", round6("value"))
     )
 
 
@@ -258,7 +259,7 @@ def _q27_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         db.sum(METRIC, "rf")
         .granularity(90 * DAY)
         .to_df()
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", round6("value"))
     )
 
 
@@ -285,7 +286,7 @@ def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
         if end is not None:
             b = b.end(end)
         # round like the oracle (absorbs summation-order float noise)
-        return b.to_df().withColumn("value", F.round("value", 6))
+        return b.to_df().withColumn("value", round6("value"))
 
     return run
 

@@ -47,6 +47,18 @@ AGG_KINDS = ("avg", "sum", "min", "max", "count")
 _P_PREFIX = "p"
 
 
+def round6(col: Column | str) -> Column:
+    """6-dp round with signed-zero normalization (IEEE ``-0.0 + 0.0 ==
+    +0.0``). Spark's partial/final summation and DuckDB's sequential
+    summation can land on opposite zero signs for values that round to
+    zero, and the driver's value-hash distinguishes the two encodings —
+    every emitted rounded value goes through this helper, mirrored by
+    ``oracle.round6_sql`` (``ROUND(.., 6) + 0``) on the DuckDB side."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col, 6) + F.lit(0.0)
+
+
 def percentile_q(kind: str) -> float | None:
     """``"p95"`` -> 0.95; None when ``kind`` is not a percentile kind."""
     if not kind.startswith(_P_PREFIX):

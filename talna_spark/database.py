@@ -36,6 +36,18 @@ from talna_spark.timeutil import timestamp
 MINUTE_NS = Duration.MINUTE  # default granularity (reference src/db.rs:21)
 
 
+def _validate_ts(ts_ns) -> int:
+    """Timestamps are unsigned ns (reference ``u128``, src/lib.rs:108 —
+    pre-1970 points are outside its data model). Enforcing ts >= 0 at the
+    API boundary also keeps Python ``//`` bucket math (gapfill/rollup
+    bounds) and Spark's truncating ``div`` identical — they diverge only
+    on negatives."""
+    ts = int(ts_ns)
+    if ts < 0:
+        raise InvalidQueryError(f"timestamps must be >= 0 ns (got {ts})")
+    return ts
+
+
 from talna_spark.timeutil import ns_to_day as _ns_to_date  # one shared definition
 
 
@@ -246,6 +258,7 @@ class QueryBuilder:
         self._start: Optional[int] = None
         self._end: Optional[int] = None
         self._granularity: Optional[int] = MINUTE_NS
+        self._granularity_set = False
         self._mode = "aligned"
         self._gapfill: Optional[str] = None
         self._rolling: Optional[int] = None
@@ -256,20 +269,20 @@ class QueryBuilder:
         return self
 
     def start(self, ts_ns: int) -> "QueryBuilder":
-        self._start = int(ts_ns)
+        self._start = _validate_ts(ts_ns)
         return self
 
     def end(self, ts_ns: int) -> "QueryBuilder":
-        self._end = int(ts_ns)
+        self._end = _validate_ts(ts_ns)
         return self
 
     def start_relative(self, duration_ns: int) -> "QueryBuilder":
         # reference src/agg/builder.rs:74-77: now() - duration
-        self._start = timestamp() - int(duration_ns)
+        self._start = _validate_ts(timestamp() - int(duration_ns))
         return self
 
     def end_relative(self, duration_ns: int) -> "QueryBuilder":
-        self._end = timestamp() - int(duration_ns)
+        self._end = _validate_ts(timestamp() - int(duration_ns))
         return self
 
     def granularity(self, width_ns: Optional[int]) -> "QueryBuilder":
@@ -277,6 +290,7 @@ class QueryBuilder:
         if width_ns is not None and width_ns <= 0:
             raise InvalidQueryError("granularity must be positive")
         self._granularity = None if width_ns is None else int(width_ns)
+        self._granularity_set = True
         return self
 
     def mode(self, mode: str) -> "QueryBuilder":
@@ -334,6 +348,13 @@ class QueryBuilder:
         ):
             raise InvalidQueryError(
                 "sliding cannot combine with gapfill/rolling/zscore"
+            )
+        if self._mode != "aligned":
+            raise InvalidQueryError("sliding requires aligned mode")
+        if self._granularity_set:
+            raise InvalidQueryError(
+                "sliding ignores granularity — it takes width/slide directly; "
+                "drop the granularity() call"
             )
         w, s = int(width_ns), int(slide_ns)
         if w <= 0 or s <= 0 or w % s != 0:
@@ -463,12 +484,19 @@ class QueryBuilder:
             raise InvalidQueryError("top k must be positive")
         from pyspark.sql.window import Window
 
-        agg = self.to_df().withColumn("value", F.round("value", 6))
+        from talna_spark.aggregate import round6
+
+        agg = self.to_df().withColumn("value", round6("value"))
         order = [F.col("value").desc(), F.col("grp").asc(), F.col("start_ts").asc()]
         w1 = Window.partitionBy("_p").orderBy(*order)
         w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+        # partial-phase key derived from the DATA, not spark_partition_id():
+        # task retries / speculative execution can re-split input rows
+        # across different physical partitions mid-stage, and a
+        # nondeterministic key could then drop a true top-k row.
+        part = F.pmod(F.xxhash64("grp", "start_ts"), F.lit(64))
         return (
-            agg.withColumn("_p", F.spark_partition_id())
+            agg.withColumn("_p", part)
             .withColumn("_r", F.row_number().over(w1))
             .filter(F.col("_r") <= k)
             .withColumn("rank", F.row_number().over(w2))
@@ -683,7 +711,7 @@ class Database:
         from talna_spark.schema import POINTS_SCHEMA
 
         validate_metric_name(metric)
-        row = [(metric, int(ts_ns), float(value), dict(tags))]
+        row = [(metric, _validate_ts(ts_ns), float(value), dict(tags))]
         self.write_batch(self.spark.createDataFrame(row, POINTS_SCHEMA))
 
     # -- query entry points (O41, src/db.rs:213-312) ------------------------

@@ -33,6 +33,13 @@ _AGG_SQL = {
 }
 
 
+def round6_sql(expr: str) -> str:
+    """6-dp ROUND with signed-zero normalization — the SQL mirror of
+    ``talna_spark.aggregate.round6`` (``-0.0 + 0 == 0.0``; the driver's
+    value-hash distinguishes the two zero encodings)."""
+    return f"(ROUND({expr}, 6) + 0)"
+
+
 def _agg_sql(kind: str) -> str:
     """Aggregate expression for a kind, including percentile extension
     kinds ("p95" -> quantile_cont: linear interpolation, same as Spark's
@@ -148,7 +155,7 @@ def events_query_sql(
     group_keys = [grp]
     if granularity is not None:
         group_keys.append(f"(ts // {int(granularity)})")
-    val = f"ROUND({agg}, 6)" if round_value else agg
+    val = round6_sql(agg) if round_value else agg
     return (
         f"{_PTS_CTE}{rate_cte} "
         f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
@@ -176,9 +183,11 @@ def events_rolling_sql(
     return (
         f"WITH agg AS ({base}) "
         f"SELECT grp, start_ts, end_ts, "
-        f"ROUND(AVG(value) OVER (PARTITION BY grp ORDER BY (start_ts // {g}) "
-        f"RANGE BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW), 6) AS value, "
-        f"len FROM agg"
+        + round6_sql(
+            f"AVG(value) OVER (PARTITION BY grp ORDER BY (start_ts // {g}) "
+            f"RANGE BETWEEN {int(k) - 1} PRECEDING AND CURRENT ROW)"
+        )
+        + " AS value, len FROM agg"
     )
 
 
@@ -210,9 +219,11 @@ def events_zscore_sql(
     return (
         f"WITH agg AS ({base}), scored AS ("
         f"SELECT grp, start_ts, end_ts, "
-        f"ROUND((value - AVG(value) OVER {frame}) / "
-        f"NULLIF(STDDEV_SAMP(value) OVER {frame}, 0.0), 6) AS value, "
-        f"len FROM agg) "
+        + round6_sql(
+            f"(value - AVG(value) OVER {frame}) / "
+            f"NULLIF(STDDEV_SAMP(value) OVER {frame}, 0.0)"
+        )
+        + " AS value, len FROM agg) "
         f"SELECT * FROM scored WHERE value IS NOT NULL"
     )
 
@@ -251,7 +262,7 @@ def events_sliding_sql(
         f"FROM sel) "
         f"SELECT grpv AS grp, i * {s} AS win_start, "
         f"MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
-        f"ROUND({_agg_sql(kind)}, 6) AS value, COUNT(*) AS len "
+        f"{round6_sql(_agg_sql(kind))} AS value, COUNT(*) AS len "
         f"FROM win GROUP BY grpv, i"
     )
 

@@ -58,7 +58,7 @@ def _per_query_topk(pairs: DataFrame, k: int) -> DataFrame:
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        pairs.withColumn("_p", F.spark_partition_id())
+        pairs.withColumn("_p", F.pmod(F.xxhash64("neighbor_id"), F.lit(64)))
         .withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= k)
         .withColumn("rank", F.row_number().over(w2))
@@ -75,7 +75,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        (F.round(cosine(F.col("qv"), F.col("v")), 6) + F.lit(0.0)).alias("cos"),
     )
     return _per_query_topk(pairs, TOP_K)
 
@@ -85,7 +85,7 @@ def brute_force_topk_sql() -> str:
         f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
         f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}), "
         f"pairs AS (SELECT query_id, e.vec_id AS neighbor_id, "
-        f"ROUND(list_cosine_similarity(qv, v), 6) AS cos "
+        f"(ROUND(list_cosine_similarity(qv, v), 6) + 0) AS cos "
         f"FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
         f"ranked AS (SELECT *, ROW_NUMBER() OVER "
         f"(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
@@ -131,7 +131,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        (F.round(cosine(F.col("qv"), F.col("v")), 6) + F.lit(0.0)).alias("cos"),
     )
     return _per_query_topk(pairs, IVF_TOP_K)
 
@@ -149,7 +149,7 @@ def ivf_topk_sql() -> str:
         f"q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qcluster "
         f"FROM assigned WHERE vec_id < {N_QUERIES}), "
         f"pairs AS (SELECT query_id, a.vec_id AS neighbor_id, "
-        f"ROUND(list_cosine_similarity(qv, a.v), 6) AS cos "
+        f"(ROUND(list_cosine_similarity(qv, a.v), 6) + 0) AS cos "
         f"FROM assigned a JOIN q ON a.cluster = q.qcluster "
         f"AND a.vec_id <> q.query_id), "
         f"ranked AS (SELECT *, ROW_NUMBER() OVER "
@@ -173,7 +173,7 @@ def label_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        (F.round(cosine(F.col("a.v"), F.col("b.v")), 6) + F.lit(0.0)).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -190,7 +190,7 @@ def label_nearest_neighbor_sql() -> str:
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label "
         "FROM embeddings), "
         "pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "(ROUND(list_cosine_similarity(a.v, b.v), 6) + 0) AS cos "
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), "
         "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pairs) "

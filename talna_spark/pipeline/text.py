@@ -261,7 +261,9 @@ def token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = Window.partitionBy("_p").orderBy(*order)
     w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
     return (
-        counts.withColumn("_p", F.spark_partition_id())
+        # data-derived partial key (not spark_partition_id: retries could
+        # reassign rows mid-stage and drop a true top-k token)
+        counts.withColumn("_p", F.pmod(F.xxhash64("token"), F.lit(64)))
         .withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= TOKEN_TOP_K)
         .withColumn("rank", F.row_number().over(w2))

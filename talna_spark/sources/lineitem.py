@@ -59,7 +59,7 @@ def revenue_by_returnflag_sql(width_ns: int) -> str:
     return (
         f"{ORACLE_CTE} "
         f"SELECT tag_rf AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
-        f"ROUND(SUM(value), 6) AS value, COUNT(*) AS len "
+        f"(ROUND(SUM(value), 6) + 0) AS value, COUNT(*) AS len "
         f"FROM pts WHERE tag_rf IS NOT NULL "
         f"GROUP BY tag_rf, ts // {w}"
     )
