@@ -360,9 +360,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
+    from talna_spark.oracle import greedy_events_values_sql
+
     for name, (kind, metric, group_by, flt, start, end, gran, mode) in _SPEC.items():
         if mode != "aligned":
-            continue  # greedy: generated literal-port oracle (see below)
+            # Greedy (O27) is not SQL-expressible as a query over the raw
+            # table; the oracle is a VALUES table of expected rows computed
+            # by an independent literal-port evaluation (oracle.py). None
+            # (testdata absent) -> driver records the weaker rows-only check.
+            sql = greedy_events_values_sql(
+                kind, metric, group_by, flt, start, end, gran
+            )
+            if sql is not None:
+                out[name] = sql
+            continue
         out[name] = events_query_sql(kind, metric, group_by, flt, start, end, gran)
     for name, parts in _UNION_SPEC.items():
         out[name] = _union_sql(parts)

@@ -305,7 +305,13 @@ def greedy_buckets(
     prepared = (
         scan.select(group_col.alias("grp"), "ts", "value")
         .repartition("grp")
-        .sortWithinPartitions("grp", F.desc("ts"))
+        # value ASC tie-break on equal timestamps: bucket MEMBERSHIP is
+        # tie-order-independent (equal-ts points always share a bucket),
+        # but float summation order is not — pinning the order makes the
+        # engine bit-deterministic across runs and lets the literal-port
+        # oracle (oracle.greedy_events_values_sql) reproduce sums exactly.
+        # The reference leaves heap ties arbitrary (src/merge.rs:9-13).
+        .sortWithinPartitions("grp", F.desc("ts"), F.asc("value"))
     )
     return prepared.mapInPandas(_bucketize, schema=RESULT_SCHEMA)
 

@@ -165,6 +165,126 @@ def events_query_sql(
     )
 
 
+def _spark_round6(x: float) -> float:
+    """Bit-exact replica of Spark's ``round(double, 6)`` + signed-zero
+    normalization: Spark rounds via ``BigDecimal.valueOf(d)`` (shortest
+    round-trip decimal — what Python ``repr`` also produces) with
+    HALF_UP at scale 6."""
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        d = decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    f = float(d)
+    return 0.0 if f == 0.0 else f
+
+
+def greedy_events_values_sql(
+    kind: str,
+    metric: str,
+    group_by,
+    flt: str,
+    start: Optional[int],
+    end: Optional[int],
+    width: int,
+    sf_dir: Optional[str] = None,
+) -> Optional[str]:
+    """Driver-checkable oracle for GREEDY mode (reference O27,
+    src/agg/stream.rs:60-97) — the one semantic DuckDB SQL cannot express
+    (a sequential data-anchored scan).
+
+    The expected rows are computed here, at oracle-generation time, by an
+    independent single-threaded evaluation: DuckDB extracts the filtered
+    (grp, ts, value) stream using the SAME generated mapping/predicate SQL
+    as every aligned oracle, each group is ordered (ts DESC, value ASC) —
+    the engine's pinned merge order — and the literal port of the
+    reference loop (aggregate._greedy_segment_ids) segments it. Bucket
+    values replicate the engine's aggregation order bit-for-bit, then
+    Spark-style 6-dp rounding; the result is emitted as a VALUES table the
+    driver can run like any other oracle SQL. Returns None when the
+    testdata directory is absent (driver then records rows-only).
+
+    The driver contract fixes the comparison scale at sf=0.01
+    (__spark_entry__ docstring); ``TALNA_ORACLE_SF_DIR`` overrides."""
+    import os
+
+    import numpy as np
+
+    from talna_spark.aggregate import _greedy_segment_ids
+
+    sf_dir = sf_dir or os.environ.get(
+        "TALNA_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    node = parse_filter_query(flt)
+    pred = compile_to_sql(node, _tag_lookup)
+    grp, notnull = _grp_sql(group_by)
+    where = [f"metric = '{metric}'", f"({pred})"] + notnull
+    if start is not None:
+        where.append(f"ts >= {int(start)}")
+    if end is not None:
+        where.append(f"ts <= {int(end)}")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    pdf = con.sql(
+        f"{_PTS_CTE} SELECT {grp} AS grp, ts, value FROM pts "
+        f"WHERE {' AND '.join(where)} ORDER BY grp, ts DESC, value"
+    ).df()
+    con.close()
+
+    out_rows: list[tuple[str, int, int, float, int]] = []
+    w = int(width)
+    for g, gdf in pdf.groupby("grp", sort=True):
+        ts = gdf["ts"].to_numpy(dtype=np.int64)
+        val = gdf["value"].to_numpy(dtype=np.float64)
+        seg = _greedy_segment_ids(ts, w)
+        starts = np.flatnonzero(np.diff(seg, prepend=seg[0] - 1))
+        lens = np.diff(np.append(starts, len(ts)))
+        if kind == "avg":
+            vals = np.add.reduceat(val, starts) / lens
+        elif kind == "sum":
+            vals = np.add.reduceat(val, starts)
+        elif kind == "min":
+            vals = np.minimum.reduceat(val, starts)
+        elif kind == "max":
+            vals = np.maximum.reduceat(val, starts)
+        elif kind == "count":
+            vals = lens.astype("float64")
+        else:
+            raise ValueError(f"greedy oracle supports the five basics, not {kind}")
+        ends = ts[starts]
+        begs = ts[np.append(starts[1:], len(ts)) - 1]
+        for i in range(len(starts)):
+            out_rows.append(
+                (str(g), int(begs[i]), int(ends[i]),
+                 _spark_round6(float(vals[i])), int(lens[i]))
+            )
+
+    cols = (
+        "CAST(c0 AS VARCHAR) AS grp, CAST(c1 AS BIGINT) AS start_ts, "
+        "CAST(c2 AS BIGINT) AS end_ts, CAST(c3 AS DOUBLE) AS value, "
+        "CAST(c4 AS BIGINT) AS len"
+    )
+    if not out_rows:
+        return (
+            f"SELECT {cols} FROM (VALUES ('', 0, 0, 0.0, 0)) "
+            f"t(c0, c1, c2, c3, c4) WHERE 1 = 0"
+        )
+    lits = ", ".join(
+        "('{}', {}, {}, CAST('{!r}' AS DOUBLE), {})".format(
+            g.replace("'", "''"), s, e, v, n
+        )
+        for g, s, e, v, n in out_rows
+    )
+    return f"SELECT {cols} FROM (VALUES {lits}) t(c0, c1, c2, c3, c4)"
+
+
 def events_rolling_sql(
     kind: str,
     metric: str,
