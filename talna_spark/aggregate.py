@@ -194,7 +194,11 @@ def _greedy_segment_ids(ts_desc: np.ndarray, width: int) -> np.ndarray:
 
 
 def greedy_buckets(
-    scan: DataFrame, group_col: Column, kind: str, width: int
+    scan: DataFrame,
+    group_col: Column,
+    kind: str,
+    width: int,
+    max_open_bucket_rows: int = 20_000_000,
 ) -> DataFrame:
     """B_gr: the reference's data-anchored greedy bucketing (O27), faithful.
 
@@ -203,30 +207,36 @@ def greedy_buckets(
     makes every group a contiguous newest-first run — the distributed
     analog of the reference's per-group k-way merge (src/merge.rs:36-76).
     A ``mapInPandas`` pass then segments whole Arrow batches at once,
-    carrying the trailing (possibly batch-spanning) group into the next
-    batch. Compared with per-group ``applyInPandas`` this pays pandas
-    overhead per ~10k-row batch instead of per group — at high group
-    cardinality (thousands of tiny groups) that is a ~3-5x win, and at
-    scale it keeps the Python cost proportional to rows, not groups.
+    carrying only the trailing OPEN BUCKET into the next batch (whether a
+    point joins depends solely on the open bucket's ``end`` anchor,
+    src/agg/stream.rs:76) — so Python memory is bounded by the densest
+    single bucket, not by group size. A group is still one sequential
+    task (the semantic is inherently ordered, exactly as the reference's
+    single thread); for unbounded groups use aligned mode — the same
+    escape hatch the reference's granularity API offers. Compared with
+    per-group ``applyInPandas`` this pays pandas overhead per ~10k-row
+    batch instead of per group — a ~3-5x win at high group cardinality.
+
+    ``max_open_bucket_rows`` guards the pathological case (every point of
+    a huge group within one ``width`` span): the task fails loudly with a
+    pointer to aligned mode instead of OOM-killing the executor.
     """
     kind_b = kind  # capture for the closure
     pq = percentile_q(kind)  # float (not a module ref) — safe to capture
     w = int(width)
+    guard = int(max_open_bucket_rows)
 
     # NOTE: the closure must be self-contained (no talna_spark module
     # references) — executors' Python workers may not have this repo on
     # their import path, and cloudpickle serializes module-level functions
     # by reference. Locals + numpy/pandas only.
-    def _segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        # pdf is sorted by (grp ASC, ts DESC) and contains only whole
-        # groups. Greedy anchor scan (reference loop src/agg/stream.rs:60-97)
+    def _boundaries(pdf: pd.DataFrame) -> np.ndarray:
+        # Greedy anchor scan (reference loop src/agg/stream.rs:60-97)
         # restarted at every group change, over plain python lists (numpy
-        # scalar indexing in a loop is ~20x slower).
-        ts = pdf["ts"].to_numpy(dtype=np.int64)
-        val = pdf["value"].to_numpy(dtype=np.float64)
-        codes, uniques = pd.factorize(pdf["grp"].to_numpy())
-        ts_list = ts.tolist()
-        grp_list = codes.tolist()
+        # scalar indexing in a loop is ~20x slower). pdf is sorted by
+        # (grp ASC, ts DESC). Returns segment start indices.
+        ts_list = pdf["ts"].to_numpy(dtype=np.int64).tolist()
+        grp_list = pd.factorize(pdf["grp"].to_numpy())[0].tolist()
         n = len(ts_list)
         starts_list = [0]
         anchor = ts_list[0]
@@ -238,12 +248,17 @@ def greedy_buckets(
                 starts_list.append(i)
                 anchor = t
                 g = gi
-        starts = np.asarray(starts_list, dtype=np.int64)
+        return np.asarray(starts_list, dtype=np.int64)
+
+    def _aggregate(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        ts = pdf["ts"].to_numpy(dtype=np.int64)
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(ts)
         lens = np.diff(np.append(starts, n))
         # DESC order: segment max ts = first element, min ts = last element.
         out = pd.DataFrame(
             {
-                "grp": uniques[codes[starts]],
+                "grp": pdf["grp"].to_numpy()[starts],
                 "start_ts": ts[np.append(starts[1:], n) - 1],
                 "end_ts": ts[starts],
                 "len": lens,
@@ -290,17 +305,28 @@ def greedy_buckets(
                 carry = None
             if pdf.empty:
                 continue
-            # Rows of the last group are the trailing contiguous run (the
-            # partition is sorted by grp); hold them back — the group may
-            # continue in the next Arrow batch.
-            grp_vals = pdf["grp"]
-            tail_mask = grp_vals.eq(grp_vals.iloc[-1]).to_numpy()
-            cut = int(len(pdf) - tail_mask[::-1].argmin()) if not tail_mask.all() else 0
+            starts = _boundaries(pdf)
+            # The trailing segment is the open bucket of the trailing
+            # group — its membership can still change with the next Arrow
+            # batch (a not-much-older point may join, or close it); every
+            # earlier segment is final. Emit the closed ones, carry the
+            # open one. Aggregating only closed segments keeps the float
+            # summation order identical to a whole-group pass.
+            cut = int(starts[-1])
             carry = pdf.iloc[cut:]
+            if len(carry) > guard:
+                raise RuntimeError(
+                    f"greedy bucketing: a single data-anchored bucket exceeds "
+                    f"{guard} rows (group {carry['grp'].iloc[0]!r}, width {w} ns "
+                    f"— every point within one width span). This is inherently "
+                    f"sequential per the reference semantics "
+                    f"(src/agg/stream.rs:60-97); use aligned mode or a smaller "
+                    f"granularity for groups this dense."
+                )
             if cut:
-                yield _segment(pdf.iloc[:cut])
+                yield _aggregate(pdf.iloc[:cut], starts[:-1])
         if carry is not None and not carry.empty:
-            yield _segment(carry)
+            yield _aggregate(carry, np.asarray([0], dtype=np.int64))
 
     prepared = (
         scan.select(group_col.alias("grp"), "ts", "value")

@@ -81,6 +81,43 @@ def test_greedy_multi_series_merge(spark):
     assert [b.len for b in res["x"]] == [2, 1]
 
 
+def test_greedy_open_bucket_guard(spark):
+    # pathological density: every point of a group within one width span
+    # -> the open bucket can never close; the task must fail loudly with a
+    # pointer to aligned mode instead of accumulating rows until OOM
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets
+
+    rows = [("m", i, float(i), {"h": "a"}) for i in range(10)]  # all within 1s
+    pts = make_points(spark, rows)
+    df = greedy_buckets(
+        pts.filter(F.col("metric") == "m"),
+        F.col("tags").getItem("h"),
+        "sum",
+        S,
+        max_open_bucket_rows=4,
+    )
+    with pytest.raises(Exception, match="aligned mode"):
+        df.collect()
+
+
+def test_greedy_batch_spanning_buckets(spark):
+    # groups larger than one Arrow batch: closed buckets emit per batch,
+    # only the open bucket carries — results identical to a one-batch run
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [
+            ("m", int(i * 2.5 * S), float(i), {"h": "a"}) for i in range(100)
+        ]  # every gap > width: one bucket per point
+        db = Database.from_points(spark, make_points(spark, rows))
+        res = db.avg("m", "h").mode("greedy").granularity(S).collect()
+        assert len(res["a"]) == 100
+        assert [b.len for b in res["a"]] == [1] * 100
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
 def test_greedy_multigroup(spark):
     # multi-tag grouping works in greedy mode: composed group key is a
     # plain string column for the repartition + segment pass
