@@ -165,6 +165,7 @@ _EXT: dict[str, tuple] = {
     "x11_ann_ivf": (_sim.ivf_topk, _sim.ivf_topk_sql()),
     "x12_embedding_near_dup": (_sim.label_nearest_neighbor, _sim.label_nearest_neighbor_sql()),
     "x13_multimodal_features": (_mm.extract_features, _mm.extract_features_sql()),
+    "x19_wav_decode": (_mm.wav_decode, _mm.wav_decode_sql()),
     "x15_neardup_survivors": (_dedup.neardup_survivors, _dedup.neardup_survivors_sql()),
     "x16_corpus_stats": (_text.corpus_stats, _text.corpus_stats_sql()),
     "x17_pii_scan": (_text.pii_scan, _text.pii_scan_sql()),
