@@ -160,15 +160,47 @@ def ivf_topk_sql() -> str:
     )
 
 
+LSH_SIGN_DIMS = (0, 21, 42)  # axis-aligned hyperplane family (see below)
+
+
+def _lsh_bucket(v) -> "F.Column":
+    """Deterministic LSH bucket: sign bits of fixed coordinates — the
+    axis-aligned instance of the random-hyperplane (SimHash) family.
+    Chosen over seeded dense hyperplanes because the bit is a pure
+    comparison (no float dot-product whose summation order could flip a
+    near-zero sign between engines); at cluster scale swap in a seeded
+    broadcast hyperplane matrix with more bits, same plan shape."""
+    bits = [
+        (v.getItem(d) >= 0).cast("int") * (2**k)
+        for k, d in enumerate(LSH_SIGN_DIMS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{d + 1}] >= 0 THEN {2**k} ELSE 0 END)"
+        for k, d in enumerate(LSH_SIGN_DIMS)
+    )
+
+
 def label_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup scan: each vector's nearest neighbor within its
-    label partition (the blocked all-pairs shape; at scale the label — or
-    an LSH bucket — is the join key, so the shuffle is per-block)."""
-    e = _emb(spark, sf_dir)
+    (label, LSH-bucket) block. Label alone degenerates on a dominant
+    label (one label = one quadratic block = one giant task); the LSH
+    sub-bucket bounds every block in expectation regardless of label
+    skew — the shuffle and the quadratic compare are both per-block.
+    Vectors whose block has no peer have no near-dup candidate and drop
+    out, exactly like an LSH candidate generator."""
+    e = _emb(spark, sf_dir).withColumn("bkt", _lsh_bucket(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_id"),
@@ -187,11 +219,12 @@ def label_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def label_nearest_neighbor_sql() -> str:
     return (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label "
-        "FROM embeddings), "
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label, "
+        f"{_lsh_bucket_sql('embedding')} AS bkt FROM embeddings), "
         "pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id, "
         "(ROUND(list_cosine_similarity(a.v, b.v), 6) + 0) AS cos "
-        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), "
+        "FROM e a JOIN e b ON a.label = b.label AND a.bkt = b.bkt "
+        "AND a.vec_id <> b.vec_id), "
         "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pairs) "
         "SELECT vec_id, neighbor_id, cos FROM ranked WHERE rn = 1"
