@@ -322,6 +322,53 @@ from talna_spark.sources.lineitem import revenue_by_returnflag_sql  # noqa: E402
 _EXT["q27_lineitem_revenue"] = (_q27_lineitem, revenue_by_returnflag_sql(90 * DAY))
 
 
+def _q36_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-path query that provably rewrites onto a materialized
+    rollup (talna_spark.rollup): events are ingested into a cached /tmp
+    warehouse, a 1h rollup is built, and the 6h-granularity query then
+    reads rollup partials instead of raw points (pick_rollup admits it:
+    aligned avg, G % W == 0, no bounds). The oracle is the SAME SQL as the
+    raw-scan twin — the rewrite must be exact. Plan containment is
+    asserted in tests/test_rollup.py; here a cheap admission check fails
+    loudly if the rewrite would silently fall back to raw."""
+    import os
+    import shutil
+
+    from talna_spark.rollup import pick_rollup
+    from talna_spark.sources.events import points_from_events
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    wh = f"/tmp/talna_q36_v1_{tag}"
+    marker = os.path.join(wh, "_Q36_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        db = Database.open(spark, wh)
+        db.write_batch(
+            points_from_events(spark, sf_dir).select(
+                "metric", "ts", "value", "tags"
+            )
+        )
+        db.build_rollup(HOUR)
+        with open(marker, "w") as f:
+            f.write("ok")
+    db = Database.open(spark, wh)
+    assert pick_rollup(wh, "avg", "aligned", 6 * HOUR, None, None) == HOUR, (
+        "rollup rewrite not admissible — q36 would silently test the raw path"
+    )
+    return (
+        db.avg("app.purchase", "user")
+        .granularity(6 * HOUR)
+        .to_df()
+        .withColumn("value", round6("value"))
+    )
+
+
+_EXT["q36_rollup_rewrite"] = (
+    _q36_rollup_rewrite,
+    events_query_sql("avg", "app.purchase", "user", "*", None, None, 6 * HOUR),
+)
+
+
 def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
     kind, metric, group_by, flt, start, end, gran, mode = spec
 

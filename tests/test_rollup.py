@@ -184,3 +184,13 @@ def test_filters_respected_through_rollup(spark, wh):
     finally:
         os.rename(f"{wh}/rollup_{MIN}/_FRESH.bak", f"{wh}/rollup_{MIN}/_FRESH")
     assert with_r == without
+
+
+def test_rewrite_plan_reads_rollup_not_points(spark, wh):
+    # the executed plan of an admissible query must scan the rollup_* table
+    # (q36's driver registration relies on this rewrite actually firing)
+    db = Database.open(spark, wh)
+    df = db.avg("app.purchase", "user").granularity(HOUR).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"rollup_{MIN}" in plan
+    assert "/points" not in plan
