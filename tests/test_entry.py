@@ -22,6 +22,14 @@ TABLES = [
 ]
 
 
+@pytest.fixture(autouse=True)
+def _oracle_sf(monkeypatch):
+    # greedy (q17/q18) oracles are VALUES tables generated from the parquet
+    # at TALNA_ORACLE_SF_DIR (driver default sf0.01) — point them at the
+    # scale this mini-driver actually runs
+    monkeypatch.setenv("TALNA_ORACLE_SF_DIR", SF_DIR)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
