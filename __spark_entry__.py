@@ -10,8 +10,13 @@ driver testdata ``events`` table mapped to the points model (FIXTURES.md
 F8). Oracle SQL is GENERATED from the same filter AST and tag mapping the
 Spark path executes (talna_spark.oracle), so the two sides cannot drift.
 Greedy-mode queries (Q17, Q18) are the reference's sequential bucketing —
-not SQL-expressible — and intentionally have no oracle entry (driver
-records the weaker rows-only check; SURVEY.md §2.3 declares this).
+not SQL-expressible over the raw table — so their oracle is a VALUES table
+of expected rows computed by the literal port of the reference loop
+(oracle.greedy_events_values_sql), giving them full hash-checked rows.
+
+The driver checks at most 50 queries per round; same-category queries are
+consolidated into single UNION ALL registrations tagged by a ``kind``
+column (see _UNION_SPEC) so every registration gets a CORRECTNESS row.
 """
 
 from __future__ import annotations
