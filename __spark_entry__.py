@@ -50,8 +50,6 @@ _SPEC: dict[str, tuple] = {
     # consolidated into ONE registration (a UNION ALL with a `kind` tag
     # column) — the driver checks at most 50 queries per round, and every
     # registered query must get a CORRECTNESS row (r1 left 3 unchecked).
-    "q01_avg": ("avg", "app.purchase", "user", "*", None, None, MIN, "aligned"),
-    "q02_sum": ("sum", "app.purchase", "user", "*", None, None, 5 * MIN, "aligned"),
     "q05_count": ("count", "app.view", "user", "*", None, None, DAY, "aligned"),
     # Q06-Q12: filter DSL coverage (AND/OR/NOT/wildcard/key-exists/nesting/set)
     "q08_not": ("count", "app.click", "user", "!hi:yes", None, None, HOUR, "aligned"),
@@ -72,7 +70,6 @@ _SPEC: dict[str, tuple] = {
     # Q21-Q22: extension aggregates beyond the reference (SURVEY.md §2.2
     # gaps filled Spark-side): exact interpolated percentile; per-series
     # rate-of-change averaged per bucket.
-    "q21_p95": ("p95", "app.purchase", "user", "*", None, None, HOUR, "aligned"),
     "q22_rate": ("rate", "app.click", "etype", "*", None, None, 6 * HOUR, "aligned"),
     # Q23: distinct contributing series per bucket (exact distinct agg)
     "q23_distinct_series": ("distinct_series", "app.view", "etype", "*", None, None, DAY, "aligned"),
@@ -97,6 +94,11 @@ _METHOD_ALIASES = {"twa": "time_weighted_avg"}
 # `kind` tag column on both engine and oracle sides. One registration = one
 # driver CORRECTNESS row covering every part (50-row driver cap).
 _UNION_SPEC: dict[str, list[tuple[str, tuple]]] = {
+    # Q01+Q02: avg / sum (reference agg tests src/db.rs:984, 890)
+    "q01_avg_sum": [
+        ("avg", ("avg", "app.purchase", "user", "*", None, None, MIN, "aligned")),
+        ("sum", ("sum", "app.purchase", "user", "*", None, None, 5 * MIN, "aligned")),
+    ],
     # Q03+Q04: min / max (reference agg tests src/db.rs:796, 702)
     "q03_minmax": [
         ("min", ("min", "app.click", "user", "*", None, None, HOUR, "aligned")),
@@ -295,9 +297,21 @@ def _q34_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXT["q34_stddev"] = (
-    _q34_stddev,
-    "SELECT * FROM ("
+def _q21_p95_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated statistics registration (driver 50-row cap): exact
+    interpolated p95 + per-bucket sample stddev, tagged by `kind`."""
+    p = _make_query(
+        ("p95", "app.purchase", "user", "*", None, None, HOUR, "aligned")
+    )(spark, sf_dir).withColumn("kind", F.lit("p95"))
+    s = _q34_stddev(spark, sf_dir).withColumn("kind", F.lit("stddev"))
+    return p.unionByName(s)
+
+
+_EXT["q21_p95_stddev"] = (
+    _q21_p95_stddev,
+    "SELECT *, 'p95' AS kind FROM ("
+    + events_query_sql("p95", "app.purchase", "user", "*", None, None, HOUR)
+    + ") UNION ALL SELECT *, 'stddev' AS kind FROM ("
     + events_query_sql("stddev", "app.error", "user", "*", None, None, DAY)
     + ") WHERE value IS NOT NULL",
 )
@@ -325,6 +339,26 @@ def _q27_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 from talna_spark.sources.lineitem import revenue_by_returnflag_sql  # noqa: E402
 
 _EXT["q27_lineitem_revenue"] = (_q27_lineitem, revenue_by_returnflag_sql(90 * DAY))
+
+
+def _q37_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: avg click value per (user, session), sessions
+    closed by a >30 min silence — gap-based data-driven windows (the batch
+    cousin of streaming session_window; absent in the reference)."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .avg("app.click", "user")
+        .sessions(30 * MIN)
+        .withColumn("value", round6("value"))
+    )
+
+
+from talna_spark.oracle import events_sessions_sql  # noqa: E402
+
+_EXT["q37_sessions"] = (
+    _q37_sessions,
+    events_sessions_sql("avg", "app.click", "user", "*", 30 * MIN),
+)
 
 
 def _q36_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -451,6 +451,53 @@ def sliding_buckets(
     )
 
 
+def session_buckets(
+    scan: DataFrame, group_col: Column, kind: str, gap: int
+) -> DataFrame:
+    """Batch sessionization (extension: gap-based session windows — the
+    batch cousin of streaming ``session_window``; the reference has only
+    fixed-width and anchor-greedy buckets). Within a group, consecutive
+    points belong to one session while ``ts - prev_ts <= gap`` (inclusive,
+    mirroring greedy's boundary rule); a larger silence closes it. Unlike
+    greedy bucketing (distance measured from the bucket's ANCHOR), the
+    session rule measures consecutive gaps, so a session can extend
+    indefinitely under steady activity — and unlike greedy it is fully
+    declarative: lag + running sum of boundary flags + one aggregation,
+    all JVM-side window/hash operators, no Python.
+
+    Physical shape: one shuffle for the per-group window (lag + cumulative
+    sum over (ts, value)-ordered rows), one hash-agg shuffle on
+    (group, session). Equal timestamps order by value for engine/oracle
+    determinism.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_g").orderBy("ts", "value")
+    run = Window.partitionBy("_g").orderBy("ts", "value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    df = (
+        scan.select(group_col.alias("_g"), "ts", "value")
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("ts") - F.lag("ts").over(w) > F.lit(int(gap)), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_sid", F.sum("_brk").over(run))
+    )
+    return (
+        df.groupBy(F.col("_g").alias("grp"), "_sid")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            _value_agg(kind).alias("value"),
+            F.count(F.lit(1)).alias("len"),
+        )
+        .select("grp", "start_ts", "end_ts", "value", "len")
+    )
+
+
 def gapfill_buckets(
     agg: DataFrame,
     width: int,

@@ -368,6 +368,38 @@ class QueryBuilder:
             raise InvalidQueryError("sliding supports the five basic aggregations")
         return sliding_buckets(scan, self._group_col(), self._kind, w, s)
 
+    def sessions(self, gap_ns: int) -> DataFrame:
+        """Gap-based session windows (extension: batch sessionization —
+        data-driven bucket boundaries where a silence longer than
+        ``gap_ns`` closes the session). Terminal like :meth:`sliding`:
+        ignores granularity (boundaries come from the data), aligned-mode
+        only; the five basic aggregations apply per session."""
+        from talna_spark.aggregate import session_buckets
+
+        if (
+            self._gapfill is not None
+            or self._rolling is not None
+            or self._zscore is not None
+        ):
+            raise InvalidQueryError(
+                "sessions cannot combine with gapfill/rolling/zscore"
+            )
+        if self._mode != "aligned":
+            raise InvalidQueryError("sessions requires aligned mode")
+        if self._granularity_set:
+            raise InvalidQueryError(
+                "sessions ignores granularity — the gap defines boundaries; "
+                "drop the granularity() call"
+            )
+        if int(gap_ns) <= 0:
+            raise InvalidQueryError("session gap must be positive")
+        if self._kind not in ("avg", "sum", "min", "max", "count"):
+            raise InvalidQueryError("sessions supports the five basic aggregations")
+        node = parse_filter_query(self._filter)
+        scan = self._db._backend.scan(self._metric, node, self._start, self._end)
+        scan = self._group_drop_filter(scan)
+        return session_buckets(scan, self._group_col(), self._kind, int(gap_ns))
+
     def _group_keys(self) -> tuple[str, ...]:
         gb = self._group_by
         return (gb,) if isinstance(gb, str) else gb

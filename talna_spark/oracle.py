@@ -387,6 +387,42 @@ def events_sliding_sql(
     )
 
 
+def events_sessions_sql(
+    kind: str,
+    metric: str,
+    group_by,
+    flt: str,
+    gap: int,
+    start: Optional[int] = None,
+    end: Optional[int] = None,
+) -> str:
+    """Oracle for QueryBuilder.sessions: lag -> boundary flag -> running
+    sum -> per-session aggregation, mirroring
+    talna_spark.aggregate.session_buckets (same (ts, value) tie order)."""
+    node = parse_filter_query(flt)
+    pred = compile_to_sql(node, _tag_lookup)
+    grp, notnull = _grp_sql(group_by)
+    where = [f"metric = '{metric}'", f"({pred})"] + notnull
+    if start is not None:
+        where.append(f"ts >= {int(start)}")
+    if end is not None:
+        where.append(f"ts <= {int(end)}")
+    g = int(gap)
+    return (
+        f"{_PTS_CTE}, sel AS (SELECT {grp} AS grpv, ts, value FROM pts "
+        f"WHERE {' AND '.join(where)}), "
+        f"flg AS (SELECT grpv, ts, value, "
+        f"CASE WHEN ts - LAG(ts) OVER w > {g} THEN 1 ELSE 0 END AS brk "
+        f"FROM sel WINDOW w AS (PARTITION BY grpv ORDER BY ts, value)), "
+        f"ses AS (SELECT grpv, ts, value, SUM(brk) OVER "
+        f"(PARTITION BY grpv ORDER BY ts, value "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flg) "
+        f"SELECT grpv AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
+        f"{round6_sql(_agg_sql(kind))} AS value, COUNT(*) AS len "
+        f"FROM ses GROUP BY grpv, sid"
+    )
+
+
 def events_gapfill_sql(
     kind: str,
     metric: str,

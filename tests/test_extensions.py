@@ -427,3 +427,48 @@ def test_delta_net_change(spark):
     assert b.len == 4
     with pytest.raises(InvalidQueryError):
         db.delta("m", "h").mode("greedy").to_df()
+
+
+def test_sessions_gap_boundaries(spark):
+    S = Duration.SECOND
+    rows = [
+        ("m", 0, 1.0, {"h": "a"}),
+        ("m", 5 * S, 2.0, {"h": "a"}),      # gap 5s <= 5s: same session
+        ("m", 20 * S, 3.0, {"h": "a"}),     # gap 15s > 5s: new session
+        ("m", 22 * S, 4.0, {"h": "a"}),
+        ("m", 0, 9.0, {"h": "b"}),          # other group: own sessions
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    out = sorted(
+        (r["grp"], r["start_ts"], r["end_ts"], r["value"], r["len"])
+        for r in db.sum("m", "h").sessions(5 * S).collect()
+    )
+    assert out == [
+        ("a", 0, 5 * S, 3.0, 2),
+        ("a", 20 * S, 22 * S, 7.0, 2),
+        ("b", 0, 0, 9.0, 1),
+    ]
+
+
+def test_sessions_steady_activity_extends(spark):
+    # unlike greedy (anchor distance), steady activity extends a session
+    # indefinitely: 10 points 1s apart with gap=1s -> ONE session
+    S = Duration.SECOND
+    rows = [("m", i * S, 1.0, {"h": "a"}) for i in range(10)]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.count("m", "h").sessions(S).collect()  # DataFrame rows
+    assert len(res) == 1
+    assert res[0]["len"] == 10
+    # greedy with the same width splits on anchor distance
+    res_g = db.count("m", "h").mode("greedy").granularity(S).collect()
+    assert len(res_g["a"]) > 1
+
+
+def test_sessions_validation(spark):
+    db = Database.from_points(spark, make_points(spark, [("m", 0, 1.0, {"h": "a"})]))
+    with pytest.raises(InvalidQueryError, match="aligned"):
+        db.sum("m", "h").mode("greedy").sessions(10)
+    with pytest.raises(InvalidQueryError, match="granularity"):
+        db.sum("m", "h").granularity(60).sessions(10)
+    with pytest.raises(InvalidQueryError, match="positive"):
+        db.sum("m", "h").sessions(0)
