@@ -361,6 +361,47 @@ _EXT["q37_sessions"] = (
 )
 
 
+def _q38_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click aligned with the user's most recent purchase
+    at or before it (union-window algorithm, talna_spark.asof). The oracle
+    is DuckDB's NATIVE ASOF JOIN — two different algorithms, one answer."""
+    from talna_spark.asof import asof_join
+    from talna_spark.sources.events import points_from_events
+
+    pts = points_from_events(spark, sf_dir)
+    u = F.col("tags").getItem("user")
+
+    def side(metric: str) -> DataFrame:
+        return pts.filter((F.col("metric") == metric) & u.isNotNull()).select(
+            u.alias("key"), "ts", "value"
+        )
+
+    out = asof_join(side("app.click"), side("app.purchase"))
+    return out.select(
+        F.col("key").alias("user"),
+        "ts",
+        round6("value").alias("click_value"),
+        F.col("right_ts").alias("purchase_ts"),
+        round6("right_value").alias("purchase_value"),
+    )
+
+
+from talna_spark.oracle import _PTS_CTE as _PTS  # noqa: E402
+
+_EXT["q38_asof"] = (
+    _q38_asof,
+    f"{_PTS}, "
+    "l AS (SELECT tag_user AS k, ts, value FROM pts "
+    "WHERE metric = 'app.click' AND tag_user IS NOT NULL), "
+    "r AS (SELECT tag_user AS k, ts, MAX(value) AS rv FROM pts "
+    "WHERE metric = 'app.purchase' AND tag_user IS NOT NULL "
+    "GROUP BY tag_user, ts) "
+    "SELECT l.k AS \"user\", l.ts AS ts, (ROUND(l.value, 6) + 0) AS click_value, "
+    "r.ts AS purchase_ts, (ROUND(r.rv, 6) + 0) AS purchase_value "
+    "FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts",
+)
+
+
 def _q36_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-path query that provably rewrites onto a materialized
     rollup (talna_spark.rollup): events are ingested into a cached /tmp

@@ -61,10 +61,27 @@ def round6(col: Column | str) -> Column:
 
 def percentile_q(kind: str) -> float | None:
     """``"p95"`` -> 0.95; None when ``kind`` is not a percentile kind."""
-    if not kind.startswith(_P_PREFIX):
+    if not kind.startswith(_P_PREFIX) or kind.startswith("pa"):
         return None
     try:
         q = float(kind[1:]) / 100.0
+    except ValueError:
+        return None
+    return q if 0.0 < q < 1.0 else None
+
+
+# approx_percentile accuracy: the sketch's memory/error knob. 10k keeps the
+# per-(group, bucket) state a few KB while bounding rank error to
+# ~1/10000 of the bucket population — the 100 TB percentile path.
+APPROX_PERCENTILE_ACCURACY = 10_000
+
+
+def approx_percentile_q(kind: str) -> float | None:
+    """``"pa95"`` -> 0.95 (approximate-percentile kind); else None."""
+    if not kind.startswith("pa"):
+        return None
+    try:
+        q = float(kind[2:]) / 100.0
     except ValueError:
         return None
     return q if 0.0 < q < 1.0 else None
@@ -105,6 +122,17 @@ def _value_agg(kind: str) -> Column:
     q = percentile_q(kind)
     if q is not None:
         return F.percentile("value", F.lit(q))
+    qa = approx_percentile_q(kind)
+    if qa is not None:
+        # extension: approximate percentile (Greenwald-Khanna style sketch
+        # — Spark's approx_percentile): single-pass MERGEABLE partials, no
+        # full value sort per bucket. The scale path for percentiles at
+        # high cardinality, exactly as distinct_series_approx is for
+        # distinct counts; the exact `percentile` kind remains the
+        # oracle-checked default.
+        return F.percentile_approx(
+            "value", F.lit(qa), F.lit(APPROX_PERCENTILE_ACCURACY)
+        )
     raise ValueError(f"unknown aggregation: {kind}")
 
 

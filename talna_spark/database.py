@@ -455,6 +455,13 @@ class QueryBuilder:
         elif kind in ("latest", "delta") and self._mode == "greedy":
             raise InvalidQueryError(f"{kind} supports aligned mode only")
         if self._mode == "greedy":
+            from talna_spark.aggregate import approx_percentile_q
+
+            if approx_percentile_q(kind) is not None:
+                raise InvalidQueryError(
+                    "percentile_approx supports aligned mode only "
+                    "(use the exact percentile for greedy buckets)"
+                )
             if self._granularity is None:
                 raise InvalidQueryError("greedy mode requires a finite granularity")
             if self._gapfill is not None:
@@ -780,6 +787,22 @@ class Database:
         # encoding escapes (0,1) (e.g. q one ulp below 1 formats to p100)
         kind = f"p{q * 100:.17g}"
         if percentile_q(kind) is None:
+            raise InvalidQueryError(f"percentile q={q!r} not representable")
+        return QueryBuilder(self, kind, metric, group_by)
+
+    def percentile_approx(self, metric: str, group_by, q: float) -> QueryBuilder:
+        """Approximate percentile per bucket (Greenwald-Khanna sketch via
+        Spark ``approx_percentile``): single-pass mergeable partials, no
+        per-bucket value sort — the scale path for percentiles, as
+        :meth:`distinct_series_approx` is for distinct counts. Aligned
+        mode only; unit-tested against the exact percentile (no oracle:
+        sketch results are engine-specific). Extension."""
+        if not 0.0 < q < 1.0:
+            raise InvalidQueryError("percentile q must be in (0, 1)")
+        from talna_spark.aggregate import approx_percentile_q
+
+        kind = f"pa{q * 100:.17g}"
+        if approx_percentile_q(kind) is None:
             raise InvalidQueryError(f"percentile q={q!r} not representable")
         return QueryBuilder(self, kind, metric, group_by)
 

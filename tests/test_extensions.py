@@ -472,3 +472,33 @@ def test_sessions_validation(spark):
         db.sum("m", "h").granularity(60).sessions(10)
     with pytest.raises(InvalidQueryError, match="positive"):
         db.sum("m", "h").sessions(0)
+
+
+def test_percentile_approx_close_to_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        ("m", i * Duration.SECOND, rng.uniform(0, 1000), {"h": f"h{i % 2}"})
+        for i in range(2000)
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    exact = {
+        (r["grp"], r["start_ts"]): r["value"]
+        for r in db.percentile("m", "h", 0.95).granularity(None).to_df().collect()
+    }
+    approx = {
+        (r["grp"], r["start_ts"]): r["value"]
+        for r in db.percentile_approx("m", "h", 0.95).granularity(None).to_df().collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(exact[k] - approx[k]) <= 25.0, k  # ~2.5% of the range
+
+
+def test_percentile_approx_validation(spark):
+    db = Database.from_points(spark, make_points(spark, [("m", 0, 1.0, {"h": "a"})]))
+    with pytest.raises(InvalidQueryError):
+        db.percentile_approx("m", "h", 1.5)
+    with pytest.raises(InvalidQueryError, match="aligned"):
+        db.percentile_approx("m", "h", 0.95).mode("greedy").to_df()
