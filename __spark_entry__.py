@@ -154,6 +154,7 @@ def _union_sql(parts: list) -> str:
 # ---------------------------------------------------------------------------
 from talna_spark.pipeline import dedup as _dedup
 from talna_spark.pipeline import multimodal as _mm
+from talna_spark.pipeline import sampling as _sampling
 from talna_spark.pipeline import similarity as _sim
 from talna_spark.pipeline import text as _text
 
@@ -173,6 +174,7 @@ _EXT: dict[str, tuple] = {
     "x12_embedding_near_dup": (_sim.label_nearest_neighbor, _sim.label_nearest_neighbor_sql()),
     "x13_multimodal_features": (_mm.extract_features, _mm.extract_features_sql()),
     "x19_wav_decode": (_mm.wav_decode, _mm.wav_decode_sql()),
+    "x20_split_assign": (_sampling.split_assign, _sampling.split_assign_sql()),
     "x15_neardup_survivors": (_dedup.neardup_survivors, _dedup.neardup_survivors_sql()),
     "x16_corpus_stats": (_text.corpus_stats, _text.corpus_stats_sql()),
     "x17_pii_scan": (_text.pii_scan, _text.pii_scan_sql()),

@@ -502,3 +502,15 @@ def test_percentile_approx_validation(spark):
         db.percentile_approx("m", "h", 1.5)
     with pytest.raises(InvalidQueryError, match="aligned"):
         db.percentile_approx("m", "h", 0.95).mode("greedy").to_df()
+
+
+def test_deterministic_sample_is_stable_and_proportional(spark):
+    from talna_spark.pipeline.sampling import deterministic_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 20).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df.repartition(13), "doc_id", 20).collect()}
+    assert s1 == s2  # partitioning-independent
+    assert 0.15 < len(s1) / 5000 < 0.25  # ~20%
+    s_half = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()}
+    assert s_half <= s1  # nested samples: smaller pct is a subset

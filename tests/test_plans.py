@@ -135,3 +135,45 @@ def test_rolling_windows_over_reduced_rows(spark):
         "window must consume the aggregate output (plans print top-down)"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_sessions_two_shuffles_no_python(spark):
+    # sessionization: one window exchange (lag + running sum) + one
+    # hash-agg exchange on (group, session) — all JVM-side
+    from talna_spark.duration import Duration
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    plan = plan_of(db.avg("app.click", "user").sessions(30 * Duration.MINUTE))
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_asof_single_key_shuffle_no_explosion(spark):
+    # union-window as-of: ONE shuffle on the join key, no join operator at
+    # all (the range condition never becomes a nested-loop/cartesian plan)
+    from pyspark.sql import functions as F
+
+    from talna_spark.asof import asof_join
+
+    pts = points_from_events(spark, "/root/testdata/sf0.001")
+    u = F.col("tags").getItem("user")
+
+    def side(metric):
+        return pts.filter((F.col("metric") == metric) & u.isNotNull()).select(
+            u.alias("key"), "ts", "value"
+        )
+
+    plan = plan_of(asof_join(side("app.click"), side("app.purchase")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_split_assign_map_only(spark):
+    # deterministic splitting is a pure projection: no exchange at all
+    from talna_spark.pipeline.sampling import split_assign
+
+    plan = plan_of(split_assign(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
