@@ -130,7 +130,7 @@ def main() -> None:
 
     # (b) headline view-path queries from the declared inventory
     headline = [
-        "q01_avg", "q05_count", "q08_not", "q11_precedence",
+        "q01_avg_sum", "q05_count", "q08_not", "q11_precedence",
         "q16_bench", "q17_greedy_avg", "q29_multigroup", "q32_sliding",
     ]
     qs = entrymod.queries()
@@ -146,7 +146,7 @@ def main() -> None:
     # same-regime evidence (r1 VERDICT item 4).
     tiny_dir = "/root/testdata/sf0.001"
     if os.path.isdir(tiny_dir):
-        for name in ("q01_avg", "q16_bench"):
+        for name in ("q01_avg_sum", "q16_bench"):
             ov = timed(lambda: qs[name](spark, tiny_dir).collect())
             extra[f"{name}_overhead_sec"] = ov
             extra[f"{name}_data_sec"] = round(max(0.0, timings[name] - ov), 4)
