@@ -43,6 +43,34 @@ def stream_ingest(points_stream: DataFrame, warehouse_path: str, checkpoint: str
     )
 
 
+def dedup_stream(
+    points_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once-ify an at-least-once point stream: drop re-delivered
+    duplicates of the same logical point (series identity + timestamp)
+    arriving within the watermark horizon — the standard front door for
+    Kafka-style sources whose producers retry. Chain before
+    :func:`stream_ingest`/rollups.
+
+    State shape: ``dropDuplicatesWithinWatermark`` keeps one (series_id,
+    ts) key per point inside the horizon and expires it with the
+    watermark — bounded by in-horizon point cardinality, the same bound
+    the windowed rollups already carry. Duplicate points from different
+    BATCH generations (beyond the horizon) remain the warehouse
+    compaction's last-writer-wins job, exactly like batch ingest.
+    """
+    from talna_spark.ingest import with_series_identity
+
+    evt = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        with_series_identity(points_stream)
+        .withColumn("_evt", evt)
+        .withWatermark("_evt", watermark)
+        .dropDuplicatesWithinWatermark(["series_id", "ts"])
+        .select("metric", "ts", "value", "tags")
+    )
+
+
 def _windowed(
     points_stream: DataFrame,
     group_by: str,

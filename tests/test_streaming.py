@@ -156,3 +156,27 @@ def test_sliding_rollup_output(spark, dirs):
     assert got[("a", -60_000_000_000)] == (2.0, 1)
     assert got[("a", 0)] == (12.0, 2)
     assert got[("a", 60_000_000_000)] == (10.0, 1)
+
+
+def test_dedup_stream_drops_redelivered_points(spark, dirs):
+    # file 1 delivers three points; file 2 re-delivers two of them (an
+    # at-least-once retry) plus one genuinely new point — the deduped
+    # ingest must keep exactly one copy of each logical point
+    from talna_spark.streaming.ingest import dedup_stream
+
+    make_points(spark, ROWS1).write.mode("append").parquet(dirs["src"])
+    stream = spark.readStream.schema(POINTS_SCHEMA).parquet(dirs["src"])
+    q = stream_ingest(dedup_stream(stream), dirs["wh"], dirs["ckpt"])
+    try:
+        q.processAllAvailable()
+        make_points(spark, [ROWS1[0], ROWS1[2]] + [ROWS2[0]]).write.mode(
+            "append"
+        ).parquet(dirs["src"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    db = Database.open(spark, dirs["wh"])
+    res = db.sum("m", "h").collect()
+    assert res["a"][0].value == 11.0 and res["a"][0].len == 3  # 1+3+7, no dupes
+    assert res["b"][0].value == 5.0 and res["b"][0].len == 1
