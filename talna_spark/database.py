@@ -98,9 +98,17 @@ class WarehouseBackend:
         from talna_spark.ingest import read_series_dim
         from talna_spark.tag_index import has_tag_index
 
+        from talna_spark.ingest import read_facts
+
         self.spark = spark
         self.path = path
         self.series = read_series_dim(spark, path)
+        # fact reader built once per backend generation: the DataFrame's
+        # file index caches the (metric, ts_day) directory listing, which
+        # a per-query read_facts() would redo (~150 dirs at sf0.1; a
+        # catalog round-trip at cluster scale). write_batch/compact/expire
+        # re-run __init__, so freshness tracks the data like self.series.
+        self.facts = read_facts(spark, path)
         # the user's stated preference survives backend reinit (write_batch
         # / compact); the EFFECTIVE flag additionally requires a FRESH index
         # — a stale one (appends since the last build) would silently drop
@@ -130,10 +138,8 @@ class WarehouseBackend:
 
     def scan(self, metric: str, node, start: Optional[int], end: Optional[int]) -> DataFrame:
         # 1) Series selection (dim predicate or inverted tag index).
-        from talna_spark.ingest import read_facts
-
         dim = self._matched_series(metric, node)
-        facts = read_facts(self.spark, self.path)
+        facts = self.facts
         # 2) Partition pruning: metric is a physical partition column; ts_day
         #    prunes whole day-directories before any row-group is touched.
         facts = facts.filter(F.col("metric") == metric)
