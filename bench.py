@@ -157,13 +157,15 @@ def main() -> None:
     # batch size while the Q16-analog latency stays near the floor.
     from pyspark.sql import functions as _F
 
-    copies = [
-        pts.withColumn("ts", _F.col("ts") + _F.lit(i * 3_600_000_000_000))
-        for i in range(10)
-    ]
-    pts10 = copies[0]
-    for c in copies[1:]:
-        pts10 = pts10.unionByName(c)
+    # explode, not a 10-way union: a union drags 10x32 partitions into the
+    # ingest (persist, range-sampling and dedup all pay per-task overhead
+    # on 320 near-empty partitions); explode scales rows 10x with the
+    # partition count flat — measured 2.5x faster at 100x on the same data
+    pts10 = (
+        pts.withColumn("_i", _F.explode(_F.sequence(_F.lit(0), _F.lit(9))))
+        .withColumn("ts", _F.col("ts") + _F.col("_i") * _F.lit(3_600_000_000_000))
+        .drop("_i")
+    )
     runs10, whs10 = [], []
     try:
         for _ in range(REPS):  # min-of-N: one IO hiccup otherwise skews 5x

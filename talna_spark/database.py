@@ -711,11 +711,9 @@ class Database:
         free-form Spark SQL can query them — the escape hatch the
         reference cannot offer (no SQL surface at all)."""
         if isinstance(self._backend, WarehouseBackend):
-            from talna_spark.ingest import read_facts
-
-            read_facts(self.spark, self._backend.path).createOrReplaceTempView(
-                f"{prefix}_points"
-            )
+            # reuse the backend's cached fact reader (same file-index
+            # freshness contract as queries — re-init swaps it)
+            self._backend.facts.createOrReplaceTempView(f"{prefix}_points")
             self._backend.series.createOrReplaceTempView(f"{prefix}_series")
         else:
             self._backend.points.createOrReplaceTempView(f"{prefix}_points")

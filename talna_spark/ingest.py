@@ -48,17 +48,21 @@ def write_fanout(n_rows: int, default_parallelism: int) -> int:
     return max(floor, -(-n_rows // _ROWS_PER_WRITE_TASK))
 
 
-def series_key_col(metric: Column, tags: Column) -> Column:
-    """Canonical series key: ``metric#k1:v1;k2:v2`` with keys sorted
-    (reference src/series_key.rs:20-41)."""
+def series_key_from_entries(metric: Column, entries: Column) -> Column:
+    """Canonical series key from pre-sorted map entries (the array form
+    of the tags map — used where the map has already been converted for
+    hash-aggregability)."""
     joined = F.array_join(
-        F.transform(
-            F.sort_array(F.map_entries(tags)),
-            lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
-        ),
+        F.transform(entries, lambda e: F.concat(e["key"], F.lit(":"), e["value"])),
         ";",
     )
     return F.concat(metric, F.lit("#"), F.coalesce(joined, F.lit("")))
+
+
+def series_key_col(metric: Column, tags: Column) -> Column:
+    """Canonical series key: ``metric#k1:v1;k2:v2`` with keys sorted
+    (reference src/series_key.rs:20-41)."""
+    return series_key_from_entries(metric, F.sort_array(F.map_entries(tags)))
 
 
 def with_series_identity(points: DataFrame) -> DataFrame:
@@ -84,7 +88,17 @@ def write_batch(points: DataFrame, path: str) -> None:
     from talna_spark.timeutil import day_col
 
     enriched = (
-        with_series_identity(points)
+        # Tags travel through the cache as SORTED ENTRY ARRAYS, not the
+        # map: the cached batch is then map-free, which (a) shrinks the
+        # per-row cache footprint (no series_key string, no map), and
+        # (b) keeps the series-dim distinct a HashAggregate below. The
+        # identity hash is computed from the same canonical key string,
+        # just without materializing it per point.
+        points.withColumn("_te", F.sort_array(F.map_entries("tags")))
+        .withColumn(
+            "series_id",
+            F.xxhash64(series_key_from_entries(F.col("metric"), F.col("_te"))),
+        )
         # UTC-stable day partition (timeutil.day_col == timeutil.ns_to_day
         # used by query-side pruning — session timezone must never leak in)
         .withColumn("ts_day", day_col("ts"))
@@ -93,6 +107,7 @@ def write_batch(points: DataFrame, path: str) -> None:
         # lazily by compact_facts; between compactions both versions are
         # visible (documented deviation from the reference's immediacy)
         .withColumn("ingest_seq", F.lit(time.time_ns()))
+        .select("series_id", "ts", "value", "metric", "ts_day", "ingest_seq", "_te")
     )
     enriched.persist(StorageLevel.MEMORY_AND_DISK)
     # Size the write shuffle by batch rows, not by AQE's byte heuristic:
@@ -120,12 +135,20 @@ def write_batch(points: DataFrame, path: str) -> None:
         .parquet(f"{path}/points")
     )
     (
-        enriched.select("series_id", "metric", "tags")
-        .dropDuplicates(["series_id"])
-        # key derived on the post-dedup rows: once per distinct series,
-        # not once per point
+        # Dedup on the sorted entry ARRAYS: a map column would force
+        # dropDuplicates/first() into SortAggregate (maps aren't hash-agg
+        # buffer types — full sort of the batch, measured ~50s at 10M
+        # rows), while array<struct> is an orderable grouping key, so this
+        # distinct stays a partial-agg HashAggregate (~seconds). The map
+        # round-trips losslessly through map_from_entries.
+        enriched.select("series_id", "metric", "_te")
+        .distinct()
+        .withColumn("tags", F.map_from_entries("_te"))
+        # key + map rebuilt on the post-dedup rows: once per distinct
+        # series, not once per point
         .withColumn(
-            "series_key", series_key_col(F.col("metric"), F.col("tags"))
+            "series_key",
+            series_key_from_entries(F.col("metric"), F.col("_te")),
         )
         .select("series_id", "metric", "series_key", "tags")
         .write.mode("append")
@@ -192,7 +215,21 @@ def read_series_dim(spark: SparkSession, path: str) -> DataFrame:
         # compacted dim is already one row per series: skip the dedup
         # shuffle that would otherwise run inside every query's broadcast
         return dim
-    return dim.dropDuplicates(["series_id"])
+    # same SortAggregate dodge as the write side: maps aren't hash-agg
+    # types, sorted entry arrays are — keeps the per-query dedup of an
+    # uncompacted dim a HashAggregate (series_key is a function of
+    # (metric, tags), so including it can't split a group)
+    return (
+        dim.select(
+            "series_id", "metric", "series_key",
+            F.sort_array(F.map_entries("tags")).alias("_te"),
+        )
+        .distinct()
+        .select(
+            "series_id", "metric", "series_key",
+            F.map_from_entries("_te").alias("tags"),
+        )
+    )
 
 
 def read_facts(spark: SparkSession, path: str) -> DataFrame:
