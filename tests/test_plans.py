@@ -177,3 +177,58 @@ def test_split_assign_map_only(spark):
     plan = plan_of(split_assign(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_series_dim_dedup_is_hash_aggregate(spark):
+    # the dim dedup must never sort the batch: maps aren't hash-agg types,
+    # so the dedup groups on sorted entry arrays (HashAggregate) and
+    # rebuilds the map — a SortAggregate here re-sorts every ingested row
+    # (measured ~13x slower at 10M rows). Fresh warehouse: a compacted dim
+    # (module fixture may have been compacted by other tests) legitimately
+    # skips the dedup entirely.
+    from talna_spark.ingest import read_series_dim
+
+    wh = tempfile.mkdtemp(prefix="talna_dedup_plan_")
+    try:
+        db = Database.open(spark, wh)
+        db.write_batch(points_from_events(spark, "/root/testdata/sf0.001"))
+        dim = read_series_dim(spark, wh)
+        plan = plan_of(dim)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    assert "SortAggregate" not in plan, "series dedup fell back to sort aggregation"
+    assert "HashAggregate" in plan
+
+
+def test_ingest_cache_projection_is_map_free(spark):
+    # write_batch persists the enriched batch across its two writes; the
+    # cached projection must carry tags as a sorted entries ARRAY (not the
+    # map, and not the per-point series_key string) or the cache bloats
+    # and the dim dedup de-optimizes
+    from talna_spark.ingest import series_key_from_entries
+    from pyspark.sql import functions as F
+
+    pts = points_from_events(spark, "/root/testdata/sf0.001")
+    enriched = (
+        pts.withColumn("_te", F.sort_array(F.map_entries("tags")))
+        .withColumn(
+            "series_id",
+            F.xxhash64(series_key_from_entries(F.col("metric"), F.col("_te"))),
+        )
+        .select("series_id", "_te")
+    )
+    schema = dict(enriched.dtypes)
+    assert schema["_te"].startswith("array<struct"), schema
+    # lossless round-trip: map -> entries -> map preserves every pair
+    # (maps aren't directly comparable in Spark: check size + every entry)
+    rt = pts.withColumn("_te", F.sort_array(F.map_entries("tags"))).withColumn(
+        "_rt", F.map_from_entries("_te")
+    )
+    n_bad = rt.filter(
+        (F.size("_rt") != F.size("tags"))
+        | ~F.forall(
+            F.map_entries("_rt"),
+            lambda e: F.element_at(F.col("tags"), e["key"]) == e["value"],
+        )
+    ).count()
+    assert n_bad == 0
