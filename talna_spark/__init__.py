@@ -13,7 +13,7 @@ LSM tree; execution is Catalyst/Tungsten instead of a hand-fused iterator
 pipeline. See SURVEY.md §1.4 for the full mapping.
 """
 
-from talna_spark.database import Database, QueryBuilder
+from talna_spark.database import BinaryQueryBuilder, Database, QueryBuilder
 from talna_spark.duration import Duration
 from talna_spark.errors import InvalidQueryError, TalnaError
 from talna_spark.metric import validate_metric_name
@@ -23,6 +23,7 @@ MINUTE_NS = 60_000_000_000  # default bucket width (reference src/db.rs:21)
 __all__ = [
     "Database",
     "QueryBuilder",
+    "BinaryQueryBuilder",
     "Duration",
     "TalnaError",
     "InvalidQueryError",

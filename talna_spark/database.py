@@ -583,6 +583,112 @@ class QueryBuilder:
         return rows_to_bucket_map(r.asDict() for r in self.to_df().collect())
 
 
+class BinaryQueryBuilder:
+    """Arithmetic between two metrics' aligned bucket series (extension:
+    the PromQL-style binary operation — ``errors / requests`` per group
+    per bucket — that the reference's one-metric-per-query model cannot
+    express).
+
+    Each side aggregates independently (same kind, filter, bounds and
+    granularity), then the two REDUCED bucket frames join on
+    ``(group, bucket index)`` — the join moves groups x buckets rows,
+    never raw points, and AQE is free to broadcast the smaller side.
+    Inner-join semantics: buckets where either metric is silent are
+    dropped (PromQL vector matching drops non-matching samples the same
+    way). ``div`` yields NULL on a zero denominator.
+
+    Result columns mirror the single-metric shape: ``start_ts``/``end_ts``
+    span both sides' observed extremes; ``len`` counts both sides' points.
+    """
+
+    _OPS = {"add": "+", "sub": "-", "mul": "*", "div": "/"}
+
+    def __init__(
+        self, db: "Database", op: str, kind: str,
+        left_metric: str, right_metric: str, group_by,
+    ):
+        if op not in self._OPS:
+            raise InvalidQueryError(
+                f"unknown binary op: {op!r} (one of {sorted(self._OPS)})"
+            )
+        if kind not in ("avg", "sum", "min", "max", "count"):
+            raise InvalidQueryError(
+                "binary ops support the five basic aggregations"
+            )
+        self._db = db
+        self._op = op
+        self._kind = kind
+        self._left = validate_metric_name(left_metric)
+        self._right = validate_metric_name(right_metric)
+        self._group_by = group_by
+        self._filter = "*"
+        self._start: Optional[int] = None
+        self._end: Optional[int] = None
+        self._granularity: Optional[int] = MINUTE_NS
+
+    def filter(self, expr: str) -> "BinaryQueryBuilder":
+        self._filter = expr
+        return self
+
+    def start(self, ts_ns: int) -> "BinaryQueryBuilder":
+        self._start = _validate_ts(ts_ns)
+        return self
+
+    def end(self, ts_ns: int) -> "BinaryQueryBuilder":
+        self._end = _validate_ts(ts_ns)
+        return self
+
+    def granularity(self, width_ns: Optional[int]) -> "BinaryQueryBuilder":
+        if width_ns is not None and width_ns <= 0:
+            raise InvalidQueryError("granularity must be positive")
+        self._granularity = None if width_ns is None else int(width_ns)
+        return self
+
+    def _side(self, metric: str) -> QueryBuilder:
+        b = QueryBuilder(self._db, self._kind, metric, self._group_by)
+        b = b.filter(self._filter).granularity(self._granularity)
+        if self._start is not None:
+            b = b.start(self._start)
+        if self._end is not None:
+            b = b.end(self._end)
+        return b
+
+    def to_df(self) -> DataFrame:
+        l = self._side(self._left).to_df()
+        r = self._side(self._right).to_df().select(
+            F.col("grp").alias("_rgrp"),
+            F.col("start_ts").alias("_rstart"),
+            F.col("end_ts").alias("_rend"),
+            F.col("value").alias("_rvalue"),
+            F.col("len").alias("_rlen"),
+        )
+        cond = l["grp"] == r["_rgrp"]
+        if self._granularity is not None:
+            g = int(self._granularity)
+            # observed min ts lies inside its bucket, so `start_ts div g`
+            # IS the bucket index on both sides (ts >= 0 enforced at the
+            # API boundary keeps div == floor)
+            cond = cond & (
+                F.expr(f"start_ts div {g}") == F.expr(f"_rstart div {g}")
+            )
+        lv, rv = F.col("value"), F.col("_rvalue")
+        if self._op == "div":
+            value = F.when(rv != 0.0, lv / rv)
+        else:
+            value = {
+                "add": lv + rv, "sub": lv - rv, "mul": lv * rv
+            }[self._op]
+        return l.join(r, cond, "inner").select(
+            "grp",
+            F.least("start_ts", "_rstart").alias("start_ts"),
+            F.greatest("end_ts", "_rend").alias("end_ts"),
+            value.alias("value"),
+            (F.col("len") + F.col("_rlen")).alias("len"),
+        )
+
+    build = to_df
+
+
 class DatabaseBuilder:
     """Builder mirroring ``Database::builder()`` (reference
     src/db_builder.rs:48-56, operators O1-O4).
@@ -846,6 +952,23 @@ class Database:
         max ts; ties take the larger value). Aligned mode only. Extension
         beyond the reference — the standard TSDB "current value" query."""
         return QueryBuilder(self, "latest", metric, group_by)
+
+    def binary(
+        self, op: str, left_metric: str, right_metric: str, group_by,
+        kind: str = "sum",
+    ) -> BinaryQueryBuilder:
+        """PromQL-style arithmetic between two metrics' bucket series
+        (``add``/``sub``/``mul``/``div``); each side aggregates with
+        ``kind`` first, then matching (group, bucket) pairs combine.
+        Extension beyond the reference's one-metric-per-query model."""
+        return BinaryQueryBuilder(self, op, kind, left_metric, right_metric, group_by)
+
+    def ratio(
+        self, num_metric: str, den_metric: str, group_by, kind: str = "sum"
+    ) -> BinaryQueryBuilder:
+        """``num / den`` per (group, bucket) — the error-rate / hit-rate
+        query (NULL where the denominator bucket is 0). Extension."""
+        return self.binary("div", num_metric, den_metric, group_by, kind)
 
     def time_weighted_avg(self, metric: str, group_by: str) -> QueryBuilder:
         """Time-weighted average per bucket: each point's value weighted by

@@ -423,6 +423,45 @@ def events_sessions_sql(
     )
 
 
+def events_binary_sql(
+    op: str,
+    kind: str,
+    left_metric: str,
+    right_metric: str,
+    group_by,
+    flt: str = "*",
+    start: Optional[int] = None,
+    end: Optional[int] = None,
+    granularity: Optional[int] = 60_000_000_000,
+) -> str:
+    """Oracle for Database.binary/ratio: each side is the single-metric
+    aligned query (unrounded), inner-joined on (group, bucket index);
+    ``div`` NULLs a zero denominator, mirroring BinaryQueryBuilder."""
+    sym = {"add": "+", "sub": "-", "mul": "*", "div": "/"}[op]
+    lsql = events_query_sql(
+        kind, left_metric, group_by, flt, start, end, granularity,
+        round_value=False,
+    )
+    rsql = events_query_sql(
+        kind, right_metric, group_by, flt, start, end, granularity,
+        round_value=False,
+    )
+    rv = "NULLIF(r.value, 0)" if op == "div" else "r.value"
+    on = "l.grp = r.grp"
+    if granularity is not None:
+        g = int(granularity)
+        on += f" AND (l.start_ts // {g}) = (r.start_ts // {g})"
+    return (
+        f"WITH l AS ({lsql}), r AS ({rsql}) "
+        f"SELECT l.grp AS grp, "
+        f"LEAST(l.start_ts, r.start_ts) AS start_ts, "
+        f"GREATEST(l.end_ts, r.end_ts) AS end_ts, "
+        f"{round6_sql(f'(l.value {sym} {rv})')} AS value, "
+        f"l.len + r.len AS len "
+        f"FROM l JOIN r ON {on}"
+    )
+
+
 def events_gapfill_sql(
     kind: str,
     metric: str,
