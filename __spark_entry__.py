@@ -67,23 +67,12 @@ _SPEC: dict[str, tuple] = {
     "q19_group_drop": ("avg", "app.view", "hi", "*", None, None, HOUR, "aligned"),
     # Q20: empty series selection -> empty result (src/db.rs:195-198)
     "q20_empty": ("avg", "app.purchase", "user", "user:3 AND nosuch:tag", None, None, MIN, "aligned"),
-    # Q21-Q22: extension aggregates beyond the reference (SURVEY.md §2.2
-    # gaps filled Spark-side): exact interpolated percentile; per-series
-    # rate-of-change averaged per bucket.
-    "q22_rate": ("rate", "app.click", "etype", "*", None, None, 6 * HOUR, "aligned"),
-    # Q23: distinct contributing series per bucket (exact distinct agg)
-    "q23_distinct_series": ("distinct_series", "app.view", "etype", "*", None, None, DAY, "aligned"),
     # Q26: time-weighted average (step interpolation; zero-weight buckets dropped)
     "q26_twa": ("twa", "app.purchase", "etype", "*", None, None, 6 * HOUR, "aligned"),
-    # extension: snapshot (value at max ts per group per bucket)
-    "q28_latest": ("latest", "app.error", "user", "*", None, None, DAY, "aligned"),
     # Q29: multi-tag group-by (Datadog-style `by {user,hi}`; the reference
     # groups by exactly one tag) — composed group "user:V,hi:W"; series
     # lacking ANY group tag are dropped (O25 generalized)
     "q29_multigroup": ("avg", "app.purchase", ("user", "hi"), "*", None, None, 6 * HOUR, "aligned"),
-    # Q30: reset-aware counter increase (PromQL increase(); per-series
-    # deltas, resets restart from 0), summed per bucket
-    "q30_increase": ("increase", "app.view", "etype", "*", None, None, 6 * HOUR, "aligned"),
     # Q35: gauge delta — net change across each bucket (struct extrema)
     "q35_delta": ("delta", "app.purchase", "user", "*", None, None, DAY, "aligned"),
 }
@@ -120,6 +109,19 @@ _UNION_SPEC: dict[str, list[tuple[str, tuple]]] = {
         ("start", ("count", "app.click", "user", "*", T_JAN10, None, None, "aligned")),
         ("end", ("count", "app.click", "user", "*", None, T_JAN20, None, "aligned")),
         ("range", ("count", "app.click", "user", "*", T_JAN10, T_JAN20, None, "aligned")),
+    ],
+    # Q22+Q30: the per-series derivative family — rate of change / PromQL
+    # increase() with counter-reset handling (consolidated to free driver
+    # slots for q39/q40 under the 50-row cap)
+    "q22_rate_increase": [
+        ("rate", ("rate", "app.click", "etype", "*", None, None, 6 * HOUR, "aligned")),
+        ("increase", ("increase", "app.view", "etype", "*", None, None, 6 * HOUR, "aligned")),
+    ],
+    # Q23+Q28: bucket cardinality (exact distinct contributing series) +
+    # snapshot (value at max ts per group per bucket)
+    "q23_distinct_latest": [
+        ("distinct", ("distinct_series", "app.view", "etype", "*", None, None, DAY, "aligned")),
+        ("latest", ("latest", "app.error", "user", "*", None, None, DAY, "aligned")),
     ],
 }
 

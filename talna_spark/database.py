@@ -52,11 +52,49 @@ from talna_spark.timeutil import ns_to_day as _ns_to_date  # one shared definiti
 
 
 # A view may expose `_raw_ts`: the stored (pre-transformation) timestamp
-# column, guaranteed to satisfy ts <= _raw_ts <= ts + RAW_TS_SLACK_NS.
-# Predicates on the derived `ts` cannot reach the file scan, but widened
-# bounds on `_raw_ts` are attribute-level and push down to row-group
-# skipping; the exact `ts` predicate then filters the residue.
+# column. For an int64 raw column it satisfies ts <= _raw_ts <= ts +
+# RAW_TS_SLACK_NS (derived ts is µs-truncated); for a timestamp[us] raw
+# column the derived ns value is exact (_raw_ts == ts up to the unit
+# change). Predicates on the derived `ts` cannot reach the file scan, but
+# bounds re-expressed on `_raw_ts` in its stored type are attribute-level
+# and push down to row-group skipping; the exact `ts` predicate then
+# filters the residue.
 RAW_TS_SLACK_NS = 999
+
+
+def _raw_ts_bounds(raw_type, start: Optional[int], end: Optional[int]):
+    """(lower, upper) Column literals bounding the `_raw_ts` pushdown
+    column, in its stored type. The ns -> µs conversion widens outward
+    (floor for the lower bound, ceil for the upper) so the raw predicate
+    is always a superset of the exact ts predicate."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    def lit(ns: int, *, ceil: bool):
+        if isinstance(raw_type, LongType):
+            return F.lit(int(ns))
+        us = -((-int(ns)) // 1000) if ceil else int(ns) // 1000
+        if isinstance(raw_type, TimestampNTZType):
+            # wall-clock add from the NTZ epoch: timezone-free, foldable
+            # to a literal before pushdown
+            return F.expr(
+                "timestampadd(MICROSECOND, "
+                f"{us}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            )
+        if isinstance(raw_type, TimestampType):
+            return F.expr(f"timestamp_micros({us}L)")
+        return None
+
+    lower = upper = None
+    if start is not None:
+        # derived ts >= start implies raw >= floor_us(start) in every
+        # representation (raw >= ts for the int64-ns truncated case,
+        # raw == ts for timestamp[us])
+        lower = lit(int(start), ceil=False)
+    if end is not None:
+        # int64 raw: raw <= ts + slack <= end + slack; timestamp raw:
+        # raw(µs) * 1000 <= end implies raw <= ceil_us(end)
+        upper = lit(int(end) + RAW_TS_SLACK_NS, ceil=True)
+    return lower, upper
 
 
 class ViewBackend:
@@ -69,16 +107,22 @@ class ViewBackend:
     def scan(self, metric: str, node, start: Optional[int], end: Optional[int]) -> DataFrame:
         df = self.points.filter(F.col("metric") == metric)
         has_raw = "_raw_ts" in self.points.columns
-        # Time-range pushdown (O11): plain ts predicates reach the parquet
+        lower = upper = None
+        if has_raw:
+            lower, upper = _raw_ts_bounds(
+                self.points.schema["_raw_ts"].dataType, start, end
+            )
+        # Time-range pushdown (O11): the exact predicate goes on the
+        # derived ts; its widened twin on `_raw_ts` reaches the parquet
         # scan as PushedFilters / row-group min-max skipping.
         if start is not None:
             df = df.filter(F.col("ts") >= F.lit(int(start)))
-            if has_raw:  # ts <= _raw_ts, so ts >= start implies _raw_ts >= start
-                df = df.filter(F.col("_raw_ts") >= F.lit(int(start)))
+            if lower is not None:
+                df = df.filter(F.col("_raw_ts") >= lower)
         if end is not None:
             df = df.filter(F.col("ts") <= F.lit(int(end)))
-            if has_raw:  # _raw_ts <= ts + slack <= end + slack
-                df = df.filter(F.col("_raw_ts") <= F.lit(int(end) + RAW_TS_SLACK_NS))
+            if upper is not None:
+                df = df.filter(F.col("_raw_ts") <= upper)
         return df.filter(compile_to_column(node, F.col("tags")))
 
 

@@ -50,11 +50,11 @@ def points_from_events(
     key = (sf_dir, parallelism)
     if key in cache:
         return cache[key]
-    # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    # reader rejects by default; nanosAsLong reads it as int64 ns — exactly
-    # our timestamp representation. DuckDB truncates the same column to µs
-    # (TIMESTAMP), so we truncate too: epoch_ns(ts) on the oracle side then
-    # matches bit-for-bit.
+    # The driver testdata's ts column has shipped as BOTH parquet
+    # TIMESTAMP(NANOS) (rounds 1-2; nanosAsLong reads it as int64 ns) and
+    # plain timestamp[us] (round 3+; Spark reads TIMESTAMP_NTZ). Sniff the
+    # decoded type and normalize to int64 epoch ns either way, with the
+    # exact value DuckDB's epoch_ns(ts) produces on the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if parallelism:
@@ -73,15 +73,37 @@ def points_from_events(
         ),
         lambda _k, v: v.isNotNull(),
     )
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    if ts_type == "timestamp_ntz":
+        # Wall-clock diff from the NTZ epoch is timezone-free arithmetic —
+        # identical to DuckDB's epoch_ns on the naive timestamp no matter
+        # what spark.sql.session.timeZone is (the driver's session is not
+        # ours to configure).
+        ts_ns = (
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            * 1000
+        ).cast("long")
+    elif ts_type == "timestamp":
+        ts_ns = (F.unix_micros(F.col("ts")) * 1000).cast("long")
+    else:  # int64 ns via nanosAsLong, truncated to µs to match DuckDB
+        ts_ns = F.expr("(ts div 1000) * 1000").cast("long")
     out = cache[key] = ev.select(
         F.concat(F.lit("app."), F.lower("event_type")).alias("metric"),
-        # int64 ns via nanosAsLong, truncated to µs to match DuckDB
-        F.expr("(ts div 1000) * 1000").cast("long").alias("ts"),
-        # raw (untruncated) ts under the pushdown convention: predicates on
-        # the derived `ts` cannot reach the parquet scan, but `_raw_ts` is a
-        # plain alias of the stored column, so widened time bounds on it
-        # push down to row-group skipping (see ViewBackend.scan).
-        F.col("ts").cast("long").alias("_raw_ts"),
+        ts_ns.alias("ts"),
+        # raw (pre-conversion) ts under the pushdown convention: predicates
+        # on the derived `ts` cannot reach the parquet scan, but `_raw_ts`
+        # is a plain alias of the stored column (timestamp branches) or a
+        # no-op cast (int64 branch), so time bounds re-expressed on it in
+        # the stored type push down to row-group skipping (see
+        # ViewBackend.scan, which sniffs this column's type).
+        (
+            F.col("ts").alias("_raw_ts")
+            if ts_type in ("timestamp", "timestamp_ntz")
+            else F.col("ts").cast("long").alias("_raw_ts")
+        ),
         F.col("value").cast("double").alias("value"),
         tags.alias("tags"),
     )
