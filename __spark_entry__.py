@@ -406,23 +406,37 @@ _EXT["q38_asof"] = (
 )
 
 
-def _q36_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Warehouse-path query that provably rewrites onto a materialized
-    rollup (talna_spark.rollup): events are ingested into a cached /tmp
-    warehouse, a 1h rollup is built, and the 6h-granularity query then
-    reads rollup partials instead of raw points (pick_rollup admits it:
-    aligned avg, G % W == 0, no bounds). The oracle is the SAME SQL as the
-    raw-scan twin — the rewrite must be exact. Plan containment is
-    asserted in tests/test_rollup.py; here a cheap admission check fails
-    loudly if the rewrite would silently fall back to raw."""
+_Q36_TIX_FILTER = "user:3 AND k:1* OR user:4 AND !k:2*"
+
+
+def _q36_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-path registration, two `kind` slices over one ingested +
+    compacted /tmp warehouse:
+
+    - ``rollup``: query that provably rewrites onto a materialized 1h
+      rollup (talna_spark.rollup) — the 6h-granularity avg reads rollup
+      partials instead of raw points (pick_rollup admits it: aligned avg,
+      G % W == 0, no bounds). Admission is checked with a raise (an
+      assert would vanish under ``python -O`` and silently test the raw
+      path).
+    - ``tagindex``: query whose series selection runs through the
+      inverted tag index (talna_spark.tag_index postings algebra — the
+      reference's actual query architecture, src/tag_index.rs:103-146),
+      exercising AND / OR / NOT / wildcard postings set operations
+      end-to-end through a full query lifecycle.
+
+    Both oracles are the SAME SQL as their ViewBackend twins — the
+    warehouse round-trip, compaction, rollup rewrite and postings-path
+    series selection must all be exact."""
     import os
     import shutil
 
+    from talna_spark.maintenance import compact
     from talna_spark.rollup import pick_rollup
     from talna_spark.sources.events import points_from_events
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    wh = f"/tmp/talna_q36_v1_{tag}"
+    wh = f"/tmp/talna_q36_v2_{tag}"
     marker = os.path.join(wh, "_Q36_READY")
     if not os.path.exists(marker):
         shutil.rmtree(wh, ignore_errors=True)
@@ -432,24 +446,81 @@ def _q36_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "metric", "ts", "value", "tags"
             )
         )
+        # compact BEFORE build_rollup: fact compaction invalidates rollups
+        # (LWW dedup can change the visible multiset), and it also builds
+        # the inverted tag index the tagindex slice requires
+        compact(spark, wh)
         db.build_rollup(HOUR)
         with open(marker, "w") as f:
             f.write("ok")
     db = Database.open(spark, wh)
-    assert pick_rollup(wh, "avg", "aligned", 6 * HOUR, None, None) == HOUR, (
-        "rollup rewrite not admissible — q36 would silently test the raw path"
-    )
-    return (
+    if pick_rollup(wh, "avg", "aligned", 6 * HOUR, None, None) != HOUR:
+        raise RuntimeError(
+            "rollup rewrite not admissible — q36 would silently test the raw path"
+        )
+    roll = (
         db.avg("app.purchase", "user")
         .granularity(6 * HOUR)
+        .to_df()
+        .withColumn("value", round6("value"))
+        .withColumn("kind", F.lit("rollup"))
+    )
+    dbx = Database.open(spark, wh, use_tag_index=True)
+    if not dbx._backend.use_tag_index:
+        raise RuntimeError(
+            "tag index missing/stale — q36 would silently test the dim path"
+        )
+    tix = (
+        dbx.avg("app.purchase", "user")
+        .filter(_Q36_TIX_FILTER)
+        .granularity(HOUR)
+        .to_df()
+        .withColumn("value", round6("value"))
+        .withColumn("kind", F.lit("tagindex"))
+    )
+    return roll.unionByName(tix)
+
+
+_EXT["q36_rollup_tagindex"] = (
+    _q36_warehouse,
+    "SELECT *, 'rollup' AS kind FROM ("
+    + events_query_sql("avg", "app.purchase", "user", "*", None, None, 6 * HOUR)
+    + ") UNION ALL SELECT *, 'tagindex' AS kind FROM ("
+    + events_query_sql(
+        "avg", "app.purchase", "user", _Q36_TIX_FILTER, None, None, HOUR
+    )
+    + ")",
+)
+
+
+from talna_spark.pipeline import relevance as _rel  # noqa: E402
+
+# BM25 top-k lexical retrieval over documents (pipeline.relevance): the
+# DuckDB twin recomputes the same integer-input scoring formula.
+_EXT["q39_bm25"] = (_rel.bm25_topk, _rel.bm25_topk_sql())
+
+
+def _q40_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style binary metric arithmetic (BinaryQueryBuilder): the
+    error rate — count(app.error) / count(app.view) per user per day.
+    Inner-join vector matching; a count denominator is never 0, so the
+    div-NULL path stays out of the driver's NULL-vs-NaN compare."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .ratio("app.error", "app.view", "user", kind="count")
+        .granularity(DAY)
         .to_df()
         .withColumn("value", round6("value"))
     )
 
 
-_EXT["q36_rollup_rewrite"] = (
-    _q36_rollup_rewrite,
-    events_query_sql("avg", "app.purchase", "user", "*", None, None, 6 * HOUR),
+from talna_spark.oracle import events_binary_sql  # noqa: E402
+
+_EXT["q40_ratio"] = (
+    _q40_ratio,
+    events_binary_sql(
+        "div", "count", "app.error", "app.view", "user", "*", None, None, DAY
+    ),
 )
 
 
