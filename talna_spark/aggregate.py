@@ -370,6 +370,244 @@ def greedy_buckets(
     return prepared.mapInPandas(_bucketize, schema=RESULT_SCHEMA)
 
 
+def _sliced_prepared(scan: DataFrame, group_col: Column, slice_width: int) -> DataFrame:
+    """Pass-1 input for :func:`greedy_buckets_sliced`: points keyed by
+    (grp, coarse time slice). Exposed separately so tests can assert a
+    single group's rows really spread over >= 2 shuffle partitions."""
+    return scan.select(
+        group_col.alias("grp"),
+        F.expr(f"ts div {int(slice_width)}").alias("slice"),
+        "ts",
+        "value",
+    )
+
+
+def greedy_buckets_sliced(
+    scan: DataFrame,
+    group_col: Column,
+    kind: str,
+    width: int,
+    slice_width: int,
+    max_open_bucket_rows: int = 20_000_000,
+) -> DataFrame:
+    """Two-level parallel form of the reference's greedy bucketing (O27),
+    bit-identical to :func:`greedy_buckets` — the scale path for groups
+    too large for one task.
+
+    The greedy rule (src/agg/stream.rs:60-97) is a sequential scan, but it
+    has a synchronization property: any inter-point gap > width forces a
+    re-anchor REGARDLESS of upstream state (the anchor is the bucket's
+    newest point, so anchor - ts >= gap > width). Within a coarse time
+    slice, everything from the first such forced reset on is therefore
+    entry-independent and final; only the slice's head (rows before its
+    first reset) and its open tail bucket depend on neighboring slices.
+
+    - Pass 1 (parallel over (grp, slice), applyInPandas): finalize and
+      aggregate every entry-independent closed segment; emit head rows and
+      open-tail rows as raw "pending" rows (tail rows flagged).
+    - Pass 2 (per grp, mapInPandas with batch carry): one ordered scan
+      over ONLY the pending rows, re-anchoring at each tail-block start
+      (a true boundary — it was computed after a forced reset). Heads
+      chain onto the previous slice's open bucket exactly as the global
+      sequential scan would; the omitted final middles never chain
+      (the forced re-anchor cuts them off).
+
+    Dense pathological data (no gap > width anywhere) degrades gracefully:
+    every row is pending and pass 2 IS the single-task scan, same loud
+    ``max_open_bucket_rows`` guard. Float summation order per bucket is
+    the same (ts DESC, value ASC) contiguous order in both passes, so
+    results are bit-identical to the one-task path.
+
+    ``slice_width`` should be >> width (e.g. >= 100x) so heads/tails stay
+    a small fraction; it must be positive and is validated > width.
+    """
+    if int(slice_width) <= int(width):
+        raise ValueError(
+            "slice_width must exceed the bucket width (a slice shorter "
+            "than one bucket can never contain a forced reset)"
+        )
+    kind_b = kind
+    pq = percentile_q(kind)
+    w = int(width)
+    guard = int(max_open_bucket_rows)
+
+    # NOTE: closures must be self-contained (numpy/pandas + captured
+    # locals only) — executors' Python workers don't import talna_spark.
+    # _agg_frame is a LOCAL captured by value in both pass closures.
+    def _agg_frame(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+        # identical aggregation (and float order) to greedy_buckets
+        ts = pdf["ts"].to_numpy(dtype=np.int64)
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(ts)
+        lens = np.diff(np.append(starts, n))
+        out = pd.DataFrame(
+            {
+                "grp": pdf["grp"].to_numpy()[starts],
+                "start_ts": ts[np.append(starts[1:], n) - 1],
+                "end_ts": ts[starts],
+                "len": lens,
+            }
+        )
+        if kind_b == "avg":
+            out["value"] = np.add.reduceat(val, starts) / lens
+        elif kind_b == "sum":
+            out["value"] = np.add.reduceat(val, starts)
+        elif kind_b == "min":
+            out["value"] = np.minimum.reduceat(val, starts)
+        elif kind_b == "max":
+            out["value"] = np.maximum.reduceat(val, starts)
+        elif kind_b == "count":
+            out["value"] = lens.astype("float64")
+        elif kind_b == "stddev":
+            bounds = np.append(starts, n)
+            out["value"] = [
+                float(np.std(val[bounds[i]: bounds[i + 1]], ddof=1))
+                if lens[i] > 1
+                else None
+                for i in range(len(starts))
+            ]
+        elif pq is not None:
+            bounds = np.append(starts, n)
+            out["value"] = [
+                float(np.percentile(val[bounds[i]: bounds[i + 1]], pq * 100.0))
+                for i in range(len(starts))
+            ]
+        else:
+            raise ValueError(f"unknown aggregation: {kind_b}")
+        return out[["grp", "start_ts", "end_ts", "value", "len"]]
+
+    _P1_SCHEMA = (
+        "grp string, slice long, final boolean, tail boolean, ts long, "
+        "raw double, start_ts long, end_ts long, value double, len long"
+    )
+
+    def _pass1(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one whole (grp, slice) block; order is not guaranteed by the
+        # cogroup shuffle — re-pin it
+        pdf = pdf.sort_values(
+            ["ts", "value"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        cols = ["grp", "slice", "final", "tail", "ts", "raw",
+                "start_ts", "end_ts", "value", "len"]
+        if n == 0:
+            return pd.DataFrame(columns=cols)
+        ts_list = pdf["ts"].to_numpy(dtype=np.int64).tolist()
+
+        def pending(sub: pd.DataFrame, is_tail: bool) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "grp": sub["grp"].to_numpy(),
+                    "slice": sub["slice"].to_numpy(),
+                    "final": False,
+                    "tail": is_tail,
+                    "ts": sub["ts"].to_numpy(),
+                    "raw": sub["value"].to_numpy(),
+                    "start_ts": pd.array([None] * len(sub), dtype="Int64"),
+                    "end_ts": pd.array([None] * len(sub), dtype="Int64"),
+                    "value": np.nan,
+                    "len": pd.array([None] * len(sub), dtype="Int64"),
+                }
+            )
+
+        first_reset = None
+        for i in range(1, n):
+            if ts_list[i - 1] - ts_list[i] > w:
+                first_reset = i
+                break
+        if first_reset is None:
+            # no forced reset: the whole slice is entry-dependent head
+            return pending(pdf, False)[cols]
+        starts_list = [first_reset]
+        anchor = ts_list[first_reset]
+        for i in range(first_reset + 1, n):
+            if anchor - ts_list[i] > w:
+                starts_list.append(i)
+                anchor = ts_list[i]
+        head = pending(pdf.iloc[:first_reset], False)
+        tail = pending(pdf.iloc[starts_list[-1]:], True)
+        parts = [head, tail]
+        if len(starts_list) > 1:  # closed, entry-independent segments
+            mid = pdf.iloc[first_reset: starts_list[-1]].reset_index(drop=True)
+            rel = np.asarray(starts_list[:-1], dtype=np.int64) - first_reset
+            agg = _agg_frame(mid, rel)
+            agg.insert(1, "slice", pdf["slice"].iloc[0])
+            agg.insert(2, "final", True)
+            agg.insert(3, "tail", False)
+            agg.insert(4, "ts", pd.array([None] * len(agg), dtype="Int64"))
+            agg.insert(5, "raw", np.nan)
+            parts.append(agg)
+        return pd.concat(parts, ignore_index=True)[cols]
+
+    def _pass2(batches):
+        # sequential stitch over pending rows only, batch-carried like
+        # greedy_buckets._bucketize, with forced re-anchor at tail starts
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            ts_list = pdf["ts"].to_numpy(dtype=np.int64).tolist()
+            grp_list = pd.factorize(pdf["grp"].to_numpy())[0].tolist()
+            sl_list = pdf["slice"].to_numpy(dtype=np.int64).tolist()
+            tl_list = pdf["tail"].to_numpy(dtype=bool).tolist()
+            n = len(ts_list)
+            starts_list = [0]
+            anchor = ts_list[0]
+            g = grp_list[0]
+            for i in range(1, n):
+                forced = tl_list[i] and (
+                    not tl_list[i - 1] or sl_list[i - 1] != sl_list[i]
+                )
+                if grp_list[i] != g or forced or anchor - ts_list[i] > w:
+                    starts_list.append(i)
+                    anchor = ts_list[i]
+                    g = grp_list[i]
+            starts = np.asarray(starts_list, dtype=np.int64)
+            cut = int(starts[-1])
+            carry = pdf.iloc[cut:]
+            if len(carry) > guard:
+                raise RuntimeError(
+                    f"greedy bucketing: a single data-anchored bucket exceeds "
+                    f"{guard} rows — every point within one width span; use "
+                    f"aligned mode for groups this dense."
+                )
+            if cut:
+                body = pdf.iloc[:cut].rename(columns={"raw": "value"})[
+                    ["grp", "ts", "value"]
+                ]
+                yield _agg_frame(body, starts[:-1])
+        if carry is not None and not carry.empty:
+            body = carry.rename(columns={"raw": "value"})[["grp", "ts", "value"]]
+            yield _agg_frame(body, np.asarray([0], dtype=np.int64))
+
+    prepared = _sliced_prepared(scan, group_col, slice_width)
+    p1 = prepared.groupBy("grp", "slice").applyInPandas(_pass1, schema=_P1_SCHEMA)
+    # pass 1 runs once, feeding BOTH the final rows and pass 2's input —
+    # persist() would re-read it; localCheckpoint would too. The frame is
+    # tiny relative to the scan (aggregates + boundary rows), so let each
+    # branch recompute: Spark reuses the shuffle output of the groupBy
+    # stage across the two jobs (stage reuse), not the full scan.
+    finals = p1.filter(F.col("final")).select(
+        "grp", "start_ts", "end_ts", "value", "len"
+    )
+    pending = (
+        p1.filter(~F.col("final"))
+        .select("grp", "slice", "tail", "ts", "raw")
+        .repartition("grp")
+        # tail ASC third key: at equal (ts, value) pairs straddling the
+        # head/tail cut the pass-1 relative order (head first) must be
+        # reproduced, or the forced-boundary flag lands one row off
+        .sortWithinPartitions(
+            "grp", F.desc("ts"), F.asc("raw"), F.asc("tail")
+        )
+    )
+    stitched = pending.mapInPandas(_pass2, schema=RESULT_SCHEMA)
+    return finals.unionByName(stitched)
+
+
 def rolling_buckets(agg: DataFrame, width: int, k: int) -> DataFrame:
     """Trailing k-bucket moving average over aligned buckets (extension:
     the Datadog-style "moving rollup"; the window-function category is

@@ -310,6 +310,7 @@ class QueryBuilder:
         self._granularity: Optional[int] = MINUTE_NS
         self._granularity_set = False
         self._mode = "aligned"
+        self._greedy_slice_width: Optional[int] = None
         self._gapfill: Optional[str] = None
         self._rolling: Optional[int] = None
         self._zscore: Optional[int] = None
@@ -348,6 +349,18 @@ class QueryBuilder:
         if mode not in ("aligned", "greedy"):
             raise InvalidQueryError(f"unknown bucketing mode: {mode}")
         self._mode = mode
+        return self
+
+    def greedy_slices(self, slice_width_ns: int) -> "QueryBuilder":
+        """Greedy mode's scale path: split each group into coarse time
+        slices processed as parallel tasks, stitching only entry-dependent
+        boundary rows sequentially (aggregate.greedy_buckets_sliced;
+        bit-identical to the one-task scan). Pick a slice width >> the
+        bucket width — 100-1000x — so the sequential residue stays small.
+        Greedy mode only."""
+        if int(slice_width_ns) <= 0:
+            raise InvalidQueryError("greedy slice width must be positive")
+        self._greedy_slice_width = int(slice_width_ns)
         return self
 
     def gapfill(self, mode: str = "null") -> "QueryBuilder":
@@ -520,7 +533,16 @@ class QueryBuilder:
                 raise InvalidQueryError("rolling requires aligned mode")
             if self._zscore is not None:
                 raise InvalidQueryError("zscore requires aligned mode")
+            if self._greedy_slice_width is not None:
+                from talna_spark.aggregate import greedy_buckets_sliced
+
+                return greedy_buckets_sliced(
+                    scan, group_col, kind, self._granularity,
+                    self._greedy_slice_width,
+                )
             return greedy_buckets(scan, group_col, kind, self._granularity)
+        if self._greedy_slice_width is not None:
+            raise InvalidQueryError("greedy_slices requires greedy mode")
         return self._apply_rolling(
             self._apply_gapfill(
                 aligned_buckets(scan, group_col, kind, self._granularity)

@@ -118,6 +118,119 @@ def test_greedy_batch_spanning_buckets(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
 
 
+# ---- two-level (sliced) greedy: the parallel scale path ----------------
+
+# clusters with intra-slice resets, a bucket straddling the 10s slice
+# boundary (9.8s joins 10.4s), and trailing isolated points
+SLICED_TS = [0, int(0.5 * S), 3 * S, int(3.4 * S), int(9.8 * S),
+             int(10.4 * S), 15 * S, 20 * S, int(20.7 * S), 61 * S]
+
+
+def _rows(ts_list):
+    return [("m", t, float(i + 1), {"h": "a"}) for i, t in enumerate(ts_list)]
+
+
+def _collect_buckets(df):
+    return sorted(
+        (r["grp"], r["start_ts"], r["end_ts"], r["value"], r["len"])
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("kind", ["avg", "sum", "min", "max", "count", "p95"])
+def test_sliced_greedy_bit_identical(spark, kind):
+    # the two-level path must equal the one-task path bit-for-bit,
+    # including float summation order
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets, greedy_buckets_sliced
+
+    pts = make_points(spark, _rows(SLICED_TS)).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    single = _collect_buckets(greedy_buckets(pts, grp, kind, S))
+    sliced = _collect_buckets(
+        greedy_buckets_sliced(pts, grp, kind, S, 10 * S)
+    )
+    assert sliced == single
+    assert len(single) > 1
+
+
+def test_sliced_greedy_group_spans_tasks(spark):
+    # the point of the two-level path: ONE group's rows spread over
+    # several (grp, slice) shuffle keys — parallel tasks — instead of the
+    # single-task repartition("grp"); and both python passes show in the
+    # plan (FlatMapGroupsInPandas for pass 1, MapInPandas for pass 2)
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import _sliced_prepared, greedy_buckets_sliced
+
+    pts = make_points(spark, _rows(SLICED_TS)).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    prepared = _sliced_prepared(pts, grp, 10 * S)
+    n_keys = prepared.select("grp", "slice").distinct().count()
+    assert n_keys >= 3, "one group must fan out over several slice keys"
+    df = greedy_buckets_sliced(pts, grp, "sum", S, 10 * S)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(grp" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sliced_greedy_dense_degrades_to_sequential(spark):
+    # pathological density (no gap > width anywhere): every row is
+    # pending, pass 2 IS the sequential scan — still exact
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets, greedy_buckets_sliced
+
+    dense = [int(i * 0.6 * S) for i in range(40)]  # every gap 0.6s <= 1s
+    pts = make_points(spark, _rows(dense)).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    assert _collect_buckets(
+        greedy_buckets_sliced(pts, grp, "avg", S, 5 * S)
+    ) == _collect_buckets(greedy_buckets(pts, grp, "avg", S))
+
+
+def test_sliced_greedy_via_builder_on_events(spark):
+    # end-to-end through the QueryBuilder knob on the realistic corpus:
+    # sliced output equals the default greedy path exactly
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    base = db.avg("app.purchase", "user").mode("greedy").granularity(
+        Duration.MINUTE
+    )
+    single = _collect_buckets(base.to_df())
+    sliced = _collect_buckets(
+        db.avg("app.purchase", "user")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+        .greedy_slices(6 * Duration.HOUR)
+        .to_df()
+    )
+    assert sliced == single
+    assert len(single) > 100
+
+
+def test_sliced_greedy_requires_greedy_mode(spark):
+    from talna_spark.errors import InvalidQueryError
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    with pytest.raises(InvalidQueryError, match="greedy mode"):
+        db.avg("app.purchase", "user").greedy_slices(
+            6 * Duration.HOUR
+        ).to_df()
+
+
+def test_sliced_greedy_slice_width_validation(spark):
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets_sliced
+
+    pts = make_points(spark, _rows(SLICED_TS))
+    with pytest.raises(ValueError, match="slice_width"):
+        greedy_buckets_sliced(pts, F.col("tags").getItem("h"), "sum", S, S)
+
+
 def test_greedy_multigroup(spark):
     # multi-tag grouping works in greedy mode: composed group key is a
     # plain string column for the repartition + segment pass
