@@ -1,8 +1,9 @@
 """Phase-level profiling of batch ingest at a chosen scale multiple.
 
-Splits write_batch's cost into: source materialization (the N-way
-hour-shifted union of the sf dir), identity derivation + persist, the
-range-partitioned facts write, and the series-dim dedup write — so
+Mirrors the CURRENT talna_spark.ingest.write_batch structure exactly
+(map-free cached batch, range-partitioned facts write, hash-agg series
+dedup) and splits its cost into: source materialization + identity
+derivation + persist, the facts write, and the series-dim write — so
 throughput plateaus can be attributed to a phase instead of guessed at.
 
 Usage: python scripts/profile_ingest.py [multiple] [sf_dir]
@@ -42,7 +43,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from talna_spark.ingest import with_series_identity, write_fanout
+    from talna_spark.ingest import series_key_from_entries, write_fanout
     from talna_spark.sources.events import points_from_events
     from talna_spark.timeutil import day_col
 
@@ -62,11 +63,7 @@ def main() -> None:
         print(f"  {name}: {t[name]}s", flush=True)
         return now
 
-    # Scale via explode, not an N-way union: a union of N hour-shifted
-    # copies carries N x 32 partitions into everything downstream (persist,
-    # range-partition sampling, dedup) and scheduler overhead dominates —
-    # measured 34k pts/s at 100x vs 150k+ for the same rows in sane-sized
-    # partitions. One scan, 100 rows out per row in, partition count flat.
+    # Scale via explode (see bench.py scale_section for rationale)
     pts1 = points_from_events(spark, sf_dir, parallelism=int(cpus))
     pts = (
         pts1.withColumn(
@@ -77,11 +74,16 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    # Phase 1: materialize source + identity derivation into the cache
+    # Phase 1: write_batch's enriched projection + persist + count
     enriched = (
-        with_series_identity(pts)
+        pts.withColumn("_te", F.sort_array(F.map_entries("tags")))
+        .withColumn(
+            "series_id",
+            F.xxhash64(series_key_from_entries(F.col("metric"), F.col("_te"))),
+        )
         .withColumn("ts_day", day_col("ts"))
         .withColumn("ingest_seq", F.lit(time.time_ns()))
+        .select("series_id", "ts", "value", "metric", "ts_day", "ingest_seq", "_te")
     )
     enriched.persist(StorageLevel.MEMORY_AND_DISK)
     n = enriched.count()
@@ -106,8 +108,14 @@ def main() -> None:
         )
         t0 = mark("facts_write", t0)
         (
-            enriched.select("series_id", "metric", "tags")
-            .dropDuplicates(["series_id"])
+            enriched.select("series_id", "metric", "_te")
+            .distinct()
+            .withColumn("tags", F.map_from_entries("_te"))
+            .withColumn(
+                "series_key",
+                series_key_from_entries(F.col("metric"), F.col("_te")),
+            )
+            .select("series_id", "metric", "series_key", "tags")
             .write.mode("append")
             .option("compression", "zstd")
             .parquet(f"{wh}/series")
@@ -115,9 +123,12 @@ def main() -> None:
         t0 = mark("series_write", t0)
         total = sum(t.values())
         print(f"total: {round(total, 2)}s  -> {round(n / total, 1)} pts/s")
-        # what a second run costs once the cache is hot (write-only cost)
         n_dirs = sum(1 for _ in os.scandir(f"{wh}/points"))
-        print(f"metric dirs: {n_dirs}")
+        sz = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fn in os.walk(f"{wh}/points") for f in fn
+        )
+        print(f"metric dirs: {n_dirs}; facts bytes: {sz}")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
         enriched.unpersist()

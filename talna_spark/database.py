@@ -901,13 +901,16 @@ class Database:
         return self.spark.sql(query)
 
     # -- ingest (O5/O6) -----------------------------------------------------
-    def write_batch(self, points: DataFrame) -> None:
-        """Append a batch of (metric, ts, value, tags) rows to the warehouse."""
+    def write_batch(self, points: DataFrame, persist: bool = True) -> None:
+        """Append a batch of (metric, ts, value, tags) rows to the
+        warehouse. ``persist=False`` skips caching the enriched batch —
+        faster when the source is cheap to recompute (see
+        ingest.write_batch)."""
         if not isinstance(self._backend, WarehouseBackend):
             raise InvalidQueryError("write_batch requires a warehouse-backed Database")
         from talna_spark.ingest import write_batch
 
-        write_batch(points, self._backend.path)
+        write_batch(points, self._backend.path, persist=persist)
         # refresh the dimension view
         self._backend.__init__(
             self.spark, self._backend.path, self._backend._tag_index_pref
