@@ -34,6 +34,36 @@ from pyspark.sql import functions as F
 _ROWS_PER_WRITE_TASK = 4_000_000
 
 
+def next_ingest_seq(path: str) -> int:
+    """Monotonic per-warehouse batch sequence for last-writer-wins
+    ordering (the reference's LSM seqno, src/db.rs:342-343).
+
+    A wall-clock stamp alone breaks when two batches land in the same
+    nanosecond (or a second driver's clock is skewed): compaction would
+    tie-break by value instead of arrival. The sequence file makes
+    arrival order explicit under the same single-writer assumption the
+    changelog already relies on; seeding at the current wall clock keeps
+    it monotonic over warehouses whose earlier batches were stamped with
+    raw time_ns values. On a transactional table format this would be
+    the commit version number.
+    """
+    import os
+    import time
+
+    seq_file = os.path.join(path, "_SEQ")
+    last = 0
+    if os.path.exists(seq_file):
+        with open(seq_file) as f:
+            last = int(f.read().strip() or 0)
+    nxt = max(last + 1, time.time_ns())
+    os.makedirs(path, exist_ok=True)
+    tmp = seq_file + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, seq_file)  # atomic: a crash never truncates the file
+    return nxt
+
+
 def write_fanout(n_rows: int, default_parallelism: int) -> int:
     """Shuffle partition count for the points write.
 
@@ -89,8 +119,6 @@ def write_batch(points: DataFrame, path: str, persist: bool = True) -> None:
     """
     from pyspark.storagelevel import StorageLevel
 
-    import time
-
     from talna_spark.timeutil import day_col
 
     enriched = (
@@ -111,8 +139,10 @@ def write_batch(points: DataFrame, path: str, persist: bool = True) -> None:
         # batch stamp for last-writer-wins on duplicate (series, ts) keys —
         # the reference's LSM upsert semantics (src/db.rs:342-343), applied
         # lazily by compact_facts; between compactions both versions are
-        # visible (documented deviation from the reference's immediacy)
-        .withColumn("ingest_seq", F.lit(time.time_ns()))
+        # visible (documented deviation from the reference's immediacy).
+        # Monotonic per-warehouse sequence, not a raw clock stamp: two
+        # batches in the same nanosecond must still order by arrival.
+        .withColumn("ingest_seq", F.lit(next_ingest_seq(path)))
         .select("series_id", "ts", "value", "metric", "ts_day", "ingest_seq", "_te")
     )
     if persist:

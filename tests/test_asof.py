@@ -50,3 +50,51 @@ def test_asof_tolerance(spark):
 def test_asof_right_duplicates_resolve_to_max(spark):
     right = [("a", 5, 1.0), ("a", 5, 7.0)]  # duplicate (key, ts)
     assert _run(spark, [("a", 10, 0.0)], right) == [("a", 10, 0.0, 5, 7.0)]
+
+
+# ---- two-level (sliced) skew path ---------------------------------------
+
+
+def test_asof_sliced_matches_single_path(spark):
+    # one dominant key spanning many time buckets, including a carry
+    # across an EMPTY bucket (right silent for a whole slice): the
+    # two-level plan must reproduce the single-window output exactly
+    import random
+
+    rng = random.Random(7)
+    left = [("hot", i * 7 + rng.randrange(5), float(i)) for i in range(200)]
+    right = [
+        ("hot", t, float(t))
+        for t in range(0, 1400, 13)
+        if not 300 <= t < 700  # right goes silent across several buckets
+    ] + [("cold", 50, 1.0)]
+    single = _run(spark, left, right)
+    sliced = _run(spark, left, right, slice_width_ns=100)
+    assert sliced == single
+    assert len(single) > 150
+
+
+def test_asof_sliced_tolerance_and_inclusive(spark):
+    left = [("a", 100, 1.0), ("a", 200, 2.0), ("a", 95, 3.0)]
+    right = [("a", 95, 9.0)]
+    assert _run(
+        spark, left, right, tolerance_ns=10, slice_width_ns=50
+    ) == [
+        ("a", 95, 3.0, 95, 9.0),    # equal ts inclusive, same bucket
+        ("a", 100, 1.0, 95, 9.0),   # carry across the 50-bucket edge
+    ]
+
+
+def test_asof_sliced_windows_are_bucket_keyed(spark):
+    # the point of the skew path: the big window partitions by
+    # (key, bucket), so a hot key's rows spread across partitions
+    from talna_spark.asof import asof_join
+
+    out = asof_join(
+        _df(spark, [("a", 10, 1.0)]),
+        _df(spark, [("a", 5, 2.0)]),
+        slice_width_ns=100,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(key#" in plan.replace(" ", "") or "_b" in plan
+    assert "BatchEvalPython" not in plan

@@ -206,3 +206,43 @@ def test_expire_drops_old_days_everywhere(spark, tmp_path):
     # must agree — expired days were dropped from the rollup too
     res2 = db.sum("m", "h").granularity(D).collect()
     assert sorted(b.value for b in res2["a"]) == [2.0, 3.0, 4.0]
+
+
+def test_lww_same_instant_batches_order_by_arrival(spark, tmp_path, monkeypatch):
+    # two batches whose wall clock reads the SAME nanosecond must still
+    # order by arrival: the per-warehouse _SEQ file makes ingest_seq
+    # strictly monotonic (max(last+1, now)), so compaction's
+    # last-writer-wins picks the second batch even when its value is
+    # SMALLER (a value tie-break would pick the first here)
+    import time as _time
+
+    import talna_spark.ingest as ingest_mod
+    from talna_spark.database import Database
+    from talna_spark.maintenance import compact
+    from tests.conftest import make_points
+
+    frozen = _time.time_ns()
+    monkeypatch.setattr(_time, "time_ns", lambda: frozen)
+
+    wh = str(tmp_path / "wh_lww")
+    db = Database.open(spark, wh)
+    db.write_batch(make_points(spark, [("m", 1000, 9.0, {"h": "a"})]))
+    db.write_batch(make_points(spark, [("m", 1000, 2.0, {"h": "a"})]))
+    compact(spark, wh)
+    db = Database.open(spark, wh)
+    res = db.max("m", "h").granularity(None).collect()
+    assert res["a"][0].value == 2.0  # arrival order, not max value
+
+
+def test_next_ingest_seq_strictly_monotonic_under_frozen_clock(tmp_path, monkeypatch):
+    import time as _time
+
+    import talna_spark.ingest as ingest_mod
+
+    frozen = 1_700_000_000_000_000_000
+    monkeypatch.setattr(_time, "time_ns", lambda: frozen)
+    wh = str(tmp_path / "wh_seq")
+    a = ingest_mod.next_ingest_seq(wh)
+    b = ingest_mod.next_ingest_seq(wh)
+    c = ingest_mod.next_ingest_seq(wh)
+    assert a == frozen and b == a + 1 and c == b + 1

@@ -180,3 +180,63 @@ def test_dedup_stream_drops_redelivered_points(spark, dirs):
     res = db.sum("m", "h").collect()
     assert res["a"][0].value == 11.0 and res["a"][0].len == 3  # 1+3+7, no dupes
     assert res["b"][0].value == 5.0 and res["b"][0].len == 1
+
+
+def test_stream_replay_with_duplicates_equals_batch_warehouse(spark, dirs):
+    # End-to-end equivalence on the realistic corpus: replay sf0.001
+    # events through dedup_stream -> stream_ingest in two micro-batches
+    # whose second delivery REPEATS the newest 20% of the first (an
+    # at-least-once source retrying), and assert the resulting warehouse
+    # facts equal a single batch write_batch of the clean corpus exactly.
+    from pyspark.sql import functions as F
+
+    from talna_spark.ingest import read_facts, write_batch
+    from talna_spark.sources.events import points_from_events
+    from talna_spark.streaming.ingest import dedup_stream
+
+    pts = (
+        points_from_events(spark, "/root/testdata/sf0.001")
+        .select("metric", "ts", "value", "tags")
+        .orderBy("ts", "value")
+    )
+    rows = pts.collect()
+    n = len(rows)
+    cut, overlap = (7 * n) // 10, (5 * n) // 10
+    mk = lambda rs: spark.createDataFrame(rs, POINTS_SCHEMA)  # noqa: E731
+    batch_wh = tempfile.mkdtemp(prefix="talna_stream_eq_batch_")
+    try:
+        # clean batch twin: the full corpus, once
+        write_batch(mk(rows), batch_wh)
+
+        # streaming path: file 1 = rows[:cut]; file 2 re-delivers
+        # rows[overlap:cut] (newest 20% of file 1 - inside the horizon)
+        # plus the genuinely new tail
+        mk(rows[:cut]).write.mode("append").parquet(dirs["src"])
+        stream = spark.readStream.schema(POINTS_SCHEMA).parquet(dirs["src"])
+        deduped = dedup_stream(stream, watermark="8760 hours")
+        q = stream_ingest(deduped, dirs["wh"], dirs["ckpt"])
+        try:
+            q.processAllAvailable()
+            mk(rows[overlap:]).write.mode("append").parquet(dirs["src"])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        key = ["series_id", "ts", "value"]
+        got = sorted(tuple(r) for r in read_facts(spark, dirs["wh"]).select(*key).collect())
+        want = sorted(tuple(r) for r in read_facts(spark, batch_wh).select(*key).collect())
+        assert len(got) == len(want) == n, (
+            f"duplicate deliveries leaked into the warehouse: {len(got)} vs {n}"
+        )
+        assert got == want
+
+        # the warehouses answer a real query identically
+        res_s = Database.open(spark, dirs["wh"]).avg("app.purchase", "user").collect()
+        res_b = Database.open(spark, batch_wh).avg("app.purchase", "user").collect()
+        as_tuples = lambda res: sorted(  # noqa: E731
+            (g, b.start, b.end, round(b.value, 9), b.len)
+            for g, bs in res.items() for b in bs
+        )
+        assert as_tuples(res_s) == as_tuples(res_b)
+    finally:
+        shutil.rmtree(batch_wh, ignore_errors=True)
