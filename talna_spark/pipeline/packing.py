@@ -1,0 +1,125 @@
+"""Sequence packing: assign documents to token-budget packs for LLM
+pretraining batch construction — the "concatenate short documents up to
+the context length" step every large-scale training pipeline runs after
+dedup/filtering.
+
+Exact bin packing is NP-hard and inherently sequential; the standard
+practice at corpus scale is first-fit-decreasing (FFD) within bounded
+shards. The Spark shape here:
+
+1. token counts are computed JVM-side (the same whitespace tokenizer as
+   pipeline.text — packing keys off the number the training tokenizer
+   will roughly see);
+2. documents shard deterministically by id-hash into a caller-sized
+   number of packing shards (stable across runs, retries, and cluster
+   sizes — same rationale as pipeline.sampling);
+3. one Arrow-batched ``applyInPandas`` pass runs FFD inside each shard —
+   Python cost scales with docs/shard, shards run in parallel, and pack
+   ids are globally unique by construction (``shard * 2^40 + local``).
+
+Quality bound: FFD within a shard wastes at most what the shard's tail
+pack leaves open; with ~10k docs/shard the fill rate is within ~1% of a
+global FFD while being embarrassingly parallel. Oversized documents
+(n_tokens > budget) get a singleton pack — flagged, not dropped, so the
+caller can truncate or split them downstream.
+
+Determinism: for a fixed (budget, n_shards) the assignment is a pure
+function of (doc_id, token count) — no rand(), no partition dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.portable import tokens
+
+PACK_BUDGET = 2048
+N_SHARDS = 64
+_SHARD_STRIDE = 1 << 40  # pack_id = shard * stride + local pack index
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pack_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_id, oversize) for every document: a
+    deterministic FFD packing of the corpus into packs of at most
+    ``budget`` tokens (oversized docs become flagged singleton packs)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        # id-hash shard: stable across runs/retries/cluster size
+        F.pmod(F.xxhash64("doc_id"), F.lit(int(n_shards))).alias("_shard"),
+    )
+    b = int(budget)
+    stride = _SHARD_STRIDE
+
+    # NOTE: the closure must be self-contained (no talna_spark references)
+    # — executors' Python workers don't have this repo on their import
+    # path. Plain lists: FFD is pointer-chasing, numpy buys nothing.
+    def _ffd(pdf):
+        import pandas as pd
+
+        # decreasing size, doc_id tie-break: deterministic for fixed input
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+        open_room: list[int] = []  # remaining tokens per open pack
+        assign: list[int] = []
+        oversize: list[bool] = []
+        for nt in pdf["n_tokens"].tolist():
+            nt = int(nt)
+            if nt > b:
+                # oversized: flagged singleton pack (caller truncates)
+                open_room.append(0)
+                assign.append(len(open_room) - 1)
+                oversize.append(True)
+                continue
+            # first fit over open packs. Linear scan is fine: sizes are
+            # decreasing, so packs close quickly; for huge shards an
+            # interval tree would drop this to O(n log n).
+            for i, room in enumerate(open_room):
+                if room >= nt:
+                    open_room[i] = room - nt
+                    assign.append(i)
+                    break
+            else:
+                open_room.append(b - nt)
+                assign.append(len(open_room) - 1)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": [shard * stride + a for a in assign],
+                "oversize": oversize,
+            }
+        )
+
+    return d.groupBy("_shard").applyInPandas(
+        _ffd, schema="doc_id long, n_tokens int, pack_id long, oversize boolean"
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Per-pack fill statistics over a :func:`pack_assign` result —
+    the packing-efficiency report (one row per pack; map-side partial
+    aggregation, one shuffle on pack_id)."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.sum("n_tokens") / F.lit(float(budget))).alias("fill"),
+        F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+    )

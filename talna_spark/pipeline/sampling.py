@@ -66,3 +66,28 @@ def deterministic_sample(
     if not 0 < int(pct) <= 100:
         raise ValueError("pct must be in (0, 100]")
     return df.filter(_bucket(F.col(id_col)) < int(pct))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    pcts: dict,
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing step
+    (e.g. downsample boilerplate-heavy sources, keep 100% of rare
+    languages). ``pcts`` maps stratum value -> keep percentage; strata
+    not listed keep ``default_pct``%. Same id-hash bucket as
+    :func:`deterministic_sample`: a pure per-row expression, zero
+    shuffle, stable across runs/retries — unlike ``sampleBy``, whose
+    seeded rand() is partition-dependent."""
+    for v in list(pcts.values()) + [default_pct]:
+        if not 0 <= int(v) <= 100:
+            raise ValueError("percentages must be in [0, 100]")
+    thresh = F.lit(int(default_pct))
+    for value, pct in sorted(pcts.items()):
+        thresh = F.when(
+            F.col(stratum_col) == F.lit(value), F.lit(int(pct))
+        ).otherwise(thresh)
+    return df.filter(_bucket(F.col(id_col)) < thresh)

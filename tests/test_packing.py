@@ -1,0 +1,92 @@
+"""Sequence packing (pipeline.packing) + stratified sampling
+(pipeline.sampling): assignment invariants, budget respect, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 512
+
+
+def test_pack_assign_invariants(spark):
+    from talna_spark.pipeline.packing import pack_assign, pack_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    packed = pack_assign(spark, SF, budget=BUDGET, n_shards=8)
+    rows = packed.collect()
+
+    # every document assigned exactly once
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    # oversize flag marks exactly the docs that cannot fit alone
+    for r in rows:
+        assert r["oversize"] == (r["n_tokens"] > BUDGET), r
+
+    stats = pack_stats(packed, budget=BUDGET).collect()
+    by_pack = {s["pack_id"]: s for s in stats}
+    for s in stats:
+        if not s["oversize"]:
+            assert s["tokens"] <= BUDGET, f"pack over budget: {s}"
+        else:
+            assert s["n_docs"] == 1, "oversized docs must pack alone"
+    # packing actually combines documents (budget >> typical doc)
+    assert any(s["n_docs"] >= 2 for s in stats)
+    # oversize singleton packs carry their doc
+    assert sum(s["n_docs"] for s in stats) == n_docs
+    assert set(by_pack) == {r["pack_id"] for r in rows}
+
+
+def test_pack_assign_deterministic(spark):
+    from talna_spark.pipeline.packing import pack_assign
+
+    a = sorted(map(tuple, pack_assign(spark, SF, budget=BUDGET, n_shards=8).collect()))
+    b = sorted(map(tuple, pack_assign(spark, SF, budget=BUDGET, n_shards=8).collect()))
+    assert a == b
+    # shard count changes pack ids (documented); fixed params -> fixed ids
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        c = sorted(map(tuple, pack_assign(spark, SF, budget=BUDGET, n_shards=8).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == c, "assignment must not depend on physical partitioning"
+
+
+def test_pack_assign_no_row_python_and_parallel_shape(spark):
+    from talna_spark.pipeline.packing import pack_assign
+
+    df = pack_assign(spark, SF, budget=BUDGET, n_shards=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # Arrow-batched FFD per shard
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample(spark):
+    from talna_spark.pipeline.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    keep_all = langs[0]
+    drop_all = langs[1] if len(langs) > 1 else None
+    pcts = {keep_all: 100}
+    if drop_all is not None:
+        pcts[drop_all] = 0
+    out = stratified_sample(docs, "doc_id", "lang", pcts, default_pct=50)
+
+    n_keep = docs.filter(F.col("lang") == keep_all).count()
+    assert out.filter(F.col("lang") == keep_all).count() == n_keep
+    if drop_all is not None:
+        assert out.filter(F.col("lang") == drop_all).count() == 0
+    # deterministic: same rows on a second evaluation
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert a == b
+    # default strata land near 50% (loose: md5 buckets are uniform)
+    rest = docs.filter(~F.col("lang").isin(list(pcts)))
+    n_rest = rest.count()
+    if n_rest > 50:
+        got = out.filter(~F.col("lang").isin(list(pcts))).count()
+        assert 0.3 * n_rest < got < 0.7 * n_rest
