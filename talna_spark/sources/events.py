@@ -55,7 +55,11 @@ def points_from_events(
     # plain timestamp[us] (round 3+; Spark reads TIMESTAMP_NTZ). Sniff the
     # decoded type and normalize to int64 epoch ns either way, with the
     # exact value DuckDB's epoch_ns(ts) produces on the same file.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # flag removed in a future Spark: only NANOS-era testdata needs it
+        pass
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if parallelism:
         # Ingest-only knob: a single-row-group file scans as ONE task, and
