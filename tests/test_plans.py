@@ -232,3 +232,43 @@ def test_ingest_cache_projection_is_map_free(spark):
         )
     ).count()
     assert n_bad == 0
+
+
+def test_binary_ratio_joins_reduced_frames_only(spark):
+    # BinaryQueryBuilder must aggregate each side BEFORE the join: the
+    # join consumes two HashAggregate outputs (groups x buckets rows),
+    # never raw points — in plan-print (top-down) terms, a join operator
+    # appears ABOVE the final aggregates, and no aggregate sits above it
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    from talna_spark.duration import Duration
+
+    df = (
+        db.ratio("app.error", "app.view", "user", kind="count")
+        .granularity(Duration.DAY)
+        .to_df()
+    )
+    plan = plan_of(df)
+    join_at = min(
+        (plan.find(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if plan.find(j) >= 0),
+        default=-1,
+    )
+    assert join_at >= 0, "vector matching must be a real join"
+    first_agg = plan.find("HashAggregate")
+    assert 0 <= join_at < first_agg, (
+        "the join must consume aggregated sides (join prints above the aggs)"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_stats_broadcast_and_no_corpus_shuffle(spark):
+    # the corpus-stats row reaches scoring via a broadcast (never a
+    # shuffle of the corpus); the only exchanges are the two-phase rank's
+    # (doc_id, score) pairs — no Exchange may carry the token arrays
+    from talna_spark.pipeline.relevance import bm25_topk
+
+    plan = plan_of(bm25_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange" in line and "_w#" in line:
+            raise AssertionError(f"token arrays cross a shuffle: {line}")
