@@ -199,6 +199,24 @@ def main() -> None:
                 (n_points * mult / ingestN) / extra["ingest_points_per_sec"], 2
             )
 
+            # settle dirty-page writeback from the ingest before timing
+            # queries: a 10M-point write leaves hundreds of MB in flight,
+            # and a query racing the flush reads 5-6x slower (measured
+            # 0.42s -> 2.7s on identical code). The sync is one-time IO
+            # attributed to neither phase.
+            os.sync()
+            # storage efficiency: facts bytes per point (reference: ~10
+            # B/point incl. LZ4, README.md:55; zstd + ts-clustered row
+            # groups land tighter)
+            fsz = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dn, fn in os.walk(f"{whN}/points") for f in fn
+            )
+            extra[p + "facts_bytes_per_point"] = round(fsz / (n_points * mult), 2)
+            extra[p + "reopen_sec"] = timed(
+                lambda: Database.open(spark, whN), reps=3
+            )
+
             def q16(start_ns: int):
                 return (
                     wdbN.avg("app.purchase", "user")
