@@ -1,6 +1,6 @@
 """Multimodal columns: opaque ``binary`` payloads with typed metadata,
 processed by Arrow-batched ``mapInPandas`` — the plumbing a 100 TB
-image/audio/video pipeline needs, with the codec boundary stubbed.
+image/audio/video pipeline needs.
 
 The Spark-side shape is real and tested:
 - payloads travel as a BinaryType column next to a media_type string and a
@@ -8,13 +8,19 @@ The Spark-side shape is real and tested:
 - feature extraction is a mapInPandas pass (Arrow batches, bounded memory,
   no shuffle), the exact slot where a real decoder (PIL / ffmpeg / torch)
   would run on the executor;
-- the decode step for non-text media raises NotImplementedError behind a
-  clearly marked seam (`_decode_features`) — the container ships no
-  image/audio libs (driver environment constraint), so text payloads are
-  the deterministic stand-in: every documents row becomes a utf-8 blob.
+- TWO real pure-struct codecs run behind that seam with no external
+  libraries: a WAV decoder (RIFF chunk walk + int16 PCM) and a BMP
+  decoder (bottom-up padded 24-bit pixel rows) — the audio and image
+  legs are de-stubbed; only compressed codecs (JPEG/MP3/H.264) remain a
+  NotImplementedError seam in `_decode_features`, since the container
+  ships no codec libs (driver environment constraint). Text payloads are
+  the deterministic stand-in there: every documents row becomes a utf-8
+  blob.
 
 Because the fake "decoder" derives features from md5(blob), the operator
-still has a strict DuckDB oracle (md5 of the same utf-8 bytes).
+still has a strict DuckDB oracle (md5 of the same utf-8 bytes); the WAV
+and BMP decoders have independent-arithmetic oracles over synthesized
+payloads.
 """
 
 from __future__ import annotations
@@ -247,6 +253,159 @@ def wav_decode_sql() -> str:
         "CAST(16 AS BIGINT) AS bits, CAST(nf AS BIGINT) AS n_frames, "
         "(ROUND(nf / CAST(sr AS DOUBLE), 6) + 0) AS duration_s, "
         "(ROUND(m.amp, 6) + 0) AS mean_amp "
+        "FROM d JOIN m USING (doc_id)"
+    )
+
+
+# --------------------------------------------------------------- BMP codec
+# The image twin of the WAV codec: a REAL pure-struct decoder (BMP
+# BITMAPFILEHEADER + BITMAPINFOHEADER + 24-bit bottom-up padded pixel
+# rows) behind the same mapInPandas seam — de-stubbing the image leg of
+# the multimodal boundary without external libraries. Payloads are
+# synthesized deterministically from doc_id, so every decoded field has
+# independent-arithmetic oracles; the weighted checksum is ORDER
+# SENSITIVE, so a parser that mishandles bottom-up row order or row
+# padding cannot pass.
+
+BMP_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, bpp long, "
+    "n_pixels long, mean_px double, checksum long"
+)
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 3 + doc_id % 6, 2 + doc_id % 5  # (width, height)
+
+
+def bmp_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one 24-bit BMP blob per document row. Logical channel
+    byte i (row-major, top-down, BGR) has value (doc_id*17 + 11*i) % 256;
+    the writer lays rows out bottom-up with 4-byte padding per the BMP
+    spec, so the decoder must undo both to recover logical order."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            ids = pdf["doc_id"].astype("int64")
+            for did in ids:
+                did = int(did)
+                w, h = 3 + did % 6, 2 + did % 5
+                row_raw = 3 * w
+                pad = (-row_raw) % 4
+                rows = []
+                for y in range(h - 1, -1, -1):  # bottom-up storage
+                    base = y * row_raw
+                    rows.append(
+                        bytes(
+                            (did * 17 + 11 * (base + k)) % 256
+                            for k in range(row_raw)
+                        )
+                        + b"\x00" * pad
+                    )
+                px = b"".join(rows)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+                )
+                hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+                payloads.append(hdr + info + px)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/bmp", "payload": payloads}
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bmp_decode_payloads(bmp_media_table(spark, sf_dir))
+
+
+def bmp_decode_payloads(media: DataFrame) -> DataFrame:
+    """Decode BMP binary payloads: header parse -> dimensions + pixel
+    stats over the LOGICAL (top-down, unpadded) channel stream. checksum
+    = sum(byte * (i+1)) over logical index i — order-sensitive, so row
+    order and padding handling are both proven by the oracle match."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(blob: bytes) -> tuple[int, int, int, int, float, int]:
+            if blob[0:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            (_sz, _r1, _r2, offset) = struct.unpack("<IHHI", blob[2:14])
+            (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack(
+                "<IiiHHI", blob[14:34]
+            )
+            if hdr_sz < 40 or bpp != 24 or comp != 0:
+                raise ValueError(f"unsupported BMP ({hdr_sz}, {bpp}, {comp})")
+            top_down = h < 0
+            h = abs(h)
+            row_raw = 3 * w
+            stride = row_raw + ((-row_raw) % 4)
+            total = 0
+            checksum = 0
+            for y in range(h):
+                src_y = y if top_down else h - 1 - y
+                row = blob[
+                    offset + src_y * stride : offset + src_y * stride + row_raw
+                ]
+                base = y * row_raw
+                for k, byte in enumerate(row):
+                    total += byte
+                    checksum += byte * (base + k + 1)
+            n_ch = row_raw * h
+            return w, h, bpp, w * h, total / n_ch, checksum
+
+        for pdf in batches:
+            rows = [parse(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "bpp": [r[2] for r in rows],
+                    "n_pixels": [r[3] for r in rows],
+                    "mean_px": [r[4] for r in rows],
+                    "checksum": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_decode, schema=BMP_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "bpp",
+        "n_pixels",
+        round6("mean_px").alias("mean_px"),
+        "checksum",
+    )
+
+
+def bmp_decode_sql() -> str:
+    """Oracle: every field recomputed from doc_id arithmetic over the
+    LOGICAL channel stream — no BMP parsing in SQL, so writer and parser
+    must both be right for the round-trip to match."""
+    return (
+        "WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h "
+        "FROM documents), "
+        "s AS (SELECT doc_id, unnest(generate_series(0, 3 * w * h - 1)) AS i "
+        "FROM d), "
+        "m AS (SELECT doc_id, "
+        "AVG(CAST((doc_id * 17 + 11 * i) % 256 AS DOUBLE)) AS mean_px, "
+        "SUM(((doc_id * 17 + 11 * i) % 256) * (i + 1)) AS checksum "
+        "FROM s GROUP BY doc_id) "
+        "SELECT d.doc_id, 'image/bmp' AS media_type, CAST(w AS BIGINT) AS width, "
+        "CAST(h AS BIGINT) AS height, CAST(24 AS BIGINT) AS bpp, "
+        "CAST(w * h AS BIGINT) AS n_pixels, (ROUND(m.mean_px, 6) + 0) AS mean_px, "
+        "CAST(m.checksum AS BIGINT) AS checksum "
         "FROM d JOIN m USING (doc_id)"
     )
 

@@ -94,11 +94,17 @@ def brute_force_topk_sql() -> str:
     )
 
 
-def _assignments(e: DataFrame) -> DataFrame:
-    """Map each vector to its nearest centroid (broadcast argmax)."""
-    c = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
+def _assignments(
+    e: DataFrame, n: int = 1, centroid_src: DataFrame | None = None
+) -> DataFrame:
+    """Map each vector of ``e`` to its ``n`` nearest centroids (broadcast
+    argmax). n=1 is corpus cluster assignment; n>1 is a query probe
+    list. ``centroid_src`` supplies the centroid vectors (defaults to
+    ``e`` itself — pass the FULL corpus when ``e`` is a subset, or the
+    probe list sees only the subset's centroids)."""
+    c = (centroid_src if centroid_src is not None else e).filter(
+        F.col("vec_id") < IVF_CENTROIDS
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
     scored = e.join(F.broadcast(c), how="cross").select(
         "vec_id",
         "v",
@@ -110,16 +116,30 @@ def _assignments(e: DataFrame) -> DataFrame:
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= int(n))
         .select("vec_id", "v", F.col("centroid_id").alias("cluster"))
     )
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: probe only the query's own IVF cluster."""
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    k: int = IVF_TOP_K,
+) -> DataFrame:
+    """ANN: probe the query's ``nprobe`` nearest IVF clusters (the
+    standard recall/cost dial: scan work scales with nprobe/N_CLUSTERS;
+    at nprobe = IVF_CENTROIDS the candidate set is the whole corpus and
+    the result equals brute force — tested). Corpus vectors keep their
+    single top-1 cluster, so probed clusters are disjoint and no
+    candidate dedup is needed."""
+    if not 1 <= int(nprobe) <= IVF_CENTROIDS:
+        raise ValueError(f"nprobe must be in [1, {IVF_CENTROIDS}]")
     e = _emb(spark, sf_dir)
     a = _assignments(e)
-    q = a.filter(F.col("vec_id") < N_QUERIES).select(
+    q = _assignments(
+        e.filter(F.col("vec_id") < N_QUERIES), n=nprobe, centroid_src=e
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cluster").alias("qcluster"),
@@ -133,7 +153,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         (F.round(cosine(F.col("qv"), F.col("v")), 6) + F.lit(0.0)).alias("cos"),
     )
-    return _per_query_topk(pairs, IVF_TOP_K)
+    return _per_query_topk(pairs, k)
 
 
 def ivf_topk_sql() -> str:

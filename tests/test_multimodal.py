@@ -57,3 +57,71 @@ def test_wav_decode_rejects_garbage(spark):
     df = wav_decode_payloads(_media_df(spark, [b"\x00\x01\x02 not a wav"]))
     with pytest.raises(Exception, match="RIFF"):
         df.collect()
+
+
+def test_bmp_decode_round_trip(spark):
+    # decoded fields must equal the DuckDB twin's independent arithmetic
+    # (doc_id -> expected stats, no BMP parsing in SQL): the writer's
+    # bottom-up padded layout and the parser's undoing of it cross-check
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import bmp_decode, bmp_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, bmp_decode(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(bmp_decode_sql()).fetchall()))
+    con.close()
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_bmp_decode_handles_top_down_rows(spark):
+    # negative height = top-down storage (valid BMP variant): the
+    # order-sensitive checksum must come out identical either way
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.multimodal import bmp_decode_payloads
+
+    w, h = 3, 2
+    row_raw, pad = 3 * w, (-(3 * w)) % 4
+    logical = bytes((11 * i) % 256 for i in range(row_raw * h))
+
+    def blob(top_down: bool) -> bytes:
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        px = b"".join(
+            logical[y * row_raw : (y + 1) * row_raw] + b"\x00" * pad for y in ys
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+            len(px), 2835, 2835, 0, 0,
+        )
+        return struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54) + info + px
+
+    media = spark.createDataFrame(
+        [(1, "image/bmp", blob(False)), (2, "image/bmp", blob(True))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in bmp_decode_payloads(media).collect()}
+    assert rows[1]["checksum"] == rows[2]["checksum"]
+    assert rows[1]["mean_px"] == rows[2]["mean_px"]
+    assert rows[1]["width"] == rows[2]["width"] == w
+
+
+def test_bmp_decode_rejects_garbage(spark):
+    import pytest as _pytest
+
+    from talna_spark.pipeline.multimodal import bmp_decode_payloads
+
+    media = spark.createDataFrame(
+        [(1, "image/bmp", b"NOTABMP_________" * 8)],
+        "doc_id long, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception, match="BMP"):
+        bmp_decode_payloads(media).collect()
