@@ -60,7 +60,10 @@ _SPEC: dict[str, tuple] = {
     "q12_set": ("avg", "app.purchase", "user", "user:[1, 2, 3]", None, None, HOUR, "aligned"),
     # Q16: the benchmark-shaped query (billion/src/main.rs:123-137 analog)
     "q16_bench": ("avg", "app.purchase", "user", "user:9 OR user:8", T_JAN24, None, MIN, "aligned"),
-    # Q17-Q18: reference-faithful greedy bucketing (no SQL oracle by design)
+    # Q17-Q18: reference-faithful greedy bucketing (VALUES-table oracle).
+    # q17 runs BOTH physical paths — the single-task scan and the
+    # two-level parallel `greedy_slices` form — as `kind` slices against
+    # the same expected rows, driver-checking their bit-identity.
     "q17_greedy_avg": ("avg", "app.purchase", "user", "*", None, None, MIN, "greedy"),
     "q18_greedy_sum": ("sum", "app.purchase", "user", "hi:yes", T_JAN10, T_JAN20, 5 * MIN, "greedy"),
     # Q19: series lacking the group tag are dropped (src/agg/builder.rs:120-122)
@@ -524,6 +527,40 @@ _EXT["q40_ratio"] = (
 )
 
 
+# q17 runs the one-task greedy scan AND the two-level greedy_slices path
+# as kind slices of one registration (same VALUES oracle twice): the
+# driver hash-checks the parallel path's bit-identity every round.
+_GREEDY_BOTH_KEY = "q17_greedy_avg"
+_GREEDY_SLICE_W = 6 * HOUR
+
+
+def _make_greedy_both(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
+    base_fn = _make_query(spec)
+    kind, metric, group_by, flt, start, end, gran, _mode = spec
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        single = base_fn(spark, sf_dir).withColumn("kind", F.lit("single"))
+        b = (
+            getattr(Database.from_events(spark, sf_dir), kind)(metric, group_by)
+            .filter(flt)
+            .granularity(gran)
+            .mode("greedy")
+            .greedy_slices(_GREEDY_SLICE_W)
+        )
+        if start is not None:
+            b = b.start(start)
+        if end is not None:
+            b = b.end(end)
+        sliced = (
+            b.to_df()
+            .withColumn("value", round6("value"))
+            .withColumn("kind", F.lit("sliced"))
+        )
+        return single.unionByName(sliced)
+
+    return run
+
+
 def _make_query(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
     kind, metric, group_by, flt, start, end, gran, mode = spec
 
@@ -554,6 +591,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _make_query(spec) for name, spec in _SPEC.items()}
+    out[_GREEDY_BOTH_KEY] = _make_greedy_both(_SPEC[_GREEDY_BOTH_KEY])
     for name, parts in _UNION_SPEC.items():
         out[name] = _make_union_query(parts)
     for name, (fn, _sql) in _EXT.items():
@@ -575,6 +613,12 @@ def oracle_sql() -> dict[str, str]:
                 kind, metric, group_by, flt, start, end, gran
             )
             if sql is not None:
+                if name == _GREEDY_BOTH_KEY:
+                    # both physical paths against the same expected rows
+                    sql = (
+                        f"SELECT *, 'single' AS kind FROM ({sql}) "
+                        f"UNION ALL SELECT *, 'sliced' AS kind FROM ({sql})"
+                    )
                 out[name] = sql
             continue
         out[name] = events_query_sql(kind, metric, group_by, flt, start, end, gran)

@@ -138,6 +138,12 @@ def main() -> None:
         "q16_bench", "q17_greedy_avg", "q29_multigroup", "q32_sliding",
     ]
     qs = entrymod.queries()
+    # q17's REGISTRATION now runs both greedy physical paths as kind
+    # slices (driver bit-identity check); the bench keeps timing the
+    # single-path operator so the trend stays comparable across rounds
+    qs["q17_greedy_avg"] = entrymod._make_query(
+        entrymod._SPEC["q17_greedy_avg"]
+    )
     for name in headline:
         timings[name] = timed(lambda: qs[name](spark, sf_dir).collect())
 
