@@ -98,9 +98,25 @@ def greedy_rollup_stream(
                 return mx_
             return float(n_)
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts", kind="mergesort")
-            for ts, v in zip(pdf["ts"].tolist(), pdf["value"].tolist()):
+        # Materialize the batch's chunks BEFORE sorting: the iterator's
+        # cross-chunk order follows shuffle fetch order, which is
+        # nondeterministic — sorting each chunk alone can replay a
+        # micro-batch's rows out of time order and close a bucket early
+        # (observed as a rare suite-order flake). Memory is bounded by
+        # this group's rows in THIS micro-batch, the same bound any
+        # per-group batch pass has.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            whole = whole.sort_values("ts", kind="mergesort")
+        else:
+            whole = None
+        if whole is not None:
+            for ts, v in zip(whole["ts"].tolist(), whole["value"].tolist()):
                 if anchor is None:
                     anchor, end_ts, s, mn, mx, n = ts, ts, v, v, v, 1
                     continue
