@@ -833,6 +833,27 @@ class Database:
             self.spark, self._backend.path, self._backend._tag_index_pref
         )
 
+    def stats(self) -> DataFrame:
+        """Warehouse inventory: per-metric point count, distinct series,
+        day span, and ts range — the ANALYZE-style summary an operator
+        reads before sizing queries or retention. One partial-aggregated
+        scan over facts plus the (small) series dim; at cluster scale
+        this is the job you schedule nightly, not per query."""
+        if not isinstance(self._backend, WarehouseBackend):
+            raise InvalidQueryError("stats requires a warehouse-backed Database")
+        facts = self._backend.facts.groupBy("metric").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("ts_day").alias("n_days"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        series = self._backend.series.groupBy("metric").agg(
+            F.countDistinct("series_id").alias("n_series")
+        )
+        return facts.join(series, "metric", "left").select(
+            "metric", "n_points", "n_series", "n_days", "min_ts", "max_ts"
+        )
+
     def expire(self, cutoff_ns: int) -> int:
         """Retention: drop fact (and rollup) partitions for days entirely
         before ``cutoff_ns`` (day-granular; metadata-only deletes — see

@@ -108,3 +108,26 @@ def test_sql_view_refreshes_across_generations(spark, tmp_path):
     assert db.sql(q).collect()[0]["n"] == 2
     db.write_batch(make_points(spark, [("m", 10 * D, 1.0, {"h": "a"})]))
     assert db.sql(q).collect()[0]["n"] == 3
+
+
+def test_stats_inventory(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from talna_spark.database import Database
+    from tests.conftest import make_points
+
+    wh = str(tmp_path / "wh_stats")
+    db = Database.open(spark, wh)
+    db.write_batch(make_points(spark, [
+        ("m.a", 1_000_000_000, 1.0, {"h": "x"}),
+        ("m.a", 2_000_000_000, 2.0, {"h": "y"}),
+        ("m.a", 90_000_000_000_000, 3.0, {"h": "x"}),  # a second day
+        ("m.b", 5_000_000_000, 4.0, {"h": "x"}),
+    ]))
+    rows = {r["metric"]: r for r in db.stats().collect()}
+    assert rows["m.a"]["n_points"] == 3
+    assert rows["m.a"]["n_series"] == 2
+    assert rows["m.a"]["n_days"] == 2
+    assert rows["m.a"]["min_ts"] == 1_000_000_000
+    assert rows["m.a"]["max_ts"] == 90_000_000_000_000
+    assert rows["m.b"]["n_points"] == 1 and rows["m.b"]["n_series"] == 1
