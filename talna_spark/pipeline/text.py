@@ -281,3 +281,67 @@ def token_freq_sql() -> str:
         f"FROM (SELECT unnest({w}) AS token FROM documents) GROUP BY token"
         f") WHERE rank <= {TOKEN_TOP_K}"
     )
+
+
+# -------------------------------------------------- repetition (boilerplate)
+REP_GRAM_K = 3
+
+
+def _grams(words, k: int) -> "F.Column":
+    """ALL word k-grams in order (unlike portable.shingles, which
+    canonicalizes to a distinct sorted set — repetition needs the
+    multiset)."""
+    n = F.size(words) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the boilerplate /
+    degenerate-text detector: duplicated k-gram fraction (1 -
+    distinct/total 3-grams) and top-word dominance (most frequent
+    token's share). All JVM array builtins, map-only, zero shuffle."""
+    d = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    g = _grams(w, REP_GRAM_K)
+    dup_frac = F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+    ).otherwise(F.lit(0.0))
+    top_share = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    ) / F.size(w)
+    return d.select(
+        "doc_id",
+        F.round(dup_frac, 6).alias("dup_gram_frac"),
+        F.round(top_share, 6).alias("top_word_share"),
+    )
+
+
+def repetition_sql() -> str:
+    w = tokens_sql("text")
+    k = REP_GRAM_K
+    g = (
+        f"list_transform(generate_series(1, greatest(len(toks) - {k - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' '))"
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {w} AS toks FROM documents), "
+        f"g AS (SELECT doc_id, toks, {g} AS grams FROM t) "
+        f"SELECT doc_id, "
+        f"ROUND(CASE WHEN len(grams) > 0 "
+        f"THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE) "
+        f"ELSE 0.0 END, 6) AS dup_gram_frac, "
+        f"ROUND(list_max(list_transform(list_distinct(toks), "
+        f"x -> len(list_filter(toks, y -> y = x)))) "
+        f"/ CAST(len(toks) AS DOUBLE), 6) AS top_word_share "
+        f"FROM g"
+    )

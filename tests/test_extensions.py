@@ -514,3 +514,64 @@ def test_deterministic_sample_is_stable_and_proportional(spark):
     assert 0.15 < len(s1) / 5000 < 0.25  # ~20%
     s_half = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()}
     assert s_half <= s1  # nested samples: smaller pct is a subset
+
+
+# ---------------------------------------------- decontamination + repetition
+
+
+def _duck(sf_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    out = con.sql(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_contamination_scan_matches_duckdb_twin(spark):
+    from talna_spark.pipeline.decontam import (
+        contamination_scan, contamination_scan_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, contamination_scan(spark, sf).collect()))
+    want = sorted(map(tuple, _duck(sf, contamination_scan_sql())))
+    assert got == want
+    assert len(got) > 0, "synthetic corpus should share shingles with eval slice"
+
+
+def test_contaminated_against_finds_planted_overlap(spark):
+    from talna_spark.pipeline.decontam import contaminated_against
+
+    eval_docs = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon y"),  # shares a 5-gram
+            (2, "totally different words here throughout"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_hits"] for r in contaminated_against(corpus, eval_docs).collect()}
+    assert 1 in rows and rows[1] >= 1
+    assert 2 not in rows
+
+
+def test_repetition_matches_duckdb_twin(spark):
+    from talna_spark.pipeline.text import repetition, repetition_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, repetition(spark, sf).collect()))
+    want = sorted(map(tuple, _duck(sf, repetition_sql())))
+    assert got == want
+    assert len(got) == 500
+    # degenerate repeated text scores high on both signals
+    from pyspark.sql import functions as F  # noqa: F401
+
+    assert any(r[1] > 0 for r in got), "corpus should contain repeated 3-grams"
