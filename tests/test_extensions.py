@@ -575,3 +575,19 @@ def test_repetition_matches_duckdb_twin(spark):
     from pyspark.sql import functions as F  # noqa: F401
 
     assert any(r[1] > 0 for r in got), "corpus should contain repeated 3-grams"
+
+
+def test_curate_matches_composed_duckdb_twin(spark):
+    from talna_spark.pipeline.curate import curate, curate_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, curate(spark, sf).collect()))
+    want = sorted(map(tuple, _duck(sf, curate_sql())))
+    assert got == want
+    verdicts = {v for _d, v, _s in got}
+    # the synthetic corpus exercises every verdict branch
+    assert "kept" in verdicts
+    assert verdicts <= {"kept", "low_quality", "duplicate", "contaminated"}
+    # kept docs (and only kept docs) carry a split
+    for _d, v, s in got:
+        assert (s is not None) == (v == "kept")
