@@ -121,3 +121,41 @@ def test_series_key_spark_matches_python(spark):
     ]
     expected = [_py_series_key(m, t) for m, t in cases]
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=2_000), min_size=1, max_size=120
+    ),
+    width=st.integers(min_value=1, max_value=60),
+    slice_mult=st.integers(min_value=2, max_value=20),
+)
+def test_sliced_greedy_equals_single_task_on_random_data(
+    spark, ts, width, slice_mult
+):
+    # the two-level greedy decomposition must be bit-identical to the
+    # one-task scan for ANY timestamp multiset / width / slice width
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets, greedy_buckets_sliced
+    from tests.conftest import make_points
+
+    rows = [
+        ("m", t, float((i * 7919) % 1000) / 8.0, {"h": "a" if i % 3 else "b"})
+        for i, t in enumerate(ts)
+    ]
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    single = sorted(
+        map(tuple, greedy_buckets(pts, grp, "sum", width).collect())
+    )
+    sliced = sorted(
+        map(
+            tuple,
+            greedy_buckets_sliced(
+                pts, grp, "sum", width, width * slice_mult
+            ).collect(),
+        )
+    )
+    assert sliced == single
