@@ -113,6 +113,41 @@ def pack_assign(
     )
 
 
+def pack_texts(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_SHARDS,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize packed training sequences: one row per pack with the
+    member texts concatenated in doc_id order (deterministic — the order
+    a re-run or a different cluster size reproduces exactly). One
+    shuffle on pack_id; the concat is a JVM array_join over collected
+    member structs, no Python."""
+    assign = pack_assign(spark, sf_dir, budget=budget, n_shards=n_shards)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return (
+        assign.join(d, "doc_id")
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Per-pack fill statistics over a :func:`pack_assign` result —
     the packing-efficiency report (one row per pack; map-side partial

@@ -283,6 +283,78 @@ def token_freq_sql() -> str:
     )
 
 
+# ------------------------------------------- heavy hitters (sketch path)
+HH_SLOTS = 512  # Misra-Gries slots per partition
+
+
+def token_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOKEN_TOP_K,
+    slots: int = HH_SLOTS,
+) -> DataFrame:
+    """Sketch-path token top-k — the 100 TB complement of the exact
+    :func:`token_freq`, the same exact+sketch pairing as
+    distinct_series/HLL and percentile/GK.
+
+    Exact counting shuffles one row per DISTINCT token; at web-corpus
+    vocabulary sizes (billions of distinct n-grams) that shuffle is the
+    bottleneck. This runs Misra-Gries with ``slots`` counters inside
+    each partition (mapInPandas, constant memory, zero shuffle), unions
+    the surviving candidates — a superset of every token with global
+    frequency >= N/slots by the pigeonhole argument — then re-counts
+    ONLY candidates exactly in a second pass (hash-agg over a
+    broadcast-semi-joined stream). Result: exact counts and ranks
+    whenever the true top-k all clear the N/slots floor; the default
+    slots make that hold by orders of magnitude for Zipfian text.
+    """
+    from pyspark.sql.window import Window
+
+    m = int(slots)
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+    # closure must be self-contained (workers don't import talna_spark)
+    def _misra_gries(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counts:
+                    counts[t] += 1
+                elif len(counts) < m:
+                    counts[t] = 1
+                else:
+                    # decrement epoch: drop every counter by 1
+                    dead = []
+                    for key in counts:
+                        counts[key] -= 1
+                        if counts[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counts[key]
+        yield pd.DataFrame({"token": list(counts.keys())})
+
+    cands = toks.mapInPandas(_misra_gries, schema="token string").distinct()
+    exact = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("token").asc()]
+    w1 = Window.partitionBy("_p").orderBy(*order)
+    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return (
+        exact.withColumn("_p", F.pmod(F.xxhash64("token"), F.lit(64)))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("token", "n", "rank")
+    )
+
+
 # -------------------------------------------------- repetition (boilerplate)
 REP_GRAM_K = 3
 

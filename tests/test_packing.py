@@ -90,3 +90,59 @@ def test_stratified_sample(spark):
     if n_rest > 50:
         got = out.filter(~F.col("lang").isin(list(pcts))).count()
         assert 0.3 * n_rest < got < 0.7 * n_rest
+
+
+def test_pack_texts_materialization(spark):
+    from talna_spark.pipeline.packing import pack_assign, pack_texts
+
+    packed = pack_texts(spark, SF, budget=BUDGET, n_shards=8)
+    rows = packed.collect()
+    assign = pack_assign(spark, SF, budget=BUDGET, n_shards=8).collect()
+    n_packs = len({r["pack_id"] for r in assign})
+    assert len(rows) == n_packs
+    docs = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    by_pack = {}
+    for r in assign:
+        by_pack.setdefault(r["pack_id"], []).append(r["doc_id"])
+    for r in rows:
+        members = sorted(by_pack[r["pack_id"]])
+        assert r["n_docs"] == len(members)
+        # texts concatenated in doc_id order with the separator
+        assert r["text"] == "\n\n".join(docs[i]["text"] for i in members)
+
+
+def test_token_heavy_hitters_matches_exact_topk(spark):
+    # the sketch path must agree with the exact two-phase top-k whenever
+    # the true top-k clear the N/slots floor (they do by construction on
+    # this corpus with the default slots)
+    from talna_spark.pipeline.text import token_freq, token_heavy_hitters
+
+    exact = sorted(map(tuple, token_freq(spark, SF).collect()))
+    sketch = sorted(map(tuple, token_heavy_hitters(spark, SF).collect()))
+    assert sketch == exact
+    assert len(exact) > 10
+
+
+def test_token_heavy_hitters_minimal_guaranteed_slots(spark):
+    # the Misra-Gries guarantee: any token with global count > N/(m+1)
+    # survives some partition's sketch. Size m to the SMALLEST value that
+    # covers exactly the top-1 token and check it is found with its exact
+    # count — the data-driven tightest version of the pigeonhole bound
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.portable import tokens
+    from talna_spark.pipeline.text import token_freq, token_heavy_hitters
+
+    top1_exact = min(
+        token_freq(spark, SF).collect(), key=lambda r: r["rank"]
+    )
+    n_total = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(tokens(F.col("text"))).alias("t"))
+        .count()
+    )
+    m = n_total // top1_exact["n"] + 1  # N/(m+1) < top1_n
+    got = token_heavy_hitters(spark, SF, k=1, slots=m).collect()
+    assert got and got[0]["token"] == top1_exact["token"]
+    assert got[0]["n"] == top1_exact["n"]
