@@ -56,11 +56,15 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     # eval-slice docs are the benchmark itself — excluded from curation
+    # no broadcast hints: the survivor set is corpus-sized (one row per
+    # distinct text) and must shuffle-join on doc_id at scale; the
+    # contamination set is usually tiny and AQE will broadcast it on its
+    # own when it is
     out = (
         d.filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(q, "doc_id")
-        .join(F.broadcast(keep), "doc_id", "left")
-        .join(F.broadcast(contam), "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
     )
     verdict = (
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality"))
