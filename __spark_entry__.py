@@ -66,10 +66,6 @@ _SPEC: dict[str, tuple] = {
     # the same expected rows, driver-checking their bit-identity.
     "q17_greedy_avg": ("avg", "app.purchase", "user", "*", None, None, MIN, "greedy"),
     "q18_greedy_sum": ("sum", "app.purchase", "user", "hi:yes", T_JAN10, T_JAN20, 5 * MIN, "greedy"),
-    # Q19: series lacking the group tag are dropped (src/agg/builder.rs:120-122)
-    "q19_group_drop": ("avg", "app.view", "hi", "*", None, None, HOUR, "aligned"),
-    # Q20: empty series selection -> empty result (src/db.rs:195-198)
-    "q20_empty": ("avg", "app.purchase", "user", "user:3 AND nosuch:tag", None, None, MIN, "aligned"),
     # Q26: time-weighted average (step interpolation; zero-weight buckets dropped)
     "q26_twa": ("twa", "app.purchase", "etype", "*", None, None, 6 * HOUR, "aligned"),
     # Q29: multi-tag group-by (Datadog-style `by {user,hi}`; the reference
@@ -125,6 +121,13 @@ _UNION_SPEC: dict[str, list[tuple[str, tuple]]] = {
     "q23_distinct_latest": [
         ("distinct", ("distinct_series", "app.view", "etype", "*", None, None, DAY, "aligned")),
         ("latest", ("latest", "app.error", "user", "*", None, None, DAY, "aligned")),
+    ],
+    # Q19+Q20: missing-group-tag drop (src/agg/builder.rs:120-122) +
+    # empty-selection -> empty result (src/db.rs:195-198); consolidated
+    # to free the slot q41_curate occupies
+    "q19_groupdrop_empty": [
+        ("group_drop", ("avg", "app.view", "hi", "*", None, None, HOUR, "aligned")),
+        ("empty", ("avg", "app.purchase", "user", "user:3 AND nosuch:tag", None, None, MIN, "aligned")),
     ],
 }
 
@@ -525,6 +528,21 @@ _EXT["q40_ratio"] = (
         "div", "count", "app.error", "app.view", "user", "*", None, None, DAY
     ),
 )
+
+
+def _q41_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (pipeline.curate): quality gate ->
+    exact dedup -> benchmark decontamination -> deterministic split,
+    one auditable verdict row per document. The oracle composes the
+    SAME generated stage SQL pieces."""
+    from talna_spark.pipeline.curate import curate
+
+    return curate(spark, sf_dir)
+
+
+from talna_spark.pipeline.curate import curate_sql as _curate_sql  # noqa: E402
+
+_EXT["q41_curate"] = (_q41_curate, _curate_sql())
 
 
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path
