@@ -67,26 +67,62 @@ def exact_survivors_sql() -> str:
 
 
 # --------------------------------------------------------------- minhash
+# Universal-hash minhash: ONE portable base hash per shingle, then H
+# affine mixes (a_i * x + b_i) mod a 31-bit prime. With x < p and
+# a_i < p the product stays < 2^62 — no int64 overflow in either
+# engine — and the md5 evaluation count drops H-fold vs hashing every
+# (i, shingle) pair (the md5+conv expression is the minhash pass's
+# dominant cost; measured 8x at sf0.1).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _mh_ab(i: int) -> tuple[int, int]:
+    a = (i * 40_503 + 12_289) % MINHASH_P or 1
+    b = (i * 104_729 + 7_919) % MINHASH_P
+    return a, b
+
+
+def _base_hashes(sh):
+    """One portable 60-bit hash per shingle, reduced mod MINHASH_P."""
+    return F.transform(sh, lambda s: hash64(s) % MINHASH_P)
+
+
+def _affine_mix(a: int, b: int):
+    # factory, not default-arg capture: PySpark reads the lambda's arity
+    # to type the higher-order function, so extra defaulted params break
+    return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+
+def _minhash_cols_from_base(bh):
+    """H minhash values from a (materialized) base-hash array column."""
+    out = []
+    for i in range(MINHASH_H):
+        a, b = _mh_ab(i)
+        out.append(
+            F.array_min(F.transform(bh, _affine_mix(a, b))).alias(f"h{i}")
+        )
+    return out
+
+
 def _minhash_cols(sh):
-    """H minhash values: min over shingles of hash64(i | shingle)."""
-    return [
-        F.array_min(
-            F.transform(sh, lambda s: hash64(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"h{i}")
-        for i in range(MINHASH_H)
-    ]
+    """H minhash values straight from the shingle array (the base-hash
+    subtree is inlined into every column here — fine for one-pass
+    signature extraction; operators that reference signatures several
+    times materialize _base_hashes first, see lsh_near_dup_pairs)."""
+    return _minhash_cols_from_base(_base_hashes(sh))
 
 
 def _minhash_cols_sql():
     sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
-    return [
-        (
-            f"list_aggregate(list_transform({sh}, "
-            f"s -> {hash64_sql(chr(39) + str(i) + '|' + chr(39) + ' || s')}), 'min')"
-            f" AS h{i}"
+    bh = f"list_transform({sh}, s -> ({hash64_sql('s')}) % {MINHASH_P})"
+    out = []
+    for i in range(MINHASH_H):
+        a, b = _mh_ab(i)
+        out.append(
+            f"list_aggregate(list_transform({bh}, "
+            f"x -> ({a} * x + {b}) % {MINHASH_P}), 'min') AS h{i}"
         )
-        for i in range(MINHASH_H)
-    ]
+    return out
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +150,21 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     sh = shingles(tokens(F.col("text")), SHINGLE_K)
-    sig = d.select("doc_id", sh.alias("sh"), *_minhash_cols(sh))
+    # Materialize (shingles, base hashes) ONCE behind a lazy
+    # localCheckpoint, then derive the H signature columns from the
+    # stored base array. Two pathologies die here, both measured at
+    # sf0.1: (a) Catalyst's projection collapse inlines the shingle +
+    # md5 subtree into every minhash column and the self-join squares
+    # that tree — DRIVER-SIDE planning alone was 60s of the 62s
+    # end-to-end, executors idle; (b) without materialization the md5
+    # pass re-evaluates for both join sides and both verify join-backs.
+    # Downstream plans see a flat scan; the affine mixes recompute
+    # cheaply. Same lineage-truncation cure the connected-components
+    # loop uses.
+    base = d.select(
+        "doc_id", sh.alias("sh"), _base_hashes(sh).alias("_bh")
+    ).localCheckpoint(eager=False)
+    sig = base.select("doc_id", "sh", *_minhash_cols_from_base(F.col("_bh")))
     # Band rows carry ONLY (doc_id, band, key): the band self-join shuffles
     # O(docs x B) id-sized rows, and shingle sets are joined back just for
     # the (few) surviving candidates — never through the explode.
