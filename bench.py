@@ -268,6 +268,21 @@ def main() -> None:
             for w in whsN:
                 shutil.rmtree(w, ignore_errors=True)
 
+    # (e2) LLM-pipeline operators at sf (documents/embeddings tables):
+    # the training-data side of the engine, timed like the query suite
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        pipe = {
+            "pipe_dedup_exact": "x05_dedup_exact",
+            "pipe_lsh_pairs": "x07_dedup_lsh_pairs",
+            "pipe_ann_ivf": "x11_ann_ivf",
+            "pipe_bm25": "q39_bm25",
+            "pipe_curate": "q41_curate",
+        }
+        for label, key in pipe.items():
+            extra[label + "_sec"] = timed(
+                lambda key=key: qs[key](spark, sf_dir).collect()
+            )
+
     scale_section(10, REPS)
     # ~10M points, 2 reps: the min-of-2 is the JIT-warm steady-state run
     # — the regime the reference's billion-point number was measured in

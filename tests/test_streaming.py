@@ -240,3 +240,64 @@ def test_stream_replay_with_duplicates_equals_batch_warehouse(spark, dirs):
         assert as_tuples(res_s) == as_tuples(res_b)
     finally:
         shutil.rmtree(batch_wh, ignore_errors=True)
+
+
+def test_map_only_pipeline_ops_run_on_streams(spark, dirs):
+    # quality scoring and repetition signals are pure projections, so the
+    # SAME Column expressions run unchanged under Structured Streaming —
+    # proof the curation signals can gate documents at ingest time, not
+    # just in batch passes
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.portable import tokens
+    from talna_spark.pipeline.text import _grams, REP_GRAM_K
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(100).write.mode("append").parquet(dirs["src"])
+    stream = spark.readStream.schema(docs.schema).parquet(dirs["src"])
+
+    w = tokens(F.col("text"))
+    g = _grams(w, REP_GRAM_K)
+    scored = stream.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(g) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_gram_frac"),
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_gram_frac"])
+            for r in spark.sql("SELECT * FROM stream_quality").collect()
+        }
+    finally:
+        q.stop()
+    # batch twin over the same rows must agree exactly
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["dup_gram_frac"])
+        for r in docs.limit(100)
+        .select(
+            "doc_id",
+            F.size(w).alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.size(g) > 0,
+                    F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_gram_frac"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 100
