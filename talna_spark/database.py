@@ -482,8 +482,37 @@ class QueryBuilder:
             df = df.filter(F.col("tags").getItem(k).isNotNull())
         return df
 
+    def _plan_signature(self) -> tuple:
+        """Hashable identity of the logical plan this builder describes.
+        Everything that influences to_df()'s output is in here; two
+        builders with equal signatures produce interchangeable plans
+        against the same backend generation."""
+        return (
+            "agg", self._kind, self._metric, self._group_by, self._filter,
+            self._start, self._end, self._granularity, self._granularity_set,
+            self._mode, self._greedy_slice_width, self._gapfill,
+            self._rolling, self._zscore,
+        )
+
     # -- plan assembly (reference `build()`, src/agg/builder.rs:95-140) -----
     def to_df(self) -> DataFrame:
+        """Build (or fetch from the facade's plan cache) the result plan.
+
+        The cache is the prepared-statement path: a repeat query with an
+        identical signature reuses the analyzed/optimized Dataset, skipping
+        py4j plan-building chatter and Catalyst re-analysis — measured
+        ~0.29 s of fixed per-call cost at scale100 vs ~55 ms re-executing
+        the same plan. Spark Datasets are immutable, so sharing one across
+        calls is safe; the facade drops the cache whenever the backend
+        data generation changes (write/compact/expire/rollup)."""
+        cached = self._db._plan_cache_get(self._plan_signature())
+        if cached is not None:
+            return cached
+        df = self._build_df()
+        self._db._plan_cache_put(self._plan_signature(), df)
+        return df
+
+    def _build_df(self) -> DataFrame:
         node = parse_filter_query(self._filter)  # may raise InvalidQueryError
         rollup_df = self._try_rollup(node)
         if rollup_df is not None:
@@ -788,6 +817,25 @@ class Database:
     def __init__(self, spark: SparkSession, backend):
         self.spark = spark
         self._backend = backend
+        # prepared-plan cache: signature -> built Dataset. Keyed by the
+        # full QueryBuilder state; invalidated (dropped wholesale) on any
+        # operation that changes the backend's data generation. Bounded
+        # FIFO so a long-lived facade serving ad-hoc queries can't grow
+        # without limit. Single-driver use like the rest of the facade.
+        self._plan_cache: dict = {}
+
+    _PLAN_CACHE_MAX = 256
+
+    def _plan_cache_get(self, sig: tuple):
+        return self._plan_cache.get(sig)
+
+    def _plan_cache_put(self, sig: tuple, df: DataFrame) -> None:
+        if len(self._plan_cache) >= self._PLAN_CACHE_MAX:
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[sig] = df
+
+    def _invalidate_plans(self) -> None:
+        self._plan_cache.clear()
 
     @staticmethod
     def builder() -> DatabaseBuilder:
@@ -832,6 +880,7 @@ class Database:
         self._backend.__init__(
             self.spark, self._backend.path, self._backend._tag_index_pref
         )
+        self._invalidate_plans()
 
     def stats(self) -> DataFrame:
         """Warehouse inventory: per-metric point count, distinct series,
@@ -869,6 +918,7 @@ class Database:
         self._backend.__init__(
             self.spark, self._backend.path, self._backend._tag_index_pref
         )
+        self._invalidate_plans()
         return n
 
     def build_rollup(self, width_ns: int) -> None:
@@ -883,6 +933,11 @@ class Database:
         from talna_spark.rollup import build_rollup
 
         build_rollup(self.spark, self._backend.path, int(width_ns))
+        # a cached plan built before this rollup existed keeps using the
+        # raw scan (correct, just unoptimized); drop the cache so repeat
+        # queries get the rewrite — and so no cached ROLLUP-reading plan
+        # holds a file index over partitions a rebuild just replaced
+        self._invalidate_plans()
 
     def refresh_rollup(self, width_ns: int) -> None:
         """Incrementally refresh a rollup: re-aggregate only the
@@ -897,6 +952,7 @@ class Database:
         from talna_spark.rollup import refresh_rollup
 
         refresh_rollup(self.spark, self._backend.path, int(width_ns))
+        self._invalidate_plans()  # same staleness contract as build_rollup
 
     def register_views(self, prefix: str = "talna") -> None:
         """Register the logical tables as session temp views
@@ -936,6 +992,7 @@ class Database:
         self._backend.__init__(
             self.spark, self._backend.path, self._backend._tag_index_pref
         )
+        self._invalidate_plans()
 
     def write(self, metric: str, value: float, tags: dict) -> None:
         """Ingest one point at now() (reference ``Database::write``,

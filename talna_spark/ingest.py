@@ -41,27 +41,43 @@ def next_ingest_seq(path: str) -> int:
     A wall-clock stamp alone breaks when two batches land in the same
     nanosecond (or a second driver's clock is skewed): compaction would
     tie-break by value instead of arrival. The sequence file makes
-    arrival order explicit under the same single-writer assumption the
-    changelog already relies on; seeding at the current wall clock keeps
-    it monotonic over warehouses whose earlier batches were stamped with
+    arrival order explicit; seeding at the current wall clock keeps it
+    monotonic over warehouses whose earlier batches were stamped with
     raw time_ns values. On a transactional table format this would be
     the commit version number.
+
+    The read-modify-write holds an exclusive ``flock`` on a sidecar lock
+    file, so two concurrent writers (threads or drivers on one host)
+    can't mint the same sequence. Cross-host writers on a network FS are
+    still the documented single-writer assumption (flock over NFS is
+    advisory at best) — same caveat as the changelog.
     """
     import os
     import time
 
-    seq_file = os.path.join(path, "_SEQ")
-    last = 0
-    if os.path.exists(seq_file):
-        with open(seq_file) as f:
-            last = int(f.read().strip() or 0)
-    nxt = max(last + 1, time.time_ns())
     os.makedirs(path, exist_ok=True)
-    tmp = seq_file + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(nxt))
-    os.replace(tmp, seq_file)  # atomic: a crash never truncates the file
-    return nxt
+    seq_file = os.path.join(path, "_SEQ")
+    lock_file = seq_file + ".lock"
+    lock_fd = os.open(lock_file, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: keep the single-writer contract
+            pass
+        last = 0
+        if os.path.exists(seq_file):
+            with open(seq_file) as f:
+                last = int(f.read().strip() or 0)
+        nxt = max(last + 1, time.time_ns())
+        tmp = seq_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, seq_file)  # atomic: a crash never truncates the file
+        return nxt
+    finally:
+        os.close(lock_fd)  # closing releases the flock
 
 
 def write_fanout(n_rows: int, default_parallelism: int) -> int:

@@ -246,3 +246,51 @@ def test_next_ingest_seq_strictly_monotonic_under_frozen_clock(tmp_path, monkeyp
     b = ingest_mod.next_ingest_seq(wh)
     c = ingest_mod.next_ingest_seq(wh)
     assert a == frozen and b == a + 1 and c == b + 1
+
+
+def test_plan_cache_reuses_and_invalidates(spark, tmp_path):
+    """to_df() with an identical builder signature returns the SAME
+    prepared Dataset (the sub-100ms repeat-query path); any data-mutating
+    facade call drops the cache so repeat queries see the new generation."""
+    from tests.conftest import make_points
+
+    wh = str(tmp_path / "wh_cache")
+    db = Database.open(spark, wh)
+    db.write_batch(make_points(spark, [("m", 1000, 1.0, {"h": "a"})]))
+
+    def q():
+        return db.avg("m", "h").filter("h:a").start(0).to_df()
+
+    d1, d2 = q(), q()
+    assert d1 is d2  # cache hit: same prepared Dataset object
+    # a different signature must NOT alias the cached plan
+    assert db.avg("m", "h").filter("h:*").start(0).to_df() is not d1
+    assert db.sum("m", "h").filter("h:a").start(0).to_df() is not d1
+
+    db.write_batch(make_points(spark, [("m", 2000, 3.0, {"h": "a"})]))
+    d3 = q()
+    assert d3 is not d1  # invalidated by the write
+    [b] = db.avg("m", "h").filter("h:a").collect()["a"]
+    assert (b.value, b.len) == (2.0, 2)  # and the fresh plan sees both points
+
+    # rollup build also invalidates (cached raw-scan plan would skip the
+    # rewrite; a cached rollup plan would hold a stale file index)
+    from talna_spark.duration import Duration
+
+    db.build_rollup(Duration.HOUR)
+    assert q() is not d3
+
+
+def test_next_ingest_seq_unique_under_concurrency(tmp_path):
+    """The flocked read-modify-write never mints duplicate sequences
+    across concurrent same-host writers (ADVICE r4: the unlocked RMW
+    could, silently reintroducing undefined LWW order)."""
+    import concurrent.futures
+
+    import talna_spark.ingest as ingest_mod
+
+    wh = str(tmp_path / "wh_conc")
+    with concurrent.futures.ThreadPoolExecutor(16) as ex:
+        seqs = list(ex.map(lambda _: ingest_mod.next_ingest_seq(wh), range(200)))
+    assert len(set(seqs)) == 200
+    assert seqs and max(seqs) >= min(seqs) + 199  # strictly increasing overall
