@@ -41,6 +41,13 @@ LSH_ROWS = MINHASH_H // LSH_BANDS
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 16
 LENGTH_BUCKET = 64     # chars, blocking key for the quadratic verifier
+# Hot-bucket cap: a band bucket with c members generates O(c^2) candidate
+# pairs, so one degenerate key (templated/near-empty docs sharing a
+# signature) turns the self-join quadratic — the classic LSH skew failure.
+# Buckets larger than this are excluded from candidate generation (their
+# membership is reported by lsh_hot_buckets); identical-text floods belong
+# to EXACT dedup, which catches them in one hash-agg regardless.
+LSH_MAX_BUCKET = 1000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,34 +148,11 @@ def _jaccard(a, b):
     return inter / (F.size(a) + F.size(b) - inter)
 
 
-def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates -> exact-Jaccard verification >= threshold.
-
-    Plan shape: map-only signature pass -> explode B band keys -> shuffle
-    on (band_idx, band_key) -> self-join inside buckets -> verify. The
-    |docs|^2 comparison never materializes.
-    """
-    d = _docs(spark, sf_dir)
-    sh = shingles(tokens(F.col("text")), SHINGLE_K)
-    # Materialize (shingles, base hashes) ONCE behind a lazy
-    # localCheckpoint, then derive the H signature columns from the
-    # stored base array. Two pathologies die here, both measured at
-    # sf0.1: (a) Catalyst's projection collapse inlines the shingle +
-    # md5 subtree into every minhash column and the self-join squares
-    # that tree — DRIVER-SIDE planning alone was 60s of the 62s
-    # end-to-end, executors idle; (b) without materialization the md5
-    # pass re-evaluates for both join sides and both verify join-backs.
-    # Downstream plans see a flat scan; the affine mixes recompute
-    # cheaply. Same lineage-truncation cure the connected-components
-    # loop uses.
-    base = d.select(
-        "doc_id", sh.alias("sh"), _base_hashes(sh).alias("_bh")
-    ).localCheckpoint(eager=False)
-    sig = base.select("doc_id", "sh", *_minhash_cols_from_base(F.col("_bh")))
-    # Band rows carry ONLY (doc_id, band, key): the band self-join shuffles
-    # O(docs x B) id-sized rows, and shingle sets are joined back just for
-    # the (few) surviving candidates — never through the explode.
-    bands = sig.select(
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows — ONLY ids through the explode: the band
+    self-join shuffles O(docs x B) id-sized rows, and shingle sets are
+    joined back just for the (few) surviving candidates."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -188,6 +172,72 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_hot_buckets(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """The hot-bucket report: every (band, key) bucket whose membership
+    exceeds ``max_bucket`` — the buckets :func:`lsh_near_dup_pairs`
+    excludes from candidate generation. Run alongside the pairs job so
+    the exclusion is audited, not silent; a non-empty report means the
+    corpus needs exact dedup first (identical-text floods) or a larger
+    cap. One map-side-combined groupBy over id-only band rows."""
+    d = _docs(spark, sf_dir)
+    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    sig = d.select("doc_id", *_minhash_cols(sh))
+    return (
+        _band_rows(sig)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > int(max_bucket))
+    )
+
+
+def lsh_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """MinHash-LSH candidates -> exact-Jaccard verification >= threshold.
+
+    Plan shape: map-only signature pass -> explode B band keys -> shuffle
+    on (band_idx, band_key) -> self-join inside buckets -> verify. The
+    |docs|^2 comparison never materializes.
+
+    Band buckets larger than ``max_bucket`` are EXCLUDED from candidate
+    generation (the hot-bucket guard: one degenerate key would otherwise
+    go quadratic at scale). The exclusion is never silent — call
+    :func:`lsh_hot_buckets` with the same cap for the membership report;
+    pairs inside an excluded bucket are undercounted here by design and
+    identical-text floods are exact dedup's job.
+    """
+    d = _docs(spark, sf_dir)
+    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    # Materialize (shingles, base hashes) ONCE behind a lazy
+    # localCheckpoint, then derive the H signature columns from the
+    # stored base array. Two pathologies die here, both measured at
+    # sf0.1: (a) Catalyst's projection collapse inlines the shingle +
+    # md5 subtree into every minhash column and the self-join squares
+    # that tree — DRIVER-SIDE planning alone was 60s of the 62s
+    # end-to-end, executors idle; (b) without materialization the md5
+    # pass re-evaluates for both join sides and both verify join-backs.
+    # Downstream plans see a flat scan; the affine mixes recompute
+    # cheaply. Same lineage-truncation cure the connected-components
+    # loop uses.
+    base = d.select(
+        "doc_id", sh.alias("sh"), _base_hashes(sh).alias("_bh")
+    ).localCheckpoint(eager=False)
+    sig = base.select("doc_id", "sh", *_minhash_cols_from_base(F.col("_bh")))
+    bands = _band_rows(sig)
+    # hot-bucket guard: per-(band, key) membership count via a window —
+    # same shuffle partitioning the self-join needs anyway, id-only rows
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band", "key")
+    bands = (
+        bands.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bc") <= int(max_bucket))
+        .drop("_bc")
+    )
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (

@@ -292,6 +292,7 @@ def token_heavy_hitters(
     sf_dir: str,
     k: int = TOKEN_TOP_K,
     slots: int = HH_SLOTS,
+    strict: bool = False,
 ) -> DataFrame:
     """Sketch-path token top-k — the 100 TB complement of the exact
     :func:`token_freq`, the same exact+sketch pairing as
@@ -302,11 +303,24 @@ def token_heavy_hitters(
     bottleneck. This runs Misra-Gries with ``slots`` counters inside
     each partition (mapInPandas, constant memory, zero shuffle), unions
     the surviving candidates — a superset of every token with global
-    frequency >= N/slots by the pigeonhole argument — then re-counts
+    frequency > N/(slots+1) by the pigeonhole argument — then re-counts
     ONLY candidates exactly in a second pass (hash-agg over a
-    broadcast-semi-joined stream). Result: exact counts and ranks
-    whenever the true top-k all clear the N/slots floor; the default
-    slots make that hold by orders of magnitude for Zipfian text.
+    broadcast-semi-joined stream).
+
+    The MG pass is vectorized: per Arrow batch, ``value_counts()``
+    (C-speed) collapses the stream to one dict op per DISTINCT token,
+    and the over-capacity reduce subtracts the (slots+1)-th largest
+    counter from all (the mergeable-summaries reduce, Agarwal et al.
+    2012) instead of a per-token decrement epoch — same N/(slots+1)
+    error bound, no interpreter-bound inner loop.
+
+    Output rows carry ``guaranteed``: true iff the row's exact count
+    clears the corpus pigeonhole floor ``N/(slots+1)``, i.e. no unseen
+    token can outrank it — counts/ranks down to the last guaranteed row
+    are provably exact; rows below it are best-effort (usually still
+    exact for Zipfian text, as the unit tests show at 10x tighter
+    slots than the bound requires). ``strict=True`` turns any
+    non-guaranteed returned row into a runtime error instead.
     """
     from pyspark.sql.window import Window
 
@@ -316,24 +330,22 @@ def token_heavy_hitters(
 
     # closure must be self-contained (workers don't import talna_spark)
     def _misra_gries(batches):
+        import numpy as np
         import pandas as pd
 
         counts: dict = {}
         for pdf in batches:
-            for t in pdf["token"]:
-                if t in counts:
-                    counts[t] += 1
-                elif len(counts) < m:
-                    counts[t] = 1
-                else:
-                    # decrement epoch: drop every counter by 1
-                    dead = []
-                    for key in counts:
-                        counts[key] -= 1
-                        if counts[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counts[key]
+            for t, c in pdf["token"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            excess = len(counts) - m
+            if excess > 0:
+                # subtract the (m+1)-th largest counter from every one and
+                # drop non-positives: at most m values exceed it, and each
+                # reduce discards >= (m+1)*v counted mass, so cumulative
+                # subtraction stays <= N_part/(m+1) — the MG bound.
+                vals = np.fromiter(counts.values(), dtype=np.int64)
+                v = int(np.partition(vals, excess - 1)[excess - 1])
+                counts = {t: c - v for t, c in counts.items() if c > v}
         yield pd.DataFrame({"token": list(counts.keys())})
 
     cands = toks.mapInPandas(_misra_gries, schema="token string").distinct()
@@ -342,17 +354,36 @@ def token_heavy_hitters(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # corpus token total for the pigeonhole floor: map-side sum of sizes
+    # (no explode), one scalar broadcast-cross-joined into the result
+    total = d.select(F.sum(F.size(tokens(F.col("text")))).alias("_N"))
     order = [F.col("n").desc(), F.col("token").asc()]
     w1 = Window.partitionBy("_p").orderBy(*order)
     w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
-    return (
+    out = (
         exact.withColumn("_p", F.pmod(F.xxhash64("token"), F.lit(64)))
         .withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= k)
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("token", "n", "rank")
+        .crossJoin(F.broadcast(total))
+        .withColumn("guaranteed", F.col("n") * F.lit(m + 1) > F.col("_N"))
     )
+    if strict:
+        # in-plan assertion: folded into the kept column so Catalyst
+        # cannot prune it; fires at action time on the first row whose
+        # exactness the sketch cannot certify
+        chk = F.assert_true(
+            F.col("guaranteed"),
+            F.concat(
+                F.lit("token_heavy_hitters(strict): count "),
+                F.col("n"),
+                F.lit(" is below the pigeonhole floor N/(slots+1) — "
+                      "rank not guaranteed exact; raise slots"),
+            ),
+        )
+        out = out.withColumn("n", F.when(chk.isNull(), F.col("n")))
+    return out.select("token", "n", "rank", "guaranteed")
 
 
 # -------------------------------------------------- repetition (boilerplate)
@@ -377,7 +408,13 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document — the boilerplate /
     degenerate-text detector: duplicated k-gram fraction (1 -
     distinct/total 3-grams) and top-word dominance (most frequent
-    token's share). All JVM array builtins, map-only, zero shuffle."""
+    token's share). All JVM array builtins, map-only, zero shuffle.
+
+    top_word_share is computed as the longest run in the SORTED token
+    array via one aggregate() fold — O(n log n) per document, vs the
+    naive distinct x count-each formulation that goes quadratic on long
+    documents (a 100k-token doc would do ~10^9 comparisons). Same value:
+    max run length in sorted order IS the max token frequency."""
     d = _docs(spark, sf_dir)
     w = tokens(F.col("text"))
     g = _grams(w, REP_GRAM_K)
@@ -385,12 +422,27 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(g) > 0,
         F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
     ).otherwise(F.lit(0.0))
-    top_share = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda x: F.size(F.filter(w, lambda y: y == x)),
+
+    def _merge(a, x):
+        run = F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(
+            F.lit(1).cast("long")
         )
-    ) / F.size(w)
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    max_freq = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _merge,
+        lambda a: a["best"],
+    )
+    # 0/0 -> NULL matches the previous array_max-over-empty behavior
+    top_share = F.when(F.size(w) > 0, max_freq / F.size(w))
     return d.select(
         "doc_id",
         F.round(dup_frac, 6).alias("dup_gram_frac"),

@@ -119,9 +119,31 @@ def test_token_heavy_hitters_matches_exact_topk(spark):
     from talna_spark.pipeline.text import token_freq, token_heavy_hitters
 
     exact = sorted(map(tuple, token_freq(spark, SF).collect()))
-    sketch = sorted(map(tuple, token_heavy_hitters(spark, SF).collect()))
+    rows = token_heavy_hitters(spark, SF).collect()
+    sketch = sorted((r["token"], r["n"], r["rank"]) for r in rows)
     assert sketch == exact
     assert len(exact) > 10
+    # the head of a Zipfian corpus clears the pigeonhole floor; the tail
+    # of the top-50 does not at this corpus size — both flags must appear
+    # and the guaranteed prefix must be contiguous by rank
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    flags = [r["guaranteed"] for r in by_rank]
+    assert flags[0] is True and flags[-1] is False
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_token_heavy_hitters_strict_mode(spark):
+    import pytest
+    from pyspark.errors.exceptions.base import SparkRuntimeException
+
+    from talna_spark.pipeline.text import token_heavy_hitters
+
+    # k small enough that every returned row is guaranteed -> no raise
+    rows = token_heavy_hitters(spark, SF, k=3, strict=True).collect()
+    assert len(rows) == 3 and all(r["guaranteed"] for r in rows)
+    # default k reaches below the floor -> strict raises at action time
+    with pytest.raises(SparkRuntimeException, match="pigeonhole floor"):
+        token_heavy_hitters(spark, SF, strict=True).collect()
 
 
 def test_token_heavy_hitters_minimal_guaranteed_slots(spark):
@@ -146,3 +168,4 @@ def test_token_heavy_hitters_minimal_guaranteed_slots(spark):
     got = token_heavy_hitters(spark, SF, k=1, slots=m).collect()
     assert got and got[0]["token"] == top1_exact["token"]
     assert got[0]["n"] == top1_exact["n"]
+    assert got[0]["guaranteed"] is True  # by construction of m
