@@ -225,12 +225,6 @@ def _q25_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXT["q25_gapfill"] = (
-    _q25_gapfill,
-    events_gapfill_sql("count", "app.signup", "k", "k:1*", T_JAN10, T_JAN24, DAY, "zero"),
-)
-
-
 def _q31_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 4-bucket moving average over 6h buckets (window-function
     category — absent in the reference, SURVEY.md §2.2)."""
@@ -276,11 +270,15 @@ from talna_spark.oracle import (  # noqa: E402
 )
 
 def _q31_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated window-category registration (driver 50-row cap):
-    trailing-k moving average + rolling z-score, tagged by `kind`."""
+    """Consolidated window/bucket-materialization registration (driver
+    50-row cap): trailing-k moving average + rolling z-score + zero-mode
+    gapfill (all bucket-shaped outputs), tagged by `kind`. r5 folds the
+    former q25_gapfill registration in here to free a slot for
+    q42_signals."""
     r = _q31_rolling(spark, sf_dir).withColumn("kind", F.lit("rolling"))
     z = _q33_zscore(spark, sf_dir).withColumn("kind", F.lit("zscore"))
-    return r.unionByName(z)
+    g = _q25_gapfill(spark, sf_dir).withColumn("kind", F.lit("gapfill"))
+    return r.unionByName(z).unionByName(g)
 
 
 _EXT["q31_rolling_zscore"] = (
@@ -289,6 +287,10 @@ _EXT["q31_rolling_zscore"] = (
     + events_rolling_sql("avg", "app.purchase", "user", "*", 6 * HOUR, 4)
     + ") UNION ALL SELECT *, 'zscore' AS kind FROM ("
     + events_zscore_sql("avg", "app.purchase", "etype", "*", 6 * HOUR, 4)
+    + ") UNION ALL SELECT *, 'gapfill' AS kind FROM ("
+    + events_gapfill_sql(
+        "count", "app.signup", "k", "k:1*", T_JAN10, T_JAN24, DAY, "zero"
+    )
     + ")",
 )
 
@@ -543,6 +545,89 @@ def _q41_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 from talna_spark.pipeline.curate import curate_sql as _curate_sql  # noqa: E402
 
 _EXT["q41_curate"] = (_q41_curate, _curate_sql())
+
+
+def _q42_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-signal registration, three `kind` slices on a normalized
+    (id, v1, v2, v3) schema (their natural schemas differ, and a driver
+    row needs ONE union):
+
+    - ``decontam``: benchmark decontamination scan (pipeline.decontam) —
+      id=doc_id, v1=n_hits;
+    - ``repetition``: Gopher-style boilerplate signals (pipeline.text) —
+      id=doc_id, v1=dup_gram_frac, v2=top_word_share (r5's linear
+      run-length form);
+    - ``heavyhitters``: Misra-Gries sketch top-k (pipeline.text) —
+      id=token, v1=exact count, v2=rank, v3=guaranteed flag. The sketch
+      equals the exact top-k whenever candidates cover it; on the driver
+      corpus the vocabulary is far below the slot count, so every token
+      is a candidate and the oracle (exact SQL top-k + the pigeonhole
+      floor) is deterministic.
+    """
+    from talna_spark.pipeline.decontam import contamination_scan
+    from talna_spark.pipeline.text import repetition, token_heavy_hitters
+
+    def norm(df, id_col, v1, v2, v3, kind):
+        return df.select(
+            F.col(id_col).cast("string").alias("id"),
+            v1.cast("double").alias("v1"),
+            v2.cast("double").alias("v2"),
+            v3.cast("double").alias("v3"),
+            F.lit(kind).alias("kind"),
+        )
+
+    dec = norm(
+        contamination_scan(spark, sf_dir),
+        "doc_id", F.col("n_hits"), F.lit(0.0), F.lit(0.0), "decontam",
+    )
+    rep = norm(
+        repetition(spark, sf_dir),
+        "doc_id", F.col("dup_gram_frac"), F.col("top_word_share"), F.lit(0.0),
+        "repetition",
+    )
+    hh = norm(
+        token_heavy_hitters(spark, sf_dir),
+        "token", F.col("n"), F.col("rank"),
+        F.col("guaranteed").cast("int"), "heavyhitters",
+    )
+    return dec.unionByName(rep).unionByName(hh)
+
+
+from talna_spark.pipeline.decontam import contamination_scan_sql as _dc_sql  # noqa: E402
+from talna_spark.pipeline.portable import tokens_sql as _toks_sql  # noqa: E402
+from talna_spark.pipeline.text import HH_SLOTS as _HH_SLOTS  # noqa: E402
+from talna_spark.pipeline.text import TOKEN_TOP_K as _HH_K  # noqa: E402
+from talna_spark.pipeline.text import repetition_sql as _rep_sql  # noqa: E402
+
+
+def _q42_signals_sql() -> str:
+    hh = (
+        f"WITH counts AS (SELECT token, COUNT(*) AS n FROM "
+        f"(SELECT unnest({_toks_sql('text')}) AS token FROM documents) "
+        f"GROUP BY token), "
+        f"tot AS (SELECT SUM(n) AS total FROM counts), "
+        f"ranked AS (SELECT token, n, "
+        f"ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank FROM counts) "
+        f"SELECT token AS id, CAST(n AS DOUBLE) AS v1, "
+        f"CAST(rank AS DOUBLE) AS v2, "
+        f"CAST(CASE WHEN n * {_HH_SLOTS + 1} > total THEN 1 ELSE 0 END "
+        f"AS DOUBLE) AS v3 "
+        f"FROM ranked, tot WHERE rank <= {_HH_K}"
+    )
+    return (
+        f"SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_hits AS DOUBLE) AS v1, "
+        f"0.0 AS v2, 0.0 AS v3, 'decontam' AS kind FROM ({_dc_sql()}) "
+        f"UNION ALL "
+        f"SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"CAST(dup_gram_frac AS DOUBLE) AS v1, "
+        f"CAST(top_word_share AS DOUBLE) AS v2, 0.0 AS v3, "
+        f"'repetition' AS kind FROM ({_rep_sql()}) "
+        f"UNION ALL "
+        f"SELECT id, v1, v2, v3, 'heavyhitters' AS kind FROM ({hh})"
+    )
+
+
+_EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path

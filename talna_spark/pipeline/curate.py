@@ -9,13 +9,27 @@ Verdict precedence (first failure wins, cheapest signals first):
 ``contaminated`` (shares a word shingle with the eval slice) -> kept,
 with the kept docs carrying their train/val/test split.
 
-Every stage is an already-verified operator (pipeline.text.quality,
-pipeline.dedup.exact_survivors, pipeline.decontam, pipeline.sampling),
-and the DuckDB twin composes the SAME generated SQL pieces, so the
-composition cannot drift from its parts. Plan shape: one corpus scan
-feeds map-only quality + split expressions; dedup adds one hash
-aggregate; contamination adds the broadcast semi-join — nothing
-shuffles document text.
+Every stage reuses the verified operators' own expressions/SQL
+(pipeline.text.quality_parts, pipeline.decontam.contaminated_against,
+pipeline.sampling's bucket), and the DuckDB twin composes the SAME
+generated SQL pieces, so the composition cannot drift from its parts.
+
+Plan shape — ONE parquet read of the corpus: the (doc_id, text)
+projection is materialized behind a lazy localCheckpoint and every
+stage branches off it (quality + split are computed inline map-side;
+dedup is one hash aggregate over md5(text) built map-side; the eval
+slice and the contamination semi-join read the same checkpoint).
+Catalyst does not merge separate scans, so the naive composition read
+the 100 TB corpus ~4x — the checkpoint trades one materialized id+text
+projection (executor-local storage, same lineage-truncation pattern as
+LSH/connected-components) for 3 repeat scans. Nothing shuffles document
+text: every join and aggregate carries ids/hashes only.
+
+Dedup canonicalization runs over the EVAL-FILTERED corpus: the
+canonical survivor of a text is its lowest non-eval doc_id, so a text
+whose lowest global copy happens to sit in the eval slice still keeps
+one curatable copy (r4 ADVICE: the full-corpus canonical could be an
+eval doc, silently dropping every trainable copy of that text).
 """
 
 from __future__ import annotations
@@ -26,12 +40,11 @@ from pyspark.sql import functions as F
 from talna_spark.pipeline.decontam import (
     EVAL_MOD,
     SHINGLE_K,
-    contamination_scan,
+    contaminated_against,
     contamination_scan_sql,
 )
-from talna_spark.pipeline.dedup import exact_survivors, exact_survivors_sql
 from talna_spark.pipeline.sampling import TRAIN_PCT, VAL_PCT, _bucket
-from talna_spark.pipeline.text import quality, quality_sql
+from talna_spark.pipeline.text import quality_parts, quality_sql
 
 QUALITY_MIN = 0.5
 
@@ -39,33 +52,42 @@ QUALITY_MIN = 0.5
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, verdict, split) for every document: verdict in
     {low_quality, duplicate, contaminated, kept}; split only for kept."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
     )
-    q = quality(spark, sf_dir).select("doc_id", "quality")
-    keep = exact_survivors(spark, sf_dir).select(
-        F.col("keep_doc").alias("doc_id"), F.lit(True).alias("_canon")
-    )
-    contam = contamination_scan(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("_hit")
-    )
+    # eval-slice docs are the benchmark itself — excluded from curation
+    corpus = base.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = base.filter(F.col("doc_id") % EVAL_MOD == 0)
+
+    *_rest, score = quality_parts()
     b = _bucket(F.col("doc_id"))
     split = (
         F.when(b < TRAIN_PCT, F.lit("train"))
         .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    # eval-slice docs are the benchmark itself — excluded from curation
+    # quality + split inline on the scan: text is consumed map-side and
+    # pruned before any shuffle — scored rows are id-sized
+    scored = corpus.select(
+        "doc_id", F.round(score, 6).alias("quality"), split.alias("_split")
+    )
+    # exact-dedup survivors over the eval-filtered corpus: md5 computed
+    # map-side, the aggregate shuffles (hash, id) partials only
+    keep = (
+        corpus.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("_canon"))
+    )
+    contam = contaminated_against(corpus, ev, SHINGLE_K).select(
+        "doc_id", F.lit(True).alias("_hit")
+    )
     # no broadcast hints: the survivor set is corpus-sized (one row per
     # distinct text) and must shuffle-join on doc_id at scale; the
     # contamination set is usually tiny and AQE will broadcast it on its
     # own when it is
-    out = (
-        d.filter(F.col("doc_id") % EVAL_MOD != 0)
-        .join(q, "doc_id")
-        .join(keep, "doc_id", "left")
-        .join(contam, "doc_id", "left")
-    )
+    out = scored.join(keep, "doc_id", "left").join(contam, "doc_id", "left")
     verdict = (
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality"))
         .when(F.col("_canon").isNull(), F.lit("duplicate"))
@@ -75,19 +97,22 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         verdict.alias("verdict"),
-        F.when(verdict == "kept", split).alias("split"),
+        F.when(verdict == "kept", F.col("_split")).alias("split"),
     )
 
 
 def curate_sql() -> str:
-    """DuckDB twin composed from the SAME generated stage SQL."""
+    """DuckDB twin composed from the SAME generated stage SQL. The keep
+    CTE mirrors the Spark path's eval-filtered canonicalization (min
+    NON-EVAL doc_id per distinct text)."""
     b = (
         "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) "
         "% 100"
     )
     return (
         f"WITH q AS (SELECT doc_id, quality FROM ({quality_sql()})), "
-        f"keep AS (SELECT keep_doc AS doc_id FROM ({exact_survivors_sql()})), "
+        f"keep AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+        f"WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY md5(text)), "
         f"contam AS (SELECT doc_id FROM ({contamination_scan_sql(SHINGLE_K)})), "
         f"base AS (SELECT d.doc_id, q.quality, "
         f"(k.doc_id IS NOT NULL) AS canon, (c.doc_id IS NOT NULL) AS hit, "

@@ -71,8 +71,11 @@ def token_stats_sql() -> str:
 
 
 # -------------------------------------------------------- quality scoring
-def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def quality_parts() -> tuple:
+    """(n_tokens, punct_ratio, stop_ratio, score) expressions over a
+    ``text`` column — shared by :func:`quality` and the single-scan
+    curate composition (pipeline.curate computes the score inline on its
+    one corpus scan instead of joining a second scan's output)."""
     w = tokens(F.col("text"))
     n_tok = F.size(w)
     punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
@@ -84,6 +87,12 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) - punct_ratio)
         * F.least(F.lit(0.5) + stop_ratio, F.lit(1.0))
     )
+    return n_tok, punct_ratio, stop_ratio, score
+
+
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tok, punct_ratio, stop_ratio, score = quality_parts()
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),

@@ -591,3 +591,46 @@ def test_curate_matches_composed_duckdb_twin(spark):
     # kept docs (and only kept docs) carry a split
     for _d, v, s in got:
         assert (s is not None) == (v == "kept")
+
+
+def test_curate_single_scan_and_eval_canonical(spark):
+    """r5: (a) the composition reads documents.parquet ONCE (shared lazy
+    localCheckpoint; the naive composition scanned it ~4x); (b) dedup
+    canonicalization is eval-filtered — a text whose lowest global copy
+    sits in the eval slice keeps a curatable non-eval canonical, so its
+    drop reason (if any) is truthful, never 'duplicate' of a benchmark
+    doc."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from talna_spark.pipeline.curate import curate
+
+    plan = (
+        curate(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("documents.parquet") <= 2
+
+    words = ("the quick brown fox jumps over a lazy dog and runs far " * 6).strip()
+    other = ("a small red hen walks into the barn and sleeps well now " * 6).strip()
+    d = tempfile.mkdtemp(prefix="talna_curate_eval_")
+    try:
+        pd.DataFrame(
+            [
+                {"doc_id": 0, "text": words},   # eval slice (0 % 97 == 0)
+                {"doc_id": 5, "text": words},   # non-eval copy of an eval text
+                {"doc_id": 3, "text": other},
+            ]
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        rows = {r["doc_id"]: r for r in curate(spark, d).collect()}
+        assert set(rows) == {3, 5}  # doc 0 is the benchmark, not curated
+        # doc 5 IS the canonical survivor of its text (eval-filtered min),
+        # so it is not a 'duplicate'; sharing every shingle with the eval
+        # doc makes it contaminated — the truthful drop reason
+        assert rows[5]["verdict"] == "contaminated"
+        assert rows[3]["verdict"] == "kept" and rows[3]["split"] is not None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
