@@ -279,14 +279,27 @@ def main() -> None:
             "pipe_curate": "q41_curate",
         }
         for label, key in pipe.items():
-            extra[label + "_sec"] = timed(
-                lambda key=key: qs[key](spark, sf_dir).collect()
-            )
+            # assert non-empty inside the timed closure: a silently-empty
+            # pipeline result must fail the bench, not post a fast number
+            def run(key=key):
+                rows = qs[key](spark, sf_dir).collect()
+                assert rows, f"{key} returned 0 rows — refusing to record timing"
+
+            extra[label + "_sec"] = timed(run)
 
     scale_section(10, REPS)
     # ~10M points, 2 reps: the min-of-2 is the JIT-warm steady-state run
     # — the regime the reference's billion-point number was measured in
     scale_section(100, REPS)
+    # 1000x (~100M points, ~1 GB warehouse): the configuration behind
+    # SURVEY §6's large-scale throughput claim, opt-in so the default
+    # driver run stays fast. Guard: needs scratch disk for the warehouse.
+    if os.environ.get("SPARK_GRAFT_SCALE1000"):
+        free = shutil.disk_usage(tempfile.gettempdir()).free
+        if free >= 2 * 1024**3:
+            scale_section(1000, 1)
+        else:
+            extra["scale1000_skipped_low_disk"] = round(free / 1024**3, 2)
     # headline ratios vs BASELINE.md (reference README.md:50-55): best
     # measured throughput over all scales / 1.362M pts/s
     best_pps = max(

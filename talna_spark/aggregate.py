@@ -420,6 +420,14 @@ def greedy_buckets_sliced(
 
     ``slice_width`` should be >> width (e.g. >= 100x) so heads/tails stay
     a small fraction; it must be positive and is validated > width.
+
+    Memory bound: pass 1's applyInPandas materializes each whole
+    (grp, slice) block as ONE pandas frame on an executor — rows per
+    (group, slice) must fit executor memory, so ``slice_width`` also
+    caps the per-task working set (~80 bytes/row in the frame). A
+    pathologically dense slice is only caught by the pass-2
+    ``max_open_bucket_rows`` guard AFTER pass 1 has paid that cost;
+    size slices so width << slice_width << (executor_mem / density).
     """
     if int(slice_width) <= int(width):
         raise ValueError(

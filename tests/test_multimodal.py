@@ -125,3 +125,72 @@ def test_bmp_decode_rejects_garbage(spark):
     )
     with _pytest.raises(Exception, match="BMP"):
         bmp_decode_payloads(media).collect()
+
+
+def test_png_decode_round_trip(spark):
+    # decoded fields must equal the DuckDB twin's independent arithmetic
+    # (doc_id -> expected stats, no PNG parsing in SQL): the writer's
+    # filter application + deflate and the decoder's inflate + unfilter
+    # cross-check byte-for-byte via the order-sensitive checksum
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import png_decode, png_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, png_decode(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(png_decode_sql()).fetchall()))
+    con.close()
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_png_corpus_exercises_every_filter_type(spark):
+    # the writer cycles filter (doc_id + y) % 5; the sf0.001 corpus must
+    # hit all five so the round-trip test above actually covers them
+    import zlib
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id").limit(20).collect()
+    )
+    seen = set()
+    for r in rows:
+        did = int(r["doc_id"])
+        h = 2 + did % 5
+        seen |= {(did + y) % 5 for y in range(h)}
+    assert seen == {0, 1, 2, 3, 4}
+
+
+def test_png_decode_rejects_bad_crc_and_garbage(spark):
+    import struct
+    import zlib
+
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.base import PythonException
+
+    from talna_spark.pipeline.multimodal import png_decode_payloads
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x01\x02\x03")
+    good = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    # flip one IDAT payload byte WITHOUT fixing the CRC
+    bad = bytearray(good)
+    bad[8 + 12 + 13 + 8 + 2] ^= 0xFF
+    for blob, msg in [(bytes(bad), "CRC"), (b"JFIF not a png", "not a PNG")]:
+        media = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "media_type": ["image/png"], "payload": [blob]})
+        )
+        with pytest.raises(PythonException, match=msg):
+            png_decode_payloads(media).collect()
