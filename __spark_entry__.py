@@ -181,7 +181,6 @@ _EXT: dict[str, tuple] = {
     "x11_ann_ivf": (_sim.ivf_topk, _sim.ivf_topk_sql()),
     "x12_embedding_near_dup": (_sim.label_nearest_neighbor, _sim.label_nearest_neighbor_sql()),
     "x13_multimodal_features": (_mm.extract_features, _mm.extract_features_sql()),
-    "x19_wav_decode": (_mm.wav_decode, _mm.wav_decode_sql()),
     "x20_split_assign": (_sampling.split_assign, _sampling.split_assign_sql()),
     "x15_neardup_survivors": (_dedup.neardup_survivors, _dedup.neardup_survivors_sql()),
     "x16_corpus_stats": (_text.corpus_stats, _text.corpus_stats_sql()),
@@ -628,6 +627,69 @@ def _q42_signals_sql() -> str:
 
 
 _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
+
+
+def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three REAL pure-stdlib codecs (pipeline.multimodal) as `kind`
+    slices of one registration on a normalized schema — WAV (RIFF chunk
+    walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks + zlib
+    inflate + all five scanline filters). Each oracle recomputes every
+    decoded field by independent doc_id arithmetic (no parsing in SQL),
+    so writer AND decoder must both be exact. Normalized columns:
+    d1..d4 = the four integer header/shape fields in each codec's
+    natural order, m1/m2 = the two measured stats (duration/mean_amp,
+    mean_px/checksum)."""
+
+    def norm(df, d1, d2, d3, d4, m1, m2, kind):
+        return df.select(
+            "doc_id",
+            F.col(d1).cast("long").alias("d1"),
+            F.col(d2).cast("long").alias("d2"),
+            F.col(d3).cast("long").alias("d3"),
+            F.col(d4).cast("long").alias("d4"),
+            F.col(m1).cast("double").alias("m1"),
+            F.col(m2).cast("double").alias("m2"),
+            F.lit(kind).alias("kind"),
+        )
+
+    wav = norm(
+        _mm.wav_decode(spark, sf_dir),
+        "n_channels", "sample_rate", "bits", "n_frames",
+        "duration_s", "mean_amp", "wav",
+    )
+    bmp = norm(
+        _mm.bmp_decode(spark, sf_dir),
+        "width", "height", "bpp", "n_pixels", "mean_px", "checksum", "bmp",
+    )
+    png = norm(
+        _mm.png_decode(spark, sf_dir),
+        "width", "height", "bit_depth", "n_pixels", "mean_px", "checksum", "png",
+    )
+    return wav.unionByName(bmp).unionByName(png)
+
+
+def _x19_codecs_sql() -> str:
+    def norm(sql, d1, d2, d3, d4, m1, m2, kind):
+        return (
+            f"SELECT doc_id, CAST({d1} AS BIGINT) AS d1, "
+            f"CAST({d2} AS BIGINT) AS d2, CAST({d3} AS BIGINT) AS d3, "
+            f"CAST({d4} AS BIGINT) AS d4, CAST({m1} AS DOUBLE) AS m1, "
+            f"CAST({m2} AS DOUBLE) AS m2, '{kind}' AS kind FROM ({sql})"
+        )
+
+    return (
+        norm(_mm.wav_decode_sql(), "n_channels", "sample_rate", "bits",
+             "n_frames", "duration_s", "mean_amp", "wav")
+        + " UNION ALL "
+        + norm(_mm.bmp_decode_sql(), "width", "height", "bpp", "n_pixels",
+               "mean_px", "checksum", "bmp")
+        + " UNION ALL "
+        + norm(_mm.png_decode_sql(), "width", "height", "bit_depth",
+               "n_pixels", "mean_px", "checksum", "png")
+    )
+
+
+_EXT["x19_codecs"] = (_x19_codecs, _x19_codecs_sql())
 
 
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path

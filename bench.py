@@ -118,16 +118,22 @@ def main() -> None:
         # (c) reopen: new Database facade over the existing warehouse
         timings["reopen"] = timed(lambda: Database.open(spark, wh), reps=3)
 
-        # warehouse-path Q16 analog (broadcast series join + pruned fact scan)
-        timings["q16_warehouse"] = timed(
-            lambda: (
+        # warehouse-path Q16 analog (broadcast series join + pruned fact
+        # scan). First call = cold plan build; the min-of-N number is the
+        # repeat-query path through the facade's prepared-plan cache.
+        def q16_base():
+            return (
                 wdb.avg("app.purchase", "user")
                 .filter("user:9 OR user:8")
                 .start(entrymod.T_JAN24)
                 .to_df()
                 .collect()
             )
-        )
+
+        t0 = time.perf_counter()
+        q16_base()
+        extra["q16_first_call_sec"] = round(time.perf_counter() - t0, 4)
+        timings["q16_warehouse"] = timed(q16_base)
     finally:
         for w in whs:
             shutil.rmtree(w, ignore_errors=True)
@@ -232,6 +238,16 @@ def main() -> None:
                     .collect()
                 )
 
+            # cold first call: plan built from scratch (py4j builder
+            # chatter + Catalyst analysis + execution) — the facade's
+            # prepared-plan cache is empty for this signature
+            t0 = time.perf_counter()
+            q16(entrymod.T_JAN24)
+            extra[p + "q16_first_call_sec"] = round(
+                time.perf_counter() - t0, 4
+            )
+            # repeat-query latency: identical builder signature hits the
+            # facade plan cache (the dashboard / monitoring steady state)
             extra[p + "q16_warehouse_sec"] = timed(
                 lambda: q16(entrymod.T_JAN24)
             )
