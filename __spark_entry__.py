@@ -167,10 +167,9 @@ from talna_spark.pipeline import similarity as _sim
 from talna_spark.pipeline import text as _text
 
 _EXT: dict[str, tuple] = {
-    "x01_text_tokens": (_text.token_stats, _text.token_stats_sql()),
-    "x02_text_quality": (_text.quality, _text.quality_sql()),
-    "x03_text_langid": (_text.lang_id, _text.lang_id_sql()),
-    "x04_text_fingerprint": (_text.fingerprint, _text.fingerprint_sql()),
+    # x01 consolidates the four map-only text signals (token stats,
+    # quality, lang-ID, fingerprint) as kind slices of one driver row —
+    # freeing inventory slots for x21-x23 (defined below, like q42/x19).
     "x05_dedup_exact": (_dedup.exact_survivors, _dedup.exact_survivors_sql()),
     "x06_dedup_minhash_sig": (_dedup.minhash_signatures, _dedup.minhash_signatures_sql()),
     "x07_dedup_lsh_pairs": (_dedup.lsh_near_dup_pairs, _dedup.lsh_near_dup_pairs_sql()),
@@ -690,6 +689,86 @@ def _x19_codecs_sql() -> str:
 
 
 _EXT["x19_codecs"] = (_x19_codecs, _x19_codecs_sql())
+
+
+def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four map-only text-analysis operators (pipeline.text) as
+    `kind` slices of one registration on a normalized
+    (doc_id, s1, s2, v1, v2, v3) schema:
+
+    - ``tokens``: v1=n_tokens, v2=n_chars_text, v3=chars_per_token;
+    - ``quality``: v1=punct_ratio, v2=stop_ratio, v3=quality score
+      (n_tokens lives in the tokens slice);
+    - ``langid``: s1=pred_lang, s2=labeled_lang, v1=marker_hits;
+    - ``fingerprint``: s1=the min-md5 word-5-gram fingerprint.
+    """
+
+    def norm(df, s1, s2, v1, v2, v3, kind):
+        return df.select(
+            "doc_id",
+            s1.cast("string").alias("s1"),
+            s2.cast("string").alias("s2"),
+            v1.cast("double").alias("v1"),
+            v2.cast("double").alias("v2"),
+            v3.cast("double").alias("v3"),
+            F.lit(kind).alias("kind"),
+        )
+
+    nul = F.lit(None)
+    tok = norm(
+        _text.token_stats(spark, sf_dir), nul, nul,
+        F.col("n_tokens"), F.col("n_chars_text"), F.col("chars_per_token"),
+        "tokens",
+    )
+    qua = norm(
+        _text.quality(spark, sf_dir), nul, nul,
+        F.col("punct_ratio"), F.col("stop_ratio"), F.col("quality"),
+        "quality",
+    )
+    lid = norm(
+        _text.lang_id(spark, sf_dir),
+        F.col("pred_lang"), F.col("labeled_lang"),
+        F.col("marker_hits"), F.lit(0.0), F.lit(0.0),
+        "langid",
+    )
+    fpr = norm(
+        _text.fingerprint(spark, sf_dir),
+        F.col("fingerprint"), nul, F.lit(0.0), F.lit(0.0), F.lit(0.0),
+        "fingerprint",
+    )
+    return tok.unionByName(qua).unionByName(lid).unionByName(fpr)
+
+
+def _x01_text_signals_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(NULL AS VARCHAR) AS s2, CAST(n_tokens AS DOUBLE) AS v1, "
+        "CAST(n_chars_text AS DOUBLE) AS v2, "
+        "CAST(chars_per_token AS DOUBLE) AS v3, 'tokens' AS kind "
+        f"FROM ({_text.token_stats_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(NULL AS VARCHAR) AS s2, CAST(punct_ratio AS DOUBLE) AS v1, "
+        "CAST(stop_ratio AS DOUBLE) AS v2, CAST(quality AS DOUBLE) AS v3, "
+        f"'quality' AS kind FROM ({_text.quality_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, pred_lang AS s1, labeled_lang AS s2, "
+        "CAST(marker_hits AS DOUBLE) AS v1, 0.0 AS v2, 0.0 AS v3, "
+        f"'langid' AS kind FROM ({_text.lang_id_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, fingerprint AS s1, CAST(NULL AS VARCHAR) AS s2, "
+        "0.0 AS v1, 0.0 AS v2, 0.0 AS v3, 'fingerprint' AS kind "
+        f"FROM ({_text.fingerprint_sql()})"
+    )
+
+
+_EXT["x01_text_signals"] = (_x01_text_signals, _x01_text_signals_sql())
+
+# x21-x23: the round-5 training-pipeline additions (each a first-class
+# operator with its own module-level oracle).
+_EXT["x21_dup_spans"] = (_dedup.dup_spans, _dedup.dup_spans_sql())
+_EXT["x22_lm_score"] = (_text.lm_score, _text.lm_score_sql())
+_EXT["x23_mixture_sample"] = (_sampling.mixture_sample, _sampling.mixture_sample_sql())
 
 
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path

@@ -503,3 +503,100 @@ def neardup_survivors_sql() -> str:
         "SELECT cluster, -(b.neg_id) AS survivor_id, "
         "ROUND(b.quality, 6) AS quality FROM best"
     )
+
+
+# --------------------------------------------------- duplicate-span scan
+SPAN_K = 5  # word 5-grams: the unit of cross-document span duplication
+
+
+def _positional_gram_hashes(words, k: int):
+    """hash64 of every POSITIONAL word k-gram (overlapping, repeats kept
+    — unlike :func:`portable.shingles`, which is the distinct set).
+    Empty when the doc has < k words; Spark's sequence(1, n<=0) counts
+    DOWN, so the guard is explicit."""
+    n = F.size(words) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: hash64(F.array_join(F.slice(words, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def _positional_gram_hashes_sql(words_expr: str, k: int) -> str:
+    # generate_series(1, 0) is already empty in DuckDB — no guard needed.
+    gram = f"array_to_string(({words_expr})[i:i+{k - 1}], ' ')"
+    return (
+        f"list_transform("
+        f"generate_series(1, greatest(len({words_expr}) - {k - 1}, 0)), "
+        f"i -> {hash64_sql(gram)})"
+    )
+
+
+def dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
+    """Cross-document duplicate-span scan (the train-data dedup from
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, adapted to word k-grams): a position in a document is
+    *duplicated* when its k-gram also occurs in at least one OTHER
+    document. Returns per-doc ``n_grams`` (positional k-gram count),
+    ``dup_positions`` and ``dup_fraction`` — the signal used to drop or
+    trim boilerplate-heavy documents.
+
+    100 TB shape: documents stay put; only (doc_id, gram_hash) id pairs
+    shuffle. The duplicated-gram set is an aggregate over those pairs
+    (count of DISTINCT docs per hash — Spark plans this as two partial
+    hash aggregates), and the membership test is a shuffle join on the
+    hash, never a broadcast of a corpus-sized set. Within-doc repetition
+    alone does NOT mark a position (that signal is
+    pipeline.text.repetition); >= 2 distinct documents must share the
+    gram.
+    """
+    d = _docs(spark, sf_dir)
+    g = d.select(
+        "doc_id",
+        _positional_gram_hashes(tokens(F.col("text")), k).alias("gh"),
+    )
+    pos = g.select("doc_id", F.explode("gh").alias("h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dcount = (
+        pos.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_positions"))
+    )
+    return (
+        g.select("doc_id", F.size("gh").cast("long").alias("n_grams"))
+        .join(dcount, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("dup_positions", F.lit(0)).cast("long").alias("dup_positions"),
+            F.round(
+                F.coalesce("dup_positions", F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def dup_spans_sql(k: int = SPAN_K) -> str:
+    gh = _positional_gram_hashes_sql(tokens_sql("text"), k)
+    return (
+        f"WITH g AS (SELECT doc_id, {gh} AS gh FROM documents), "
+        "pos AS (SELECT doc_id, unnest(gh) AS h FROM g), "
+        "dup AS (SELECT h FROM pos GROUP BY h "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "dc AS (SELECT doc_id, COUNT(*) AS dup_positions "
+        "FROM pos JOIN dup USING (h) GROUP BY doc_id) "
+        "SELECT g.doc_id, CAST(len(g.gh) AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(dc.dup_positions, 0) AS BIGINT) AS dup_positions, "
+        "ROUND(COALESCE(dc.dup_positions, 0) / GREATEST(len(g.gh), 1), 6) "
+        "AS dup_fraction "
+        "FROM g LEFT JOIN dc ON g.doc_id = dc.doc_id"
+    )

@@ -91,3 +91,106 @@ def stratified_sample(
             F.col(stratum_col) == F.lit(value), F.lit(int(pct))
         ).otherwise(thresh)
     return df.filter(_bucket(F.col(id_col)) < thresh)
+
+
+# ------------------------------------------------- domain mixture sampling
+MIX_BUDGET_FRACTION = 0.5  # token budget = 50% of corpus tokens
+MIX_RESOLUTION = 1_000_000  # rate quantized to 1e-6 for the hash threshold
+
+
+def _mix_weight(source_col: F.Column) -> F.Column:
+    """Demo mixture weights derived deterministically from the source
+    name ('srcN' -> 1 + N % 3), so src1/src4/... get 2x and src2/src5/...
+    get 3x the weight of src0/src3/... — a stand-in for the per-domain
+    weights a DoReMi-style tuning run would hand the sampler; swap this
+    one expression to plug in real per-domain weights."""
+    num = F.regexp_extract(source_col, "([0-9]+)", 1).cast("long")
+    return (F.lit(1) + num % 3).cast("long")
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a token budget: given per-domain
+    weights w_s and a total budget B (here MIX_BUDGET_FRACTION of corpus
+    tokens), each domain's target is B * w_s / sum(w), its keep-rate is
+    min(1, target / tokens_s), and documents are kept by a deterministic
+    id-hash threshold at that rate — the mixture-rebalancing step every
+    LLM data pipeline runs before training (cf. the fixed mixture tables
+    of GPT-3/Pile/LLaMA corpora).
+
+    Determinism: the keep decision hashes 'mix|doc_id', independent of
+    partitioning and of the split/sample hash streams (different prefix
+    -> independent bucket). The rate enters as an integer threshold in
+    [0, 1e6] (floor of rate * 1e6), so both engines compare the same
+    integers — no float comparison at the cut.
+
+    100 TB shape: per-domain token totals are one tiny aggregate (rows =
+    #domains); the rates broadcast-join back onto the corpus scan, and
+    the keep test is a map-side integer compare — zero corpus shuffle.
+    Oversampling (weights demanding more tokens than a domain has) caps
+    at rate 1.0 — visible in the output as keep_ppm = 1000000 — rather
+    than failing; upsampling/repetition is a training-loader concern.
+    """
+    from talna_spark.pipeline.portable import hash64, tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
+    per_src = per_src.withColumn("w_s", _mix_weight(F.col("source")))
+    tot = per_src.agg(
+        F.sum("t_s").alias("t_all"), F.sum("w_s").alias("w_all")
+    )
+    budget = F.floor(F.col("t_all") * F.lit(MIX_BUDGET_FRACTION)).cast("long")
+    # rate = min(1, (B * w_s / w_all) / t_s); evaluation order fixed so
+    # both engines fold the same IEEE doubles.
+    rate = F.least(
+        F.lit(1.0),
+        budget.cast("double") * F.col("w_s") / F.col("w_all") / F.col("t_s"),
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "t_s",
+            "w_s",
+            F.floor(rate * MIX_RESOLUTION).cast("long").alias("keep_ppm"),
+        )
+    )
+    keep = hash64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(keep % MIX_RESOLUTION < F.col("keep_ppm"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "keep_ppm",
+            F.round(F.col("keep_ppm") / F.lit(1_000_000.0), 6).alias("rate"),
+        )
+    )
+
+
+def mixture_sample_sql() -> str:
+    from talna_spark.pipeline.portable import hash64_sql, tokens_sql
+
+    w = tokens_sql("text")
+    weight = "(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3)"
+    keep = hash64_sql("'mix|' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH d AS (SELECT doc_id, source, "
+        f"CAST(len({w}) AS BIGINT) AS n_tokens FROM documents), "
+        f"per_src AS (SELECT source, SUM(n_tokens) AS t_s, "
+        f"{weight} AS w_s FROM d GROUP BY source), "
+        "tot AS (SELECT SUM(t_s) AS t_all, SUM(w_s) AS w_all FROM per_src), "
+        "rates AS (SELECT source, t_s, w_s, "
+        f"CAST(FLOOR(LEAST(1.0, CAST(FLOOR(t_all * {MIX_BUDGET_FRACTION}) "
+        "AS BIGINT) * 1.0 * w_s / w_all / t_s) "
+        f"* {MIX_RESOLUTION}) AS BIGINT) AS keep_ppm "
+        "FROM per_src CROSS JOIN tot) "
+        "SELECT d.doc_id, d.source, d.n_tokens, r.keep_ppm, "
+        "ROUND(r.keep_ppm / 1000000.0, 6) AS rate "
+        "FROM d JOIN rates r ON d.source = r.source "
+        f"WHERE {keep} % {MIX_RESOLUTION} < r.keep_ppm"
+    )

@@ -478,3 +478,66 @@ def repetition_sql() -> str:
         f"/ CAST(len(toks) AS DOUBLE), 6) AS top_word_share "
         f"FROM g"
     )
+
+
+# ------------------------------------------------- unigram LM scoring
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model cross-entropy per document — the classic
+    corpus-level quality signal (CCNet/Gopher-style filtering uses a
+    KenLM perplexity; the unigram LM is its distributed, dependency-free
+    form and exercises the same Spark shape). The model is trained on
+    the corpus being scored: add-one-smoothed unigram probabilities
+    p(t) = (c(t)+1)/(N+V) over the whole-corpus token counts, and each
+    document's score is the mean negative log-probability of its tokens
+    (nats). High xent = tokens rare in this corpus = outlier/garbage
+    candidate; low = boilerplate candidate.
+
+    Float portability: each token's -ln p is rounded to integer
+    micro-nats BEFORE the per-doc sum, so the aggregate is an exact
+    int64 sum in any summation order (Spark's partial/final tree vs the
+    oracle's sequential loop) — the corpus_stats trick.
+
+    100 TB shape: vocab counts are one token-hash aggregate (map-side
+    partials collapse each partition to its distinct tokens). Scoring
+    re-explodes tokens and joins the vocab; natural-language vocab is
+    ~1e7 rows — broadcastable — and the totals (N, V) ride along as a
+    crossJoin of a broadcast 1-row aggregate, so no collect() and no
+    corpus shuffle: the only wide exchange carries (doc_id, token) ids.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    nll_micro = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("v_size")))
+        * 1_000_000
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(nll_micro) / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+            ).alias("xent"),
+        )
+    )
+
+
+def lm_score_sql() -> str:
+    w = tokens_sql("text")
+    nll = (
+        "CAST(ROUND(-ln((c + 1.0) / (n_total + v_size)) * 1000000) AS BIGINT)"
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({w}) AS token FROM documents), "
+        "vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), "
+        "tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        f"ROUND(SUM({nll}) / (COUNT(*) * 1000000.0), 6) AS xent "
+        "FROM tok JOIN vocab USING (token) CROSS JOIN tot "
+        "GROUP BY doc_id"
+    )

@@ -1,0 +1,137 @@
+"""Round-5 curation operators: cross-document duplicate-span scan,
+unigram-LM cross-entropy scoring, and domain-mixture sampling — edge
+semantics on hand-built corpora (the driver's DuckDB oracle covers the
+sf0.01 hash parity; these pin the behaviors the oracle can't isolate)."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def span_dir():
+    """Tiny corpus with known k-gram (k=5) sharing structure:
+    - doc 0 and doc 1 share one 5-gram span ("a b c d e");
+    - doc 2 repeats a 5-gram WITHIN itself only ("p q r s t" twice);
+    - doc 3 has < 5 tokens (no grams at all);
+    - doc 4 shares nothing."""
+    d = tempfile.mkdtemp(prefix="talna_spans_")
+    rows = [
+        {"doc_id": 0, "text": "a b c d e x1 y1 z1"},
+        {"doc_id": 1, "text": "w1 w2 a b c d e"},
+        {"doc_id": 2, "text": "p q r s t p q r s t"},
+        {"doc_id": 3, "text": "too few words"},
+        {"doc_id": 4, "text": "m n o u v k1 k2 k3"},
+    ]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dup_spans_cross_doc_only(spark, span_dir):
+    from talna_spark.pipeline.dedup import dup_spans
+
+    out = {r["doc_id"]: r for r in dup_spans(spark, span_dir).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+
+    # doc 0: 8 tokens -> 4 grams; exactly one ("a b c d e") is shared
+    assert out[0]["n_grams"] == 4 and out[0]["dup_positions"] == 1
+    assert out[0]["dup_fraction"] == 0.25
+    # doc 1: 7 tokens -> 3 grams; the shared gram is at position 3
+    assert out[1]["n_grams"] == 3 and out[1]["dup_positions"] == 1
+    # doc 2: within-doc repetition alone must NOT mark positions
+    # (that signal is pipeline.text.repetition) — 10 tokens -> 6 grams
+    assert out[2]["n_grams"] == 6 and out[2]["dup_positions"] == 0
+    # doc 3: under k tokens -> zero grams, zero fraction (no div-by-zero)
+    assert out[3]["n_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc 4: unique content
+    assert out[4]["dup_positions"] == 0
+
+
+def test_lm_score_matches_hand_computation(spark, span_dir):
+    """Add-one unigram cross-entropy recomputed in pure Python for the
+    same corpus, including the per-token micro-nat rounding."""
+    from talna_spark.pipeline.dedup import _docs  # same reader
+    from talna_spark.pipeline.text import lm_score
+
+    texts = {
+        r["doc_id"]: r["text"].lower().strip().split()
+        for r in _docs(spark, span_dir).collect()
+    }
+    counts: dict[str, int] = {}
+    for toks in texts.values():
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    n_total = sum(counts.values())
+    v_size = len(counts)
+
+    def expected(toks):
+        micro = sum(
+            int(round(-math.log((counts[t] + 1.0) / (n_total + v_size)) * 1e6))
+            for t in toks
+        )
+        return round(micro / (len(toks) * 1e6), 6)
+
+    out = {r["doc_id"]: r for r in lm_score(spark, span_dir).collect()}
+    for doc_id, toks in texts.items():
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert out[doc_id]["xent"] == pytest.approx(expected(toks), abs=1e-9)
+
+    # the doc made of twice-repeated (hence higher-count) tokens scores
+    # LOWER cross-entropy than the all-unique docs
+    assert out[2]["xent"] < out[4]["xent"]
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from talna_spark.pipeline.sampling import (
+        MIX_BUDGET_FRACTION,
+        mixture_sample,
+    )
+
+    a = mixture_sample(spark, SF).collect()
+    b = mixture_sample(spark, SF).collect()
+    # deterministic: same rows, independent of run
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+    # each kept doc's keep_ppm matches the closed-form per-source rate
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tokens"] = docs["text"].str.lower().str.strip().str.split().map(len)
+    per = docs.groupby("source")["n_tokens"].sum()
+    weights = {s: 1 + int("".join(filter(str.isdigit, s))) % 3 for s in per.index}
+    budget = math.floor(per.sum() * MIX_BUDGET_FRACTION)
+    w_all = sum(weights.values())
+    for r in a:
+        rate = min(1.0, float(budget) * weights[r["source"]] / w_all / per[r["source"]])
+        assert r["keep_ppm"] == math.floor(rate * 1_000_000)
+
+    # achieved mixture leans toward the weights: every source is present
+    # and the total kept tokens are within a loose band of the budget
+    kept = pd.DataFrame([r.asDict() for r in a])
+    assert set(kept["source"]) == set(per.index)
+    total_kept = kept["n_tokens"].sum()
+    assert 0.6 * budget < total_kept < 1.4 * budget
+
+
+def test_x01_text_signals_slices(spark):
+    """The consolidated registration carries all four signals with the
+    documented null-pattern per slice."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x01_text_signals"](spark, SF)
+    pdf = df.toPandas()
+    assert set(pdf["kind"]) == {"tokens", "quality", "langid", "fingerprint"}
+    n_docs = pdf[pdf["kind"] == "tokens"].shape[0]
+    assert all(pdf[pdf["kind"] == k].shape[0] == n_docs for k in
+               ("quality", "langid", "fingerprint"))
+    assert pdf[pdf["kind"] == "langid"]["s1"].notna().all()
+    assert pdf[pdf["kind"] == "fingerprint"]["s1"].notna().all()
+    assert pdf[pdf["kind"] == "tokens"]["s1"].isna().all()
