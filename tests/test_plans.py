@@ -272,3 +272,42 @@ def test_bm25_stats_broadcast_and_no_corpus_shuffle(spark):
     for i, line in enumerate(plan.splitlines()):
         if "Exchange" in line and "_w#" in line:
             raise AssertionError(f"token arrays cross a shuffle: {line}")
+
+
+def test_dup_spans_shuffles_ids_only(spark):
+    # x21: only (doc_id, gram_hash) pairs may cross an Exchange — never
+    # the text or the gram-hash arrays; the duplicated-set membership is
+    # a join, not a corpus-sized broadcast
+    from talna_spark.pipeline.dedup import dup_spans
+
+    plan = plan_of(dup_spans(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and ("text#" in line or "gh#" in line):
+            raise AssertionError(f"corpus payload crosses a shuffle: {line}")
+
+
+def test_lm_score_vocab_broadcast_no_collect(spark):
+    # x22: vocab and totals reach scoring via broadcast exchanges; the
+    # scoring join must not shuffle the corpus tokens to the vocab
+    from talna_spark.pipeline.text import lm_score
+
+    plan = plan_of(lm_score(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"document text crosses a shuffle: {line}")
+
+
+def test_mixture_sample_map_side_keep(spark):
+    # x23: the keep decision is a map-side filter against broadcast
+    # per-domain rates — no corpus-carrying shuffle, no Python
+    from talna_spark.pipeline.sampling import mixture_sample
+
+    plan = plan_of(mixture_sample(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"document text crosses a shuffle: {line}")
