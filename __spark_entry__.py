@@ -629,14 +629,17 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three REAL pure-stdlib codecs (pipeline.multimodal) as `kind`
-    slices of one registration on a normalized schema — WAV (RIFF chunk
-    walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks + zlib
-    inflate + all five scanline filters). Each oracle recomputes every
-    decoded field by independent doc_id arithmetic (no parsing in SQL),
-    so writer AND decoder must both be exact. Normalized columns:
-    d1..d4 = the four integer header/shape fields in each codec's
-    natural order, m1/m2 = the two measured stats (duration/mean_amp,
+    """All four REAL dependency-free codecs (pipeline.multimodal) as
+    `kind` slices of one registration on a normalized schema — WAV (RIFF
+    chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
+    zlib inflate + all five scanline filters), JPEG (baseline grayscale:
+    huffman entropy decode + dequant + IDCT; r5 — the LOSSY leg). Each
+    oracle recomputes every decoded field by independent doc_id
+    arithmetic (no parsing in SQL), so writer AND decoder must both be
+    exact — for JPEG via the flat-block closed form that makes the lossy
+    round trip exactly predictable. Normalized columns: d1..d4 = the
+    four integer header/shape fields in each codec's natural order,
+    m1/m2 = the two measured stats (duration/mean_amp,
     mean_px/checksum)."""
 
     def norm(df, d1, d2, d3, d4, m1, m2, kind):
@@ -664,7 +667,11 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mm.png_decode(spark, sf_dir),
         "width", "height", "bit_depth", "n_pixels", "mean_px", "checksum", "png",
     )
-    return wav.unionByName(bmp).unionByName(png)
+    jpg = norm(
+        _mm.jpeg_decode(spark, sf_dir),
+        "width", "height", "precision", "n_pixels", "mean_px", "checksum", "jpeg",
+    )
+    return wav.unionByName(bmp).unionByName(png).unionByName(jpg)
 
 
 def _x19_codecs_sql() -> str:
@@ -685,6 +692,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.png_decode_sql(), "width", "height", "bit_depth",
                "n_pixels", "mean_px", "checksum", "png")
+        + " UNION ALL "
+        + norm(_mm.jpeg_decode_sql(), "width", "height", "precision",
+               "n_pixels", "mean_px", "checksum", "jpeg")
     )
 
 

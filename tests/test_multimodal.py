@@ -194,3 +194,194 @@ def test_png_decode_rejects_bad_crc_and_garbage(spark):
         )
         with pytest.raises(PythonException, match=msg):
             png_decode_payloads(media).collect()
+
+
+# ------------------------------------------------------------------ JPEG
+def _jpeg_coeff_blob(blocks, w, h):
+    """Coefficient-level baseline grayscale JPEG writer: encodes the
+    given per-block zigzag coefficient lists EXACTLY (standard tables,
+    canonical huffman, DC prediction, run-length AC with ZRL/EOB, byte
+    stuffing) — an independent implementation used to drive the
+    decoder's AC path with known coefficients."""
+    import struct
+
+    from talna_spark.pipeline.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QT,
+        _JPEG_ZZ,
+    )
+
+    def canonical(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_codes = canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    acc, nacc, out = 0, 0, bytearray()
+
+    def emit(code, ln):
+        nonlocal acc, nacc
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        nacc += ln
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    def emit_val(v, s):
+        emit(v if v >= 0 else v + (1 << s) - 1, s)
+
+    prev = 0
+    for zzc in blocks:
+        diff = zzc[0] - prev
+        prev = zzc[0]
+        s = abs(diff).bit_length()
+        emit(*dc_codes[s])
+        emit_val(diff, s)
+        k, run = 1, 0
+        while k < 64:
+            if zzc[k] == 0:
+                run += 1
+            else:
+                while run > 15:
+                    emit(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = abs(zzc[k]).bit_length()
+                emit(*ac_codes[(run << 4) | s])
+                emit_val(zzc[k], s)
+                run = 0
+            k += 1
+        if run:
+            emit(*ac_codes[0x00])  # EOB
+    if nacc:
+        emit((1 << (8 - nacc)) - 1, 8 - nacc)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qt_zz = bytes(_JPEG_QT[_JPEG_ZZ[i]] for i in range(64))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+        + seg(0xDB, b"\x00" + qt_zz)
+        + seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def _naive_idct_pixels(blocks, w, h):
+    """Independent reference: per-block dequant + double-loop cosine IDCT
+    in pure Python floats, then the decoder's pixel rule
+    clip(floor(x + 128.5), 0, 255)."""
+    import math
+
+    from talna_spark.pipeline.multimodal import _JPEG_QT, _JPEG_ZZ
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    img = [[0] * w for _ in range(h)]
+    nbx = w // 8
+    for bi, zzc in enumerate(blocks):
+        deq = [0.0] * 64
+        for i in range(64):
+            deq[_JPEG_ZZ[i]] = zzc[i] * _JPEG_QT[_JPEG_ZZ[i]]
+        by, bx = bi // nbx, bi % nbx
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            c(u) * c(v) / 4 * deq[u * 8 + v]
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                        )
+                px = min(255, max(0, math.floor(s + 128.5)))
+                img[8 * by + y][8 * bx + x] = px
+    return img
+
+
+def test_jpeg_decode_round_trip(spark):
+    """Spark decode over synthesized baseline JPEGs == the closed-form
+    DuckDB oracle, every field (incl. the order-sensitive checksum)."""
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import jpeg_decode, jpeg_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, jpeg_decode(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(jpeg_decode_sql()).fetchall()))
+    assert got == want
+
+
+def test_jpeg_ac_coefficients_and_zigzag(spark):
+    """The AC path — run-length decode, ZRL, zigzag placement, full
+    IDCT — against an independent coefficient-level encoder and a naive
+    double-loop IDCT. Coefficients exercise: long zero runs (>16, needs
+    ZRL), negative values, the last zigzag slot (no EOB), and multiple
+    blocks with DC prediction across them."""
+    from talna_spark.pipeline.multimodal import jpeg_decode_payloads
+
+    b1 = [0] * 64
+    b1[0], b1[1], b1[5] = -26, -3, 7  # DC + two low-frequency ACs
+    b2 = [0] * 64
+    b2[0], b2[30], b2[63] = 15, -2, 1  # ZRL runs + final slot, no EOB
+    b3 = [0] * 64
+    b3[0] = -80  # flat block after non-flat ones (DC prediction)
+    blocks, w, h = [b1, b2, b3], 24, 8
+
+    blob = _jpeg_coeff_blob(blocks, w, h)
+    media = spark.createDataFrame(
+        [(7, "image/jpeg", blob)],
+        "doc_id long, media_type string, payload binary",
+    )
+    row = jpeg_decode_payloads(media).collect()[0]
+    img = _naive_idct_pixels(blocks, w, h)
+    flat = [px for line in img for px in line]
+    assert (row["width"], row["height"], row["n_pixels"]) == (w, h, w * h)
+    assert row["checksum"] == sum(px * (i + 1) for i, px in enumerate(flat))
+    assert row["mean_px"] == pytest.approx(
+        round(sum(flat) / len(flat), 6), abs=1e-9
+    )
+
+
+def test_jpeg_decode_rejects_garbage_and_progressive(spark):
+    from talna_spark.pipeline.multimodal import jpeg_decode_payloads
+
+    media = spark.createDataFrame(
+        [(1, "image/jpeg", b"NOTAJPEG" * 16)],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="JPEG|SOI"):
+        jpeg_decode_payloads(media).collect()
+
+    # progressive (SOF2) must be rejected loudly, not mis-decoded
+    blob = bytearray(_jpeg_coeff_blob([[0] * 64], 8, 8))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    media2 = spark.createDataFrame(
+        [(2, "image/jpeg", bytes(blob))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="baseline"):
+        jpeg_decode_payloads(media2).collect()
