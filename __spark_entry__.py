@@ -777,7 +777,49 @@ _EXT["x01_text_signals"] = (_x01_text_signals, _x01_text_signals_sql())
 # x21-x23: the round-5 training-pipeline additions (each a first-class
 # operator with its own module-level oracle).
 _EXT["x21_dup_spans"] = (_dedup.dup_spans, _dedup.dup_spans_sql())
-_EXT["x22_lm_score"] = (_text.lm_score, _text.lm_score_sql())
+def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained quality scoring, two `kind` slices on a normalized
+    (doc_id, s1, v1, v2) schema:
+
+    - ``lm``: unigram-LM cross-entropy (v1=n_tokens, v2=xent);
+    - ``cutoff``: adaptive per-source quality-percentile filter — the
+      kept docs with their score and their domain's exact interpolated
+      p10 cutoff (s1=source, v1=quality, v2=cutoff).
+    """
+
+    def norm(df, s1, v1, v2, kind):
+        return df.select(
+            "doc_id",
+            s1.cast("string").alias("s1"),
+            v1.cast("double").alias("v1"),
+            v2.cast("double").alias("v2"),
+            F.lit(kind).alias("kind"),
+        )
+
+    lm = norm(
+        _text.lm_score(spark, sf_dir),
+        F.lit(None), F.col("n_tokens"), F.col("xent"), "lm",
+    )
+    cut = norm(
+        _text.quality_cutoff_filter(spark, sf_dir),
+        F.col("source"), F.col("quality"), F.col("cutoff"), "cutoff",
+    )
+    return lm.unionByName(cut)
+
+
+def _x22_quality_scoring_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(n_tokens AS DOUBLE) AS v1, CAST(xent AS DOUBLE) AS v2, "
+        f"'lm' AS kind FROM ({_text.lm_score_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, source AS s1, CAST(quality AS DOUBLE) AS v1, "
+        "CAST(cutoff AS DOUBLE) AS v2, 'cutoff' AS kind "
+        f"FROM ({_text.quality_cutoff_filter_sql()})"
+    )
+
+
+_EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 _EXT["x23_mixture_sample"] = (_sampling.mixture_sample, _sampling.mixture_sample_sql())
 
 

@@ -1,0 +1,200 @@
+"""Distributed BPE tokenizer training + encoding over the ``documents``
+table — the "train a tokenizer on the corpus you just curated" step of an
+LLM data pipeline (Sennrich et al. 2016 word-internal BPE: symbols are
+characters plus an end-of-word marker, merges never cross word
+boundaries).
+
+Scale design:
+- The corpus is scanned ONCE, into a word-frequency table (groupBy word —
+  vocab-sized, stays distributed). Every training round then runs on that
+  table, never on the corpus: explode adjacent symbol pairs weighted by
+  word count, one hash aggregate per round (shuffle ∝ distinct pairs),
+  argmax collected as a single row (the merge decision IS the model —
+  driver-side by nature, like the connected-components convergence
+  count). The winning merge is applied map-side with a JVM aggregate()
+  fold over the symbol arrays — no Python in the loop.
+- Lineage is truncated with a lazy localCheckpoint every few rounds
+  (the dedup_clusters pattern): N rounds otherwise stack N plan layers
+  and planning time goes quadratic.
+- Encoding (:func:`bpe_encode`) broadcasts the learned merge ranks and
+  runs the classic greedy lowest-rank-pair loop inside Arrow-batched
+  mapInPandas: map-only, bounded memory, the shape tokenizer inference
+  always takes at 100 TB. (Training is NOT SQL-expressible — iterative
+  argmax — so this module is oracle'd by unit tests against an
+  independent pure-Python reference implementation instead of a DuckDB
+  twin; see tests/test_bpe.py.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.portable import tokens
+
+EOW = "</w>"  # end-of-word marker, per the original BPE formulation
+_CHECKPOINT_EVERY = 8
+
+
+def _word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n, syms): corpus word frequencies with each word split into
+    its initial symbol array (characters + EOW). One corpus scan; the
+    result is vocab-sized."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word")).filter(
+        F.length("word") > 0
+    )
+    wt = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    syms = F.concat(
+        F.split(F.col("word"), ""),  # one element per character
+        F.array(F.lit(EOW)),
+    )
+    return wt.select("word", "n", syms.alias("syms"))
+
+
+def _pair_counts(wt: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair frequencies weighted by word count — one
+    explode + hash aggregate over the vocab-sized table."""
+    # guard the fully-merged case (one symbol left): Spark's
+    # sequence(1, 0) counts DOWN, so an unguarded transform would index
+    # past the array (the portable.shingles pitfall)
+    pairs = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN "
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+        "ELSE CAST(array() AS array<struct<a: string, b: string>>) END"
+    )
+    return (
+        wt.select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _apply_merge(wt: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every adjacent (a, b) in the symbol arrays with the merged
+    symbol, greedily left-to-right (standard BPE: 'aaa' + (a,a) ->
+    [aa, a]) — a JVM aggregate() fold with a (out, carry) accumulator,
+    no Python."""
+    merged = a + b
+    fold = F.aggregate(
+        F.col("syms"),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        ),
+        lambda acc, s: F.when(
+            acc["carry"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("carry")),
+        )
+        .when(
+            (acc["carry"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                s.alias("carry"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+    )
+    return wt.select("word", "n", fold.alias("syms"))
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 50
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Deterministic:
+    ties on pair count break lexicographically on (a, b), independent of
+    partitioning. Stops early when no pair occurs twice (merging
+    singletons would just memorize words). Returns the ordered merge
+    list — the tokenizer model."""
+    wt = _word_table(spark, sf_dir).localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(wt)
+            .filter(F.col("cnt") >= 2)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        wt = _apply_merge(wt, a, b)
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            wt = wt.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode every document with a learned merge list: per word, apply
+    the classic greedy algorithm (repeatedly merge the present pair with
+    the LOWEST merge rank until none applies). Arrow-batched mapInPandas
+    with the rank table in the closure — map-only, no shuffle. Returns
+    (doc_id, n_words, n_bpe_tokens, compression) where compression =
+    round(chars-per-bpe-token, 6)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    eow = EOW
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [eow]
+            while len(syms) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            cache[w] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            n_words, n_tok, n_chars = [], [], []
+            for ws in pdf["words"]:
+                ws = [w for w in ws if w]
+                n_words.append(len(ws))
+                n_tok.append(sum(word_tokens(w) for w in ws))
+                n_chars.append(sum(len(w) for w in ws))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_tok,
+                }
+            )
+            out["compression"] = [
+                round(c / t, 6) if t else 0.0 for c, t in zip(n_chars, n_tok)
+            ]
+            yield out
+
+    return d.mapInPandas(
+        _enc,
+        schema="doc_id long, n_words long, n_bpe_tokens long, compression double",
+    )

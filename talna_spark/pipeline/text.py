@@ -541,3 +541,52 @@ def lm_score_sql() -> str:
         "FROM tok JOIN vocab USING (token) CROSS JOIN tot "
         "GROUP BY doc_id"
     )
+
+
+# ------------------------------------------- adaptive quality filtering
+CUTOFF_PCT = 0.10  # drop the worst decile per source
+
+
+def quality_cutoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-domain quality filtering: instead of one global
+    threshold (which empties low-register domains and keeps everything
+    from clean ones), each source drops its own worst CUTOFF_PCT
+    quantile — the per-domain percentile filtering step of
+    Gopher/FineWeb-style curation. The cutoff is the EXACT interpolated
+    quantile (Spark `percentile` ≡ DuckDB `quantile_cont`, the q21
+    portability pair), rounded to 6 dp on both engines before the
+    boundary compare so a doc sitting exactly on the cutoff is kept or
+    dropped identically everywhere.
+
+    100 TB shape: cutoffs are one #sources-row exact-percentile
+    aggregate (partial+final; the shuffle carries per-source sketch rows
+    only) broadcast back onto the scored scan; the keep test is a
+    map-side compare. Exact percentile at this grouping is cheap because
+    cardinality is #domains, not #docs — for per-token-level quantiles
+    the approx_percentile sketch is the scale path (aggregate.py:73).
+    """
+    q = quality(spark, sf_dir).select("doc_id", "quality")
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    scored = d.join(q, "doc_id")
+    cuts = scored.groupBy("source").agg(
+        F.round(F.percentile("quality", F.lit(CUTOFF_PCT)), 6).alias("cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .filter(F.col("quality") >= F.col("cutoff"))
+        .select("doc_id", "source", "quality", "cutoff")
+    )
+
+
+def quality_cutoff_filter_sql() -> str:
+    return (
+        f"WITH qual AS ({quality_sql()}), "
+        "scored AS (SELECT d.doc_id, d.source, q.quality FROM documents d "
+        "JOIN qual q ON d.doc_id = q.doc_id), "
+        "cuts AS (SELECT source, "
+        f"ROUND(quantile_cont(quality, {CUTOFF_PCT}), 6) AS cutoff "
+        "FROM scored GROUP BY source) "
+        "SELECT s.doc_id, s.source, s.quality, c.cutoff "
+        "FROM scored s JOIN cuts c ON s.source = c.source "
+        "WHERE s.quality >= c.cutoff"
+    )

@@ -1,0 +1,134 @@
+"""Distributed BPE trainer vs an independent pure-Python reference
+implementation (Sennrich-style word-internal BPE) — exact merge-sequence
+and encoding equality, plus partitioning-independence."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from talna_spark.pipeline.bpe import EOW, bpe_encode, bpe_train
+
+
+# --------------------------- reference implementation (test-side, pure py)
+def _ref_word_counts(texts):
+    counts = {}
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _ref_train(texts, n_merges):
+    counts = _ref_word_counts(texts)
+    vocab = {w: list(w) + [EOW] for w in counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + counts[w]
+        pairs = {p: c for p, c in pairs.items() if c >= 2}
+        if not pairs:
+            break
+        # max count, lexicographic tie-break on (a, b)
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def _ref_encode_word(w, ranks):
+    syms = list(w) + [EOW]
+    while len(syms) > 1:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+    return syms
+
+
+@pytest.fixture(scope="module")
+def corpus_dir():
+    d = tempfile.mkdtemp(prefix="talna_bpe_")
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest wide",
+        "low new wide slow slower",
+        "the lowest newest widest",
+    ]
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    yield d, texts
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_train_matches_reference(spark, corpus_dir):
+    d, texts = corpus_dir
+    got = bpe_train(spark, d, n_merges=20)
+    want = _ref_train(texts, 20)
+    assert got == want
+    assert len(got) > 5  # the corpus supports a real merge sequence
+
+
+def test_bpe_train_partitioning_independent(spark, corpus_dir):
+    # same merges regardless of input file partitioning: the argmax
+    # tie-break is on values, never on partition order
+    d, texts = corpus_dir
+    df = spark.read.parquet(f"{d}/documents.parquet")
+    d2 = tempfile.mkdtemp(prefix="talna_bpe_rp_")
+    try:
+        df.repartition(7).write.parquet(f"{d2}/documents.parquet")
+        assert bpe_train(spark, d2, n_merges=12) == _ref_train(texts, 12)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_bpe_encode_matches_reference(spark, corpus_dir):
+    d, texts = corpus_dir
+    merges = bpe_train(spark, d, n_merges=15)
+    ranks = {m: i for i, m in enumerate(merges)}
+    got = {r["doc_id"]: r for r in bpe_encode(spark, d, merges).collect()}
+    for doc_id, t in enumerate(texts):
+        ws = [w for w in t.lower().strip().split() if w]
+        n_tok = sum(len(_ref_encode_word(w, ranks)) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        assert got[doc_id]["n_words"] == len(ws)
+        assert got[doc_id]["n_bpe_tokens"] == n_tok
+        assert got[doc_id]["compression"] == pytest.approx(
+            round(n_chars / n_tok, 6), abs=1e-9
+        )
+
+
+def test_bpe_stops_when_no_repeated_pair(spark):
+    # a corpus of all-distinct characters can't support >=2-count merges
+    d = tempfile.mkdtemp(prefix="talna_bpe_stop_")
+    try:
+        pd.DataFrame({"doc_id": [0], "text": ["abc def"]}).to_parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        assert bpe_train(spark, d, n_merges=10) == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
