@@ -293,7 +293,18 @@ def main() -> None:
             "pipe_ann_ivf": "x11_ann_ivf",
             "pipe_bm25": "q39_bm25",
             "pipe_curate": "q41_curate",
+            "pipe_lm_score": "x22_quality_scoring",
+            "pipe_mixture": "x23_mixture_sample",
         }
+        # dup_spans with the parallelism knob (the registration's default
+        # keeps the operator shuffle-free for the plan contract; a
+        # single-row-group bench file needs the explicit fan-out)
+        from talna_spark.pipeline.dedup import dup_spans as _dup_spans
+
+        qs["_bench_dup_spans"] = lambda s, sd: _dup_spans(
+            s, sd, parallelism=int(cpus)
+        )
+        pipe["pipe_dup_spans"] = "_bench_dup_spans"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number

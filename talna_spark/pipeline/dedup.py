@@ -534,7 +534,12 @@ def _positional_gram_hashes_sql(words_expr: str, k: int) -> str:
     )
 
 
-def dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
+def dup_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SPAN_K,
+    parallelism: int | None = None,
+) -> DataFrame:
     """Cross-document duplicate-span scan (the train-data dedup from
     "Deduplicating Training Data Makes Language Models Better", Lee et
     al. 2022, adapted to word k-grams): a position in a document is
@@ -553,11 +558,22 @@ def dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
     gram.
     """
     d = _docs(spark, sf_dir)
-    g = d.select(
+    if parallelism:
+        # the gram-hash projection is the expensive map work; a
+        # single-row-group testdata file scans as ONE task, so spread it
+        # (at real scale the source is many files and this is a no-op
+        # knob — default off, keeping the operator shuffle-free)
+        d = d.repartition(int(parallelism), "doc_id")
+    # (doc_id, gram_hash) computed ONCE behind a lazy localCheckpoint:
+    # three consumers (dup set, per-doc count, final join) would
+    # otherwise each re-evaluate the md5 transform — the LSH planning
+    # pathology class (measured 27s -> ~4s at sf0.1)
+    pos = d.select(
         "doc_id",
-        _positional_gram_hashes(tokens(F.col("text")), k).alias("gh"),
-    )
-    pos = g.select("doc_id", F.explode("gh").alias("h"))
+        F.explode(
+            _positional_gram_hashes(tokens(F.col("text")), k)
+        ).alias("h"),
+    ).localCheckpoint(eager=False)
     dup = (
         pos.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -569,8 +585,12 @@ def dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("dup_positions"))
     )
+    # n_grams needs no hashing at all — it is a pure token-count formula
+    n_grams = F.greatest(
+        F.size(tokens(F.col("text"))) - (k - 1), F.lit(0)
+    )
     return (
-        g.select("doc_id", F.size("gh").cast("long").alias("n_grams"))
+        d.select("doc_id", n_grams.cast("long").alias("n_grams"))
         .join(dcount, "doc_id", "left")
         .select(
             "doc_id",
