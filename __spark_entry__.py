@@ -776,7 +776,53 @@ _EXT["x01_text_signals"] = (_x01_text_signals, _x01_text_signals_sql())
 
 # x21-x23: the round-5 training-pipeline additions (each a first-class
 # operator with its own module-level oracle).
-_EXT["x21_dup_spans"] = (_dedup.dup_spans, _dedup.dup_spans_sql())
+def _x21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span scan AND removal (pipeline.dedup) as `kind` slices
+    of one registration on a normalized (doc_id, s1, v1, v2, v3) schema:
+
+    - ``scan``: v1=n_grams, v2=dup_positions, v3=dup_fraction;
+    - ``clean``: s1=md5 of the span-trimmed text (proving the exact
+      reconstructed string, not just counts), v1=kept_tokens,
+      v2=removed_tokens.
+    """
+
+    def norm(df, s1, v1, v2, v3, kind):
+        return df.select(
+            "doc_id",
+            s1.cast("string").alias("s1"),
+            v1.cast("double").alias("v1"),
+            v2.cast("double").alias("v2"),
+            v3.cast("double").alias("v3"),
+            F.lit(kind).alias("kind"),
+        )
+
+    scan = norm(
+        _dedup.dup_spans(spark, sf_dir),
+        F.lit(None), F.col("n_grams"), F.col("dup_positions"),
+        F.col("dup_fraction"), "scan",
+    )
+    clean = norm(
+        _dedup.dup_span_clean(spark, sf_dir),
+        F.col("clean_hash"), F.col("kept_tokens"), F.col("removed_tokens"),
+        F.lit(0.0), "clean",
+    )
+    return scan.unionByName(clean)
+
+
+def _x21_dup_spans_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(n_grams AS DOUBLE) AS v1, CAST(dup_positions AS DOUBLE) AS v2, "
+        "CAST(dup_fraction AS DOUBLE) AS v3, 'scan' AS kind "
+        f"FROM ({_dedup.dup_spans_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, clean_hash AS s1, CAST(kept_tokens AS DOUBLE) AS v1, "
+        "CAST(removed_tokens AS DOUBLE) AS v2, 0.0 AS v3, 'clean' AS kind "
+        f"FROM ({_dedup.dup_span_clean_sql()})"
+    )
+
+
+_EXT["x21_dup_spans"] = (_x21_dup_spans, _x21_dup_spans_sql())
 def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained quality scoring, two `kind` slices on a normalized
     (doc_id, s1, v1, v2) schema:

@@ -620,3 +620,93 @@ def dup_spans_sql(k: int = SPAN_K) -> str:
         "AS dup_fraction "
         "FROM g LEFT JOIN dc ON g.doc_id = dc.doc_id"
     )
+
+
+def dup_span_clean(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SPAN_K,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the trim step that follows the
+    :func:`dup_spans` scan (Lee et al. 2022 drop the repeated span from
+    all but one occurrence; this stricter form trims every token covered
+    by ANY cross-document duplicated k-gram, the boilerplate-stripping
+    variant). Returns (doc_id, kept_tokens, removed_tokens, clean_hash)
+    where clean_hash = md5 of the space-joined surviving tokens in
+    original order — so the oracle proves the reconstructed TEXT, not
+    just counts.
+
+    100 TB shape: same id-only shuffles as the scan (gram hashes once
+    behind a lazy localCheckpoint, duplicated set by shuffle join), plus
+    one (doc_id, token_index) coverage aggregate; the rebuild is a
+    map-side indexed filter over the token array — text never crosses an
+    Exchange."""
+    d = _docs(spark, sf_dir)
+    if parallelism:
+        d = d.repartition(int(parallelism), "doc_id")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(
+            _positional_gram_hashes(tokens(F.col("text")), k)
+        ).alias("p", "h"),  # p = 0-based gram start = covered-token base
+    ).localCheckpoint(eager=False)
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        pos.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (k - 1))
+            ).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("t").alias("cov"))
+    )
+    w = tokens(F.col("text"))
+    kept = F.filter(w, lambda x, i: ~F.array_contains(F.col("cov"), i))
+    empty = F.array().cast("array<int>")
+    return (
+        d.join(covered, "doc_id", "left")
+        .withColumn("cov", F.coalesce("cov", empty))
+        .select(
+            "doc_id",
+            F.size(kept).cast("long").alias("kept_tokens"),
+            (F.size(w) - F.size(kept)).cast("long").alias("removed_tokens"),
+            F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+        )
+    )
+
+
+def dup_span_clean_sql(k: int = SPAN_K) -> str:
+    w = tokens_sql("text")
+    gh = _positional_gram_hashes_sql(w, k)
+    return (
+        # pos.i is 1-based (generate_series over the gram list), so the
+        # 0-based covered token range for gram i is [i-1, i+k-2]
+        f"WITH g AS (SELECT doc_id, {gh} AS gh FROM documents), "
+        "pos AS (SELECT doc_id, i, gh[i] AS h FROM g, "
+        "unnest(generate_series(1, len(gh))) AS u(i)), "
+        "dup AS (SELECT h FROM pos GROUP BY h "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, "
+        f"unnest(generate_series(i - 1, i + {k - 2})) AS t "
+        "FROM pos JOIN dup USING (h)), "
+        f"toks AS (SELECT doc_id, ({w})[idx] AS tok, idx "
+        f"FROM documents, unnest(generate_series(1, len({w}))) AS s(idx)), "
+        "clean AS (SELECT tk.doc_id, "
+        "COUNT(*) AS kept, string_agg(tk.tok, ' ' ORDER BY tk.idx) AS txt "
+        "FROM toks tk LEFT JOIN cov c "
+        "ON tk.doc_id = c.doc_id AND tk.idx - 1 = c.t "
+        "WHERE c.t IS NULL GROUP BY tk.doc_id), "
+        f"n AS (SELECT doc_id, len({w}) AS n_toks FROM documents) "
+        "SELECT n.doc_id, CAST(COALESCE(cl.kept, 0) AS BIGINT) AS kept_tokens, "
+        "CAST(n.n_toks - COALESCE(cl.kept, 0) AS BIGINT) AS removed_tokens, "
+        "md5(COALESCE(cl.txt, '')) AS clean_hash "
+        "FROM n LEFT JOIN clean cl ON n.doc_id = cl.doc_id"
+    )

@@ -135,3 +135,30 @@ def test_x01_text_signals_slices(spark):
     assert pdf[pdf["kind"] == "langid"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "fingerprint"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "tokens"]["s1"].isna().all()
+
+
+def test_dup_span_clean_trims_covered_tokens(spark, span_dir):
+    """Removal = every token covered by a cross-doc duplicated 5-gram;
+    within-doc repetition and unique content survive untouched."""
+    import hashlib
+
+    from talna_spark.pipeline.dedup import dup_span_clean
+
+    out = {r["doc_id"]: r for r in dup_span_clean(spark, span_dir).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 0 "a b c d e x1 y1 z1": gram "a b c d e" is shared with doc 1
+    # -> tokens 0..4 trimmed, tail kept
+    assert out[0]["kept_tokens"] == 3 and out[0]["removed_tokens"] == 5
+    assert out[0]["clean_hash"] == h("x1 y1 z1")
+    # doc 1 "w1 w2 a b c d e": the shared gram covers tokens 2..6
+    assert out[1]["clean_hash"] == h("w1 w2")
+    # doc 2: within-doc-only repetition -> nothing trimmed
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["clean_hash"] == h("p q r s t p q r s t")
+    # doc 3: under k tokens -> no grams, nothing trimmed
+    assert out[3]["kept_tokens"] == 3 and out[3]["removed_tokens"] == 0
+    # doc 4: unique -> untouched
+    assert out[4]["removed_tokens"] == 0
