@@ -162,3 +162,33 @@ def test_dup_span_clean_trims_covered_tokens(spark, span_dir):
     assert out[3]["kept_tokens"] == 3 and out[3]["removed_tokens"] == 0
     # doc 4: unique -> untouched
     assert out[4]["removed_tokens"] == 0
+
+
+def test_new_ops_partitioning_independent(spark, span_dir):
+    """dup_spans / dup_span_clean / lm_score results must not depend on
+    how the source file is partitioned (the retry/cluster-resize
+    invariant every curation decision needs)."""
+    import tempfile as _tf
+
+    from talna_spark.pipeline.dedup import dup_span_clean, dup_spans
+    from talna_spark.pipeline.text import lm_score
+
+    base = {
+        "spans": sorted(map(tuple, dup_spans(spark, span_dir).collect())),
+        "clean": sorted(map(tuple, dup_span_clean(spark, span_dir).collect())),
+        "lm": sorted(map(tuple, lm_score(spark, span_dir).collect())),
+    }
+    d2 = _tf.mkdtemp(prefix="talna_rp_")
+    try:
+        (
+            spark.read.parquet(f"{span_dir}/documents.parquet")
+            .repartition(5)
+            .write.parquet(f"{d2}/documents.parquet")
+        )
+        assert sorted(map(tuple, dup_spans(spark, d2, parallelism=3).collect())) == base["spans"]
+        assert sorted(map(tuple, dup_span_clean(spark, d2, parallelism=3).collect())) == base["clean"]
+        assert sorted(map(tuple, lm_score(spark, d2).collect())) == base["lm"]
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(d2, ignore_errors=True)
