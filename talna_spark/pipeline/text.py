@@ -481,7 +481,9 @@ def repetition_sql() -> str:
 
 
 # ------------------------------------------------- unigram LM scoring
-def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_score(
+    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+) -> DataFrame:
     """Unigram language-model cross-entropy per document — the classic
     corpus-level quality signal (CCNet/Gopher-style filtering uses a
     KenLM perplexity; the unigram LM is its distributed, dependency-free
@@ -503,6 +505,9 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e7 rows — broadcastable — and the totals (N, V) ride along as a
     crossJoin of a broadcast 1-row aggregate, so no collect() and no
     corpus shuffle: the only wide exchange carries (doc_id, token) ids.
+    ``broadcast_vocab=False`` drops the broadcast hint for vocabularies
+    past executor memory (multilingual char-soup corpora) and lets Spark
+    plan a shuffle join on the token key instead.
     """
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
@@ -514,8 +519,10 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("v_size")))
         * 1_000_000
     ).cast("long")
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     return (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(vocab, "token")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
