@@ -629,11 +629,13 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four REAL dependency-free codecs (pipeline.multimodal) as
+    """All five REAL dependency-free codecs (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
     zlib inflate + all five scanline filters), JPEG (baseline grayscale:
-    huffman entropy decode + dequant + IDCT; r5 — the LOSSY leg). Each
+    huffman entropy decode + dequant + IDCT; r5 — the LOSSY leg), AVI (RIFF-AVI container walk + movi
+    frame chunks, every-2nd-frame sampling over bottom-up DIB frames;
+    r5 — the VIDEO leg). Each
     oracle recomputes every decoded field by independent doc_id
     arithmetic (no parsing in SQL), so writer AND decoder must both be
     exact — for JPEG via the flat-block closed form that makes the lossy
@@ -671,7 +673,14 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mm.jpeg_decode(spark, sf_dir),
         "width", "height", "precision", "n_pixels", "mean_px", "checksum", "jpeg",
     )
-    return wav.unionByName(bmp).unionByName(png).unionByName(jpg)
+    avi = norm(
+        _mm.avi_decode(spark, sf_dir),
+        "width", "height", "n_frames", "n_sampled", "mean_px", "checksum", "avi",
+    )
+    return (
+        wav.unionByName(bmp).unionByName(png).unionByName(jpg)
+        .unionByName(avi)
+    )
 
 
 def _x19_codecs_sql() -> str:
@@ -695,6 +704,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.jpeg_decode_sql(), "width", "height", "precision",
                "n_pixels", "mean_px", "checksum", "jpeg")
+        + " UNION ALL "
+        + norm(_mm.avi_decode_sql(), "width", "height", "n_frames",
+               "n_sampled", "mean_px", "checksum", "avi")
     )
 
 

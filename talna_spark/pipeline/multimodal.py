@@ -8,21 +8,23 @@ The Spark-side shape is real and tested:
 - feature extraction is a mapInPandas pass (Arrow batches, bounded memory,
   no shuffle), the exact slot where a real decoder (PIL / ffmpeg / torch)
   would run on the executor;
-- FOUR real codecs run behind that seam with no external libraries: a
+- FIVE real codecs run behind that seam with no external libraries: a
   WAV decoder (RIFF chunk walk + int16 PCM), a BMP decoder (bottom-up
   padded 24-bit pixel rows), a PNG decoder (CRC-verified chunk walk +
-  stdlib-zlib inflate + all five scanline filters), and a baseline
+  stdlib-zlib inflate + all five scanline filters), a baseline
   grayscale JPEG decoder (huffman entropy decode + dequantization +
-  IDCT; r5) — the audio leg, the uncompressed, COMPRESSED and LOSSY
-  image legs are all de-stubbed; only video/audio-entropy formats
-  (MP3/H.264) remain a NotImplementedError seam in `_decode_features`,
-  since the container ships no codec libs (driver environment
-  constraint). Text payloads are the deterministic stand-in there:
-  every documents row becomes a utf-8 blob.
+  IDCT; r5), and an AVI decoder (RIFF-AVI container walk + movi frame
+  chunks with every-Nth FRAME SAMPLING over uncompressed DIB frames;
+  r5) — the audio, uncompressed/COMPRESSED/LOSSY image, and VIDEO
+  container legs are all de-stubbed; only entropy-coded A/V payloads
+  (MP3/H.264 inside their containers) remain a NotImplementedError seam
+  in `_decode_features`, since the container ships no codec libs
+  (driver environment constraint). Text payloads are the deterministic
+  stand-in there: every documents row becomes a utf-8 blob.
 
 Because the fake "decoder" derives features from md5(blob), the operator
 still has a strict DuckDB oracle (md5 of the same utf-8 bytes); the WAV,
-BMP, PNG and JPEG decoders have independent-arithmetic oracles over
+BMP, PNG, JPEG and AVI decoders have independent-arithmetic oracles over
 synthesized payloads (JPEG via its flat-block closed form, which makes
 the lossy round trip exactly predictable).
 """
@@ -1065,5 +1067,242 @@ def jpeg_decode_sql() -> str:
         "CAST(8 AS BIGINT) AS precision, "
         "CAST(64 * nbx * nby AS BIGINT) AS n_pixels, "
         "(ROUND(m.mean_px, 6) + 0) AS mean_px, CAST(m.cks AS BIGINT) AS checksum "
+        "FROM d JOIN m USING (doc_id)"
+    )
+
+
+# ------------------------------------------------------------ AVI codec
+AVI_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, "
+    "n_frames long, n_sampled long, mean_px double, checksum long"
+)
+AVI_SAMPLE_EVERY = 2  # frame-sampling stride: decode every 2nd frame
+
+
+def _avi_params(doc_id: int) -> tuple[int, int, int]:
+    # (width, height, n_frames); w=6 exercises non-zero row padding
+    return 4 + 2 * (doc_id % 3), 3 + doc_id % 3, 3 + doc_id % 4
+
+
+def avi_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one uncompressed-video AVI blob per document: a real
+    RIFF-AVI container (LIST hdrl with avih + strl/strh/strf, LIST movi
+    of '00db' DIB frames) holding 24-bit bottom-up padded frames.
+    Logical channel byte i (row-major top-down, BGR) of frame f is
+    (doc_id*19 + f*29 + 7*i) % 256 — the closed form the oracle
+    recomputes."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def lst(tag: bytes, payload: bytes) -> bytes:
+            return b"LIST" + struct.pack("<I", 4 + len(payload)) + tag + payload
+
+        def chunk(tag: bytes, payload: bytes) -> bytes:
+            pad = b"\x00" if len(payload) % 2 else b""
+            return tag + struct.pack("<I", len(payload)) + payload + pad
+
+        def encode(did: int) -> bytes:
+            w, h, nf = 4 + 2 * (did % 3), 3 + did % 3, 3 + did % 4
+            row_raw = 3 * w
+            row_pad = (4 - row_raw % 4) % 4
+            frames = []
+            for f in range(nf):
+                rows = []
+                for yy in range(h - 1, -1, -1):  # bottom-up storage
+                    base = yy * row_raw
+                    rows.append(
+                        bytes(
+                            (did * 19 + f * 29 + 7 * (base + k)) % 256
+                            for k in range(row_raw)
+                        )
+                        + b"\x00" * row_pad
+                    )
+                frames.append(chunk(b"00db", b"".join(rows)))
+            frame_bytes = (row_raw + row_pad) * h
+            avih = struct.pack(
+                "<IIIIIIIIII4I",
+                40_000, frame_bytes * 25, 0, 0, nf, 0, 1, frame_bytes,
+                w, h, 0, 0, 0, 0,
+            )
+            strh = (
+                b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, nf, frame_bytes, 0, 0, 0)
+                + struct.pack("<hhhh", 0, 0, w, h)
+            )
+            strf = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes * 1, 0, 0, 0, 0
+            )
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+            movi = lst(b"movi", b"".join(frames))
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "video/avi",
+                    "payload": [encode(int(i)) for i in ids],
+                }
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return avi_decode_payloads(avi_media_table(spark, sf_dir))
+
+
+def avi_decode_payloads(
+    media: DataFrame, sample_every: int = AVI_SAMPLE_EVERY
+) -> DataFrame:
+    """Decode AVI payloads with the stdlib only: RIFF walk (verify
+    'RIFF'/'AVI '), LIST hdrl -> avih dims + frame count, strf must be
+    24-bit uncompressed DIB, LIST movi -> iterate word-aligned '00db'
+    frame chunks and FRAME-SAMPLE every ``sample_every``-th one (the
+    video analog of audio frame-sampling: at 100 TB you decode a stride,
+    not the whole stream). Each sampled frame's bottom-up padded rows
+    reconstruct to the logical top-down stream; checksum =
+    sum(byte * (s*frame_len + i + 1)) over sampled frames in sampled
+    order — order-sensitive across frames AND within rows."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(blob: bytes):
+            if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+                raise ValueError("not an AVI payload")
+            pos, end = 12, 8 + struct.unpack("<I", blob[4:8])[0]
+            dims = None
+            bpp = None
+            frames = []
+            while pos + 8 <= end:
+                tag = blob[pos : pos + 4]
+                (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                data = blob[pos + 8 : pos + 8 + ln]
+                if tag == b"LIST":
+                    kind = data[:4]
+                    if kind == b"hdrl":
+                        # avih chunk sits first inside hdrl
+                        if data[4:8] != b"avih":
+                            raise ValueError("hdrl without avih")
+                        (alen,) = struct.unpack("<I", data[8:12])
+                        a = data[12 : 12 + alen]
+                        nf, w, h = (
+                            struct.unpack("<I", a[16:20])[0],
+                            struct.unpack("<I", a[32:36])[0],
+                            struct.unpack("<I", a[36:40])[0],
+                        )
+                        dims = (w, h, nf)
+                        sidx = data.find(b"strf", 12 + alen)
+                        if sidx >= 0:
+                            (slen,) = struct.unpack(
+                                "<I", data[sidx + 4 : sidx + 8]
+                            )
+                            sf_ = data[sidx + 8 : sidx + 8 + slen]
+                            bpp = struct.unpack("<H", sf_[14:16])[0]
+                            comp = struct.unpack("<I", sf_[16:20])[0]
+                            if bpp != 24 or comp != 0:
+                                raise ValueError(
+                                    f"only 24-bit uncompressed DIB frames "
+                                    f"supported (bpp={bpp}, comp={comp})"
+                                )
+                    elif kind == b"movi":
+                        mp = 4
+                        while mp + 8 <= len(data):
+                            ctag = data[mp : mp + 4]
+                            (cln,) = struct.unpack(
+                                "<I", data[mp + 4 : mp + 8]
+                            )
+                            if ctag == b"00db":
+                                frames.append(data[mp + 8 : mp + 8 + cln])
+                            mp += 8 + cln + (cln % 2)  # word-aligned
+                pos += 8 + ln + (ln % 2)
+            if dims is None or bpp is None:
+                raise ValueError("missing avih/strf header")
+            w, h, nf = dims
+            if len(frames) != nf:
+                raise ValueError(
+                    f"frame count mismatch: avih says {nf}, movi has "
+                    f"{len(frames)}"
+                )
+            row_raw = 3 * w
+            stride = row_raw + (4 - row_raw % 4) % 4
+            total = checksum = 0
+            sampled = list(range(0, nf, sample_every))
+            for s, f in enumerate(sampled):
+                fr = frames[f]
+                if len(fr) != stride * h:
+                    raise ValueError("frame byte-length mismatch")
+                for y in range(h):  # logical top-down row y
+                    line = fr[(h - 1 - y) * stride :][:row_raw]
+                    base = s * (row_raw * h) + y * row_raw
+                    for k, byte in enumerate(line):
+                        total += byte
+                        checksum += byte * (base + k + 1)
+            n_ch = row_raw * h * len(sampled)
+            return w, h, nf, len(sampled), total / n_ch, checksum
+
+        for pdf in batches:
+            rows = [parse(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "n_sampled": [r[3] for r in rows],
+                    "mean_px": [r[4] for r in rows],
+                    "checksum": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_decode, schema=AVI_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        "n_sampled",
+        round6("mean_px").alias("mean_px"),
+        "checksum",
+    )
+
+
+def avi_decode_sql() -> str:
+    """Oracle: every field recomputed from doc_id arithmetic over the
+    sampled frames' logical channel stream — no AVI parsing in SQL, so
+    container writing, movi chunk walking, bottom-up row flipping AND
+    the sampling stride must all be exact."""
+    return (
+        "WITH d AS (SELECT doc_id, 4 + 2 * (doc_id % 3) AS w, "
+        "3 + doc_id % 3 AS h, 3 + doc_id % 4 AS nf FROM documents), "
+        f"s AS (SELECT doc_id, w, h, nf, unnest(generate_series(0, "
+        f"(nf - 1) // {AVI_SAMPLE_EVERY})) AS si FROM d), "
+        "b AS (SELECT doc_id, w, h, nf, si, "
+        f"si * {AVI_SAMPLE_EVERY} AS f, "
+        "unnest(generate_series(0, 3 * w * h - 1)) AS i FROM s), "
+        "v AS (SELECT doc_id, si, "
+        "(doc_id * 19 + f * 29 + 7 * i) % 256 AS px, "
+        "si * (3 * w * h) + i + 1 AS wt FROM b), "
+        "m AS (SELECT doc_id, AVG(CAST(px AS DOUBLE)) AS mean_px, "
+        "SUM(px * wt) AS cks FROM v GROUP BY doc_id) "
+        "SELECT d.doc_id, 'video/avi' AS media_type, "
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+        "CAST(nf AS BIGINT) AS n_frames, "
+        f"CAST((nf - 1) // {AVI_SAMPLE_EVERY} + 1 AS BIGINT) AS n_sampled, "
+        "(ROUND(m.mean_px, 6) + 0) AS mean_px, "
+        "CAST(m.cks AS BIGINT) AS checksum "
         "FROM d JOIN m USING (doc_id)"
     )

@@ -385,3 +385,79 @@ def test_jpeg_decode_rejects_garbage_and_progressive(spark):
     )
     with pytest.raises(Exception, match="baseline"):
         jpeg_decode_payloads(media2).collect()
+
+
+# ------------------------------------------------------------------- AVI
+def test_avi_decode_round_trip(spark):
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import avi_decode, avi_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, avi_decode(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(avi_decode_sql()).fetchall()))
+    assert got == want
+
+
+def test_avi_sampling_stride(spark):
+    """sample_every=1 must decode ALL frames; the corpus includes frame
+    counts that are odd and even, so stride arithmetic is exercised on
+    both parities."""
+    from talna_spark.pipeline.multimodal import (
+        avi_decode_payloads,
+        avi_media_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    media = avi_media_table(spark, sf).limit(20)
+    all_frames = {
+        r["doc_id"]: r
+        for r in avi_decode_payloads(media, sample_every=1).collect()
+    }
+    strided = {
+        r["doc_id"]: r
+        for r in avi_decode_payloads(media, sample_every=2).collect()
+    }
+    assert {r["n_frames"] % 2 for r in all_frames.values()} == {0, 1}
+    for did, r in all_frames.items():
+        assert r["n_sampled"] == r["n_frames"]
+        assert strided[did]["n_sampled"] == (r["n_frames"] - 1) // 2 + 1
+        # frame 0 contributes to both decodes identically; a full decode
+        # of MORE frames must differ in checksum whenever an odd frame
+        # has nonzero content (always true for this corpus)
+        assert r["checksum"] != strided[did]["checksum"]
+
+
+def test_avi_decode_rejects_garbage_and_mismatch(spark):
+    import struct
+
+    from talna_spark.pipeline.multimodal import (
+        avi_decode_payloads,
+        avi_media_table,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "video/avi", b"RIFFxxxxNOPE" + b"\x00" * 64)],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="AVI"):
+        avi_decode_payloads(media).collect()
+
+    # corrupt a real payload: lie about the frame count in avih
+    blob = bytearray(
+        avi_media_table(spark, "/root/testdata/sf0.001").limit(1).collect()[0][
+            "payload"
+        ]
+    )
+    idx = bytes(blob).find(b"avih") + 8 + 16  # dwTotalFrames offset
+    blob[idx : idx + 4] = struct.pack("<I", 99)
+    media2 = spark.createDataFrame(
+        [(2, "video/avi", bytes(blob))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="frame count mismatch"):
+        avi_decode_payloads(media2).collect()
