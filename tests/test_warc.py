@@ -1,0 +1,123 @@
+"""WARC source: strict record framing (Content-Length, never delimiter
+scanning), gzip member handling, HTTP filtering, and HTML-to-text
+extraction — over synthesized Common-Crawl-shaped files."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from talna_spark.sources.warc import (
+    html_to_text,
+    read_warc,
+    warc_documents,
+)
+
+
+def _record(wtype: str, rid: str, url: str, body: bytes) -> bytes:
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: 2024-01-15T00:00:00Z\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def _http(status: int, ctype: str, payload: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+
+
+HTML_A = (
+    b"<html><head><style>p{color:red}</style>"
+    b"<script>var x = '<p>not text</p>';</script></head>"
+    b"<body><h1>Title&nbsp;One</h1><p>Hello &amp; welcome.</p></body></html>"
+)
+HTML_B = b"<html><body>Second &lt;doc&gt;</body></html>"
+# binary payload containing WARC-like bytes: framing must survive it
+BINARY = b"\x00\x01WARC/1.0\r\n\r\n\xff\xfe" * 3
+
+
+@pytest.fixture(scope="module")
+def warc_dir():
+    d = tempfile.mkdtemp(prefix="talna_warc_")
+    records = (
+        _record("warcinfo", "0", "", b"software: test\r\n")
+        + _record("request", "1", "http://a.example/", b"GET / HTTP/1.1\r\n")
+        + _record("response", "2", "http://a.example/", _http(200, "text/html; charset=utf-8", HTML_A))
+        + _record("response", "3", "http://b.example/", _http(404, "text/html", b"<html>gone</html>"))
+        + _record("response", "4", "http://c.example/img", _http(200, "image/png", BINARY))
+        + _record("response", "5", "http://d.example/", _http(200, "text/html", HTML_B))
+    )
+    with open(os.path.join(d, "seg-00000.warc"), "wb") as f:
+        f.write(records)
+    # the Common Crawl layout: one gzip MEMBER per record, concatenated
+    with open(os.path.join(d, "seg-00001.warc.gz"), "wb") as f:
+        for rec in (
+            _record("response", "6", "http://e.example/", _http(200, "text/html", HTML_B)),
+            _record("response", "7", "http://f.example/", _http(200, "text/plain", b"plain")),
+        ):
+            f.write(gzip.compress(rec))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_warc_frames_and_filters(spark, warc_dir):
+    rows = read_warc(spark, f"{warc_dir}/*.warc*").collect()
+    # responses only (warcinfo/request skipped), both plain and gz files
+    by_url = {r["url"]: r for r in rows}
+    assert set(by_url) == {
+        "http://a.example/", "http://b.example/", "http://c.example/img",
+        "http://d.example/", "http://e.example/", "http://f.example/",
+    }
+    assert by_url["http://a.example/"]["http_status"] == 200
+    assert by_url["http://b.example/"]["http_status"] == 404
+    # binary payload's embedded 'WARC/1.0' did not derail the framing:
+    # the record after it parsed fine
+    assert by_url["http://d.example/"]["payload"].startswith("<html>")
+    assert by_url["http://e.example/"]["content_type"] == "text/html"
+
+
+def test_warc_documents_extracts_text(spark, warc_dir):
+    docs = {r["url"]: r for r in warc_documents(spark, f"{warc_dir}/*.warc*").collect()}
+    # only HTTP-200 text/html survives: a (200 html), d, e — not the 404,
+    # not the png, not text/plain
+    assert set(docs) == {"http://a.example/", "http://d.example/", "http://e.example/"}
+    # script/style dropped, tags stripped, entities decoded, ws collapsed
+    assert docs["http://a.example/"]["text"] == "Title One Hello & welcome."
+    assert docs["http://d.example/"]["text"] == "Second <doc>"
+    # doc_id is deterministic: re-read yields identical ids
+    again = {r["url"]: r["doc_id"] for r in warc_documents(spark, f"{warc_dir}/*.warc*").collect()}
+    assert again == {u: r["doc_id"] for u, r in docs.items()}
+
+
+def test_warc_missing_content_length_is_loud(spark, warc_dir):
+    d2 = tempfile.mkdtemp(prefix="talna_warc_bad_")
+    try:
+        with open(os.path.join(d2, "bad.warc"), "wb") as f:
+            f.write(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+        with pytest.raises(Exception, match="Content-Length"):
+            read_warc(spark, f"{d2}/*.warc").collect()
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_html_to_text_is_jvm_side(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("<p>x</p>",)], "payload string").select(
+        html_to_text(F.col("payload")).alias("text")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # pure codegen projection
+    assert df.collect()[0]["text"] == "x"
