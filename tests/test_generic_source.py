@@ -73,3 +73,41 @@ def test_group_by_missing_tag_drops_series(spark):
     )
     res = Database.from_points(spark, pts).count("m", "site").collect()
     assert list(res) == ["a"]  # the null-site point has no series tag -> dropped
+
+
+def test_points_from_orc_table(spark, tmp_path):
+    """ORC round-trip through the generic adapter: a third file format
+    (beyond parquet/CSV/JSON) driven through the same engine — Spark's
+    native ORC reader plus points_from_table, end to end to a query."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.database import Database
+    from talna_spark.sources.generic import points_from_table
+
+    src = spark.createDataFrame(
+        [
+            ("s1", 1_700_000_000, 1.0),
+            ("s1", 1_700_000_060, 3.0),
+            ("s2", 1_700_000_030, 10.0),
+        ],
+        "site string, observed_at long, temp double",
+    )
+    path = str(tmp_path / "sensors_orc")
+    src.write.format("orc").save(path)
+
+    pts = points_from_table(
+        spark.read.format("orc").load(path),
+        metric=F.lit("sensors.temp"),
+        ts=F.col("observed_at") * 1_000_000_000,
+        value=F.col("temp"),
+        tags={"site": F.col("site")},
+    )
+    rows = (
+        Database.from_points(spark, pts)
+        .avg("sensors.temp", "site")
+        .granularity(None)
+        .to_df()
+        .collect()
+    )
+    got = {r["grp"]: (r["value"], r["len"]) for r in rows}
+    assert got == {"s1": (2.0, 2), "s2": (10.0, 1)}
