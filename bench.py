@@ -305,6 +305,10 @@ def main() -> None:
             s, sd, parallelism=int(cpus)
         )
         pipe["pipe_dup_spans"] = "_bench_dup_spans"
+        from talna_spark.pipeline.dedup import lsh_near_dup_pairs as _lsh
+
+        qs["_bench_lsh"] = lambda s, sd: _lsh(s, sd, parallelism=int(cpus))
+        pipe["pipe_lsh_pairs"] = "_bench_lsh"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number

@@ -195,7 +195,10 @@ def lsh_hot_buckets(
 
 
 def lsh_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = LSH_MAX_BUCKET,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates -> exact-Jaccard verification >= threshold.
 
@@ -211,6 +214,11 @@ def lsh_near_dup_pairs(
     identical-text floods are exact dedup's job.
     """
     d = _docs(spark, sf_dir)
+    if parallelism:
+        # the shingle+md5 base pass is the dominant map cost; a
+        # single-row-group source file runs it on ONE task (at real
+        # scale the source is many files and this knob is a no-op)
+        d = d.repartition(int(parallelism), "doc_id")
     sh = shingles(tokens(F.col("text")), SHINGLE_K)
     # Materialize (shingles, base hashes) ONCE behind a lazy
     # localCheckpoint, then derive the H signature columns from the
