@@ -309,6 +309,10 @@ def main() -> None:
 
         qs["_bench_lsh"] = lambda s, sd: _lsh(s, sd, parallelism=int(cpus))
         pipe["pipe_lsh_pairs"] = "_bench_lsh"
+        from talna_spark.pipeline.curate import curate as _curate
+
+        qs["_bench_curate"] = lambda s, sd: _curate(s, sd, parallelism=int(cpus))
+        pipe["pipe_curate"] = "_bench_curate"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
