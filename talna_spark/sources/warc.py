@@ -163,3 +163,35 @@ def warc_documents(spark: SparkSession, path_glob: str) -> DataFrame:
         "warc_date",
         html_to_text(F.col("payload")).alias("text"),
     )
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonicalize a URL for dedup/grouping — the step between WARC
+    ingestion and URL-level dedup (crawls revisit the same page under
+    trivially different spellings). Pure JVM expressions (codegen'd, no
+    UDF): lowercase scheme+host, strip the default port (:80 http /
+    :443 https), drop the fragment, default an empty path to '/', and
+    SORT query parameters (a=1&b=2 == b=2&a=1) while dropping an empty
+    '?'. Semantic-preserving only — path case and percent-encoding are
+    left alone (case-sensitive on real servers)."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    q_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_q)
+    )
+    return F.when(scheme == "", col).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, q_part)
+    )

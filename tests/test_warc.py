@@ -121,3 +121,32 @@ def test_html_to_text_is_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # pure codegen projection
     assert df.collect()[0]["text"] == "x"
+
+
+def test_normalize_url(spark):
+    from pyspark.sql import functions as F
+
+    from talna_spark.sources.warc import normalize_url
+
+    cases = [
+        # trivially-different spellings of one page collapse
+        ("HTTP://Example.COM:80/a?b=2&a=1#frag", "http://example.com/a?a=1&b=2"),
+        ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2"),
+        ("https://Example.com:443", "https://example.com/"),
+        ("https://example.com/", "https://example.com/"),
+        # non-default port and path case are PRESERVED
+        ("http://example.com:8080/A", "http://example.com:8080/A"),
+        # no scheme -> passed through untouched
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    # the plan is a pure codegen projection — no Python
+    plan = (
+        df.select(normalize_url(F.col("url")).alias("n"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
