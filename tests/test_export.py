@@ -1,0 +1,74 @@
+"""Corpus export sink: partitioned layout, file-size discipline,
+manifest-from-written-files, and shard determinism."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.export import export_corpus, read_manifest
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    from talna_spark.pipeline.sampling import split_assign
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.join(split_assign(spark, sf), "doc_id").select(
+        "doc_id", "text", "source", "split"
+    )
+
+
+def test_export_layout_and_manifest(spark, curated):
+    d = tempfile.mkdtemp(prefix="talna_export_")
+    try:
+        out = os.path.join(d, "corpus")
+        manifest = export_corpus(curated, out, partition_by=("split",))
+        # layout: one dir per split, manifest on disk == returned dict
+        assert {"split=test", "split=train", "split=val"} <= set(os.listdir(out))
+        assert read_manifest(out) == manifest
+        # counts in the manifest match the input exactly, per partition
+        want = {
+            r["split"]: r["n"]
+            for r in curated.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        got = {k: v["rows"] for k, v in manifest["partitions"].items()}
+        assert got == want
+        assert manifest["total_rows"] == sum(want.values())
+        # bytes/files inventories are real
+        assert all(v["bytes"] > 0 and v["files"] >= 1 for v in manifest["partitions"].values())
+        # the written corpus round-trips: partition pruning serves train
+        back = spark.read.parquet(out).filter(F.col("split") == "train")
+        assert back.count() == want["train"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_file_size_cap_and_determinism(spark, curated):
+    d = tempfile.mkdtemp(prefix="talna_export2_")
+    try:
+        out1, out2 = os.path.join(d, "a"), os.path.join(d, "b")
+        m1 = export_corpus(curated, out1, max_records_per_file=100)
+        # no file exceeds the cap
+        for sub, _dn, fn in os.walk(out1):
+            for f in fn:
+                if f.endswith(".parquet"):
+                    n = spark.read.parquet(os.path.join(sub, f)).count()
+                    assert n <= 100
+        # deterministic across input partitioning: same per-partition counts
+        m2 = export_corpus(curated.repartition(13), out2, max_records_per_file=100)
+        assert {k: v["rows"] for k, v in m1["partitions"].items()} == {
+            k: v["rows"] for k, v in m2["partitions"].items()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_missing_column_is_loud(spark, curated):
+    with pytest.raises(ValueError, match="missing"):
+        export_corpus(curated, "/tmp/nope", partition_by=("nosuch",))
