@@ -718,3 +718,134 @@ def dup_span_clean_sql(k: int = SPAN_K) -> str:
         "md5(COALESCE(cl.txt, '')) AS clean_hash "
         "FROM n LEFT JOIN clean cl ON n.doc_id = cl.doc_id"
     )
+
+
+# --------------------------------------------- incremental (cross-corpus)
+def dedup_against(
+    spark: SparkSession,
+    new_dir: str,
+    ref_dir: str,
+    max_bucket: int = LSH_MAX_BUCKET,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW document against an EXISTING
+    reference corpus — the real recurring workflow (every fresh crawl
+    dedups against everything already in the training set, not against
+    itself). Verdict per new doc:
+
+    - ``exact_dup``: byte-identical text exists in the reference
+      (md5 anti-join semantics);
+    - ``near_dup``: an LSH band collision with a reference doc verified
+      at Jaccard >= threshold (same signature/band/verify machinery as
+      :func:`lsh_near_dup_pairs`, but joining NEW bands against REF
+      bands — no new-vs-new or ref-vs-ref pairs);
+    - ``new``: neither. Output: (doc_id, verdict, ref_doc_id, jaccard)
+      with ref_doc_id/jaccard populated for near-dups (the best match)
+      and null otherwise.
+
+    100 TB shape: the reference side is touched as (hash) and (band,
+    key, id) projections only — never re-scanned per new doc; both
+    sides' band rows meet in one shuffle join keyed by the LSH bucket,
+    with the same hot-bucket cap (applied to the REF side, where floods
+    accumulate). Exact flags ride a broadcast-or-shuffle join on the
+    text hash (AQE decides — the hash set is corpus-sized for the
+    reference, id-only rows)."""
+    new_d = _docs(spark, new_dir)
+    ref_d = _docs(spark, ref_dir)
+    if parallelism:
+        new_d = new_d.repartition(int(parallelism), "doc_id")
+        ref_d = ref_d.repartition(int(parallelism), "doc_id")
+
+    # exact: new text hash present in the reference hash set
+    ref_hashes = ref_d.select(F.md5("text").alias("_h")).distinct()
+    exact = (
+        new_d.select("doc_id", F.md5("text").alias("_h"))
+        .join(ref_hashes, "_h")
+        .select("doc_id", F.lit(True).alias("_exact"))
+        .distinct()
+    )
+
+    # near: new band rows join ref band rows on the bucket
+    def sig_of(d: DataFrame) -> DataFrame:
+        sh = shingles(tokens(F.col("text")), SHINGLE_K)
+        base = d.select(
+            "doc_id", sh.alias("sh"), _base_hashes(sh).alias("_bh")
+        ).localCheckpoint(eager=False)
+        return base.select(
+            "doc_id", "sh", *_minhash_cols_from_base(F.col("_bh"))
+        )
+
+    new_sig, ref_sig = sig_of(new_d), sig_of(ref_d)
+    ref_bands = _band_rows(ref_sig)
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band", "key")
+    ref_bands = (
+        ref_bands.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bc") <= int(max_bucket))
+        .drop("_bc")
+    )
+    cand = (
+        _band_rows(new_sig).alias("a")
+        .join(
+            ref_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("ref_doc_id"),
+        )
+        .dropDuplicates(["doc_id", "ref_doc_id"])
+    )
+    verified = (
+        cand.join(
+            new_sig.select(
+                F.col("doc_id").alias("_nid"), F.col("sh").alias("_nsh")
+            ),
+            F.col("doc_id") == F.col("_nid"),
+        )
+        .join(
+            ref_sig.select(
+                F.col("doc_id").alias("_rid"), F.col("sh").alias("_rsh")
+            ),
+            F.col("ref_doc_id") == F.col("_rid"),
+        )
+        .withColumn(
+            "jaccard", F.round(_jaccard(F.col("_nsh"), F.col("_rsh")), 6)
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id", "ref_doc_id", "jaccard")
+    )
+    # best reference match per new doc (max jaccard, tie -> min ref id)
+    best = (
+        verified.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("ref_doc_id")).alias("neg")
+                )
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            (-F.col("b.neg")).alias("ref_doc_id"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )
+    verdict = (
+        F.when(F.col("_exact").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("ref_doc_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        new_d.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.when(verdict == "near_dup", F.col("ref_doc_id")).alias("ref_doc_id"),
+            F.when(verdict == "near_dup", F.col("jaccard")).alias("jaccard"),
+        )
+    )

@@ -67,3 +67,57 @@ def test_exact_dedup_catches_the_flood(spark, flood_dir):
     rows = exact_survivors(spark, flood_dir).collect()
     flood = [r for r in rows if r["n_copies"] == 1000]
     assert len(flood) == 1 and flood[0]["keep_doc"] == 0
+
+
+def test_dedup_against_reference_corpus(spark):
+    """Incremental crawl dedup: new docs flagged against an EXISTING
+    corpus — exact byte-dups, LSH-verified near-dups (best match
+    reported), genuinely new content, and no new-vs-new flagging."""
+    import os
+    import tempfile
+
+    from talna_spark.pipeline.dedup import dedup_against
+
+    ref_texts = {
+        100: "the quick brown fox jumps over the lazy dog every day",
+        101: "completely unrelated reference text about spark engines",
+        102: "another unrelated reference document with its own words",
+    }
+    new_texts = {
+        # 0: byte-identical to ref 100 -> exact_dup
+        0: ref_texts[100],
+        # 1: near-dup of ref 100 (one word changed) -> near_dup
+        1: "the quick brown fox jumps over the lazy dog every night",
+        # 2: genuinely new
+        2: "fresh crawl content that matches nothing in the archive",
+        # 3 and 4: identical to EACH OTHER but absent from the reference
+        # -> both 'new' (new-vs-new is lsh_near_dup_pairs' job)
+        3: "duplicated only within the new batch not in the reference",
+        4: "duplicated only within the new batch not in the reference",
+    }
+    d = tempfile.mkdtemp(prefix="talna_incr_")
+    try:
+        os.makedirs(os.path.join(d, "ref"))
+        os.makedirs(os.path.join(d, "new"))
+        pd.DataFrame(
+            [{"doc_id": k, "text": v} for k, v in ref_texts.items()]
+        ).to_parquet(os.path.join(d, "ref", "documents.parquet"))
+        pd.DataFrame(
+            [{"doc_id": k, "text": v} for k, v in new_texts.items()]
+        ).to_parquet(os.path.join(d, "new", "documents.parquet"))
+
+        out = {
+            r["doc_id"]: r
+            for r in dedup_against(
+                spark, os.path.join(d, "new"), os.path.join(d, "ref")
+            ).collect()
+        }
+        assert out[0]["verdict"] == "exact_dup"
+        assert out[1]["verdict"] == "near_dup"
+        assert out[1]["ref_doc_id"] == 100 and out[1]["jaccard"] >= 0.8
+        assert out[2]["verdict"] == "new"
+        assert out[3]["verdict"] == "new" and out[4]["verdict"] == "new"
+        # non-near rows carry nulls, not garbage
+        assert out[2]["ref_doc_id"] is None and out[2]["jaccard"] is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
