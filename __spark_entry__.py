@@ -879,7 +879,44 @@ def _x22_quality_scoring_sql() -> str:
 
 
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
-_EXT["x23_mixture_sample"] = (_sampling.mixture_sample, _sampling.mixture_sample_sql())
+def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-policy registration, two `kind` slices on a normalized
+    (doc_id, s1, v1, v2, v3, kind) schema: `mixture` = domain-mixture
+    sampling to a token budget (per-domain weights -> keep-rates);
+    `dsir` = DSIR importance-resampling selection (Xie et al. 2023,
+    hashed unigram+bigram models, top-k by integer micro-nat weight)."""
+    mx = _sampling.mixture_sample(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.col("keep_ppm").cast("long").alias("v2"),
+        F.col("rate").cast("double").alias("v3"),
+        F.lit("mixture").alias("kind"),
+    )
+    ds = _sampling.dsir_select(spark, sf_dir).select(
+        "doc_id",
+        F.lit("").alias("s1"),
+        F.col("n_grams").cast("long").alias("v1"),
+        F.col("weight_micro").cast("long").alias("v2"),
+        F.col("rank").cast("double").alias("v3"),
+        F.lit("dsir").alias("kind"),
+    )
+    return mx.unionByName(ds)
+
+
+def _x23_mixture_sample_sql() -> str:
+    return (
+        "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
+        "CAST(keep_ppm AS BIGINT) AS v2, CAST(rate AS DOUBLE) AS v3, "
+        f"'mixture' AS kind FROM ({_sampling.mixture_sample_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, '' AS s1, CAST(n_grams AS BIGINT) AS v1, "
+        "CAST(weight_micro AS BIGINT) AS v2, CAST(rank AS DOUBLE) AS v3, "
+        f"'dsir' AS kind FROM ({_sampling.dsir_select_sql()})"
+    )
+
+
+_EXT["x23_mixture_sample"] = (_x23_mixture_sample, _x23_mixture_sample_sql())
 
 
 def _x12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,30 @@ def shingles_sql(words_expr: str, k: int) -> str:
     )
 
 
+def grams(words: Column, k: int) -> Column:
+    """ALL word k-grams in document order, multiplicity kept — the
+    feature stream for count-based models (DSIR hashed n-grams), where
+    :func:`shingles`' distinct-set encoding would lose the counts.
+    Empty when < k words (same guard as shingles: Spark's sequence
+    counts DOWN on an empty range, DuckDB's generate_series is empty)."""
+    n = F.size(words) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def grams_sql(words_expr: str, k: int) -> str:
+    return (
+        f"list_transform("
+        f"generate_series(1, greatest(len({words_expr}) - {k - 1}, 0)), "
+        f"i -> array_to_string(({words_expr})[i:i+{k - 1}], ' '))"
+    )
+
+
 # ---------------------------------------------------------------- cosine
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side fold

@@ -16,7 +16,7 @@ The same bucket column is the idiomatic deterministic sampler:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TRAIN_PCT = 80
@@ -193,4 +193,130 @@ def mixture_sample_sql() -> str:
         "ROUND(r.keep_ppm / 1000000.0, 6) AS rate "
         "FROM d JOIN rates r ON d.source = r.source "
         f"WHERE {keep} % {MIX_RESOLUTION} < r.keep_ppm"
+    )
+
+
+# -------------------------------------------------- DSIR data selection
+DSIR_BUCKETS = 1024   # hashed-feature dimensionality (paper: 10k; dial)
+DSIR_SELECT_K = 100   # documents to select from the raw pool
+
+
+def dsir_select(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DSIR_BUCKETS,
+    k_select: int = DSIR_SELECT_K,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): pick raw-pool documents whose hashed-n-gram
+    distribution looks most like a small TARGET set. Features are word
+    unigrams+bigrams hashed into ``n_buckets``; two add-one-smoothed
+    bag-of-buckets models are fit (target = the benchmark stand-in slice
+    ``doc_id % 97 == 0``, the decontam convention; raw = everything
+    else), and each raw doc scores the sum over its gram OCCURRENCES of
+    ``ln p_target(b) - ln p_raw(b)``. The top-``k_select`` scores win —
+    the deterministic argmax form of the paper's Gumbel resampling (same
+    estimator, reproducible across engines; sampled selection is one
+    seeded-noise column away).
+
+    Float portability: per-bucket log-ratios round to integer micro-nats
+    BEFORE the per-doc sum (the lm_score discipline) so doc weights are
+    exact int64 sums in any order; ranks tie-break by doc_id.
+
+    100 TB shape: the model is one (bucket, target_c, raw_c) hash-agg —
+    ``n_buckets`` rows, broadcast back — so scoring is a map-side join
+    plus one (doc_id) re-agg with map-side partials; selection is the
+    two-phase top-k (no single-reducer sort). The raw corpus is scanned
+    once; nothing corpus-sized shuffles except (doc_id, bucket) ids.
+    """
+    from talna_spark.pipeline.portable import grams, hash64, tokens
+
+    m = int(n_buckets)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 97 == 0).alias("is_target")
+    )
+    toks = tokens(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(grams(toks, 1), grams(toks, 2))).alias("gram"),
+    ).select(
+        "doc_id", "is_target", (hash64(F.col("gram")) % m).alias("bucket")
+    )
+    model = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_c"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("r_c"),
+    )
+    tot = model.agg(
+        F.sum("t_c").alias("t_all"), F.sum("r_c").alias("r_all")
+    )
+    lam = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("t_c") + 1.0) / (F.col("t_all") + F.lit(m)))
+                    - F.log((F.col("r_c") + 1.0) / (F.col("r_all") + F.lit(m)))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    scored = (
+        feat.filter(~F.col("is_target"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam_micro").alias("weight_micro"),
+        )
+    )
+    order = [F.col("weight_micro").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy("_p").orderBy(*order)
+    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return (
+        scored.withColumn("_p", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= int(k_select))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(k_select))
+        .select("doc_id", "n_grams", "weight_micro", "rank")
+    )
+
+
+def dsir_select_sql(
+    n_buckets: int = DSIR_BUCKETS, k_select: int = DSIR_SELECT_K
+) -> str:
+    from talna_spark.pipeline.portable import grams_sql, hash64_sql, tokens_sql
+
+    m = int(n_buckets)
+    w = tokens_sql("text")
+    gram_list = f"list_concat({grams_sql(w, 1)}, {grams_sql(w, 2)})"
+    bucket = f"({hash64_sql('gram')} % {m})"
+    lam = (
+        f"CAST(ROUND((ln((t_c + 1.0) / (t_all + {m})) - "
+        f"ln((r_c + 1.0) / (r_all + {m}))) * 1000000) AS BIGINT)"
+    )
+    return (
+        f"WITH feat AS (SELECT doc_id, (doc_id % 97 = 0) AS is_target, "
+        f"{bucket} AS bucket FROM (SELECT doc_id, unnest({gram_list}) AS gram "
+        "FROM documents) ), "
+        "model AS (SELECT bucket, "
+        "SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_c, "
+        "SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS r_c "
+        "FROM feat GROUP BY bucket), "
+        "tot AS (SELECT SUM(t_c) AS t_all, SUM(r_c) AS r_all FROM model), "
+        f"lam AS (SELECT bucket, {lam} AS lam_micro "
+        "FROM model CROSS JOIN tot), "
+        "scored AS (SELECT doc_id, COUNT(*) AS n_grams, "
+        "SUM(lam_micro) AS weight_micro "
+        "FROM feat JOIN lam USING (bucket) WHERE NOT is_target "
+        "GROUP BY doc_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER "
+        "(ORDER BY weight_micro DESC, doc_id ASC) AS rank FROM scored) "
+        "SELECT doc_id, n_grams, weight_micro, rank FROM ranked "
+        f"WHERE rank <= {int(k_select)}"
     )

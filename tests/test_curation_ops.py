@@ -192,3 +192,50 @@ def test_new_ops_partitioning_independent(spark, span_dir):
         import shutil as _sh
 
         _sh.rmtree(d2, ignore_errors=True)
+
+
+def test_dsir_ranks_target_like_docs_first(spark, tmp_path):
+    """DSIR: raw docs sharing the target slice's vocabulary must outrank
+    raw docs with disjoint vocabulary; target docs never appear; weights
+    match the DuckDB twin exactly."""
+    import duckdb
+
+    from talna_spark.pipeline.sampling import dsir_select, dsir_select_sql
+
+    target_text = "solve the integral by parts and check the derivative"
+    like_text = "check the integral and solve the parts by derivative rules"
+    unlike_text = "zzz qqq www eee rrr ttt yyy uuu iii ooo"
+    rows = [
+        (0, target_text, "src0"),       # 0 % 97 == 0 -> target
+        (97, target_text, "src0"),      # target
+        (1, like_text, "src0"),         # raw, target-like
+        (2, like_text + " extra", "src0"),
+        (3, unlike_text, "src1"),       # raw, disjoint vocab
+        (4, unlike_text + " more", "src1"),
+    ]
+    d = str(tmp_path / "dsir")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in dsir_select(spark, d, k_select=10).collect()}
+    assert set(out) == {1, 2, 3, 4}, "raw pool only — targets never selected"
+    like_ranks = {out[1]["rank"], out[2]["rank"]}
+    unlike_ranks = {out[3]["rank"], out[4]["rank"]}
+    assert max(like_ranks) < min(unlike_ranks), (
+        f"target-like docs must rank first: {like_ranks} vs {unlike_ranks}"
+    )
+    assert out[1]["weight_micro"] > out[3]["weight_micro"]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        row[0]: row
+        for row in con.execute(dsir_select_sql(k_select=10)).fetchall()
+    }
+    for did, r in out.items():
+        assert oracle[did] == (
+            did, r["n_grams"], r["weight_micro"], r["rank"]
+        ), f"doc {did}: {oracle[did]} vs spark row"

@@ -87,3 +87,15 @@ def test_md5_identical(spark, duck):
     s = spark_vals(spark, F.md5("text"))
     d = duck_vals_param(duck, "md5(text)")
     assert s == d
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_grams_multiplicity_and_order(spark, duck, k):
+    s = spark_vals(spark, P.grams(P.tokens(F.col("text")), k))
+    d = duck_vals_param(duck, P.grams_sql(P.tokens_sql("text"), k))
+    assert s == d
+    # multiplicity preserved: 'exact' x5 yields 5 unigrams / 4 bigrams
+    assert len(s[4]) == max(0, 5 - (k - 1))
+    # short texts guard to empty lists
+    if k >= 2:
+        assert s[2] == []
