@@ -313,6 +313,14 @@ def main() -> None:
 
         qs["_bench_curate"] = lambda s, sd: _curate(s, sd, parallelism=int(cpus))
         pipe["pipe_curate"] = "_bench_curate"
+        from talna_spark.pipeline.sampling import (
+            dsir_select as _dsir, mixture_sample as _mix,
+        )
+
+        qs["_bench_mixture"] = lambda s, sd: _mix(s, sd, parallelism=int(cpus))
+        pipe["pipe_mixture"] = "_bench_mixture"
+        qs["_bench_dsir"] = lambda s, sd: _dsir(s, sd, parallelism=int(cpus))
+        pipe["pipe_dsir"] = "_bench_dsir"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number

