@@ -843,7 +843,10 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``lm``: unigram-LM cross-entropy (v1=n_tokens, v2=xent);
     - ``cutoff``: adaptive per-source quality-percentile filter — the
       kept docs with their score and their domain's exact interpolated
-      p10 cutoff (s1=source, v1=quality, v2=cutoff).
+      p10 cutoff (s1=source, v1=quality, v2=cutoff);
+    - ``gopher``: the Gopher hard-rule battery (Rae et al. 2021) —
+      s1=verdict, v1=fail_mask (bit i = rule i violated, so the hash
+      pins every individual rule), v2=n_failed.
     """
 
     def norm(df, s1, v1, v2, kind):
@@ -863,7 +866,11 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.quality_cutoff_filter(spark, sf_dir),
         F.col("source"), F.col("quality"), F.col("cutoff"), "cutoff",
     )
-    return lm.unionByName(cut)
+    gopher = norm(
+        _text.gopher_rules(spark, sf_dir),
+        F.col("verdict"), F.col("fail_mask"), F.col("n_failed"), "gopher",
+    )
+    return lm.unionByName(cut).unionByName(gopher)
 
 
 def _x22_quality_scoring_sql() -> str:
@@ -874,7 +881,11 @@ def _x22_quality_scoring_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, source AS s1, CAST(quality AS DOUBLE) AS v1, "
         "CAST(cutoff AS DOUBLE) AS v2, 'cutoff' AS kind "
-        f"FROM ({_text.quality_cutoff_filter_sql()})"
+        f"FROM ({_text.quality_cutoff_filter_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, verdict AS s1, CAST(fail_mask AS DOUBLE) AS v1, "
+        "CAST(n_failed AS DOUBLE) AS v2, 'gopher' AS kind "
+        f"FROM ({_text.gopher_rules_sql()})"
     )
 
 

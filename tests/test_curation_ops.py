@@ -239,3 +239,53 @@ def test_dsir_ranks_target_like_docs_first(spark, tmp_path):
         assert oracle[did] == (
             did, r["n_grams"], r["weight_micro"], r["rank"]
         ), f"doc {did}: {oracle[did]} vs spark row"
+
+
+def test_gopher_rules_per_rule_bits(spark, tmp_path):
+    """Each Gopher rule trips its own fail_mask bit on a doc built to
+    violate exactly that rule; a compliant doc passes clean; engines
+    agree bit-for-bit."""
+    import duckdb
+
+    from talna_spark.pipeline.text import (
+        GOPHER_RULE_NAMES, gopher_rules, gopher_rules_sql,
+    )
+
+    good_body = ("the quick brown fox jumps over a lazy dog and then "
+                 "runs far away to find more food for the winter den ") * 3
+    rows = [
+        (1, good_body, "src0"),                      # passes everything
+        (2, "the a word", "src0"),                   # too few words -> bit 0
+        (3, ("pneumonoultramicroscopic " * 60) + "the a", "src0"),  # bit 1
+        (4, good_body + " " + "#" * 40, "src0"),     # symbol ratio -> bit 2
+        (5, "\n".join("- the a item" for _ in range(10)) + "\n"
+            + good_body.replace("\n", " "), "src0"),  # bullet lines -> bit 3
+        (6, "\n".join(f"the a line {i} trails off..." for i in range(10))
+            + "\n" + good_body, "src0"),              # ellipsis lines -> bit 4
+        (7, ("123 456 789 000 " * 15) + "the a", "src0"),  # alpha frac -> bit 5
+        (8, "zzz qqq www " * 20, "src0"),             # no req stopwords -> bit 6
+    ]
+    d = str(tmp_path / "gopher")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in gopher_rules(spark, d).collect()}
+    assert out[1]["fail_mask"] == 0 and out[1]["verdict"] == "pass"
+    expect_bit = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5, 8: 6}
+    for did, bit in expect_bit.items():
+        mask = out[did]["fail_mask"]
+        assert mask & (1 << bit), (
+            f"doc {did} should trip rule {GOPHER_RULE_NAMES[bit]}: mask={mask:b}"
+        )
+    assert len(GOPHER_RULE_NAMES) == 7
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {row[0]: row for row in con.execute(gopher_rules_sql()).fetchall()}
+    for did, r in out.items():
+        assert oracle[did] == (
+            did, r["n_words"], r["fail_mask"], r["n_failed"], r["verdict"]
+        ), f"doc {did} engine mismatch"
