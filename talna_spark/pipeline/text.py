@@ -619,26 +619,12 @@ GOPHER_RULE_NAMES = (  # bit i of fail_mask = rule i violated
 )
 
 
-def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher rule battery (Rae et al. 2021, App. A1.1) — the
-    hard-rule companion to the soft ``quality`` score, the filter set
-    MassiveText/RedPajama/Dolma-class pipelines run verbatim: word count
-    in [50, 100k]; mean word length in [3, 10]; '#'/'...'-symbol-to-word
-    ratio <= 0.1; <= 90% of lines bullet-led; <= 30% of lines
-    ellipsis-ended; >= 80% of words containing a letter; >= 2 distinct
-    hits on the required-stopword set {the be to of and that have with}.
-
-    Output packs the verdict portably: ``fail_mask`` has bit *i* set iff
-    rule ``GOPHER_RULE_NAMES[i]`` is violated (so the driver hash pins
-    every individual rule), ``n_failed`` its popcount, ``verdict``
-    'pass'/'fail'. Ratio thresholds compare on 6-dp-rounded values so
-    boundary docs resolve identically in both engines.
-
-    100 TB shape: pure map-only projection over one corpus scan — all
-    JVM array/string builtins, no UDF, no shuffle, codegen end-to-end
-    (same class as quality/lang_id; plan-tested with them).
-    """
-    d = _docs(spark, sf_dir)
+def gopher_parts() -> tuple:
+    """(n_words, fail_mask, n_failed) Column expressions over a ``text``
+    column — shared by :func:`gopher_rules` (directory scan) and the
+    streaming gate (talna_spark.streaming.documents), the quality_parts
+    pattern: keeping the rules as free-standing map-only expressions is
+    what lets the SAME battery run on batch scans and micro-batches."""
     w = tokens(F.col("text"))
     n = F.size(w)
     mean_wlen = F.round(
@@ -646,7 +632,9 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, t: acc + F.length(t)).cast("double") / n,
         6,
     )
-    hash_n = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    hash_n = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
     ell_n = (
         F.length("text")
         - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
@@ -688,6 +676,30 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, f_ in enumerate(fails):
         mask = mask + f_.cast("long") * (2 ** i)
     n_failed = sum(f_.cast("long") for f_ in fails)
+    return n, mask, n_failed
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, App. A1.1) — the
+    hard-rule companion to the soft ``quality`` score, the filter set
+    MassiveText/RedPajama/Dolma-class pipelines run verbatim: word count
+    in [50, 100k]; mean word length in [3, 10]; '#'/'...'-symbol-to-word
+    ratio <= 0.1; <= 90% of lines bullet-led; <= 30% of lines
+    ellipsis-ended; >= 80% of words containing a letter; >= 2 distinct
+    hits on the required-stopword set {the be to of and that have with}.
+
+    Output packs the verdict portably: ``fail_mask`` has bit *i* set iff
+    rule ``GOPHER_RULE_NAMES[i]`` is violated (so the driver hash pins
+    every individual rule), ``n_failed`` its popcount, ``verdict``
+    'pass'/'fail'. Ratio thresholds compare on 6-dp-rounded values so
+    boundary docs resolve identically in both engines.
+
+    100 TB shape: pure map-only projection over one corpus scan — all
+    JVM array/string builtins, no UDF, no shuffle, codegen end-to-end
+    (same class as quality/lang_id; plan-tested with them).
+    """
+    d = _docs(spark, sf_dir)
+    n, mask, n_failed = gopher_parts()
     return d.select(
         "doc_id",
         n.cast("long").alias("n_words"),

@@ -1,0 +1,124 @@
+"""Streaming document curation: the incremental-crawl front door.
+
+The batch side already has the every-crawl workflow (`pipeline.curate`
+for a static corpus, `pipeline.dedup.dedup_against` for new-vs-reference
+flagging); this lifts the map-only gates and the reference-dedup join to
+Structured Streaming, so fresh crawl shards can be curated as they land
+instead of in nightly batches.
+
+Design for the streaming execution model:
+
+- **Quality + rule gates run on the stream itself** — `quality_parts`
+  and the Gopher rule battery are pure per-row projections (no shuffle,
+  no state), so they apply to a streaming DataFrame unchanged. This is
+  the payoff of keeping the batch operators map-only: the SAME column
+  expressions serve batch and stream.
+- **Reference dedup is a stream-static anti-join**: md5(text) of each
+  streaming doc left-anti-joins the static reference corpus' hash
+  projection. Stream-static joins are stateless on the stream side —
+  Spark re-plans the static side per micro-batch, so a reference
+  refreshed between batches is picked up without restarts.
+- **Within-stream dedup is per-batch + cross-batch-by-warehouse**: the
+  stream drops exact duplicates inside each micro-batch
+  (`dropDuplicates` in `foreachBatch`); duplicates ACROSS batches are
+  the reference corpus' job — append each curated batch to the corpus
+  and the next batch's anti-join sees it. That keeps streaming state
+  bounded at zero (no unbounded dedup state, no watermark needed on a
+  table that has no event time), the same division of labor as
+  dedup_stream vs warehouse compaction on the points side.
+
+State bound: nothing stateful runs in the stream — every micro-batch is
+a bounded batch job (gates map-only, joins against static/parquet
+sides). At 100 TB-of-reference scale the anti-join is a shuffle join on
+the hash (AQE picks broadcast when the reference fits), identical to the
+batch dedup_against shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.curate import QUALITY_MIN as CURATE_MIN_QUALITY
+
+
+def gate_documents(doc_stream: DataFrame) -> DataFrame:
+    """Apply the map-only curation gates to a (streaming or batch)
+    documents DataFrame: soft quality score >= CURATE_MIN_QUALITY and
+    the Gopher hard-rule mask clean. Adds (quality, fail_mask, verdict)
+    — verdict 'kept' | 'low_quality' | 'rule_fail' — and keeps every
+    row (filtering is the caller's one-liner) so the drop ledger stays
+    auditable, like curate()'s per-doc verdicts."""
+    from talna_spark.pipeline.text import gopher_parts, quality_parts
+
+    _, _, _, score = quality_parts()
+    quality = F.round(score, 6)
+    _, mask, _ = gopher_parts()
+    verdict = (
+        F.when(mask != 0, F.lit("rule_fail"))
+        .when(quality < CURATE_MIN_QUALITY, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return doc_stream.withColumn("quality", quality).withColumn(
+        "fail_mask", mask
+    ).withColumn("verdict", verdict)
+
+
+def dedup_against_reference(
+    doc_stream: DataFrame, reference: DataFrame
+) -> DataFrame:
+    """Drop streaming docs whose exact text already exists in the static
+    reference corpus (left-anti stream-static join on md5(text) —
+    stateless on the stream; the static side is re-planned every
+    micro-batch so an appended-to reference is seen without restart).
+    ``reference``: any static (doc_id, text, ...) DataFrame."""
+    ref_hashes = reference.select(F.md5("text").alias("_text_hash")).distinct()
+    return (
+        doc_stream.withColumn("_text_hash", F.md5("text"))
+        .join(ref_hashes, "_text_hash", "left_anti")
+        .drop("_text_hash")
+    )
+
+
+def stream_curate(
+    doc_stream: DataFrame,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """End-to-end streaming curation: gate -> reference-dedup ->
+    per-batch exact dedup -> parquet append. Returns the
+    StreamingQuery. Each curated batch should be appended to the
+    reference corpus by the caller's cadence (or point ``reference`` at
+    the out_path scan) so cross-batch duplicates are caught on the next
+    micro-batch — the bounded-state division of labor described in the
+    module docstring."""
+    gated = dedup_against_reference(
+        gate_documents(doc_stream).filter(F.col("verdict") == "kept"),
+        reference,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within-batch exact dedup: deterministic survivor (min doc_id)
+        (
+            batch_df.withColumn("_h", F.md5("text"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_h").orderBy(F.col("doc_id").asc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_h", "_rn")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        gated.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

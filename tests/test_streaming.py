@@ -301,3 +301,62 @@ def test_map_only_pipeline_ops_run_on_streams(spark, dirs):
         .collect()
     }
     assert got == want and len(got) == 100
+
+
+def test_stream_curate_documents(spark, dirs):
+    """Streaming document curation: map-only gates apply on the stream,
+    reference duplicates are anti-joined out per micro-batch,
+    within-batch exact dups keep one copy, and the stream-vs-batch
+    division of labor (cross-batch dups are the reference's job) holds."""
+    import pyspark.sql.functions as F
+
+    from talna_spark.streaming.documents import (
+        dedup_against_reference, gate_documents, stream_curate,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "runs far away to find more food for the winter den ") * 3
+    ref_text = good + "already in the reference corpus"
+    schema = "doc_id long, text string, source string"
+    reference = spark.createDataFrame([(900, ref_text, "ref")], schema)
+
+    batch1 = [
+        (1, good + "fresh one", "src0"),
+        (2, good + "fresh one", "src0"),      # within-batch dup of 1
+        (3, ref_text, "src0"),                # exact dup of reference
+        (4, "zzz " * 60, "src0"),             # fails gopher rules
+    ]
+    batch2 = [
+        (5, good + "fresh one", "src1"),      # cross-batch dup of 1 (KEPT)
+        (6, good + "fresh two", "src1"),
+    ]
+    src = dirs["src"] + "_docs"
+    out = dirs["wh"] + "_out"
+    ckpt = dirs["ckpt"] + "_docs"
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_curate(stream, reference, out, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 1 survives (2 is the within-batch dup), 3 is a reference dup,
+    # 4 fails rules; 5 is a CROSS-batch dup and is documented-kept
+    # (reference wasn't refreshed between batches), 6 is fresh
+    assert got == {1, 5, 6}, got
+
+    # the batch composition of the same pieces agrees with the stream
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    batch_kept = dedup_against_reference(
+        gate_documents(all_docs).filter(F.col("verdict") == "kept"),
+        reference,
+    )
+    assert {r["doc_id"] for r in batch_kept.collect()} == {1, 2, 5, 6}
+
+    # gate verdicts are complete and labeled
+    v = {r["doc_id"]: r["verdict"] for r in gate_documents(all_docs).collect()}
+    assert v[4] == "rule_fail" and v[1] == "kept"
