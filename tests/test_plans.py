@@ -311,3 +311,48 @@ def test_mixture_sample_map_side_keep(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "text#" in line:
             raise AssertionError(f"document text crosses a shuffle: {line}")
+
+
+def test_semdedup_broadcast_assignment_id_only_pairs(spark):
+    # x12/semdedup: centroid assignment reaches the corpus via broadcast;
+    # the within-cluster compare may shuffle (cluster-keyed) but no
+    # Python appears anywhere
+    from talna_spark.pipeline.similarity import semdedup
+
+    plan = plan_of(semdedup(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_model_broadcast_no_text_shuffle(spark):
+    # x23/dsir: the n_buckets-row model broadcasts back onto the gram
+    # stream; document text never crosses an Exchange; no Python
+    from talna_spark.pipeline.sampling import dsir_select
+
+    plan = plan_of(dsir_select(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"document text crosses a shuffle: {line}")
+
+
+def test_gopher_rules_map_only(spark):
+    # x22/gopher: the whole rule battery is one map-only codegen
+    # projection — no Exchange, no Python anywhere in the plan
+    from talna_spark.pipeline.text import gopher_rules
+
+    plan = plan_of(gopher_rules(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_streaming_gate_map_only(spark):
+    # the streaming curation gate must stay a pure projection (it runs
+    # per micro-batch): no Exchange, no Python
+    from talna_spark.streaming.documents import gate_documents
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(gate_documents(d))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
