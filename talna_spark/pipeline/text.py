@@ -753,3 +753,57 @@ def gopher_rules_sql() -> str:
         f"CASE WHEN ({mask}) = 0 THEN 'pass' ELSE 'fail' END AS verdict "
         "FROM documents"
     )
+
+
+# ------------------------------------------------- compression-ratio signal
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/Dolma-class
+    degenerate-text signal the n-gram heuristics miss: highly repetitive
+    or templated text compresses far below natural prose, while
+    random/encrypted junk barely compresses at all (ratio ~1). Healthy
+    natural language sits in a mid band; both tails are drop candidates.
+
+    Engine note: DuckDB has no zlib, so this is a unit-oracle operator
+    (tests recompute ratios with the same stdlib call doc-by-doc) — the
+    codec-op pattern, not a driver SQL row.
+
+    100 TB shape: Arrow-batched mapInPandas, bounded memory (one batch of
+    texts at a time), no shuffle, embarrassingly parallel; level pinned
+    so ratios are stable across zlib builds' default drift. The closure
+    is self-contained (stdlib only) — executors never import talna_spark.
+    """
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_zbytes", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def _compress(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            nb = [len(b) for b in raw]
+            nz = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_zbytes": nz,
+                    "ratio": [
+                        round(b / z, 6) if z else 0.0 for b, z in zip(nb, nz)
+                    ],
+                }
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(_compress, schema=out_schema)

@@ -289,3 +289,39 @@ def test_gopher_rules_per_rule_bits(spark, tmp_path):
         assert oracle[did] == (
             did, r["n_words"], r["fail_mask"], r["n_failed"], r["verdict"]
         ), f"doc {did} engine mismatch"
+
+
+def test_compression_ratio_matches_stdlib_and_separates_tails(spark, tmp_path):
+    """compression_ratio: exact agreement with a doc-by-doc stdlib
+    recompute (the unit-oracle), and the signal separates repetitive
+    text (high ratio) from incompressible junk (ratio ~1)."""
+    import zlib
+
+    from talna_spark.pipeline.text import compression_ratio
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    out = {r["doc_id"]: r for r in compression_ratio(spark, sf).collect()}
+    assert set(out) == set(docs)
+    for did, text in docs.items():
+        raw = text.encode("utf-8")
+        z = zlib.compress(raw, 6)
+        r = out[did]
+        assert (r["n_bytes"], r["n_zbytes"]) == (len(raw), len(z))
+        assert r["ratio"] == round(len(raw) / len(z), 6)
+
+    import os
+    rows = [
+        (1, "spam ham " * 400, "src0"),                       # repetitive
+        (2, os.urandom(1600).hex(), "src0"),                  # incompressible
+    ]
+    d = str(tmp_path / "cr")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{d}/documents.parquet")
+    tails = {r["doc_id"]: r["ratio"] for r in compression_ratio(spark, d).collect()}
+    assert tails[1] > 10, f"repetitive text should compress hard: {tails}"
+    assert tails[2] < 2.2, f"random hex should barely compress: {tails}"
