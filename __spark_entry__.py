@@ -630,20 +630,23 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five REAL dependency-free codecs (pipeline.multimodal) as
+    """All six REAL dependency-free codecs (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
     zlib inflate + all five scanline filters), JPEG (baseline grayscale:
     huffman entropy decode + dequant + IDCT; r5 — the LOSSY leg), AVI (RIFF-AVI container walk + movi
     frame chunks, every-2nd-frame sampling over bottom-up DIB frames;
-    r5 — the VIDEO leg). Each
+    r5 — the VIDEO leg), and PDF (xref-offset object walk + FlateDecode
+    inflate + Tj/TJ text reassembly; r5 — the DOCUMENT-format leg). Each
     oracle recomputes every decoded field by independent doc_id
     arithmetic (no parsing in SQL), so writer AND decoder must both be
     exact — for JPEG via the flat-block closed form that makes the lossy
-    round trip exactly predictable. Normalized columns: d1..d4 = the
+    round trip exactly predictable, for PDF via a full round trip of the
+    documents table's own text (length + 48-bit md5 prefix, exact in
+    double). Normalized columns: d1..d4 = the
     four integer header/shape fields in each codec's natural order,
     m1/m2 = the two measured stats (duration/mean_amp,
-    mean_px/checksum)."""
+    mean_px/checksum, text_len/text_hash)."""
 
     def norm(df, d1, d2, d3, d4, m1, m2, kind):
         return df.select(
@@ -678,9 +681,14 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mm.avi_decode(spark, sf_dir),
         "width", "height", "n_frames", "n_sampled", "mean_px", "checksum", "avi",
     )
+    pdf = norm(
+        _mm.pdf_extract(spark, sf_dir),
+        "n_objects", "n_pages", "n_literals", "compressed",
+        "text_len", "text_hash", "pdf",
+    )
     return (
         wav.unionByName(bmp).unionByName(png).unionByName(jpg)
-        .unionByName(avi)
+        .unionByName(avi).unionByName(pdf)
     )
 
 
@@ -708,6 +716,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.avi_decode_sql(), "width", "height", "n_frames",
                "n_sampled", "mean_px", "checksum", "avi")
+        + " UNION ALL "
+        + norm(_mm.pdf_extract_sql(), "n_objects", "n_pages", "n_literals",
+               "compressed", "text_len", "text_hash", "pdf")
     )
 
 

@@ -1306,3 +1306,365 @@ def avi_decode_sql() -> str:
         "CAST(m.cks AS BIGINT) AS checksum "
         "FROM d JOIN m USING (doc_id)"
     )
+
+
+# --------------------------------------------------------------- PDF codec
+# The DOCUMENT-format leg of the seam: real PDF files (header, numbered
+# objects, xref table with byte-exact offsets, FlateDecode-compressed
+# content streams) written and parsed with the stdlib only. Unlike the
+# pixel/sample codecs, the oracle here is a full ROUND TRIP of the
+# documents table's own text: the extractor walks the object graph,
+# inflates the content stream, and re-assembles the text from Tj / TJ
+# show-text operators — so the DuckDB twin can check length and an
+# md5-derived hash of the ORIGINAL text against what came out of the
+# PDF. Any writer escaping bug, Length/offset error, inflate mix-up or
+# operator-scan slip breaks the hash. Citation: the reference has no
+# document-format surface (SURVEY.md §2.2) — scale-pipeline extension
+# (PDF corpora are a standard LLM pretraining source).
+
+PDF_CHUNK = 48  # characters of text per show-text line
+PDF_SCHEMA = (
+    "doc_id long, media_type string, n_objects long, n_pages long, "
+    "n_literals long, compressed long, text_len long, text_hash long"
+)
+
+
+def _pdf_escape(raw: bytes) -> bytes:
+    """PDF string-literal escaping: backslash the delimiters, octal for
+    non-printable / non-ASCII bytes (the utf-8 bytes of non-ASCII text
+    travel as \\ooo escapes)."""
+    out = bytearray()
+    for b in raw:
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([b])
+        elif 32 <= b <= 126:
+            out.append(b)
+        else:
+            out += ("\\%03o" % b).encode("ascii")
+    return bytes(out)
+
+
+def make_pdf(text: str, compress: bool) -> bytes:
+    """Write a complete single-page PDF showing ``text`` 48 chars per
+    line. Every 3rd line is emitted as a kerned ``[(a) -120 (b)] TJ``
+    array (two literals), the rest as plain ``(line) Tj`` — so the
+    extractor must handle both show-text operators. The content stream
+    is raw or FlateDecode per ``compress``; the xref table carries the
+    true byte offset of every object."""
+    import zlib
+
+    chunks = [text[i : i + PDF_CHUNK] for i in range(0, len(text), PDF_CHUNK)]
+    items = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, ch in enumerate(chunks):
+        raw = ch.encode("utf-8")
+        if i % 3 == 2:
+            h = len(ch) // 2
+            a = _pdf_escape(ch[:h].encode("utf-8"))
+            b = _pdf_escape(ch[h:].encode("utf-8"))
+            items.append(b"[(" + a + b") -120 (" + b + b")] TJ")
+        else:
+            items.append(b"(" + _pdf_escape(raw) + b") Tj")
+        items.append(b"0 -14 Td")
+    items.append(b"ET")
+    content = b"\n".join(items)
+    if compress:
+        data = zlib.compress(content, 6)
+        sdict = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+    else:
+        data = content
+        sdict = b"<< /Length %d >>" % len(data)
+
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: sdict + b"\nstream\n" + data + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + bodies[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(bodies) + 1)
+    out += b"0000000000 65535 f \n"
+    for num in sorted(bodies):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(bodies) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def pdf_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PDF blob per document row (even doc_ids FlateDecode-compressed,
+    odd raw — both stream paths exercised on every run)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "application/pdf",
+                    "payload": [
+                        make_pdf(t, int(i) % 2 == 0)
+                        for i, t in zip(ids, pdf["text"])
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def _pdf_literal(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a PDF string literal starting at the '(' byte; returns
+    (decoded bytes, index past the closing paren). Handles nesting,
+    the named escapes, octal escapes and line continuations."""
+    assert data[pos : pos + 1] == b"("
+    pos += 1
+    depth = 1
+    out = bytearray()
+    named = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12
+    }
+    while depth > 0:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            nxt = data[pos + 1]
+            if nxt in named:
+                out.append(named[nxt])
+                pos += 2
+            elif 0x30 <= nxt <= 0x37:  # up to 3 octal digits
+                j = pos + 1
+                oct_ = 0
+                while j < pos + 4 and 0x30 <= data[j] <= 0x37:
+                    oct_ = oct_ * 8 + (data[j] - 0x30)
+                    j += 1
+                out.append(oct_ & 0xFF)
+                pos = j
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                pos += 2
+                if nxt == 0x0D and data[pos : pos + 1] == b"\n":
+                    pos += 1
+            else:  # \( \) \\ and "ignore the backslash" default
+                out.append(nxt)
+                pos += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth > 0:
+                out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    return bytes(out), pos
+
+
+def _pdf_text_ops(stream: bytes) -> list[bytes]:
+    """Scan a decoded content stream for show-text operators; returns
+    the shown string literals in display order (Tj one literal, TJ all
+    literals of its array — kern numbers skipped)."""
+    parts: list[bytes] = []
+    arr: list[bytes] | None = None
+    done_arr: list[bytes] = []
+    last: bytes = b""
+    pos, n = 0, len(stream)
+    WS = b"\x00\t\n\x0c\r "
+    while pos < n:
+        c = stream[pos : pos + 1]
+        if c in WS:
+            pos += 1
+        elif c == b"(":
+            lit, pos = _pdf_literal(stream, pos)
+            if arr is not None:
+                arr.append(lit)
+            else:
+                last = lit
+        elif c == b"[":
+            arr = []
+            pos += 1
+        elif c == b"]":
+            done_arr, arr = arr or [], None
+            pos += 1
+        else:
+            j = pos
+            while j < n and stream[j : j + 1] not in WS + b"()[]":
+                j += 1
+            tok = stream[pos:j]
+            if tok == b"Tj" or tok == b"'" or tok == b'"':
+                parts.append(last)
+            elif tok == b"TJ":
+                parts.extend(done_arr)
+            pos = max(j, pos + 1)
+    return parts
+
+
+def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pdf_extract_payloads(pdf_media_table(spark, sf_dir))
+
+
+def pdf_extract_payloads(media: DataFrame) -> DataFrame:
+    """Extract text from PDF binary payloads with the stdlib only:
+    header check, startxref -> xref offset verification, object scan,
+    /Length-sized stream reads (never delimiter-guessing inside stream
+    data), FlateDecode inflate, then Tj/TJ operator reassembly.
+    Emits per-doc structure counts plus the extracted text's length and
+    48-bit md5-prefix hash — the round-trip handle the oracle checks."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        import zlib
+
+        obj_re = re.compile(rb"(\d+)\s+0\s+obj\b")
+        page_re = re.compile(rb"/Type\s*/Page(?![A-Za-z])")
+        len_re = re.compile(rb"/Length\s+(\d+)\b")
+        xref_re = re.compile(rb"xref\s+(\d+)\s+(\d+)\s")
+        entry_re = re.compile(rb"(\d{10}) (\d{5}) ([nf])")
+        WS = b"\x00\t\n\x0c\r "
+
+        def skip_ws(blob: bytes, i: int) -> int:
+            while blob[i : i + 1] in WS:
+                i += 1
+            return i
+
+        def dict_end(blob: bytes, i: int) -> int:
+            """Index past the `>>` matching the `<<` at ``i`` (dicts
+            nest; string literals may contain delimiter bytes)."""
+            depth = 0
+            while True:
+                two = blob[i : i + 2]
+                if two == b"<<":
+                    depth += 1
+                    i += 2
+                elif two == b">>":
+                    depth -= 1
+                    i += 2
+                    if depth == 0:
+                        return i
+                elif blob[i : i + 1] == b"(":
+                    _, i = _pdf_literal(blob, i)
+                else:
+                    i += 1
+
+        def parse(blob: bytes):
+            if not blob.startswith(b"%PDF-"):
+                raise ValueError("not a PDF payload")
+            # navigate by the xref table, never by scanning for keywords
+            # (stream bytes can contain anything): startxref -> xref ->
+            # per-object byte offsets. The writer's offset bookkeeping is
+            # load-bearing — any slip fails parsing outright.
+            sx = blob.rfind(b"startxref")
+            if sx < 0:
+                raise ValueError("missing startxref")
+            xref_at = int(blob[sx + 9 :].split()[0])
+            xm = xref_re.match(blob, xref_at)
+            if not xm:
+                raise ValueError("startxref does not point at xref")
+            count = int(xm.group(2))
+            pos = xm.end()
+            offsets = []
+            for _ in range(count):
+                em = entry_re.match(blob, skip_ws(blob, pos))
+                if not em:
+                    raise ValueError("malformed xref entry")
+                if em.group(3) == b"n":
+                    offsets.append(int(em.group(1)))
+                pos = em.end()
+            n_objects = n_pages = n_streams = 0
+            compressed = 0
+            parts: list[bytes] = []
+            for off in sorted(offsets):
+                m = obj_re.match(blob, off)
+                if not m:
+                    raise ValueError(f"xref offset {off} is not an object")
+                n_objects += 1
+                i = skip_ws(blob, m.end())
+                if blob[i : i + 2] != b"<<":
+                    raise ValueError("object without dictionary")
+                dend = dict_end(blob, i)
+                d = blob[i:dend]
+                if page_re.search(d):
+                    n_pages += 1
+                i = skip_ws(blob, dend)
+                if blob[i : i + 6] == b"stream":
+                    n_streams += 1
+                    lm = len_re.search(d)
+                    if not lm:
+                        raise ValueError("stream without /Length")
+                    ln = int(lm.group(1))
+                    i += 6
+                    if blob[i : i + 2] == b"\r\n":
+                        i += 2
+                    elif blob[i : i + 1] == b"\n":
+                        i += 1
+                    data = blob[i : i + ln]
+                    after = skip_ws(blob, i + ln)
+                    if blob[after : after + 9] != b"endstream":
+                        raise ValueError("/Length does not reach endstream")
+                    i = after + 9
+                    if b"/FlateDecode" in d:
+                        compressed = 1
+                        data = zlib.decompress(data)
+                    parts.extend(_pdf_text_ops(data))
+                if blob[skip_ws(blob, i) : skip_ws(blob, i) + 6] != b"endobj":
+                    raise ValueError("object does not end with endobj")
+            text = b"".join(parts).decode("utf-8")
+            n_literals = len(parts)
+            # TJ arrays contribute each literal; count matches writer's
+            # chunks + chunks//3 (checked by the oracle arithmetic)
+            h48 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:12], 16)
+            return (
+                n_objects, n_pages, n_literals, compressed, len(text), h48
+            )
+
+        for pdf in batches:
+            rows = [parse(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_objects": [r[0] for r in rows],
+                    "n_pages": [r[1] for r in rows],
+                    "n_literals": [r[2] for r in rows],
+                    "compressed": [r[3] for r in rows],
+                    "text_len": [r[4] for r in rows],
+                    "text_hash": [r[5] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=PDF_SCHEMA)
+
+
+def pdf_extract_sql() -> str:
+    """Oracle: structure counts by writer arithmetic (5 objects, 1 page,
+    ceil(len/48) chunk lines of which every 3rd splits into two TJ
+    literals, even doc_ids Flate) and the round-trip handles — length
+    and 48-bit md5 prefix — recomputed from the ORIGINAL text. The PDF
+    bytes are never touched in SQL: extraction must reproduce the text
+    bit-exactly for the hash to match."""
+    return (
+        "WITH c AS (SELECT doc_id, text, length(text) AS L, "
+        f"CAST(ceil(length(text) / {PDF_CHUNK}.0) AS BIGINT) AS nch "
+        "FROM documents) "
+        "SELECT doc_id, 'application/pdf' AS media_type, "
+        "CAST(5 AS BIGINT) AS n_objects, CAST(1 AS BIGINT) AS n_pages, "
+        "nch + nch // 3 AS n_literals, "
+        "CAST(doc_id % 2 = 0 AS BIGINT) AS compressed, "
+        "CAST(L AS BIGINT) AS text_len, "
+        "CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS text_hash "
+        "FROM c"
+    )

@@ -461,3 +461,88 @@ def test_avi_decode_rejects_garbage_and_mismatch(spark):
     )
     with pytest.raises(Exception, match="frame count mismatch"):
         avi_decode_payloads(media2).collect()
+
+
+# ------------------------------------------------------------------- PDF
+def test_pdf_extract_round_trip(spark):
+    """Full corpus round trip vs the DuckDB twin: structure counts by
+    writer arithmetic, text length + 48-bit md5 prefix recomputed from
+    the ORIGINAL text — extraction must reproduce it bit-exactly."""
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import pdf_extract, pdf_extract_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, pdf_extract(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(pdf_extract_sql()).fetchall()))
+    con.close()
+    assert len(got) == len(want) > 0
+    assert got == want
+    # both stream paths must be present in the corpus
+    compressed = {r[5] for r in got}
+    assert compressed == {0, 1}
+
+
+def test_pdf_escapes_unicode_and_tj(spark):
+    """Writer+parser handle delimiter escapes, octal-escaped utf-8
+    bytes, newlines/tabs, the empty text, and texts long enough to
+    exercise the TJ array path (every 3rd line)."""
+    import hashlib
+
+    from talna_spark.pipeline.multimodal import (
+        make_pdf, pdf_extract_payloads,
+    )
+
+    texts = [
+        "a(b)c\\d (nested (parens)) end",
+        "héllo wörld 中文 text",
+        "line1\nline2\ttabbed\r",
+        "",
+        "x" * 200,  # 5 chunks -> one TJ array line
+    ]
+    media = spark.createDataFrame(
+        [
+            (i, "application/pdf", make_pdf(t, i % 2 == 0))
+            for i, t in enumerate(texts)
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in pdf_extract_payloads(media).collect()}
+    for i, t in enumerate(texts):
+        h48 = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
+        assert rows[i]["text_len"] == len(t), t
+        assert rows[i]["text_hash"] == h48, t
+        nch = (len(t) + 47) // 48
+        assert rows[i]["n_literals"] == nch + nch // 3
+        assert rows[i]["n_pages"] == 1
+        assert rows[i]["n_objects"] == 5
+
+
+def test_pdf_rejects_garbage_and_bad_offsets(spark):
+    import pytest as _pytest
+
+    from talna_spark.pipeline.multimodal import (
+        make_pdf, pdf_extract_payloads,
+    )
+
+    def df(payload):
+        return spark.createDataFrame(
+            [(0, "application/pdf", payload)],
+            "doc_id long, media_type string, payload binary",
+        )
+
+    with _pytest.raises(Exception, match="PDF|pdf"):
+        pdf_extract_payloads(df(b"not a pdf at all")).collect()
+
+    # corrupt the startxref pointer: navigation must fail loudly, not
+    # silently mis-parse
+    good = make_pdf("hello world", True)
+    sx = good.rfind(b"startxref")
+    bad = good[: sx + 10] + b"7\n%%EOF\n"
+    with _pytest.raises(Exception, match="xref"):
+        pdf_extract_payloads(df(bad)).collect()
