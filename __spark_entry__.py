@@ -857,7 +857,10 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       p10 cutoff (s1=source, v1=quality, v2=cutoff);
     - ``gopher``: the Gopher hard-rule battery (Rae et al. 2021) —
       s1=verdict, v1=fail_mask (bit i = rule i violated, so the hash
-      pins every individual rule), v2=n_failed.
+      pins every individual rule), v2=n_failed;
+    - ``c4``: the C4 cleaning battery (Raffel et al. 2020 §2.2) —
+      s1=verdict, v1=fail_mask, v2=kept_line_frac (the folded
+      line-retention metric, which pins the line rules too).
     """
 
     def norm(df, s1, v1, v2, kind):
@@ -881,7 +884,11 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.gopher_rules(spark, sf_dir),
         F.col("verdict"), F.col("fail_mask"), F.col("n_failed"), "gopher",
     )
-    return lm.unionByName(cut).unionByName(gopher)
+    c4 = norm(
+        _text.c4_rules(spark, sf_dir),
+        F.col("verdict"), F.col("fail_mask"), F.col("kept_line_frac"), "c4",
+    )
+    return lm.unionByName(cut).unionByName(gopher).unionByName(c4)
 
 
 def _x22_quality_scoring_sql() -> str:
@@ -896,7 +903,11 @@ def _x22_quality_scoring_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, verdict AS s1, CAST(fail_mask AS DOUBLE) AS v1, "
         "CAST(n_failed AS DOUBLE) AS v2, 'gopher' AS kind "
-        f"FROM ({_text.gopher_rules_sql()})"
+        f"FROM ({_text.gopher_rules_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, verdict AS s1, CAST(fail_mask AS DOUBLE) AS v1, "
+        "CAST(kept_line_frac AS DOUBLE) AS v2, 'c4' AS kind "
+        f"FROM ({_text.c4_rules_sql()})"
     )
 
 

@@ -807,3 +807,126 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return d.mapInPandas(_compress, schema=out_schema)
+
+
+# ----------------------------------------------------- C4 rule battery
+# Raffel et al. 2020 (§2.2): the cleaning heuristics behind C4. The
+# paper's line-level removals are folded into one document-level
+# retention metric (kept_line_frac) so the battery stays a single
+# map-only projection; the doc-level drops are literal. No reference
+# analog (SURVEY.md §2.2) — scale-pipeline extension.
+
+C4_MIN_SENTENCES = 3         # "discarded any page with fewer than 3 sentences"
+C4_LINE_MIN_WORDS = 5        # "only retained lines that contained >= 5 words"
+C4_MIN_KEPT_LINE_FRAC = 0.5  # doc fails when C4 would strip most of it
+C4_POLICY_PHRASES = (
+    "terms of use", "privacy policy", "cookie policy", "uses cookies",
+)
+C4_RULE_NAMES = (  # bit i of fail_mask = rule i violated
+    "too_few_sentences",   # < 3 terminal-punctuation sentences
+    "lorem_ipsum",         # placeholder text anywhere
+    "curly_brace",         # '{' anywhere (code page)
+    "policy_phrase",       # any boilerplate policy phrase
+    "low_line_retention",  # C4's line rules would keep < 50% of lines
+)
+
+
+def c4_parts() -> tuple:
+    """(kept_line_frac, fail_mask, n_failed) Column expressions over a
+    ``text`` column — the gopher_parts pattern, reusable on batch scans
+    and micro-batches alike."""
+    low = F.lower(F.col("text"))
+    L = F.length(low)
+    n_sent = sum(
+        L - F.length(F.replace(low, F.lit(ch), F.lit(""))) for ch in ".!?"
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+
+    def keep_line(l):
+        r = F.rtrim(l)
+        terminal = (
+            r.endswith(".") | r.endswith("!") | r.endswith("?")
+            | r.endswith('"')
+        )
+        enough = F.size(F.split(F.trim(l), r"\s+")) >= C4_LINE_MIN_WORDS
+        return terminal & enough & ~F.lower(l).contains("javascript")
+
+    kept_frac = F.round(F.size(F.filter(lines, keep_line)) / n_lines, 6)
+    policy = F.lit(False)
+    for p in C4_POLICY_PHRASES:
+        policy = policy | low.contains(p)
+    fails = [
+        n_sent < C4_MIN_SENTENCES,
+        low.contains("lorem ipsum"),
+        low.contains("{"),
+        policy,
+        kept_frac < C4_MIN_KEPT_LINE_FRAC,
+    ]
+    mask = fails[0].cast("long") * 0
+    for i, f_ in enumerate(fails):
+        mask = mask + f_.cast("long") * (2 ** i)
+    n_failed = sum(f_.cast("long") for f_ in fails)
+    return kept_frac, mask, n_failed
+
+
+def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2) as doc-level
+    fail flags: fewer than 3 sentences (terminal-punctuation count);
+    'lorem ipsum'; a curly brace; a boilerplate policy phrase; and C4's
+    line rules (line must end in terminal punctuation, carry >= 5 words,
+    not mention javascript) folded into kept_line_frac < 0.5.
+
+    Same output contract as :func:`gopher_rules`: ``fail_mask`` bit *i*
+    = ``C4_RULE_NAMES[i]`` violated, ``n_failed`` its popcount,
+    ``verdict`` 'pass'/'fail'; kept_line_frac is 6-dp-rounded before the
+    threshold so boundary docs resolve identically in both engines.
+
+    100 TB shape: map-only JVM projection over one corpus scan — no
+    UDF, no shuffle, codegen end-to-end (same class as gopher_rules).
+    """
+    d = _docs(spark, sf_dir)
+    kept_frac, mask, n_failed = c4_parts()
+    return d.select(
+        "doc_id",
+        kept_frac.cast("double").alias("kept_line_frac"),
+        mask.alias("fail_mask"),
+        n_failed.alias("n_failed"),
+        F.when(mask == 0, F.lit("pass")).otherwise(F.lit("fail")).alias("verdict"),
+    )
+
+
+def c4_rules_sql() -> str:
+    low = "lower(text)"
+    n_sent = " + ".join(
+        f"(length({low}) - length(replace({low}, '{ch}', '')))"
+        for ch in (".", "!", "?")
+    )
+    lines = "string_split(text, chr(10))"
+    n_lines = f"len({lines})"
+    keep = (
+        "l -> (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' "
+        "OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%\"') "
+        f"AND len(regexp_split_to_array(trim(l), '\\s+')) >= {C4_LINE_MIN_WORDS} "
+        "AND NOT contains(lower(l), 'javascript')"
+    )
+    kept_frac = f"ROUND(len(list_filter({lines}, {keep})) * 1.0 / {n_lines}, 6)"
+    policy = " OR ".join(f"contains({low}, '{p}')" for p in C4_POLICY_PHRASES)
+    fails = [
+        f"(({n_sent}) < {C4_MIN_SENTENCES})",
+        f"contains({low}, 'lorem ipsum')",
+        f"contains({low}, '{{')",
+        f"({policy})",
+        f"({kept_frac} < {C4_MIN_KEPT_LINE_FRAC})",
+    ]
+    mask = " + ".join(
+        f"(CASE WHEN {f_} THEN {2 ** i} ELSE 0 END)" for i, f_ in enumerate(fails)
+    )
+    n_failed = " + ".join(f"(CASE WHEN {f_} THEN 1 ELSE 0 END)" for f_ in fails)
+    return (
+        f"SELECT doc_id, CAST({kept_frac} AS DOUBLE) AS kept_line_frac, "
+        f"CAST({mask} AS BIGINT) AS fail_mask, "
+        f"CAST({n_failed} AS BIGINT) AS n_failed, "
+        f"CASE WHEN ({mask}) = 0 THEN 'pass' ELSE 'fail' END AS verdict "
+        "FROM documents"
+    )

@@ -325,3 +325,53 @@ def test_compression_ratio_matches_stdlib_and_separates_tails(spark, tmp_path):
     tails = {r["doc_id"]: r["ratio"] for r in compression_ratio(spark, d).collect()}
     assert tails[1] > 10, f"repetitive text should compress hard: {tails}"
     assert tails[2] < 2.2, f"random hex should barely compress: {tails}"
+
+
+def test_c4_rules_per_rule_bits(spark, tmp_path):
+    """Each C4 rule trips its own fail_mask bit on a doc built to
+    violate exactly that rule; a compliant doc passes clean; engines
+    agree bit-for-bit."""
+    import duckdb
+
+    from talna_spark.pipeline.text import (
+        C4_RULE_NAMES, c4_rules, c4_rules_sql,
+    )
+
+    # every line ends in '.', has >= 5 words, no javascript; > 3 sentences
+    good_body = "\n".join(
+        "the quick brown fox jumps over the lazy dog." for _ in range(6)
+    )
+    rows = [
+        (1, good_body, "src0"),                         # passes everything
+        (2, "one sentence only here today.", "src0"),   # < 3 sentences -> bit 0
+        (3, good_body + "\nlorem ipsum dolor sit amet more.", "src0"),  # bit 1
+        (4, good_body + "\nfunction f() { return one two three. }", "src0"),  # bit 2
+        (5, good_body + "\nplease read our privacy policy before use.", "src0"),  # bit 3
+        (6, "\n".join("no terminal punctuation on this line" for _ in range(9))
+            + "\n" + good_body[: len(good_body) // 2] + ".", "src0"),  # bit 4
+    ]
+    d = str(tmp_path / "c4")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in c4_rules(spark, d).collect()}
+    assert out[1]["fail_mask"] == 0 and out[1]["verdict"] == "pass"
+    expect_bit = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
+    for did, bit in expect_bit.items():
+        mask = out[did]["fail_mask"]
+        assert mask & (1 << bit), (
+            f"doc {did} should trip rule {C4_RULE_NAMES[bit]}: mask={mask:b}"
+        )
+    assert len(C4_RULE_NAMES) == 5
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {row[0]: row for row in con.execute(c4_rules_sql()).fetchall()}
+    for did, r in out.items():
+        assert oracle[did] == (
+            did, r["kept_line_frac"], r["fail_mask"], r["n_failed"],
+            r["verdict"]
+        ), f"doc {did} engine mismatch"

@@ -347,6 +347,15 @@ def test_gopher_rules_map_only(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_c4_rules_map_only(spark):
+    # x22/c4: same contract as gopher — one map-only codegen projection
+    from talna_spark.pipeline.text import c4_rules
+
+    plan = plan_of(c4_rules(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_streaming_gate_map_only(spark):
     # the streaming curation gate must stay a pure projection (it runs
     # per micro-batch): no Exchange, no Python
