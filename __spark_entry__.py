@@ -807,7 +807,10 @@ def _x21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``scan``: v1=n_grams, v2=dup_positions, v3=dup_fraction;
     - ``clean``: s1=md5 of the span-trimmed text (proving the exact
       reconstructed string, not just counts), v1=kept_tokens,
-      v2=removed_tokens.
+      v2=removed_tokens;
+    - ``paragraph``: CCNet-style paragraph dedup (Wenzek et al. 2020) —
+      s1=md5 of the reassembled text after every duplicated paragraph
+      keeps only its globally-first copy, v1=n_paras, v2=removed_paras.
     """
 
     def norm(df, s1, v1, v2, v3, kind):
@@ -830,7 +833,12 @@ def _x21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clean_hash"), F.col("kept_tokens"), F.col("removed_tokens"),
         F.lit(0.0), "clean",
     )
-    return scan.unionByName(clean)
+    para = norm(
+        _dedup.paragraph_dedup(spark, sf_dir),
+        F.col("clean_hash"), F.col("n_paras"), F.col("removed_paras"),
+        F.lit(0.0), "paragraph",
+    )
+    return scan.unionByName(clean).unionByName(para)
 
 
 def _x21_dup_spans_sql() -> str:
@@ -842,7 +850,11 @@ def _x21_dup_spans_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, clean_hash AS s1, CAST(kept_tokens AS DOUBLE) AS v1, "
         "CAST(removed_tokens AS DOUBLE) AS v2, 0.0 AS v3, 'clean' AS kind "
-        f"FROM ({_dedup.dup_span_clean_sql()})"
+        f"FROM ({_dedup.dup_span_clean_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, clean_hash AS s1, CAST(n_paras AS DOUBLE) AS v1, "
+        "CAST(removed_paras AS DOUBLE) AS v2, 0.0 AS v3, 'paragraph' AS kind "
+        f"FROM ({_dedup.paragraph_dedup_sql()})"
     )
 
 

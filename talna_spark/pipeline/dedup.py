@@ -849,3 +849,82 @@ def dedup_against(
             F.when(verdict == "near_dup", F.col("jaccard")).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------- paragraph-level dedup
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph deduplication (Wenzek et al. 2020): across
+    the whole corpus, every duplicated paragraph keeps only its FIRST
+    occurrence (lowest (doc_id, position)); later copies are removed
+    and each document's text is reassembled from its surviving
+    paragraphs. Paragraph identity is the trimmed line (split on \\n);
+    whitespace-only lines are structure, not content, and are never
+    deduplicated. Returns per doc: total paragraph count, removed
+    count, and the md5 of the reassembled text (proving the exact
+    surviving string, not just counts).
+
+    100 TB shape: document text NEVER crosses a shuffle — the winner
+    election groups (hash, doc_id, idx) id-tuples, the removal lists
+    are int arrays joined back by doc_id, and reassembly is a JVM
+    ``filter``-with-index over the document's own split array. The
+    same shape as dup_span_clean, at paragraph instead of k-gram
+    granularity.
+    """
+    d = _docs(spark, sf_dir)
+    paras = F.split(F.col("text"), "\n")
+    # (doc_id, idx, h) id-rows for non-empty paragraphs only
+    pos = (
+        d.select(
+            "doc_id",
+            F.posexplode(paras).alias("idx", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .select("doc_id", "idx", hash64(F.trim(F.col("para"))).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    first = pos.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    removed = (
+        pos.join(first, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("idx") != F.col("first.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("idx").alias("rm"))
+    )
+    kept = F.filter(
+        paras,
+        lambda p, i: F.col("rm").isNull() | ~F.array_contains(F.col("rm"), i),
+    )
+    return (
+        d.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(paras).cast("long").alias("n_paras"),
+            F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias("removed_paras"),
+            F.md5(F.array_join(kept, "\n")).alias("clean_hash"),
+        )
+    )
+
+
+def paragraph_dedup_sql() -> str:
+    h = hash64_sql("trim(ps[i])")
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ps "
+        "FROM documents), "
+        f"pos AS (SELECT doc_id, i - 1 AS idx, {h} AS h "
+        "FROM d, unnest(generate_series(1, len(ps))) AS u(i) "
+        "WHERE trim(ps[i]) <> ''), "
+        "rn AS (SELECT doc_id, idx, row_number() OVER "
+        "(PARTITION BY h ORDER BY doc_id, idx) AS r FROM pos), "
+        "rml AS (SELECT doc_id, list(idx) AS rm FROM rn WHERE r > 1 "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(len(d.ps) AS BIGINT) AS n_paras, "
+        "CAST(COALESCE(len(rml.rm), 0) AS BIGINT) AS removed_paras, "
+        "md5(array_to_string(list_filter(d.ps, "
+        "(p, i) -> rml.rm IS NULL OR NOT list_contains(rml.rm, i - 1)), "
+        "chr(10))) AS clean_hash "
+        "FROM d LEFT JOIN rml ON d.doc_id = rml.doc_id"
+    )

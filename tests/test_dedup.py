@@ -121,3 +121,60 @@ def test_dedup_against_reference_corpus(spark):
         assert out[2]["ref_doc_id"] is None and out[2]["jaccard"] is None
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark, tmp_path):
+    """CCNet paragraph dedup: the globally-first copy of a duplicated
+    paragraph survives, later copies are removed, whitespace-only lines
+    are never deduplicated, and the reassembled text is exact (md5);
+    engines agree row-for-row."""
+    import hashlib
+
+    import duckdb
+
+    from talna_spark.pipeline.dedup import paragraph_dedup, paragraph_dedup_sql
+
+    rows = [
+        (1, "alpha beta.\nshared para here.\nunique one.", "en", "s", 1),
+        (2, "shared para here.\n\nunique two.", "en", "s", 1),
+        (3, "unique three.\n  shared para here.  ", "en", "s", 1),  # trimmed match
+        (4, "", "en", "s", 1),
+    ]
+    d = str(tmp_path / "pd")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in paragraph_dedup(spark, d).collect()}
+    # doc 1 owns the shared paragraph (lowest doc_id) -> untouched
+    assert got[1]["removed_paras"] == 0
+    assert got[1]["clean_hash"] == hashlib.md5(rows[0][1].encode()).hexdigest()
+    # doc 2 loses its copy; the empty line stays
+    assert got[2]["removed_paras"] == 1
+    assert got[2]["clean_hash"] == hashlib.md5(b"\nunique two.").hexdigest()
+    # doc 3's padded variant trims equal -> removed too
+    assert got[3]["removed_paras"] == 1
+    assert got[3]["clean_hash"] == hashlib.md5(b"unique three.").hexdigest()
+    # empty doc: one empty "paragraph", kept
+    assert got[4]["n_paras"] == 1 and got[4]["removed_paras"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {row[0]: row for row in con.execute(paragraph_dedup_sql()).fetchall()}
+    for did, r in got.items():
+        assert oracle[did] == (
+            did, r["n_paras"], r["removed_paras"], r["clean_hash"]
+        ), f"doc {did} engine mismatch"
+
+
+def test_paragraph_dedup_text_never_shuffles(spark):
+    # 100 TB contract: no Exchange row carries the text column
+    from talna_spark.pipeline.dedup import paragraph_dedup
+
+    df = paragraph_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"document text crosses a shuffle: {line}")
