@@ -1002,6 +1002,30 @@ def _x12_embedding_near_dup_sql() -> str:
 _EXT["x12_embedding_near_dup"] = (_x12_embedding_near_dup, _x12_embedding_near_dup_sql())
 
 
+def _x11_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN registration, two `kind` slices on the shared
+    (query_id, neighbor_id, rank, cos) schema: ``ivf`` = inverted-file
+    probe (scan work ~ nprobe/N_CLUSTERS), ``pq`` = product-quantized
+    search (Jégou et al. 2011: corpus compressed to PQ_M codebook codes,
+    asymmetric exact-query-vs-reconstruction cosine) — together the two
+    halves of a production IVF-PQ index, each oracle-checked including
+    ranks."""
+    ivf = _sim.ivf_topk(spark, sf_dir).withColumn("kind", F.lit("ivf"))
+    pq = _sim.pq_topk(spark, sf_dir).withColumn("kind", F.lit("pq"))
+    return ivf.unionByName(pq)
+
+
+def _x11_ann_sql() -> str:
+    return (
+        f"SELECT *, 'ivf' AS kind FROM ({_sim.ivf_topk_sql()}) "
+        "UNION ALL "
+        f"SELECT *, 'pq' AS kind FROM ({_sim.pq_topk_sql()})"
+    )
+
+
+_EXT["x11_ann_ivf"] = (_x11_ann, _x11_ann_sql())
+
+
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path
 # as kind slices of one registration (same VALUES oracle twice): the
 # driver hash-checks the parallel path's bit-identity every round.

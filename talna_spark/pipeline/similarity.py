@@ -350,3 +350,151 @@ def semdedup_sql(eps: float = SEMDEDUP_EPS) -> str:
         "CASE WHEN d.vec_id IS NOT NULL THEN 'dup' ELSE 'kept' END AS verdict "
         "FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id"
     )
+
+
+# ------------------------------------------------- product quantization
+# PQ (Jégou et al. 2011): the memory-compression half of a production
+# IVF-PQ index — vectors are split into PQ_M subspaces and each
+# subspace is replaced by the id of its nearest codebook entry, so a
+# 64-dim float64 vector becomes PQ_M small ints (64x smaller). Like the
+# IVF centroids, codebooks are training-free corpus seeds (the
+# sub-vectors of vec_id < PQ_SEEDS) — deterministic, so the whole
+# encode -> reconstruct -> search path has a strict DuckDB oracle; a
+# k-means-trained codebook drops into the same plan shape.
+
+PQ_M = 8        # subspaces per vector (64 dims -> 8 per subspace)
+PQ_DS = 8       # dims per subspace
+PQ_SEEDS = 16   # codebook entries per subspace (4-bit codes)
+PQ_TOP_K = 3
+
+
+def _pq_subs(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): the PQ_M sub-vectors of every embedding."""
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).join(e, "vec_id").select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * PQ_DS + 1, PQ_DS).alias("sub"),
+    )
+
+
+def _pq_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest codebook entry per subspace (squared-L2
+    argmin over the broadcast codebook; distances rounded to 6 dp before
+    the argmin so ties resolve identically across engines, then broken
+    by code ascending)."""
+    subs = _pq_subs(e)
+    cb = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sub"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "code", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed corpus: (vec_id, codes array<int> of length PQ_M).
+    100 TB shape: codebook broadcast (PQ_M x PQ_SEEDS tiny sub-vectors),
+    per-subspace argmin is a bounded window over id+code rows — the only
+    shuffle carries (vec_id, m, code, d2), never vectors."""
+    e = _emb(spark, sf_dir)
+    return _pq_codes(e).groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
+    """ANN over the PQ-compressed corpus: queries keep exact vectors,
+    corpus vectors are codebook reconstructions (asymmetric distance,
+    the standard ADC setup). Scores are true cosine between the exact
+    query and the reconstruction — at scale the same sum decomposes into
+    PQ_M lookup-table adds per candidate, which is the point of PQ; the
+    reconstruction here keeps the plan in verified JVM cosine folds."""
+    e = _emb(spark, sf_dir)
+    subs = _pq_subs(e)
+    cb = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cv")
+    )
+    recon = (
+        _pq_codes(e)
+        .join(F.broadcast(cb), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cv"))),
+                    lambda s: s["cv"],
+                )
+            ).alias("rv")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = recon.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.round(cosine(F.col("qv"), F.col("rv")), 6) + F.lit(0.0)).alias("cos"),
+    )
+    return _per_query_topk(pairs, k)
+
+
+def _pq_sql_parts() -> str:
+    """Shared CTE prefix: subspaces, codebook, codes, reconstruction."""
+    ds, m, seeds = PQ_DS, PQ_M, PQ_SEEDS
+    d2 = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {ds}), "
+        "i -> (s.sub[i] - cb.cv[i]) * (s.sub[i] - cb.cv[i]))), 6)"
+    )
+    return (
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"subs AS (SELECT vec_id, m, v[m * {ds} + 1 : m * {ds} + {ds}] AS sub "
+        f"FROM e, unnest(generate_series(0, {m - 1})) AS t(m)), "
+        f"cb AS (SELECT m, vec_id AS code, sub AS cv FROM subs "
+        f"WHERE vec_id < {seeds}), "
+        f"dist AS (SELECT s.vec_id, s.m, cb.code, {d2} AS d2, cb.cv "
+        "FROM subs s JOIN cb ON s.m = cb.m), "
+        "codes AS (SELECT vec_id, m, code, cv FROM (SELECT *, ROW_NUMBER() "
+        "OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn "
+        "FROM dist) WHERE rn = 1), "
+        "recon AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS rv "
+        "FROM codes GROUP BY vec_id)"
+    )
+
+
+def pq_topk_sql() -> str:
+    return (
+        f"WITH {_pq_sql_parts()}, "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e "
+        f"WHERE vec_id < {N_QUERIES}), "
+        "pairs AS (SELECT query_id, r.vec_id AS neighbor_id, "
+        "(ROUND(list_cosine_similarity(qv, r.rv), 6) + 0) AS cos "
+        "FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+        "FROM pairs) "
+        f"SELECT query_id, neighbor_id, rank, cos FROM ranked "
+        f"WHERE rank <= {PQ_TOP_K}"
+    )

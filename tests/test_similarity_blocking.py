@@ -129,3 +129,51 @@ def test_semdedup_verdicts_and_invariants(spark):
         for r in rows
     }
     assert ours == oracle
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """Codebook entries are corpus seeds, so every seed vector's nearest
+    code in every subspace is its own sub-vector (distance 0) — the
+    encode argmin is exact, and codes stay in [0, PQ_SEEDS)."""
+    from talna_spark.pipeline.similarity import PQ_M, PQ_SEEDS, pq_encode
+
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(spark, "/root/testdata/sf0.001").collect()
+    }
+    for sid in range(PQ_SEEDS):
+        assert codes[sid] == [sid] * PQ_M, f"seed {sid} -> {codes[sid]}"
+    all_codes = [c for cs in codes.values() for c in cs]
+    assert min(all_codes) >= 0 and max(all_codes) < PQ_SEEDS
+    # the codebook is actually used (not everything collapses to code 0)
+    assert len(set(all_codes)) > PQ_SEEDS // 2
+
+
+def test_pq_topk_recall_against_brute_force(spark):
+    """PQ reconstruction is lossy but must stay an ANN: each query's
+    PQ top-3 should overlap its brute-force top-5 (the recall floor is
+    corpus-dependent; seeds-as-codebook on the testdata clears 1/3
+    mean recall comfortably) and the exact-neighbor scores bound the
+    approximate ones."""
+    from talna_spark.pipeline.similarity import brute_force_topk, pq_topk
+
+    sf = "/root/testdata/sf0.001"
+    bf = {}
+    for r in brute_force_topk(spark, sf).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq = {}
+    for r in pq_topk(spark, sf).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(pq) == set(bf)
+    recalls = [len(pq[q] & bf[q]) / 3 for q in pq]
+    assert sum(recalls) / len(recalls) >= 1 / 3, recalls
+
+
+def test_pq_plan_broadcasts_codebook_and_queries(spark):
+    # 100 TB contract: codebook and query joins are broadcasts; the
+    # only shuffles carry id/code/score rows, never embedding vectors
+    from talna_spark.pipeline.similarity import pq_topk
+
+    df = pq_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
