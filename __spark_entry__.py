@@ -734,7 +734,10 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``quality``: v1=punct_ratio, v2=stop_ratio, v3=quality score
       (n_tokens lives in the tokens slice);
     - ``langid``: s1=pred_lang, s2=labeled_lang, v1=marker_hits;
-    - ``fingerprint``: s1=the min-md5 word-5-gram fingerprint.
+    - ``fingerprint``: s1=the min-md5 word-5-gram fingerprint;
+    - ``unicode``: encoding-damage signals (r5) — v1=replacement_ratio
+      (U+FFFD density), v2=ctrl_count (C0 bytes minus tab/newline/CR),
+      v3=nonascii_ratio.
     """
 
     def norm(df, s1, s2, v1, v2, v3, kind):
@@ -770,7 +773,15 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fingerprint"), nul, F.lit(0.0), F.lit(0.0), F.lit(0.0),
         "fingerprint",
     )
-    return tok.unionByName(qua).unionByName(lid).unionByName(fpr)
+    uni = norm(
+        _text.unicode_signals(spark, sf_dir), nul, nul,
+        F.col("replacement_ratio"), F.col("ctrl_count"),
+        F.col("nonascii_ratio"), "unicode",
+    )
+    return (
+        tok.unionByName(qua).unionByName(lid).unionByName(fpr)
+        .unionByName(uni)
+    )
 
 
 def _x01_text_signals_sql() -> str:
@@ -792,7 +803,14 @@ def _x01_text_signals_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, fingerprint AS s1, CAST(NULL AS VARCHAR) AS s2, "
         "0.0 AS v1, 0.0 AS v2, 0.0 AS v3, 'fingerprint' AS kind "
-        f"FROM ({_text.fingerprint_sql()})"
+        f"FROM ({_text.fingerprint_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(NULL AS VARCHAR) AS s2, "
+        "CAST(replacement_ratio AS DOUBLE) AS v1, "
+        "CAST(ctrl_count AS DOUBLE) AS v2, "
+        "CAST(nonascii_ratio AS DOUBLE) AS v3, 'unicode' AS kind "
+        f"FROM ({_text.unicode_signals_sql()})"
     )
 
 

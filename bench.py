@@ -321,6 +321,14 @@ def main() -> None:
         pipe["pipe_mixture"] = "_bench_mixture"
         qs["_bench_dsir"] = lambda s, sd: _dsir(s, sd, parallelism=int(cpus))
         pipe["pipe_dsir"] = "_bench_dsir"
+        from talna_spark.pipeline.dedup import paragraph_dedup as _pdedup
+
+        qs["_bench_paragraph"] = _pdedup
+        pipe["pipe_paragraph_dedup"] = "_bench_paragraph"
+        from talna_spark.pipeline.multimodal import pdf_extract as _pdfx
+
+        qs["_bench_pdf"] = _pdfx
+        pipe["pipe_pdf_extract"] = "_bench_pdf"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number

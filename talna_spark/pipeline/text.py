@@ -930,3 +930,52 @@ def c4_rules_sql() -> str:
         f"CASE WHEN ({mask}) = 0 THEN 'pass' ELSE 'fail' END AS verdict "
         "FROM documents"
     )
+
+
+# ------------------------------------------------- encoding-damage signals
+def unicode_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage scan — the cleanup signals a crawl
+    pipeline checks before any text op (ftfy-class damage shows up as
+    U+FFFD replacement characters and stray C0/C1 control bytes):
+
+    - ``replacement_ratio``: U+FFFD count / char length (decode damage);
+    - ``ctrl_count``: C0 control chars other than \\t \\n \\r (binary
+      bleed-through);
+    - ``nonascii_ratio``: chars outside printable ASCII / char length
+      (expected for most languages — a *prior*, not a failure; combined
+      with lang-ID it flags latin-labeled docs full of high bytes).
+
+    100 TB shape: map-only JVM regexp counts over one corpus scan — no
+    UDF, no shuffle, codegen end-to-end (the quality/lang_id class).
+    """
+    d = _docs(spark, sf_dir)
+    L = F.greatest(F.length("text"), F.lit(1))
+    repl = F.size(F.regexp_extract_all("text", F.lit("(�)"), 1))
+    ctrl = F.size(
+        F.regexp_extract_all(
+            "text", F.lit("([\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f])"), 1
+        )
+    )
+    nonascii = F.size(F.regexp_extract_all("text", F.lit("([^\\x20-\\x7e])"), 1))
+    return d.select(
+        "doc_id",
+        F.round(repl / L, 6).alias("replacement_ratio"),
+        ctrl.cast("long").alias("ctrl_count"),
+        F.round(nonascii / L, 6).alias("nonascii_ratio"),
+    )
+
+
+def unicode_signals_sql() -> str:
+    L = "GREATEST(length(text), 1)"
+    repl = "len(regexp_extract_all(text, chr(65533)))"
+    ctrl = (
+        "len(regexp_extract_all(text, "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))"
+    )
+    nonascii = "len(regexp_extract_all(text, '[^\\x20-\\x7e]'))"
+    return (
+        f"SELECT doc_id, ROUND({repl} * 1.0 / {L}, 6) AS replacement_ratio, "
+        f"CAST({ctrl} AS BIGINT) AS ctrl_count, "
+        f"ROUND({nonascii} * 1.0 / {L}, 6) AS nonascii_ratio "
+        "FROM documents"
+    )

@@ -375,3 +375,41 @@ def test_c4_rules_per_rule_bits(spark, tmp_path):
             did, r["kept_line_frac"], r["fail_mask"], r["n_failed"],
             r["verdict"]
         ), f"doc {did} engine mismatch"
+
+
+def test_unicode_signals_damage_cases(spark, tmp_path):
+    """Encoding-damage scan: replacement chars, C0 controls (tab/newline
+    excluded) and non-ASCII density each measured on a doc built to show
+    exactly that damage; engines agree to the rounded digit."""
+    import duckdb
+
+    from talna_spark.pipeline.text import unicode_signals, unicode_signals_sql
+
+    rows = [
+        (1, "clean ascii text only.", "en", "s", 1),
+        (2, "dam�aged te�xt here", "en", "s", 1),
+        (3, "ctrl\x01chars\x07and\x1fmore\tok\nfine", "en", "s", 1),
+        (4, "héllo wörld 中文", "en", "s", 1),
+        (5, "", "en", "s", 1),
+    ]
+    d = str(tmp_path / "uni")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in unicode_signals(spark, d).collect()}
+    assert got[1]["replacement_ratio"] == 0.0 and got[1]["ctrl_count"] == 0
+    assert got[2]["replacement_ratio"] > 0.1
+    assert got[3]["ctrl_count"] == 3  # \t and \n do NOT count
+    assert got[4]["nonascii_ratio"] > 0.2 and got[4]["ctrl_count"] == 0
+    assert got[5]["replacement_ratio"] == 0.0  # empty text: guarded /1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {row[0]: row for row in con.execute(unicode_signals_sql()).fetchall()}
+    for did, r in got.items():
+        assert oracle[did] == (
+            did, r["replacement_ratio"], r["ctrl_count"], r["nonascii_ratio"]
+        ), f"doc {did} engine mismatch"
