@@ -943,11 +943,13 @@ def _x22_quality_scoring_sql() -> str:
 
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampling-policy registration, two `kind` slices on a normalized
+    """Sampling-policy registration, three `kind` slices on a normalized
     (doc_id, s1, v1, v2, v3, kind) schema: `mixture` = domain-mixture
     sampling to a token budget (per-domain weights -> keep-rates);
     `dsir` = DSIR importance-resampling selection (Xie et al. 2023,
-    hashed unigram+bigram models, top-k by integer micro-nat weight)."""
+    hashed unigram+bigram models, top-k by integer micro-nat weight);
+    `reservoir` (r5) = exact-k deterministic per-source sample by
+    'res|'-prefixed id-hash rank (s1=source, v1=within-group rank)."""
     mx = _sampling.mixture_sample(spark, sf_dir).select(
         "doc_id",
         F.col("source").alias("s1"),
@@ -964,7 +966,15 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("double").alias("v3"),
         F.lit("dsir").alias("kind"),
     )
-    return mx.unionByName(ds)
+    rs = _sampling.reservoir_docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("sample_rank").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0.0).alias("v3"),
+        F.lit("reservoir").alias("kind"),
+    )
+    return mx.unionByName(ds).unionByName(rs)
 
 
 def _x23_mixture_sample_sql() -> str:
@@ -975,7 +985,11 @@ def _x23_mixture_sample_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, '' AS s1, CAST(n_grams AS BIGINT) AS v1, "
         "CAST(weight_micro AS BIGINT) AS v2, CAST(rank AS DOUBLE) AS v3, "
-        f"'dsir' AS kind FROM ({_sampling.dsir_select_sql()})"
+        f"'dsir' AS kind FROM ({_sampling.dsir_select_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, source AS s1, CAST(sample_rank AS BIGINT) AS v1, "
+        "CAST(0 AS BIGINT) AS v2, 0.0 AS v3, 'reservoir' AS kind "
+        f"FROM ({_sampling.reservoir_docs_sql()})"
     )
 
 

@@ -342,3 +342,70 @@ def dsir_select_sql(
         "SELECT doc_id, n_grams, weight_micro, rank FROM ranked "
         f"WHERE rank <= {int(k_select)}"
     )
+
+
+# ------------------------------------------------ per-group reservoir
+RESERVOIR_K = 20  # docs kept per source in the driver registration
+
+
+def reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACT-k deterministic sample per group — the fixed-size
+    per-domain eval-subset cut (rate-based sampling gives a fixed
+    FRACTION; dashboards, eval sets and spot-check queues need a fixed
+    COUNT per stratum). Rows rank by the md5-derived hash of their id
+    (the split/sample hash family, prefixed 'res|' so the stream is
+    independent of every other sampling decision) and the k lowest win:
+    stable across runs, retries, repartitioning and cluster size, and
+    row (i <= k)'s membership never changes when k grows — the nested
+    property a true reservoir has.
+
+    100 TB shape: one hash-partitioned window per group over
+    (id, group, hash) — the per-group sort is bounded by the group's
+    row count, and with k << group size an AQE top-k pushdown applies;
+    for pathological single-group corpora the group key itself is the
+    parallelism dial (the q24 two-phase pattern would bolt on
+    unchanged).
+    """
+    from talna_spark.pipeline.portable import hash64
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    h = hash64(F.concat(F.lit("res|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_rh").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rh", h)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+        .drop("_rh")
+    )
+
+
+def reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration: RESERVOIR_K docs per source with their
+    within-group rank."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return reservoir_sample(d, "doc_id", "source", RESERVOIR_K).select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def reservoir_docs_sql() -> str:
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'res|' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT doc_id, source, sample_rank FROM ("
+        f"SELECT doc_id, source, ROW_NUMBER() OVER ("
+        f"PARTITION BY source ORDER BY {h} ASC, doc_id ASC"
+        f") AS sample_rank FROM documents) "
+        f"WHERE sample_rank <= {RESERVOIR_K}"
+    )

@@ -413,3 +413,53 @@ def test_unicode_signals_damage_cases(spark, tmp_path):
         assert oracle[did] == (
             did, r["replacement_ratio"], r["ctrl_count"], r["nonascii_ratio"]
         ), f"doc {did} engine mismatch"
+
+
+def test_reservoir_sample_exact_k_nested_and_stable(spark, tmp_path):
+    """reservoir_sample: exactly k rows per group (or the whole group
+    when smaller), k=5 winners are a prefix of k=10 winners (the nested
+    reservoir property), membership survives repartitioning, and the
+    driver pair agrees with DuckDB."""
+    import duckdb
+
+    from talna_spark.pipeline.sampling import (
+        RESERVOIR_K, reservoir_docs, reservoir_docs_sql, reservoir_sample,
+    )
+
+    rows = [(i, f"g{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    s5 = reservoir_sample(df, "doc_id", "source", 5)
+    got5 = {(r["doc_id"], r["source"]) for r in s5.collect()}
+    counts = {}
+    for _, g in got5:
+        counts[g] = counts.get(g, 0) + 1
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+
+    got10 = {(r["doc_id"], r["source"])
+             for r in reservoir_sample(df, "doc_id", "source", 10).collect()}
+    assert got5 <= got10  # nested: growing k never evicts a winner
+
+    reparted = {
+        (r["doc_id"], r["source"])
+        for r in reservoir_sample(
+            df.repartition(7), "doc_id", "source", 5
+        ).collect()
+    }
+    assert reparted == got5  # partitioning-independent
+
+    d = str(tmp_path / "res")
+    df.selectExpr(
+        "doc_id", "'x' AS text", "'en' AS lang", "source", "1 AS n_chars"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["source"], r["sample_rank"])
+        for r in reservoir_docs(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(reservoir_docs_sql()).fetchall()))
+    assert got == want
+    assert max(r[2] for r in got) <= RESERVOIR_K
