@@ -498,3 +498,116 @@ def pq_topk_sql() -> str:
         f"SELECT query_id, neighbor_id, rank, cos FROM ranked "
         f"WHERE rank <= {PQ_TOP_K}"
     )
+
+
+# ---------------------------------------------------- k-means training
+def _sq_l2(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_centroids(
+    e: DataFrame,
+    k: int = IVF_CENTROIDS,
+    iters: int = 10,
+    tol: float = 1e-4,
+) -> tuple:
+    """Lloyd's k-means over a (vec_id, v) DataFrame — the trained
+    upgrade for the IVF centroid set and PQ codebooks (the shipped
+    defaults are deterministic corpus seeds so the driver oracle stays
+    SQL-expressible; this is the quality path a real index build runs,
+    same plan shape per iteration as the seed assignment).
+
+    Returns (centroids, inertia_history): k d-dim lists and the summed
+    squared distance after each assignment pass.
+
+    100 TB shape (the Spark MLlib shape): centroids live driver-side
+    (k x d doubles — bounded, NOT corpus-sized) and broadcast into a
+    map-side argmin each round; the per-round shuffle carries
+    (cluster, dim, partial-sum) rows — k x d cells with map-side
+    partial aggregation, independent of corpus size. Deterministic
+    end-to-end: hash-ranked init (same 'km|' id-hash family as the
+    samplers), 6-dp-rounded distances with cluster-id tie-break, and
+    mean aggregation over fixed (cluster, dim) cells; empty clusters
+    keep their previous centroid. Iteration stops at ``iters`` or when
+    inertia improves by less than ``tol`` relative."""
+    from talna_spark.pipeline.portable import hash64
+
+    spark = e.sparkSession
+    k = int(k)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    init = (
+        e.withColumn(
+            "_h",
+            hash64(F.concat(F.lit("km|"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    history = []
+    for _ in range(int(iters)):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cid int, cv array<double>",
+        )
+        d2 = F.round(_sq_l2(F.col("v"), F.col("cv")), 6)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        a = (
+            e.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        cells = (
+            a.select("cid", "d2", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("mu"), F.sum("d2").alias("sd2"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster keeps old
+        inertia = 0.0
+        per_dim = {}
+        for r in cells:
+            per_dim[(r["cid"], r["dim"])] = r["mu"]
+            if r["dim"] == 0:
+                inertia += r["sd2"]
+        for (cid, dim), mu in per_dim.items():
+            new_cents[cid][dim] = mu
+        cents = new_cents
+        history.append(inertia)
+        if len(history) >= 2 and history[-2] > 0:
+            if (history[-2] - history[-1]) < tol * history[-2]:
+                break
+    return cents, history
+
+
+def kmeans_assign(e: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, cluster, d2) for a trained centroid list — the handoff
+    from :func:`kmeans_centroids` to an IVF build: at scale this column
+    IS the physical partition key of the vector table."""
+    spark = e.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    d2 = F.round(_sq_l2(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    return (
+        e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "d2")
+    )

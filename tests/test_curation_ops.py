@@ -122,16 +122,18 @@ def test_mixture_sample_rates_and_determinism(spark):
 
 
 def test_x01_text_signals_slices(spark):
-    """The consolidated registration carries all four signals with the
+    """The consolidated registration carries all five signals with the
     documented null-pattern per slice."""
     import __spark_entry__ as entry
 
     df = entry.queries()["x01_text_signals"](spark, SF)
     pdf = df.toPandas()
-    assert set(pdf["kind"]) == {"tokens", "quality", "langid", "fingerprint"}
+    assert set(pdf["kind"]) == {
+        "tokens", "quality", "langid", "fingerprint", "unicode"
+    }
     n_docs = pdf[pdf["kind"] == "tokens"].shape[0]
     assert all(pdf[pdf["kind"] == k].shape[0] == n_docs for k in
-               ("quality", "langid", "fingerprint"))
+               ("quality", "langid", "fingerprint", "unicode"))
     assert pdf[pdf["kind"] == "langid"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "fingerprint"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "tokens"]["s1"].isna().all()

@@ -177,3 +177,50 @@ def test_pq_plan_broadcasts_codebook_and_queries(spark):
     df = pq_topk(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_inertia_decreases_and_beats_seeds(spark):
+    """Lloyd's iterations: inertia is monotonically non-increasing, the
+    trained centroids beat (or match) the training-free seed set, and
+    assignment covers every vector with in-range cluster ids."""
+    from talna_spark.pipeline.similarity import (
+        IVF_CENTROIDS, _emb, kmeans_assign, kmeans_centroids,
+    )
+
+    e = _emb(spark, "/root/testdata/sf0.001")
+    cents, hist = kmeans_centroids(e, k=IVF_CENTROIDS, iters=5)
+    assert len(cents) == IVF_CENTROIDS and len(cents[0]) == 64
+    assert all(
+        hist[i + 1] <= hist[i] * (1 + 1e-9) for i in range(len(hist) - 1)
+    ), hist
+
+    # seed-set inertia (the shipped deterministic centroids)
+    seeds = [
+        list(r["v"])
+        for r in e.filter("vec_id < 16").orderBy("vec_id").select("v").collect()
+    ]
+    seed_inertia = (
+        kmeans_assign(e, seeds).groupBy().sum("d2").collect()[0][0]
+    )
+    assert hist[-1] <= seed_inertia * (1 + 1e-9)
+
+    a = kmeans_assign(e, cents)
+    n = e.count()
+    assert a.count() == n
+    rows = a.agg({"cluster": "min"}).collect()[0][0]
+    assert rows >= 0
+    assert a.agg({"cluster": "max"}).collect()[0][0] < IVF_CENTROIDS
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    from talna_spark.pipeline.similarity import _emb, kmeans_centroids
+
+    e = _emb(spark, "/root/testdata/sf0.001")
+    c1, h1 = kmeans_centroids(e, k=4, iters=3)
+    c2, h2 = kmeans_centroids(e.repartition(7), k=4, iters=3)
+    # means/sums are float-order-dependent across partitionings; the
+    # result must agree to well below any assignment-flipping margin
+    assert len(h1) == len(h2)
+    assert all(abs(a - b) <= 1e-6 * max(abs(a), 1) for a, b in zip(h1, h2))
+    for a, b in zip(c1, c2):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
