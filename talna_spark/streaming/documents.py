@@ -42,18 +42,36 @@ from pyspark.sql import functions as F
 from talna_spark.pipeline.curate import QUALITY_MIN as CURATE_MIN_QUALITY
 
 
-def gate_documents(doc_stream: DataFrame) -> DataFrame:
+def gate_documents(
+    doc_stream: DataFrame, batteries: tuple = ("gopher",)
+) -> DataFrame:
     """Apply the map-only curation gates to a (streaming or batch)
     documents DataFrame: soft quality score >= CURATE_MIN_QUALITY and
-    the Gopher hard-rule mask clean. Adds (quality, fail_mask, verdict)
+    the selected hard-rule batteries clean ('gopher' and/or 'c4' — both
+    are free-standing Column expressions, so composing them stays one
+    map-only projection; fail_mask concatenates the batteries' masks in
+    order, gopher in the low bits). Adds (quality, fail_mask, verdict)
     — verdict 'kept' | 'low_quality' | 'rule_fail' — and keeps every
     row (filtering is the caller's one-liner) so the drop ledger stays
     auditable, like curate()'s per-doc verdicts."""
-    from talna_spark.pipeline.text import gopher_parts, quality_parts
+    from talna_spark.pipeline.text import (
+        GOPHER_RULE_NAMES, c4_parts, gopher_parts, quality_parts,
+    )
 
+    unknown = set(batteries) - {"gopher", "c4"}
+    if unknown or not batteries:
+        raise ValueError(f"unknown batteries: {sorted(unknown) or batteries}")
     _, _, _, score = quality_parts()
     quality = F.round(score, 6)
-    _, mask, _ = gopher_parts()
+    mask = F.lit(0).cast("long")
+    shift = 0
+    if "gopher" in batteries:
+        _, gmask, _ = gopher_parts()
+        mask = mask + gmask
+        shift = len(GOPHER_RULE_NAMES)
+    if "c4" in batteries:
+        _, cmask, _ = c4_parts()
+        mask = mask + cmask * (2 ** shift)
     verdict = (
         F.when(mask != 0, F.lit("rule_fail"))
         .when(quality < CURATE_MIN_QUALITY, F.lit("low_quality"))

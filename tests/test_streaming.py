@@ -360,3 +360,47 @@ def test_stream_curate_documents(spark, dirs):
     # gate verdicts are complete and labeled
     v = {r["doc_id"]: r["verdict"] for r in gate_documents(all_docs).collect()}
     assert v[4] == "rule_fail" and v[1] == "kept"
+
+
+def test_gate_documents_battery_composition(spark):
+    """The c4 battery composes into the same map-only gate: gopher bits
+    stay in the low positions, c4 bits shift above them, unknown
+    battery names fail loudly."""
+    import pytest as _pytest
+
+    from talna_spark.pipeline.text import GOPHER_RULE_NAMES
+    from talna_spark.streaming.documents import gate_documents
+
+    good_lines = "\n".join(
+        "the quick brown fox jumps over a lazy dog and runs to the den."
+        for _ in range(6)
+    )
+    # passes gopher (plenty of stopword-laden words) AND c4 (punctuated
+    # lines, >= 3 sentences)
+    docs = spark.createDataFrame(
+        [
+            (1, (good_lines + " ") * 2, "s"),
+            (2, "lorem ipsum " + (good_lines + " ") * 2, "s"),  # c4-only fail
+            (3, "zzz " * 60, "s"),  # gopher fail (stopwords) AND c4 fail
+        ],
+        "doc_id long, text string, source string",
+    )
+    both = {
+        r["doc_id"]: (r["fail_mask"], r["verdict"])
+        for r in gate_documents(docs, batteries=("gopher", "c4")).collect()
+    }
+    g_only = {
+        r["doc_id"]: r["fail_mask"]
+        for r in gate_documents(docs).collect()
+    }
+    n_g = len(GOPHER_RULE_NAMES)
+    for did in (1, 2, 3):
+        # low bits must equal the gopher-only mask
+        assert both[did][0] % (2 ** n_g) == g_only[did], did
+    assert both[1][1] == "kept"
+    assert g_only[2] == 0 and both[2][0] >> n_g != 0  # c4 caught it
+    assert both[2][1] == "rule_fail"
+    assert both[3][1] == "rule_fail" and both[3][0] >> n_g != 0
+
+    with _pytest.raises(ValueError, match="batteries"):
+        gate_documents(docs, batteries=("nope",))
