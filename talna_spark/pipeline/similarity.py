@@ -611,3 +611,53 @@ def kmeans_assign(e: DataFrame, cents: list) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cluster"), "d2")
     )
+
+
+def ivf_topk_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 5,
+    nprobe: int = 1,
+    k: int = IVF_TOP_K,
+) -> DataFrame:
+    """IVF search over k-means-TRAINED centroids — the full index-build
+    loop (train -> assign -> probe), same probe semantics as
+    :func:`ivf_topk`: corpus vectors keep their single nearest trained
+    centroid, queries probe their ``nprobe`` nearest; at full probe the
+    result equals brute force regardless of training quality (tested —
+    the invariant that separates a partitioning bug from a recall
+    trade-off)."""
+    if not 1 <= int(nprobe) <= IVF_CENTROIDS:
+        raise ValueError(f"nprobe must be in [1, {IVF_CENTROIDS}]")
+    e = _emb(spark, sf_dir)
+    cents, _ = kmeans_centroids(e, k=IVF_CENTROIDS, iters=iters)
+    a = kmeans_assign(e, cents).select("vec_id", "cluster").join(e, "vec_id")
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    qd2 = F.round(_sq_l2(F.col("v"), F.col("cv")), 6)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cdf))
+        .select("vec_id", "v", "cid", qd2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= int(nprobe))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cid").alias("qcluster"),
+        )
+    )
+    pairs = a.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.round(cosine(F.col("qv"), F.col("v")), 6) + F.lit(0.0)).alias("cos"),
+    )
+    return _per_query_topk(pairs, k)

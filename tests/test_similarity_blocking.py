@@ -224,3 +224,25 @@ def test_kmeans_deterministic_under_repartition(spark):
     assert all(abs(a - b) <= 1e-6 * max(abs(a), 1) for a, b in zip(h1, h2))
     for a, b in zip(c1, c2):
         assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
+def test_trained_ivf_full_probe_equals_brute_force(spark):
+    """The partitioning-correctness invariant survives training: with
+    nprobe = IVF_CENTROIDS every trained cluster is probed, so the
+    result must equal brute force exactly whatever the centroids
+    converged to."""
+    from talna_spark.pipeline.similarity import (
+        IVF_CENTROIDS, TOP_K, brute_force_topk, ivf_topk_trained,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bf = sorted(map(tuple, brute_force_topk(spark, sf).collect()))
+    tr = sorted(
+        map(
+            tuple,
+            ivf_topk_trained(
+                spark, sf, iters=3, nprobe=IVF_CENTROIDS, k=TOP_K
+            ).collect(),
+        )
+    )
+    assert tr == bf
