@@ -195,3 +195,65 @@ def normalize_url(col: Column) -> Column:
     return F.when(scheme == "", col).otherwise(
         F.concat(scheme, F.lit("://"), host, path, q_part)
     )
+
+
+def registered_domain(col: Column) -> Column:
+    """Registered domain of a URL (JVM expressions, no UDF): host from
+    the URL (lowercased, port stripped), then the last two dot-labels —
+    the naive public-suffix rule ('docs.example.com' -> 'example.com').
+    Real co.uk-style suffixes need the Public Suffix List; at scale that
+    is a broadcast map join bolted onto this same expression, so the
+    plan shape doesn't change. IPv4 hosts pass through whole."""
+    host = F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    return F.when(is_ip | (n <= 2), host).otherwise(last2)
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-registered-domain corpus profile over (url, text) rows — the
+    crawl-triage table (which hosts dominate, how much text each
+    contributes) that feeds blocklist and mixture decisions. One
+    hash-agg shuffle keyed by domain; text length is computed map-side
+    so text itself never shuffles."""
+    return (
+        docs.select(
+            registered_domain(F.col("url")).alias("domain"),
+            F.length("text").alias("_len"),
+            "url",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_urls"),
+            F.sum("_len").alias("total_chars"),
+        )
+    )
+
+
+def filter_blocklist(docs: DataFrame, blocked_domains) -> DataFrame:
+    """Drop rows whose registered domain is on the blocklist (subdomains
+    included — both sides reduce to the registered domain). The
+    blocklist is a broadcast anti-join, the 100 TB shape for a list
+    that fits one executor (UT1/adult-site lists are ~1M rows); a
+    corpus-sized blocklist would flip to a shuffle join with no code
+    change beyond removing the hint."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in sorted(set(blocked_domains))], "domain string"
+    ).select(registered_domain(F.concat(F.lit("http://"), F.col("domain"))).alias("_blocked"))
+    return (
+        docs.withColumn("_dom", registered_domain(F.col("url")))
+        .join(
+            F.broadcast(bl),
+            F.col("_dom") == F.col("_blocked"),
+            "left_anti",
+        )
+        .drop("_dom")
+    )

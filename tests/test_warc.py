@@ -150,3 +150,48 @@ def test_normalize_url(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_registered_domain_and_blocklist(spark):
+    from talna_spark.sources.warc import (
+        domain_stats, filter_blocklist, registered_domain,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "http://docs.example.com/a", "text one here"),
+        (2, "https://example.com:443/b?x=1", "text two"),
+        (3, "http://spam.bad.net/z", "junk"),
+        (4, "http://10.0.0.1/raw", "ip host"),
+        (5, "http://bad.net/direct", "junk2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in docs.select(
+            "doc_id", registered_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert doms[1] == "example.com"      # subdomain reduced
+    assert doms[2] == "example.com"      # port stripped
+    assert doms[3] == "bad.net"
+    assert doms[4] == "10.0.0.1"         # IP passes through whole
+
+    stats = {r["domain"]: r for r in domain_stats(docs).collect()}
+    assert stats["example.com"]["n_docs"] == 2
+    assert stats["example.com"]["n_urls"] == 2
+    assert stats["bad.net"]["n_docs"] == 2
+
+    kept = {
+        r["doc_id"]
+        for r in filter_blocklist(docs, ["bad.net"]).collect()
+    }
+    assert kept == {1, 2, 4}  # subdomain spam.bad.net blocked too
+
+    # blocklist join is a broadcast (the 100 TB contract)
+    plan = (
+        filter_blocklist(docs, ["bad.net"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan
