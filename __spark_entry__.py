@@ -177,7 +177,7 @@ _EXT: dict[str, tuple] = {
     "x09_dedup_ngram_jaccard": (_dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql()),
     "x14_dedup_clusters": (_dedup.dedup_clusters, _dedup.dedup_clusters_sql()),
     "x10_ann_bruteforce": (_sim.brute_force_topk, _sim.brute_force_topk_sql()),
-    "x11_ann_ivf": (_sim.ivf_topk, _sim.ivf_topk_sql()),
+    # x11_ann_ivf is defined below (ivf + pq kind slices, r5)
     # x12 is defined below: a union of two embedding-dedup operators as
     # kind slices (neardup nearest-neighbor + SemDeDup).
     "x13_multimodal_features": (_mm.extract_features, _mm.extract_features_sql()),
@@ -726,7 +726,7 @@ _EXT["x19_codecs"] = (_x19_codecs, _x19_codecs_sql())
 
 
 def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The four map-only text-analysis operators (pipeline.text) as
+    """The five map-only text-analysis operators (pipeline.text) as
     `kind` slices of one registration on a normalized
     (doc_id, s1, s2, v1, v2, v3) schema:
 

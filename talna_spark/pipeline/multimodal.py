@@ -1476,11 +1476,13 @@ def _pdf_literal(data: bytes, pos: int) -> tuple[bytes, int]:
 def _pdf_text_ops(stream: bytes) -> list[bytes]:
     """Scan a decoded content stream for show-text operators; returns
     the shown string literals in display order (Tj one literal, TJ all
-    literals of its array — kern numbers skipped)."""
+    literals of its array — kern numbers skipped). Operands are
+    CONSUMED: a show operator with no fresh string/array operand fails
+    loudly instead of silently replaying the previous one."""
     parts: list[bytes] = []
     arr: list[bytes] | None = None
-    done_arr: list[bytes] = []
-    last: bytes = b""
+    done_arr: list[bytes] | None = None
+    last: bytes | None = None
     pos, n = 0, len(stream)
     WS = b"\x00\t\n\x0c\r "
     while pos < n:
@@ -1505,9 +1507,15 @@ def _pdf_text_ops(stream: bytes) -> list[bytes]:
                 j += 1
             tok = stream[pos:j]
             if tok == b"Tj" or tok == b"'" or tok == b'"':
+                if last is None:
+                    raise ValueError("show-text operator without operand")
                 parts.append(last)
+                last = None
             elif tok == b"TJ":
+                if done_arr is None:
+                    raise ValueError("TJ without array operand")
                 parts.extend(done_arr)
+                done_arr = None
             pos = max(j, pos + 1)
     return parts
 

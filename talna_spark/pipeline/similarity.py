@@ -369,11 +369,15 @@ PQ_TOP_K = 3
 
 
 def _pq_subs(e: DataFrame) -> DataFrame:
-    """(vec_id, m, sub): the PQ_M sub-vectors of every embedding."""
+    """(vec_id, m, sub): the PQ_M sub-vectors of every embedding —
+    a map-side explode + slice (no join back to e: the explode carries
+    ``v`` through and the next projection slices it, so subspace
+    expansion never shuffles)."""
     return e.select(
         "vec_id",
+        "v",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-    ).join(e, "vec_id").select(
+    ).select(
         "vec_id",
         "m",
         F.slice(F.col("v"), F.col("m") * PQ_DS + 1, PQ_DS).alias("sub"),
@@ -525,10 +529,12 @@ def kmeans_centroids(
     squared distance after each assignment pass.
 
     100 TB shape (the Spark MLlib shape): centroids live driver-side
-    (k x d doubles — bounded, NOT corpus-sized) and broadcast into a
-    map-side argmin each round; the per-round shuffle carries
-    (cluster, dim, partial-sum) rows — k x d cells with map-side
-    partial aggregation, independent of corpus size. Deterministic
+    (k x d doubles — bounded, NOT corpus-sized) and enter each round as
+    a LITERAL array expression, so assignment is a pure map-side argmin
+    — no join, no window, nothing corpus-sized crosses an Exchange; the
+    per-round shuffle carries only (cluster, dim, partial-sum) rows —
+    k x d cells with map-side partial aggregation, independent of
+    corpus size (plan-tested). Deterministic
     end-to-end: hash-ranked init (same 'km|' id-hash family as the
     samplers), 6-dp-rounded distances with cluster-id tie-break, and
     mean aggregation over fixed (cluster, dim) cells; empty clusters
@@ -536,7 +542,6 @@ def kmeans_centroids(
     inertia improves by less than ``tol`` relative."""
     from talna_spark.pipeline.portable import hash64
 
-    spark = e.sparkSession
     k = int(k)
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -555,20 +560,8 @@ def kmeans_centroids(
         raise ValueError(f"corpus has fewer than k={k} vectors")
     history = []
     for _ in range(int(iters)):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cid int, cv array<double>",
-        )
-        d2 = F.round(_sq_l2(F.col("v"), F.col("cv")), 6)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
-        a = (
-            e.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "v", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
+        cluster, d2 = _centroid_argmin(cents)
+        a = e.select("v", cluster.alias("cid"), d2.alias("d2"))
         cells = (
             a.select("cid", "d2", F.posexplode("v").alias("dim", "val"))
             .groupBy("cid", "dim")
@@ -592,25 +585,33 @@ def kmeans_centroids(
     return cents, history
 
 
+def _centroid_argmin(cents: list) -> tuple:
+    """(cluster, d2) Column pair over a ``v`` column for a driver-side
+    centroid list: the k distances as one literal-array expression,
+    argmin via array_position of the min (first hit = lowest cluster id,
+    matching the window tie-break it replaces). Pure projection — the
+    'broadcast' is the plan itself. Bounded by k x d literal nodes, the
+    right trade while centroids fit the driver (they must anyway)."""
+    dists = F.array(
+        *[
+            F.round(
+                _sq_l2(F.col("v"), F.array(*[F.lit(float(x)) for x in c])), 6
+            )
+            for c in cents
+        ]
+    )
+    d2 = F.array_min(dists)
+    cluster = (F.array_position(dists, d2) - 1).cast("int")
+    return cluster, d2
+
+
 def kmeans_assign(e: DataFrame, cents: list) -> DataFrame:
     """(vec_id, cluster, d2) for a trained centroid list — the handoff
     from :func:`kmeans_centroids` to an IVF build: at scale this column
-    IS the physical partition key of the vector table."""
-    spark = e.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
-    )
-    d2 = F.round(_sq_l2(F.col("v"), F.col("cv")), 6)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
-    return (
-        e.crossJoin(F.broadcast(cdf))
-        .select("vec_id", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), "d2")
-    )
+    IS the physical partition key of the vector table. Map-side only
+    (the literal-argmin expression), zero shuffle."""
+    cluster, d2 = _centroid_argmin(cents)
+    return e.select("vec_id", cluster.alias("cluster"), d2.alias("d2"))
 
 
 def ivf_topk_trained(

@@ -941,9 +941,11 @@ def unicode_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``replacement_ratio``: U+FFFD count / char length (decode damage);
     - ``ctrl_count``: C0 control chars other than \\t \\n \\r (binary
       bleed-through);
-    - ``nonascii_ratio``: chars outside printable ASCII / char length
-      (expected for most languages — a *prior*, not a failure; combined
-      with lang-ID it flags latin-labeled docs full of high bytes).
+    - ``nonascii_ratio``: chars outside printable ASCII / char length,
+      with tab/newline/CR exempt as structure (consistent with
+      ctrl_count) so a clean multi-line doc scores 0 — expected nonzero
+      for most languages (a *prior*, not a failure); combined with
+      lang-ID it flags latin-labeled docs full of high bytes.
 
     100 TB shape: map-only JVM regexp counts over one corpus scan — no
     UDF, no shuffle, codegen end-to-end (the quality/lang_id class).
@@ -956,7 +958,9 @@ def unicode_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", F.lit("([\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f])"), 1
         )
     )
-    nonascii = F.size(F.regexp_extract_all("text", F.lit("([^\\x20-\\x7e])"), 1))
+    nonascii = F.size(
+        F.regexp_extract_all("text", F.lit("([^\\x20-\\x7e\\t\\n\\r])"), 1)
+    )
     return d.select(
         "doc_id",
         F.round(repl / L, 6).alias("replacement_ratio"),
@@ -972,7 +976,9 @@ def unicode_signals_sql() -> str:
         "len(regexp_extract_all(text, "
         "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))"
     )
-    nonascii = "len(regexp_extract_all(text, '[^\\x20-\\x7e]'))"
+    nonascii = (
+        "len(regexp_extract_all(text, '[^\\x20-\\x7e\\t\\n\\r]'))"
+    )
     return (
         f"SELECT doc_id, ROUND({repl} * 1.0 / {L}, 6) AS replacement_ratio, "
         f"CAST({ctrl} AS BIGINT) AS ctrl_count, "

@@ -199,14 +199,20 @@ def normalize_url(col: Column) -> Column:
 
 def registered_domain(col: Column) -> Column:
     """Registered domain of a URL (JVM expressions, no UDF): host from
-    the URL (lowercased, port stripped), then the last two dot-labels —
-    the naive public-suffix rule ('docs.example.com' -> 'example.com').
-    Real co.uk-style suffixes need the Public Suffix List; at scale that
-    is a broadcast map join bolted onto this same expression, so the
-    plan shape doesn't change. IPv4 hosts pass through whole."""
+    the URL (userinfo and port stripped, lowercased), then the last two
+    dot-labels — the naive public-suffix rule ('docs.example.com' ->
+    'example.com'). Real co.uk-style suffixes need the Public Suffix
+    List; at scale that is a broadcast map join bolted onto this same
+    expression, so the plan shape doesn't change. IPv4 and bracketed
+    IPv6 hosts pass through whole."""
     host = F.lower(
-        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+        F.regexp_extract(
+            col, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)", 1
+        )
     )
+    # strip :port — a trailing colon-digits run, which leaves bracketed
+    # IPv6 ('[::1]:8080' -> '[::1]') and bare IPv4/hostnames intact
+    host = F.regexp_replace(host, r":\d+$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
@@ -237,17 +243,37 @@ def domain_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _normalize_blocklist_entry(entry: str) -> str:
+    """Reduce a blocklist line to its registered domain, driver-side
+    (the list is driver-sized by contract). Mirrors
+    :func:`registered_domain`: tolerate scheme, userinfo, path and port
+    prefixes/suffixes that UT1-style lists carry, then keep the last
+    two labels (IPs whole)."""
+    import re
+
+    host = entry.strip().lower()
+    host = host.split("://", 1)[-1]      # optional scheme
+    host = host.split("/", 1)[0]         # optional path
+    host = host.rsplit("@", 1)[-1]       # optional userinfo
+    host = re.sub(r":\d+$", "", host)    # optional port
+    labels = host.split(".")
+    if len(labels) <= 2 or re.fullmatch(r"[\d.]+", host):
+        return host
+    return ".".join(labels[-2:])
+
+
 def filter_blocklist(docs: DataFrame, blocked_domains) -> DataFrame:
     """Drop rows whose registered domain is on the blocklist (subdomains
-    included — both sides reduce to the registered domain). The
-    blocklist is a broadcast anti-join, the 100 TB shape for a list
-    that fits one executor (UT1/adult-site lists are ~1M rows); a
-    corpus-sized blocklist would flip to a shuffle join with no code
-    change beyond removing the hint."""
+    included — both sides reduce to the registered domain; list entries
+    may carry scheme/path/port decorations and are normalized
+    driver-side, so a decorated entry can never silently fail to
+    match). The blocklist is a broadcast anti-join, the 100 TB shape
+    for a list that fits one executor (UT1/adult-site lists are ~1M
+    rows); a corpus-sized blocklist would flip to a shuffle join with
+    no code change beyond removing the hint."""
     spark = docs.sparkSession
-    bl = spark.createDataFrame(
-        [(d,) for d in sorted(set(blocked_domains))], "domain string"
-    ).select(registered_domain(F.concat(F.lit("http://"), F.col("domain"))).alias("_blocked"))
+    norm = sorted({_normalize_blocklist_entry(d) for d in blocked_domains})
+    bl = spark.createDataFrame([(d,) for d in norm], "_blocked string")
     return (
         docs.withColumn("_dom", registered_domain(F.col("url")))
         .join(

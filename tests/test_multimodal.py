@@ -546,3 +546,46 @@ def test_pdf_rejects_garbage_and_bad_offsets(spark):
     bad = good[: sx + 10] + b"7\n%%EOF\n"
     with _pytest.raises(Exception, match="xref"):
         pdf_extract_payloads(df(bad)).collect()
+
+
+def test_pdf_show_operator_without_operand_fails_loudly(spark):
+    """A content stream whose show operator has no fresh operand (legal-
+    looking output from a non-make_pdf producer) must raise, never
+    silently replay the previous string."""
+    import zlib
+
+    import pytest as _pytest
+
+    from talna_spark.pipeline.multimodal import make_pdf, pdf_extract_payloads
+
+    def with_stream(content: bytes) -> bytes:
+        # splice a custom raw content stream into an otherwise-valid PDF
+        good = make_pdf("seed", False)
+        old = b"BT /F1 12 Tf 72 720 Td\n(seed) Tj\n0 -14 Td\nET"
+        assert old in good
+        blob = good.replace(old, content)
+        # fix /Length and xref offsets by rebuilding the tail: easiest is
+        # byte-size-preserving padding — instead just require same length
+        return blob if len(blob) == len(good) else None
+
+    # same-length malicious streams (pad with spaces to preserve offsets)
+    bad1 = b"(a) Tj Tj"  # second Tj replays 'a'
+    bad1 = bad1 + b" " * (len(b"BT /F1 12 Tf 72 720 Td\n(seed) Tj\n0 -14 Td\nET") - len(bad1))
+    blob1 = with_stream(bad1)
+    assert blob1 is not None
+    df = spark.createDataFrame(
+        [(0, "application/pdf", blob1)],
+        "doc_id long, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception, match="without operand"):
+        pdf_extract_payloads(df).collect()
+
+    bad2 = b"[(x)] TJ TJ"  # second TJ replays the array
+    bad2 = bad2 + b" " * (len(b"BT /F1 12 Tf 72 720 Td\n(seed) Tj\n0 -14 Td\nET") - len(bad2))
+    blob2 = with_stream(bad2)
+    df2 = spark.createDataFrame(
+        [(0, "application/pdf", blob2)],
+        "doc_id long, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception, match="TJ without array"):
+        pdf_extract_payloads(df2).collect()

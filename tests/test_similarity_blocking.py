@@ -246,3 +246,15 @@ def test_trained_ivf_full_probe_equals_brute_force(spark):
         )
     )
     assert tr == bf
+
+
+def test_kmeans_assign_is_map_side_only(spark):
+    # the literal-argmin contract: nothing corpus-sized crosses an
+    # Exchange during assignment — no join, no window, no shuffle
+    from talna_spark.pipeline.similarity import _emb, kmeans_centroids, kmeans_assign
+
+    e = _emb(spark, "/root/testdata/sf0.001")
+    cents, _ = kmeans_centroids(e, k=4, iters=1)
+    plan = kmeans_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
