@@ -42,10 +42,16 @@ def export_corpus(
     partition_by: tuple[str, ...] = ("split",),
     id_col: str = "doc_id",
     max_records_per_file: int = 1_000_000,
+    format: str = "parquet",
 ) -> dict:
-    """Write ``df`` as a partitioned, manifested parquet corpus.
-    Returns the manifest dict (also written to ``path/_MANIFEST.json``).
+    """Write ``df`` as a partitioned, manifested corpus. ``format``:
+    'parquet' (zstd, the warehouse-native layout) or 'jsonl' (gzip
+    json-lines — the LLM-corpus interchange format Dolma/RedPajama
+    shards ship as). Returns the manifest dict (also written to
+    ``path/_MANIFEST.json``).
     """
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown export format: {format!r}")
     parts = list(partition_by)
     missing = [c for c in parts + [id_col] if c not in df.columns]
     if missing:
@@ -59,17 +65,24 @@ def export_corpus(
         ).cast("long")
         % n_shards
     )
-    (
+    writer = (
         df.repartition(*[F.col(c) for c in parts], shard)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", int(max_records_per_file))
-        .option("compression", "zstd")
         .partitionBy(*parts)
-        .parquet(path)
     )
-    # manifest from the WRITTEN dataset: metadata-only count per
-    # partition (parquet footers), file/byte inventory from the FS walk
-    written = df.sparkSession.read.parquet(path)
+    if format == "parquet":
+        writer.option("compression", "zstd").parquet(path)
+    else:
+        writer.option("compression", "gzip").json(path)
+    # manifest from the WRITTEN dataset: count per partition (parquet
+    # footers are metadata-only; jsonl re-scans the gzip shards),
+    # file/byte inventory from the FS walk
+    written = (
+        df.sparkSession.read.parquet(path)
+        if format == "parquet"
+        else df.sparkSession.read.json(path)
+    )
     counts = {
         tuple(str(r[c]) for c in parts): r["n"]
         for r in written.groupBy(*parts).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -77,11 +90,12 @@ def export_corpus(
     partitions = {}
     for key, n in sorted(counts.items()):
         sub = os.path.join(path, *[f"{c}={v}" for c, v in zip(parts, key)])
+        ext = ".parquet" if format == "parquet" else (".json", ".json.gz")
         files = [
             os.path.join(dp, f)
             for dp, _dn, fn in os.walk(sub)
             for f in fn
-            if f.endswith(".parquet")
+            if f.endswith(ext)
         ]
         partitions["/".join(key)] = {
             "rows": int(n),
@@ -89,7 +103,7 @@ def export_corpus(
             "bytes": int(sum(os.path.getsize(f) for f in files)),
         }
     manifest = {
-        "format": "parquet",
+        "format": format,
         "partition_by": parts,
         "total_rows": int(sum(p["rows"] for p in partitions.values())),
         "partitions": partitions,

@@ -89,3 +89,56 @@ def points_from_json(
     """JSON-lines convenience wrapper."""
     df = spark.read.options(**reader_options).json(path)
     return points_from_table(df, metric=metric, ts=ts, value=value, tags=tags)
+
+
+def documents_from_jsonl(
+    spark,
+    path_glob: str,
+    *,
+    id_field: str = "id",
+    text_field: str = "text",
+    lang_field: str | None = None,
+    source_field: str | None = None,
+    **reader_options,
+) -> DataFrame:
+    """JSON-lines corpus shards (the Dolma/RedPajama/C4 interchange
+    layout, plain or .gz — Spark's json reader decompresses by
+    extension) -> the engine's documents shape ``(doc_id, text, lang,
+    source, n_chars, orig_id)``.
+
+    Real corpora carry string ids; ``doc_id`` is the deterministic
+    60-bit hash of the id (the split/sample/dedup hash streams key off
+    it, so it must be stable across re-reads — same rule as
+    warc_documents), with the original id kept alongside. Missing
+    lang/source fields default to 'und' and the source FILE name, so a
+    directory of per-source shards is profiled for free.
+
+    100 TB shape: files are the parallelism unit (millions of ~100 MB
+    shards map 1:1 onto tasks); the projection is map-only JVM
+    expressions and unreferenced JSON fields are pruned at the scan.
+    """
+    from talna_spark.pipeline.portable import hash64
+
+    df = spark.read.options(**reader_options).json(path_glob)
+    for needed in (id_field, text_field):
+        if needed not in df.columns:
+            raise ValueError(f"jsonl corpus lacks field {needed!r}")
+    lang = (
+        F.col(lang_field).cast("string")
+        if lang_field and lang_field in df.columns
+        else F.lit("und")
+    )
+    source = (
+        F.col(source_field).cast("string")
+        if source_field and source_field in df.columns
+        else F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    orig = F.col(id_field).cast("string")
+    return df.select(
+        hash64(orig).alias("doc_id"),
+        F.col(text_field).cast("string").alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+        F.length(F.col(text_field)).cast("long").alias("n_chars"),
+        orig.alias("orig_id"),
+    )

@@ -72,3 +72,42 @@ def test_export_file_size_cap_and_determinism(spark, curated):
 def test_export_missing_column_is_loud(spark, curated):
     with pytest.raises(ValueError, match="missing"):
         export_corpus(curated, "/tmp/nope", partition_by=("nosuch",))
+
+
+def test_export_jsonl_and_read_back(spark, tmp_path):
+    """jsonl export: gzip json-lines shards + manifest; a jsonl round
+    trip through documents_from_jsonl restores the documents shape with
+    stable hashed doc_ids."""
+    from talna_spark.pipeline.export import export_corpus, read_manifest
+    from talna_spark.sources.generic import documents_from_jsonl
+
+    df = spark.createDataFrame(
+        [
+            (f"doc-{i}", f"text number {i} here", "en",
+             "train" if i % 2 else "test")
+            for i in range(20)
+        ],
+        "id string, text string, lang string, split string",
+    )
+    out = str(tmp_path / "jsonl_corpus")
+    man = export_corpus(df, out, partition_by=("split",), id_col="id",
+                        format="jsonl")
+    assert man["format"] == "jsonl"
+    assert man["total_rows"] == 20
+    assert set(man["partitions"]) == {"train", "test"}
+    assert all(p["bytes"] > 0 and p["files"] > 0 for p in man["partitions"].values())
+    assert read_manifest(out)["total_rows"] == 20
+
+    docs = documents_from_jsonl(spark, out, lang_field="lang")
+    rows = docs.collect()
+    assert len(rows) == 20
+    assert {r["orig_id"] for r in rows} == {f"doc-{i}" for i in range(20)}
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+    assert len({r["doc_id"] for r in rows}) == 20  # hashed ids distinct
+    # re-read gives the SAME hashed ids (stability contract)
+    again = {r["orig_id"]: r["doc_id"] for r in documents_from_jsonl(
+        spark, out, lang_field="lang").collect()}
+    assert all(again[r["orig_id"]] == r["doc_id"] for r in rows)
+
+    with __import__("pytest").raises(ValueError, match="format"):
+        export_corpus(df, out, id_col="id", format="xml")
