@@ -225,3 +225,79 @@ def test_blocklist_decorated_entries_and_userinfo_urls(spark):
                     ["www.bad.net:8080"]):
         kept = {r["doc_id"] for r in filter_blocklist(docs, entries).collect()}
         assert kept == {2}, (entries, kept)
+
+
+def test_crawl_to_corpus_end_to_end(spark, tmp_path):
+    """The full crawl front door in one flow: WARC records -> HTML text
+    -> blocklist -> quality/rule gate -> exact dedup -> JSONL corpus
+    with manifest — every stage is the real operator, no stubs."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.export import export_corpus, read_manifest
+    from talna_spark.sources.generic import documents_from_jsonl
+    from talna_spark.sources.warc import filter_blocklist, warc_documents
+    from talna_spark.streaming.documents import gate_documents
+
+    def record(url, rid, body_text):
+        html = (
+            "<html><head><script>var x=1;</script></head><body><p>"
+            + body_text + "</p></body></html>"
+        ).encode()
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <{rid}>\r\n"
+            f"WARC-Target-URI: {url}\r\nWARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return hdr + http + b"\r\n\r\n"
+
+    good = ("the quick brown fox jumps over a lazy dog and runs to the "
+            "winter den with food. ") * 8
+    recs = [
+        record("http://site-a.example.com/1", "r1", good + "page one."),
+        record("http://site-b.example.com/2", "r2", good + "page two."),
+        record("http://mirror.example.org/2", "r3", good + "page two."),  # dup
+        record("http://spam.bad.net/3", "r4", good + "blocked page."),
+        record("http://site-c.example.com/4", "r5", "zzz " * 80),  # gated
+    ]
+    src = str(tmp_path / "crawl")
+    import os
+    os.makedirs(src)
+    with open(f"{src}/seg.warc.gz", "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(r))
+
+    docs = warc_documents(spark, f"{src}/*.warc.gz")
+    assert docs.count() == 5
+    clean = filter_blocklist(docs, ["bad.net"])
+    gated = gate_documents(clean).filter(F.col("verdict") == "kept")
+    # exact dedup: first (min doc_id) copy of each text survives
+    from pyspark.sql import Window
+    deduped = (
+        gated.withColumn("_h", F.md5("text"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_h").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+    out = str(tmp_path / "corpus")
+    corpus = deduped.select(
+        F.col("doc_id").cast("string").alias("id"), "url", "text",
+        F.lit("train").alias("split"),
+    )
+    man = export_corpus(corpus, out, partition_by=("split",), id_col="id",
+                        format="jsonl")
+    # 5 records - 1 blocked - 1 gated - 1 dup = 2 survive
+    assert man["total_rows"] == 2, man
+    back = documents_from_jsonl(spark, out)
+    texts = [r["text"] for r in back.collect()]
+    assert len(texts) == 2
+    assert all("var x=1" not in t for t in texts)  # script stripped
+    assert {t.split()[-2] for t in texts} == {"page"}  # one./two. endings
+    assert read_manifest(out)["format"] == "jsonl"
