@@ -74,23 +74,29 @@ def export_corpus(
     if format == "parquet":
         writer.option("compression", "zstd").parquet(path)
     else:
-        writer.option("compression", "gzip").json(path)
+        # keep null fields so a jsonl export round-trips to the same
+        # shape as the parquet sink (Spark's JSON writer drops them by
+        # default, which would silently erase an all-null column)
+        writer.option("compression", "gzip").option(
+            "ignoreNullFields", "false"
+        ).json(path)
     # manifest from the WRITTEN dataset: count per partition (parquet
-    # footers are metadata-only; jsonl re-scans the gzip shards),
+    # footers are metadata-only; jsonl pays ONE decompress pass for the
+    # count — the known schema is passed so no inference scan happens),
     # file/byte inventory from the FS walk
     written = (
         df.sparkSession.read.parquet(path)
         if format == "parquet"
-        else df.sparkSession.read.json(path)
+        else df.sparkSession.read.schema(df.drop(*parts).schema).json(path)
     )
     counts = {
         tuple(str(r[c]) for c in parts): r["n"]
         for r in written.groupBy(*parts).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     partitions = {}
+    ext = ".parquet" if format == "parquet" else (".json", ".json.gz")
     for key, n in sorted(counts.items()):
         sub = os.path.join(path, *[f"{c}={v}" for c, v in zip(parts, key)])
-        ext = ".parquet" if format == "parquet" else (".json", ".json.gz")
         files = [
             os.path.join(dp, f)
             for dp, _dn, fn in os.walk(sub)

@@ -120,22 +120,31 @@ def documents_from_jsonl(
     from talna_spark.pipeline.portable import hash64
 
     df = spark.read.options(**reader_options).json(path_glob)
-    for needed in (id_field, text_field):
-        if needed not in df.columns:
+    # every EXPLICITLY named field must exist — a typo'd lang_field
+    # silently labeling the whole corpus 'und' is worse than an error
+    for needed in (id_field, text_field, lang_field, source_field):
+        if needed and needed not in df.columns:
             raise ValueError(f"jsonl corpus lacks field {needed!r}")
     lang = (
-        F.col(lang_field).cast("string")
-        if lang_field and lang_field in df.columns
-        else F.lit("und")
+        F.col(lang_field).cast("string") if lang_field else F.lit("und")
     )
     source = (
         F.col(source_field).cast("string")
-        if source_field and source_field in df.columns
+        if source_field
         else F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
     orig = F.col(id_field).cast("string")
+    # a line missing its id would hash to doc_id NULL and merge with
+    # every other such line in the id-keyed streams — fail loud instead
+    checked = F.when(
+        orig.isNull(),
+        F.raise_error(
+            F.lit(f"jsonl document with null {id_field!r} — stable "
+                  "doc_id hashing requires an id on every line")
+        ),
+    ).otherwise(orig)
     return df.select(
-        hash64(orig).alias("doc_id"),
+        hash64(checked).alias("doc_id"),
         F.col(text_field).cast("string").alias("text"),
         lang.alias("lang"),
         source.alias("source"),

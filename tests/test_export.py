@@ -111,3 +111,43 @@ def test_export_jsonl_and_read_back(spark, tmp_path):
 
     with __import__("pytest").raises(ValueError, match="format"):
         export_corpus(df, out, id_col="id", format="xml")
+
+
+def test_jsonl_reader_fails_loud_on_bad_fields_and_null_ids(spark, tmp_path):
+    """A typo'd explicit field name or a line with no id must raise —
+    silent 'und' labeling / NULL doc_ids corrupt downstream id-keyed
+    streams."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from talna_spark.sources.generic import documents_from_jsonl
+
+    d = str(tmp_path / "shards")
+    import os
+    os.makedirs(d)
+    with open(f"{d}/a.json", "w") as f:
+        f.write(_json.dumps({"id": "x1", "text": "hello", "lang": "en"}) + "\n")
+        f.write(_json.dumps({"text": "no id here"}) + "\n")  # null id row
+
+    with _pytest.raises(ValueError, match="langauge"):
+        documents_from_jsonl(spark, d, lang_field="langauge")
+
+    with _pytest.raises(Exception, match="null 'id'"):
+        documents_from_jsonl(spark, d).collect()
+
+
+def test_jsonl_export_preserves_all_null_columns(spark, tmp_path):
+    """ignoreNullFields=false: an all-null column survives the jsonl
+    round trip instead of vanishing from the written lines."""
+    from talna_spark.pipeline.export import export_corpus
+
+    df = spark.createDataFrame(
+        [("a", "t1", None, "train"), ("b", "t2", None, "train")],
+        "id string, text string, lang string, split string",
+    )
+    out = str(tmp_path / "nulls")
+    export_corpus(df, out, partition_by=("split",), id_col="id", format="jsonl")
+    back = spark.read.json(out)
+    assert "lang" in back.columns
+    assert back.filter("lang IS NULL").count() == 2
