@@ -890,7 +890,9 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       pins every individual rule), v2=n_failed;
     - ``c4``: the C4 cleaning battery (Raffel et al. 2020 §2.2) —
       s1=verdict, v1=fail_mask, v2=kept_line_frac (the folded
-      line-retention metric, which pins the line rules too).
+      line-retention metric, which pins the line rules too);
+    - ``lm2``: interpolated bigram-LM cross-entropy (r5) — v1=n_tokens,
+      v2=xent2; context-sensitive where the unigram lm slice is not.
     """
 
     def norm(df, s1, v1, v2, kind):
@@ -918,7 +920,14 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.c4_rules(spark, sf_dir),
         F.col("verdict"), F.col("fail_mask"), F.col("kept_line_frac"), "c4",
     )
-    return lm.unionByName(cut).unionByName(gopher).unionByName(c4)
+    lm2 = norm(
+        _text.lm_score_bigram(spark, sf_dir),
+        F.lit(None), F.col("n_tokens"), F.col("xent2"), "lm2",
+    )
+    return (
+        lm.unionByName(cut).unionByName(gopher).unionByName(c4)
+        .unionByName(lm2)
+    )
 
 
 def _x22_quality_scoring_sql() -> str:
@@ -937,7 +946,11 @@ def _x22_quality_scoring_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, verdict AS s1, CAST(fail_mask AS DOUBLE) AS v1, "
         "CAST(kept_line_frac AS DOUBLE) AS v2, 'c4' AS kind "
-        f"FROM ({_text.c4_rules_sql()})"
+        f"FROM ({_text.c4_rules_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(n_tokens AS DOUBLE) AS v1, CAST(xent2 AS DOUBLE) AS v2, "
+        f"'lm2' AS kind FROM ({_text.lm_score_bigram_sql()})"
     )
 
 

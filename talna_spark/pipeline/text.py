@@ -985,3 +985,121 @@ def unicode_signals_sql() -> str:
         f"ROUND({nonascii} * 1.0 / {L}, 6) AS nonascii_ratio "
         "FROM documents"
     )
+
+
+# --------------------------------------- bigram LM scoring (lm upgrade)
+LM2_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+def lm_score_bigram(
+    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+) -> DataFrame:
+    """Interpolated bigram language-model cross-entropy per document —
+    one rung up the KenLM ladder from :func:`lm_score`: position i >= 2
+    scores -ln(L*p_bi + (1-L)*p_uni) with add-one-smoothed
+    p_bi(t2|t1) = (c(t1,t2)+1)/(c(t1)+V) and the unigram p_uni of
+    lm_score; the first token scores unigram-only. Context makes the
+    signal sharper than unigram xent: shuffled-word salad scores high
+    even when every word is common, which no unigram model can see.
+
+    Same float discipline as lm_score (per-position integer micro-nats
+    before the doc sum) and same 100 TB shape: unigram AND bigram
+    vocabs are token-keyed hash aggregates broadcast back over the
+    positional stream (``broadcast_vocab=False`` for vocabularies past
+    executor memory); the only wide exchange carries id/token rows.
+    """
+    d = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    tok = d.select("doc_id", F.explode(w).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    pair_structs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(w)),
+            lambda i: F.struct(
+                F.element_at(w, i - 1).alias("t1"),
+                F.element_at(w, i).alias("t2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    pairs = d.select("doc_id", F.explode(pair_structs).alias("p")).select(
+        "doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
+    )
+    bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = uni.select(F.col("token").alias("t1"), F.col("c").alias("c1"))
+    cu = uni.select(F.col("token").alias("t2"), F.col("c").alias("cu"))
+    if broadcast_vocab:
+        uni, bi, c1, cu = (F.broadcast(x) for x in (uni, bi, c1, cu))
+    lam = float(LM2_LAMBDA)
+    p_bi = (F.col("c2") + 1.0) / (F.col("c1") + F.col("v_size"))
+    p_uni = (F.col("cu") + 1.0) / (F.col("n_total") + F.col("v_size"))
+    pair_micro = F.round(
+        -F.log(lam * p_bi + (1.0 - lam) * p_uni) * 1_000_000
+    ).cast("long")
+    pair_scores = (
+        pairs.join(bi, ["t1", "t2"])
+        .join(c1, "t1")
+        .join(cu, "t2")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", pair_micro.alias("micro"))
+    )
+    first_micro = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("v_size")))
+        * 1_000_000
+    ).cast("long")
+    first_scores = (
+        d.select("doc_id", F.element_at(w, 1).alias("token"))
+        .join(uni, "token")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", first_micro.alias("micro"))
+    )
+    return (
+        first_scores.unionByName(pair_scores)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("micro") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+            ).alias("xent2"),
+        )
+    )
+
+
+def lm_score_bigram_sql() -> str:
+    w = tokens_sql("text")
+    lam = float(LM2_LAMBDA)
+    pair_micro = (
+        f"CAST(ROUND(-ln({lam} * (c2 + 1.0) / (c1 + v_size) "
+        f"+ {1.0 - lam} * (cu + 1.0) / (n_total + v_size)) "
+        "* 1000000) AS BIGINT)"
+    )
+    first_micro = (
+        "CAST(ROUND(-ln((c + 1.0) / (n_total + v_size)) * 1000000) AS BIGINT)"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {w} AS w FROM documents), "
+        "tok AS (SELECT doc_id, unnest(w) AS token FROM d), "
+        "uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), "
+        "tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM uni), "
+        "pairs AS (SELECT doc_id, w[i - 1] AS t1, w[i] AS t2 "
+        "FROM d, unnest(generate_series(2, len(w))) AS s(i)), "
+        "bi AS (SELECT t1, t2, COUNT(*) AS c2 FROM pairs GROUP BY t1, t2), "
+        "pair_scores AS (SELECT doc_id, "
+        f"{pair_micro} AS micro "
+        "FROM pairs JOIN bi USING (t1, t2) "
+        "JOIN (SELECT token AS t1, c AS c1 FROM uni) USING (t1) "
+        "JOIN (SELECT token AS t2, c AS cu FROM uni) USING (t2) "
+        "CROSS JOIN tot), "
+        "first_scores AS (SELECT doc_id, "
+        f"{first_micro} AS micro "
+        "FROM (SELECT doc_id, w[1] AS token FROM d) "
+        "JOIN uni USING (token) CROSS JOIN tot), "
+        "allscores AS (SELECT * FROM first_scores "
+        "UNION ALL SELECT * FROM pair_scores) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        "ROUND(SUM(micro) / (COUNT(*) * 1000000.0), 6) AS xent2 "
+        "FROM allscores GROUP BY doc_id"
+    )

@@ -465,3 +465,37 @@ def test_reservoir_sample_exact_k_nested_and_stable(spark, tmp_path):
     want = sorted(map(tuple, con.execute(reservoir_docs_sql()).fetchall()))
     assert got == want
     assert max(r[2] for r in got) <= RESERVOIR_K
+
+
+def test_lm_bigram_sees_context_unigram_cannot(spark, tmp_path):
+    """The interpolated bigram model's reason to exist: a doc whose
+    words are corpus-common but whose ORDER is scrambled scores higher
+    xent2 than the naturally-ordered docs with the identical unigram
+    profile; engines agree exactly."""
+    import duckdb
+
+    from talna_spark.pipeline.text import lm_score_bigram, lm_score_bigram_sql
+
+    natural = "the cat sat on the mat and the dog ran to the den"
+    # same multiset of words, scrambled order -> same unigram stats
+    salad = "mat the ran cat the den on dog sat the to and the"
+    rows = [(i, natural, "en", "s", 1) for i in range(5)]
+    rows.append((99, salad, "en", "s", 1))
+    d = str(tmp_path / "lm2")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in lm_score_bigram(spark, d).collect()}
+    assert got[0]["n_tokens"] == len(natural.split())
+    assert got[99]["xent2"] > got[0]["xent2"] + 0.3, (
+        got[99]["xent2"], got[0]["xent2"]
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {row[0]: row for row in con.execute(lm_score_bigram_sql()).fetchall()}
+    for did, r in got.items():
+        assert oracle[did] == (did, r["n_tokens"], r["xent2"]), did
