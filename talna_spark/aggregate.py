@@ -847,3 +847,62 @@ def rows_to_bucket_map(rows: Iterable) -> dict[str, list[Bucket]]:
     for buckets in out.values():
         buckets.sort(key=lambda b: -b.end)
     return out
+
+
+def histogram_buckets(
+    scan: DataFrame,
+    group_col: Column,
+    width: int | None,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Per-bucket value HISTOGRAM (extension: the Prometheus/Datadog
+    monitoring shape — a fixed-bin distribution per time bucket, which
+    no single-row aggregate can carry): rows are (grp, bucket_start,
+    bin, bin_lo, bin_hi, n) with bin = floor((value - lo) / binw) for
+    in-range values, -1 for underflow and ``nbins`` for overflow (their
+    bin_lo/bin_hi extend one binw past the range, documenting the
+    open-ended edge buckets). Empty bins emit no row — at 100 TB the
+    dense-bin materialization is the caller's gapfill.
+
+    One hash aggregate keyed (grp, bucket, bin): partial map-side
+    counts, shuffle carries one row per non-empty (group, bucket, bin)
+    cell — the same single-shuffle shape as aligned_buckets. Bin edges
+    are pure double arithmetic from (lo, hi, nbins) literals, identical
+    in DuckDB, with 6-dp rounding on the emitted edges only (binning
+    compares on the raw doubles in both engines)."""
+    lo, hi, nbins = float(lo), float(hi), int(nbins)
+    if not (hi > lo) or nbins < 1:
+        raise ValueError("histogram requires hi > lo and nbins >= 1")
+    binw = (hi - lo) / nbins
+    v = F.col("value")
+    bin_ = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(nbins))
+        .otherwise(
+            F.least(
+                F.floor((v - lo) / F.lit(binw)), F.lit(nbins - 1)
+            )
+        )
+        .cast("int")
+    )
+    keys = [group_col.alias("grp")]
+    if width is not None:
+        keys.append(F.expr(f"ts div {int(width)}").alias("_bucket"))
+    else:
+        keys.append(F.lit(0).alias("_bucket"))
+    out = (
+        scan.withColumn("_bin", bin_)
+        .groupBy(*keys, "_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = int(width) if width is not None else 0
+    return out.select(
+        "grp",
+        (F.col("_bucket") * F.lit(w)).cast("long").alias("bucket_start"),
+        F.col("_bin").alias("bin"),
+        round6(F.lit(lo) + F.col("_bin") * F.lit(binw)).alias("bin_lo"),
+        round6(F.lit(lo) + (F.col("_bin") + 1) * F.lit(binw)).alias("bin_hi"),
+        "n",
+    )

@@ -431,6 +431,37 @@ class QueryBuilder:
             raise InvalidQueryError("sliding supports the five basic aggregations")
         return sliding_buckets(scan, self._group_col(), self._kind, w, s)
 
+    def histogram(self, lo: float, hi: float, nbins: int) -> DataFrame:
+        """Per-bucket value histogram (extension: the Prometheus/Datadog
+        distribution shape — the reference carries one value per bucket
+        and cannot express a distribution). Requires the ``count``
+        entry point (a histogram IS a structured count) and aligned
+        mode; granularity gives the time bucketing (None = one global
+        bucket). Returns (grp, bucket_start, bin, bin_lo, bin_hi, n)
+        with open-ended underflow (-1) / overflow (nbins) edge bins."""
+        from talna_spark.aggregate import histogram_buckets
+
+        if self._kind != "count":
+            raise InvalidQueryError(
+                "histogram requires the count() entry point"
+            )
+        if self._mode != "aligned":
+            raise InvalidQueryError("histogram requires aligned mode")
+        if (
+            self._gapfill is not None
+            or self._rolling is not None
+            or self._zscore is not None
+        ):
+            raise InvalidQueryError(
+                "histogram cannot combine with gapfill/rolling/zscore"
+            )
+        node = parse_filter_query(self._filter)
+        scan = self._db._backend.scan(self._metric, node, self._start, self._end)
+        scan = self._group_drop_filter(scan)
+        return histogram_buckets(
+            scan, self._group_col(), self._granularity, lo, hi, nbins
+        )
+
     def sessions(self, gap_ns: int) -> DataFrame:
         """Gap-based session windows (extension: batch sessionization —
         data-driven bucket boundaries where a silence longer than

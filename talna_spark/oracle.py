@@ -527,3 +527,44 @@ def events_topk_sql(
         f"(ORDER BY value DESC, grp ASC, start_ts ASC) AS rank FROM agg) "
         f"WHERE rank <= {int(k)}"
     )
+
+
+def events_histogram_sql(
+    metric: str,
+    group_by,
+    flt: str,
+    width: Optional[int],
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> str:
+    """Oracle for QueryBuilder.histogram: fixed-bin per-bucket value
+    distribution — mirrors talna_spark.aggregate.histogram_buckets
+    (bin = floor((value - lo)/binw), underflow -1, overflow nbins; bin
+    edges as the identical double arithmetic, 6-dp-rounded on emit)."""
+    node = parse_filter_query(flt)
+    pred = compile_to_sql(node, _tag_lookup)
+    grp, notnull = _grp_sql(group_by)
+    lo, hi, nbins = float(lo), float(hi), int(nbins)
+    binw = (hi - lo) / nbins
+    where = [f"metric = '{metric}'", f"({pred})"] + notnull
+    bucket = f"(ts // {int(width)})" if width is not None else "0"
+    w = int(width) if width is not None else 0
+    bin_ = (
+        f"(CASE WHEN value < {lo!r} THEN -1 "
+        f"WHEN value >= {hi!r} THEN {nbins} "
+        f"ELSE LEAST(CAST(FLOOR((value - {lo!r}) / {binw!r}) AS INTEGER), "
+        f"{nbins - 1}) END)"
+    )
+    return (
+        f"{_PTS_CTE}, sel AS (SELECT * FROM pts "
+        f"WHERE {' AND '.join(where)}), "
+        f"b AS (SELECT {grp} AS grpv, {bucket} AS bkt, {bin_} AS bin "
+        f"FROM sel) "
+        f"SELECT grpv AS grp, CAST(bkt * {w} AS BIGINT) AS bucket_start, "
+        f"bin, "
+        f"{round6_sql(f'({lo!r} + bin * {binw!r})')} AS bin_lo, "
+        f"{round6_sql(f'({lo!r} + (bin + 1) * {binw!r})')} AS bin_hi, "
+        f"COUNT(*) AS n "
+        f"FROM b GROUP BY grpv, bkt, bin"
+    )

@@ -634,3 +634,64 @@ def test_curate_single_scan_and_eval_canonical(spark):
         assert rows[3]["verdict"] == "kept" and rows[3]["split"] is not None
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------------- histogram
+def test_histogram_matches_duckdb_and_counts_everything(spark):
+    """Per-bucket value histogram: Spark and the DuckDB twin agree
+    row-for-row on real events data, bin counts sum to the scanned
+    point count, and the edge bins catch under/overflow."""
+    import duckdb
+
+    from talna_spark.database import Database
+    from talna_spark.oracle import events_histogram_sql
+
+    sf = "/root/testdata/sf0.001"
+    db = Database.from_events(spark, sf)
+    H = Duration.hours(6)
+    got = sorted(
+        map(
+            tuple,
+            db.count("app.purchase", "user")
+            .granularity(H)
+            .histogram(0.0, 400.0, 8)
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                events_histogram_sql(
+                    "app.purchase", "user", "*", int(H), 0.0, 400.0, 8
+                )
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert len(got) == len(want) > 0
+    assert got == want
+    # total count equals the plain count() aggregate over the same scan
+    total = sum(r[5] for r in got)
+    plain = (
+        db.count("app.purchase", "user").granularity(None).to_df().collect()
+    )
+    assert total == sum(r["len"] for r in plain)
+    bins = {r[2] for r in got}
+    assert bins <= set(range(-1, 9))
+
+
+def test_histogram_validations(spark):
+    from talna_spark.database import Database
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    with pytest.raises(InvalidQueryError, match="count"):
+        db.avg("app.purchase", "user").histogram(0, 1, 4)
+    with pytest.raises(ValueError, match="hi > lo"):
+        db.count("app.purchase", "user").histogram(5, 5, 4)
+    with pytest.raises(InvalidQueryError, match="aligned"):
+        db.count("app.purchase", "user").mode("greedy").histogram(0, 1, 4)
