@@ -365,3 +365,20 @@ def test_streaming_gate_map_only(spark):
     plan = plan_of(gate_documents(d))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_histogram_single_shuffle(spark):
+    # histogram's 100 TB contract: ONE hash aggregate — exactly one
+    # Exchange (on grp/bucket/bin), map-side partial counts, no Python
+    from talna_spark.database import Database
+    from talna_spark.duration import Duration
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    df = (
+        db.count("app.purchase", "user")
+        .granularity(Duration.hours(6))
+        .histogram(0.0, 400.0, 8)
+    )
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan
