@@ -293,6 +293,11 @@ def main() -> None:
             "pipe_ann_ivf": "x11_ann_ivf",
             "pipe_bm25": "q39_bm25",
             "pipe_curate": "q41_curate",
+            # r5: x22 grew the c4 + bigram slices; pipe_lm_score keeps
+            # timing the full battery row (now 5 slices), and the bigram
+            # scorer gets its own row with the scan fan-out knob (its
+            # broadcast joins otherwise serialize onto the single-file
+            # scan task at bench scale — a no-op on multi-file sources)
             "pipe_lm_score": "x22_quality_scoring",
             "pipe_mixture": "x23_mixture_sample",
         }
@@ -325,6 +330,10 @@ def main() -> None:
 
         qs["_bench_paragraph"] = _pdedup
         pipe["pipe_paragraph_dedup"] = "_bench_paragraph"
+        from talna_spark.pipeline.text import lm_score_bigram as _lm2
+
+        qs["_bench_lm2"] = lambda s, sd: _lm2(s, sd, parallelism=int(cpus))
+        pipe["pipe_lm2"] = "_bench_lm2"
         from talna_spark.pipeline.multimodal import pdf_extract as _pdfx
 
         qs["_bench_pdf"] = _pdfx

@@ -992,7 +992,10 @@ LM2_LAMBDA = 0.7  # interpolation weight on the bigram term
 
 
 def lm_score_bigram(
-    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_vocab: bool = True,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Interpolated bigram language-model cross-entropy per document —
     one rung up the KenLM ladder from :func:`lm_score`: position i >= 2
@@ -1009,8 +1012,21 @@ def lm_score_bigram(
     executor memory); the only wide exchange carries id/token rows.
     """
     d = _docs(spark, sf_dir)
+    if parallelism:
+        # with broadcast vocabs the scoring work runs INSIDE the scan
+        # stage, so a single-row-group source file serializes the whole
+        # operator onto one task — the dup_spans/LSH knob: fan the scan
+        # out explicitly (a no-op at real scale where the source is many
+        # files; default off to keep the scan shuffle-free)
+        d = d.repartition(int(parallelism), "doc_id")
     w = tokens(F.col("text"))
-    tok = d.select("doc_id", F.explode(w).alias("token"))
+    # tok feeds uni (and through it totals/c1/cu); pairs feeds bi AND the
+    # scoring join — materialize both behind lazy localCheckpoints or the
+    # tokenize/split subtree re-evaluates once per consumer (the LSH
+    # planning-pathology class)
+    tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
+        eager=False
+    )
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = uni.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
@@ -1025,8 +1041,10 @@ def lm_score_bigram(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
-    pairs = d.select("doc_id", F.explode(pair_structs).alias("p")).select(
-        "doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
+    pairs = (
+        d.select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = uni.select(F.col("token").alias("t1"), F.col("c").alias("c1"))
