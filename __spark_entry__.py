@@ -877,7 +877,9 @@ def _x21_dup_spans_sql() -> str:
 
 
 _EXT["x21_dup_spans"] = (_x21_dup_spans, _x21_dup_spans_sql())
-def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _x22_quality_scoring(
+    spark: SparkSession, sf_dir: str, lm2_parallelism: int | None = None
+) -> DataFrame:
     """Corpus-trained quality scoring, two `kind` slices on a normalized
     (doc_id, s1, v1, v2) schema:
 
@@ -921,7 +923,7 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("verdict"), F.col("fail_mask"), F.col("kept_line_frac"), "c4",
     )
     lm2 = norm(
-        _text.lm_score_bigram(spark, sf_dir),
+        _text.lm_score_bigram(spark, sf_dir, parallelism=lm2_parallelism),
         F.lit(None), F.col("n_tokens"), F.col("xent2"), "lm2",
     )
     return (

@@ -293,12 +293,11 @@ def main() -> None:
             "pipe_ann_ivf": "x11_ann_ivf",
             "pipe_bm25": "q39_bm25",
             "pipe_curate": "q41_curate",
-            # r5: x22 grew the c4 + bigram slices; pipe_lm_score keeps
-            # timing the full battery row (now 5 slices), and the bigram
-            # scorer gets its own row with the scan fan-out knob (its
-            # broadcast joins otherwise serialize onto the single-file
-            # scan task at bench scale — a no-op on multi-file sources)
-            "pipe_lm_score": "x22_quality_scoring",
+            # pipe_lm_score times the full x22 battery row (5 slices as
+            # of r5) — see _bench_battery below, which fans the bigram
+            # slice's scan out (its broadcast joins otherwise serialize
+            # onto the single-file scan task at bench scale; no-op on
+            # multi-file sources)
             "pipe_mixture": "x23_mixture_sample",
         }
         # dup_spans with the parallelism knob (the registration's default
@@ -334,6 +333,10 @@ def main() -> None:
 
         qs["_bench_lm2"] = lambda s, sd: _lm2(s, sd, parallelism=int(cpus))
         pipe["pipe_lm2"] = "_bench_lm2"
+        qs["_bench_battery"] = lambda s, sd: entrymod._x22_quality_scoring(
+            s, sd, lm2_parallelism=int(cpus)
+        )
+        pipe["pipe_lm_score"] = "_bench_battery"
         from talna_spark.pipeline.multimodal import pdf_extract as _pdfx
 
         qs["_bench_pdf"] = _pdfx
