@@ -736,8 +736,8 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``langid``: s1=pred_lang, s2=labeled_lang, v1=marker_hits;
     - ``fingerprint``: s1=the min-md5 word-5-gram fingerprint;
     - ``unicode``: encoding-damage signals (r5) — v1=replacement_ratio
-      (U+FFFD density), v2=ctrl_count (C0 bytes minus tab/newline/CR),
-      v3=nonascii_ratio.
+      (U+FFFD density), v2=ctrl_count (C0 + DEL + C1 controls minus
+      tab/newline/CR; C1 added r6 for cp1252 mojibake), v3=nonascii_ratio.
     """
 
     def norm(df, s1, s2, v1, v2, v3, kind):

@@ -939,8 +939,9 @@ def unicode_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     U+FFFD replacement characters and stray C0/C1 control bytes):
 
     - ``replacement_ratio``: U+FFFD count / char length (decode damage);
-    - ``ctrl_count``: C0 control chars other than \\t \\n \\r (binary
-      bleed-through);
+    - ``ctrl_count``: control chars other than \\t \\n \\r — the C0
+      band, DEL, and the C1 band U+0080-U+009F (the classic cp1252
+      mojibake range: binary bleed-through AND double-decode damage);
     - ``nonascii_ratio``: chars outside printable ASCII / char length,
       with tab/newline/CR exempt as structure (consistent with
       ctrl_count) so a clean multi-line doc scores 0 — expected nonzero
@@ -955,7 +956,7 @@ def unicode_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     repl = F.size(F.regexp_extract_all("text", F.lit("(�)"), 1))
     ctrl = F.size(
         F.regexp_extract_all(
-            "text", F.lit("([\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f])"), 1
+            "text", F.lit("([\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f])"), 1
         )
     )
     nonascii = F.size(
@@ -974,7 +975,7 @@ def unicode_signals_sql() -> str:
     repl = "len(regexp_extract_all(text, chr(65533)))"
     ctrl = (
         "len(regexp_extract_all(text, "
-        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))"
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]'))"
     )
     nonascii = (
         "len(regexp_extract_all(text, '[^\\x20-\\x7e\\t\\n\\r]'))"

@@ -197,22 +197,36 @@ def normalize_url(col: Column) -> Column:
     )
 
 
-def registered_domain(col: Column) -> Column:
-    """Registered domain of a URL (JVM expressions, no UDF): host from
-    the URL (userinfo and port stripped, lowercased), then the last two
-    dot-labels — the naive public-suffix rule ('docs.example.com' ->
-    'example.com'). Real co.uk-style suffixes need the Public Suffix
-    List; at scale that is a broadcast map join bolted onto this same
-    expression, so the plan shape doesn't change. IPv4 and bracketed
-    IPv6 hosts pass through whole."""
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL (userinfo and port stripped) as pure JVM
+    expressions. Scheme-less values ('example.com/path', bare blocklist
+    lines) parse host-first — the same tolerance as
+    :func:`_normalize_blocklist_entry`, so document URLs and list
+    entries always reduce identically (r6; previously scheme-less input
+    silently yielded '' and grouped under an empty domain). The :port
+    strip only fires on a single-colon tail or after a ']' bracket, so
+    bare IPv6 ('::1') survives whole while '[::1]:8080' -> '[::1]' and
+    'host:8080' -> 'host'."""
     host = F.lower(
         F.regexp_extract(
-            col, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)", 1
+            col,
+            r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#]*)",
+            1,
         )
     )
-    # strip :port — a trailing colon-digits run, which leaves bracketed
-    # IPv6 ('[::1]:8080' -> '[::1]') and bare IPv4/hostnames intact
-    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^(\[[^\]]*\]|[^:]*):\d+$", "$1")
+
+
+def registered_domain(col: Column) -> Column:
+    """Registered domain of a URL (JVM expressions, no UDF): host via
+    :func:`url_host`, then the last two dot-labels — the naive
+    public-suffix rule ('docs.example.com' -> 'example.com'). Real
+    co.uk-style suffixes need the Public Suffix List:
+    :func:`registered_domain_psl` is the PSL-aware DataFrame-level
+    upgrade (broadcast map join, same plan shape); this Column form is
+    the zero-data fallback. IPv4 and bracketed IPv6 hosts pass through
+    whole."""
+    host = url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
@@ -222,19 +236,156 @@ def registered_domain(col: Column) -> Column:
     return F.when(is_ip | (n <= 2), host).otherwise(last2)
 
 
-def domain_stats(docs: DataFrame) -> DataFrame:
+def registered_domain_psl(
+    df: DataFrame,
+    url_col: str = "url",
+    out: str = "domain",
+    rules=None,
+) -> DataFrame:
+    """PSL-aware registered domain as a DataFrame transform: adds
+    ``out`` computed from ``url_col`` using the vendored Public Suffix
+    List snapshot (sources.psl), upgrading the naive last-two-labels
+    rule of :func:`registered_domain` to the real algorithm (multi-label
+    registries like co.uk / k12.ma.us, wildcard ``*.ck``-family rules,
+    exceptions like ``!www.ck``).
+
+    100 TB shape: the rule table (~500 rows) is split by key label
+    count and BROADCAST-joined against the host's 1..4-label suffixes —
+    four map-side broadcast hash joins, zero shuffles, and the corpus
+    is scanned once (plan-tested). This is the designed upgrade path
+    the naive Column rule documents: same plan shape, real PSL."""
+    from talna_spark.sources.psl import PSL_MAX_KEY_LABELS, psl_rule_rows
+
+    spark = df.sparkSession
+    rows = psl_rule_rows(rules)
+    rtab = spark.createDataFrame(
+        rows, "key string, nk int, plen int, exc boolean"
+    )
+    d = df.withColumn("_psl_host", url_host(F.col(url_col)))
+    labels = F.split(F.col("_psl_host"), r"\.")
+    d = d.withColumn("_psl_lab", labels).withColumn(
+        "_psl_n", F.size("_psl_lab")
+    )
+    n = F.col("_psl_n")
+    pcols, ecols = [], []
+    for i in range(1, PSL_MAX_KEY_LABELS + 1):
+        lastn = F.when(
+            n >= i,
+            F.array_join(F.slice("_psl_lab", n - F.lit(i) + 1, F.lit(i)), "."),
+        )
+        d = d.withColumn(f"_psl_s{i}", lastn)
+        sub = rtab.filter(F.col("nk") == i).select(
+            F.col("key").alias(f"_psl_k{i}"),
+            F.col("plen").alias(f"_psl_p{i}"),
+            F.col("exc").alias(f"_psl_e{i}"),
+        )
+        d = d.join(
+            F.broadcast(sub),
+            F.col(f"_psl_s{i}") == F.col(f"_psl_k{i}"),
+            "left",
+        )
+        pi, ei = F.col(f"_psl_p{i}"), F.col(f"_psl_e{i}")
+        pcols.append(F.when(~F.coalesce(ei, F.lit(False)), pi))
+        ecols.append(F.when(F.coalesce(ei, F.lit(False)), pi))
+    # PSL algorithm: deepest exception wins, else deepest match, else
+    # the implicit '*' default (public suffix = last label)
+    psl_len = F.coalesce(
+        *reversed(ecols), F.greatest(*pcols, F.lit(1))
+    )
+    host = F.col("_psl_host")
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    dom = (
+        F.when(is_ip | (n <= psl_len), host)
+        .otherwise(
+            F.array_join(
+                F.slice("_psl_lab", n - psl_len, psl_len + F.lit(1)), "."
+            )
+        )
+    )
+    d = d.withColumn(out, dom)
+    drop = ["_psl_host", "_psl_lab", "_psl_n"] + [
+        f"_psl_{c}{i}"
+        for i in range(1, PSL_MAX_KEY_LABELS + 1)
+        for c in ("s", "k", "p", "e")
+    ]
+    return d.drop(*drop)
+
+
+def host_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`url_host` (same scheme-optional, userinfo-
+    and guarded-port-stripped extraction)."""
+    return (
+        "regexp_replace(lower(regexp_extract("
+        f"{url_expr}, "
+        "'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#]*)', 1)), "
+        r"'^(\[[^\]]*\]|[^:]*):\d+$', '\1')"
+    )
+
+
+def registered_domain_psl_sql(
+    src_sql: str, id_cols: str, url_expr: str = "url", rules=None
+) -> str:
+    """DuckDB twin of :func:`registered_domain_psl`: SELECT over
+    ``src_sql`` producing (``id_cols``..., domain), matching against the
+    IDENTICAL vendored rule set via the same suffix-equality joins."""
+    from talna_spark.sources.psl import (
+        PSL_MAX_KEY_LABELS,
+        psl_rules_values_sql,
+    )
+
+    lastn = ", ".join(
+        f"CASE WHEN n >= {i} THEN "
+        f"array_to_string(lab[n - {i} + 1 : n], '.') END AS s{i}"
+        for i in range(1, PSL_MAX_KEY_LABELS + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN psl r{i} ON r{i}.nk = {i} AND c.s{i} = r{i}.key"
+        for i in range(1, PSL_MAX_KEY_LABELS + 1)
+    )
+    pis = ", ".join(
+        f"CASE WHEN NOT COALESCE(r{i}.exc, false) THEN r{i}.plen END"
+        for i in range(1, PSL_MAX_KEY_LABELS + 1)
+    )
+    eis = ", ".join(
+        f"CASE WHEN COALESCE(r{i}.exc, false) THEN r{i}.plen END"
+        for i in reversed(range(1, PSL_MAX_KEY_LABELS + 1))
+    )
+    return (
+        f"WITH psl(key, nk, plen, exc) AS (VALUES {psl_rules_values_sql(rules)}), "
+        f"src AS ({src_sql}), "
+        f"h AS (SELECT {id_cols}, {host_sql(url_expr)} AS host FROM src), "
+        "lab AS (SELECT *, string_split(host, '.') AS lab, "
+        "len(string_split(host, '.')) AS n FROM h), "
+        f"c AS (SELECT *, {lastn} FROM lab), "
+        f"j AS (SELECT c.*, COALESCE({eis}, GREATEST({pis}, 1)) AS plen "
+        f"FROM c {joins}) "
+        f"SELECT {id_cols}, CASE "
+        r"WHEN regexp_matches(host, '^\d+\.\d+\.\d+\.\d+$') THEN host "
+        "WHEN n <= plen THEN host "
+        "ELSE array_to_string(lab[n - plen : n], '.') END AS domain FROM j"
+    )
+
+
+def domain_stats(docs: DataFrame, psl: bool = False) -> DataFrame:
     """Per-registered-domain corpus profile over (url, text) rows — the
     crawl-triage table (which hosts dominate, how much text each
-    contributes) that feeds blocklist and mixture decisions. One
-    hash-agg shuffle keyed by domain; text length is computed map-side
-    so text itself never shuffles."""
-    return (
-        docs.select(
+    contributes) that feeds blocklist and mixture decisions. With
+    ``psl=True`` the domain key uses the Public Suffix List path
+    (broadcast map joins — still no extra shuffle). One hash-agg
+    shuffle keyed by domain; text length is computed map-side so text
+    itself never shuffles."""
+    if psl:
+        sel = registered_domain_psl(
+            docs.select("url", F.length("text").alias("_len")), out="domain"
+        ).select("domain", "_len", "url")
+    else:
+        sel = docs.select(
             registered_domain(F.col("url")).alias("domain"),
             F.length("text").alias("_len"),
             "url",
         )
-        .groupBy("domain")
+    return (
+        sel.groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("url").alias("n_urls"),
@@ -243,40 +394,59 @@ def domain_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _normalize_blocklist_entry(entry: str) -> str:
+def _normalize_blocklist_entry(entry: str, psl: bool = False) -> str:
     """Reduce a blocklist line to its registered domain, driver-side
     (the list is driver-sized by contract). Mirrors
-    :func:`registered_domain`: tolerate scheme, userinfo, path and port
-    prefixes/suffixes that UT1-style lists carry, then keep the last
-    two labels (IPs whole)."""
+    :func:`registered_domain` (or, with ``psl=True``, the PSL path via
+    ``sources.psl.registered_domain_py``): tolerate scheme, userinfo,
+    path and port prefixes/suffixes that UT1-style lists carry, then
+    keep the registered domain. IP detection is the SAME strict
+    dotted-quad regex as the document side (r6: a malformed numeric
+    entry like '1.2.3.4.5' now reduces to '4.5' on both sides instead
+    of silently never matching), and the port strip carries the same
+    bracket/single-colon guard so bare IPv6 entries survive whole."""
     import re
 
+    if psl:
+        from talna_spark.sources.psl import registered_domain_py
+
+        return registered_domain_py(entry)
     host = entry.strip().lower()
     host = host.split("://", 1)[-1]      # optional scheme
     host = host.split("/", 1)[0]         # optional path
     host = host.rsplit("@", 1)[-1]       # optional userinfo
-    host = re.sub(r":\d+$", "", host)    # optional port
+    host = re.sub(r"^(\[[^\]]*\]|[^:]*):\d+$", r"\1", host)  # port, guarded
     labels = host.split(".")
-    if len(labels) <= 2 or re.fullmatch(r"[\d.]+", host):
+    if len(labels) <= 2 or re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host):
         return host
     return ".".join(labels[-2:])
 
 
-def filter_blocklist(docs: DataFrame, blocked_domains) -> DataFrame:
+def filter_blocklist(
+    docs: DataFrame, blocked_domains, psl: bool = False
+) -> DataFrame:
     """Drop rows whose registered domain is on the blocklist (subdomains
     included — both sides reduce to the registered domain; list entries
     may carry scheme/path/port decorations and are normalized
     driver-side, so a decorated entry can never silently fail to
-    match). The blocklist is a broadcast anti-join, the 100 TB shape
+    match). With ``psl=True`` both sides use the Public Suffix List
+    path (an entry like 'example.co.uk' then blocks its subdomains
+    correctly; the naive rule would reduce everything under co.uk to
+    one key). The blocklist is a broadcast anti-join, the 100 TB shape
     for a list that fits one executor (UT1/adult-site lists are ~1M
     rows); a corpus-sized blocklist would flip to a shuffle join with
     no code change beyond removing the hint."""
     spark = docs.sparkSession
-    norm = sorted({_normalize_blocklist_entry(d) for d in blocked_domains})
+    norm = sorted(
+        {_normalize_blocklist_entry(d, psl=psl) for d in blocked_domains}
+    )
     bl = spark.createDataFrame([(d,) for d in norm], "_blocked string")
+    if psl:
+        docs = registered_domain_psl(docs, out="_dom")
+    else:
+        docs = docs.withColumn("_dom", registered_domain(F.col("url")))
     return (
-        docs.withColumn("_dom", registered_domain(F.col("url")))
-        .join(
+        docs.join(
             F.broadcast(bl),
             F.col("_dom") == F.col("_blocked"),
             "left_anti",

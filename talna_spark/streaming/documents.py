@@ -49,8 +49,12 @@ def gate_documents(
     documents DataFrame: soft quality score >= CURATE_MIN_QUALITY and
     the selected hard-rule batteries clean ('gopher' and/or 'c4' — both
     are free-standing Column expressions, so composing them stays one
-    map-only projection; fail_mask concatenates the batteries' masks in
-    order, gopher in the low bits). Adds (quality, fail_mask, verdict)
+    map-only projection). fail_mask bit positions are FIXED regardless
+    of which batteries are selected: gopher always owns bits
+    0..len(GOPHER_RULE_NAMES)-1 and c4 always starts at
+    len(GOPHER_RULE_NAMES), so masks from different gate configurations
+    are directly comparable (an unselected battery simply leaves its
+    bits zero). Adds (quality, fail_mask, verdict)
     — verdict 'kept' | 'low_quality' | 'rule_fail' — and keeps every
     row (filtering is the caller's one-liner) so the drop ledger stays
     auditable, like curate()'s per-doc verdicts."""
@@ -64,14 +68,14 @@ def gate_documents(
     _, _, _, score = quality_parts()
     quality = F.round(score, 6)
     mask = F.lit(0).cast("long")
-    shift = 0
     if "gopher" in batteries:
         _, gmask, _ = gopher_parts()
         mask = mask + gmask
-        shift = len(GOPHER_RULE_NAMES)
     if "c4" in batteries:
+        # fixed offset: c4 bits start above the FULL gopher band even
+        # when gopher is not selected, so masks are config-comparable
         _, cmask, _ = c4_parts()
-        mask = mask + cmask * (2 ** shift)
+        mask = mask + cmask * (2 ** len(GOPHER_RULE_NAMES))
     verdict = (
         F.when(mask != 0, F.lit("rule_fail"))
         .when(quality < CURATE_MIN_QUALITY, F.lit("low_quality"))

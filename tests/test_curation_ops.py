@@ -393,6 +393,9 @@ def test_unicode_signals_damage_cases(spark, tmp_path):
         (3, "ctrl\x01chars\x07and\x1fmore\tok\nfine", "en", "s", 1),
         (4, "héllo wörld 中文", "en", "s", 1),
         (5, "", "en", "s", 1),
+        # r6: DEL + C1 band (U+0085 NEL, U+009F — the cp1252 mojibake
+        # range) now count as controls too
+        (6, "del\x7fand c1\x85band\x9fhere", "en", "s", 1),
     ]
     d = str(tmp_path / "uni")
     spark.createDataFrame(
@@ -405,6 +408,7 @@ def test_unicode_signals_damage_cases(spark, tmp_path):
     assert got[3]["ctrl_count"] == 3  # \t and \n do NOT count
     assert got[4]["nonascii_ratio"] > 0.2 and got[4]["ctrl_count"] == 0
     assert got[5]["replacement_ratio"] == 0.0  # empty text: guarded /1
+    assert got[6]["ctrl_count"] == 3  # \x7f + \x85 + \x9f (r6: C1 band)
 
     con = duckdb.connect()
     con.execute(

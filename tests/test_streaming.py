@@ -404,3 +404,15 @@ def test_gate_documents_battery_composition(spark):
 
     with _pytest.raises(ValueError, match="batteries"):
         gate_documents(docs, batteries=("nope",))
+
+    # r6 ADVICE fix: bit positions are FIXED regardless of battery
+    # selection — with batteries=('c4',) the c4 bits still start at
+    # len(GOPHER_RULE_NAMES), so masks from different configurations
+    # are directly comparable
+    c_only = {
+        r["doc_id"]: r["fail_mask"]
+        for r in gate_documents(docs, batteries=("c4",)).collect()
+    }
+    for did in (1, 2, 3):
+        assert c_only[did] % (2 ** n_g) == 0, did       # gopher band empty
+        assert c_only[did] == both[did][0] - g_only[did], did  # same c4 bits
