@@ -46,18 +46,12 @@ T_JAN24 = 1_706_054_400 * 10**9
 # name -> (kind, metric, group_by, filter, start, end, granularity, mode)
 _SPEC: dict[str, tuple] = {
     # Q01-Q05: the five aggregations, AllStar filter (reference agg tests).
-    # min+max / AND+OR / wildcard+exists / the three bound forms are each
-    # consolidated into ONE registration (a UNION ALL with a `kind` tag
-    # column) — the driver checks at most 50 queries per round, and every
-    # registered query must get a CORRECTNESS row (r1 left 3 unchecked).
-    "q05_count": ("count", "app.view", "user", "*", None, None, DAY, "aligned"),
-    # Q06-Q12: filter DSL coverage (AND/OR/NOT/wildcard/key-exists/nesting/set)
-    "q08_not": ("count", "app.click", "user", "!hi:yes", None, None, HOUR, "aligned"),
-    "q11_precedence": (
-        "avg", "app.purchase", "user",
-        "user:3 AND k:1* OR user:4 AND k:2*", None, None, HOUR, "aligned",
-    ),
-    "q12_set": ("avg", "app.purchase", "user", "user:[1, 2, 3]", None, None, HOUR, "aligned"),
+    # Same-schema queries are consolidated into single registrations (a
+    # UNION ALL with a `kind` tag column) — the driver checks at most 50
+    # queries per round, and every registered query must get a
+    # CORRECTNESS row. r6 folds count into q01 and the whole filter-DSL
+    # family (NOT/precedence/set) into q06, freeing slots for the
+    # histogram / URL / domain / incremental-dedup rows.
     # Q16: the benchmark-shaped query (billion/src/main.rs:123-137 analog)
     "q16_bench": ("avg", "app.purchase", "user", "user:9 OR user:8", T_JAN24, None, MIN, "aligned"),
     # Q17-Q18: reference-faithful greedy bucketing (VALUES-table oracle).
@@ -82,20 +76,30 @@ _METHOD_ALIASES = {"twa": "time_weighted_avg"}
 # `kind` tag column on both engine and oracle sides. One registration = one
 # driver CORRECTNESS row covering every part (50-row driver cap).
 _UNION_SPEC: dict[str, list[tuple[str, tuple]]] = {
-    # Q01+Q02: avg / sum (reference agg tests src/db.rs:984, 890)
+    # Q01+Q02+Q05: avg / sum / count (reference agg tests src/db.rs:984,
+    # 890; count src/db.rs). r6 folds the former q05_count row in.
     "q01_avg_sum": [
         ("avg", ("avg", "app.purchase", "user", "*", None, None, MIN, "aligned")),
         ("sum", ("sum", "app.purchase", "user", "*", None, None, 5 * MIN, "aligned")),
+        ("count", ("count", "app.view", "user", "*", None, None, DAY, "aligned")),
     ],
     # Q03+Q04: min / max (reference agg tests src/db.rs:796, 702)
     "q03_minmax": [
         ("min", ("min", "app.click", "user", "*", None, None, HOUR, "aligned")),
         ("max", ("max", "app.click", "user", "*", None, None, HOUR, "aligned")),
     ],
-    # Q06+Q07: AND / OR filters (README.md:96-104, 121)
+    # Q06-Q12 filter DSL family: AND / OR (README.md:96-104, 121), NOT,
+    # precedence nesting (NOT>AND>OR), Set syntax — r6 folds the former
+    # q08_not / q11_precedence / q12_set rows in as kind slices.
     "q06_andor": [
         ("and", ("avg", "app.purchase", "user", "hi:yes AND user:3", None, None, HOUR, "aligned")),
         ("or", ("avg", "app.purchase", "user", "k:12 OR k:13", None, None, HOUR, "aligned")),
+        ("not", ("count", "app.click", "user", "!hi:yes", None, None, HOUR, "aligned")),
+        ("precedence", (
+            "avg", "app.purchase", "user",
+            "user:3 AND k:1* OR user:4 AND k:2*", None, None, HOUR, "aligned",
+        )),
+        ("set", ("avg", "app.purchase", "user", "user:[1, 2, 3]", None, None, HOUR, "aligned")),
     ],
     # Q09+Q10: wildcard prefix / key-exists (src/db.rs:1098-1135)
     "q09_wildcard_exists": [
@@ -630,14 +634,17 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All six REAL dependency-free codecs (pipeline.multimodal) as
+    """All seven REAL dependency-free codecs (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
     zlib inflate + all five scanline filters), JPEG (baseline grayscale:
     huffman entropy decode + dequant + IDCT; r5 — the LOSSY leg), AVI (RIFF-AVI container walk + movi
     frame chunks, every-2nd-frame sampling over bottom-up DIB frames;
-    r5 — the VIDEO leg), and PDF (xref-offset object walk + FlateDecode
-    inflate + Tj/TJ text reassembly; r5 — the DOCUMENT-format leg). Each
+    r5 — the VIDEO leg), MJPEG-in-AVI (r6 — the ENTROPY-CODED video
+    leg: '00dc' chunks each a complete huffman-coded baseline JFIF,
+    decoded on the same sampling stride), and PDF (xref-offset object
+    walk + FlateDecode inflate + Tj/TJ text reassembly; r5 — the
+    DOCUMENT-format leg). Each
     oracle recomputes every decoded field by independent doc_id
     arithmetic (no parsing in SQL), so writer AND decoder must both be
     exact — for JPEG via the flat-block closed form that makes the lossy
@@ -681,6 +688,11 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mm.avi_decode(spark, sf_dir),
         "width", "height", "n_frames", "n_sampled", "mean_px", "checksum", "avi",
     )
+    mjpeg = norm(
+        _mm.mjpeg_decode(spark, sf_dir),
+        "width", "height", "n_frames", "n_sampled", "mean_px", "checksum",
+        "mjpeg",
+    )
     pdf = norm(
         _mm.pdf_extract(spark, sf_dir),
         "n_objects", "n_pages", "n_literals", "compressed",
@@ -688,7 +700,7 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         wav.unionByName(bmp).unionByName(png).unionByName(jpg)
-        .unionByName(avi).unionByName(pdf)
+        .unionByName(avi).unionByName(mjpeg).unionByName(pdf)
     )
 
 
@@ -716,6 +728,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.avi_decode_sql(), "width", "height", "n_frames",
                "n_sampled", "mean_px", "checksum", "avi")
+        + " UNION ALL "
+        + norm(_mm.mjpeg_decode_sql(), "width", "height", "n_frames",
+               "n_sampled", "mean_px", "checksum", "mjpeg")
         + " UNION ALL "
         + norm(_mm.pdf_extract_sql(), "n_objects", "n_pages", "n_literals",
                "compressed", "text_len", "text_hash", "pdf")
@@ -956,6 +971,7 @@ def _x22_quality_scoring_sql() -> str:
     )
 
 
+X22_N_SLICES = 5  # recorded in the bench artifact (battery-row comparability)
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-policy registration, three `kind` slices on a normalized
@@ -1071,6 +1087,55 @@ def _x11_ann_sql() -> str:
 
 
 _EXT["x11_ann_ivf"] = (_x11_ann, _x11_ann_sql())
+
+
+# --- r6 promotions: histogram / URL layer / domain layer / incremental
+# dedup — the four SQL-expressible operators the r5 verdict flagged as
+# stuck at unit tier (slots freed by the q01/q06 consolidations above).
+_HIST_SPEC = ("app.purchase", "user", "*", DAY, 5.0, 125.0, 12)
+
+
+def _q43_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket value histogram (QueryBuilder.histogram — the
+    Prometheus/Datadog distribution shape; the reference carries one
+    value per bucket, SURVEY §2.2). Fixed bins over app.purchase values
+    per (user, day): lo=5, hi=125, 12 bins — both edge bins (-1
+    underflow / 12 overflow) are populated by the data."""
+    metric, grp, flt, gran, lo, hi, nbins = _HIST_SPEC
+    return (
+        Database.from_events(spark, sf_dir)
+        .count(metric, grp)
+        .filter(flt)
+        .granularity(gran)
+        .histogram(lo, hi, nbins)
+    )
+
+
+from talna_spark.oracle import events_histogram_sql  # noqa: E402
+
+_EXT["q43_histogram"] = (
+    _q43_histogram,
+    events_histogram_sql(
+        _HIST_SPEC[0], _HIST_SPEC[1], _HIST_SPEC[2], _HIST_SPEC[3],
+        _HIST_SPEC[4], _HIST_SPEC[5], _HIST_SPEC[6],
+    ),
+)
+
+from talna_spark.sources import warc as _warc  # noqa: E402
+
+# x24: normalize_url + PSL registered_domain over deterministic synth
+# URLs (the documents table carries no URL column); x26: domain_stats +
+# blocklist survivors, both in PSL mode. The DuckDB twins re-derive the
+# identical URLs and match against the same vendored PSL rule table.
+_EXT["x24_url_layer"] = (_warc.url_layer, _warc.url_layer_sql())
+_EXT["x26_domain_layer"] = (_warc.domain_layer, _warc.domain_layer_sql())
+
+# x25: incremental dedup (new crawl vs reference corpus) over the
+# deterministic doc_id%3 split — exact-hash flags + LSH near-dup best
+# match + verdict per new doc.
+_EXT["x25_dedup_against"] = (
+    _dedup.dedup_against_docs, _dedup.dedup_against_docs_sql(),
+)
 
 
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path

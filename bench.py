@@ -138,12 +138,30 @@ def main() -> None:
         for w in whs:
             shutil.rmtree(w, ignore_errors=True)
 
-    # (b) headline view-path queries from the declared inventory
+    # (b) headline view-path queries. Bench rows time FIXED content so
+    # they stay longitudinally comparable even when the driver
+    # REGISTRATIONS consolidate (r6 folded q05/q08/q11 into q01/q06 as
+    # kind slices): the standalone specs are pinned here, and
+    # q01_avg_sum times the r5-era 2-part (avg+sum) union, not the
+    # 3-part registration.
     headline = [
         "q01_avg_sum", "q05_count", "q08_not", "q11_precedence",
         "q16_bench", "q17_greedy_avg", "q29_multigroup", "q32_sliding",
     ]
     qs = entrymod.queries()
+    _HOUR, _DAY = entrymod.HOUR, entrymod.DAY
+    for name, spec in {
+        "q05_count": ("count", "app.view", "user", "*", None, None, _DAY, "aligned"),
+        "q08_not": ("count", "app.click", "user", "!hi:yes", None, None, _HOUR, "aligned"),
+        "q11_precedence": (
+            "avg", "app.purchase", "user",
+            "user:3 AND k:1* OR user:4 AND k:2*", None, None, _HOUR, "aligned",
+        ),
+    }.items():
+        qs[name] = entrymod._make_query(spec)
+    qs["q01_avg_sum"] = entrymod._make_union_query(
+        entrymod._UNION_SPEC["q01_avg_sum"][:2]
+    )
     # q17's REGISTRATION now runs both greedy physical paths as kind
     # slices (driver bit-identity check); the bench keeps timing the
     # single-path operator so the trend stays comparable across rounds
@@ -280,6 +298,26 @@ def main() -> None:
                 .to_df()
             )
             extra[p + "q16_prepared_sec"] = timed(lambda: q16_df.collect())
+            # cold-path decomposition (r6, VERDICT r5 item 9): the first
+            # call is plan BUILD (py4j builder chatter + Catalyst
+            # analysis, measured here with cache-missing signatures — a
+            # distinct start bound each rep) + EXECUTION (the prepared
+            # number above). build + prepared ~ first_call documents
+            # where the cold latency lives.
+            def build_only(i: int):
+                (
+                    wdbN.avg("app.purchase", "user")
+                    .filter("user:9 OR user:8")
+                    .start(entrymod.T_JAN24 + 1 + i)
+                    .to_df()
+                )
+
+            t0 = time.perf_counter()
+            for _i in range(3):
+                build_only(_i)
+            extra[p + "q16_plan_build_sec"] = round(
+                (time.perf_counter() - t0) / 3, 4
+            )
         finally:
             for w in whsN:
                 shutil.rmtree(w, ignore_errors=True)
@@ -290,16 +328,19 @@ def main() -> None:
         pipe = {
             "pipe_dedup_exact": "x05_dedup_exact",
             "pipe_lsh_pairs": "x07_dedup_lsh_pairs",
-            "pipe_ann_ivf": "x11_ann_ivf",
             "pipe_bm25": "q39_bm25",
             "pipe_curate": "q41_curate",
-            # pipe_lm_score times the full x22 battery row (5 slices as
-            # of r5) — see _bench_battery below, which fans the bigram
-            # slice's scan out (its broadcast joins otherwise serialize
-            # onto the single-file scan task at bench scale; no-op on
-            # multi-file sources)
             "pipe_mixture": "x23_mixture_sample",
         }
+        # r6 (VERDICT r5 item 6 + ADVICE): pipe_ann_ivf times ONLY the
+        # ivf operator again (r5 silently rebound it to the ivf+pq
+        # union, reading as a regression); pq gets its own row.
+        from talna_spark.pipeline import similarity as _simm
+
+        qs["_bench_ivf"] = _simm.ivf_topk
+        pipe["pipe_ann_ivf"] = "_bench_ivf"
+        qs["_bench_pq"] = _simm.pq_topk
+        pipe["pipe_pq"] = "_bench_pq"
         # dup_spans with the parallelism knob (the registration's default
         # keeps the operator shuffle-free for the plan contract; a
         # single-row-group bench file needs the explicit fan-out)
@@ -333,10 +374,17 @@ def main() -> None:
 
         qs["_bench_lm2"] = lambda s, sd: _lm2(s, sd, parallelism=int(cpus))
         pipe["pipe_lm2"] = "_bench_lm2"
+        # r6 (ADVICE): the full-battery row is RENAMED from the r4-era
+        # pipe_lm_score label (which had silently grown from 3 to 5
+        # slices) and records its slice count so historical rows are
+        # never conflated. The bigram slice's scan is fanned out (its
+        # broadcast joins otherwise serialize onto the single-file scan
+        # task at bench scale; no-op on multi-file sources).
         qs["_bench_battery"] = lambda s, sd: entrymod._x22_quality_scoring(
             s, sd, lm2_parallelism=int(cpus)
         )
-        pipe["pipe_lm_score"] = "_bench_battery"
+        pipe["pipe_quality_battery"] = "_bench_battery"
+        extra["pipe_quality_battery_slices"] = entrymod.X22_N_SLICES
         from talna_spark.pipeline.multimodal import pdf_extract as _pdfx
 
         qs["_bench_pdf"] = _pdfx
@@ -355,9 +403,10 @@ def main() -> None:
     # — the regime the reference's billion-point number was measured in
     scale_section(100, REPS)
     # 1000x (~100M points, ~1 GB warehouse): the configuration behind
-    # SURVEY §6's large-scale throughput claim, opt-in so the default
-    # driver run stays fast. Guard: needs scratch disk for the warehouse.
-    if os.environ.get("SPARK_GRAFT_SCALE1000"):
+    # SURVEY §6's large-scale throughput claim. r6: ON BY DEFAULT so the
+    # driver artifact reproduces the claim (VERDICT r5 item 2); set
+    # SPARK_GRAFT_SCALE1000=0 to opt out. Guard: needs scratch disk.
+    if os.environ.get("SPARK_GRAFT_SCALE1000", "1") != "0":
         free = shutil.disk_usage(tempfile.gettempdir()).free
         if free >= 2 * 1024**3:
             scale_section(1000, 1)

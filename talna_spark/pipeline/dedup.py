@@ -755,7 +755,18 @@ def dedup_against(
     if parallelism:
         new_d = new_d.repartition(int(parallelism), "doc_id")
         ref_d = ref_d.repartition(int(parallelism), "doc_id")
+    return dedup_against_frames(new_d, ref_d, max_bucket=max_bucket)
 
+
+def dedup_against_frames(
+    new_d: DataFrame,
+    ref_d: DataFrame,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Frame-level core of :func:`dedup_against` — new/reference as any
+    (doc_id, text, ...) DataFrames (r6: lets the driver row split one
+    corpus into ref/new deterministically, and lets callers dedup
+    against a warehouse scan instead of a directory)."""
     # exact: new text hash present in the reference hash set
     ref_hashes = ref_d.select(F.md5("text").alias("_h")).distinct()
     exact = (
@@ -848,6 +859,78 @@ def dedup_against(
             F.when(verdict == "near_dup", F.col("ref_doc_id")).alias("ref_doc_id"),
             F.when(verdict == "near_dup", F.col("jaccard")).alias("jaccard"),
         )
+    )
+
+
+def dedup_against_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row x25: incremental dedup over a deterministic split of
+    the documents table — docs with doc_id % 3 == 0 are the REFERENCE
+    corpus, the rest are the NEW crawl, flagged by
+    :func:`dedup_against_frames`. Nullable outputs are folded to
+    sentinels (ref_doc_id -1, jaccard 0.0) because the driver's
+    value-hash compare renders SQL NULL doubles as NaN."""
+    d = _docs(spark, sf_dir)
+    out = dedup_against_frames(
+        new_d=d.filter(F.col("doc_id") % 3 != 0),
+        ref_d=d.filter(F.col("doc_id") % 3 == 0),
+    )
+    return out.select(
+        "doc_id",
+        "verdict",
+        F.coalesce(F.col("ref_doc_id"), F.lit(-1)).cast("long").alias("ref_doc_id"),
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def dedup_against_docs_sql() -> str:
+    """DuckDB twin of :func:`dedup_against_docs`: the same exact-hash
+    semi-join, LSH band join (new bands vs ref bands), exact-Jaccard
+    verification and best-match election, over the same doc_id%3
+    split. No hot-bucket cap here — at driver scale no band bucket
+    approaches LSH_MAX_BUCKET, so the capped and uncapped answers are
+    identical (the cap is exercised by unit tests)."""
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    sig_cols = ", ".join(_minhash_cols_sql())
+    band_structs = ", ".join(
+        "{'band': %d, 'key': concat_ws('_', %s)}"
+        % (b, ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+        for b in range(LSH_BANDS)
+    )
+    inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    return (
+        "WITH newd AS (SELECT * FROM documents WHERE doc_id % 3 <> 0), "
+        "refd AS (SELECT * FROM documents WHERE doc_id % 3 = 0), "
+        "exact AS (SELECT DISTINCT n.doc_id FROM newd n "
+        "JOIN (SELECT DISTINCT md5(text) AS h FROM refd) r "
+        "ON md5(n.text) = r.h), "
+        f"nsig AS (SELECT doc_id, {sh} AS sh, {sig_cols} FROM newd), "
+        f"rsig AS (SELECT doc_id, {sh} AS sh, {sig_cols} FROM refd), "
+        f"nbands AS (SELECT doc_id, unnest([{band_structs}], "
+        "recursive := true) FROM nsig), "
+        f"rbands AS (SELECT doc_id, unnest([{band_structs}], "
+        "recursive := true) FROM rsig), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_id, "
+        "b.doc_id AS ref_doc_id FROM nbands a JOIN rbands b "
+        "ON a.band = b.band AND a.key = b.key), "
+        "verified AS (SELECT * FROM (SELECT c.doc_id, c.ref_doc_id, "
+        f"ROUND({inter}::DOUBLE / (len(a.sh) + len(b.sh) - {inter}), 6) "
+        "AS jaccard FROM cand c JOIN nsig a ON c.doc_id = a.doc_id "
+        "JOIN rsig b ON c.ref_doc_id = b.doc_id) "
+        f"WHERE jaccard >= {JACCARD_THRESHOLD}), "
+        "best AS (SELECT doc_id, ref_doc_id, jaccard FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY jaccard DESC, ref_doc_id ASC) AS rn FROM verified) "
+        "WHERE rn = 1) "
+        "SELECT n.doc_id, "
+        "CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup' "
+        "WHEN b.ref_doc_id IS NOT NULL THEN 'near_dup' "
+        "ELSE 'new' END AS verdict, "
+        "CAST(CASE WHEN e.doc_id IS NULL AND b.ref_doc_id IS NOT NULL "
+        "THEN b.ref_doc_id ELSE -1 END AS BIGINT) AS ref_doc_id, "
+        "CASE WHEN e.doc_id IS NULL AND b.ref_doc_id IS NOT NULL "
+        "THEN b.jaccard ELSE 0.0 END AS jaccard "
+        "FROM newd n LEFT JOIN exact e ON n.doc_id = e.doc_id "
+        "LEFT JOIN best b ON n.doc_id = b.doc_id"
     )
 
 

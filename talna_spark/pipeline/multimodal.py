@@ -87,7 +87,9 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             raise NotImplementedError(
                 f"decoder for {media_type!r} not available in this environment "
-                "(STUB: image/audio/video codecs intentionally not bundled)"
+                "(remaining STUB seam: entropy-coded AUDIO only — MP3/AAC. "
+                "Real decoders on this same seam: WAV, BMP, PNG, JPEG, AVI, "
+                "MJPEG-in-AVI, PDF — see the *_decode_payloads functions)"
             )
 
         for pdf in batches:
@@ -1300,6 +1302,456 @@ def avi_decode_sql() -> str:
         "SUM(px * wt) AS cks FROM v GROUP BY doc_id) "
         "SELECT d.doc_id, 'video/avi' AS media_type, "
         "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+        "CAST(nf AS BIGINT) AS n_frames, "
+        f"CAST((nf - 1) // {AVI_SAMPLE_EVERY} + 1 AS BIGINT) AS n_sampled, "
+        "(ROUND(m.mean_px, 6) + 0) AS mean_px, "
+        "CAST(m.cks AS BIGINT) AS checksum "
+        "FROM d JOIN m USING (doc_id)"
+    )
+
+
+# ----------------------------------------------------- MJPEG-in-AVI codec
+# The ENTROPY-CODED VIDEO leg (r6): the baseline-JPEG decoder composed
+# with the AVI container walk — '00dc' chunks each holding a complete
+# huffman-coded JFIF frame, decoded on the same every-Nth-frame sampling
+# stride as the uncompressed leg. This narrows the declared codec seam
+# (extract_features' NotImplementedError) to entropy-coded AUDIO only.
+MJPEG_SCHEMA = AVI_SCHEMA  # same stats shape as the uncompressed leg
+
+
+def _mjpeg_params(doc_id: int) -> tuple[int, int, int]:
+    # (blocks across, blocks down, n_frames)
+    return 2 + doc_id % 3, 1 + doc_id % 2, 3 + doc_id % 4
+
+
+def mjpeg_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one MJPEG AVI blob per document: the RIFF-AVI
+    container (LIST hdrl with avih + strl/strh 'MJPG' + strf
+    biCompression='MJPG', LIST movi) whose '00dc' frame chunks are each
+    a COMPLETE baseline grayscale JFIF image — real markers, the spec's
+    standard luminance tables, genuinely entropy-coded scan data with
+    DC prediction and byte stuffing (the same writer machinery as the
+    still-JPEG leg). Frame f is a grid of flat 8x8 blocks; block b's
+    gray level is (doc_id*31 + f*37 + b*17) % 256, so the lossy round
+    trip stays exactly predictable per frame (closed form: a flat block
+    reconstructs to clamp(2*round_half_away((v-128)/2) + 128))."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    qt, dc_bits, dc_vals, ac_bits, ac_vals, zz = (
+        _JPEG_QT, _JPEG_DC_BITS, _JPEG_DC_VALS, _JPEG_AC_BITS, _JPEG_AC_VALS,
+        _JPEG_ZZ,
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        def canonical(bits, vals):
+            out, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        dc_codes = canonical(dc_bits, dc_vals)
+        ac_codes = canonical(ac_bits, ac_vals)
+        eob = ac_codes[0x00]
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(payload) + 2
+            ) + payload
+
+        def half_away(x: float) -> int:
+            return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+        def jpeg_frame(did: int, f: int, nbx: int, nby: int) -> bytes:
+            w, h = 8 * nbx, 8 * nby
+            acc, nacc, out = 0, 0, bytearray()
+
+            def emit(code: int, ln: int) -> None:
+                nonlocal acc, nacc
+                acc = (acc << ln) | (code & ((1 << ln) - 1))
+                nacc += ln
+                while nacc >= 8:
+                    nacc -= 8
+                    byte = (acc >> nacc) & 0xFF
+                    out.append(byte)
+                    if byte == 0xFF:
+                        out.append(0x00)
+
+            prev = 0
+            for b in range(nbx * nby):
+                v = (did * 31 + f * 37 + b * 17) % 256
+                q = half_away(8.0 * (v - 128) / qt[0])
+                diff = q - prev
+                prev = q
+                s = abs(diff).bit_length()
+                emit(*dc_codes[s])
+                if s:
+                    emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                emit(*eob)
+            if nacc:
+                emit((1 << (8 - nacc)) - 1, 8 - nacc)
+
+            qt_zz = bytes(qt[zz[i]] for i in range(64))
+            return (
+                b"\xff\xd8"
+                + seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+                + seg(0xDB, b"\x00" + qt_zz)
+                + seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+                + seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+                + seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+                + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+                + bytes(out)
+                + b"\xff\xd9"
+            )
+
+        def lst(tag: bytes, payload: bytes) -> bytes:
+            return b"LIST" + struct.pack("<I", 4 + len(payload)) + tag + payload
+
+        def chunk(tag: bytes, payload: bytes) -> bytes:
+            pad = b"\x00" if len(payload) % 2 else b""
+            return tag + struct.pack("<I", len(payload)) + payload + pad
+
+        def encode(did: int) -> bytes:
+            nbx, nby, nf = 2 + did % 3, 1 + did % 2, 3 + did % 4
+            w, h = 8 * nbx, 8 * nby
+            frames = [
+                chunk(b"00dc", jpeg_frame(did, f, nbx, nby))
+                for f in range(nf)
+            ]
+            max_fb = max(len(fr) - 8 for fr in frames)
+            avih = struct.pack(
+                "<IIIIIIIIII4I",
+                40_000, max_fb * 25, 0, 0, nf, 0, 1, max_fb, w, h, 0, 0, 0, 0,
+            )
+            strh = (
+                b"vids" + b"MJPG"
+                + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, nf, max_fb, 0, 0, 0)
+                + struct.pack("<hhhh", 0, 0, w, h)
+            )
+            strf = struct.pack(
+                "<Iii HHII iiII".replace(" ", ""),
+                40, w, h, 1, 24, struct.unpack("<I", b"MJPG")[0],
+                max_fb, 0, 0, 0, 0,
+            )
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+            movi = lst(b"movi", b"".join(frames))
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "video/x-motion-jpeg",
+                    "payload": [encode(int(i)) for i in ids],
+                }
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mjpeg_decode_payloads(mjpeg_media_table(spark, sf_dir))
+
+
+def mjpeg_decode_payloads(
+    media: DataFrame, sample_every: int = AVI_SAMPLE_EVERY
+) -> DataFrame:
+    """Decode MJPEG AVI payloads: RIFF walk -> verify strf
+    biCompression == 'MJPG' -> iterate word-aligned '00dc' movi chunks
+    -> FRAME-SAMPLE every ``sample_every``-th chunk -> full baseline
+    JPEG decode of each sampled frame (huffman entropy decode, DC
+    prediction, dequant, orthonormal IDCT — the still-JPEG decoder
+    inlined, see the pandas-UDF closure gotcha). The per-frame SOF dims
+    must agree with avih. checksum = sum(px * (s*frame_px + i + 1))
+    over sampled frames' row-major pixels in sampled order — the
+    stride-decode shape at 100 TB: work scales with sampled frames,
+    never the whole stream, and memory is one frame per decode."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        idct_a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                idct_a[u, x] = (cu / 2) * np.cos((2 * x + 1) * u * np.pi / 16)
+        zz = np.array(
+            [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+             12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+             35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+             58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+        )
+
+        def canonical_decode_table(bits, vals):
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        def jpeg_parse(blob: bytes):
+            if blob[:2] != b"\xff\xd8":
+                raise ValueError("frame is not a JPEG (missing SOI)")
+            pos, qts, huffs, sof = 2, {}, {}, None
+            while pos + 4 <= len(blob):
+                if blob[pos] != 0xFF:
+                    raise ValueError(f"marker expected at {pos}")
+                marker = blob[pos + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+                data = blob[pos + 4 : pos + 2 + ln]
+                pos += 2 + ln
+                if marker == 0xDB:
+                    off = 0
+                    while off < len(data):
+                        pq, tq = data[off] >> 4, data[off] & 15
+                        if pq != 0:
+                            raise ValueError("16-bit quant tables unsupported")
+                        qts[tq] = np.frombuffer(
+                            data[off + 1 : off + 65], dtype=np.uint8
+                        ).astype(np.int64)
+                        off += 65
+                elif marker == 0xC4:
+                    off = 0
+                    while off < len(data):
+                        tc, th = data[off] >> 4, data[off] & 15
+                        bits = list(data[off + 1 : off + 17])
+                        n = sum(bits)
+                        vals = list(data[off + 17 : off + 17 + n])
+                        huffs[(tc, th)] = canonical_decode_table(bits, vals)
+                        off += 17 + n
+                elif marker == 0xC0:
+                    prec, h, w, ncomp = (
+                        data[0],
+                        struct.unpack(">H", data[1:3])[0],
+                        struct.unpack(">H", data[3:5])[0],
+                        data[5],
+                    )
+                    if prec != 8 or ncomp != 1:
+                        raise ValueError(
+                            "only 8-bit grayscale baseline MJPEG supported"
+                        )
+                    sof = (prec, h, w, data[8])
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                    raise ValueError("non-baseline MJPEG frame unsupported")
+                elif marker == 0xDA:
+                    if sof is None:
+                        raise ValueError("SOS before SOF0")
+                    td, ta = data[2] >> 4, data[2] & 15
+                    return sof, qts[sof[3]], huffs[(0, td)], huffs[(1, ta)], pos
+            raise ValueError("no scan data in MJPEG frame")
+
+        def jpeg_pixels(blob: bytes):
+            sof, qt, dc_tab, ac_tab, pos = jpeg_parse(blob)
+            _prec, h, w, _tq = sof
+            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            state = {"pos": pos, "acc": 0, "n": 0}
+
+            def bit() -> int:
+                if state["n"] == 0:
+                    b = blob[state["pos"]]
+                    state["pos"] += 1
+                    if b == 0xFF:
+                        nxt = blob[state["pos"]]
+                        if nxt == 0x00:
+                            state["pos"] += 1
+                        else:
+                            raise ValueError("marker inside entropy data")
+                    state["acc"], state["n"] = b, 8
+                state["n"] -= 1
+                return (state["acc"] >> state["n"]) & 1
+
+            def decode(tab) -> int:
+                code = 0
+                for ln in range(1, 17):
+                    code = (code << 1) | bit()
+                    if (ln, code) in tab:
+                        return tab[(ln, code)]
+                raise ValueError("invalid huffman code")
+
+            def receive_extend(s: int) -> int:
+                if s == 0:
+                    return 0
+                v = 0
+                for _ in range(s):
+                    v = (v << 1) | bit()
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            img = np.zeros((h, w), dtype=np.int64)
+            prev_dc = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = decode(dc_tab)
+                    prev_dc += receive_extend(s)
+                    coef[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        rs = decode(ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        coef[k] = receive_extend(s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[zz] = coef * qt
+                    f = idct_a.T @ block.reshape(8, 8) @ idct_a
+                    px = np.clip(np.floor(f + 128.5), 0, 255).astype(np.int64)
+                    img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = px
+            return img
+
+        def parse(blob: bytes):
+            if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+                raise ValueError("not an AVI payload")
+            pos, end = 12, 8 + struct.unpack("<I", blob[4:8])[0]
+            dims = None
+            comp = None
+            frames = []
+            while pos + 8 <= end:
+                tag = blob[pos : pos + 4]
+                (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                data = blob[pos + 8 : pos + 8 + ln]
+                if tag == b"LIST":
+                    kind = data[:4]
+                    if kind == b"hdrl":
+                        if data[4:8] != b"avih":
+                            raise ValueError("hdrl without avih")
+                        (alen,) = struct.unpack("<I", data[8:12])
+                        a = data[12 : 12 + alen]
+                        nf, w, h = (
+                            struct.unpack("<I", a[16:20])[0],
+                            struct.unpack("<I", a[32:36])[0],
+                            struct.unpack("<I", a[36:40])[0],
+                        )
+                        dims = (w, h, nf)
+                        sidx = data.find(b"strf", 12 + alen)
+                        if sidx >= 0:
+                            (slen,) = struct.unpack(
+                                "<I", data[sidx + 4 : sidx + 8]
+                            )
+                            sf_ = data[sidx + 8 : sidx + 8 + slen]
+                            comp = sf_[16:20]
+                            if comp != b"MJPG":
+                                raise ValueError(
+                                    f"not an MJPEG stream (compression="
+                                    f"{comp!r})"
+                                )
+                    elif kind == b"movi":
+                        mp = 4
+                        while mp + 8 <= len(data):
+                            ctag = data[mp : mp + 4]
+                            (cln,) = struct.unpack(
+                                "<I", data[mp + 4 : mp + 8]
+                            )
+                            if ctag == b"00dc":
+                                frames.append(data[mp + 8 : mp + 8 + cln])
+                            mp += 8 + cln + (cln % 2)
+                pos += 8 + ln + (ln % 2)
+            if dims is None or comp is None:
+                raise ValueError("missing avih/strf header")
+            w, h, nf = dims
+            if len(frames) != nf:
+                raise ValueError(
+                    f"frame count mismatch: avih says {nf}, movi has "
+                    f"{len(frames)}"
+                )
+            total = checksum = 0
+            fpx = w * h
+            sampled = list(range(0, nf, sample_every))
+            for s, f in enumerate(sampled):
+                img = jpeg_pixels(frames[f])
+                if img.shape != (h, w):
+                    raise ValueError("frame SOF dims disagree with avih")
+                flat = img.reshape(-1)
+                weights = np.arange(
+                    s * fpx + 1, s * fpx + fpx + 1, dtype=np.int64
+                )
+                total += int(flat.sum())
+                checksum += int((flat * weights).sum())
+            n_px = fpx * len(sampled)
+            return w, h, nf, len(sampled), total / n_px, checksum
+
+        for pdf in batches:
+            rows = [parse(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "n_sampled": [r[3] for r in rows],
+                    "mean_px": [r[4] for r in rows],
+                    "checksum": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_decode, schema=MJPEG_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        "n_sampled",
+        round6("mean_px").alias("mean_px"),
+        "checksum",
+    )
+
+
+def mjpeg_decode_sql() -> str:
+    """Oracle: the flat-block closed form per SAMPLED frame from doc_id
+    arithmetic — container walk, frame sampling, huffman coding and the
+    IDCT must all be exact on both write and decode. Per block:
+    px = clamp(2*round_half_away((v-128)/2) + 128) with
+    v = (doc_id*31 + f*37 + bi*17) % 256; the order-sensitive checksum
+    collapses to px * (64*s*frame_px + block weight sum)."""
+    # sum over a block at (bx, by) of (row-major index + 1), W = 8*nbx
+    wsum = "(64 * (8 * by * (8 * nbx) + 8 * bx + 1) + 224 * (8 * nbx) + 224)"
+    return (
+        "WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nbx, "
+        "1 + doc_id % 2 AS nby, 3 + doc_id % 4 AS nf FROM documents), "
+        f"s AS (SELECT doc_id, nbx, nby, nf, unnest(generate_series(0, "
+        f"(nf - 1) // {AVI_SAMPLE_EVERY})) AS si FROM d), "
+        "b AS (SELECT doc_id, nbx, nby, nf, si, "
+        f"si * {AVI_SAMPLE_EVERY} AS f, "
+        "unnest(generate_series(0, nbx * nby - 1)) AS bi FROM s), "
+        "v AS (SELECT doc_id, nbx, nby, si, bi % nbx AS bx, bi // nbx AS by, "
+        "(doc_id * 31 + f * 37 + bi * 17) % 256 AS c FROM b), "
+        "r AS (SELECT doc_id, nbx, si, bx, by, "
+        "LEAST(255, GREATEST(0, "
+        "2 * CAST(ROUND((c - 128) / 2.0) AS BIGINT) + 128)) AS px, "
+        "nbx * nby * 64 AS fpx FROM v), "
+        "m AS (SELECT doc_id, AVG(CAST(px AS DOUBLE)) AS mean_px, "
+        f"SUM(px * (64 * si * fpx + {wsum})) AS cks FROM r GROUP BY doc_id) "
+        "SELECT d.doc_id, 'video/x-motion-jpeg' AS media_type, "
+        "CAST(8 * nbx AS BIGINT) AS width, CAST(8 * nby AS BIGINT) AS height, "
         "CAST(nf AS BIGINT) AS n_frames, "
         f"CAST((nf - 1) // {AVI_SAMPLE_EVERY} + 1 AS BIGINT) AS n_sampled, "
         "(ROUND(m.mean_px, 6) + 0) AS mean_px, "

@@ -217,6 +217,39 @@ def url_host(col: Column) -> Column:
     return F.regexp_replace(host, r"^(\[[^\]]*\]|[^:]*):\d+$", "$1")
 
 
+def normalize_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`normalize_url` (same scheme/host folding,
+    default-port strip, fragment drop, query-param sort, empty-path
+    default; scheme-less values pass through untouched)."""
+    scheme = f"lower(regexp_extract({url_expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (
+        f"lower(regexp_extract({url_expr}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND ends_with({hostport}, ':80') "
+        f"THEN substring({hostport}, 1, length({hostport}) - 3) "
+        f"WHEN {scheme} = 'https' AND ends_with({hostport}, ':443') "
+        f"THEN substring({hostport}, 1, length({hostport}) - 4) "
+        f"ELSE {hostport} END"
+    )
+    path = (
+        f"regexp_extract({url_expr}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    )
+    path = f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+    query = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    qpart = (
+        f"(CASE WHEN {query} = '' THEN '' ELSE "
+        f"'?' || array_to_string(list_sort(string_split({query}, '&')), '&') "
+        f"END)"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN {url_expr} "
+        f"ELSE {scheme} || '://' || {host} || {path} || {qpart} END"
+    )
+
+
 def registered_domain(col: Column) -> Column:
     """Registered domain of a URL (JVM expressions, no UDF): host via
     :func:`url_host`, then the last two dot-labels — the naive
@@ -452,4 +485,163 @@ def filter_blocklist(
             "left_anti",
         )
         .drop("_dom")
+    )
+
+
+# --------------------------------------------------------- driver rows
+# The documents testdata has no URL column, so the URL/domain driver
+# rows derive a deterministic URL per doc_id (identical modular-arith
+# string construction on both engines). The eight cases are chosen to
+# exercise every branch the operators own: case folding, default ports
+# (:80/:443), query sorting, fragments, empty paths, multi-label PSL
+# suffixes (co.uk, k12.ma.us), wildcard suffixes (*.ck), IPv4 hosts,
+# userinfo, and scheme-less values.
+def synth_url_col() -> Column:
+    did = F.col("doc_id")
+    s = did.cast("string")
+    m3 = (did % 3).cast("string")
+    m5 = (did % 5).cast("string")
+    m7 = (did % 7).cast("string")
+    return (
+        F.when(did % 8 == 0, F.concat(
+            F.lit("https://docs.sub"), m3, F.lit(".example"), m5,
+            F.lit(".co.uk/p/"), s, F.lit("?b=2&a=1")))
+        .when(did % 8 == 1, F.concat(
+            F.lit("HTTP://Example"), m5, F.lit(".COM:80/a"), s,
+            F.lit("?z=9&y=8#frag")))
+        .when(did % 8 == 2, F.concat(
+            F.lit("https://media.example"), m5, F.lit(".com:443")))
+        .when(did % 8 == 3, F.concat(
+            F.lit("http://a"), m3, F.lit(".school.k12.ma.us/x")))
+        .when(did % 8 == 4, F.concat(
+            F.lit("http://192.168."), m3, F.lit("."), m7, F.lit(":8080/ip")))
+        .when(did % 8 == 5, F.concat(
+            F.lit("example"), m5, F.lit(".org/bare/path")))
+        .when(did % 8 == 6, F.concat(
+            F.lit("http://user@blog.example"), m5, F.lit(".net:8080/u#f")))
+        .otherwise(F.concat(
+            F.lit("https://w.foo"), m3, F.lit(".bar.ck/wild")))
+    )
+
+
+def synth_url_sql() -> str:
+    s = "CAST(doc_id AS VARCHAR)"
+    m3 = "CAST(doc_id % 3 AS VARCHAR)"
+    m5 = "CAST(doc_id % 5 AS VARCHAR)"
+    m7 = "CAST(doc_id % 7 AS VARCHAR)"
+    return (
+        "CASE "
+        f"WHEN doc_id % 8 = 0 THEN 'https://docs.sub' || {m3} || '.example' "
+        f"|| {m5} || '.co.uk/p/' || {s} || '?b=2&a=1' "
+        f"WHEN doc_id % 8 = 1 THEN 'HTTP://Example' || {m5} || '.COM:80/a' "
+        f"|| {s} || '?z=9&y=8#frag' "
+        f"WHEN doc_id % 8 = 2 THEN 'https://media.example' || {m5} || '.com:443' "
+        f"WHEN doc_id % 8 = 3 THEN 'http://a' || {m3} || '.school.k12.ma.us/x' "
+        f"WHEN doc_id % 8 = 4 THEN 'http://192.168.' || {m3} || '.' || {m7} "
+        "|| ':8080/ip' "
+        f"WHEN doc_id % 8 = 5 THEN 'example' || {m5} || '.org/bare/path' "
+        f"WHEN doc_id % 8 = 6 THEN 'http://user@blog.example' || {m5} "
+        "|| '.net:8080/u#f' "
+        f"ELSE 'https://w.foo' || {m3} || '.bar.ck/wild' END"
+    )
+
+
+def _synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", synth_url_col().alias("url"), "text")
+    )
+
+
+# Demo blocklist for the driver row: decorated entries (scheme, path,
+# port) over PSL-registered domains of every family the synth URLs emit.
+BLOCKLIST_DEMO = (
+    "https://EXAMPLE2.com/ads",
+    "example1.co.uk",
+    "192.168.1.3:8080",
+    "foo0.bar.ck",
+)
+
+
+def url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row x24: the per-URL operators as `kind` slices on
+    (doc_id, s1=url, s2=result) — ``norm`` = :func:`normalize_url`,
+    ``domain`` = PSL :func:`registered_domain_psl`. Both are map-side
+    (pure projection / broadcast joins): zero shuffles, plan-tested."""
+    d = _synth_docs(spark, sf_dir)
+    norm = d.select(
+        "doc_id",
+        F.col("url").alias("s1"),
+        normalize_url(F.col("url")).alias("s2"),
+        F.lit("norm").alias("kind"),
+    )
+    dom = registered_domain_psl(d.select("doc_id", "url")).select(
+        "doc_id",
+        F.col("url").alias("s1"),
+        F.col("domain").alias("s2"),
+        F.lit("domain").alias("kind"),
+    )
+    return norm.unionByName(dom)
+
+
+def url_layer_sql() -> str:
+    urls = f"SELECT doc_id, {synth_url_sql()} AS url FROM documents"
+    return (
+        f"SELECT doc_id, url AS s1, {normalize_url_sql('url')} AS s2, "
+        f"'norm' AS kind FROM ({urls}) "
+        "UNION ALL "
+        "SELECT doc_id, url AS s1, domain AS s2, 'domain' AS kind FROM ("
+        + registered_domain_psl_sql(urls, "doc_id, url")
+        + ")"
+    )
+
+
+def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row x26: the domain-level operators as `kind` slices on
+    (id, s1, v1, v2, v3) — ``stats`` = :func:`domain_stats` (PSL mode;
+    id=domain, v1=n_docs, v2=n_urls, v3=total_chars) and ``blocklist``
+    = :func:`filter_blocklist` survivors against BLOCKLIST_DEMO (PSL
+    mode; id=doc_id, s1=the doc's domain). One hash-agg shuffle for
+    stats; the blocklist slice is map-side broadcast joins only."""
+    d = _synth_docs(spark, sf_dir)
+    st = domain_stats(d, psl=True).select(
+        F.col("domain").alias("id"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_docs").cast("long").alias("v1"),
+        F.col("n_urls").cast("long").alias("v2"),
+        F.col("total_chars").cast("long").alias("v3"),
+        F.lit("stats").alias("kind"),
+    )
+    bl = registered_domain_psl(
+        filter_blocklist(d, BLOCKLIST_DEMO, psl=True), out="_d"
+    ).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("_d").alias("s1"),
+        F.lit(0).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.lit("blocklist").alias("kind"),
+    )
+    return st.unionByName(bl)
+
+
+def domain_layer_sql() -> str:
+    urls = (
+        f"SELECT doc_id, {synth_url_sql()} AS url, text FROM documents"
+    )
+    doms = registered_domain_psl_sql(urls, "doc_id, url, text")
+    norm_entries = ", ".join(
+        f"'{_normalize_blocklist_entry(e, psl=True)}'" for e in BLOCKLIST_DEMO
+    )
+    return (
+        "SELECT domain AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(COUNT(*) AS BIGINT) AS v1, "
+        "CAST(COUNT(DISTINCT url) AS BIGINT) AS v2, "
+        "CAST(SUM(length(text)) AS BIGINT) AS v3, 'stats' AS kind "
+        f"FROM ({doms}) GROUP BY domain "
+        "UNION ALL "
+        "SELECT CAST(doc_id AS VARCHAR) AS id, domain AS s1, "
+        "CAST(0 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2, "
+        "CAST(0 AS BIGINT) AS v3, 'blocklist' AS kind "
+        f"FROM ({doms}) WHERE domain NOT IN ({norm_entries})"
     )

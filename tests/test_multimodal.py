@@ -589,3 +589,76 @@ def test_pdf_show_operator_without_operand_fails_loudly(spark):
     )
     with _pytest.raises(Exception, match="TJ without array"):
         pdf_extract_payloads(df2).collect()
+
+
+# ------------------------------------------------------------- MJPEG-AVI
+def test_mjpeg_decode_round_trip(spark):
+    """r6 entropy-coded video leg: huffman-coded JFIF frames inside the
+    AVI container, every-2nd-frame stride, vs the flat-block closed-form
+    oracle — container walk, frame sampling, entropy decode and IDCT
+    must all be exact."""
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import mjpeg_decode, mjpeg_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, mjpeg_decode(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(mjpeg_decode_sql()).fetchall()))
+    assert got == want
+
+
+def test_mjpeg_sampling_stride_and_frame_variation(spark):
+    """Frames differ (the f*37 term), so a full decode must differ from
+    the strided one in checksum; stride arithmetic covers odd and even
+    frame counts."""
+    from talna_spark.pipeline.multimodal import (
+        mjpeg_decode_payloads,
+        mjpeg_media_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    media = mjpeg_media_table(spark, sf).limit(20)
+    all_frames = {
+        r["doc_id"]: r
+        for r in mjpeg_decode_payloads(media, sample_every=1).collect()
+    }
+    strided = {
+        r["doc_id"]: r
+        for r in mjpeg_decode_payloads(media, sample_every=2).collect()
+    }
+    assert {r["n_frames"] % 2 for r in all_frames.values()} == {0, 1}
+    for did, r in all_frames.items():
+        assert r["n_sampled"] == r["n_frames"]
+        assert strided[did]["n_sampled"] == (r["n_frames"] - 1) // 2 + 1
+        assert r["checksum"] != strided[did]["checksum"]
+
+
+def test_mjpeg_rejects_uncompressed_avi_and_garbage(spark):
+    """The MJPEG decoder must refuse a DIB (uncompressed) AVI loudly —
+    and vice versa the DIB decoder already rejects MJPG via its bpp
+    check path; cross-feeding payloads between the two legs is the
+    classic silent-garbage risk."""
+    from talna_spark.pipeline.multimodal import (
+        avi_media_table,
+        mjpeg_decode_payloads,
+        mjpeg_media_table,
+        avi_decode_payloads,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dib = avi_media_table(spark, sf).limit(1)
+    with pytest.raises(Exception, match="MJPEG"):
+        mjpeg_decode_payloads(dib).collect()
+    mj = mjpeg_media_table(spark, sf).limit(1)
+    with pytest.raises(Exception, match="24-bit|MJPG|uncompressed"):
+        avi_decode_payloads(mj).collect()
+    garbage = spark.createDataFrame(
+        [(1, "video/x-motion-jpeg", b"not avi at all" + b"\x00" * 32)],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="AVI"):
+        mjpeg_decode_payloads(garbage).collect()
