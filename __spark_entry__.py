@@ -892,9 +892,7 @@ def _x21_dup_spans_sql() -> str:
 
 
 _EXT["x21_dup_spans"] = (_x21_dup_spans, _x21_dup_spans_sql())
-def _x22_quality_scoring(
-    spark: SparkSession, sf_dir: str, lm2_parallelism: int | None = None
-) -> DataFrame:
+def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained quality scoring, two `kind` slices on a normalized
     (doc_id, s1, v1, v2) schema:
 
@@ -909,7 +907,11 @@ def _x22_quality_scoring(
       s1=verdict, v1=fail_mask, v2=kept_line_frac (the folded
       line-retention metric, which pins the line rules too);
     - ``lm2``: interpolated bigram-LM cross-entropy (r5) — v1=n_tokens,
-      v2=xent2; context-sensitive where the unigram lm slice is not.
+      v2=xent2; context-sensitive where the unigram lm slice is not;
+    - ``lm3``: trigram Kneser-Ney cross-entropy (r6) — v1=n_tokens,
+      v2=xent3; absolute-discount smoothing with continuation counts,
+      sensitive to reorderings that preserve the bigram multiset
+      (which lm2 provably cannot see).
     """
 
     def norm(df, s1, v1, v2, kind):
@@ -938,12 +940,16 @@ def _x22_quality_scoring(
         F.col("verdict"), F.col("fail_mask"), F.col("kept_line_frac"), "c4",
     )
     lm2 = norm(
-        _text.lm_score_bigram(spark, sf_dir, parallelism=lm2_parallelism),
+        _text.lm_score_bigram(spark, sf_dir),
         F.lit(None), F.col("n_tokens"), F.col("xent2"), "lm2",
+    )
+    lm3 = norm(
+        _text.lm_score_trigram_kn(spark, sf_dir),
+        F.lit(None), F.col("n_tokens"), F.col("xent3"), "lm3",
     )
     return (
         lm.unionByName(cut).unionByName(gopher).unionByName(c4)
-        .unionByName(lm2)
+        .unionByName(lm2).unionByName(lm3)
     )
 
 
@@ -967,11 +973,15 @@ def _x22_quality_scoring_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
         "CAST(n_tokens AS DOUBLE) AS v1, CAST(xent2 AS DOUBLE) AS v2, "
-        f"'lm2' AS kind FROM ({_text.lm_score_bigram_sql()})"
+        f"'lm2' AS kind FROM ({_text.lm_score_bigram_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(n_tokens AS DOUBLE) AS v1, CAST(xent3 AS DOUBLE) AS v2, "
+        f"'lm3' AS kind FROM ({_text.lm_score_trigram_kn_sql()})"
     )
 
 
-X22_N_SLICES = 5  # recorded in the bench artifact (battery-row comparability)
+X22_N_SLICES = 6  # recorded in the bench artifact (battery-row comparability)
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-policy registration, three `kind` slices on a normalized

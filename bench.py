@@ -28,6 +28,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # shared scan fan-out (pipeline.scan): the testdata is a single
+    # row-group file, so the compute-in-scan operators (LSH, curate,
+    # DSIR, mixture, dup-span, n-gram LMs) would serialize onto one task
+    # without it — replaces the former per-operator parallelism knobs
+    os.environ.setdefault("TALNA_MIN_SCAN_TASKS", cpus)
 
     from pyspark.sql import SparkSession
 
@@ -341,49 +346,28 @@ def main() -> None:
         pipe["pipe_ann_ivf"] = "_bench_ivf"
         qs["_bench_pq"] = _simm.pq_topk
         pipe["pipe_pq"] = "_bench_pq"
-        # dup_spans with the parallelism knob (the registration's default
-        # keeps the operator shuffle-free for the plan contract; a
-        # single-row-group bench file needs the explicit fan-out)
-        from talna_spark.pipeline.dedup import dup_spans as _dup_spans
-
-        qs["_bench_dup_spans"] = lambda s, sd: _dup_spans(
-            s, sd, parallelism=int(cpus)
+        # the former per-operator parallelism lambdas are gone (r6):
+        # TALNA_MIN_SCAN_TASKS (set above) fans these scans out inside
+        # the operators themselves
+        from talna_spark.pipeline.dedup import (
+            dup_spans as _dup_spans, paragraph_dedup as _pdedup,
         )
-        pipe["pipe_dup_spans"] = "_bench_dup_spans"
-        from talna_spark.pipeline.dedup import lsh_near_dup_pairs as _lsh
-
-        qs["_bench_lsh"] = lambda s, sd: _lsh(s, sd, parallelism=int(cpus))
-        pipe["pipe_lsh_pairs"] = "_bench_lsh"
-        from talna_spark.pipeline.curate import curate as _curate
-
-        qs["_bench_curate"] = lambda s, sd: _curate(s, sd, parallelism=int(cpus))
-        pipe["pipe_curate"] = "_bench_curate"
-        from talna_spark.pipeline.sampling import (
-            dsir_select as _dsir, mixture_sample as _mix,
-        )
-
-        qs["_bench_mixture"] = lambda s, sd: _mix(s, sd, parallelism=int(cpus))
-        pipe["pipe_mixture"] = "_bench_mixture"
-        qs["_bench_dsir"] = lambda s, sd: _dsir(s, sd, parallelism=int(cpus))
-        pipe["pipe_dsir"] = "_bench_dsir"
-        from talna_spark.pipeline.dedup import paragraph_dedup as _pdedup
-
-        qs["_bench_paragraph"] = _pdedup
-        pipe["pipe_paragraph_dedup"] = "_bench_paragraph"
+        from talna_spark.pipeline.sampling import dsir_select as _dsir
         from talna_spark.pipeline.text import lm_score_bigram as _lm2
 
-        qs["_bench_lm2"] = lambda s, sd: _lm2(s, sd, parallelism=int(cpus))
+        qs["_bench_dup_spans"] = _dup_spans
+        pipe["pipe_dup_spans"] = "_bench_dup_spans"
+        qs["_bench_dsir"] = _dsir
+        pipe["pipe_dsir"] = "_bench_dsir"
+        qs["_bench_paragraph"] = _pdedup
+        pipe["pipe_paragraph_dedup"] = "_bench_paragraph"
+        qs["_bench_lm2"] = _lm2
         pipe["pipe_lm2"] = "_bench_lm2"
         # r6 (ADVICE): the full-battery row is RENAMED from the r4-era
         # pipe_lm_score label (which had silently grown from 3 to 5
         # slices) and records its slice count so historical rows are
-        # never conflated. The bigram slice's scan is fanned out (its
-        # broadcast joins otherwise serialize onto the single-file scan
-        # task at bench scale; no-op on multi-file sources).
-        qs["_bench_battery"] = lambda s, sd: entrymod._x22_quality_scoring(
-            s, sd, lm2_parallelism=int(cpus)
-        )
-        pipe["pipe_quality_battery"] = "_bench_battery"
+        # never conflated.
+        pipe["pipe_quality_battery"] = "x22_quality_scoring"
         extra["pipe_quality_battery_slices"] = entrymod.X22_N_SLICES
         from talna_spark.pipeline.multimodal import pdf_extract as _pdfx
 

@@ -49,21 +49,21 @@ from talna_spark.pipeline.text import quality_parts, quality_sql
 QUALITY_MIN = 0.5
 
 
-def curate(
-    spark: SparkSession, sf_dir: str, parallelism: int | None = None
-) -> DataFrame:
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, verdict, split) for every document: verdict in
     {low_quality, duplicate, contaminated, kept}; split only for kept.
-    ``parallelism`` fans a single-row-group source file out before the
-    shared checkpoint (quality regexes + md5 + shingle hashing are the
-    dominant map cost and would otherwise run on one task; a no-op at
-    real scale where the source is many files)."""
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    if parallelism:
-        base = base.repartition(int(parallelism), "doc_id")
-    base = base.localCheckpoint(eager=False)
+    The source scan is widened via the shared TALNA_MIN_SCAN_TASKS
+    fan-out (pipeline.scan) before the shared checkpoint — quality
+    regexes + md5 + shingle hashing are the dominant map cost and would
+    otherwise run on one task for a single-row-group file; a no-op at
+    real scale where the source is many files."""
+    from talna_spark.pipeline.scan import fan_out
+
+    base = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    ).localCheckpoint(eager=False)
     # eval-slice docs are the benchmark itself — excluded from curation
     corpus = base.filter(F.col("doc_id") % EVAL_MOD != 0)
     ev = base.filter(F.col("doc_id") % EVAL_MOD == 0)

@@ -33,6 +33,7 @@ from talna_spark.pipeline.portable import (
     tokens,
     tokens_sql,
 )
+from talna_spark.pipeline.scan import fan_out
 
 SHINGLE_K = 3          # word 3-grams
 MINHASH_H = 8          # hash functions
@@ -198,7 +199,6 @@ def lsh_near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
     max_bucket: int = LSH_MAX_BUCKET,
-    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates -> exact-Jaccard verification >= threshold.
 
@@ -213,12 +213,11 @@ def lsh_near_dup_pairs(
     pairs inside an excluded bucket are undercounted here by design and
     identical-text floods are exact dedup's job.
     """
-    d = _docs(spark, sf_dir)
-    if parallelism:
-        # the shingle+md5 base pass is the dominant map cost; a
-        # single-row-group source file runs it on ONE task (at real
-        # scale the source is many files and this knob is a no-op)
-        d = d.repartition(int(parallelism), "doc_id")
+    # the shingle+md5 base pass is the dominant map cost; the shared
+    # TALNA_MIN_SCAN_TASKS fan-out (pipeline.scan) spreads a
+    # single-row-group source across tasks (no-op on real multi-file
+    # sources and in the default configuration)
+    d = fan_out(_docs(spark, sf_dir))
     sh = shingles(tokens(F.col("text")), SHINGLE_K)
     # Materialize (shingles, base hashes) ONCE behind a lazy
     # localCheckpoint, then derive the H signature columns from the
@@ -546,7 +545,6 @@ def dup_spans(
     spark: SparkSession,
     sf_dir: str,
     k: int = SPAN_K,
-    parallelism: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-span scan (the train-data dedup from
     "Deduplicating Training Data Makes Language Models Better", Lee et
@@ -565,13 +563,7 @@ def dup_spans(
     pipeline.text.repetition); >= 2 distinct documents must share the
     gram.
     """
-    d = _docs(spark, sf_dir)
-    if parallelism:
-        # the gram-hash projection is the expensive map work; a
-        # single-row-group testdata file scans as ONE task, so spread it
-        # (at real scale the source is many files and this is a no-op
-        # knob — default off, keeping the operator shuffle-free)
-        d = d.repartition(int(parallelism), "doc_id")
+    d = fan_out(_docs(spark, sf_dir))
     # (doc_id, gram_hash) computed ONCE behind a lazy localCheckpoint:
     # three consumers (dup set, per-doc count, final join) would
     # otherwise each re-evaluate the md5 transform — the LSH planning
@@ -634,7 +626,6 @@ def dup_span_clean(
     spark: SparkSession,
     sf_dir: str,
     k: int = SPAN_K,
-    parallelism: int | None = None,
 ) -> DataFrame:
     """Duplicate-span REMOVAL — the trim step that follows the
     :func:`dup_spans` scan (Lee et al. 2022 drop the repeated span from
@@ -650,9 +641,7 @@ def dup_span_clean(
     one (doc_id, token_index) coverage aggregate; the rebuild is a
     map-side indexed filter over the token array — text never crosses an
     Exchange."""
-    d = _docs(spark, sf_dir)
-    if parallelism:
-        d = d.repartition(int(parallelism), "doc_id")
+    d = fan_out(_docs(spark, sf_dir))
     pos = d.select(
         "doc_id",
         F.posexplode(
@@ -726,7 +715,6 @@ def dedup_against(
     new_dir: str,
     ref_dir: str,
     max_bucket: int = LSH_MAX_BUCKET,
-    parallelism: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: flag each NEW document against an EXISTING
     reference corpus — the real recurring workflow (every fresh crawl
@@ -750,11 +738,8 @@ def dedup_against(
     accumulate). Exact flags ride a broadcast-or-shuffle join on the
     text hash (AQE decides — the hash set is corpus-sized for the
     reference, id-only rows)."""
-    new_d = _docs(spark, new_dir)
-    ref_d = _docs(spark, ref_dir)
-    if parallelism:
-        new_d = new_d.repartition(int(parallelism), "doc_id")
-        ref_d = ref_d.repartition(int(parallelism), "doc_id")
+    new_d = fan_out(_docs(spark, new_dir))
+    ref_d = fan_out(_docs(spark, ref_dir))
     return dedup_against_frames(new_d, ref_d, max_bucket=max_bucket)
 
 

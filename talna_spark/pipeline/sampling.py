@@ -108,9 +108,7 @@ def _mix_weight(source_col: F.Column) -> F.Column:
     return (F.lit(1) + num % 3).cast("long")
 
 
-def mixture_sample(
-    spark: SparkSession, sf_dir: str, parallelism: int | None = None
-) -> DataFrame:
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling to a token budget: given per-domain
     weights w_s and a total budget B (here MIX_BUDGET_FRACTION of corpus
     tokens), each domain's target is B * w_s / sum(w), its keep-rate is
@@ -133,13 +131,11 @@ def mixture_sample(
     than failing; upsampling/repetition is a training-loader concern.
     """
     from talna_spark.pipeline.portable import hash64, tokens
+    from talna_spark.pipeline.scan import fan_out
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if parallelism:
-        # tokenization is the dominant map cost; a single-row-group
-        # source file runs it on ONE task (at real scale the corpus is
-        # many files and this knob is a no-op — same as lsh/dup_spans)
-        d = d.repartition(int(parallelism), "doc_id")
+    # tokenization is the dominant map cost; the shared
+    # TALNA_MIN_SCAN_TASKS fan-out spreads a single-row-group source
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     d = d.select(
         "doc_id",
         "source",
@@ -222,7 +218,6 @@ def dsir_select(
     sf_dir: str,
     n_buckets: int = DSIR_BUCKETS,
     k_select: int = DSIR_SELECT_K,
-    parallelism: int | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
     arXiv:2302.03169): pick raw-pool documents whose hashed-n-gram
@@ -247,13 +242,12 @@ def dsir_select(
     once; nothing corpus-sized shuffles except (doc_id, bucket) ids.
     """
     from talna_spark.pipeline.portable import grams, hash64, tokens
+    from talna_spark.pipeline.scan import fan_out
 
     m = int(n_buckets)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if parallelism:
-        # the gram explode + hash is the dominant map cost; fan a
-        # single-row-group source out (no-op on a real multi-file corpus)
-        d = d.repartition(int(parallelism), "doc_id")
+    # the gram explode + hash is the dominant map cost; the shared
+    # TALNA_MIN_SCAN_TASKS fan-out spreads a single-row-group source
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     d = d.select(
         "doc_id", "text", (F.col("doc_id") % 97 == 0).alias("is_target")
     )

@@ -560,8 +560,7 @@ def kmeans_centroids(
         raise ValueError(f"corpus has fewer than k={k} vectors")
     history = []
     for _ in range(int(iters)):
-        cluster, d2 = _centroid_argmin(cents)
-        a = e.select("v", cluster.alias("cid"), d2.alias("d2"))
+        a = assign_centroids(e, cents).select("v", "cid", "d2")
         cells = (
             a.select("cid", "d2", F.posexplode("v").alias("dim", "val"))
             .groupBy("cid", "dim")
@@ -591,7 +590,11 @@ def _centroid_argmin(cents: list) -> tuple:
     argmin via array_position of the min (first hit = lowest cluster id,
     matching the window tie-break it replaces). Pure projection — the
     'broadcast' is the plan itself. Bounded by k x d literal nodes, the
-    right trade while centroids fit the driver (they must anyway)."""
+    right trade while the centroid count is small; above
+    CENTROID_LITERAL_MAX, :func:`assign_centroids` switches to a
+    broadcast-join argmin (a 100k x 64-literal plan tree would blow up
+    Catalyst analysis at the paper-scale cluster counts SemDeDup
+    cites)."""
     dists = F.array(
         *[
             F.round(
@@ -605,13 +608,69 @@ def _centroid_argmin(cents: list) -> tuple:
     return cluster, d2
 
 
+# Above this centroid count, assignment switches from the literal-array
+# expression to a broadcast centroids DataFrame + argmin aggregation —
+# Catalyst analysis time grows with plan-tree size, and k x d literal
+# nodes stop being "free" around a thousand centroids.
+CENTROID_LITERAL_MAX = 1024
+
+
+def assign_centroids(
+    df: DataFrame,
+    cents: list,
+    id_col: str = "vec_id",
+    literal_max: int = CENTROID_LITERAL_MAX,
+) -> DataFrame:
+    """Adds (cid, d2) — nearest centroid and its 6-dp-rounded squared
+    distance — to a DataFrame with a ``v`` vector column, choosing the
+    physical strategy by centroid count:
+
+    - k <= ``literal_max``: the literal-expression argmin
+      (:func:`_centroid_argmin`) — pure map-side projection, zero
+      shuffle (the k-means/IVF default);
+    - k > ``literal_max``: centroids become a BROADCAST DataFrame; each
+      row crossJoins the broadcast side, takes min(struct(d2, cid))
+      grouped by ``id_col`` (map-side partial min, the shuffle carries
+      one id-row per vector — never the vectors), and the assignment
+      joins back on ``id_col``. Same 6-dp rounding and lowest-cid
+      tie-break as the literal path (struct min is lexicographic), so
+      both strategies are bit-identical — tested on both sides of the
+      threshold.
+    """
+    if len(cents) <= int(literal_max):
+        cluster, d2 = _centroid_argmin(cents)
+        return df.withColumn("cid", cluster).withColumn("d2", d2)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "_cc_cid int, _cc_v array<double>",
+    )
+    d2 = F.round(_sq_l2(F.col("v"), F.col("_cc_v")), 6)
+    best = (
+        df.select(id_col, "v")
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            id_col,
+            F.struct(
+                d2.alias("d2"), F.col("_cc_cid").cast("int").alias("cid")
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_s").alias("_b"))
+        .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b.d2").alias("d2"))
+    )
+    return df.join(best, id_col)
+
+
 def kmeans_assign(e: DataFrame, cents: list) -> DataFrame:
     """(vec_id, cluster, d2) for a trained centroid list — the handoff
     from :func:`kmeans_centroids` to an IVF build: at scale this column
     IS the physical partition key of the vector table. Map-side only
-    (the literal-argmin expression), zero shuffle."""
-    cluster, d2 = _centroid_argmin(cents)
-    return e.select("vec_id", cluster.alias("cluster"), d2.alias("d2"))
+    (the literal-argmin expression) up to CENTROID_LITERAL_MAX
+    centroids; broadcast-join argmin above it."""
+    return assign_centroids(e, cents).select(
+        "vec_id", F.col("cid").alias("cluster"), "d2"
+    )
 
 
 def ivf_topk_trained(

@@ -996,7 +996,6 @@ def lm_score_bigram(
     spark: SparkSession,
     sf_dir: str,
     broadcast_vocab: bool = True,
-    parallelism: int | None = None,
 ) -> DataFrame:
     """Interpolated bigram language-model cross-entropy per document —
     one rung up the KenLM ladder from :func:`lm_score`: position i >= 2
@@ -1012,14 +1011,13 @@ def lm_score_bigram(
     positional stream (``broadcast_vocab=False`` for vocabularies past
     executor memory); the only wide exchange carries id/token rows.
     """
-    d = _docs(spark, sf_dir)
-    if parallelism:
-        # with broadcast vocabs the scoring work runs INSIDE the scan
-        # stage, so a single-row-group source file serializes the whole
-        # operator onto one task — the dup_spans/LSH knob: fan the scan
-        # out explicitly (a no-op at real scale where the source is many
-        # files; default off to keep the scan shuffle-free)
-        d = d.repartition(int(parallelism), "doc_id")
+    from talna_spark.pipeline.scan import fan_out
+
+    # with broadcast vocabs the scoring work runs INSIDE the scan
+    # stage, so a single-row-group source file serializes the whole
+    # operator onto one task — the shared TALNA_MIN_SCAN_TASKS fan-out
+    # spreads it (no-op at real scale and in the default configuration)
+    d = fan_out(_docs(spark, sf_dir))
     w = tokens(F.col("text"))
     # tok feeds uni (and through it totals/c1/cu); pairs feeds bi AND the
     # scoring join — materialize both behind lazy localCheckpoints or the
@@ -1120,5 +1118,286 @@ def lm_score_bigram_sql() -> str:
         "UNION ALL SELECT * FROM pair_scores) "
         "SELECT doc_id, COUNT(*) AS n_tokens, "
         "ROUND(SUM(micro) / (COUNT(*) * 1000000.0), 6) AS xent2 "
+        "FROM allscores GROUP BY doc_id"
+    )
+
+
+# ------------------------- trigram Kneser-Ney LM scoring (lm3, r6)
+LM3_DISCOUNT = 0.75  # absolute discount D (the standard KN setting)
+
+
+def lm_score_trigram_kn(
+    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+) -> DataFrame:
+    """Interpolated trigram Kneser-Ney cross-entropy per document — the
+    next rung up the KenLM ladder from :func:`lm_score_bigram`, and a
+    different smoothing FAMILY: absolute discounting with continuation
+    counts (Kneser & Ney 1995) instead of add-one interpolation.
+
+    Model (trained on the scored corpus; D = LM3_DISCOUNT):
+
+    - p1(t)       = (N1+(.,t) + 1) / (NBT + V) — the CONTINUATION
+      unigram: how many distinct words precede t, over the distinct-
+      bigram-type total (add-one so corpus-initial-only tokens never
+      zero out);
+    - p2(t|u)     = max(c(u,t)-D, 0)/c(u) + (D * N1+(u,.)/c(u)) * p1(t);
+    - p3(t|u,v)   = max(c(u,v,t)-D, 0)/c(u,v)
+                    + (D * N1+(u,v,.)/c(u,v)) * p2(t|v).
+
+    Position 1 scores p1, position 2 scores p2, positions >= 3 score
+    p3 — every factor exists because the model is trained on the same
+    corpus (observed grams have count >= 1), except the continuation
+    count of a strictly-corpus-initial token, which the add-one absorbs.
+
+    Why it earns its slice: KN continuation probability demotes tokens
+    that are frequent only inside one fixed collocation, and the
+    trigram context detects reorderings that leave the BIGRAM multiset
+    intact — a document with exactly the corpus' bigram statistics but
+    alien trigram order scores high here and identically to its
+    ordered twin under lm2 (tested).
+
+    Float discipline: per-position integer micro-nats before the doc
+    sum (the lm_score rule). 100 TB shape: every model table is a
+    token-keyed hash aggregate (uni, bi, tri, the two follower counts
+    and the continuation count — "two more hash-aggs" on top of lm2)
+    broadcast back over the positional streams; the only wide exchanges
+    carry id/token rows; no collect().
+    """
+    from talna_spark.pipeline.scan import fan_out
+
+    D = float(LM3_DISCOUNT)
+    d = fan_out(_docs(spark, sf_dir))
+    w = tokens(F.col("text"))
+
+    tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
+        eager=False
+    )
+    pair_structs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(w)),
+            lambda i: F.struct(
+                F.element_at(w, i - 1).alias("t1"),
+                F.element_at(w, i).alias("t2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    pairs = (
+        d.select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    tri_structs = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(3), F.size(w)),
+            lambda i: F.struct(
+                F.element_at(w, i - 2).alias("t1"),
+                F.element_at(w, i - 1).alias("t2"),
+                F.element_at(w, i).alias("t3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<t1:string,t2:string,t3:string>>")
+    )
+    tris = (
+        d.select("doc_id", F.explode(tri_structs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.t1").alias("t1"),
+            F.col("p.t2").alias("t2"),
+            F.col("p.t3").alias("t3"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
+    tri = tris.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("c3"))
+    n3f = tris.groupBy("t1", "t2").agg(
+        F.countDistinct("t3").alias("n3f")
+    )
+    # bi already holds one row per distinct pair: follower / continuation
+    # counts are plain COUNT(*) re-aggregates of it
+    n2f = bi.groupBy("t1").agg(F.count(F.lit(1)).alias("n2f"))
+    cont = bi.groupBy("t2").agg(F.count(F.lit(1)).alias("cont"))
+    totals = (
+        uni.agg(F.count(F.lit(1)).alias("v_size"))
+        .crossJoin(bi.agg(F.count(F.lit(1)).alias("nbt")))
+    )
+    if broadcast_vocab:
+        uni, bi, tri, n3f, n2f, cont = (
+            F.broadcast(x) for x in (uni, bi, tri, n3f, n2f, cont)
+        )
+
+    def p1(cont_col):
+        return (cont_col + 1.0) / (F.col("nbt") + F.col("v_size"))
+
+    def p2(c2_col, c1_col, n2f_col, p1_expr):
+        return (
+            F.greatest(c2_col - D, F.lit(0.0)) / c1_col
+            + (D * n2f_col / c1_col) * p1_expr
+        )
+
+    micro = lambda p: F.round(-F.log(p) * 1_000_000).cast("long")  # noqa: E731
+
+    # position 1: continuation unigram (LEFT join — a token that only
+    # ever starts documents has no continuation row; add-one covers it)
+    first_scores = (
+        d.select("doc_id", F.element_at(w, 1).alias("t2"))
+        .join(uni.select(F.col("token").alias("t2")), "t2")
+        .join(cont, "t2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id", micro(p1(F.coalesce(F.col("cont"), F.lit(0)))).alias("micro")
+        )
+    )
+    # position 2: bigram KN (all factors exist: the pair was observed)
+    second_scores = (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.element_at(w, 1).alias("t1"),
+            F.element_at(w, 2).alias("t2"),
+        )
+        .join(bi, ["t1", "t2"])
+        .join(
+            uni.select(F.col("token").alias("t1"), F.col("c").alias("c1")),
+            "t1",
+        )
+        .join(n2f, "t1")
+        .join(cont, "t2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            micro(
+                p2(F.col("c2"), F.col("c1"), F.col("n2f"), p1(F.col("cont")))
+            ).alias("micro"),
+        )
+    )
+    # positions >= 3: trigram KN backing off through bigram (t2, t3)
+    tri_scores = (
+        tris.join(tri, ["t1", "t2", "t3"])
+        .join(
+            bi.select(
+                F.col("t1").alias("t1"),
+                F.col("t2").alias("t2"),
+                F.col("c2").alias("c2_12"),
+            ),
+            ["t1", "t2"],
+        )
+        .join(n3f, ["t1", "t2"])
+        .join(
+            bi.select(
+                F.col("t1").alias("t2"),
+                F.col("t2").alias("t3"),
+                F.col("c2").alias("c2_23"),
+            ),
+            ["t2", "t3"],
+        )
+        .join(
+            uni.select(F.col("token").alias("t2"), F.col("c").alias("c1_2")),
+            "t2",
+        )
+        .join(n2f.select(F.col("t1").alias("t2"), F.col("n2f")), "t2")
+        .join(cont.select(F.col("t2").alias("t3"), F.col("cont")), "t3")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            micro(
+                F.greatest(F.col("c3") - D, F.lit(0.0)) / F.col("c2_12")
+                + (D * F.col("n3f") / F.col("c2_12"))
+                * p2(
+                    F.col("c2_23"),
+                    F.col("c1_2"),
+                    F.col("n2f"),
+                    p1(F.col("cont")),
+                )
+            ).alias("micro"),
+        )
+    )
+    return (
+        first_scores.unionByName(second_scores)
+        .unionByName(tri_scores)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("micro") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+            ).alias("xent3"),
+        )
+    )
+
+
+def lm_score_trigram_kn_sql() -> str:
+    w = tokens_sql("text")
+    D = float(LM3_DISCOUNT)
+    p1 = "((cont + 1.0) / (nbt + v_size))"
+    p1_first = "((COALESCE(cont, 0) + 1.0) / (nbt + v_size))"
+
+    def p2(c2, c1, n2f, p1e):
+        return (
+            f"(GREATEST({c2} - {D}, 0.0) / {c1} "
+            f"+ ({D} * {n2f} / {c1}) * {p1e})"
+        )
+
+    def micro(p):
+        return f"CAST(ROUND(-ln({p}) * 1000000) AS BIGINT)"
+
+    p3 = (
+        f"(GREATEST(c3 - {D}, 0.0) / c2_12 "
+        f"+ ({D} * n3f / c2_12) * {p2('c2_23', 'c1_2', 'n2f', p1)})"
+    )
+    # MATERIALIZED: DuckDB inlines plain CTEs, and the multi-join
+    # tri_scores stage over re-inlined unnest subtrees planned 1000x
+    # slower (159 s for 27k rows at sf0.001, measured); materializing
+    # the token/gram tables mirrors the Spark side's localCheckpoints
+    return (
+        f"WITH d AS MATERIALIZED (SELECT doc_id, {w} AS w FROM documents), "
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS token FROM d), "
+        "pairs AS MATERIALIZED (SELECT doc_id, w[i - 1] AS t1, w[i] AS t2 "
+        "FROM d, unnest(generate_series(2, len(w))) AS s(i)), "
+        "tris AS MATERIALIZED (SELECT doc_id, w[i - 2] AS t1, w[i - 1] AS t2, "
+        "w[i] AS t3 FROM d, unnest(generate_series(3, len(w))) AS s(i)), "
+        "uni AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), "
+        "bi AS MATERIALIZED (SELECT t1, t2, COUNT(*) AS c2 FROM pairs GROUP BY t1, t2), "
+        "tri AS MATERIALIZED (SELECT t1, t2, t3, COUNT(*) AS c3 FROM tris "
+        "GROUP BY t1, t2, t3), "
+        "n3f AS MATERIALIZED (SELECT t1, t2, COUNT(DISTINCT t3) AS n3f FROM tris "
+        "GROUP BY t1, t2), "
+        "n2f AS MATERIALIZED (SELECT t1, COUNT(*) AS n2f FROM bi GROUP BY t1), "
+        "contt AS MATERIALIZED (SELECT t2, COUNT(*) AS cont FROM bi GROUP BY t2), "
+        "tot AS (SELECT (SELECT COUNT(*) FROM uni) AS v_size, "
+        "(SELECT COUNT(*) FROM bi) AS nbt), "
+        "first_scores AS (SELECT doc_id, "
+        f"{micro(p1_first)} AS micro "
+        "FROM (SELECT doc_id, w[1] AS t2 FROM d) f "
+        "JOIN uni ON f.t2 = uni.token "
+        "LEFT JOIN contt USING (t2) CROSS JOIN tot), "
+        "second_scores AS (SELECT doc_id, "
+        + micro(p2("c2", "c1", "n2f", p1))
+        + " AS micro "
+        "FROM (SELECT doc_id, w[1] AS t1, w[2] AS t2 FROM d "
+        "WHERE len(w) >= 2) s "
+        "JOIN bi USING (t1, t2) "
+        "JOIN (SELECT token AS t1, c AS c1 FROM uni) USING (t1) "
+        "JOIN n2f USING (t1) JOIN contt USING (t2) CROSS JOIN tot), "
+        "tri_scores AS (SELECT doc_id, "
+        f"{micro(p3)} AS micro "
+        "FROM tris "
+        "JOIN tri USING (t1, t2, t3) "
+        "JOIN (SELECT t1, t2, c2 AS c2_12 FROM bi) USING (t1, t2) "
+        "JOIN n3f USING (t1, t2) "
+        "JOIN (SELECT t1 AS t2, t2 AS t3, c2 AS c2_23 FROM bi) "
+        "USING (t2, t3) "
+        "JOIN (SELECT token AS t2, c AS c1_2 FROM uni) USING (t2) "
+        "JOIN (SELECT t1 AS t2, n2f FROM n2f) USING (t2) "
+        "JOIN (SELECT t2 AS t3, cont FROM contt) USING (t3) "
+        "CROSS JOIN tot), "
+        "allscores AS (SELECT * FROM first_scores "
+        "UNION ALL SELECT * FROM second_scores "
+        "UNION ALL SELECT * FROM tri_scores) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        "ROUND(SUM(micro) / (COUNT(*) * 1000000.0), 6) AS xent3 "
         "FROM allscores GROUP BY doc_id"
     )

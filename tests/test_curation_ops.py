@@ -187,8 +187,16 @@ def test_new_ops_partitioning_independent(spark, span_dir):
             .repartition(5)
             .write.parquet(f"{d2}/documents.parquet")
         )
-        assert sorted(map(tuple, dup_spans(spark, d2, parallelism=3).collect())) == base["spans"]
-        assert sorted(map(tuple, dup_span_clean(spark, d2, parallelism=3).collect())) == base["clean"]
+        # repartition-independence ALSO under the shared scan fan-out
+        # (r6: the env knob replaced the per-op parallelism params)
+        import os as _os
+
+        _os.environ["TALNA_MIN_SCAN_TASKS"] = "3"
+        try:
+            assert sorted(map(tuple, dup_spans(spark, d2).collect())) == base["spans"]
+            assert sorted(map(tuple, dup_span_clean(spark, d2).collect())) == base["clean"]
+        finally:
+            del _os.environ["TALNA_MIN_SCAN_TASKS"]
         assert sorted(map(tuple, lm_score(spark, d2).collect())) == base["lm"]
     finally:
         import shutil as _sh
@@ -503,3 +511,67 @@ def test_lm_bigram_sees_context_unigram_cannot(spark, tmp_path):
     oracle = {row[0]: row for row in con.execute(lm_score_bigram_sql()).fetchall()}
     for did, r in got.items():
         assert oracle[did] == (did, r["n_tokens"], r["xent2"]), did
+
+
+def test_lm3_context_sensitivity_beyond_bigrams(spark, tmp_path):
+    """The test lm2 CANNOT pass (VERDICT r5 item 8): two documents with
+    IDENTICAL bigram multisets but different trigram order — 'a b a c
+    a d' vs 'a c a b a d' (both have pairs {ab, ba, ac, ca, ad}).
+    The corpus makes the first ordering frequent; the bigram model
+    assigns both docs the same score by construction, while the
+    trigram-KN model must score the common ordering strictly lower."""
+    import duckdb
+
+    from talna_spark.pipeline.text import (
+        lm_score_bigram, lm_score_trigram_kn, lm_score_trigram_kn_sql,
+    )
+
+    rows = [(i, "a b a c a d", "en", "s", 11) for i in range(10)]
+    rows.append((100, "a c a b a d", "en", "s", 11))
+    d = str(tmp_path / "lm3")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    lm2 = {r["doc_id"]: r["xent2"] for r in lm_score_bigram(spark, d).collect()}
+    assert lm2[0] == lm2[100], "bigram multiset identical => lm2 blind"
+
+    lm3 = {r["doc_id"]: r["xent3"] for r in lm_score_trigram_kn(spark, d).collect()}
+    assert lm3[0] < lm3[100], "trigram KN must prefer the frequent ordering"
+
+    # cross-engine on the same fixture
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {r[0]: r[2] for r in con.execute(lm_score_trigram_kn_sql()).fetchall()}
+    for did, x in lm3.items():
+        assert oracle[did] == x, (did, oracle[did], x)
+
+
+def test_lm3_kneser_ney_continuation_demotes_collocation_tokens(spark, tmp_path):
+    """KN's signature behavior: a token frequent ONLY inside one fixed
+    collocation ('francisco' after 'san') gets a LOW continuation
+    unigram even though its raw count is high. Scored at position 1
+    (where only the continuation unigram applies), such a token must
+    cost more nats than an equally-frequent token with many distinct
+    predecessors."""
+    from talna_spark.pipeline.text import lm_score_trigram_kn
+
+    rows = [
+        (i, f"ctx{i} deal ctx{i + 50} deal san francisco", "en", "s", 1)
+        for i in range(8)
+    ]
+    # probe docs: position 1 is the token under test
+    rows.append((200, "francisco deal", "en", "s", 1))
+    rows.append((201, "deal francisco", "en", "s", 1))
+    d = str(tmp_path / "kn")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    # 'francisco' appears 9x, always after 'san' (cont=2: 'san' and
+    # 'deal' from doc 201); 'deal' appears many times after MANY
+    # distinct predecessors (cont >> 2). First-position cost must be
+    # higher for the collocation-bound token.
+    out = {r["doc_id"]: r["xent3"] for r in lm_score_trigram_kn(spark, d).collect()}
+    assert out[200] > out[201]

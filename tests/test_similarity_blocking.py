@@ -258,3 +258,43 @@ def test_kmeans_assign_is_map_side_only(spark):
     plan = kmeans_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_assign_centroids_broadcast_fallback_bit_identical(spark):
+    """r6 (VERDICT r5 item 4): above CENTROID_LITERAL_MAX the
+    assignment switches from k x d literal expressions to a broadcast
+    centroids DataFrame + struct-min argmin. Both strategies must be
+    BIT-identical (same 6-dp rounding, same lowest-cid tie-break) —
+    forced here by running the same centroid set through both paths via
+    the literal_max knob — and the join path must broadcast."""
+    from talna_spark.pipeline.similarity import _emb, assign_centroids, kmeans_centroids
+
+    e = _emb(spark, "/root/testdata/sf0.001")
+    cents, _ = kmeans_centroids(e, k=6, iters=2)
+    lit = sorted(
+        map(tuple, assign_centroids(e, cents, literal_max=10**6)
+            .select("vec_id", "cid", "d2").collect())
+    )
+    jn = sorted(
+        map(tuple, assign_centroids(e, cents, literal_max=0)
+            .select("vec_id", "cid", "d2").collect())
+    )
+    assert lit == jn
+    plan = (
+        assign_centroids(e, cents, literal_max=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # duplicate-distance determinism: a tie must pick the LOWEST cid on
+    # both paths — force one by duplicating a centroid
+    dup = cents + [cents[0]]
+    lit2 = sorted(
+        map(tuple, assign_centroids(e, dup, literal_max=10**6)
+            .select("vec_id", "cid").collect())
+    )
+    jn2 = sorted(
+        map(tuple, assign_centroids(e, dup, literal_max=0)
+            .select("vec_id", "cid").collect())
+    )
+    assert lit2 == jn2
+    assert all(c != len(dup) - 1 for _, c in jn2)  # dup centroid never wins
