@@ -634,7 +634,7 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All seven REAL dependency-free codecs (pipeline.multimodal) as
+    """All eight REAL dependency-free codecs (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
     zlib inflate + all five scanline filters), JPEG (baseline grayscale:
@@ -642,7 +642,10 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame chunks, every-2nd-frame sampling over bottom-up DIB frames;
     r5 — the VIDEO leg), MJPEG-in-AVI (r6 — the ENTROPY-CODED video
     leg: '00dc' chunks each a complete huffman-coded baseline JFIF,
-    decoded on the same sampling stride), and PDF (xref-offset object
+    decoded on the same sampling stride), FLAC (r6 — the ENTROPY-CODED
+    audio leg: Rice-coded fixed-prediction subset per RFC 9639, with
+    CRC-8/CRC-16 and STREAMINFO-md5 verification of the decoded PCM),
+    and PDF (xref-offset object
     walk + FlateDecode inflate + Tj/TJ text reassembly; r5 — the
     DOCUMENT-format leg). Each
     oracle recomputes every decoded field by independent doc_id
@@ -693,6 +696,11 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_frames", "n_sampled", "mean_px", "checksum",
         "mjpeg",
     )
+    flac = norm(
+        _mm.flac_decode(spark, sf_dir),
+        "n_samples", "sample_rate", "bps", "pred_order",
+        "mean_amp", "checksum", "flac",
+    )
     pdf = norm(
         _mm.pdf_extract(spark, sf_dir),
         "n_objects", "n_pages", "n_literals", "compressed",
@@ -700,7 +708,8 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         wav.unionByName(bmp).unionByName(png).unionByName(jpg)
-        .unionByName(avi).unionByName(mjpeg).unionByName(pdf)
+        .unionByName(avi).unionByName(mjpeg).unionByName(flac)
+        .unionByName(pdf)
     )
 
 
@@ -731,6 +740,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.mjpeg_decode_sql(), "width", "height", "n_frames",
                "n_sampled", "mean_px", "checksum", "mjpeg")
+        + " UNION ALL "
+        + norm(_mm.flac_decode_sql(), "n_samples", "sample_rate", "bps",
+               "pred_order", "mean_amp", "checksum", "flac")
         + " UNION ALL "
         + norm(_mm.pdf_extract_sql(), "n_objects", "n_pages", "n_literals",
                "compressed", "text_len", "text_hash", "pdf")

@@ -87,9 +87,11 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             raise NotImplementedError(
                 f"decoder for {media_type!r} not available in this environment "
-                "(remaining STUB seam: entropy-coded AUDIO only — MP3/AAC. "
+                "(remaining STUB seam: PERCEPTUAL audio codecs only — "
+                "MP3/AAC need psychoacoustic filterbanks no stdlib carries. "
                 "Real decoders on this same seam: WAV, BMP, PNG, JPEG, AVI, "
-                "MJPEG-in-AVI, PDF — see the *_decode_payloads functions)"
+                "MJPEG-in-AVI, FLAC, PDF — see the *_decode_payloads "
+                "functions; FLAC covers the entropy-coded audio family)"
             )
 
         for pdf in batches:
@@ -1755,6 +1757,391 @@ def mjpeg_decode_sql() -> str:
         "CAST(nf AS BIGINT) AS n_frames, "
         f"CAST((nf - 1) // {AVI_SAMPLE_EVERY} + 1 AS BIGINT) AS n_sampled, "
         "(ROUND(m.mean_px, 6) + 0) AS mean_px, "
+        "CAST(m.cks AS BIGINT) AS checksum "
+        "FROM d JOIN m USING (doc_id)"
+    )
+
+
+# --------------------------------------------------------------- FLAC codec
+# The ENTROPY-CODED AUDIO leg (r6): a real FLAC encoder/decoder pair for
+# the fixed-predictor mono-16-bit subset (RFC 9639) — Rice/Golomb
+# residual coding IS an entropy code, so this closes the last declared
+# codec-seam family. The writer emits spec-layout streams (fLaC magic,
+# STREAMINFO with the PCM md5, frame header with CRC-8, fixed-predictor
+# subframe, one Rice partition, frame CRC-16); the decoder reverses the
+# bit stream, verifies BOTH CRCs AND the STREAMINFO md5 of the decoded
+# PCM — a one-bit error anywhere in rice coding, prediction
+# reconstruction or bit packing fails loudly. Samples are closed-form
+# in doc_id so the DuckDB oracle recomputes every stat independently.
+FLAC_SCHEMA = (
+    "doc_id long, media_type string, n_samples long, sample_rate long, "
+    "bps long, pred_order long, mean_amp double, checksum long"
+)
+FLAC_SAMPLE_RATE = 8000
+
+
+def _flac_params(doc_id: int) -> tuple[int, int, int]:
+    # (n_samples, fixed predictor order 0..2, rice parameter)
+    return 64 + doc_id % 129, doc_id % 3, 4 + doc_id % 4
+
+
+def _flac_sample(did: int, i: int) -> int:
+    return ((did * 13 + i * 7) % 201) - 100
+
+
+def flac_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one FLAC blob per document: mono 16-bit, one frame,
+    fixed predictor of order doc_id % 3 (all three fixed predictors are
+    exercised across the corpus), residuals Rice-coded with parameter
+    4 + doc_id % 4 in a single partition. Sample i is
+    ((doc_id*13 + i*7) % 201) - 100 — lossless, so the decoder's output
+    equals this closed form exactly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    sr = FLAC_SAMPLE_RATE
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        class BitWriter:
+            def __init__(self):
+                self.buf = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def write(self, value: int, bits: int) -> None:
+                self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+                self.n += bits
+                while self.n >= 8:
+                    self.n -= 8
+                    self.buf.append((self.acc >> self.n) & 0xFF)
+
+            def pad_to_byte(self) -> None:
+                if self.n:
+                    self.write(0, 8 - self.n)
+
+        def crc8(data: bytes) -> int:
+            c = 0
+            for b in data:
+                c ^= b
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            return c
+
+        def crc16(data: bytes) -> int:
+            c = 0
+            for b in data:
+                c ^= b << 8
+                for _ in range(8):
+                    c = (
+                        ((c << 1) ^ 0x8005) & 0xFFFF
+                        if c & 0x8000
+                        else (c << 1) & 0xFFFF
+                    )
+            return c
+
+        def encode(did: int) -> bytes:
+            n = 64 + did % 129
+            order = did % 3
+            k = 4 + did % 4
+            s = [((did * 13 + i * 7) % 201) - 100 for i in range(n)]
+            pcm_md5 = hashlib.md5(
+                b"".join(struct.pack("<h", x) for x in s)
+            ).digest()
+            # STREAMINFO (34 bytes)
+            si = BitWriter()
+            si.write(n, 16)          # min blocksize
+            si.write(n, 16)          # max blocksize
+            si.write(0, 24)          # min framesize unknown
+            si.write(0, 24)          # max framesize unknown
+            si.write(sr, 20)
+            si.write(0, 3)           # channels - 1 (mono)
+            si.write(15, 5)          # bps - 1
+            si.write(n, 36)          # total samples
+            info = bytes(si.buf) + pcm_md5
+            header = (
+                b"fLaC"
+                + bytes([0x80])      # last-metadata-block, type 0
+                + struct.pack(">I", len(info))[1:]  # 24-bit length
+                + info
+            )
+            # FRAME header
+            fh = BitWriter()
+            fh.write(0b11111111111110, 14)  # sync
+            fh.write(0, 1)                  # reserved
+            fh.write(0, 1)                  # fixed-blocksize stream
+            fh.write(0b0111, 4)             # blocksize: 16-bit at end
+            fh.write(0b0000, 4)             # sample rate: from STREAMINFO
+            fh.write(0b0000, 4)             # channel: mono
+            fh.write(0b100, 3)              # sample size: 16 bps
+            fh.write(0, 1)                  # reserved
+            fh.write(0x00, 8)               # UTF-8 frame number 0
+            fh.write(n - 1, 16)             # blocksize - 1
+            fh.pad_to_byte()
+            hdr_bytes = bytes(fh.buf)
+            frame = BitWriter()
+            for b in hdr_bytes:
+                frame.write(b, 8)
+            frame.write(crc8(hdr_bytes), 8)
+            # SUBFRAME: fixed predictor
+            frame.write(0, 1)                       # zero pad bit
+            frame.write(0b001000 | order, 6)        # SUBFRAME_FIXED
+            frame.write(0, 1)                       # no wasted bits
+            for i in range(order):                  # warm-up samples
+                frame.write(s[i] & 0xFFFF, 16)
+            # residuals
+            if order == 0:
+                res = s[:]
+            elif order == 1:
+                res = [s[i] - s[i - 1] for i in range(1, n)]
+            else:
+                res = [
+                    s[i] - 2 * s[i - 1] + s[i - 2] for i in range(2, n)
+                ]
+            frame.write(0b00, 2)   # rice method, 4-bit parameters
+            frame.write(0, 4)      # partition order 0 -> one partition
+            frame.write(k, 4)      # rice parameter
+            for r in res:
+                z = (r << 1) if r >= 0 else (-(r << 1) - 1)  # zigzag fold
+                q = z >> k
+                frame.write(0, q)      # q zero bits ...
+                frame.write(1, 1)      # ... then the terminating 1
+                frame.write(z & ((1 << k) - 1), k)
+            frame.pad_to_byte()
+            body = bytes(frame.buf)
+            return header + body + struct.pack(">H", crc16(body))
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "audio/flac",
+                    "payload": [encode(int(i)) for i in ids],
+                }
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flac_decode_payloads(flac_media_table(spark, sf_dir))
+
+
+def flac_decode_payloads(media: DataFrame) -> DataFrame:
+    """Decode FLAC payloads (fixed-predictor mono-16 subset): STREAMINFO
+    parse, frame-header bit parse with CRC-8 verification, subframe
+    type dispatch, warm-up + Rice residual entropy decode (unary
+    quotient, k-bit remainder, zigzag unfold), fixed-prediction
+    reconstruction, frame CRC-16 verification, and — the killer check —
+    the md5 of the reconstructed PCM must equal STREAMINFO's stored
+    md5. checksum = sum(sample * (i+1)); constant-order/LPC/stereo
+    streams are rejected loudly."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        class BitReader:
+            def __init__(self, data: bytes, pos: int = 0):
+                self.data = data
+                self.byte = pos
+                self.bit = 0
+
+            def read(self, bits: int) -> int:
+                v = 0
+                for _ in range(bits):
+                    b = self.data[self.byte]
+                    v = (v << 1) | ((b >> (7 - self.bit)) & 1)
+                    self.bit += 1
+                    if self.bit == 8:
+                        self.bit = 0
+                        self.byte += 1
+                return v
+
+            def read_unary(self) -> int:
+                q = 0
+                while self.read(1) == 0:
+                    q += 1
+                return q
+
+            def align(self) -> None:
+                if self.bit:
+                    self.bit = 0
+                    self.byte += 1
+
+        def crc8(data: bytes) -> int:
+            c = 0
+            for b in data:
+                c ^= b
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            return c
+
+        def crc16(data: bytes) -> int:
+            c = 0
+            for b in data:
+                c ^= b << 8
+                for _ in range(8):
+                    c = (
+                        ((c << 1) ^ 0x8005) & 0xFFFF
+                        if c & 0x8000
+                        else (c << 1) & 0xFFFF
+                    )
+            return c
+
+        def parse(blob: bytes):
+            if blob[:4] != b"fLaC":
+                raise ValueError("not a FLAC payload (missing fLaC)")
+            pos = 4
+            streaminfo = None
+            while True:
+                hdr = blob[pos]
+                last, btype = hdr >> 7, hdr & 0x7F
+                (ln,) = struct.unpack(">I", b"\x00" + blob[pos + 1 : pos + 4])
+                body = blob[pos + 4 : pos + 4 + ln]
+                if btype == 0:
+                    streaminfo = body
+                pos += 4 + ln
+                if last:
+                    break
+            if streaminfo is None:
+                raise ValueError("missing STREAMINFO")
+            si = BitReader(streaminfo)
+            si.read(16)  # min blocksize
+            si.read(16)  # max blocksize
+            si.read(24)
+            si.read(24)
+            sr = si.read(20)
+            ch = si.read(3) + 1
+            bps = si.read(5) + 1
+            total = si.read(36)
+            want_md5 = streaminfo[18:34]
+            if ch != 1 or bps != 16:
+                raise ValueError(
+                    f"only mono 16-bit FLAC supported (ch={ch}, bps={bps})"
+                )
+            # FRAME
+            frame_start = pos
+            fr = BitReader(blob, pos)
+            if fr.read(14) != 0b11111111111110:
+                raise ValueError("bad frame sync")
+            fr.read(1)                 # reserved
+            fr.read(1)                 # blocking strategy
+            bs_code = fr.read(4)
+            sr_code = fr.read(4)
+            ch_code = fr.read(4)
+            ss_code = fr.read(3)
+            fr.read(1)                 # reserved
+            fnum = fr.read(8)          # UTF-8 frame number (frame 0 only)
+            if fnum & 0x80:
+                raise ValueError("multi-byte frame numbers unsupported")
+            if bs_code != 0b0111:
+                raise ValueError("only end-of-header 16-bit blocksize supported")
+            n = fr.read(16) + 1
+            if sr_code != 0 or ch_code != 0 or ss_code != 0b100:
+                raise ValueError("stream parameters disagree with subset")
+            fr.align()
+            hdr_len = fr.byte - frame_start
+            if crc8(blob[frame_start : frame_start + hdr_len]) != blob[fr.byte]:
+                raise ValueError("frame header CRC-8 mismatch")
+            fr.byte += 1
+            # SUBFRAME
+            if fr.read(1) != 0:
+                raise ValueError("invalid subframe padding bit")
+            stype = fr.read(6)
+            if not (0b001000 <= stype <= 0b001100):
+                raise ValueError(
+                    f"only fixed-predictor subframes supported (type={stype:06b})"
+                )
+            order = stype & 0b000111
+            if fr.read(1) != 0:
+                raise ValueError("wasted bits unsupported")
+            s = []
+            for _ in range(order):
+                v = fr.read(16)
+                s.append(v - 65536 if v >= 32768 else v)
+            if fr.read(2) != 0b00:
+                raise ValueError("only 4-bit rice parameters supported")
+            if fr.read(4) != 0:
+                raise ValueError("only partition order 0 supported")
+            k = fr.read(4)
+            res = []
+            for _ in range(n - order):
+                q = fr.read_unary()
+                z = (q << k) | fr.read(k)
+                res.append(z >> 1 if (z & 1) == 0 else -((z + 1) >> 1))
+            for r in res:  # fixed-prediction reconstruction
+                if order == 0:
+                    s.append(r)
+                elif order == 1:
+                    s.append(r + s[-1])
+                else:
+                    s.append(r + 2 * s[-1] - s[-2])
+            fr.align()
+            (want_crc16,) = struct.unpack(">H", blob[fr.byte : fr.byte + 2])
+            if crc16(blob[frame_start : fr.byte]) != want_crc16:
+                raise ValueError("frame CRC-16 mismatch")
+            if len(s) != n or n != total:
+                raise ValueError("sample count mismatch")
+            got_md5 = hashlib.md5(
+                b"".join(struct.pack("<h", x) for x in s)
+            ).digest()
+            if got_md5 != want_md5:
+                raise ValueError("decoded PCM md5 disagrees with STREAMINFO")
+            mean = sum(s) / n
+            cks = sum(x * (i + 1) for i, x in enumerate(s))
+            return n, sr, bps, order, mean, cks
+
+        for pdf in batches:
+            rows = [parse(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_samples": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "bps": [r[2] for r in rows],
+                    "pred_order": [r[3] for r in rows],
+                    "mean_amp": [r[4] for r in rows],
+                    "checksum": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_decode, schema=FLAC_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "n_samples",
+        "sample_rate",
+        "bps",
+        "pred_order",
+        round6("mean_amp").alias("mean_amp"),
+        "checksum",
+    )
+
+
+def flac_decode_sql() -> str:
+    """Oracle: closed-form sample stats from doc_id arithmetic — no FLAC
+    parsing in SQL, so bit packing, Rice entropy coding, CRCs and the
+    prediction reconstruction must all be exact on both sides."""
+    return (
+        "WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n, "
+        "doc_id % 3 AS ord FROM documents), "
+        "s AS (SELECT doc_id, n, ord, "
+        "unnest(generate_series(0, n - 1)) AS i FROM d), "
+        "v AS (SELECT doc_id, (doc_id * 13 + i * 7) % 201 - 100 AS px, "
+        "i + 1 AS wt FROM s), "
+        "m AS (SELECT doc_id, AVG(CAST(px AS DOUBLE)) AS mean_amp, "
+        "SUM(px * wt) AS cks FROM v GROUP BY doc_id) "
+        "SELECT d.doc_id, 'audio/flac' AS media_type, "
+        "CAST(n AS BIGINT) AS n_samples, "
+        f"CAST({FLAC_SAMPLE_RATE} AS BIGINT) AS sample_rate, "
+        "CAST(16 AS BIGINT) AS bps, CAST(ord AS BIGINT) AS pred_order, "
+        "(ROUND(m.mean_amp, 6) + 0) AS mean_amp, "
         "CAST(m.cks AS BIGINT) AS checksum "
         "FROM d JOIN m USING (doc_id)"
     )
