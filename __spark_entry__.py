@@ -62,10 +62,9 @@ _SPEC: dict[str, tuple] = {
     "q18_greedy_sum": ("sum", "app.purchase", "user", "hi:yes", T_JAN10, T_JAN20, 5 * MIN, "greedy"),
     # Q26: time-weighted average (step interpolation; zero-weight buckets dropped)
     "q26_twa": ("twa", "app.purchase", "etype", "*", None, None, 6 * HOUR, "aligned"),
-    # Q29: multi-tag group-by (Datadog-style `by {user,hi}`; the reference
-    # groups by exactly one tag) — composed group "user:V,hi:W"; series
-    # lacking ANY group tag are dropped (O25 generalized)
-    "q29_multigroup": ("avg", "app.purchase", ("user", "hi"), "*", None, None, 6 * HOUR, "aligned"),
+    # Q29 (multi-tag group-by) is registered below as a custom union:
+    # kind=multi (the plain composed-key grouping) + kind=cube (r6
+    # grouping-sets subtotals).
     # Q35: gauge delta — net change across each bucket (struct extrema)
     "q35_delta": ("delta", "app.purchase", "user", "*", None, None, DAY, "aligned"),
 }
@@ -312,14 +311,29 @@ def _q34_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VP_SPEC = ("count", "app.purchase", "user", "*", None, None, HOUR, ">=", 50.0)
+
+
 def _q21_p95_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated statistics registration (driver 50-row cap): exact
-    interpolated p95 + per-bucket sample stddev, tagged by `kind`."""
+    interpolated p95 + per-bucket sample stddev + (r6) the row-level
+    VALUE predicate (`where_value` — §2.2 notes the reference has no
+    row-level value predicate anywhere), tagged by `kind`."""
     p = _make_query(
         ("p95", "app.purchase", "user", "*", None, None, HOUR, "aligned")
     )(spark, sf_dir).withColumn("kind", F.lit("p95"))
     s = _q34_stddev(spark, sf_dir).withColumn("kind", F.lit("stddev"))
-    return p.unionByName(s)
+    k, metric, grp, flt, st, en, gran, op, x = _VP_SPEC
+    v = (
+        getattr(Database.from_events(spark, sf_dir), k)(metric, grp)
+        .filter(flt)
+        .granularity(gran)
+        .where_value(op, x)
+        .to_df()
+        .withColumn("value", round6("value"))
+        .withColumn("kind", F.lit("valuepred"))
+    )
+    return p.unionByName(s).unionByName(v)
 
 
 _EXT["q21_p95_stddev"] = (
@@ -328,7 +342,52 @@ _EXT["q21_p95_stddev"] = (
     + events_query_sql("p95", "app.purchase", "user", "*", None, None, HOUR)
     + ") UNION ALL SELECT *, 'stddev' AS kind FROM ("
     + events_query_sql("stddev", "app.error", "user", "*", None, None, DAY)
-    + ") WHERE value IS NOT NULL",
+    + ") WHERE value IS NOT NULL "
+    + "UNION ALL SELECT *, 'valuepred' AS kind FROM ("
+    + events_query_sql(
+        _VP_SPEC[0], _VP_SPEC[1], _VP_SPEC[2], _VP_SPEC[3],
+        _VP_SPEC[4], _VP_SPEC[5], _VP_SPEC[6],
+        value_pred=(_VP_SPEC[7], _VP_SPEC[8]),
+    )
+    + ")",
+)
+
+
+_Q29_SPEC = ("avg", "app.purchase", ("user", "hi"), "*", None, None, 6 * HOUR)
+
+
+def _q29_multigroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tag group-by (Datadog-style `by {user,hi}`; the reference
+    groups by exactly one tag) — composed group "user:V,hi:W"; series
+    lacking ANY group tag are dropped (O25 generalized). r6 adds the
+    `cube` kind: grouping-sets subtotals over every subset of the group
+    tags (rolled-up slots as `k:*`), one Expand-style explode + a single
+    hash aggregate — vs DuckDB's NATIVE CUBE + GROUPING() oracle."""
+    kind, metric, grp, flt, st, en, gran = _Q29_SPEC
+    multi = _make_query((kind, metric, grp, flt, st, en, gran, "aligned"))(
+        spark, sf_dir
+    ).withColumn("kind", F.lit("multi"))
+    cube = (
+        getattr(Database.from_events(spark, sf_dir), kind)(metric, grp)
+        .filter(flt)
+        .granularity(gran)
+        .cube()
+        .to_df()
+        .withColumn("value", round6("value"))
+        .withColumn("kind", F.lit("cube"))
+    )
+    return multi.unionByName(cube)
+
+
+from talna_spark.oracle import events_cube_sql  # noqa: E402
+
+_EXT["q29_multigroup"] = (
+    _q29_multigroup,
+    "SELECT *, 'multi' AS kind FROM ("
+    + events_query_sql(*_Q29_SPEC)
+    + ") UNION ALL SELECT *, 'cube' AS kind FROM ("
+    + events_cube_sql(*_Q29_SPEC)
+    + ")",
 )
 
 _EXT["q32_sliding"] = (

@@ -314,9 +314,45 @@ class QueryBuilder:
         self._gapfill: Optional[str] = None
         self._rolling: Optional[int] = None
         self._zscore: Optional[int] = None
+        self._value_pred: Optional[tuple] = None
+        self._cube = False
 
     def filter(self, expr: str) -> "QueryBuilder":
         self._filter = expr
+        return self
+
+    def where_value(self, op: str, threshold: float) -> "QueryBuilder":
+        """Row-level VALUE predicate (extension: the reference's filters
+        are series-level only — SURVEY §2.2 notes 'no row-level value
+        predicate anywhere'): keep points whose value satisfies
+        ``op threshold`` (op in > >= < <= == !=) before bucketing. The
+        predicate pushes into the fact scan with the tag/time predicates
+        (Catalyst reaches the parquet PushedFilters) and disables the
+        rollup rewrite (partials can't see row values)."""
+        from talna_spark.oracle import _VALUE_PRED_OPS
+
+        if op not in _VALUE_PRED_OPS:
+            raise InvalidQueryError(f"unknown value predicate op: {op}")
+        self._value_pred = (op, float(threshold))
+        return self
+
+    def cube(self) -> "QueryBuilder":
+        """Grouping-sets subtotals (extension: §2.2 'no grouping
+        sets/cube/rollup' in the reference): with a multi-tag group_by,
+        aggregate every SUBSET of the group tags in one pass — rolled-up
+        slots appear as ``k:*`` in the composed group key (the all-``*``
+        row is the grand total per bucket). Aligned mode only; requires
+        >= 2 group tags; group-drop (O25) still requires every tag
+        present on a row.
+
+        100 TB shape: the 2^k grouping-set keys are generated by one
+        map-side explode (Spark's own Expand strategy for CUBE), so the
+        plan stays a single hash aggregate over 2^k x rows expanded
+        id-small rows — no repeated scans, no join."""
+        keys = self._group_keys()
+        if len(keys) < 2:
+            raise InvalidQueryError("cube requires at least two group tags")
+        self._cube = True
         return self
 
     def start(self, ts_ns: int) -> "QueryBuilder":
@@ -522,7 +558,7 @@ class QueryBuilder:
             "agg", self._kind, self._metric, self._group_by, self._filter,
             self._start, self._end, self._granularity, self._granularity_set,
             self._mode, self._greedy_slice_width, self._gapfill,
-            self._rolling, self._zscore,
+            self._rolling, self._zscore, self._value_pred, self._cube,
         )
 
     # -- plan assembly (reference `build()`, src/agg/builder.rs:95-140) -----
@@ -545,12 +581,47 @@ class QueryBuilder:
 
     def _build_df(self) -> DataFrame:
         node = parse_filter_query(self._filter)  # may raise InvalidQueryError
-        rollup_df = self._try_rollup(node)
-        if rollup_df is not None:
-            return self._apply_rolling(self._apply_gapfill(rollup_df))
+        if self._value_pred is None and not self._cube:
+            # neither survives the rollup rewrite: partials can't see
+            # row values, and cube changes the grouping key set
+            rollup_df = self._try_rollup(node)
+            if rollup_df is not None:
+                return self._apply_rolling(self._apply_gapfill(rollup_df))
         scan = self._db._backend.scan(self._metric, node, self._start, self._end)
         group_col = self._group_col()
         scan = self._group_drop_filter(scan)
+        if self._value_pred is not None:
+            import operator as _op
+
+            op, x = self._value_pred
+            fn = {
+                ">": _op.gt, ">=": _op.ge, "<": _op.lt,
+                "<=": _op.le, "==": _op.eq, "!=": _op.ne,
+            }[op]
+            scan = scan.filter(fn(F.col("value"), F.lit(x)))
+        if self._cube:
+            if self._mode != "aligned":
+                raise InvalidQueryError("cube requires aligned mode")
+            if (
+                self._gapfill is not None
+                or self._rolling is not None
+                or self._zscore is not None
+            ):
+                raise InvalidQueryError(
+                    "cube cannot combine with gapfill/rolling/zscore"
+                )
+            keys = self._group_keys()
+            combos = []
+            for mask in range(2 ** len(keys)):
+                parts = [
+                    F.concat(F.lit(f"{k}:"), F.col("tags").getItem(k))
+                    if (mask >> i) & 1
+                    else F.lit(f"{k}:*")
+                    for i, k in enumerate(keys)
+                ]
+                combos.append(F.concat_ws(",", *parts))
+            scan = scan.withColumn("_cube_grp", F.explode(F.array(*combos)))
+            group_col = F.col("_cube_grp")
         kind = self._kind
         if kind == "rate":
             # per-series derivative first; buckets then average the

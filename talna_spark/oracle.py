@@ -81,6 +81,9 @@ def _grp_sql(group_by) -> tuple[str, list[str]]:
     return parts, [f"{_tag_lookup(k)} IS NOT NULL" for k in group_by]
 
 
+_VALUE_PRED_OPS = (">", ">=", "<", "<=", "==", "!=")
+
+
 def events_query_sql(
     kind: str,
     metric: str,
@@ -90,10 +93,13 @@ def events_query_sql(
     end: Optional[int] = None,
     granularity: Optional[int] = 60_000_000_000,
     round_value: bool = True,
+    value_pred: Optional[tuple] = None,
 ) -> str:
     """DuckDB SQL equivalent of an aligned-mode events query.
     ``round_value=False`` leaves ``value`` unrounded — for wrappers
-    (rolling) that aggregate bucket values further before rounding."""
+    (rolling) that aggregate bucket values further before rounding.
+    ``value_pred`` = (op, threshold) mirrors QueryBuilder.where_value —
+    the row-level value predicate the reference has no surface for."""
     node = parse_filter_query(flt)
     pred = compile_to_sql(node, _tag_lookup)
     grp, notnull = _grp_sql(group_by)
@@ -102,6 +108,11 @@ def events_query_sql(
         where.append(f"ts >= {int(start)}")
     if end is not None:
         where.append(f"ts <= {int(end)}")
+    if value_pred is not None:
+        op, x = value_pred
+        if op not in _VALUE_PRED_OPS:
+            raise ValueError(f"unknown value predicate op: {op}")
+        where.append(f"value {'=' if op == '==' else op} {float(x)!r}")
     src = "pts"
     having = ""
     if kind == "distinct_series":
@@ -567,4 +578,49 @@ def events_histogram_sql(
         f"{round6_sql(f'({lo!r} + (bin + 1) * {binw!r})')} AS bin_hi, "
         f"COUNT(*) AS n "
         f"FROM b GROUP BY grpv, bkt, bin"
+    )
+
+
+def events_cube_sql(
+    kind: str,
+    metric: str,
+    group_by,
+    flt: str = "*",
+    start: Optional[int] = None,
+    end: Optional[int] = None,
+    granularity: Optional[int] = 60_000_000_000,
+) -> str:
+    """DuckDB SQL twin of QueryBuilder.cube() — grouping-sets subtotals
+    via DuckDB's NATIVE ``CUBE`` + ``GROUPING()`` (a genuinely
+    independent algorithm from the Spark side's explode/Expand): every
+    subset of the group tags aggregates, rolled-up slots shown as
+    ``k:*`` in the composed group key. Group-drop (O25) still applies:
+    rows must carry ALL group tags."""
+    if isinstance(group_by, str) or len(tuple(group_by)) < 2:
+        raise ValueError("cube requires at least two group tags")
+    keys = tuple(group_by)
+    node = parse_filter_query(flt)
+    pred = compile_to_sql(node, _tag_lookup)
+    _, notnull = _grp_sql(keys)
+    where = [f"metric = '{metric}'", f"({pred})"] + notnull
+    if start is not None:
+        where.append(f"ts >= {int(start)}")
+    if end is not None:
+        where.append(f"ts <= {int(end)}")
+    grp = " || ',' || ".join(
+        f"'{k}:' || CASE WHEN GROUPING({_tag_lookup(k)}) = 1 "
+        f"THEN '*' ELSE {_tag_lookup(k)} END"
+        for k in keys
+    )
+    cube_cols = ", ".join(_tag_lookup(k) for k in keys)
+    group_keys = [f"CUBE({cube_cols})"]
+    if granularity is not None:
+        group_keys.insert(0, f"(ts // {int(granularity)})")
+    agg = round6_sql(_agg_sql(kind))
+    return (
+        f"{_PTS_CTE} "
+        f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
+        f"{agg} AS value, COUNT(*) AS len "
+        f"FROM pts WHERE {' AND '.join(where)} "
+        f"GROUP BY {', '.join(group_keys)}"
     )

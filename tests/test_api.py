@@ -131,3 +131,88 @@ def test_stats_inventory(spark, tmp_path):
     assert rows["m.a"]["min_ts"] == 1_000_000_000
     assert rows["m.a"]["max_ts"] == 90_000_000_000_000
     assert rows["m.b"]["n_points"] == 1 and rows["m.b"]["n_series"] == 1
+
+
+def test_where_value_row_level_predicate(spark, tmp_path):
+    """r6: the row-level value predicate (§2.2: absent in the reference).
+    Points below the threshold vanish BEFORE bucketing; the predicate
+    reaches the scan as a pushed filter and disables the rollup
+    rewrite."""
+    import pytest as _pytest
+
+    from talna_spark.database import Database
+    from talna_spark.errors import InvalidQueryError
+    from tests.conftest import make_points
+
+    pts = make_points(spark, [
+        ("m.v", 1_000_000_000, 1.0, {"h": "x"}),
+        ("m.v", 2_000_000_000, 10.0, {"h": "x"}),
+        ("m.v", 3_000_000_000, 20.0, {"h": "x"}),
+    ])
+    db = Database.from_points(spark, pts)
+    rows = (
+        db.avg("m.v", "h").granularity(None).where_value(">=", 10.0)
+        .to_df().collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["value"] == 15.0 and rows[0]["len"] == 2
+    # == and != forms
+    eq = db.count("m.v", "h").granularity(None).where_value("==", 10.0).to_df().collect()
+    assert eq[0]["value"] == 1.0
+    ne = db.count("m.v", "h").granularity(None).where_value("!=", 10.0).to_df().collect()
+    assert ne[0]["value"] == 2.0
+    with _pytest.raises(InvalidQueryError, match="value predicate"):
+        db.avg("m.v", "h").where_value("~", 1.0)
+    # the predicate appears in the scan's pushed filters (no post-agg
+    # filtering of already-bucketed rows)
+    wh = str(tmp_path / "wh_vp")
+    wdb = Database.open(spark, wh)
+    wdb.write_batch(pts)
+    df = wdb.avg("m.v", "h").granularity(None).where_value(">=", 10.0).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(value,10.0)" in plan
+
+
+def test_cube_grouping_sets(spark):
+    """r6 cube(): every subset of the group tags aggregates in ONE pass;
+    the all-star row is the grand total and single-tag rollups match the
+    corresponding plain group-bys exactly."""
+    import pytest as _pytest
+
+    from talna_spark.database import Database
+    from talna_spark.errors import InvalidQueryError
+    from tests.conftest import make_points
+
+    pts = make_points(spark, [
+        ("m.c", 1_000_000_000, 1.0, {"a": "p", "b": "q"}),
+        ("m.c", 2_000_000_000, 3.0, {"a": "p", "b": "r"}),
+        ("m.c", 3_000_000_000, 5.0, {"a": "s", "b": "q"}),
+        ("m.c", 4_000_000_000, 100.0, {"a": "s"}),  # lacks b: dropped (O25)
+    ])
+    db = Database.from_points(spark, pts)
+    rows = {
+        r["grp"]: r
+        for r in db.sum("m.c", ["a", "b"]).granularity(None).cube()
+        .to_df().collect()
+    }
+    assert rows["a:*,b:*"]["value"] == 9.0  # grand total (100 dropped)
+    assert rows["a:p,b:*"]["value"] == 4.0
+    assert rows["a:*,b:q"]["value"] == 9.0 - 3.0
+    assert rows["a:p,b:q"]["value"] == 1.0
+    assert len(rows) == 1 + 2 + 2 + 3  # all + a-rollups + b-rollups + pairs
+    # single-tag rollup rows equal the plain one-tag group-by
+    single = {
+        r["grp"]: r["value"]
+        for r in db.sum("m.c", "a").granularity(None).to_df().collect()
+    }
+    # note: plain group-by-a does NOT drop the b-less row (O25 applies
+    # per group set) — so compare only on the b-carrying subset
+    assert rows["a:p,b:*"]["value"] == single["p"]
+    with _pytest.raises(InvalidQueryError, match="two group tags"):
+        db.sum("m.c", "a").cube()
+    # one Expand-style pass: a single hash-agg pair, no join/repeat scan
+    plan = (
+        db.sum("m.c", ["a", "b"]).granularity(None).cube().to_df()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
