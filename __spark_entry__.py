@@ -435,11 +435,23 @@ _EXT["q37_sessions"] = (
 )
 
 
+_IVAL_W = 6 * HOUR  # interval length for the q38 interval slice
+
+
 def _q38_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each click aligned with the user's most recent purchase
-    at or before it (union-window algorithm, talna_spark.asof). The oracle
-    is DuckDB's NATIVE ASOF JOIN — two different algorithms, one answer."""
-    from talna_spark.asof import asof_join
+    """Time-series join registration, two `kind` slices (r6 adds the
+    second):
+
+    - ``asof``: each click aligned with the user's most recent purchase
+      at or before it (union-window algorithm, talna_spark.asof). The
+      oracle is DuckDB's NATIVE ASOF JOIN — two different algorithms,
+      one answer.
+    - ``interval``: range-containment join (talna_spark.asof
+      .interval_join, bucketized equality-join plan) — each click
+      paired with every purchase interval [ts, ts + 6 h] of the
+      same user containing it; the oracle is DuckDB's plain inequality
+      range join, again an independent algorithm."""
+    from talna_spark.asof import asof_join, interval_join
     from talna_spark.sources.events import points_from_events
 
     pts = points_from_events(spark, sf_dir)
@@ -451,13 +463,30 @@ def _q38_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = asof_join(side("app.click"), side("app.purchase"))
-    return out.select(
+    asof = out.select(
         F.col("key").alias("user"),
         "ts",
         round6("value").alias("click_value"),
         F.col("right_ts").alias("purchase_ts"),
         round6("right_value").alias("purchase_value"),
+        F.lit("asof").alias("kind"),
     )
+    ivs = side("app.purchase").select(
+        "key",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.lit(_IVAL_W)).alias("end"),
+        F.col("value").alias("ival"),
+    )
+    ij = interval_join(side("app.click"), ivs, bucket_width_ns=_IVAL_W)
+    interval = ij.select(
+        F.col("key").alias("user"),
+        "ts",
+        round6("value").alias("click_value"),
+        F.col("start").alias("purchase_ts"),
+        round6("ival").alias("purchase_value"),
+        F.lit("interval").alias("kind"),
+    )
+    return asof.unionByName(interval)
 
 
 from talna_spark.oracle import _PTS_CTE as _PTS  # noqa: E402
@@ -469,10 +498,19 @@ _EXT["q38_asof"] = (
     "WHERE metric = 'app.click' AND tag_user IS NOT NULL), "
     "r AS (SELECT tag_user AS k, ts, MAX(value) AS rv FROM pts "
     "WHERE metric = 'app.purchase' AND tag_user IS NOT NULL "
-    "GROUP BY tag_user, ts) "
+    "GROUP BY tag_user, ts), "
+    "ri AS (SELECT tag_user AS k, ts, value FROM pts "
+    "WHERE metric = 'app.purchase' AND tag_user IS NOT NULL) "
     "SELECT l.k AS \"user\", l.ts AS ts, (ROUND(l.value, 6) + 0) AS click_value, "
-    "r.ts AS purchase_ts, (ROUND(r.rv, 6) + 0) AS purchase_value "
-    "FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts",
+    "r.ts AS purchase_ts, (ROUND(r.rv, 6) + 0) AS purchase_value, "
+    "'asof' AS kind "
+    "FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts "
+    "UNION ALL "
+    "SELECT l.k AS \"user\", l.ts AS ts, (ROUND(l.value, 6) + 0) AS click_value, "
+    "ri.ts AS purchase_ts, (ROUND(ri.value, 6) + 0) AS purchase_value, "
+    "'interval' AS kind "
+    "FROM l JOIN ri ON l.k = ri.k "
+    f"AND l.ts >= ri.ts AND l.ts <= ri.ts + {_IVAL_W}",
 )
 
 

@@ -196,3 +196,52 @@ def _asof_join_sliced(
         F.col("_rts_fin").alias("right_ts"),
         F.col("_rv_fin").alias("right_value"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    bucket_width_ns: Optional[int] = None,
+) -> DataFrame:
+    """Interval (range-containment) join — the other canonical
+    time-series join beside as-of: every (key, ts, value) point paired
+    with every (key, start, end, ival) interval of the same key that
+    CONTAINS it (inclusive on both ends). Returns (key, ts, value,
+    start, end, ival); points in no interval are dropped (inner).
+
+    Scale shape: the naive formulation is an inequality join — Catalyst
+    can only nested-loop it, and a per-key equality join degrades to a
+    per-key cross product under skew. With ``bucket_width_ns`` set, each
+    interval EXPLODES into the coarse ts-buckets it overlaps
+    (amplification = len/width + 1 rows — pick a width near the typical
+    interval length) and the join becomes an EQUALITY hash join on
+    (key, bucket) followed by an exact containment filter; a point
+    lives in exactly one bucket, so no pair is emitted twice and no
+    dedup pass is needed. Without a width, a plain per-key hash join +
+    filter runs (fine while no key dominates) — both paths are tested
+    identical."""
+    p = points.select("key", "ts", "value")
+    iv = intervals.select("key", "start", "end", "ival").filter(
+        F.col("start") <= F.col("end")
+    )
+    if bucket_width_ns is None:
+        out = p.join(iv, "key").filter(
+            (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end"))
+        )
+    else:
+        w = int(bucket_width_ns)
+        if w <= 0:
+            raise ValueError("bucket_width_ns must be positive")
+        ivb = iv.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start div {w}"), F.expr(f"end div {w}")
+                )
+            ),
+        )
+        pb = p.withColumn("_b", F.expr(f"ts div {w}"))
+        out = pb.join(ivb, ["key", "_b"]).filter(
+            (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end"))
+        ).drop("_b")
+    return out.select("key", "ts", "value", "start", "end", "ival")

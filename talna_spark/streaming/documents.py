@@ -102,14 +102,43 @@ def dedup_against_reference(
     )
 
 
+def drop_near_dups_of_reference(
+    batch_df: DataFrame, reference: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """Drop batch docs that NEAR-duplicate the static reference corpus —
+    the streaming lift of the incremental-dedup near leg (r6): the full
+    ``pipeline.dedup.dedup_against_frames`` machinery (MinHash-LSH band
+    join of batch-vs-reference rows only, exact-Jaccard verification,
+    hot-bucket cap on the reference side) runs as a BATCH job per
+    micro-batch, which is why this lives behind ``foreachBatch`` rather
+    than on the stream itself: the LSH pipeline needs checkpoints and
+    windows that streaming plans cannot host, and a micro-batch is a
+    bounded batch DataFrame where they are legal. Survivors are docs
+    whose verdict is ``new`` (exact dups fall out too — harmlessly
+    redundant with the stream-side md5 anti-join). At scale the
+    reference's band rows would be materialized once, not recomputed
+    per batch; this recomputes from the reference scan, which the
+    stream-static exact join already re-plans per batch anyway."""
+    from talna_spark.pipeline.dedup import dedup_against_frames
+
+    keep = (
+        dedup_against_frames(batch_df, reference, max_bucket=max_bucket)
+        .filter(F.col("verdict") == "new")
+        .select("doc_id")
+    )
+    return batch_df.join(keep, "doc_id")
+
+
 def stream_curate(
     doc_stream: DataFrame,
     reference: DataFrame,
     out_path: str,
     checkpoint: str,
+    near_dup: bool = False,
 ):
     """End-to-end streaming curation: gate -> reference-dedup ->
-    per-batch exact dedup -> parquet append. Returns the
+    per-batch exact dedup (-> per-batch reference NEAR-dedup with
+    ``near_dup=True``, r6) -> parquet append. Returns the
     StreamingQuery. Each curated batch should be appended to the
     reference corpus by the caller's cadence (or point ``reference`` at
     the out_path scan) so cross-batch duplicates are caught on the next
@@ -124,7 +153,7 @@ def stream_curate(
         if batch_df.isEmpty():
             return
         # within-batch exact dedup: deterministic survivor (min doc_id)
-        (
+        out = (
             batch_df.withColumn("_h", F.md5("text"))
             .withColumn(
                 "_rn",
@@ -134,9 +163,10 @@ def stream_curate(
             )
             .filter(F.col("_rn") == 1)
             .drop("_h", "_rn")
-            .write.mode("append")
-            .parquet(out_path)
         )
+        if near_dup:
+            out = drop_near_dups_of_reference(out, reference)
+        out.write.mode("append").parquet(out_path)
 
     return (
         gated.writeStream.foreachBatch(_sink)

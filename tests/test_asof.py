@@ -98,3 +98,58 @@ def test_asof_sliced_windows_are_bucket_keyed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(key#" in plan.replace(" ", "") or "_b" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_bucketized_equals_plain(spark):
+    """r6 interval join: the bucketized equality-join plan must return
+    exactly the plain per-key join's pairs, including points ON interval
+    edges and intervals spanning multiple buckets."""
+    from talna_spark.asof import interval_join
+
+    points = spark.createDataFrame(
+        [
+            ("a", 5, 1.0), ("a", 10, 2.0), ("a", 25, 3.0), ("a", 40, 4.0),
+            ("b", 10, 5.0), ("c", 7, 6.0),
+        ],
+        "key string, ts long, value double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 5, 25, 100.0),    # inclusive both ends; spans buckets
+            ("a", 20, 60, 200.0),   # overlaps the first
+            ("b", 0, 9, 300.0),     # excludes b's point at 10
+            ("c", 7, 7, 400.0),     # degenerate single-instant interval
+            ("c", 9, 3, 500.0),     # start > end: dropped
+        ],
+        "key string, start long, end long, ival double",
+    )
+    plain = sorted(map(tuple, interval_join(points, intervals).collect()))
+    assert ("a", 5, 1.0, 5, 25, 100.0) in plain      # start edge inclusive
+    assert ("a", 25, 3.0, 5, 25, 100.0) in plain     # end edge inclusive
+    assert ("a", 25, 3.0, 20, 60, 200.0) in plain    # overlapping -> both
+    assert ("c", 7, 6.0, 7, 7, 400.0) in plain       # degenerate matches
+    assert not any(r[0] == "b" for r in plain)       # 10 not in [0, 9]
+    assert not any(r[4] == 3 for r in plain)         # inverted dropped
+    for w in (1, 7, 100):  # buckets smaller/comparable/larger than spans
+        bucketized = sorted(
+            map(tuple, interval_join(points, intervals, bucket_width_ns=w).collect())
+        )
+        assert bucketized == plain, w
+
+
+def test_interval_join_bucketized_is_hash_join(spark):
+    """The bucketized path must plan an EQUALITY hash join (the scale
+    contract) — the plain path degrades to per-key joins only."""
+    from talna_spark.asof import interval_join
+
+    points = spark.createDataFrame(
+        [("a", 5, 1.0)], "key string, ts long, value double"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0, 9, 1.0)], "key string, start long, end long, ival double"
+    )
+    plan = (
+        interval_join(points, intervals, bucket_width_ns=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" in plan and "NestedLoop" not in plan

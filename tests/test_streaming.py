@@ -416,3 +416,52 @@ def test_gate_documents_battery_composition(spark):
     for did in (1, 2, 3):
         assert c_only[did] % (2 ** n_g) == 0, did       # gopher band empty
         assert c_only[did] == both[did][0] - g_only[did], did  # same c4 bits
+
+
+def test_stream_curate_near_dup_against_reference(spark, dirs):
+    """r6 near_dup=True: per-micro-batch LSH near-dedup against the
+    static reference — a lightly-edited copy of a reference doc is
+    dropped even though its md5 differs (the exact anti-join alone
+    keeps it), while genuinely novel docs pass; the batch path
+    (dedup_against_frames) agrees verdict-for-verdict."""
+    import pyspark.sql.functions as F
+
+    from talna_spark.pipeline.dedup import dedup_against_frames
+    from talna_spark.streaming.documents import stream_curate
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "runs far away to find more food for the winter den ") * 4
+    ref_text = good + "tail one two three four five six seven eight nine ten"
+    schema = "doc_id long, text string, source string"
+    reference = spark.createDataFrame([(900, ref_text, "ref")], schema)
+
+    near = ref_text.replace("tail", "tweak")  # high-jaccard edit
+    novel = ("completely different words about ships and harbors and "
+             "the long voyage across a cold sea with many storms " ) * 4
+    batch = [
+        (1, near, "src0"),     # NEAR dup of reference -> dropped
+        (2, novel, "src0"),    # novel -> kept
+        (3, ref_text, "src0"), # exact dup -> dropped by the anti-join
+    ]
+    src = dirs["src"] + "_neardup"
+    out = dirs["wh"] + "_neardup_out"
+    ckpt = dirs["ckpt"] + "_neardup"
+    spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_curate(stream, reference, out, ckpt, near_dup=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2}, got
+
+    # batch equivalence: the same frames through dedup_against_frames
+    flags = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_against_frames(
+            spark.createDataFrame(batch, schema), reference
+        ).collect()
+    }
+    assert flags[1] == "near_dup" and flags[2] == "new"
+    assert flags[3] == "exact_dup"
