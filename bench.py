@@ -363,6 +363,10 @@ def main() -> None:
         pipe["pipe_paragraph_dedup"] = "_bench_paragraph"
         qs["_bench_lm2"] = _lm2
         pipe["pipe_lm2"] = "_bench_lm2"
+        from talna_spark.pipeline.text import lm_score_trigram_kn as _lm3
+
+        qs["_bench_lm3"] = _lm3
+        pipe["pipe_lm3"] = "_bench_lm3"
         # r6 (ADVICE): the full-battery row is RENAMED from the r4-era
         # pipe_lm_score label (which had silently grown from 3 to 5
         # slices) and records its slice count so historical rows are

@@ -1221,14 +1221,34 @@ def lm_score_trigram_kn(
     # counts are plain COUNT(*) re-aggregates of it
     n2f = bi.groupBy("t1").agg(F.count(F.lit(1)).alias("n2f"))
     cont = bi.groupBy("t2").agg(F.count(F.lit(1)).alias("cont"))
+    # model-table consolidation (one broadcast per KEY, not per stat):
+    # token-keyed stats (count, follower count, continuation count) fold
+    # into ONE table, as do the pair-keyed stats (pair count, trigram
+    # follower count) — the positional scoring streams then join 2-3
+    # small tables instead of 6, halving broadcast materializations
+    uni_stats = (
+        uni.join(n2f.withColumnRenamed("t1", "token"), "token", "left")
+        .join(cont.withColumnRenamed("t2", "token"), "token", "left")
+        .select(
+            "token", "c",
+            F.coalesce("n2f", F.lit(0)).alias("n2f"),
+            F.coalesce("cont", F.lit(0)).alias("cont"),
+        )
+    )
+    bi_stats = bi.join(n3f, ["t1", "t2"], "left").select(
+        "t1", "t2", "c2", F.coalesce("n3f", F.lit(0)).alias("n3f")
+    )
     totals = (
         uni.agg(F.count(F.lit(1)).alias("v_size"))
         .crossJoin(bi.agg(F.count(F.lit(1)).alias("nbt")))
     )
     if broadcast_vocab:
-        uni, bi, tri, n3f, n2f, cont = (
-            F.broadcast(x) for x in (uni, bi, tri, n3f, n2f, cont)
-        )
+        # broadcast the TOKEN-keyed stats only: the unigram table is
+        # vocab-sized (safely broadcastable), but the pair and trigram
+        # tables grow with corpus n-gram diversity — AQE picks broadcast
+        # vs shuffle for those from their measured size (measured at
+        # sf0.1: forcing tri's broadcast cost ~2x the whole operator)
+        uni_stats = F.broadcast(uni_stats)
 
     def p1(cont_col):
         return (cont_col + 1.0) / (F.col("nbt") + F.col("v_size"))
@@ -1241,16 +1261,13 @@ def lm_score_trigram_kn(
 
     micro = lambda p: F.round(-F.log(p) * 1_000_000).cast("long")  # noqa: E731
 
-    # position 1: continuation unigram (LEFT join — a token that only
-    # ever starts documents has no continuation row; add-one covers it)
+    # position 1: continuation unigram (uni_stats carries cont=0 for a
+    # token that only ever starts documents; add-one covers it)
     first_scores = (
-        d.select("doc_id", F.element_at(w, 1).alias("t2"))
-        .join(uni.select(F.col("token").alias("t2")), "t2")
-        .join(cont, "t2", "left")
+        d.select("doc_id", F.element_at(w, 1).alias("token"))
+        .join(uni_stats, "token")
         .crossJoin(F.broadcast(totals))
-        .select(
-            "doc_id", micro(p1(F.coalesce(F.col("cont"), F.lit(0)))).alias("micro")
-        )
+        .select("doc_id", micro(p1(F.col("cont"))).alias("micro"))
     )
     # position 2: bigram KN (all factors exist: the pair was observed)
     second_scores = (
@@ -1260,13 +1277,21 @@ def lm_score_trigram_kn(
             F.element_at(w, 1).alias("t1"),
             F.element_at(w, 2).alias("t2"),
         )
-        .join(bi, ["t1", "t2"])
+        .join(bi_stats.select("t1", "t2", "c2"), ["t1", "t2"])
         .join(
-            uni.select(F.col("token").alias("t1"), F.col("c").alias("c1")),
+            uni_stats.select(
+                F.col("token").alias("t1"),
+                F.col("c").alias("c1"),
+                F.col("n2f").alias("n2f"),
+            ),
             "t1",
         )
-        .join(n2f, "t1")
-        .join(cont, "t2")
+        .join(
+            uni_stats.select(
+                F.col("token").alias("t2"), F.col("cont").alias("cont")
+            ),
+            "t2",
+        )
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
@@ -1279,16 +1304,14 @@ def lm_score_trigram_kn(
     tri_scores = (
         tris.join(tri, ["t1", "t2", "t3"])
         .join(
-            bi.select(
-                F.col("t1").alias("t1"),
-                F.col("t2").alias("t2"),
-                F.col("c2").alias("c2_12"),
+            bi_stats.select(
+                "t1", "t2",
+                F.col("c2").alias("c2_12"), F.col("n3f").alias("n3f"),
             ),
             ["t1", "t2"],
         )
-        .join(n3f, ["t1", "t2"])
         .join(
-            bi.select(
+            bi_stats.select(
                 F.col("t1").alias("t2"),
                 F.col("t2").alias("t3"),
                 F.col("c2").alias("c2_23"),
@@ -1296,11 +1319,19 @@ def lm_score_trigram_kn(
             ["t2", "t3"],
         )
         .join(
-            uni.select(F.col("token").alias("t2"), F.col("c").alias("c1_2")),
+            uni_stats.select(
+                F.col("token").alias("t2"),
+                F.col("c").alias("c1_2"),
+                F.col("n2f").alias("n2f"),
+            ),
             "t2",
         )
-        .join(n2f.select(F.col("t1").alias("t2"), F.col("n2f")), "t2")
-        .join(cont.select(F.col("t2").alias("t3"), F.col("cont")), "t3")
+        .join(
+            uni_stats.select(
+                F.col("token").alias("t3"), F.col("cont").alias("cont")
+            ),
+            "t3",
+        )
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
