@@ -367,16 +367,24 @@ def _q29_multigroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi = _make_query((kind, metric, grp, flt, st, en, gran, "aligned"))(
         spark, sf_dir
     ).withColumn("kind", F.lit("multi"))
-    cube = (
-        getattr(Database.from_events(spark, sf_dir), kind)(metric, grp)
-        .filter(flt)
-        .granularity(gran)
-        .cube()
-        .to_df()
-        .withColumn("value", round6("value"))
-        .withColumn("kind", F.lit("cube"))
+
+    def sets(method: str, label: str) -> DataFrame:
+        b = (
+            getattr(Database.from_events(spark, sf_dir), kind)(metric, grp)
+            .filter(flt)
+            .granularity(gran)
+        )
+        return (
+            getattr(b, method)()
+            .to_df()
+            .withColumn("value", round6("value"))
+            .withColumn("kind", F.lit(label))
+        )
+
+    return (
+        multi.unionByName(sets("cube", "cube"))
+        .unionByName(sets("rollup_sets", "rollup"))
     )
-    return multi.unionByName(cube)
 
 
 from talna_spark.oracle import events_cube_sql  # noqa: E402
@@ -387,6 +395,8 @@ _EXT["q29_multigroup"] = (
     + events_query_sql(*_Q29_SPEC)
     + ") UNION ALL SELECT *, 'cube' AS kind FROM ("
     + events_cube_sql(*_Q29_SPEC)
+    + ") UNION ALL SELECT *, 'rollup' AS kind FROM ("
+    + events_cube_sql(*_Q29_SPEC, sets="rollup")
     + ")",
 )
 

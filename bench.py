@@ -216,6 +216,11 @@ def main() -> None:
         )
         p = f"scale{mult}_"
         runs, whsN = [], []
+        # settle the PREVIOUS section's dirty pages before timing this
+        # ingest: scale10's ~100 MB writeback otherwise races scale100's
+        # ingest and halves its measured throughput run-to-run (observed
+        # 1.44M vs 0.72M pts/s on identical code)
+        os.sync()
         try:
             for _ in range(reps):  # min-of-N: an IO hiccup otherwise skews 5x
                 whN = tempfile.mkdtemp(prefix=f"talna_bench_wh{mult}_")

@@ -315,7 +315,7 @@ class QueryBuilder:
         self._rolling: Optional[int] = None
         self._zscore: Optional[int] = None
         self._value_pred: Optional[tuple] = None
-        self._cube = False
+        self._cube: Optional[str] = None  # None | "cube" | "rollup"
 
     def filter(self, expr: str) -> "QueryBuilder":
         self._filter = expr
@@ -352,7 +352,22 @@ class QueryBuilder:
         keys = self._group_keys()
         if len(keys) < 2:
             raise InvalidQueryError("cube requires at least two group tags")
-        self._cube = True
+        self._cube = "cube"
+        return self
+
+    def rollup_sets(self) -> "QueryBuilder":
+        """Hierarchical (SQL ROLLUP) subtotals: only the PREFIX subsets
+        of the group-tag list aggregate — (k1, k2), (k1), () for a
+        two-tag group — the drill-down hierarchy shape (region > host,
+        source > lang), k+1 grouping sets instead of cube's 2^k. Same
+        Expand-style single-pass plan and ``k:*`` key convention as
+        :meth:`cube`; mutually exclusive with it."""
+        keys = self._group_keys()
+        if len(keys) < 2:
+            raise InvalidQueryError(
+                "rollup_sets requires at least two group tags"
+            )
+        self._cube = "rollup"
         return self
 
     def start(self, ts_ns: int) -> "QueryBuilder":
@@ -611,8 +626,12 @@ class QueryBuilder:
                     "cube cannot combine with gapfill/rolling/zscore"
                 )
             keys = self._group_keys()
+            if self._cube == "cube":
+                masks = range(2 ** len(keys))
+            else:  # rollup: prefix subsets only — (2^p - 1) sets bits 0..p-1
+                masks = [(1 << p) - 1 for p in range(len(keys), -1, -1)]
             combos = []
-            for mask in range(2 ** len(keys)):
+            for mask in masks:
                 parts = [
                     F.concat(F.lit(f"{k}:"), F.col("tags").getItem(k))
                     if (mask >> i) & 1

@@ -589,13 +589,17 @@ def events_cube_sql(
     start: Optional[int] = None,
     end: Optional[int] = None,
     granularity: Optional[int] = 60_000_000_000,
+    sets: str = "cube",
 ) -> str:
-    """DuckDB SQL twin of QueryBuilder.cube() — grouping-sets subtotals
-    via DuckDB's NATIVE ``CUBE`` + ``GROUPING()`` (a genuinely
-    independent algorithm from the Spark side's explode/Expand): every
-    subset of the group tags aggregates, rolled-up slots shown as
+    """DuckDB SQL twin of QueryBuilder.cube() / rollup_sets() —
+    grouping-sets subtotals via DuckDB's NATIVE ``CUBE`` / ``ROLLUP`` +
+    ``GROUPING()`` (a genuinely independent algorithm from the Spark
+    side's explode/Expand): every subset (cube) or prefix subset
+    (rollup) of the group tags aggregates, rolled-up slots shown as
     ``k:*`` in the composed group key. Group-drop (O25) still applies:
     rows must carry ALL group tags."""
+    if sets not in ("cube", "rollup"):
+        raise ValueError(f"unknown grouping-sets mode: {sets}")
     if isinstance(group_by, str) or len(tuple(group_by)) < 2:
         raise ValueError("cube requires at least two group tags")
     keys = tuple(group_by)
@@ -613,7 +617,7 @@ def events_cube_sql(
         for k in keys
     )
     cube_cols = ", ".join(_tag_lookup(k) for k in keys)
-    group_keys = [f"CUBE({cube_cols})"]
+    group_keys = [f"{sets.upper()}({cube_cols})"]
     if granularity is not None:
         group_keys.insert(0, f"(ts // {int(granularity)})")
     agg = round6_sql(_agg_sql(kind))

@@ -216,3 +216,30 @@ def test_cube_grouping_sets(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
+
+
+def test_rollup_sets_hierarchy(spark):
+    """r6 rollup_sets(): only PREFIX subsets aggregate — rollup rows are
+    a strict subset of cube rows, and the hierarchy levels (both tags /
+    first tag / grand total) match cube's corresponding rows exactly."""
+    from talna_spark.database import Database
+    from tests.conftest import make_points
+
+    pts = make_points(spark, [
+        ("m.r", 1_000_000_000, 1.0, {"a": "p", "b": "q"}),
+        ("m.r", 2_000_000_000, 3.0, {"a": "p", "b": "r"}),
+        ("m.r", 3_000_000_000, 5.0, {"a": "s", "b": "q"}),
+    ])
+    db = Database.from_points(spark, pts)
+    base = db.sum("m.r", ["a", "b"]).granularity(None)
+    cube = {r["grp"]: tuple(r) for r in base.cube().to_df().collect()}
+    base2 = db.sum("m.r", ["a", "b"]).granularity(None)
+    roll = {r["grp"]: tuple(r) for r in base2.rollup_sets().to_df().collect()}
+    # rollup = pairs + a-rollups + grand total; NO b-rollups
+    assert set(roll) == {
+        "a:p,b:q", "a:p,b:r", "a:s,b:q", "a:p,b:*", "a:s,b:*", "a:*,b:*",
+    }
+    assert all(k.startswith("a:*,b:") is False or k == "a:*,b:*" for k in roll)
+    assert "a:*,b:q" in cube and "a:*,b:q" not in roll
+    for k, v in roll.items():
+        assert cube[k] == v, k
