@@ -163,6 +163,7 @@ def _union_sql(parts: list) -> str:
 # dedup, similarity search, text analysis, multimodal columns.
 # Each entry: (spark_builder, oracle_sql_or_None).
 # ---------------------------------------------------------------------------
+from talna_spark.pipeline import classifier as _classifier
 from talna_spark.pipeline import dedup as _dedup
 from talna_spark.pipeline import multimodal as _mm
 from talna_spark.pipeline import sampling as _sampling
@@ -1030,7 +1031,12 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``lm3``: trigram Kneser-Ney cross-entropy (r6) — v1=n_tokens,
       v2=xent3; absolute-discount smoothing with continuation counts,
       sensitive to reorderings that preserve the bigram multiset
-      (which lm2 provably cannot see).
+      (which lm2 provably cannot see);
+    - ``clf``: hashing-trick linear quality classifier (r6) —
+      v1=n_tokens, v2=clf_score = sigmoid of the broadcast-weight dot
+      product over md5-hashed token buckets (the fastText-style gate;
+      the demo formula weights keep the row oracle-expressible while
+      exercising the exact production scoring plan).
     """
 
     def norm(df, s1, v1, v2, kind):
@@ -1066,9 +1072,13 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.lm_score_trigram_kn(spark, sf_dir),
         F.lit(None), F.col("n_tokens"), F.col("xent3"), "lm3",
     )
+    clf = norm(
+        _classifier.score_documents(spark, sf_dir),
+        F.lit(None), F.col("n_tokens"), F.col("clf_score"), "clf",
+    )
     return (
         lm.unionByName(cut).unionByName(gopher).unionByName(c4)
-        .unionByName(lm2).unionByName(lm3)
+        .unionByName(lm2).unionByName(lm3).unionByName(clf)
     )
 
 
@@ -1096,11 +1106,15 @@ def _x22_quality_scoring_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
         "CAST(n_tokens AS DOUBLE) AS v1, CAST(xent3 AS DOUBLE) AS v2, "
-        f"'lm3' AS kind FROM ({_text.lm_score_trigram_kn_sql()})"
+        f"'lm3' AS kind FROM ({_text.lm_score_trigram_kn_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(n_tokens AS DOUBLE) AS v1, CAST(clf_score AS DOUBLE) AS v2, "
+        f"'clf' AS kind FROM ({_classifier.score_documents_sql()})"
     )
 
 
-X22_N_SLICES = 6  # recorded in the bench artifact (battery-row comparability)
+X22_N_SLICES = 7  # recorded in the bench artifact (battery-row comparability)
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-policy registration, three `kind` slices on a normalized

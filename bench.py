@@ -382,6 +382,25 @@ def main() -> None:
 
         qs["_bench_pdf"] = _pdfx
         pipe["pipe_pdf_extract"] = "_bench_pdf"
+        # r6: train the hashing-trick quality classifier (5 GD rounds,
+        # synthetic labels from doc_id parity) — times the iterative
+        # broadcast-model/driver-update loop, not just a scan
+        from pyspark.sql import functions as _Fc
+
+        from talna_spark.pipeline.classifier import train_classifier as _clf_train
+
+        def _bench_clf_train(spark, sf_dir):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            labels = docs.select(
+                "doc_id", (_Fc.col("doc_id") % 2).cast("double").alias("y")
+            )
+            m = _clf_train(docs, labels, n_features=1024, iters=5, lr=4.0)
+            return spark.createDataFrame(
+                [(float(m["loss_history"][-1]),)], "final_loss double"
+            )
+
+        qs["_bench_clf_train"] = _bench_clf_train
+        pipe["pipe_clf_train"] = "_bench_clf_train"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number

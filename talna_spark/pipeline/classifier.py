@@ -1,0 +1,281 @@
+"""Hashing-trick quality classifier — the fastText-style linear gate.
+
+The reference engine (marvin-j97/talna) has no ML surface; this module is
+part of the LLM-training-data extension layer. Real curation pipelines
+(GPT-3 Appendix A, CCNet, LLaMA) gate web documents with a LINEAR
+classifier over hashed bag-of-words features, trained to separate a
+high-quality reference corpus from random crawl text. This is its
+distributed, dependency-free form:
+
+- **features**: token counts hashed into ``n_features`` buckets (the
+  hashing trick — Weinberger et al. 2009), term-frequency normalized per
+  document. No vocabulary object exists anywhere: the feature id is a
+  pure expression of the token, so featurization is map-side and
+  stateless at any corpus size.
+- **scoring**: ``sigmoid(b + Σ_f w[f]·x[f])`` with the weight vector as
+  a BROADCAST table joined on the hashed feature id — the corpus never
+  shuffles; the only exchanges carry (doc_id, f) id rows.
+- **training**: full-batch logistic regression by gradient descent.
+  Each round is two hash-aggregates: per-doc score (model broadcast in),
+  per-feature gradient (``n_features`` rows collected out). The model —
+  never the corpus — crosses the driver boundary, the Lloyd's-k-means
+  shape (similarity.py): per-round shuffle is O(n_features + n_docs)
+  id rows, independent of corpus bytes.
+
+Float portability discipline (the corpus_stats trick): every per-term
+product is rounded to integer nano-units BEFORE aggregation, so sums are
+exact int64 in any partial/final order — Spark's tree aggregation, the
+DuckDB oracle's sequential loop, and the numpy reference trainer all
+produce bit-identical logits and gradients.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.portable import hash64, hash64_sql, tokens, tokens_sql
+
+# Demo dimensionality for the driver-checked scoring row: small enough
+# that the oracle's weight table is a range() scan, large enough that
+# hash collisions occur (the hashing trick's defining behavior).
+DEMO_FEATURES = 64
+DEMO_BIAS = 0.0
+
+NANO = 1_000_000_000.0
+MICRO = 1_000_000.0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------- features
+def hashed_features(
+    docs: DataFrame, n_features: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, f, tf, n) rows: term frequency per hashed feature bucket
+    plus the document's token total (``Σ tf`` per doc — every token
+    lands in some bucket, so no second scan is needed; the total rides a
+    window over the already-id-only (doc_id, f) rows). The normalized
+    feature value is ``x = tf / n``.
+
+    100 TB shape: one corpus scan, one (doc_id, f) hash-aggregate with
+    map-side partials, one doc_id window over id rows. Text never
+    crosses an exchange."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    feat = tok.groupBy(
+        "doc_id", (hash64(F.col("token")) % n_features).alias("f")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    return feat.withColumn(
+        "n", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+
+
+def demo_weight_expr(f):
+    """The driver row's deterministic weight formula over a feature-id
+    column: w(f) = ((37·f) mod 101 − 50) / 100 ∈ [−0.50, 0.50] — a full-
+    period affine walk, identical arithmetic in Spark and DuckDB."""
+    return ((f * 37) % 101 - 50) / 100.0
+
+
+def weights_df(
+    spark: SparkSession, n_features: int, weights: "dict | list | None" = None
+) -> DataFrame:
+    """The (f, w) weight table. ``weights`` as a dict/list pins trained
+    values; ``None`` generates the demo formula — either way the table
+    is ``n_features`` rows, broadcastable by construction."""
+    if weights is None:
+        return spark.range(n_features).select(
+            F.col("id").alias("f"), demo_weight_expr(F.col("id")).alias("w")
+        )
+    if isinstance(weights, dict):
+        rows = [(int(f), float(weights.get(f, 0.0))) for f in range(n_features)]
+    else:
+        if len(weights) != n_features:
+            raise ValueError(
+                f"weights length {len(weights)} != n_features {n_features}"
+            )
+        rows = [(i, float(w)) for i, w in enumerate(weights)]
+    return spark.createDataFrame(rows, "f long, w double")
+
+
+# -------------------------------------------------------------- scoring
+def score_documents(
+    spark: SparkSession,
+    sf_dir: str = None,
+    docs: DataFrame = None,
+    weights: "dict | list | None" = None,
+    bias: float = DEMO_BIAS,
+    n_features: int = DEMO_FEATURES,
+) -> DataFrame:
+    """(doc_id, n_tokens, clf_score): the linear quality score per
+    document. ``clf_score = sigmoid(bias + Σ_f w[f]·tf[f]/n)``, each
+    term rounded to integer nano-units before the per-doc sum (exact
+    int64 in any order), the logit rounded to 6 dp before the sigmoid so
+    both engines exponentiate the identical double.
+
+    Plan: token explode → (doc_id, f) hash-agg → broadcast-join the
+    n_features-row weight table → doc_id hash-agg. Map-side scoring
+    against a broadcast model, the production quality-gate shape."""
+    d = docs if docs is not None else _docs(spark, sf_dir)
+    feat = hashed_features(d, n_features)
+    wdf = weights_df(spark, n_features, weights)
+    nano = F.round(
+        F.col("w") * (F.col("tf").cast("double") / F.col("n")) * NANO
+    ).cast("long")
+    z = F.round(F.col("zn") / F.lit(NANO) + F.lit(float(bias)), 6)
+    return (
+        feat.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("n_tokens"), F.sum(nano).alias("zn"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias(
+                "clf_score"
+            ),
+        )
+    )
+
+
+def score_documents_sql(
+    bias: float = DEMO_BIAS, n_features: int = DEMO_FEATURES
+) -> str:
+    """DuckDB twin of the demo-weight scoring row (same hash, same
+    weight formula, same nano-unit rounding)."""
+    w = tokens_sql("text")
+    h = hash64_sql("token")
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({w}) AS token FROM documents), "
+        f"feat AS (SELECT doc_id, {h} % {n_features} AS f, COUNT(*) AS tf "
+        "FROM tok GROUP BY doc_id, f), "
+        "featn AS (SELECT doc_id, f, tf, "
+        "SUM(tf) OVER (PARTITION BY doc_id) AS n FROM feat), "
+        f"wt AS (SELECT f, ((f * 37) % 101 - 50) / 100.0 AS w "
+        f"FROM range({n_features}) t(f)), "
+        "z AS (SELECT doc_id, MAX(n) AS n_tokens, "
+        "SUM(CAST(ROUND(w * (CAST(tf AS DOUBLE) / n) * 1000000000.0) "
+        "AS BIGINT)) AS zn "
+        "FROM featn JOIN wt USING (f) GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, "
+        f"ROUND(1.0 / (1.0 + exp(-ROUND(zn / 1000000000.0 + {float(bias)!r}, 6))), 6) "
+        "AS clf_score FROM z"
+    )
+
+
+# ------------------------------------------------------------- training
+def _away_from_zero(v: float) -> int:
+    """Round half away from zero — the rounding Spark's ROUND and
+    DuckDB's round() share (Python's round() is banker's; don't)."""
+    return int(math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1))
+
+
+def train_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    n_features: int = 1024,
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    text_col: str = "text",
+) -> dict:
+    """Full-batch logistic regression over hashed features. ``labels``
+    is a (doc_id, y) DataFrame with y ∈ {0.0, 1.0} (e.g. 1 = a curated
+    reference corpus, 0 = random crawl sample — the GPT-3 recipe).
+
+    Returns {"weights": list[n_features], "bias": float,
+    "loss_history": list[iters]} where loss is mean log-loss in
+    micro-nats (exact int accounting, so the history is deterministic
+    and partitioning-independent).
+
+    Per iteration (the k-means driver-model shape):
+    1. score: broadcast the weight table in, one doc_id hash-agg of
+       nano-unit terms → per-doc logit; residual r = σ(z) − y.
+    2. gradient: join the n_docs-row residuals back on doc_id (id rows,
+       shuffle join — NOT a broadcast: n_docs is corpus-sized), one
+       feature hash-agg of micro-unit r·x terms → n_features gradient
+       rows collected; w ← w − lr·(g/n_docs + l2·w) on the driver.
+
+    The featurized corpus is localCheckpoint(eager=False)-pinned so the
+    tokenize+hash subtree runs once, not per-iteration (the shared-base
+    rule from LSH/curate)."""
+    spark = docs.sparkSession
+    feat = (
+        hashed_features(docs, n_features, text_col)
+        .join(labels.select("doc_id", F.col("y").cast("double").alias("y")),
+              "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("labels is empty")
+    wvec = [0.0] * n_features
+    bias = 0.0
+    history = []
+    x = F.col("tf").cast("double") / F.col("n")
+    for _ in range(int(iters)):
+        wdf = spark.createDataFrame(
+            list(enumerate(wvec)), "f long, w double"
+        )
+        nano = F.round(F.col("w") * x * NANO).cast("long")
+        scored = (
+            feat.join(F.broadcast(wdf), "f")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(nano).alias("zn"))
+            .select(
+                "doc_id",
+                "y",
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(F.col("zn") / F.lit(NANO) + F.lit(bias))
+                        )
+                    )
+                ).alias("p"),
+            )
+        )
+        # loss + bias gradient in one pass over the n_docs-row frame;
+        # micro-unit ints keep both order-independent.
+        eps = 1e-12
+        loss_term = F.round(
+            -(
+                F.col("y") * F.log(F.col("p") + eps)
+                + (1.0 - F.col("y")) * F.log(1.0 - F.col("p") + eps)
+            )
+            * MICRO
+        ).cast("long")
+        resid_term = F.round((F.col("p") - F.col("y")) * MICRO).cast("long")
+        agg = scored.agg(
+            F.sum(loss_term).alias("lm"), F.sum(resid_term).alias("rm")
+        ).collect()[0]
+        history.append(agg["lm"] / MICRO / n_docs)
+        g_bias = agg["rm"] / MICRO / n_docs
+        grad_rows = (
+            feat.join(
+                scored.select(
+                    "doc_id", ((F.col("p") - F.col("y"))).alias("r")
+                ),
+                "doc_id",
+            )
+            .groupBy("f")
+            .agg(
+                F.sum(F.round(F.col("r") * x * MICRO).cast("long")).alias(
+                    "gm"
+                )
+            )
+            .collect()
+        )
+        grad = {r["f"]: r["gm"] / MICRO / n_docs for r in grad_rows}
+        wvec = [
+            w - lr * (grad.get(f, 0.0) + l2 * w)
+            for f, w in enumerate(wvec)
+        ]
+        bias -= lr * g_bias
+    return {"weights": wvec, "bias": bias, "loss_history": history}
