@@ -872,7 +872,10 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``fingerprint``: s1=the min-md5 word-5-gram fingerprint;
     - ``unicode``: encoding-damage signals (r5) — v1=replacement_ratio
       (U+FFFD density), v2=ctrl_count (C0 + DEL + C1 controls minus
-      tab/newline/CR; C1 added r6 for cp1252 mojibake), v3=nonascii_ratio.
+      tab/newline/CR; C1 added r6 for cp1252 mojibake), v3=nonascii_ratio;
+    - ``redact``: PII redaction transform (r6) — s1=md5 of the fully
+      redacted text (pins every replacement byte-for-byte),
+      v1/v2/v3=email/phone/IPv4 match counts in the original text.
     """
 
     def norm(df, s1, s2, v1, v2, v3, kind):
@@ -913,9 +916,15 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("replacement_ratio"), F.col("ctrl_count"),
         F.col("nonascii_ratio"), "unicode",
     )
+    red = norm(
+        _text.pii_redact(spark, sf_dir),
+        F.md5(F.col("text_redacted")), nul,
+        F.col("n_emails"), F.col("n_phones"), F.col("n_ips"),
+        "redact",
+    )
     return (
         tok.unionByName(qua).unionByName(lid).unionByName(fpr)
-        .unionByName(uni)
+        .unionByName(uni).unionByName(red)
     )
 
 
@@ -945,7 +954,12 @@ def _x01_text_signals_sql() -> str:
         "CAST(replacement_ratio AS DOUBLE) AS v1, "
         "CAST(ctrl_count AS DOUBLE) AS v2, "
         "CAST(nonascii_ratio AS DOUBLE) AS v3, 'unicode' AS kind "
-        f"FROM ({_text.unicode_signals_sql()})"
+        f"FROM ({_text.unicode_signals_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, md5(text_redacted) AS s1, "
+        "CAST(NULL AS VARCHAR) AS s2, CAST(n_emails AS DOUBLE) AS v1, "
+        "CAST(n_phones AS DOUBLE) AS v2, CAST(n_ips AS DOUBLE) AS v3, "
+        f"'redact' AS kind FROM ({_text.pii_redact_sql()})"
     )
 
 

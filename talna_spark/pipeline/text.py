@@ -246,6 +246,58 @@ def pii_scan_sql() -> str:
     )
 
 
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_TOKENS = {"email": "[EMAIL]", "phone": "[PHONE]", "ip": "[IP]"}
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction pass :func:`pii_scan` screens for: every email-,
+    phone- and IPv4-shaped span replaced by a typed placeholder token,
+    with per-kind counts of each pattern's matches IN THE ORIGINAL text
+    (on overlap — a phone-shaped local part inside an email — the
+    earlier pattern wins the replacement but both still count).
+    Patterns apply in a FIXED order (email → phone → ip) so overlapping
+    matches resolve identically in both engines.
+
+    100 TB shape: pure regexp_replace projection — JVM codegen, zero
+    shuffle, embarrassingly parallel; the transformed corpus streams
+    straight to the export sink. (The IPv4 pattern is a shape match,
+    not an octet-range validator — over-matching toward redaction is
+    the safe direction for a privacy pass.)"""
+    d = _docs(spark, sf_dir)
+    emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+    phones = F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+    ips = F.size(F.regexp_extract_all("text", F.lit(IPV4_RE), F.lit(0)))
+    red = F.regexp_replace("text", EMAIL_RE, PII_TOKENS["email"])
+    red = F.regexp_replace(red, PHONE_RE, PII_TOKENS["phone"])
+    red = F.regexp_replace(red, IPV4_RE, PII_TOKENS["ip"])
+    return d.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        ips.alias("n_ips"),
+    )
+
+
+def pii_redact_sql() -> str:
+    e, p, i = (
+        PII_TOKENS["email"],
+        PII_TOKENS["phone"],
+        PII_TOKENS["ip"],
+    )
+    return (
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '{e}', 'g'), '{PHONE_RE}', '{p}', 'g'), "
+        f"'{IPV4_RE}', '{i}', 'g') AS text_redacted, "
+        f"len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails, "
+        f"len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones, "
+        f"len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips "
+        "FROM documents"
+    )
+
+
 # ------------------------------------------------------- token frequency
 TOKEN_TOP_K = 50
 
