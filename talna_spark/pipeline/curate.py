@@ -47,16 +47,34 @@ from talna_spark.pipeline.sampling import TRAIN_PCT, VAL_PCT, _bucket
 from talna_spark.pipeline.text import quality_parts, quality_sql
 
 QUALITY_MIN = 0.5
+CLF_THRESHOLD = 0.5
 
 
-def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    clf_weights=None,
+    clf_bias: float = 0.0,
+    clf_threshold: float = CLF_THRESHOLD,
+    clf_features: int = 1024,
+) -> DataFrame:
     """(doc_id, verdict, split) for every document: verdict in
-    {low_quality, duplicate, contaminated, kept}; split only for kept.
+    {low_quality, classifier_reject, duplicate, contaminated, kept};
+    split only for kept.
     The source scan is widened via the shared TALNA_MIN_SCAN_TASKS
     fan-out (pipeline.scan) before the shared checkpoint — quality
     regexes + md5 + shingle hashing are the dominant map cost and would
     otherwise run on one task for a single-row-group file; a no-op at
-    real scale where the source is many files."""
+    real scale where the source is many files.
+
+    ``clf_weights`` (r6, optional): a trained hashing-trick classifier
+    (pipeline.classifier.train_classifier) inserted between the
+    rule-based quality gate and dedup — the GPT-3-style learned gate.
+    Docs scoring below ``clf_threshold`` get verdict
+    ``classifier_reject``. Default None keeps the plan (and the driver
+    oracle) byte-identical to the rule-only composition; the classifier
+    stage branches off the SAME checkpoint, adding one id-only
+    (doc_id, f) aggregate + broadcast-weights join, no extra scan."""
     from talna_spark.pipeline.scan import fan_out
 
     base = fan_out(
@@ -95,8 +113,22 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contamination set is usually tiny and AQE will broadcast it on its
     # own when it is
     out = scored.join(keep, "doc_id", "left").join(contam, "doc_id", "left")
+    clf_fail = F.lit(False)
+    if clf_weights is not None:
+        from talna_spark.pipeline.classifier import score_documents
+
+        clf = score_documents(
+            spark,
+            docs=corpus,
+            weights=clf_weights,
+            bias=clf_bias,
+            n_features=clf_features,
+        ).select("doc_id", "clf_score")
+        out = out.join(clf, "doc_id", "left")
+        clf_fail = F.col("clf_score") < clf_threshold
     verdict = (
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality"))
+        .when(clf_fail, F.lit("classifier_reject"))
         .when(F.col("_canon").isNull(), F.lit("duplicate"))
         .when(F.col("_hit").isNotNull(), F.lit("contaminated"))
         .otherwise(F.lit("kept"))

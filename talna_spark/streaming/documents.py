@@ -135,15 +135,28 @@ def stream_curate(
     out_path: str,
     checkpoint: str,
     near_dup: bool = False,
+    clf_weights=None,
+    clf_bias: float = 0.0,
+    clf_threshold: float = 0.5,
+    clf_features: int = 1024,
 ):
     """End-to-end streaming curation: gate -> reference-dedup ->
     per-batch exact dedup (-> per-batch reference NEAR-dedup with
-    ``near_dup=True``, r6) -> parquet append. Returns the
+    ``near_dup=True``; -> per-batch learned-classifier gate with
+    ``clf_weights``, both r6) -> parquet append. Returns the
     StreamingQuery. Each curated batch should be appended to the
     reference corpus by the caller's cadence (or point ``reference`` at
     the out_path scan) so cross-batch duplicates are caught on the next
     micro-batch — the bounded-state division of labor described in the
-    module docstring."""
+    module docstring.
+
+    The classifier gate runs the EXACT batch scorer
+    (pipeline.classifier.score_documents, broadcast-weights plan) on
+    each micro-batch inside ``foreachBatch`` — like the near-dup leg,
+    because the scorer's per-doc aggregation is a batch plan; a
+    micro-batch is a bounded DataFrame where it is legal. Stream-vs-
+    batch score equivalence is therefore by construction, not by a
+    parallel reimplementation."""
     gated = dedup_against_reference(
         gate_documents(doc_stream).filter(F.col("verdict") == "kept"),
         reference,
@@ -166,6 +179,21 @@ def stream_curate(
         )
         if near_dup:
             out = drop_near_dups_of_reference(out, reference)
+        if clf_weights is not None:
+            from talna_spark.pipeline.classifier import score_documents
+
+            keep = (
+                score_documents(
+                    out.sparkSession,
+                    docs=out,
+                    weights=clf_weights,
+                    bias=clf_bias,
+                    n_features=clf_features,
+                )
+                .filter(F.col("clf_score") >= clf_threshold)
+                .select("doc_id")
+            )
+            out = out.join(keep, "doc_id")
         out.write.mode("append").parquet(out_path)
 
     return (

@@ -201,6 +201,85 @@ def test_train_partitioning_independent(spark, labeled_dir):
     assert m1["loss_history"] == m2["loss_history"]
 
 
+def test_curate_with_classifier_gate(spark):
+    """The optional learned gate in pipeline.curate: default off is
+    byte-identical; on, docs above the rule-quality floor get verdict
+    classifier_reject exactly when their batch clf_score is below the
+    threshold (precedence: low_quality > classifier_reject > dedup)."""
+    from talna_spark.pipeline.curate import QUALITY_MIN, curate
+    from talna_spark.pipeline.decontam import EVAL_MOD
+    from talna_spark.pipeline.text import quality
+
+    import shutil
+    import tempfile
+
+    # prose that clears the rule-quality floor; odd docs carry a marker
+    # token the hand-set weight vector slams, so ONLY the learned gate
+    # can tell them apart
+    good = (
+        "the quiet library holds many careful essays, and the river "
+        "beyond it is a long calm line of water that the town loves. "
+    ) * 3  # ~77 tokens: clears the n_tokens/50 leg of the quality score
+    rows = [
+        {
+            "doc_id": i,
+            "text": good + (f"spamword marker {i}" if i % 2 else f"tail {i}"),
+        }
+        for i in range(1, 21)  # skip 0: doc 0 would be the eval slice
+    ]
+    d = tempfile.mkdtemp(prefix="talna_clfgate_")
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    try:
+        weights = [0.0] * 256
+        weights[_h64("spamword") % 256] = -80.0
+        base = {
+            r["doc_id"]: r["verdict"] for r in curate(spark, d).collect()
+        }
+        off = {
+            r["doc_id"]: r["verdict"]
+            for r in curate(
+                spark, d,
+                clf_weights=weights, clf_bias=0.2,
+                clf_threshold=-1.0,  # nothing can score below -1
+                clf_features=256,
+            ).collect()
+        }
+        assert base == off  # threshold no doc crosses == default path
+
+        on = {
+            r["doc_id"]: r["verdict"]
+            for r in curate(
+                spark, d,
+                clf_weights=weights, clf_bias=0.2,
+                clf_threshold=0.5, clf_features=256,
+            ).collect()
+        }
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        scores = {
+            r["doc_id"]: r["clf_score"]
+            for r in score_documents(
+                spark, docs=docs,
+                weights=weights, bias=0.2, n_features=256,
+            ).collect()
+        }
+        quals = {
+            r["doc_id"]: r["quality"] for r in quality(spark, d).collect()
+        }
+        rejected = {k for k, v in on.items() if v == "classifier_reject"}
+        expected = {
+            k
+            for k in on
+            if k % EVAL_MOD != 0
+            and quals[k] >= QUALITY_MIN
+            and scores[k] < 0.5
+        }
+        assert rejected == expected
+        assert rejected  # the marker docs really trip the learned gate
+        assert all(k % 2 == 1 for k in rejected)  # only marker docs
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_score_plan_broadcasts_weights(spark, docs_dir):
     df = score_documents(spark, docs_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()

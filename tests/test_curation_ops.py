@@ -122,21 +122,23 @@ def test_mixture_sample_rates_and_determinism(spark):
 
 
 def test_x01_text_signals_slices(spark):
-    """The consolidated registration carries all five signals with the
+    """The consolidated registration carries all six signals with the
     documented null-pattern per slice."""
     import __spark_entry__ as entry
 
     df = entry.queries()["x01_text_signals"](spark, SF)
     pdf = df.toPandas()
     assert set(pdf["kind"]) == {
-        "tokens", "quality", "langid", "fingerprint", "unicode"
+        "tokens", "quality", "langid", "fingerprint", "unicode", "redact"
     }
     n_docs = pdf[pdf["kind"] == "tokens"].shape[0]
     assert all(pdf[pdf["kind"] == k].shape[0] == n_docs for k in
-               ("quality", "langid", "fingerprint", "unicode"))
+               ("quality", "langid", "fingerprint", "unicode", "redact"))
     assert pdf[pdf["kind"] == "langid"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "fingerprint"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "tokens"]["s1"].isna().all()
+    # redact: s1 = md5 of the redacted text, always present
+    assert pdf[pdf["kind"] == "redact"]["s1"].str.len().eq(32).all()
 
 
 def test_dup_span_clean_trims_covered_tokens(spark, span_dir):

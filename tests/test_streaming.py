@@ -465,3 +465,65 @@ def test_stream_curate_near_dup_against_reference(spark, dirs):
     }
     assert flags[1] == "near_dup" and flags[2] == "new"
     assert flags[3] == "exact_dup"
+
+
+def test_stream_curate_classifier_gate(spark, dirs):
+    """r6 clf_weights: the learned quality gate runs the EXACT batch
+    scorer per micro-batch — docs the batch scorer puts below the
+    threshold are dropped from the curated output, the rest survive,
+    score-for-score equal to pipeline.classifier.score_documents."""
+    import pyspark.sql.functions as F
+
+    from talna_spark.pipeline.classifier import score_documents
+    from talna_spark.streaming.documents import stream_curate
+
+    # weights hand-set so docs containing 'spamword' score near 0 and
+    # clean prose scores near 0.5+ (bias dominates when no hits)
+    from talna_spark.pipeline.classifier import hashed_features  # noqa: F401
+    import hashlib
+
+    def fbucket(tok, d=256):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % d
+
+    weights = [0.0] * 256
+    weights[fbucket("spamword")] = -50.0
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "runs far away to find more food for the winter den ") * 3
+    schema = "doc_id long, text string, source string"
+    reference = spark.createDataFrame(
+        [(900, good + "only in the reference", "ref")], schema
+    )
+    batch = [
+        (1, good + "clean tail words", "src0"),           # kept
+        (2, good + "spamword spamword spamword", "src0"),  # clf-dropped
+        (3, good + "another clean ending here", "src0"),   # kept
+    ]
+    src = dirs["src"] + "_clf"
+    out = dirs["wh"] + "_clf_out"
+    ckpt = dirs["ckpt"] + "_clf"
+    spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_curate(
+        stream, reference, out, ckpt,
+        clf_weights=weights, clf_bias=0.2, clf_threshold=0.5,
+        clf_features=256,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}, got
+
+    # equivalence by construction: the batch scorer agrees on who fails
+    scores = {
+        r["doc_id"]: r["clf_score"]
+        for r in score_documents(
+            spark,
+            docs=spark.createDataFrame(batch, schema),
+            weights=weights,
+            bias=0.2,
+            n_features=256,
+        ).collect()
+    }
+    assert scores[2] < 0.5 <= min(scores[1], scores[3])
