@@ -1189,7 +1189,11 @@ def _x12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, v1, v2, v3, kind) schema: `neardup` = each vector's nearest
     neighbor within its (label, LSH-bucket) block; `semdedup` =
     cluster-blocked semantic dedup (SemDeDup, Abbas et al. 2023) with
-    the deterministic centroid-typicality keep rule."""
+    the deterministic centroid-typicality keep rule; `embed` (r6) =
+    signed-random-projection document embeddings — the documents-table
+    bridge into this module (v1=n_tokens, v3=the full L2-normalized
+    vector pinned as comma-joined micro-units, so every component is
+    hash-checked)."""
     nn = _sim.label_nearest_neighbor(spark, sf_dir).select(
         "vec_id",
         F.col("neighbor_id").cast("long").alias("v1"),
@@ -1204,7 +1208,19 @@ def _x12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("verdict").alias("v3"),
         F.lit("semdedup").alias("kind"),
     )
-    return nn.unionByName(sd)
+    em = _sim.srp_embed_documents(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.array_join(
+            F.transform(
+                "v", lambda x: F.round(x * 1e6).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("v3"),
+        F.lit("embed").alias("kind"),
+    )
+    return nn.unionByName(sd).unionByName(em)
 
 
 def _x12_embedding_near_dup_sql() -> str:
@@ -1215,7 +1231,12 @@ def _x12_embedding_near_dup_sql() -> str:
         "UNION ALL "
         "SELECT vec_id, CAST(cluster AS BIGINT) AS v1, "
         "CAST(ccos AS DOUBLE) AS v2, verdict AS v3, 'semdedup' AS kind "
-        f"FROM ({_sim.semdedup_sql()})"
+        f"FROM ({_sim.semdedup_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id AS vec_id, CAST(n_tokens AS BIGINT) AS v1, "
+        "0.0 AS v2, array_to_string(list_transform(v, x -> "
+        "CAST(CAST(ROUND(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',') AS v3, "
+        f"'embed' AS kind FROM ({_sim.srp_embed_documents_sql()})"
     )
 
 

@@ -721,3 +721,83 @@ def ivf_topk_trained(
         (F.round(cosine(F.col("qv"), F.col("v")), 6) + F.lit(0.0)).alias("cos"),
     )
     return _per_query_topk(pairs, k)
+
+
+# ------------------------------------------- document -> embedding bridge
+SRP_DIM = 16  # default projection dimensionality for the driver slice
+
+
+def srp_embed_documents(
+    spark: SparkSession,
+    sf_dir: str = None,
+    docs: DataFrame = None,
+    dim: int = SRP_DIM,
+) -> DataFrame:
+    """Signed-random-projection document embeddings — the bridge from
+    the ``documents`` table to every embedding operator in this module
+    (near-dup, SemDeDup, IVF/PQ search run unchanged on the output).
+
+    Each token contributes ±1 to each of ``dim`` components, the sign
+    drawn from the md5-based hash of (token, component) — an implicit
+    ±1 random-projection matrix (Achlioptas 2003; the dense cousin of
+    SimHash) that exists nowhere as data: featurization is a pure
+    expression, stateless at any corpus size. Component sums are exact
+    integers (order-independent by construction); the emitted vector is
+    the L2-normalized sum, rounded 6 dp (zero-norm docs emit the zero
+    vector).
+
+    100 TB shape: one corpus scan; the only shuffle carries
+    (doc_id, dim x int64-sum) partial rows with map-side combine — the
+    vector width, not the text, crosses the exchange. Returns
+    (doc_id, n_tokens, v array<double>)."""
+    from talna_spark.pipeline.portable import hash64, tokens
+
+    d = docs if docs is not None else spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+
+    def sign(j: int) -> "F.Column":
+        h = hash64(F.concat(F.col("token"), F.lit(f"|{j}")))
+        return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[F.sum(sign(j)).alias(f"_s{j}") for j in range(dim)],
+    )
+    raw = F.array(*[F.col(f"_s{j}").cast("double") for j in range(dim)])
+    norm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    v = F.when(
+        norm > 0,
+        F.transform(raw, lambda x: F.round(x / norm, 6)),
+    ).otherwise(F.transform(raw, lambda x: x * 0.0))
+    return agg.select("doc_id", "n_tokens", v.alias("v"))
+
+
+def srp_embed_documents_sql(dim: int = SRP_DIM) -> str:
+    """DuckDB twin: same per-(token, component) sign hash, same integer
+    sums, same L2 normalization and rounding."""
+    from talna_spark.pipeline.portable import hash64_sql, tokens_sql
+
+    h = hash64_sql("token || '|' || CAST(j AS VARCHAR)")
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS token "
+        "FROM documents), "
+        f"sgn AS (SELECT doc_id, j, "
+        f"SUM(CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END) AS sv "
+        f"FROM tok CROSS JOIN range({dim}) t(j) GROUP BY doc_id, j), "
+        "nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id), "
+        "vec AS (SELECT doc_id, list(CAST(sv AS DOUBLE) ORDER BY j) AS raw "
+        "FROM sgn GROUP BY doc_id), "
+        "nrm AS (SELECT doc_id, raw, "
+        "sqrt(list_aggregate(list_transform(raw, x -> x * x), 'sum')) AS nn "
+        "FROM vec) "
+        "SELECT v.doc_id, nt.n_tokens, "
+        "CASE WHEN nn > 0 THEN list_transform(raw, x -> ROUND(x / nn, 6)) "
+        "ELSE list_transform(raw, x -> x * 0.0) END AS v "
+        "FROM nrm v JOIN nt USING (doc_id)"
+    )

@@ -298,3 +298,117 @@ def test_assign_centroids_broadcast_fallback_bit_identical(spark):
     )
     assert lit2 == jn2
     assert all(c != len(dup) - 1 for _, c in jn2)  # dup centroid never wins
+
+
+# ------------------------- signed-random-projection document embeddings
+def test_srp_embed_matches_duckdb(spark):
+    import os
+    import shutil
+    import tempfile
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from talna_spark.pipeline.similarity import (
+        srp_embed_documents, srp_embed_documents_sql,
+    )
+
+    d = tempfile.mkdtemp(prefix="talna_srp_")
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 1, "text": "alpha beta gamma delta zeta"},
+        {"doc_id": 2, "text": "totally different words entirely here"},
+        {"doc_id": 3, "text": "one"},
+    ]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    try:
+        got = srp_embed_documents(spark, d).orderBy("doc_id").collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        ora = con.execute(
+            srp_embed_documents_sql() + " ORDER BY doc_id"
+        ).fetchall()
+        for g, o in zip(got, ora):
+            assert (g["doc_id"], g["n_tokens"]) == (o[0], o[1])
+            assert np.array_equal(np.array(g["v"]), np.array(o[2]))
+        vecs = {g["doc_id"]: np.array(g["v"]) for g in got}
+        # unit norm (up to component rounding)
+        for did, v in vecs.items():
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-4, did
+        # 4/5 shared tokens -> high cosine; disjoint -> clearly lower
+        near = float(vecs[0] @ vecs[1])
+        far = float(vecs[0] @ vecs[2])
+        assert near > 0.6 and near > far + 0.2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_srp_embed_feeds_centroid_assignment(spark):
+    """The bridge composes: derived vectors run through the module's own
+    centroid assignment unchanged (documents -> embeddings -> ANN)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.similarity import (
+        assign_centroids, srp_embed_documents,
+    )
+
+    d = tempfile.mkdtemp(prefix="talna_srp_asgn_")
+    rows = [
+        {"doc_id": i, "text": ("red apple orchard " if i < 4 else
+                               "blue ocean sailing ") * 5 + f"tail {i}"}
+        for i in range(8)
+    ]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    try:
+        e = srp_embed_documents(spark, d).select(
+            F.col("doc_id").alias("vec_id"), "v"
+        )
+        cents = [
+            [float(x) for x in r["v"]]
+            for r in e.filter(F.col("vec_id").isin(0, 4)).orderBy(
+                "vec_id"
+            ).collect()
+        ]
+        a = {r["vec_id"]: r["cid"] for r in
+             assign_centroids(e, cents).collect()}
+        assert all(a[i] == 0 for i in range(4))
+        assert all(a[i] == 1 for i in range(4, 8))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_srp_embed_plan_single_agg_shuffle(spark):
+    """One corpus scan, one hash-agg exchange of (doc_id, dim-sums) —
+    the declared 100 TB shape (no window, no join, no second scan)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from talna_spark.pipeline.similarity import srp_embed_documents
+
+    d = tempfile.mkdtemp(prefix="talna_srp_plan_")
+    pd.DataFrame(
+        [{"doc_id": 0, "text": "a b c"}]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    try:
+        plan = (
+            srp_embed_documents(spark, d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1
+        assert "Scan parquet" in plan or "FileScan" in plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
