@@ -51,14 +51,30 @@ def pack_assign(
 ) -> DataFrame:
     """(doc_id, n_tokens, pack_id, oversize) for every document: a
     deterministic FFD packing of the corpus into packs of at most
-    ``budget`` tokens (oversized docs become flagged singleton packs)."""
+    ``budget`` tokens (oversized docs become flagged singleton packs).
+    Lengths are whitespace-token counts; :func:`pack_assign_lengths`
+    packs by any caller-supplied length (e.g. BPE tokens — see
+    :func:`tokenize_pack`)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_assign_lengths(d, budget=budget, n_shards=n_shards)
+
+
+def pack_assign_lengths(
+    lengths: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """FFD packing over an explicit (doc_id, n_tokens) DataFrame — the
+    length-source-agnostic core of :func:`pack_assign`."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    d = _docs(spark, sf_dir).select(
+    d = lengths.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
         # id-hash shard: stable across runs/retries/cluster size
         F.pmod(F.xxhash64("doc_id"), F.lit(int(n_shards))).alias("_shard"),
     )
@@ -158,3 +174,39 @@ def pack_stats(packed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         (F.sum("n_tokens") / F.lit(float(budget))).alias("fill"),
         F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
     )
+
+
+def tokenize_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 50,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_SHARDS,
+    merges: "list | None" = None,
+) -> DataFrame:
+    """The training-data last mile, end to end: train a BPE tokenizer on
+    the corpus (or take a pre-trained ``merges`` list), encode every
+    document, and FFD-pack documents into fixed-token-budget training
+    sequences BY THEIR BPE LENGTH — the length the training run actually
+    pays for, where :func:`pack_assign` alone approximates with
+    whitespace tokens. Returns one row per document:
+    (doc_id, n_words, n_bpe_tokens, pack_id, oversize).
+
+    100 TB shape: encode is one Arrow map-only pass with the rank table
+    in the closure (pipeline.bpe); packing shuffles only
+    (doc_id, length) id rows into id-hash shards. Training cost is
+    bounded by the merge count and the distinct-word table — see
+    bpe_train; production reuses a saved merge list via ``merges``."""
+    from talna_spark.pipeline.bpe import bpe_encode, bpe_train
+
+    if merges is None:
+        merges = bpe_train(spark, sf_dir, n_merges=n_merges)
+    enc = bpe_encode(spark, sf_dir, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    assign = pack_assign_lengths(
+        enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+        budget=budget,
+        n_shards=n_shards,
+    ).select("doc_id", "pack_id", "oversize")
+    return enc.join(assign, "doc_id")

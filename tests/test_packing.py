@@ -169,3 +169,36 @@ def test_token_heavy_hitters_minimal_guaranteed_slots(spark):
     assert got and got[0]["token"] == top1_exact["token"]
     assert got[0]["n"] == top1_exact["n"]
     assert got[0]["guaranteed"] is True  # by construction of m
+
+
+def test_tokenize_pack_end_to_end(spark):
+    """BPE-train -> encode -> FFD-pack by BPE length: per-pack BPE-token
+    totals respect the budget, every doc is assigned exactly once, the
+    packing keys off BPE lengths (not whitespace words), and a supplied
+    merge list skips training deterministically."""
+    import pyspark.sql.functions as F
+
+    from talna_spark.pipeline.bpe import bpe_train
+    from talna_spark.pipeline.packing import tokenize_pack
+
+    budget = 256
+    merges = bpe_train(spark, SF, n_merges=12)
+    out = tokenize_pack(spark, SF, budget=budget, merges=merges)
+    pdf = out.toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(pdf) == n_docs and pdf["doc_id"].is_unique
+
+    # packing is by BPE length: merges compress, so bpe < words somewhere
+    assert (pdf["n_bpe_tokens"] != pdf["n_words"]).any()
+    per_pack = pdf[~pdf["oversize"]].groupby("pack_id")["n_bpe_tokens"].sum()
+    assert (per_pack <= budget).all()
+    # oversized docs (BPE length > budget) are flagged singletons
+    over = pdf[pdf["oversize"]]
+    assert (over["n_bpe_tokens"] > budget).all()
+    assert not over["pack_id"].duplicated().any()
+
+    # same merges, repartitioned input -> identical assignment
+    again = tokenize_pack(spark, SF, budget=budget, merges=merges).toPandas()
+    a = pdf.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
