@@ -218,9 +218,15 @@ def train_classifier(
     bias = 0.0
     history = []
     x = F.col("tf").cast("double") / F.col("n")
+    import pandas as pd
+
     for _ in range(int(iters)):
+        # Arrow path: one batch for the n_features-row model table, not
+        # n_features py4j row conversions per round
         wdf = spark.createDataFrame(
-            list(enumerate(wvec)), "f long, w double"
+            pd.DataFrame(
+                {"f": range(n_features), "w": wvec}
+            ).astype({"f": "int64", "w": "float64"})
         )
         nano = F.round(F.col("w") * x * NANO).cast("long")
         scored = (
