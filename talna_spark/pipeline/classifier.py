@@ -246,6 +246,11 @@ def train_classifier(
                     )
                 ).alias("p"),
             )
+            # both per-round actions (loss aggregate, gradient join)
+            # consume this frame: without a cut the scoring pass over
+            # the corpus runs TWICE per round (the curate single-scan
+            # rule — scored rows are id-sized, cheap to pin)
+            .localCheckpoint(eager=False)
         )
         # loss + bias gradient in one pass over the n_docs-row frame;
         # micro-unit ints keep both order-independent.
