@@ -401,6 +401,15 @@ def main() -> None:
 
         qs["_bench_clf_train"] = _bench_clf_train
         pipe["pipe_clf_train"] = "_bench_clf_train"
+        # record the training config so the row is interpretable across
+        # rounds (an iterative loop's wall time means nothing without it)
+        extra["pipe_clf_train_iters"] = 5
+        extra["pipe_clf_train_features"] = 1024
+        # r6: SRP document embeddings (the documents -> ANN bridge)
+        from talna_spark.pipeline.similarity import srp_embed_documents as _srp
+
+        qs["_bench_srp"] = _srp
+        pipe["pipe_srp_embed"] = "_bench_srp"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
