@@ -198,3 +198,94 @@ def bpe_encode(
         _enc,
         schema="doc_id long, n_words long, n_bpe_tokens long, compression double",
     )
+
+
+# ------------------------------------------------------- token-id encode
+# Closed-form vocabulary: a symbol's id is a pure function of (symbol,
+# merge list), so no vocab table object exists anywhere —
+#   0                       -> reserved (padding)
+#   1                       -> bare end-of-word symbol
+#   plain char c            -> 2 + 2 * codepoint(c)
+#   char c + EOW (merged)   -> 3 + 2 * codepoint(c)
+#   k-th merge's new symbol -> MERGE_ID_BASE + k
+# MERGE_ID_BASE sits above 3 + 2 * 0x10FFFF (the max char id), so the
+# ranges cannot collide and ids are invertible given the merges. Two
+# merges producing the SAME symbol string (different splits, e.g.
+# a+bc and ab+c -> 'abc') share the later merge's id — same vocab item,
+# one id, deterministic.
+MERGE_ID_BASE = 4_194_304  # 2^22 > 3 + 2 * U+10FFFF
+
+
+def bpe_encode_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens, ids array<long>): the actual token-id
+    sequence per document — what a training loader consumes — under the
+    closed-form vocabulary above. Same greedy lowest-rank merge loop as
+    :func:`bpe_encode` (whose n_bpe_tokens this agrees with by
+    construction — tested), same Arrow map-only shape: the rank table
+    and the id scheme live in the closure, no shuffle, no vocab
+    broadcast."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    merged_id = {a + b: MERGE_ID_BASE + i for i, (a, b) in enumerate(merges)}
+    eow = EOW
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+
+        def sym_id(s: str) -> int:
+            got = merged_id.get(s)
+            if got is not None:
+                return got
+            if s == eow:
+                return 1  # bare EOW symbol (no merge touched it)
+            if s.endswith(eow) and len(s) > len(eow):
+                # char+EOW: only single chars reach here un-merged
+                # (anything longer was produced by a merge and is in
+                # merged_id)
+                return 3 + 2 * ord(s[: -len(eow)])
+            return 2 + 2 * ord(s)
+
+        def word_ids(w: str) -> list[int]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [eow]
+            # merge the trailing char with EOW representation: the train
+            # table stores words as char sequence + EOW symbol, and
+            # merges may produce 'char</w>' symbols — keep syms as the
+            # same alphabet: last char and EOW stay separate symbols
+            # until a merge joins them (exactly bpe_encode's loop)
+            while len(syms) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            out = [sym_id(s) for s in syms]
+            cache[w] = out
+            return out
+
+        for pdf in batches:
+            rows = []
+            for did, ws in zip(pdf["doc_id"], pdf["words"]):
+                ids: list[int] = []
+                for w in ws:
+                    if w:
+                        ids.extend(word_ids(w))
+                rows.append((int(did), len(ids), ids))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bpe_tokens", "ids"]
+            )
+
+    return d.mapInPandas(
+        _enc, schema="doc_id long, n_bpe_tokens long, ids array<long>"
+    )

@@ -210,3 +210,48 @@ def tokenize_pack(
         n_shards=n_shards,
     ).select("doc_id", "pack_id", "oversize")
     return enc.join(assign, "doc_id")
+
+
+def pack_token_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Materialize the actual training sequences: one row per pack with
+    the member documents' BPE token ids concatenated in doc_id order —
+    (pack_id, n_docs, n_tokens, ids array<long>, oversize). The tensor
+    a training loader reads, produced by `bpe_encode_ids` (closed-form
+    vocab) + `pack_assign_lengths` (FFD by BPE length).
+
+    Shape: the encode pass is Arrow map-only; the pack-id groupBy is the
+    only shuffle carrying token ids — int64 rows, ~8 bytes/token, the
+    unavoidable materialization cost of emitting tensors at all; the
+    concat is a JVM flatten over doc_id-sorted member structs, no
+    Python."""
+    from talna_spark.pipeline.bpe import bpe_encode_ids
+
+    enc = bpe_encode_ids(spark, sf_dir, merges).localCheckpoint(eager=False)
+    assign = pack_assign_lengths(
+        enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+        budget=budget,
+        n_shards=n_shards,
+    )
+    return (
+        assign.join(enc.select("doc_id", "ids"), "doc_id")
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("ids"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias(
+                "oversize"
+            ),
+        )
+    )

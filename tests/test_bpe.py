@@ -132,3 +132,78 @@ def test_bpe_stops_when_no_repeated_pair(spark):
         assert bpe_train(spark, d, n_merges=10) == []
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_encode_ids_matches_reference_symbols(spark, corpus_dir):
+    """bpe_encode_ids emits, per doc, exactly the reference encoder's
+    symbol stream mapped through the closed-form id scheme; lengths
+    agree with bpe_encode's n_bpe_tokens."""
+    from talna_spark.pipeline.bpe import MERGE_ID_BASE, bpe_encode_ids
+
+    d, texts = corpus_dir
+    merges = bpe_train(spark, d, n_merges=8)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    merged_id = {a + b: MERGE_ID_BASE + i for i, (a, b) in enumerate(merges)}
+
+    def ref_sym_id(s):
+        if s in merged_id:
+            return merged_id[s]
+        if s == EOW:
+            return 1
+        if s.endswith(EOW) and len(s) > len(EOW):
+            return 3 + 2 * ord(s[: -len(EOW)])
+        return 2 + 2 * ord(s)
+
+    got = {
+        r["doc_id"]: r for r in bpe_encode_ids(spark, d, merges).collect()
+    }
+    enc = {r["doc_id"]: r for r in bpe_encode(spark, d, merges).collect()}
+    for did, text in enumerate(texts):
+        expect = []
+        for w in text.lower().strip().split():
+            expect.extend(ref_sym_id(s) for s in _ref_encode_word(w, ranks))
+        assert list(got[did]["ids"]) == expect, did
+        assert got[did]["n_bpe_tokens"] == len(expect)
+        assert enc[did]["n_bpe_tokens"] == len(expect)
+
+
+def test_pack_token_ids_materializes_budgeted_tensors(spark, corpus_dir):
+    """pack_token_ids: per-pack id arrays concatenate members in doc_id
+    order, lengths match the assignment, budget respected."""
+    from talna_spark.pipeline.bpe import bpe_encode_ids
+    from talna_spark.pipeline.packing import pack_token_ids
+
+    d, texts = corpus_dir
+    merges = bpe_train(spark, d, n_merges=8)
+    per_doc = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe_encode_ids(spark, d, merges).collect()
+    }
+    budget = 24
+    packs = pack_token_ids(spark, d, merges, budget=budget).collect()
+    seen_tokens = 0
+    for p in packs:
+        assert p["n_tokens"] == len(p["ids"])
+        if not p["oversize"]:
+            assert p["n_tokens"] <= budget
+        seen_tokens += p["n_tokens"]
+    assert seen_tokens == sum(len(v) for v in per_doc.values())
+    # each pack's ids = concat of SOME doc id-sequences in doc_id order:
+    # reconstruct by greedy matching against the known per-doc arrays
+    for p in packs:
+        ids = list(p["ids"])
+        matched = 0
+        pos = 0
+        used = []
+        while pos < len(ids):
+            hit = None
+            for did, seq in sorted(per_doc.items()):
+                if did not in used and ids[pos : pos + len(seq)] == seq:
+                    hit = did
+                    break
+            assert hit is not None, (p["pack_id"], pos)
+            used.append(hit)
+            pos += len(per_doc[hit])
+            matched += 1
+        assert matched == p["n_docs"]
+        assert used == sorted(used)  # doc_id order within the pack
