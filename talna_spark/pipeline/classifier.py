@@ -290,3 +290,44 @@ def train_classifier(
         ]
         bias -= lr * g_bias
     return {"weights": wvec, "bias": bias, "loss_history": history}
+
+
+# ---------------------------------------------------------- persistence
+def save_classifier(spark: SparkSession, model: dict, path: str) -> None:
+    """Persist a trained model as one parquet table of (f, w) rows with
+    the bias at f = -1 — readable by any engine, no pickle. The
+    streaming gate's cross-session path: train once in batch, load in
+    the job that opens the stream."""
+    import pandas as pd
+
+    w = model["weights"]
+    pdf = pd.DataFrame(
+        {
+            "f": list(range(len(w))) + [-1],
+            "w": [float(x) for x in w] + [float(model["bias"])],
+        }
+    ).astype({"f": "int64", "w": "float64"})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def load_classifier(spark: SparkSession, path: str) -> dict:
+    """Inverse of :func:`save_classifier`: returns
+    {"weights": list, "bias": float, "n_features": int}."""
+    rows = spark.read.parquet(path).collect()
+    bias = 0.0
+    wmap = {}
+    for r in rows:
+        if r["f"] == -1:
+            bias = float(r["w"])
+        else:
+            wmap[int(r["f"])] = float(r["w"])
+    n = max(wmap) + 1 if wmap else 0
+    if set(wmap) != set(range(n)):
+        raise ValueError(f"classifier table at {path} has gaps in f")
+    return {
+        "weights": [wmap[f] for f in range(n)],
+        "bias": bias,
+        "n_features": n,
+    }

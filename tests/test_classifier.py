@@ -285,3 +285,28 @@ def test_score_plan_broadcasts_weights(spark, docs_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_save_load_round_trip(spark, labeled_dir, tmp_path):
+    docs = spark.read.parquet(f"{labeled_dir}/documents.parquet")
+    model = train_classifier(docs, _labels(spark), n_features=64, iters=2)
+    from talna_spark.pipeline.classifier import (
+        load_classifier, save_classifier,
+    )
+
+    p = str(tmp_path / "clf_model")
+    save_classifier(spark, model, p)
+    back = load_classifier(spark, p)
+    assert back["n_features"] == 64
+    assert back["weights"] == model["weights"]
+    assert back["bias"] == model["bias"]
+    # loaded model scores identically
+    a = score_documents(
+        spark, docs=docs, weights=model["weights"], bias=model["bias"],
+        n_features=64,
+    ).orderBy("doc_id").collect()
+    b = score_documents(
+        spark, docs=docs, weights=back["weights"], bias=back["bias"],
+        n_features=back["n_features"],
+    ).orderBy("doc_id").collect()
+    assert a == b
