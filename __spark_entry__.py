@@ -1137,7 +1137,11 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dsir` = DSIR importance-resampling selection (Xie et al. 2023,
     hashed unigram+bigram models, top-k by integer micro-nat weight);
     `reservoir` (r5) = exact-k deterministic per-source sample by
-    'res|'-prefixed id-hash rank (s1=source, v1=within-group rank)."""
+    'res|'-prefixed id-hash rank (s1=source, v1=within-group rank);
+    `upsample` (r6) = integer-epoch mixture upsampling — one full
+    corpus epoch redistributed by weight, uncapped rates, copies =
+    floor(rate) + deterministic fractional epoch (v2=rate_ppm,
+    v3=copies)."""
     mx = _sampling.mixture_sample(spark, sf_dir).select(
         "doc_id",
         F.col("source").alias("s1"),
@@ -1162,7 +1166,15 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("v3"),
         F.lit("reservoir").alias("kind"),
     )
-    return mx.unionByName(ds).unionByName(rs)
+    up = _sampling.mixture_upsample(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.col("rate_ppm").cast("long").alias("v2"),
+        F.col("copies").cast("double").alias("v3"),
+        F.lit("upsample").alias("kind"),
+    )
+    return mx.unionByName(ds).unionByName(rs).unionByName(up)
 
 
 def _x23_mixture_sample_sql() -> str:
@@ -1177,7 +1189,11 @@ def _x23_mixture_sample_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, source AS s1, CAST(sample_rank AS BIGINT) AS v1, "
         "CAST(0 AS BIGINT) AS v2, 0.0 AS v3, 'reservoir' AS kind "
-        f"FROM ({_sampling.reservoir_docs_sql()})"
+        f"FROM ({_sampling.reservoir_docs_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
+        "CAST(rate_ppm AS BIGINT) AS v2, CAST(copies AS DOUBLE) AS v3, "
+        f"'upsample' AS kind FROM ({_sampling.mixture_upsample_sql()})"
     )
 
 

@@ -208,6 +208,90 @@ def mixture_sample_sql() -> str:
     )
 
 
+
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of mixture rebalancing: integer-epoch UPSAMPLING.
+    :func:`mixture_sample` only *drops* (rates cap at 1.0, "upsampling
+    is a loader concern"); real mixture tables repeat small high-weight
+    domains (LLaMA upsamples Wikipedia ~2.4 epochs). Here the budget is
+    one full corpus epoch redistributed by weight — rate_s =
+    t_all * w_s / (w_all * t_s), UNCAPPED — and each document's copy
+    count is floor(rate) plus one more iff its 'mixup|'-hashed fraction
+    falls under the fractional part, so a domain at rate 2.4 emits every
+    doc twice and a deterministic 40% of docs a third time: per-domain
+    expected token count = rate_s * t_s exactly, no randomness.
+
+    Returns (doc_id, source, n_tokens, rate_ppm, copies) for EVERY doc
+    (copies = 0 means dropped by a sub-1.0 rate) — the audit ledger; a
+    loader materializes `copies` repetitions. Same 100 TB shape as
+    mixture_sample: #domains-row aggregate broadcast back, map-side
+    integer compare, zero corpus shuffle."""
+    from talna_spark.pipeline.portable import hash64, tokens
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
+    per_src = per_src.withColumn("w_s", _mix_weight(F.col("source")))
+    wall = Window.partitionBy(F.lit(1))
+    per_src = per_src.withColumn("t_all", F.sum("t_s").over(wall)).withColumn(
+        "w_all", F.sum("w_s").over(wall)
+    )
+    # one full epoch redistributed by weight; fixed evaluation order
+    rate = (
+        F.col("t_all").cast("double")
+        * F.col("w_s")
+        / F.col("w_all")
+        / F.col("t_s")
+    )
+    rates = per_src.select(
+        "source",
+        F.floor(rate * MIX_RESOLUTION).cast("long").alias("rate_ppm"),
+    )
+    frac = hash64(
+        F.concat(F.lit("mixup|"), F.col("doc_id").cast("string"))
+    ) % MIX_RESOLUTION
+    copies = (
+        F.floor(F.col("rate_ppm") / MIX_RESOLUTION)
+        + F.when(frac < F.col("rate_ppm") % MIX_RESOLUTION, 1).otherwise(0)
+    ).cast("long")
+    return d.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "rate_ppm",
+        copies.alias("copies"),
+    )
+
+
+def mixture_upsample_sql() -> str:
+    from talna_spark.pipeline.portable import hash64_sql, tokens_sql
+
+    w = tokens_sql("text")
+    weight = "(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3)"
+    frac = f"({hash64_sql(chr(39) + 'mixup|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % {MIX_RESOLUTION})"
+    return (
+        f"WITH d AS (SELECT doc_id, source, "
+        f"CAST(len({w}) AS BIGINT) AS n_tokens FROM documents), "
+        f"per_src AS (SELECT source, SUM(n_tokens) AS t_s, "
+        f"{weight} AS w_s FROM d GROUP BY source), "
+        "tot AS (SELECT SUM(t_s) AS t_all, SUM(w_s) AS w_all FROM per_src), "
+        "rates AS (SELECT source, "
+        "CAST(FLOOR(CAST(t_all AS DOUBLE) * w_s / w_all / t_s "
+        f"* {MIX_RESOLUTION}) AS BIGINT) AS rate_ppm "
+        "FROM per_src CROSS JOIN tot) "
+        "SELECT d.doc_id, d.source, d.n_tokens, r.rate_ppm, "
+        f"CAST(FLOOR(r.rate_ppm / {MIX_RESOLUTION}) + "
+        f"(CASE WHEN {frac} < r.rate_ppm % {MIX_RESOLUTION} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS copies "
+        "FROM d JOIN rates r ON d.source = r.source"
+    )
+
+
 # -------------------------------------------------- DSIR data selection
 DSIR_BUCKETS = 1024   # hashed-feature dimensionality (paper: 10k; dial)
 DSIR_SELECT_K = 100   # documents to select from the raw pool

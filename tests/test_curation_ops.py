@@ -577,3 +577,48 @@ def test_lm3_kneser_ney_continuation_demotes_collocation_tokens(spark, tmp_path)
     # higher for the collocation-bound token.
     out = {r["doc_id"]: r["xent3"] for r in lm_score_trigram_kn(spark, d).collect()}
     assert out[200] > out[201]
+
+
+def test_mixture_upsample_integer_epochs(spark):
+    """Uncapped mixture: a small high-weight domain repeats (copies >= 1
+    with some 2s), an oversized low-weight domain sheds docs (copies 0/1),
+    expected token mass per domain = rate * t_s, and the whole corpus
+    emits ~one epoch."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from talna_spark.pipeline.sampling import mixture_upsample
+
+    d = tempfile.mkdtemp(prefix="talna_upsample_")
+    rows = []
+    did = 0
+    # src2: weight 3 (2 % 3 + 1), 10 short docs  -> rate >> 1
+    for _ in range(10):
+        rows.append({"doc_id": did, "source": "src2", "text": "a b c d"})
+        did += 1
+    # src0: weight 1, 40 long docs -> rate < 1
+    for _ in range(40):
+        rows.append(
+            {"doc_id": did, "source": "src0", "text": "w x y z " * 5}
+        )
+        did += 1
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    try:
+        out = mixture_upsample(spark, d).toPandas()
+        t2 = out[out.source == "src2"]
+        t0 = out[out.source == "src0"]
+        # t_all = 10*4 + 40*20 = 840; w: src2=3, src0=1, w_all=4
+        # rate(src2) = 840*3/(4*40)  = 15.75 -> every doc >= 15 copies
+        # rate(src0) = 840*1/(4*800) = 0.2625 -> copies in {0, 1}
+        assert (t2.rate_ppm == 15_750_000).all()
+        assert set(t2.copies) <= {15, 16} and (t2.copies >= 15).all()
+        assert (t0.rate_ppm == 262_500).all()
+        assert set(t0.copies) <= {0, 1}
+        # one full epoch in expectation, exact per the quantized rates
+        emitted = (out.copies * out.n_tokens).sum()
+        assert abs(emitted - 840) / 840 < 0.25  # hash-threshold variance
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
