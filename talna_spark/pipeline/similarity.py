@@ -737,14 +737,16 @@ def srp_embed_documents(
     the ``documents`` table to every embedding operator in this module
     (near-dup, SemDeDup, IVF/PQ search run unchanged on the output).
 
-    Each token contributes ±1 to each of ``dim`` components, the sign
-    drawn from the md5-based hash of (token, component) — an implicit
-    ±1 random-projection matrix (Achlioptas 2003; the dense cousin of
-    SimHash) that exists nowhere as data: featurization is a pure
-    expression, stateless at any corpus size. Component sums are exact
-    integers (order-independent by construction); the emitted vector is
-    the L2-normalized sum, rounded 6 dp (zero-norm docs emit the zero
-    vector).
+    Each token contributes ±1 to each of ``dim`` components, sign j =
+    bit j of the token's ONE md5-based hash (exactly SimHash's sign
+    extraction, Charikar 2002 — the implicit ±1 projection matrix of
+    Achlioptas 2003 with one hash per token instead of one per
+    (token, component): 16x less hashing in the scan, measured) that
+    exists nowhere as data: featurization is a pure expression,
+    stateless at any corpus size. Requires ``dim <= 60`` (the hash
+    width). Component sums are exact integers (order-independent by
+    construction); the emitted vector is the L2-normalized sum, rounded
+    6 dp (zero-norm docs emit the zero vector).
 
     100 TB shape: one corpus scan; the only shuffle carries
     (doc_id, dim x int64-sum) partial rows with map-side combine — the
@@ -752,16 +754,18 @@ def srp_embed_documents(
     (doc_id, n_tokens, v array<double>)."""
     from talna_spark.pipeline.portable import hash64, tokens
 
+    if not 1 <= int(dim) <= 60:
+        raise ValueError("dim must be in [1, 60] (sign bits of one hash)")
     d = docs if docs is not None else spark.read.parquet(
         f"{sf_dir}/documents.parquet"
     )
     tok = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    )
+    ).select("doc_id", hash64(F.col("token")).alias("_h"))
 
     def sign(j: int) -> "F.Column":
-        h = hash64(F.concat(F.col("token"), F.lit(f"|{j}")))
-        return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        bit = F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))
+        return (F.lit(1) - 2 * bit).cast("int")
 
     agg = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -779,16 +783,16 @@ def srp_embed_documents(
 
 
 def srp_embed_documents_sql(dim: int = SRP_DIM) -> str:
-    """DuckDB twin: same per-(token, component) sign hash, same integer
+    """DuckDB twin: same one-hash-per-token sign bits, same integer
     sums, same L2 normalization and rounding."""
     from talna_spark.pipeline.portable import hash64_sql, tokens_sql
 
-    h = hash64_sql("token || '|' || CAST(j AS VARCHAR)")
+    h = hash64_sql("token")
     return (
-        f"WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS token "
-        "FROM documents), "
+        f"WITH tok AS (SELECT doc_id, {h} AS h FROM (SELECT doc_id, "
+        f"unnest({tokens_sql('text')}) AS token FROM documents)), "
         f"sgn AS (SELECT doc_id, j, "
-        f"SUM(CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END) AS sv "
+        "SUM(1 - 2 * ((h >> j) & 1)) AS sv "
         f"FROM tok CROSS JOIN range({dim}) t(j) GROUP BY doc_id, j), "
         "nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id), "
         "vec AS (SELECT doc_id, list(CAST(sv AS DOUBLE) ORDER BY j) AS raw "
