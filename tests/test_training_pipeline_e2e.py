@@ -1,0 +1,84 @@
+"""Capstone integration: the full r6 training-data path on real
+testdata — curate (with the learned classifier gate) → keep-set →
+BPE-tokenize → FFD-pack token ids → export with manifest. Each stage is
+individually oracle/unit-verified elsewhere; this pins that they
+COMPOSE: ids flow through joins, token totals are conserved end to end,
+and the exported corpus round-trips."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curate_tokenize_pack_export(spark, tmp_path):
+    from talna_spark.pipeline.bpe import bpe_encode_ids, bpe_train
+    from talna_spark.pipeline.classifier import train_classifier
+    from talna_spark.pipeline.curate import curate
+    from talna_spark.pipeline.export import export_corpus, read_manifest
+    from talna_spark.pipeline.packing import pack_assign_lengths
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # 1. train the learned gate on synthetic labels, curate with it
+    labels = docs.select(
+        "doc_id", (F.col("doc_id") % 2).cast("double").alias("y")
+    )
+    model = train_classifier(docs, labels, n_features=256, iters=2, lr=4.0)
+    verdicts = curate(
+        spark,
+        SF,
+        clf_weights=model["weights"],
+        clf_bias=model["bias"],
+        clf_threshold=0.45,
+        clf_features=256,
+    )
+    kept = verdicts.filter(F.col("verdict") == "kept").select(
+        "doc_id", "split"
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()
+
+    # 2. tokenize the kept set and pack by BPE length
+    merges = bpe_train(spark, SF, n_merges=10)
+    enc = (
+        bpe_encode_ids(spark, SF, merges)
+        .join(kept, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    assert enc.count() == n_kept
+    assign = pack_assign_lengths(
+        enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+        budget=512,
+    )
+    packed = assign.join(enc.select("doc_id", "split", "ids"), "doc_id")
+    total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_tokens == enc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    per_pack = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"))
+    )
+    assert per_pack.filter(F.col("t") > 512).count() == 0
+
+    # 3. export the packed corpus with a manifest and round-trip it
+    out = str(tmp_path / "corpus")
+    export_corpus(
+        packed.select("doc_id", "split", "pack_id", "n_tokens", "ids"),
+        out,
+    )
+    man = read_manifest(out)
+    assert man["total_rows"] == n_kept
+    assert set(man["partitions"]) <= {"train", "val", "test"}
+    back = spark.read.parquet(out)
+    assert back.count() == n_kept
+    assert back.agg(F.sum("n_tokens")).collect()[0][0] == total_tokens
+    # ids survive the export byte-for-byte
+    a = {r["doc_id"]: list(r["ids"]) for r in packed.collect()}
+    b = {r["doc_id"]: list(r["ids"]) for r in back.collect()}
+    assert a == b
