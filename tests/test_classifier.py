@@ -310,3 +310,17 @@ def test_save_load_round_trip(spark, labeled_dir, tmp_path):
         n_features=back["n_features"],
     ).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_score_empty_text_doc(spark, tmp_path):
+    """tokens('') is [''] (the shared tokenizer convention): an empty
+    doc scores as one empty-string token, not a crash or a dropout."""
+    import pandas as pd
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "a b"}]
+    ).to_parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in score_documents(spark, d).collect()}
+    assert out[0]["n_tokens"] == 1 and 0.0 < out[0]["clf_score"] < 1.0
+    assert out[1]["n_tokens"] == 2

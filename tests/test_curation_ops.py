@@ -622,3 +622,27 @@ def test_mixture_upsample_integer_epochs(spark):
         assert abs(emitted - 840) / 840 < 0.25  # hash-threshold variance
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mixture_upsample_single_source_is_one_epoch_exact(spark):
+    """One domain: rate is exactly 1.0 (ppm = 1e6), fractional part 0,
+    so EVERY doc gets exactly one copy — no hash randomness at all."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from talna_spark.pipeline.sampling import mixture_upsample
+
+    d = tempfile.mkdtemp(prefix="talna_up1_")
+    pd.DataFrame(
+        [{"doc_id": i, "source": "src0", "text": f"doc {i} words here"}
+         for i in range(20)]
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    try:
+        out = mixture_upsample(spark, d).toPandas()
+        assert (out.rate_ppm == 1_000_000).all()
+        assert (out.copies == 1).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -412,3 +412,14 @@ def test_srp_embed_plan_single_agg_shuffle(spark):
         assert "Scan parquet" in plan or "FileScan" in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_srp_embed_dim_bounds(spark):
+    import pytest as _pt
+
+    from talna_spark.pipeline.similarity import srp_embed_documents
+
+    with _pt.raises(ValueError):
+        srp_embed_documents(spark, "/root/testdata/sf0.001", dim=0)
+    with _pt.raises(ValueError):
+        srp_embed_documents(spark, "/root/testdata/sf0.001", dim=61)
