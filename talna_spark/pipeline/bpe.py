@@ -206,8 +206,11 @@ def bpe_encode(
 #   0                       -> reserved (padding)
 #   1                       -> bare end-of-word symbol
 #   plain char c            -> 2 + 2 * codepoint(c)
-#   char c + EOW (merged)   -> 3 + 2 * codepoint(c)
 #   k-th merge's new symbol -> MERGE_ID_BASE + k
+# Emitted streams contain ONLY those classes: any char+EOW or longer
+# symbol was by construction produced by a merge and takes the
+# merge-rank id (the 3 + 2*codepoint char+EOW range exists only as a
+# defensive guard in sym_id and never appears under this encoder).
 # MERGE_ID_BASE sits above 3 + 2 * 0x10FFFF (the max char id), so the
 # ranges cannot collide and ids are invertible given the merges. Two
 # merges producing the SAME symbol string (different splits, e.g.
@@ -244,11 +247,11 @@ def bpe_encode_ids(
                 return got
             if s == eow:
                 return 1  # bare EOW symbol (no merge touched it)
-            if s.endswith(eow) and len(s) > len(eow):
-                # char+EOW: only single chars reach here un-merged
-                # (anything longer was produced by a merge and is in
-                # merged_id)
-                return 3 + 2 * ord(s[: -len(eow)])
+            if s.endswith(eow) and len(s) == 1 + len(eow):
+                # defensive: unreachable under this encoder (any
+                # char+EOW symbol came from a merge and hit merged_id
+                # above), kept so a foreign merge table cannot crash
+                return 3 + 2 * ord(s[0])
             return 2 + 2 * ord(s)
 
         def word_ids(w: str) -> list[int]:

@@ -211,9 +211,13 @@ def train_classifier(
               "doc_id")
         .localCheckpoint(eager=False)
     )
-    n_docs = labels.count()
+    # normalize by the docs the sums actually cover: labels without a
+    # matching doc (or docs whose NULL text yields no feature rows) fall
+    # out of the inner join above, and counting them would silently
+    # shrink every gradient (an effective-lr bug, review r6)
+    n_docs = feat.select("doc_id").distinct().count()
     if n_docs == 0:
-        raise ValueError("labels is empty")
+        raise ValueError("no labeled documents with features")
     wvec = [0.0] * n_features
     bias = 0.0
     history = []
@@ -249,8 +253,11 @@ def train_classifier(
             # both per-round actions (loss aggregate, gradient join)
             # consume this frame: without a cut the scoring pass over
             # the corpus runs TWICE per round (the curate single-scan
-            # rule — scored rows are id-sized, cheap to pin)
-            .localCheckpoint(eager=False)
+            # rule). persist/unpersist rather than localCheckpoint so
+            # the round's id-rows leave executor storage when the round
+            # ends — a checkpoint per iteration would accumulate iters
+            # resident frames (review r6)
+            .persist()
         )
         # loss + bias gradient in one pass over the n_docs-row frame;
         # micro-unit ints keep both order-independent.
@@ -283,6 +290,7 @@ def train_classifier(
             )
             .collect()
         )
+        scored.unpersist()
         grad = {r["f"]: r["gm"] / MICRO / n_docs for r in grad_rows}
         wvec = [
             w - lr * (grad.get(f, 0.0) + l2 * w)

@@ -201,8 +201,13 @@ def tokenize_pack(
 
     if merges is None:
         merges = bpe_train(spark, sf_dir, n_merges=n_merges)
-    enc = bpe_encode(spark, sf_dir, merges).select(
-        "doc_id", "n_words", "n_bpe_tokens"
+    # the encode frame feeds BOTH the length-based assignment and the
+    # final join: pin it or the Python merge loop — the dominant stage —
+    # runs over the corpus twice (the pack_token_ids / curate rule)
+    enc = (
+        bpe_encode(spark, sf_dir, merges)
+        .select("doc_id", "n_words", "n_bpe_tokens")
+        .localCheckpoint(eager=False)
     )
     assign = pack_assign_lengths(
         enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),

@@ -182,18 +182,25 @@ def stream_curate(
         if clf_weights is not None:
             from talna_spark.pipeline.classifier import score_documents
 
-            keep = (
-                score_documents(
-                    out.sparkSession,
-                    docs=out,
-                    weights=clf_weights,
-                    bias=clf_bias,
-                    n_features=clf_features,
+            scores = score_documents(
+                out.sparkSession,
+                docs=out,
+                weights=clf_weights,
+                bias=clf_bias,
+                n_features=clf_features,
+            ).select("doc_id", "clf_score")
+            # LEFT join + NULL-keeps: a doc whose NULL text yields no
+            # feature rows has no score row; batch curate()'s left join
+            # keeps it (NULL < threshold is not true), so the stream
+            # must too — same-verdict equivalence, not just same-scorer
+            out = (
+                out.join(scores, "doc_id", "left")
+                .filter(
+                    F.col("clf_score").isNull()
+                    | (F.col("clf_score") >= clf_threshold)
                 )
-                .filter(F.col("clf_score") >= clf_threshold)
-                .select("doc_id")
+                .drop("clf_score")
             )
-            out = out.join(keep, "doc_id")
         out.write.mode("append").parquet(out_path)
 
     return (

@@ -324,3 +324,19 @@ def test_score_empty_text_doc(spark, tmp_path):
     out = {r["doc_id"]: r for r in score_documents(spark, d).collect()}
     assert out[0]["n_tokens"] == 1 and 0.0 < out[0]["clf_score"] < 1.0
     assert out[1]["n_tokens"] == 2
+
+
+def test_train_normalizes_by_matched_docs(spark, labeled_dir):
+    """Labels without a matching document must not dilute gradients:
+    training with 40 matching + 40 phantom labels equals training with
+    exactly the 40 matching labels (review r6 — the effective-lr bug)."""
+    docs = spark.read.parquet(f"{labeled_dir}/documents.parquet")
+    exact = train_classifier(docs, _labels(spark), n_features=64, iters=3)
+    padded_labels = spark.createDataFrame(
+        [(i, 1.0 if i % 2 == 0 else 0.0) for i in range(80)],  # 40-79 phantom
+        "doc_id long, y double",
+    )
+    padded = train_classifier(docs, padded_labels, n_features=64, iters=3)
+    assert padded["weights"] == exact["weights"]
+    assert padded["bias"] == exact["bias"]
+    assert padded["loss_history"] == exact["loss_history"]

@@ -40,7 +40,7 @@ def test_redact_exact_strings(spark, pii_dir):
     assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (
         1, 1, 1,
     )
-    assert out[4]["text_redacted"] == out[4]["text_redacted"]
+    assert out[4]["text_redacted"] == "clean text with no identifiers at all"
     assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (
         0, 0, 0,
     )

@@ -527,3 +527,36 @@ def test_stream_curate_classifier_gate(spark, dirs):
         ).collect()
     }
     assert scores[2] < 0.5 <= min(scores[1], scores[3])
+
+
+def test_stream_clf_gate_keeps_null_text_like_batch(spark, dirs):
+    """A NULL-text doc produces no feature rows, hence no score row;
+    batch curate()'s left join keeps it, so the streaming gate must too
+    (review r6 — the inner join silently dropped it)."""
+    import pyspark.sql.functions as F
+
+    from talna_spark.streaming.documents import stream_curate
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "runs far away to find more food for the winter den ") * 3
+    schema = "doc_id long, text string, source string"
+    reference = spark.createDataFrame([(900, good + "ref", "ref")], schema)
+    batch = [
+        (1, good + "clean tail", "s"),
+        (2, None, "s"),  # NULL text: gated 'kept', no clf score row
+    ]
+    src = dirs["src"] + "_clfnull"
+    out = dirs["wh"] + "_clfnull_out"
+    ckpt = dirs["ckpt"] + "_clfnull"
+    spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+    q = stream_curate(
+        spark.readStream.schema(schema).parquet(src), reference, out, ckpt,
+        clf_weights=[0.0] * 64, clf_bias=0.2, clf_threshold=0.5,
+        clf_features=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}, got
