@@ -742,7 +742,8 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All eight REAL dependency-free codecs (pipeline.multimodal) as
+    """All nine REAL dependency-free codec/parser legs
+    (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
     zlib inflate + all five scanline filters), JPEG (baseline grayscale:
@@ -753,9 +754,13 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded on the same sampling stride), FLAC (r6 — the ENTROPY-CODED
     audio leg: Rice-coded fixed-prediction subset per RFC 9639, with
     CRC-8/CRC-16 and STREAMINFO-md5 verification of the decoded PCM),
-    and PDF (xref-offset object
+    PDF (xref-offset object
     walk + FlateDecode inflate + Tj/TJ text reassembly; r5 — the
-    DOCUMENT-format leg). Each
+    DOCUMENT-format leg), and MP3 (r6 — the stream-METADATA leg:
+    ISO 11172-3 frame-header walk with the spec bitrate/samplerate side
+    tables, frame-length hop arithmetic, VBR detection and duration;
+    the Huffman payload stays opaque — the declared perceptual seam,
+    now audio-METADATA-complete). Each
     oracle recomputes every decoded field by independent doc_id
     arithmetic (no parsing in SQL), so writer AND decoder must both be
     exact — for JPEG via the flat-block closed form that makes the lossy
@@ -814,10 +819,15 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_objects", "n_pages", "n_literals", "compressed",
         "text_len", "text_hash", "pdf",
     )
+    mp3 = norm(
+        _mm.mp3_meta(spark, sf_dir),
+        "n_frames", "sample_rate", "is_vbr", "bitrate_sum_kbps",
+        "duration_s", "bitrate_mean_kbps", "mp3",
+    )
     return (
         wav.unionByName(bmp).unionByName(png).unionByName(jpg)
         .unionByName(avi).unionByName(mjpeg).unionByName(flac)
-        .unionByName(pdf)
+        .unionByName(pdf).unionByName(mp3)
     )
 
 
@@ -854,6 +864,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.pdf_extract_sql(), "n_objects", "n_pages", "n_literals",
                "compressed", "text_len", "text_hash", "pdf")
+        + " UNION ALL "
+        + norm(_mm.mp3_meta_sql(), "n_frames", "sample_rate", "is_vbr",
+               "bitrate_sum_kbps", "duration_s", "bitrate_mean_kbps", "mp3")
     )
 
 

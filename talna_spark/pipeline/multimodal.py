@@ -2515,3 +2515,175 @@ def pdf_extract_sql() -> str:
         "CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS text_hash "
         "FROM c"
     )
+
+
+# ------------------------------------------------------ MP3 (frame walk)
+MP3_SCHEMA = (
+    "doc_id long, media_type string, n_frames long, sample_rate long, "
+    "is_vbr long, bitrate_sum_kbps long, duration_s double, "
+    "bitrate_mean_kbps double"
+)
+
+# MPEG-1 Layer III side tables (ISO/IEC 11172-3): bitrate index -> kbps
+# (0 = free, 15 = bad), sample-rate index -> Hz (3 = reserved)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320, 0)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _mp3_params(doc_id: int) -> tuple[list, int, list]:
+    """(per-frame bitrate indices, samplerate index, per-frame padding
+    bits) — deterministic per doc; every 3rd doc is VBR (the indices
+    cycle), the rest CBR."""
+    n_frames = 3 + doc_id % 5
+    sr_idx = doc_id % 3
+    vbr = doc_id % 3 == 0
+    base = 1 + doc_id % 14
+    idxs = [1 + (base - 1 + (f if vbr else 0)) % 14 for f in range(n_frames)]
+    padding = [f % 2 for f in range(n_frames)]
+    return idxs, sr_idx, padding
+
+
+def mp3_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one MPEG-1 Layer III stream per document: spec-layout
+    4-byte frame headers (sync/version/layer/bitrate/samplerate/padding
+    per ISO 11172-3) with zeroed main-data payloads — the frame GRID is
+    real and self-describing; the Huffman-coded audio inside is the
+    declared perceptual-decode seam."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        brs = _MP3_BITRATES
+        rates = _MP3_RATES
+
+        def frames(did: int) -> bytes:
+            idxs, sr_idx, padding = _mp3_params(did)
+            sr = rates[sr_idx]
+            out = bytearray()
+            for idx, pad in zip(idxs, padding):
+                flen = 144 * brs[idx] * 1000 // sr + pad
+                b2 = (idx << 4) | (sr_idx << 2) | (pad << 1)
+                hdr = bytes((0xFF, 0xFB, b2, 0xC0))
+                out += hdr + bytes(flen - 4)
+            return bytes(out)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "audio/mpeg",
+                    "payload": [frames(int(i)) for i in ids],
+                }
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the synthesized MP3 corpus (driver-checked as x19)."""
+    return mp3_meta_payloads(mp3_media_table(spark, sf_dir))
+
+
+def mp3_meta_payloads(media: DataFrame) -> DataFrame:
+    """MP3 stream metadata by frame-header walk — the triage pass an
+    audio pipeline runs before committing to a perceptual decode:
+    per-frame sync validation (11-bit sync, MPEG-1, Layer III), bitrate
+    and samplerate from the spec side tables, frame-length arithmetic
+    (144·bitrate/samplerate + padding) to hop frame to frame, VBR
+    detection from the per-frame bitrate set, and duration =
+    frames · 1152 / samplerate. No Huffman decode — the payload stays
+    opaque (the declared perceptual seam); everything the HEADERS say is
+    verified exactly. Constant memory per task, map-only, no shuffle."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        brs = _MP3_BITRATES
+        rates = _MP3_RATES
+
+        def walk(blob: bytes) -> tuple:
+            pos, n, sr, kbps = 0, 0, None, []
+            while pos + 4 <= len(blob):
+                b0, b1, b2 = blob[pos], blob[pos + 1], blob[pos + 2]
+                if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+                    raise ValueError(f"lost sync at {pos}")
+                if (b1 >> 3) & 3 != 3 or (b1 >> 1) & 3 != 1:
+                    raise ValueError("not MPEG-1 Layer III")
+                idx, sr_idx = (b2 >> 4) & 15, (b2 >> 2) & 3
+                if idx in (0, 15) or sr_idx == 3:
+                    raise ValueError("free/bad bitrate or reserved rate")
+                if sr is None:
+                    sr = rates[sr_idx]
+                elif sr != rates[sr_idx]:
+                    raise ValueError("samplerate change mid-stream")
+                pad = (b2 >> 1) & 1
+                kbps.append(brs[idx])
+                pos += 144 * brs[idx] * 1000 // sr + pad
+                n += 1
+            if pos != len(blob) or n == 0:
+                raise ValueError("truncated frame tail")
+            return (
+                n,
+                sr,
+                1 if len(set(kbps)) > 1 else 0,
+                sum(kbps),
+                n * _MP3_SAMPLES_PER_FRAME / sr,
+                sum(kbps) / n,
+            )
+
+        for pdf in batches:
+            rows = [walk(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_frames": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "is_vbr": [r[2] for r in rows],
+                    "bitrate_sum_kbps": [r[3] for r in rows],
+                    "duration_s": [r[4] for r in rows],
+                    "bitrate_mean_kbps": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_parse, schema=MP3_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "n_frames",
+        "sample_rate",
+        "is_vbr",
+        "bitrate_sum_kbps",
+        round6("duration_s").alias("duration_s"),
+        round6("bitrate_mean_kbps").alias("bitrate_mean_kbps"),
+    )
+
+
+def mp3_meta_sql() -> str:
+    """Oracle: every field recomputed from doc_id arithmetic through the
+    same spec tables — no MP3 parsing in SQL, so writer AND walker must
+    both be exact."""
+    brs = list(_MP3_BITRATES)
+    rates = list(_MP3_RATES)
+    return (
+        "WITH p AS (SELECT doc_id, 3 + doc_id % 5 AS n_frames, "
+        f"([{', '.join(map(str, rates))}])[(doc_id % 3) + 1] AS sr, "
+        "(doc_id % 3 = 0) AS vbr, 1 + doc_id % 14 AS base FROM documents), "
+        "fr AS (SELECT doc_id, n_frames, sr, vbr, "
+        f"([{', '.join(map(str, brs))}])"
+        "[1 + (1 + (base - 1 + CASE WHEN vbr THEN f ELSE 0 END) % 14)] "
+        "AS kbps "
+        "FROM p, LATERAL unnest(generate_series(0, n_frames - 1)) t(f)), "
+        "agg AS (SELECT doc_id, MAX(n_frames) AS n_frames, MAX(sr) AS sr, "
+        "CASE WHEN COUNT(DISTINCT kbps) > 1 THEN 1 ELSE 0 END AS is_vbr, "
+        "CAST(SUM(kbps) AS BIGINT) AS kb_sum, "
+        "AVG(CAST(kbps AS DOUBLE)) AS kb_mean "
+        "FROM fr GROUP BY doc_id) "
+        "SELECT doc_id, 'audio/mpeg' AS media_type, n_frames, "
+        "sr AS sample_rate, is_vbr, kb_sum AS bitrate_sum_kbps, "
+        f"ROUND(n_frames * {_MP3_SAMPLES_PER_FRAME}.0 / sr, 6) AS duration_s, "
+        "ROUND(kb_mean, 6) AS bitrate_mean_kbps FROM agg"
+    )

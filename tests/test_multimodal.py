@@ -720,3 +720,39 @@ def test_flac_corruption_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="fLaC"):
         flac_decode_payloads(garbage).collect()
+
+
+def test_mp3_frame_walk_validates_sync_and_flags_vbr(spark):
+    """The MP3 walker is a real parser: it hops frames by the spec
+    length arithmetic, rejects corrupted sync, and VBR/CBR flags come
+    from the actual per-frame bitrate set."""
+    import pandas as pd
+    import pytest as _pt
+
+    from talna_spark.pipeline.multimodal import (
+        mp3_media_table, mp3_meta_payloads,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    media = mp3_media_table(spark, SF)
+    out = {r["doc_id"]: r for r in mp3_meta_payloads(media).limit(0).collect()}
+    got = {r["doc_id"]: r for r in
+           mp3_meta_payloads(media.filter("doc_id < 6")).collect()}
+    # doc 0, 3: vbr (doc_id % 3 == 0); others CBR
+    assert got[0]["is_vbr"] == 1 and got[3]["is_vbr"] == 1
+    assert got[1]["is_vbr"] == 0 and got[2]["is_vbr"] == 0
+    # duration = frames * 1152 / rate, frames = 3 + doc_id % 5
+    assert got[1]["n_frames"] == 4
+    assert got[1]["duration_s"] == round(4 * 1152 / 48000, 6)
+
+    # corrupt one byte of the first header -> loud failure, not garbage
+    blob = bytearray(media.filter("doc_id = 1").collect()[0]["payload"])
+    blob[0] = 0x00
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "media_type": ["audio/mpeg"],
+             "payload": [bytes(blob)]}
+        )
+    )
+    with _pt.raises(Exception, match="lost sync"):
+        mp3_meta_payloads(bad).collect()
