@@ -178,7 +178,9 @@ def bpe_encode(
         for pdf in batches:
             n_words, n_tok, n_chars = [], [], []
             for ws in pdf["words"]:
-                ws = [w for w in ws if w]
+                # NULL text -> NULL words array -> None in the Arrow
+                # batch: treat as the empty document, don't crash
+                ws = [w for w in ws if w] if ws is not None else []
                 n_words.append(len(ws))
                 n_tok.append(sum(word_tokens(w) for w in ws))
                 n_chars.append(sum(len(w) for w in ws))
@@ -281,7 +283,8 @@ def bpe_encode_ids(
             rows = []
             for did, ws in zip(pdf["doc_id"], pdf["words"]):
                 ids: list[int] = []
-                for w in ws:
+                # NULL text -> None words array: the empty document
+                for w in (ws if ws is not None else []):
                     if w:
                         ids.extend(word_ids(w))
                 rows.append((int(did), len(ids), ids))

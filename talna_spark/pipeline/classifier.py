@@ -205,10 +205,17 @@ def train_classifier(
     tokenize+hash subtree runs once, not per-iteration (the shared-base
     rule from LSH/curate)."""
     spark = docs.sparkSession
+    # one label per doc, deterministically (max y on conflict): a
+    # duplicated label row would double its doc's feature rows through
+    # the join and bias every gradient toward it (review r6)
+    lab = (
+        labels.select("doc_id", F.col("y").cast("double").alias("y"))
+        .groupBy("doc_id")
+        .agg(F.max("y").alias("y"))
+    )
     feat = (
         hashed_features(docs, n_features, text_col)
-        .join(labels.select("doc_id", F.col("y").cast("double").alias("y")),
-              "doc_id")
+        .join(lab, "doc_id")
         .localCheckpoint(eager=False)
     )
     # normalize by the docs the sums actually cover: labels without a

@@ -108,6 +108,38 @@ def _mix_weight(source_col: F.Column) -> F.Column:
     return (F.lit(1) + num % 3).cast("long")
 
 
+def _mix_scaffold(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared front half of the mixture pair (sample + upsample): the
+    tokenized (doc_id, source, n_tokens) projection behind one lazy
+    localCheckpoint, and the per-source frame with weights and
+    corpus/weight totals. Factored so the sampler and the upsampler
+    cannot drift (review r6) — only the rate expression differs.
+
+    The checkpoint: the projection feeds BOTH the per-domain totals and
+    the final join; without a cut Catalyst re-evaluates the tokenize map
+    once per consumer (3 corpus passes). Measured 10 s -> ~3 s at sf0.1.
+    Totals ride unbounded windows over the #domains-row frame (not a
+    crossJoin of a broadcast sub-aggregate, which would execute the
+    upstream a second time). The TALNA_MIN_SCAN_TASKS fan-out spreads a
+    single-row-group source; a no-op on real multi-file corpora."""
+    from talna_spark.pipeline.portable import tokens
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
+    per_src = per_src.withColumn("w_s", _mix_weight(F.col("source")))
+    wall = Window.partitionBy(F.lit(1))
+    per_src = per_src.withColumn("t_all", F.sum("t_s").over(wall)).withColumn(
+        "w_all", F.sum("w_s").over(wall)
+    )
+    return d, per_src
+
+
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling to a token budget: given per-domain
     weights w_s and a total budget B (here MIX_BUDGET_FRACTION of corpus
@@ -130,33 +162,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     at rate 1.0 — visible in the output as keep_ppm = 1000000 — rather
     than failing; upsampling/repetition is a training-loader concern.
     """
-    from talna_spark.pipeline.portable import hash64, tokens
-    from talna_spark.pipeline.scan import fan_out
+    from talna_spark.pipeline.portable import hash64
 
-    # tokenization is the dominant map cost; the shared
-    # TALNA_MIN_SCAN_TASKS fan-out spreads a single-row-group source
-    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    d = d.select(
-        "doc_id",
-        "source",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
-    # the tokenized projection feeds BOTH the per-domain totals and the
-    # final keep-filter join; without a cut Catalyst re-evaluates the
-    # tokenize map once per consumer (3 corpus passes: the rates
-    # broadcast forces per_src twice, the join scans again). The lazy
-    # localCheckpoint materializes the 3 narrow columns once — the
-    # single-scan-curate pattern, measured 10 s -> ~3 s at sf0.1.
-    d = d.localCheckpoint(eager=False)
-    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
-    per_src = per_src.withColumn("w_s", _mix_weight(F.col("source")))
-    # corpus/weight totals as unbounded windows over the #domains-row
-    # frame (not a crossJoin of a broadcast sub-aggregate, which would
-    # execute the upstream a second time to build the broadcast)
-    wall = Window.partitionBy(F.lit(1))
-    per_src = per_src.withColumn("t_all", F.sum("t_s").over(wall)).withColumn(
-        "w_all", F.sum("w_s").over(wall)
-    )
+    d, per_src = _mix_scaffold(spark, sf_dir)
     budget = F.floor(F.col("t_all") * F.lit(MIX_BUDGET_FRACTION)).cast("long")
     # rate = min(1, (B * w_s / w_all) / t_s); evaluation order fixed so
     # both engines fold the same IEEE doubles.
@@ -191,7 +199,7 @@ def mixture_sample_sql() -> str:
     weight = "(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3)"
     keep = hash64_sql("'mix|' || CAST(doc_id AS VARCHAR)")
     return (
-        f"WITH d AS (SELECT doc_id, source, "
+        f"WITH d AS MATERIALIZED (SELECT doc_id, source, "
         f"CAST(len({w}) AS BIGINT) AS n_tokens FROM documents), "
         f"per_src AS (SELECT source, SUM(n_tokens) AS t_s, "
         f"{weight} AS w_s FROM d GROUP BY source), "
@@ -226,21 +234,9 @@ def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader materializes `copies` repetitions. Same 100 TB shape as
     mixture_sample: #domains-row aggregate broadcast back, map-side
     integer compare, zero corpus shuffle."""
-    from talna_spark.pipeline.portable import hash64, tokens
-    from talna_spark.pipeline.scan import fan_out
+    from talna_spark.pipeline.portable import hash64
 
-    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    d = d.select(
-        "doc_id",
-        "source",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    ).localCheckpoint(eager=False)
-    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
-    per_src = per_src.withColumn("w_s", _mix_weight(F.col("source")))
-    wall = Window.partitionBy(F.lit(1))
-    per_src = per_src.withColumn("t_all", F.sum("t_s").over(wall)).withColumn(
-        "w_all", F.sum("w_s").over(wall)
-    )
+    d, per_src = _mix_scaffold(spark, sf_dir)
     # one full epoch redistributed by weight; fixed evaluation order
     rate = (
         F.col("t_all").cast("double")
@@ -275,7 +271,7 @@ def mixture_upsample_sql() -> str:
     weight = "(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3)"
     frac = f"({hash64_sql(chr(39) + 'mixup|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % {MIX_RESOLUTION})"
     return (
-        f"WITH d AS (SELECT doc_id, source, "
+        f"WITH d AS MATERIALIZED (SELECT doc_id, source, "
         f"CAST(len({w}) AS BIGINT) AS n_tokens FROM documents), "
         f"per_src AS (SELECT source, SUM(n_tokens) AS t_s, "
         f"{weight} AS w_s FROM d GROUP BY source), "

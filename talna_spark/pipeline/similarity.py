@@ -789,7 +789,7 @@ def srp_embed_documents_sql(dim: int = SRP_DIM) -> str:
 
     h = hash64_sql("token")
     return (
-        f"WITH tok AS (SELECT doc_id, {h} AS h FROM (SELECT doc_id, "
+        f"WITH tok AS MATERIALIZED (SELECT doc_id, {h} AS h FROM (SELECT doc_id, "
         f"unnest({tokens_sql('text')}) AS token FROM documents)), "
         f"sgn AS (SELECT doc_id, j, "
         "SUM(1 - 2 * ((h >> j) & 1)) AS sv "

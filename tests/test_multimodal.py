@@ -735,7 +735,6 @@ def test_mp3_frame_walk_validates_sync_and_flags_vbr(spark):
 
     SF = "/root/testdata/sf0.001"
     media = mp3_media_table(spark, SF)
-    out = {r["doc_id"]: r for r in mp3_meta_payloads(media).limit(0).collect()}
     got = {r["doc_id"]: r for r in
            mp3_meta_payloads(media.filter("doc_id < 6")).collect()}
     # doc 0, 3: vbr (doc_id % 3 == 0); others CBR
