@@ -207,3 +207,22 @@ def test_pack_token_ids_materializes_budgeted_tensors(spark, corpus_dir):
             matched += 1
         assert matched == p["n_docs"]
         assert used == sorted(used)  # doc_id order within the pack
+
+
+def test_bpe_null_text_is_empty_document(spark, tmp_path):
+    """NULL text flows through both encoders as the empty document
+    (review r6 — the Arrow batch carries None, which must not crash)."""
+    import pandas as pd
+
+    from talna_spark.pipeline.bpe import bpe_encode_ids
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        [{"doc_id": 0, "text": "low lower low"}, {"doc_id": 1, "text": None}]
+    ).to_parquet(f"{d}/documents.parquet")
+    merges = bpe_train(spark, d, n_merges=3)
+    enc = {r["doc_id"]: r for r in bpe_encode(spark, d, merges).collect()}
+    ids = {r["doc_id"]: r for r in bpe_encode_ids(spark, d, merges).collect()}
+    assert enc[1]["n_bpe_tokens"] == 0 and enc[1]["n_words"] == 0
+    assert list(ids[1]["ids"]) == [] and ids[1]["n_bpe_tokens"] == 0
+    assert enc[0]["n_bpe_tokens"] == ids[0]["n_bpe_tokens"] > 0

@@ -340,3 +340,17 @@ def test_train_normalizes_by_matched_docs(spark, labeled_dir):
     assert padded["weights"] == exact["weights"]
     assert padded["bias"] == exact["bias"]
     assert padded["loss_history"] == exact["loss_history"]
+
+
+def test_train_duplicate_labels_deduped(spark, labeled_dir):
+    """Duplicated label rows must not double-weight their doc's
+    gradient (review r6): doubled labels give the identical model."""
+    docs = spark.read.parquet(f"{labeled_dir}/documents.parquet")
+    base = _labels(spark)
+    m1 = train_classifier(docs, base, n_features=64, iters=2)
+    m2 = train_classifier(
+        docs, base.unionByName(base), n_features=64, iters=2
+    )
+    assert m1["weights"] == m2["weights"]
+    assert m1["bias"] == m2["bias"]
+    assert m1["loss_history"] == m2["loss_history"]
