@@ -2561,6 +2561,19 @@ def mp3_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             idxs, sr_idx, padding = _mp3_params(did)
             sr = rates[sr_idx]
             out = bytearray()
+            # every 4th doc leads with an ID3v2 tag (the real-world
+            # layout — virtually every shipped MP3 has one): 10-byte
+            # header with a syncsafe size, then opaque tag bytes the
+            # walker must skip before the first sync
+            if did % 4 == 0:
+                tag_body = 17 + did % 100  # varies the syncsafe size
+                out += (
+                    b"ID3\x04\x00\x00"
+                    + bytes(
+                        ((tag_body >> s) & 0x7F) for s in (21, 14, 7, 0)
+                    )
+                    + bytes(tag_body)
+                )
             for idx, pad in zip(idxs, padding):
                 flen = 144 * brs[idx] * 1000 // sr + pad
                 b2 = (idx << 4) | (sr_idx << 2) | (pad << 1)
@@ -2605,6 +2618,16 @@ def mp3_meta_payloads(media: DataFrame) -> DataFrame:
 
         def walk(blob: bytes) -> tuple:
             pos, n, sr, kbps = 0, 0, None, []
+            # ID3v2 prefix (ubiquitous in shipped files): 10-byte header,
+            # syncsafe 28-bit size, tag bytes opaque — skip to the first
+            # audio sync
+            if blob[:3] == b"ID3" and len(blob) >= 10:
+                size = 0
+                for b in blob[6:10]:
+                    if b & 0x80:
+                        raise ValueError("non-syncsafe ID3v2 size")
+                    size = (size << 7) | b
+                pos = 10 + size
             while pos + 4 <= len(blob):
                 b0, b1, b2 = blob[pos], blob[pos + 1], blob[pos + 2]
                 if b0 != 0xFF or (b1 & 0xE0) != 0xE0:

@@ -755,3 +755,19 @@ def test_mp3_frame_walk_validates_sync_and_flags_vbr(spark):
     )
     with _pt.raises(Exception, match="lost sync"):
         mp3_meta_payloads(bad).collect()
+
+
+def test_mp3_id3v2_tag_skipped(spark):
+    """Docs whose stream leads with an ID3v2 tag (every 4th in the
+    fixture — the real-world layout) parse to the same metadata as the
+    untagged form: the walker skips the syncsafe-sized tag."""
+    from talna_spark.pipeline.multimodal import mp3_media_table, mp3_meta
+
+    SF = "/root/testdata/sf0.001"
+    media = {r["doc_id"]: bytes(r["payload"])
+             for r in mp3_media_table(spark, SF).filter("doc_id < 8").collect()}
+    assert media[0][:3] == b"ID3" and media[4][:3] == b"ID3"
+    assert media[1][:1] == b"\xff"
+    got = {r["doc_id"]: r for r in mp3_meta(spark, SF).collect()}
+    for did in range(8):
+        assert got[did]["n_frames"] == 3 + did % 5, did
