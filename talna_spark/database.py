@@ -352,6 +352,10 @@ class QueryBuilder:
         keys = self._group_keys()
         if len(keys) < 2:
             raise InvalidQueryError("cube requires at least two group tags")
+        if self._cube is not None:
+            raise InvalidQueryError(
+                "cube and rollup_sets are mutually exclusive (already set)"
+            )
         self._cube = "cube"
         return self
 
@@ -366,6 +370,10 @@ class QueryBuilder:
         if len(keys) < 2:
             raise InvalidQueryError(
                 "rollup_sets requires at least two group tags"
+            )
+        if self._cube is not None:
+            raise InvalidQueryError(
+                "cube and rollup_sets are mutually exclusive (already set)"
             )
         self._cube = "rollup"
         return self
@@ -625,22 +633,6 @@ class QueryBuilder:
                 raise InvalidQueryError(
                     "cube cannot combine with gapfill/rolling/zscore"
                 )
-            keys = self._group_keys()
-            if self._cube == "cube":
-                masks = range(2 ** len(keys))
-            else:  # rollup: prefix subsets only — (2^p - 1) sets bits 0..p-1
-                masks = [(1 << p) - 1 for p in range(len(keys), -1, -1)]
-            combos = []
-            for mask in masks:
-                parts = [
-                    F.concat(F.lit(f"{k}:"), F.col("tags").getItem(k))
-                    if (mask >> i) & 1
-                    else F.lit(f"{k}:*")
-                    for i, k in enumerate(keys)
-                ]
-                combos.append(F.concat_ws(",", *parts))
-            scan = scan.withColumn("_cube_grp", F.explode(F.array(*combos)))
-            group_col = F.col("_cube_grp")
         kind = self._kind
         if kind == "rate":
             # per-series derivative first; buckets then average the
@@ -667,6 +659,30 @@ class QueryBuilder:
             scan = _twa_transform(scan, self._metric)
         elif kind in ("latest", "delta") and self._mode == "greedy":
             raise InvalidQueryError(f"{kind} supports aligned mode only")
+        if self._cube:
+            # The grouping-set explode runs AFTER the per-series kind
+            # transforms: rate/increase/twa/distinct_series compute over
+            # the un-expanded series rows (each physical point exactly
+            # once per series), then each derived row fans out into its
+            # 2^k (or k+1) grouping-set keys. Exploding first would both
+            # drop _cube_grp in the transforms' re-select and corrupt
+            # lag-based kinds with 2^k duplicate points per series.
+            keys = self._group_keys()
+            if self._cube == "cube":
+                masks = range(2 ** len(keys))
+            else:  # rollup: prefix subsets only — (2^p - 1) sets bits 0..p-1
+                masks = [(1 << p) - 1 for p in range(len(keys), -1, -1)]
+            combos = []
+            for mask in masks:
+                parts = [
+                    F.concat(F.lit(f"{k}:"), F.col("tags").getItem(k))
+                    if (mask >> i) & 1
+                    else F.lit(f"{k}:*")
+                    for i, k in enumerate(keys)
+                ]
+                combos.append(F.concat_ws(",", *parts))
+            scan = scan.withColumn("_cube_grp", F.explode(F.array(*combos)))
+            group_col = F.col("_cube_grp")
         if self._mode == "greedy":
             from talna_spark.aggregate import approx_percentile_q
 

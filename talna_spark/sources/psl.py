@@ -34,6 +34,7 @@ Citation: the reference engine has no URL/domain surface at all
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 _US_STATES = (
     "ak al ar az ca co ct dc de fl ga hi ia id il in ks ky la ma md me "
@@ -112,16 +113,36 @@ _IPV4 = re.compile(r"\d+\.\d+\.\d+\.\d+")
 
 
 def psl_rule_rows(rules=None) -> list[tuple[str, int, int, bool]]:
-    """Rule table for equality-join matching: one row per rule as
+    """Rule table for equality-join matching: EXACTLY one row per key as
     (key, nk, plen, exc) where ``key`` is the literal label suffix to
     equality-match (wildcard ``*.X`` keys on X), ``nk`` = len(key
     labels), ``plen`` = the public-suffix length this rule declares
     (rule labels; +1 for wildcard; -1 for exception per the PSL
-    algorithm), ``exc`` = exception flag. Duplicate keys keep the max
-    plen (exceptions kept separately — an exception key never collides
-    with a normal key in the PSL)."""
-    out: dict[tuple[str, bool], tuple[str, int, int, bool]] = {}
-    for rule in rules if rules is not None else PSL_RULES:
+    algorithm), ``exc`` = exception flag.
+
+    Key uniqueness is what makes the per-depth LEFT JOINs in
+    ``sources.warc.registered_domain_psl`` (and its SQL twin) row-count
+    preserving. Same-key collisions fold per the published algorithm:
+    an exception rule beats any normal rule with the same key (whenever
+    the normal rule matches a host, the exception matches too, and the
+    PSL algorithm lets any exception win), and within a kind the max
+    plen wins. The real PSL never collides an exception key with a
+    normal key — the fold only defends caller-supplied ``rules=`` sets.
+
+    The table build (parse + fold + sort) is cached per rule set —
+    driver-side scalar paths like ``registered_domain_py`` call this
+    once per blocklist ENTRY, so an uncached build would cost
+    O(entries x rules) on a ~1M-entry UT1 list."""
+    key = tuple(rules) if rules is not None else None
+    return list(_psl_rule_rows_cached(key))
+
+
+@lru_cache(maxsize=32)
+def _psl_rule_rows_cached(
+    rules_key: tuple[str, ...] | None,
+) -> tuple[tuple[str, int, int, bool], ...]:
+    out: dict[str, tuple[str, int, int, bool]] = {}
+    for rule in rules_key if rules_key is not None else PSL_RULES:
         rule = rule.strip().lower()
         if not rule or rule.startswith("//"):
             continue
@@ -132,10 +153,10 @@ def psl_rule_rows(rules=None) -> list[tuple[str, int, int, bool]]:
             key = key[2:]
         nlab = key.count(".") + 1
         plen = nlab - 1 if exc else (nlab + 1 if wild else nlab)
-        prev = out.get((key, exc))
-        if prev is None or prev[2] < plen:
-            out[(key, exc)] = (key, nlab, plen, exc)
-    return sorted(out.values())
+        prev = out.get(key)
+        if prev is None or (exc, plen) > (prev[3], prev[2]):
+            out[key] = (key, nlab, plen, exc)
+    return tuple(sorted(out.values()))
 
 
 def public_suffix_len(host: str, rules=None) -> int:

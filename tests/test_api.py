@@ -243,3 +243,64 @@ def test_rollup_sets_hierarchy(spark):
     assert "a:*,b:q" in cube and "a:*,b:q" not in roll
     for k, v in roll.items():
         assert cube[k] == v, k
+
+
+def test_cube_with_series_kinds(spark):
+    """r7 (ADVICE): cube composes with the per-series kinds — the
+    grouping-set explode runs AFTER the rate/increase/twa/
+    distinct_series transform, so lag-based kinds see each physical
+    point exactly once per series and the rolled-up slots aggregate the
+    DERIVED values (previously this path crashed: the transforms'
+    re-select dropped _cube_grp)."""
+    import pytest as _pytest
+
+    from talna_spark.database import Database
+    from talna_spark.errors import InvalidQueryError
+    from tests.conftest import make_points
+
+    s = 1_000_000_000  # 1 s in ns
+    pts = make_points(spark, [
+        # series A (a=p, b=q): rates 1.0 then 2.0 units/s
+        ("m.k", 0 * s, 0.0, {"a": "p", "b": "q"}),
+        ("m.k", 10 * s, 10.0, {"a": "p", "b": "q"}),
+        ("m.k", 20 * s, 30.0, {"a": "p", "b": "q"}),
+        # series B (a=p, b=r): rate 2.0
+        ("m.k", 0 * s, 0.0, {"a": "p", "b": "r"}),
+        ("m.k", 10 * s, 20.0, {"a": "p", "b": "r"}),
+    ])
+    db = Database.from_points(spark, pts)
+
+    def _collect(builder):
+        return {r["grp"]: r["value"] for r in builder.to_df().collect()}
+
+    # rate: per-series derivative first, buckets AVERAGE the rates
+    rates = _collect(db.rate("m.k", ["a", "b"]).granularity(None).cube())
+    assert rates["a:p,b:q"] == _pytest.approx(1.5)
+    assert rates["a:p,b:r"] == _pytest.approx(2.0)
+    assert rates["a:p,b:*"] == _pytest.approx(5.0 / 3.0)
+    assert rates["a:*,b:*"] == _pytest.approx(5.0 / 3.0)
+
+    # increase: reset-aware deltas, buckets SUM them
+    inc = _collect(db.increase("m.k", ["a", "b"]).granularity(None).cube())
+    assert inc["a:p,b:q"] == _pytest.approx(30.0)
+    assert inc["a:p,b:*"] == _pytest.approx(50.0)
+
+    # twa: hold-until-next weights computed per SERIES, pooled per group
+    twa = _collect(db.time_weighted_avg("m.k", ["a", "b"])
+                   .granularity(None).cube())
+    assert twa["a:p,b:q"] == _pytest.approx(5.0)   # (0*10 + 10*10) / 20
+    assert twa["a:p,b:r"] == _pytest.approx(0.0)   # only v=0 carries weight
+    assert twa["a:p,b:*"] == _pytest.approx(100.0 / 30.0)
+
+    # distinct_series: rolled-up slots count series across the rollup
+    ds = _collect(db.distinct_series("m.k", ["a", "b"])
+                  .granularity(None).cube())
+    assert ds["a:p,b:q"] == 1.0
+    assert ds["a:p,b:*"] == 2.0
+    assert ds["a:*,b:*"] == 2.0
+
+    # cube/rollup_sets are mutually exclusive in either order
+    with _pytest.raises(InvalidQueryError, match="mutually exclusive"):
+        db.sum("m.k", ["a", "b"]).cube().rollup_sets()
+    with _pytest.raises(InvalidQueryError, match="mutually exclusive"):
+        db.sum("m.k", ["a", "b"]).rollup_sets().cube()

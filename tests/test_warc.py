@@ -404,6 +404,44 @@ def test_registered_domain_psl(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_psl_rule_rows_key_unique(spark):
+    """r7 (ADVICE): the rule table carries EXACTLY one row per key, so
+    the per-depth LEFT JOINs in registered_domain_psl are row-count
+    preserving even for caller-supplied rule sets that collide a normal
+    and an exception rule on the same key (the fold keeps the exception
+    — whenever the normal rule matches, the exception matches too and
+    wins under the published algorithm)."""
+    from talna_spark.sources.psl import (
+        psl_rule_rows, public_suffix_len, registered_domain_py,
+    )
+    from talna_spark.sources.warc import registered_domain_psl
+
+    rows = psl_rule_rows()
+    keys = [r[0] for r in rows]
+    assert len(keys) == len(set(keys))
+
+    # pathological caller set: same key as normal AND exception rule
+    clash = ("foo.ck", "!foo.ck", "co.uk")
+    folded = psl_rule_rows(clash)
+    assert [r for r in folded if r[0] == "foo.ck"] == [("foo.ck", 2, 1, True)]
+    assert public_suffix_len("a.foo.ck", clash) == 1  # exception wins
+    assert registered_domain_py("http://a.foo.ck/x", clash) == "foo.ck"
+
+    # the Spark join path must not duplicate document rows under clash
+    df = spark.createDataFrame(
+        [(1, "http://a.foo.ck/x"), (2, "http://b.example.co.uk/y")],
+        "id long, url string",
+    )
+    out = registered_domain_psl(df, rules=clash).orderBy("id").collect()
+    assert [(r["id"], r["domain"]) for r in out] == [
+        (1, "foo.ck"), (2, "example.co.uk"),
+    ]
+
+    # the cached build returns equal rows across calls (and fast paths
+    # the per-entry scalar use in blocklist normalization)
+    assert psl_rule_rows() == rows
+
+
 def test_filter_blocklist_psl_mode(spark):
     """PSL blocklist: 'example.co.uk' blocks exactly that registrant's
     subdomains — under the naive rule every co.uk registrant collapses
