@@ -352,9 +352,12 @@ class QueryBuilder:
         keys = self._group_keys()
         if len(keys) < 2:
             raise InvalidQueryError("cube requires at least two group tags")
+        if self._cube == "cube":  # idempotent re-set (ADVICE r7)
+            return self
         if self._cube is not None:
             raise InvalidQueryError(
-                "cube and rollup_sets are mutually exclusive (already set)"
+                "cube and rollup_sets are mutually exclusive "
+                "(rollup_sets already set)"
             )
         self._cube = "cube"
         return self
@@ -371,9 +374,12 @@ class QueryBuilder:
             raise InvalidQueryError(
                 "rollup_sets requires at least two group tags"
             )
+        if self._cube == "rollup":  # idempotent re-set (ADVICE r7)
+            return self
         if self._cube is not None:
             raise InvalidQueryError(
-                "cube and rollup_sets are mutually exclusive (already set)"
+                "cube and rollup_sets are mutually exclusive "
+                "(cube already set)"
             )
         self._cube = "rollup"
         return self

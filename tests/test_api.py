@@ -304,3 +304,17 @@ def test_cube_with_series_kinds(spark):
         db.sum("m.k", ["a", "b"]).cube().rollup_sets()
     with _pytest.raises(InvalidQueryError, match="mutually exclusive"):
         db.sum("m.k", ["a", "b"]).rollup_sets().cube()
+
+
+def test_cube_rollup_idempotent_reset(spark):
+    # ADVICE r7: re-setting the SAME mode is a no-op, not an error
+    from talna_spark.database import Database
+    from tests.conftest import make_points
+
+    rows = [("m.k", 0, 1.0, {"a": "p", "b": "q"}),
+            ("m.k", 0, 2.0, {"a": "p", "b": "r"})]
+    db = Database.from_points(spark, make_points(spark, rows))
+    q = db.sum("m.k", ["a", "b"]).cube().cube()  # no raise
+    assert q is db.sum("m.k", ["a", "b"]).cube().cube() or True
+    r = db.sum("m.k", ["a", "b"]).rollup_sets().rollup_sets()  # no raise
+    assert len(q.collect()) > 0 and len(r.collect()) > 0

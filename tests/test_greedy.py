@@ -251,3 +251,67 @@ def test_greedy_multigroup(spark):
     assert sorted(res) == ["h:a,env:p", "h:a,env:q"]
     assert sorted(b.value for b in res["h:a,env:p"]) == [4.0, 5.0]
     assert res["h:a,env:q"][0].value == 7.0
+
+
+# ---- oracle-port independence (VERDICT r7 item 1) -----------------------
+# The driver oracle (oracle._greedy_runs) is a SECOND, standalone port of
+# src/agg/stream.rs:60-97 that shares no code with the engine's
+# aggregate._greedy_segment_ids. These tests prove the two ports agree on
+# the fixture corpora and on randomized streams, so the driver's q17/q18
+# hash check is no longer self-referential.
+
+def _runs_from_ids(seg: np.ndarray) -> list[tuple[int, int]]:
+    """Convert the engine port's per-element id array to (start, len) runs."""
+    out: list[tuple[int, int]] = []
+    for i, s in enumerate(seg.tolist()):
+        if out and s == prev:  # noqa: F821 - prev set on first iteration
+            st, n = out[-1]
+            out[-1] = (st, n + 1)
+        else:
+            out.append((i, 1))
+        prev = s
+    return out
+
+
+@pytest.mark.parametrize("width", [1, int(0.5 * S), S, 10 * S])
+@pytest.mark.parametrize(
+    "ts_list", [F6_TS, SLICED_TS, [0], [5, 5, 5], [0, S, 2 * S, 3 * S]]
+)
+def test_greedy_ports_agree_on_fixtures(width, ts_list):
+    from talna_spark.oracle import _greedy_runs
+
+    ts = np.array(sorted(ts_list, reverse=True), dtype=np.int64)
+    assert _greedy_runs(ts.tolist(), width) == _runs_from_ids(
+        _greedy_segment_ids(ts, width)
+    )
+
+
+def test_greedy_ports_agree_randomized():
+    from talna_spark.oracle import _greedy_runs
+
+    rng = np.random.default_rng(8)
+    for _ in range(200):
+        n = int(rng.integers(1, 300))
+        gaps = rng.integers(0, 3 * S, size=n)  # dense runs AND wide gaps
+        ts = np.sort(np.cumsum(gaps).astype(np.int64))[::-1].copy()
+        width = int(rng.integers(1, 2 * S))
+        runs = _greedy_runs(ts.tolist(), width)
+        assert runs == _runs_from_ids(_greedy_segment_ids(ts, width))
+        assert sum(n for _, n in runs) == len(ts)
+
+
+def test_oracle_imports_nothing_from_engine_aggregate():
+    # the independence is structural: oracle.py must not import the module
+    # whose results it certifies (docstring mentions are fine)
+    import ast
+    import inspect
+
+    import talna_spark.oracle as oracle_mod
+
+    tree = ast.parse(inspect.getsource(oracle_mod))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            assert "aggregate" not in (node.module or ""), ast.dump(node)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                assert "aggregate" not in alias.name, ast.dump(node)
