@@ -38,6 +38,59 @@ from talna_spark.pipeline.portable import tokens
 EOW = "</w>"  # end-of-word marker, per the original BPE formulation
 _CHECKPOINT_EVERY = 8
 
+# ---------------------------------------------------- byte-level (GPT-2)
+# r8 (VERDICT r7 item 3): the second training mode — GPT-2-style
+# byte-level BPE (Radford et al. 2019, public gpt-2/src/encoder.py
+# algorithm): pretokens come from a regex split that keeps the leading
+# space attached to the word, the initial alphabet is the 256 bytes of
+# the pretoken's UTF-8 encoding (each byte mapped to a printable unicode
+# char so symbols stay plain strings), and there is NO end-of-word
+# marker. This is the tokenization real training runs pay, so
+# `tokenize_pack(mode="byte")` measures the packing length that matters.
+#
+# GPT-2's pretokenizer regex uses \p{L}/\p{N}; Python's stdlib `re` has
+# no \p, so the documented approximation (unicode-aware, tested):
+#   \p{L} -> [^\W\d_]   (unicode letters)
+#   \p{N} -> \d         (unicode decimal digits; \p{N}'s extra numeric
+#                        forms — roman numerals etc. — fall to the
+#                        punctuation class, a documented deviation)
+#   [^\s\p{L}\p{N}] -> (?:[^\s\w]|_)
+GPT2_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte -> printable-unicode-char table: printable
+    latin bytes map to themselves, the rest shift into U+0100.. so every
+    byte has a visible, non-whitespace char and symbol strings survive
+    any string plumbing unmangled. Bijective — invertible for the id
+    scheme."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def pretokenize(text: str) -> list[str]:
+    """GPT-2 pretoken split (leading space stays on the word). One source
+    of truth for BOTH the training corpus scan and the encoder — the two
+    sides cannot drift."""
+    import re
+
+    return re.findall(GPT2_PRETOKEN_RE, text)
+
 
 def _word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, n, syms): corpus word frequencies with each word split into
@@ -53,6 +106,56 @@ def _word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit(EOW)),
     )
     return wt.select("word", "n", syms.alias("syms"))
+
+
+def _byte_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-mode twin of :func:`_word_table`: (word, n, syms) where word
+    is a GPT-2 pretoken (space-attached) and syms is its UTF-8 byte
+    sequence under the :func:`bytes_to_unicode` alphabet. The corpus is
+    scanned once through an Arrow-batched pretokenizer; the byte split
+    runs on the vocab-sized distinct table AFTER the groupBy, so the
+    Python cost is per distinct pretoken, not per occurrence."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+
+    def _pre(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        pat = re.compile(GPT2_PRETOKEN_RE)
+        for pdf in batches:
+            words: list[str] = []
+            for t in pdf["text"]:
+                if t:  # NULL text -> empty document
+                    words.extend(pat.findall(t))
+            yield pd.DataFrame({"word": words})
+
+    wt = (
+        d.mapInPandas(_pre, schema="word string")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _syms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b2u = bytes_to_unicode()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [
+                [b2u[b] for b in w.encode("utf-8")] for w in pdf["word"]
+            ]
+            yield pdf
+
+    return wt.mapInPandas(
+        _syms, schema="word string, n long, syms array<string>"
+    )
+
+
+def _init_syms_fn(mode: str):
+    """word -> initial symbol list, per mode — shared by the encoders."""
+    if mode == "word":
+        return lambda w: list(w) + [EOW]
+    if mode == "byte":
+        b2u = bytes_to_unicode()
+        return lambda w: [b2u[b] for b in w.encode("utf-8")]
+    raise ValueError(f"unknown BPE mode: {mode!r} (want 'word' or 'byte')")
 
 
 def _pair_counts(wt: DataFrame) -> DataFrame:
@@ -111,14 +214,22 @@ def _apply_merge(wt: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = 50
+    spark: SparkSession, sf_dir: str, n_merges: int = 50, mode: str = "word"
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Deterministic:
     ties on pair count break lexicographically on (a, b), independent of
     partitioning. Stops early when no pair occurs twice (merging
     singletons would just memorize words). Returns the ordered merge
-    list — the tokenizer model."""
-    wt = _word_table(spark, sf_dir).localCheckpoint(eager=False)
+    list — the tokenizer model.
+
+    ``mode="word"`` is Sennrich word-internal BPE (chars + EOW marker);
+    ``mode="byte"`` is GPT-2 byte-level BPE (space-attached pretokens,
+    UTF-8 byte alphabet, no marker). The training loop — pair explode,
+    one hash aggregate per round, JVM merge fold — is identical; only
+    the initial word table differs."""
+    builder = _word_table if mode == "word" else _byte_word_table
+    _init_syms_fn(mode)  # validate the mode before any Spark work
+    wt = builder(spark, sf_dir).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         top = (
@@ -142,27 +253,39 @@ def bpe_encode(
     spark: SparkSession,
     sf_dir: str,
     merges: list[tuple[str, str]],
+    mode: str = "word",
 ) -> DataFrame:
     """Encode every document with a learned merge list: per word, apply
     the classic greedy algorithm (repeatedly merge the present pair with
     the LOWEST merge rank until none applies). Arrow-batched mapInPandas
     with the rank table in the closure — map-only, no shuffle. Returns
     (doc_id, n_words, n_bpe_tokens, compression) where compression =
-    round(chars-per-bpe-token, 6)."""
+    round(chars-per-bpe-token, 6).
+
+    ``mode`` must match the mode the merges were trained with: "word"
+    splits on whitespace and seeds chars+EOW; "byte" pretokenizes
+    GPT-2-style and seeds the UTF-8 byte alphabet (n_words then counts
+    pretokens, compression counts pretoken chars per token)."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
-    eow = EOW
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", tokens(F.col("text")).alias("words")
-    )
+    init_syms = _init_syms_fn(mode)
+    pre_re = GPT2_PRETOKEN_RE if mode == "byte" else None
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mode == "byte":
+        d = d.select("doc_id", F.col("text"))
+    else:
+        d = d.select("doc_id", tokens(F.col("text")).alias("words"))
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        pat = re.compile(pre_re) if pre_re else None
         cache: dict[str, int] = {}
 
         def word_tokens(w: str) -> int:
             got = cache.get(w)
             if got is not None:
                 return got
-            syms = list(w) + [eow]
+            syms = init_syms(w)
             while len(syms) > 1:
                 best_rank, best_i = None, -1
                 for i in range(len(syms) - 1):
@@ -177,10 +300,14 @@ def bpe_encode(
 
         for pdf in batches:
             n_words, n_tok, n_chars = [], [], []
-            for ws in pdf["words"]:
-                # NULL text -> NULL words array -> None in the Arrow
-                # batch: treat as the empty document, don't crash
-                ws = [w for w in ws if w] if ws is not None else []
+            src = pdf["text"] if pat is not None else pdf["words"]
+            for cell in src:
+                # NULL text -> NULL words array / None text cell: treat
+                # as the empty document, don't crash
+                if pat is not None:
+                    ws = pat.findall(cell) if cell else []
+                else:
+                    ws = [w for w in cell if w] if cell is not None else []
                 n_words.append(len(ws))
                 n_tok.append(sum(word_tokens(w) for w in ws))
                 n_chars.append(sum(len(w) for w in ws))
@@ -225,6 +352,7 @@ def bpe_encode_ids(
     spark: SparkSession,
     sf_dir: str,
     merges: list[tuple[str, str]],
+    mode: str = "word",
 ) -> DataFrame:
     """(doc_id, n_bpe_tokens, ids array<long>): the actual token-id
     sequence per document — what a training loader consumes — under the
@@ -232,21 +360,47 @@ def bpe_encode_ids(
     :func:`bpe_encode` (whose n_bpe_tokens this agrees with by
     construction — tested), same Arrow map-only shape: the rank table
     and the id scheme live in the closure, no shuffle, no vocab
-    broadcast."""
+    broadcast.
+
+    Byte mode ids are closed-form too (and even denser): an unmerged
+    single-symbol token is ``2 + byte_value`` (0-255 under the GPT-2
+    byte alphabet, inverted locally), a merged symbol keeps
+    ``MERGE_ID_BASE + rank``. A multi-char symbol not in the merge
+    table cannot exist under this encoder; a foreign merge list that
+    smuggles one in raises loudly rather than mis-encoding."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     merged_id = {a + b: MERGE_ID_BASE + i for i, (a, b) in enumerate(merges)}
     eow = EOW
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", tokens(F.col("text")).alias("words")
+    init_syms = _init_syms_fn(mode)
+    pre_re = GPT2_PRETOKEN_RE if mode == "byte" else None
+    u2b = (
+        {c: b for b, c in bytes_to_unicode().items()}
+        if mode == "byte"
+        else None
     )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mode == "byte":
+        d = d.select("doc_id", F.col("text"))
+    else:
+        d = d.select("doc_id", tokens(F.col("text")).alias("words"))
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        pat = re.compile(pre_re) if pre_re else None
         cache: dict[str, list[int]] = {}
 
         def sym_id(s: str) -> int:
             got = merged_id.get(s)
             if got is not None:
                 return got
+            if u2b is not None:  # byte mode
+                if len(s) == 1 and s in u2b:
+                    return 2 + u2b[s]
+                raise ValueError(
+                    f"symbol {s!r} is neither a merge product nor a "
+                    "byte-alphabet char — wrong mode for this merge list?"
+                )
             if s == eow:
                 return 1  # bare EOW symbol (no merge touched it)
             if s.endswith(eow) and len(s) == 1 + len(eow):
@@ -260,7 +414,7 @@ def bpe_encode_ids(
             got = cache.get(w)
             if got is not None:
                 return got
-            syms = list(w) + [eow]
+            syms = init_syms(w)
             # merge the trailing char with EOW representation: the train
             # table stores words as char sequence + EOW symbol, and
             # merges may produce 'char</w>' symbols — keep syms as the
@@ -281,12 +435,17 @@ def bpe_encode_ids(
 
         for pdf in batches:
             rows = []
-            for did, ws in zip(pdf["doc_id"], pdf["words"]):
+            src = pdf["text"] if pat is not None else pdf["words"]
+            for did, cell in zip(pdf["doc_id"], src):
                 ids: list[int] = []
-                # NULL text -> None words array: the empty document
-                for w in (ws if ws is not None else []):
-                    if w:
-                        ids.extend(word_ids(w))
+                # NULL text -> None words array / None cell: the empty
+                # document
+                if pat is not None:
+                    ws = pat.findall(cell) if cell else []
+                else:
+                    ws = [w for w in cell if w] if cell is not None else []
+                for w in ws:
+                    ids.extend(word_ids(w))
                 rows.append((int(did), len(ids), ids))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bpe_tokens", "ids"]

@@ -183,6 +183,7 @@ def tokenize_pack(
     budget: int = PACK_BUDGET,
     n_shards: int = N_SHARDS,
     merges: "list | None" = None,
+    mode: str = "word",
 ) -> DataFrame:
     """The training-data last mile, end to end: train a BPE tokenizer on
     the corpus (or take a pre-trained ``merges`` list), encode every
@@ -196,16 +197,21 @@ def tokenize_pack(
     in the closure (pipeline.bpe); packing shuffles only
     (doc_id, length) id rows into id-hash shards. Training cost is
     bounded by the merge count and the distinct-word table — see
-    bpe_train; production reuses a saved merge list via ``merges``."""
+    bpe_train; production reuses a saved merge list via ``merges``.
+
+    ``mode="byte"`` trains/encodes GPT-2-style byte-level BPE (r8), so
+    the packed lengths are the ones a real byte-level training run pays
+    — the word-internal default undercounts whitespace/punctuation
+    tokens. ``mode`` must match the mode of a passed-in ``merges``."""
     from talna_spark.pipeline.bpe import bpe_encode, bpe_train
 
     if merges is None:
-        merges = bpe_train(spark, sf_dir, n_merges=n_merges)
+        merges = bpe_train(spark, sf_dir, n_merges=n_merges, mode=mode)
     # the encode frame feeds BOTH the length-based assignment and the
     # final join: pin it or the Python merge loop — the dominant stage —
     # runs over the corpus twice (the pack_token_ids / curate rule)
     enc = (
-        bpe_encode(spark, sf_dir, merges)
+        bpe_encode(spark, sf_dir, merges, mode=mode)
         .select("doc_id", "n_words", "n_bpe_tokens")
         .localCheckpoint(eager=False)
     )
@@ -223,6 +229,7 @@ def pack_token_ids(
     merges: list,
     budget: int = PACK_BUDGET,
     n_shards: int = N_SHARDS,
+    mode: str = "word",
 ) -> DataFrame:
     """Materialize the actual training sequences: one row per pack with
     the member documents' BPE token ids concatenated in doc_id order —
@@ -237,7 +244,9 @@ def pack_token_ids(
     Python."""
     from talna_spark.pipeline.bpe import bpe_encode_ids
 
-    enc = bpe_encode_ids(spark, sf_dir, merges).localCheckpoint(eager=False)
+    enc = bpe_encode_ids(spark, sf_dir, merges, mode=mode).localCheckpoint(
+        eager=False
+    )
     assign = pack_assign_lengths(
         enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
         budget=budget,

@@ -226,3 +226,228 @@ def test_bpe_null_text_is_empty_document(spark, tmp_path):
     assert enc[1]["n_bpe_tokens"] == 0 and enc[1]["n_words"] == 0
     assert list(ids[1]["ids"]) == [] and ids[1]["n_bpe_tokens"] == 0
     assert enc[0]["n_bpe_tokens"] == ids[0]["n_bpe_tokens"] > 0
+
+
+# ------------------- byte-level (GPT-2) mode vs its own test-side reference
+# The reference below is written independently of talna_spark.pipeline.bpe:
+# its own regex copy, its own byte table construction, its own merge loop.
+_REF_BYTE_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def _ref_b2u():
+    table, n = {}, 0
+    printable = (
+        set(range(33, 127)) | set(range(161, 173)) | set(range(174, 256))
+    )
+    for b in range(256):
+        if b in printable:
+            table[b] = chr(b)
+        else:
+            table[b] = chr(256 + n)
+            n += 1
+    return table
+
+
+def _ref_pretokens(t):
+    import re
+
+    return re.findall(_REF_BYTE_RE, t)
+
+
+def _ref_byte_train(texts, n_merges):
+    b2u = _ref_b2u()
+    counts = {}
+    for t in texts:
+        for w in _ref_pretokens(t):
+            counts[w] = counts.get(w, 0) + 1
+    vocab = {w: [b2u[b] for b in w.encode("utf-8")] for w in counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + counts[w]
+        pairs = {p: c for p, c in pairs.items() if c >= 2}
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def _ref_byte_encode_word(w, ranks):
+    b2u = _ref_b2u()
+    syms = [b2u[b] for b in w.encode("utf-8")]
+    while len(syms) > 1:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+    return syms
+
+
+@pytest.fixture(scope="module")
+def byte_corpus_dir():
+    d = tempfile.mkdtemp(prefix="talna_bpe_byte_")
+    # multi-byte UTF-8 (é, ï, emoji), contractions, digits, punctuation,
+    # leading-space words, trailing whitespace — the byte-mode surface
+    texts = [
+        "low lower lowest low low, it's low!",
+        "café Café naïve 123 4567 new news",
+        "the lowest newest — café au lait 🦆🦆 low",
+        "new newer newest; it's the low low  ",
+        "wide wider widest wide don't 123",
+    ]
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    yield d, texts
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_byte_alphabet_matches_reference_table():
+    from talna_spark.pipeline.bpe import bytes_to_unicode
+
+    got = bytes_to_unicode()
+    assert got == _ref_b2u()
+    assert len(set(got.values())) == 256  # bijective
+
+
+def test_pretokenize_keeps_leading_space_and_contractions():
+    from talna_spark.pipeline.bpe import pretokenize
+
+    got = pretokenize("it's low-lower!  café 123\n x")
+    # `\s+(?!\S)` backtracks so the LAST space before a word stays
+    # attached to that word — "\n " + "x" splits as "\n", " x"
+    assert got == [
+        "it", "'s", " low", "-", "lower", "!", " ", " café", " 123",
+        "\n", " x",
+    ]
+    # round-trip: pretokens concatenate back to the input
+    assert "".join(got) == "it's low-lower!  café 123\n x"
+
+
+def test_byte_bpe_train_matches_reference(spark, byte_corpus_dir):
+    d, texts = byte_corpus_dir
+    got = bpe_train(spark, d, n_merges=25, mode="byte")
+    want = _ref_byte_train(texts, 25)
+    assert got == want
+    assert len(got) > 8
+
+
+def test_byte_bpe_encode_matches_reference(spark, byte_corpus_dir):
+    d, texts = byte_corpus_dir
+    merges = bpe_train(spark, d, n_merges=18, mode="byte")
+    ranks = {m: i for i, m in enumerate(merges)}
+    got = {
+        r["doc_id"]: r
+        for r in bpe_encode(spark, d, merges, mode="byte").collect()
+    }
+    for doc_id, t in enumerate(texts):
+        ws = _ref_pretokens(t)
+        n_tok = sum(len(_ref_byte_encode_word(w, ranks)) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        assert got[doc_id]["n_words"] == len(ws)
+        assert got[doc_id]["n_bpe_tokens"] == n_tok
+        assert got[doc_id]["compression"] == pytest.approx(
+            round(n_chars / n_tok, 6), abs=1e-9
+        )
+
+
+def test_byte_encode_ids_matches_reference_symbols(spark, byte_corpus_dir):
+    from talna_spark.pipeline.bpe import MERGE_ID_BASE, bpe_encode_ids
+
+    d, texts = byte_corpus_dir
+    merges = bpe_train(spark, d, n_merges=12, mode="byte")
+    ranks = {m: i for i, m in enumerate(merges)}
+    merged_id = {a + b: MERGE_ID_BASE + i for i, (a, b) in enumerate(merges)}
+    u2b = {c: b for b, c in _ref_b2u().items()}
+
+    def ref_sym_id(s):
+        if s in merged_id:
+            return merged_id[s]
+        assert len(s) == 1
+        return 2 + u2b[s]
+
+    got = {
+        r["doc_id"]: r
+        for r in bpe_encode_ids(spark, d, merges, mode="byte").collect()
+    }
+    for doc_id, t in enumerate(texts):
+        want = []
+        for w in _ref_pretokens(t):
+            want.extend(
+                ref_sym_id(s) for s in _ref_byte_encode_word(w, ranks)
+            )
+        assert list(got[doc_id]["ids"]) == want
+        assert got[doc_id]["n_bpe_tokens"] == len(want)
+
+
+def test_byte_mode_roundtrip_decodable(spark, byte_corpus_dir):
+    # the id scheme is invertible: ids -> symbols -> bytes -> text
+    from talna_spark.pipeline.bpe import MERGE_ID_BASE, bpe_encode_ids
+
+    d, texts = byte_corpus_dir
+    merges = bpe_train(spark, d, n_merges=10, mode="byte")
+    sym_of_merge = {MERGE_ID_BASE + i: a + b for i, (a, b) in enumerate(merges)}
+    u2b = {c: b for b, c in _ref_b2u().items()}
+    got = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe_encode_ids(spark, d, merges, mode="byte").collect()
+    }
+    for doc_id, t in enumerate(texts):
+        syms = [
+            sym_of_merge[i] if i >= MERGE_ID_BASE else _ref_b2u()[i - 2]
+            for i in got[doc_id]
+        ]
+        decoded = bytes(u2b[c] for s in syms for c in s).decode("utf-8")
+        assert decoded == "".join(_ref_pretokens(t))
+
+
+def test_bpe_unknown_mode_raises(spark, byte_corpus_dir):
+    d, _ = byte_corpus_dir
+    with pytest.raises(ValueError, match="mode"):
+        bpe_train(spark, d, n_merges=1, mode="subword")
+
+
+def test_tokenize_pack_byte_mode(spark, byte_corpus_dir):
+    from talna_spark.pipeline.packing import tokenize_pack
+
+    d, texts = byte_corpus_dir
+    rows = tokenize_pack(
+        spark, d, n_merges=10, budget=64, n_shards=2, mode="byte"
+    ).collect()
+    assert len(rows) == len(texts)
+    merges = bpe_train(spark, d, n_merges=10, mode="byte")
+    ranks = {m: i for i, m in enumerate(merges)}
+    by_id = {r["doc_id"]: r for r in rows}
+    packs = {}
+    for doc_id, t in enumerate(texts):
+        n_tok = sum(
+            len(_ref_byte_encode_word(w, ranks)) for w in _ref_pretokens(t)
+        )
+        assert by_id[doc_id]["n_bpe_tokens"] == n_tok  # byte lengths packed
+        if not by_id[doc_id]["oversize"]:
+            p = by_id[doc_id]["pack_id"]
+            packs[p] = packs.get(p, 0) + n_tok
+    assert all(v <= 64 for v in packs.values())  # budget respected
