@@ -438,11 +438,13 @@ def main() -> None:
         # ±35% round-to-round (r6 2.01M vs r7 1.31M pts/s on identical
         # ingest code). min-of-2 with the existing os.sync() settle makes
         # the published number the JIT-warm steady state, same as
-        # scale10/100. Two ~0.8 GB warehouses live at once -> 4 GiB guard;
-        # degrade to the old single pass between 2 and 4 GiB.
-        if free >= 4 * 1024**3:
+        # scale10/100. Each rep rmtree's the previous warehouse before
+        # writing, so peak disk is ~1 warehouse (~0.8 GB); 2 GiB = one
+        # warehouse plus slack (ADVICE r8: the old 4 GiB guard was sized
+        # for two concurrent warehouses that no longer coexist).
+        if free >= 2 * 1024**3:
             scale_section(1000, 2)
-        elif free >= 2 * 1024**3:
+        elif free >= 1 * 1024**3:
             scale_section(1000, 1)
             extra["scale1000_single_rep_low_disk"] = round(free / 1024**3, 2)
         else:

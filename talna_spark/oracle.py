@@ -56,8 +56,11 @@ def _oracle_percentile_q(kind: str) -> Optional[float]:
     """``"p95"`` -> 0.95; None otherwise. Oracle-local re-statement of the
     percentile kind grammar (mirrors talna_spark.aggregate.percentile_q
     without importing it — the oracle shares no code with the engine it
-    checks)."""
-    if len(kind) < 2 or kind[0] != "p" or not kind[1].isdigit():
+    checks). Same grammar as the engine: anything after the ``p`` that
+    float-parses to q in (0, 1) is a percentile kind (``"p.5"``,
+    ``"p+5"`` included); ``"pa*"`` is the approx-percentile prefix, not
+    an exact percentile (ADVICE r8: the old ``isdigit`` gate drifted)."""
+    if len(kind) < 2 or kind[0] != "p" or kind.startswith("pa"):
         return None
     try:
         q = float(kind[1:]) / 100.0

@@ -51,9 +51,11 @@ _CHECKPOINT_EVERY = 8
 # GPT-2's pretokenizer regex uses \p{L}/\p{N}; Python's stdlib `re` has
 # no \p, so the documented approximation (unicode-aware, tested):
 #   \p{L} -> [^\W\d_]   (unicode letters)
-#   \p{N} -> \d         (unicode decimal digits; \p{N}'s extra numeric
-#                        forms — roman numerals etc. — fall to the
-#                        punctuation class, a documented deviation)
+#   \p{N} -> \d         (unicode decimal digits; \p{N}'s non-decimal
+#                        forms — roman numerals, superscripts, fractions
+#                        — are \w but not \d, so they match the LETTER
+#                        class [^\W\d_]: e.g. 'abcⅫ' stays one pretoken
+#                        where GPT-2 splits it. Documented deviation.)
 #   [^\s\p{L}\p{N}] -> (?:[^\s\w]|_)
 GPT2_PRETOKEN_RE = (
     r"'s|'t|'re|'ve|'m|'ll|'d"

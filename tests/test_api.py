@@ -315,6 +315,7 @@ def test_cube_rollup_idempotent_reset(spark):
             ("m.k", 0, 2.0, {"a": "p", "b": "r"})]
     db = Database.from_points(spark, make_points(spark, rows))
     q = db.sum("m.k", ["a", "b"]).cube().cube()  # no raise
-    assert q is db.sum("m.k", ["a", "b"]).cube().cube() or True
+    q2 = db.sum("m.k", ["a", "b"]).cube()
+    assert q2.cube() is q2  # idempotent re-set returns the same builder
     r = db.sum("m.k", ["a", "b"]).rollup_sets().rollup_sets()  # no raise
     assert len(q.collect()) > 0 and len(r.collect()) > 0

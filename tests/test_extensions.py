@@ -45,6 +45,25 @@ def test_percentile_q_validation(spark):
         db.percentile("m", "h", 1.5)
 
 
+def test_percentile_kind_grammar_oracle_parity():
+    # ADVICE r8: the oracle's percentile-kind grammar must agree with the
+    # engine's on EVERY kind string, including the odd-but-float-parsable
+    # ones ("p.5", "p+5", "p1e1") and the non-kinds ("pa95", "p 5" — the
+    # engine's float() rejects embedded spaces? no: float(" 5") strips —
+    # so both must accept it identically, whichever way that falls).
+    from talna_spark.aggregate import percentile_q
+    from talna_spark.oracle import _oracle_percentile_q
+
+    kinds = [
+        "p50", "p95", "p99.9", "p.5", "p+5", "p 5", "p5 ", "p1e1",
+        "p0", "p100", "p-5", "p", "pa95", "pa", "pnan", "pinf",
+        "p_5", "p5_0", "avg", "sum", "count", "min", "max", "px",
+        "p0.0001", "p99.99999", "P50", "p50.0", "p05",
+    ]
+    for k in kinds:
+        assert percentile_q(k) == _oracle_percentile_q(k), k
+
+
 def test_rate_simple_series(spark):
     # one series: value rises 2.0 per second -> rate 2.0 everywhere
     rows = [("m", i * S, 2.0 * i, {"h": "a"}) for i in range(5)]
