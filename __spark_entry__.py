@@ -874,14 +874,18 @@ _EXT["x19_codecs"] = (_x19_codecs, _x19_codecs_sql())
 
 
 def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five map-only text-analysis operators (pipeline.text) as
-    `kind` slices of one registration on a normalized
-    (doc_id, s1, s2, v1, v2, v3) schema:
+    """The seven text-analysis operators (pipeline.text) as `kind`
+    slices of one registration on a normalized
+    (doc_id, s1, s2, v1, v2, v3) schema (all map-only except
+    langid_learned, whose hash-aggs carry id rows only):
 
     - ``tokens``: v1=n_tokens, v2=n_chars_text, v3=chars_per_token;
     - ``quality``: v1=punct_ratio, v2=stop_ratio, v3=quality score
       (n_tokens lives in the tokens slice);
     - ``langid``: s1=pred_lang, s2=labeled_lang, v1=marker_hits;
+    - ``langid_learned``: learned char-2-3-gram language ID (r9) with
+      the deterministic demo-formula weight table — s1=pred_lang,
+      s2=labeled_lang, v1=z_best (winning nano-unit logit, exact);
     - ``fingerprint``: s1=the min-md5 word-5-gram fingerprint;
     - ``unicode``: encoding-damage signals (r5) — v1=replacement_ratio
       (U+FFFD density), v2=ctrl_count (C0 + DEL + C1 controls minus
@@ -919,6 +923,12 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("marker_hits"), F.lit(0.0), F.lit(0.0),
         "langid",
     )
+    lil = norm(
+        _text.lang_id_learned(spark, sf_dir),
+        F.col("pred_lang"), F.col("labeled_lang"),
+        F.col("z_best"), F.lit(0.0), F.lit(0.0),
+        "langid_learned",
+    )
     fpr = norm(
         _text.fingerprint(spark, sf_dir),
         F.col("fingerprint"), nul, F.lit(0.0), F.lit(0.0), F.lit(0.0),
@@ -936,8 +946,8 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "redact",
     )
     return (
-        tok.unionByName(qua).unionByName(lid).unionByName(fpr)
-        .unionByName(uni).unionByName(red)
+        tok.unionByName(qua).unionByName(lid).unionByName(lil)
+        .unionByName(fpr).unionByName(uni).unionByName(red)
     )
 
 
@@ -957,6 +967,10 @@ def _x01_text_signals_sql() -> str:
         "SELECT doc_id, pred_lang AS s1, labeled_lang AS s2, "
         "CAST(marker_hits AS DOUBLE) AS v1, 0.0 AS v2, 0.0 AS v3, "
         f"'langid' AS kind FROM ({_text.lang_id_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, pred_lang AS s1, labeled_lang AS s2, "
+        "CAST(z_best AS DOUBLE) AS v1, 0.0 AS v2, 0.0 AS v3, "
+        f"'langid_learned' AS kind FROM ({_text.lang_id_learned_sql()}) "
         "UNION ALL "
         "SELECT doc_id, fingerprint AS s1, CAST(NULL AS VARCHAR) AS s2, "
         "0.0 AS v1, 0.0 AS v2, 0.0 AS v3, 'fingerprint' AS kind "

@@ -36,7 +36,14 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from talna_spark.pipeline.portable import hash64, hash64_sql, tokens, tokens_sql
+from talna_spark.pipeline.portable import (
+    char_grams,
+    hash64,
+    hash64_sql,
+    norm_text,
+    tokens,
+    tokens_sql,
+)
 
 # Demo dimensionality for the driver-checked scoring row: small enough
 # that the oracle's weight table is a range() scan, large enough that
@@ -70,6 +77,36 @@ def hashed_features(
     )
     feat = tok.groupBy(
         "doc_id", (hash64(F.col("token")) % n_features).alias("f")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    return feat.withColumn(
+        "n", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+
+
+LANGID_GRAM_KS = (2, 3)  # fastText-style char 2+3-gram feature stream
+
+
+def char_ngram_features(
+    docs: DataFrame,
+    n_features: int,
+    text_col: str = "text",
+    ks: tuple = LANGID_GRAM_KS,
+) -> DataFrame:
+    """(doc_id, f, tf, n): the char-n-gram analog of
+    :func:`hashed_features` — hashed counts of ALL character 2- and
+    3-grams of the whitespace-normalized text. The feature stream
+    learned language ID trains over: char n-grams separate close
+    languages and short documents where word markers cannot
+    (fastText's langid recipe).
+
+    Same 100 TB shape as the word featurizer: one corpus scan, one
+    (doc_id, f) hash-aggregate with map-side partials, one doc_id
+    window over id rows. Text never crosses an exchange."""
+    t = norm_text(F.col(text_col))
+    stream = F.concat(*[char_grams(t, k) for k in ks])
+    g = docs.select("doc_id", F.explode(stream).alias("g"))
+    feat = g.groupBy(
+        "doc_id", (hash64(F.col("g")) % n_features).alias("f")
     ).agg(F.count(F.lit(1)).alias("tf"))
     return feat.withColumn(
         "n", F.sum("tf").over(Window.partitionBy("doc_id"))
@@ -305,6 +342,185 @@ def train_classifier(
         ]
         bias -= lr * g_bias
     return {"weights": wvec, "bias": bias, "loss_history": history}
+
+
+# ---------------------------------------------------- multiclass trainer
+def train_multiclass(
+    docs: DataFrame,
+    labels: DataFrame,
+    n_features: int = 1024,
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    text_col: str = "text",
+    featurizer=None,
+) -> dict:
+    """One-vs-rest logistic regression over hashed features — the
+    multiclass generalization of :func:`train_classifier` that learned
+    language ID trains with (classes = the distinct label values).
+    ``labels`` is a (doc_id, y) DataFrame with y a STRING class label.
+    ``featurizer(docs, n_features, text_col)`` defaults to
+    :func:`char_ngram_features`; pass :func:`hashed_features` for a
+    word-feature multiclass model.
+
+    All K binary problems train SIMULTANEOUSLY: per iteration one
+    scoring pass (weights in as a broadcast (f, w_0..w_{K-1}) table,
+    one doc_id hash-agg producing K nano-unit logits per doc) and one
+    gradient pass (residual join on doc_id, one feature hash-agg with K
+    micro-unit sums, n_features rows collected). Per-round driver
+    crossing is n_features x K doubles — the model, never the corpus.
+    Same exact-integer accounting as the binary trainer, so the result
+    is deterministic and partitioning-independent.
+
+    Returns {"classes": [sorted labels], "weights": {c: list},
+    "biases": {c: float}, "n_features": int, "loss_history": list}
+    (loss = summed-over-classes mean log-loss).
+    """
+    spark = docs.sparkSession
+    feats = featurizer or char_ngram_features
+    lab = (
+        labels.select("doc_id", F.col("y").cast("string").alias("y"))
+        .groupBy("doc_id")
+        .agg(F.max("y").alias("y"))  # dedup: max on conflict (review r6)
+    )
+    classes = sorted(
+        r["y"] for r in lab.select("y").distinct().collect() if r["y"]
+    )
+    if len(classes) < 2:
+        raise ValueError(f"need >= 2 label classes, got {classes}")
+    feat = (
+        feats(docs, n_features, text_col)
+        .join(lab, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    n_docs = feat.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("no labeled documents with features")
+    K = len(classes)
+    wmat = {c: [0.0] * n_features for c in classes}
+    biases = {c: 0.0 for c in classes}
+    history = []
+    x = F.col("tf").cast("double") / F.col("n")
+    eps = 1e-12
+    import pandas as pd
+
+    for _ in range(int(iters)):
+        cols = {"f": range(n_features)}
+        cols.update({f"w{i}": wmat[c] for i, c in enumerate(classes)})
+        wdf = spark.createDataFrame(
+            pd.DataFrame(cols).astype(
+                {"f": "int64", **{f"w{i}": "float64" for i in range(K)}}
+            )
+        )
+        aggs = [
+            F.sum(F.round(F.col(f"w{i}") * x * NANO).cast("long")).alias(
+                f"zn{i}"
+            )
+            for i in range(K)
+        ]
+        sel = ["doc_id", "y"]
+        for i, c in enumerate(classes):
+            p = F.lit(1.0) / (
+                F.lit(1.0)
+                + F.exp(-(F.col(f"zn{i}") / F.lit(NANO) + F.lit(biases[c])))
+            )
+            sel.append(p.alias(f"p{i}"))
+        scored = (
+            feat.join(F.broadcast(wdf), "f")
+            .groupBy("doc_id", "y")
+            .agg(*aggs)
+            .select(*sel)
+            .persist()  # two consumers per round (loss agg + grad join)
+        )
+        loss_aggs, resid_cols = [], ["doc_id"]
+        for i, c in enumerate(classes):
+            yc = F.when(F.col("y") == c, 1.0).otherwise(0.0)
+            p = F.col(f"p{i}")
+            loss_aggs.append(
+                F.sum(
+                    F.round(
+                        -(yc * F.log(p + eps) + (1.0 - yc) * F.log(1.0 - p + eps))
+                        * MICRO
+                    ).cast("long")
+                ).alias(f"lm{i}")
+            )
+            loss_aggs.append(
+                F.sum(F.round((p - yc) * MICRO).cast("long")).alias(f"rm{i}")
+            )
+            resid_cols.append((p - yc).alias(f"r{i}"))
+        agg = scored.agg(*loss_aggs).collect()[0]
+        history.append(
+            sum(agg[f"lm{i}"] for i in range(K)) / MICRO / n_docs
+        )
+        grad_rows = (
+            feat.join(scored.select(*resid_cols), "doc_id")
+            .groupBy("f")
+            .agg(
+                *[
+                    F.sum(
+                        F.round(F.col(f"r{i}") * x * MICRO).cast("long")
+                    ).alias(f"gm{i}")
+                    for i in range(K)
+                ]
+            )
+            .collect()
+        )
+        scored.unpersist()
+        for i, c in enumerate(classes):
+            grad = {r["f"]: r[f"gm{i}"] / MICRO / n_docs for r in grad_rows}
+            wmat[c] = [
+                w - lr * (grad.get(f, 0.0) + l2 * w)
+                for f, w in enumerate(wmat[c])
+            ]
+            biases[c] -= lr * (agg[f"rm{i}"] / MICRO / n_docs)
+    return {
+        "classes": classes,
+        "weights": wmat,
+        "biases": biases,
+        "n_features": n_features,
+        "loss_history": history,
+    }
+
+
+def save_multiclass(spark: SparkSession, model: dict, path: str) -> None:
+    """Persist a multiclass model as one parquet table of (c, f, w)
+    rows with each class's bias at f = -1 (the :func:`save_classifier`
+    layout with a class column — engine-portable, no pickle)."""
+    import pandas as pd
+
+    recs = []
+    for c in model["classes"]:
+        recs.extend(
+            {"c": c, "f": f, "w": float(w)}
+            for f, w in enumerate(model["weights"][c])
+        )
+        recs.append({"c": c, "f": -1, "w": float(model["biases"][c])})
+    pdf = pd.DataFrame(recs).astype({"c": "str", "f": "int64", "w": "float64"})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_multiclass(spark: SparkSession, path: str) -> dict:
+    """Inverse of :func:`save_multiclass`."""
+    rows = spark.read.parquet(path).collect()
+    wmap, biases = {}, {}
+    for r in rows:
+        if r["f"] == -1:
+            biases[r["c"]] = float(r["w"])
+        else:
+            wmap.setdefault(r["c"], {})[int(r["f"])] = float(r["w"])
+    classes = sorted(wmap)
+    if not classes:
+        raise ValueError(f"no classes in multiclass table at {path}")
+    n = max(max(m) + 1 for m in wmap.values())
+    for c in classes:
+        if set(wmap[c]) != set(range(n)):
+            raise ValueError(f"multiclass table at {path} has gaps in f ({c})")
+    return {
+        "classes": classes,
+        "weights": {c: [wmap[c][f] for f in range(n)] for c in classes},
+        "biases": {c: biases.get(c, 0.0) for c in classes},
+        "n_features": n,
+    }
 
 
 # ---------------------------------------------------------- persistence

@@ -94,6 +94,38 @@ def grams_sql(words_expr: str, k: int) -> str:
     )
 
 
+def norm_text(text: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text — the char-gram
+    canonical form (runs of whitespace carry no language signal; a
+    single space marks word boundaries so boundary grams like ``" th"``
+    survive)."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def norm_text_sql(expr: str) -> str:
+    return rf"regexp_replace(trim(lower({expr})), '\s+', ' ', 'g')"
+
+
+def char_grams(text: Column, k: int) -> Column:
+    """ALL character k-grams of a (pre-normalized) string in order,
+    multiplicity kept — the fastText-style feature stream for learned
+    language ID. Empty when the string is shorter than k (same
+    sequence-counts-down guard as :func:`shingles`)."""
+    n = F.length(text) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_grams_sql(expr: str, k: int) -> str:
+    return (
+        f"list_transform("
+        f"generate_series(1, greatest(length({expr}) - {k - 1}, 0)), "
+        f"i -> substr({expr}, i, {k}))"
+    )
+
+
 # ---------------------------------------------------------------- cosine
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side fold

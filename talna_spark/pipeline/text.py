@@ -153,6 +153,173 @@ def lang_id_sql() -> str:
     )
 
 
+# ------------------------------------------------- learned language ID
+# Demo dimensionality for the driver-checked scoring slice — same
+# rationale as classifier.DEMO_FEATURES (small enough that the oracle's
+# weight table is a range() scan, large enough for hash collisions).
+LANGID_DEMO_FEATURES = 64
+
+
+def _langid_weight_formula(f, ci: int):
+    """Deterministic per-class demo weights over a feature-id column:
+    w(f, ci) = ((37·f + 13·ci) mod 101 − 50) / 100 ∈ [−0.50, 0.50] —
+    the classifier demo formula with a per-class phase shift, identical
+    arithmetic in Spark and DuckDB."""
+    return ((f * 37 + 13 * ci) % 101 - 50) / 100.0
+
+
+def lang_id_learned(
+    spark: SparkSession,
+    sf_dir: str = None,
+    docs: DataFrame = None,
+    model: dict = None,
+    n_features: int = LANGID_DEMO_FEATURES,
+) -> DataFrame:
+    """(doc_id, pred_lang, z_best, labeled_lang): learned language ID —
+    a linear one-vs-rest model over hashed char 2-3-gram features (the
+    fastText langid recipe), scored distributed. ``model`` is a
+    :func:`talna_spark.pipeline.classifier.train_multiclass` result
+    (e.g. from :func:`train_lang_id`); ``None`` scores the
+    deterministic demo-formula weights over the marker-language class
+    list — the driver-checkable configuration. The marker heuristic
+    (:func:`lang_id`) remains the zero-data fallback.
+
+    ``pred_lang`` = argmax over per-class nano-unit integer logits
+    (ties -> lexicographically smallest class; docs with no char grams
+    -> 'und'); ``z_best`` = the winning logit in exact nano-units.
+
+    100 TB shape: char-gram explode → (doc_id, f) hash-agg →
+    BROADCAST-join the n_features-row weight table → doc_id hash-agg →
+    left join back to documents on doc_id. The corpus never shuffles
+    text; per-class logits are exact int64 in any aggregation order."""
+    from talna_spark.pipeline.classifier import NANO, char_ngram_features
+
+    d = docs if docs is not None else _docs(spark, sf_dir)
+    if model is not None:
+        classes = list(model["classes"])
+        n_features = model["n_features"]
+        biases = model["biases"]
+    else:
+        classes = sorted(LANG_MARKERS)
+        biases = {c: 0.0 for c in classes}
+    K = len(classes)
+    feat = char_ngram_features(d, n_features)
+    if model is None:
+        wdf = spark.range(n_features).select(
+            F.col("id").alias("f"),
+            *[
+                _langid_weight_formula(F.col("id"), i).alias(f"w{i}")
+                for i in range(K)
+            ],
+        )
+    else:
+        import pandas as pd
+
+        cols = {"f": range(n_features)}
+        cols.update(
+            {f"w{i}": model["weights"][c] for i, c in enumerate(classes)}
+        )
+        wdf = spark.createDataFrame(
+            pd.DataFrame(cols).astype(
+                {"f": "int64", **{f"w{i}": "float64" for i in range(K)}}
+            )
+        )
+    x = F.col("tf").cast("double") / F.col("n")
+    aggs = [
+        F.sum(F.round(F.col(f"w{i}") * x * NANO).cast("long")).alias(f"zn{i}")
+        for i in range(K)
+    ]
+    sc = feat.join(F.broadcast(wdf), "f").groupBy("doc_id").agg(*aggs)
+    z = {
+        c: F.col(f"zn{i}") + F.lit(int(round(biases[c] * NANO)))
+        for i, c in enumerate(classes)
+    }
+    best = F.greatest(*z.values())
+    pred = F.lit(None).cast("string")
+    for c in sorted(classes, reverse=True):
+        pred = F.when(z[c] == best, F.lit(c)).otherwise(pred)
+    sc = sc.select("doc_id", pred.alias("_pred"), best.alias("_z"))
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_pred"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("_z"), F.lit(0)).cast("long").alias("z_best"),
+            "labeled_lang",
+        )
+    )
+
+
+def lang_id_learned_sql(n_features: int = LANGID_DEMO_FEATURES) -> str:
+    """DuckDB twin of the demo-formula learned-langid scoring (same
+    char-gram stream, hash, weight formula, nano-unit accounting)."""
+    from talna_spark.pipeline.portable import (
+        char_grams_sql,
+        hash64_sql,
+        norm_text_sql,
+    )
+
+    classes = sorted(LANG_MARKERS)
+    g2 = char_grams_sql("t", 2)
+    g3 = char_grams_sql("t", 3)
+    h = hash64_sql("g")
+    wt_cols = ", ".join(
+        f"((f * 37 + {13 * i}) % 101 - 50) / 100.0 AS w{i}"
+        for i in range(len(classes))
+    )
+    zn_cols = ", ".join(
+        f"SUM(CAST(ROUND(w{i} * (CAST(tf AS DOUBLE) / n) * 1000000000.0) "
+        f"AS BIGINT)) AS zn{i}"
+        for i in range(len(classes))
+    )
+    best = f"greatest({', '.join(f'zn{i}' for i in range(len(classes)))})"
+    whens = " ".join(
+        f"WHEN zn{i} = {best} THEN '{c}'" for i, c in enumerate(classes)
+    )
+    return (
+        f"WITH txt AS (SELECT doc_id, {norm_text_sql('text')} AS t "
+        "FROM documents), "
+        f"gr AS (SELECT doc_id, unnest(list_concat({g2}, {g3})) AS g "
+        "FROM txt), "
+        f"feat AS (SELECT doc_id, {h} % {n_features} AS f, COUNT(*) AS tf "
+        "FROM gr GROUP BY doc_id, f), "
+        "featn AS (SELECT doc_id, f, tf, "
+        "SUM(tf) OVER (PARTITION BY doc_id) AS n FROM feat), "
+        f"wt AS (SELECT f, {wt_cols} FROM range({n_features}) t(f)), "
+        f"sc AS (SELECT doc_id, {zn_cols} FROM featn JOIN wt USING (f) "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        f"COALESCE((CASE {whens} END), 'und') AS pred_lang, "
+        f"CAST(COALESCE({best}, 0) AS BIGINT) AS z_best, "
+        "d.lang AS labeled_lang "
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+    )
+
+
+def train_lang_id(
+    docs: DataFrame,
+    n_features: int = 2048,
+    iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> dict:
+    """Train the learned language-ID model: one-vs-rest logistic
+    regression over hashed char 2-3-grams, labels from ``label_col``
+    (the ``documents.lang`` column by default). Returns the
+    :func:`train_multiclass` model dict, scoreable by
+    :func:`lang_id_learned`."""
+    from talna_spark.pipeline.classifier import train_multiclass
+
+    labels = docs.select("doc_id", F.col(label_col).alias("y"))
+    return train_multiclass(
+        docs, labels, n_features=n_features, iters=iters, lr=lr, l2=l2,
+        text_col=text_col,
+    )
+
+
 # ---------------------------------------------------------- fingerprinting
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hash-of-shingles document fingerprint (rolling-window analog of

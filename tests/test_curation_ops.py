@@ -129,12 +129,15 @@ def test_x01_text_signals_slices(spark):
     df = entry.queries()["x01_text_signals"](spark, SF)
     pdf = df.toPandas()
     assert set(pdf["kind"]) == {
-        "tokens", "quality", "langid", "fingerprint", "unicode", "redact"
+        "tokens", "quality", "langid", "langid_learned", "fingerprint",
+        "unicode", "redact"
     }
     n_docs = pdf[pdf["kind"] == "tokens"].shape[0]
     assert all(pdf[pdf["kind"] == k].shape[0] == n_docs for k in
-               ("quality", "langid", "fingerprint", "unicode", "redact"))
+               ("quality", "langid", "langid_learned", "fingerprint",
+                "unicode", "redact"))
     assert pdf[pdf["kind"] == "langid"]["s1"].notna().all()
+    assert pdf[pdf["kind"] == "langid_learned"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "fingerprint"]["s1"].notna().all()
     assert pdf[pdf["kind"] == "tokens"]["s1"].isna().all()
     # redact: s1 = md5 of the redacted text, always present

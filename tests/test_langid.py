@@ -1,0 +1,155 @@
+"""Learned language ID: char-n-gram featurization parity, demo-weight
+scoring parity with the DuckDB oracle, the trainer separating languages
+the marker heuristic cannot (the round-9 acceptance bar), model
+save/load, and the broadcast-weights plan shape."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.classifier import (
+    char_ngram_features,
+    load_multiclass,
+    save_multiclass,
+    train_multiclass,
+)
+from talna_spark.pipeline.text import (
+    lang_id_learned,
+    lang_id_learned_sql,
+    train_lang_id,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string"
+
+
+# Two synthetic "languages" over the SAME alphabet with disjoint char
+# trigram inventories, and ZERO marker function words — the case the
+# stopword-marker heuristic structurally cannot separate (it predicts
+# 'und' for every doc). A word-level model can't either: the vocabularies
+# are generated, so only char n-grams carry the signal.
+_A_WORDS = ("ababab", "abab", "ababababa", "aba")
+_B_WORDS = ("aabbaabb", "aabb", "aabbaa", "bbaabba")
+
+
+def _synth_docs(n_per_lang: int, seed: int, id0: int = 0):
+    rng = random.Random(seed)
+    rows = []
+    did = id0
+    for lang, words in (("aa", _A_WORDS), ("bb", _B_WORDS)):
+        for _ in range(n_per_lang):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(4, 9)))
+            rows.append((did, text, lang))
+            did += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    train = spark.createDataFrame(_synth_docs(25, seed=0), DOCS_SCHEMA)
+    return train_lang_id(train, n_features=256, iters=12, lr=10.0)
+
+
+def test_char_ngram_features_hand_counts(spark):
+    # "ab cd": norm "ab cd" -> 2-grams ab, 'b ', ' c', cd; 3-grams
+    # 'ab ', 'b c', ' cd' -> 7 grams total, n per doc = 7
+    d = spark.createDataFrame([(1, "Ab  cd", "en")], DOCS_SCHEMA)
+    rows = char_ngram_features(d, 1 << 20).collect()
+    assert sum(r["tf"] for r in rows) == 7
+    assert all(r["n"] == 7 for r in rows)
+
+
+def test_demo_scoring_matches_duckdb(spark):
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in lang_id_learned(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(lang_id_learned_sql()).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_learned_beats_heuristic_on_markerless_languages(spark, model):
+    test = spark.createDataFrame(_synth_docs(10, seed=1, id0=1000), DOCS_SCHEMA)
+    learned = lang_id_learned(spark, docs=test, model=model).collect()
+    acc_learned = sum(r["pred_lang"] == r["labeled_lang"] for r in learned) / len(
+        learned
+    )
+    # heuristic over the same docs: markers never appear -> all 'und'
+    from talna_spark.pipeline.text import LANG_MARKERS, _count_in
+    from talna_spark.pipeline.portable import tokens
+
+    w = tokens(F.col("text"))
+    scores = [
+        _count_in(w, mk) for mk in LANG_MARKERS.values()
+    ]
+    hits = test.select(F.greatest(*scores).alias("h")).collect()
+    assert all(r["h"] == 0 for r in hits)  # heuristic: 0% accuracy here
+    assert acc_learned >= 0.9
+    # loss history is a real descent, not noise
+    hist = model["loss_history"]
+    assert hist[-1] < hist[0] * 0.7
+
+
+def test_trained_model_scores_close_pairs(spark, model):
+    # a short doc (2 words) — the other regime markers can't touch
+    test = spark.createDataFrame(
+        [(1, "abab ababab", "aa"), (2, "aabb aabbaa", "bb")], DOCS_SCHEMA
+    )
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in lang_id_learned(spark, docs=test, model=model).collect()
+    }
+    assert got == {1: "aa", 2: "bb"}
+
+
+def test_multiclass_save_load_round_trip(spark, model, tmp_path):
+    path = str(tmp_path / "langid_model")
+    save_multiclass(spark, model, path)
+    back = load_multiclass(spark, path)
+    assert back["classes"] == model["classes"]
+    assert back["biases"] == pytest.approx(
+        {c: model["biases"][c] for c in model["classes"]}
+    )
+    for c in model["classes"]:
+        assert back["weights"][c] == pytest.approx(model["weights"][c])
+    # the reloaded model scores identically
+    test = spark.createDataFrame(_synth_docs(5, seed=2, id0=2000), DOCS_SCHEMA)
+    a = sorted(tuple(r) for r in lang_id_learned(spark, docs=test, model=model).collect())
+    b = sorted(tuple(r) for r in lang_id_learned(spark, docs=test, model=back).collect())
+    assert a == b
+
+
+def test_train_multiclass_rejects_single_class(spark):
+    d = spark.createDataFrame([(1, "abc", "aa"), (2, "abd", "aa")], DOCS_SCHEMA)
+    with pytest.raises(ValueError):
+        train_multiclass(d, d.select("doc_id", F.col("lang").alias("y")), n_features=16, iters=1)
+
+
+def test_learned_scoring_plan_broadcasts_weights(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(lang_id_learned(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"document text crosses a shuffle: {line}")
+
+
+def test_und_for_gramless_docs(spark):
+    d = spark.createDataFrame(
+        [(1, "", "en"), (2, "x", "en"), (3, None, "en"), (4, "hello there", "en")],
+        DOCS_SCHEMA,
+    )
+    got = {r["doc_id"]: (r["pred_lang"], r["z_best"]) for r in
+           lang_id_learned(spark, docs=d).collect()}
+    # "" and NULL have no grams; "x" is shorter than the smallest gram
+    assert got[1] == ("und", 0) and got[2] == ("und", 0) and got[3] == ("und", 0)
+    assert got[4][0] in {"de", "en", "es", "fr"}
