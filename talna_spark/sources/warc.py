@@ -146,22 +146,105 @@ def html_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(x, r"\s+", " "))
 
 
-def warc_documents(spark: SparkSession, path_glob: str) -> DataFrame:
+# --------------------------------------------- boilerplate extraction
+# jusText-class block classification (Pomikálek 2011): segment the page
+# at block-level tags, score each block by text length and link density,
+# keep only content-like blocks. Nav bars, footers, sidebars, and tag
+# clouds are short and link-dense; article text is long and link-sparse.
+_ENTITIES = (
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+)
+# block boundaries: every HTML5 block-level / sectioning tag (open or
+# close); inline tags (a, span, b, em, ...) stay INSIDE blocks so link
+# density is computable per block
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|"
+    r"tr|td|th|section|article|header|footer|nav|aside|main|br|hr|"
+    r"blockquote|form|fieldset|figure|figcaption|center|pre|address|"
+    r"details|summary)\b[^>]*>"
+)
+MIN_BLOCK_CHARS = 40  # jusText's length_low regime: shorter -> chrome
+MAX_LINK_DENSITY = 0.3  # more of the block inside <a> -> navigation
+
+
+def _block_text(b: Column) -> Column:
+    """Tag-strip + entity-decode + whitespace-collapse one block."""
+    x = F.regexp_replace(b, r"(?s)<[^>]+>", " ")
+    for ent, rep in _ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def html_main_text(col: Column) -> Column:
+    """HTML -> MAIN text: :func:`html_to_text` plus jusText-class
+    boilerplate removal, still a pure JVM Column expression (regexp
+    split + higher-order array functions — codegen'd, map-only, no
+    Python, no shuffle).
+
+    Per block: ``txt`` = tag-stripped text, ``lc`` = characters of
+    link-anchor text. A block survives when it is long enough
+    (>= MIN_BLOCK_CHARS) and link-sparse (lc <= MAX_LINK_DENSITY x
+    len). Survivors join with a single space — the page's article
+    body, with nav/footer/sidebar chrome gone (the chrome that
+    pollutes Gopher/C4/lm* quality signals on real crawls)."""
+    x = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?is)<head[^>]*>.*?</head>", " ")
+    blocks = F.split(x, _BLOCK_TAG_RE)
+
+    def link_chars(b: Column) -> Column:
+        anchors = F.regexp_extract_all(
+            b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1)
+        )
+        return F.aggregate(
+            F.transform(anchors, lambda t: F.length(_block_text(t))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("txt"), link_chars(b).alias("lc")
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["txt"]) >= MIN_BLOCK_CHARS)
+        & (
+            s["lc"].cast("double")
+            <= F.length(s["txt"]) * F.lit(MAX_LINK_DENSITY)
+        ),
+    )
+    return F.trim(F.concat_ws(" ", F.transform(kept, lambda s: s["txt"])))
+
+
+def warc_documents(
+    spark: SparkSession, path_glob: str, boilerplate: bool = False
+) -> DataFrame:
     """The curation entry point: WARC records -> documents-shaped rows
     (doc_id, url, text) for HTTP-200 HTML responses. doc_id is the
     deterministic hash of the record id (stable across re-reads and
-    partitioning — the split/sample/mixture hash streams depend on it)."""
+    partitioning — the split/sample/mixture hash streams depend on it).
+
+    ``boilerplate=True`` (r9) extracts MAIN text via
+    :func:`html_main_text` — the jusText-class block filter — instead
+    of the whole-page tag strip: the pre-stage a crawl-fed ``curate()``
+    run wants, since nav/footer chrome skews every downstream quality
+    signal. Same map-only plan either way."""
     from talna_spark.pipeline.portable import hash64
 
     recs = read_warc(spark, path_glob).filter(
         (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
     )
+    extract = html_main_text if boilerplate else html_to_text
     return recs.select(
         hash64(F.col("record_id")).alias("doc_id"),
         "url",
         "warc_date",
-        html_to_text(F.col("payload")).alias("text"),
+        extract(F.col("payload")).alias("text"),
     )
 
 

@@ -123,6 +123,90 @@ def test_html_to_text_is_jvm_side(spark):
     assert df.collect()[0]["text"] == "x"
 
 
+NAV_PAGE = b"""<html><head><title>My Site</title><style>p{c:red}</style></head>
+<body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li>
+<li><a href="/contact">Contact</a></li><li><a href="/blog">Blog</a></li></ul></nav>
+<header><h1>Site header tagline</h1></header>
+<div class="side"><a href="/t/1">tag one</a> <a href="/t/2">tag two</a>
+<a href="/t/3">tag three</a> <a href="/t/4">tag four</a></div>
+<article>
+<p>This is the real article body with a substantial amount of meaningful
+prose that any reader would consider the main content of the page. It has
+an inline <a href="/ref">reference link</a> without being navigation.</p>
+<p>A second paragraph of genuine content follows, long enough to clear
+the minimum block length threshold and containing no links at all.</p>
+</article>
+<footer>Copyright 2026 Example &amp; Co. <a href="/p">Privacy</a>
+<a href="/t">Terms</a> <a href="/i">Imprint</a></footer>
+</body></html>"""
+
+
+def test_html_main_text_drops_boilerplate(spark):
+    """jusText-class block filter: nav/header/sidebar/footer chrome goes,
+    article body (including its inline link text) stays."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.sources.warc import html_main_text
+
+    df = spark.createDataFrame(
+        [(NAV_PAGE.decode(),)], "payload string"
+    )
+    main = df.select(html_main_text(F.col("payload")).alias("t")).collect()[0]["t"]
+    full = df.select(html_to_text(F.col("payload")).alias("t")).collect()[0]["t"]
+    assert "real article body" in main and "second paragraph" in main
+    assert "reference link" in main  # inline content link survives
+    for chrome in ("Home", "About us", "tag three", "Copyright",
+                   "Site header tagline", "My Site"):
+        assert chrome not in main, chrome
+        assert chrome in full  # the baseline extractor keeps it — contrast
+
+
+def test_html_main_text_map_only_plan(spark):
+    from pyspark.sql import functions as F
+
+    from talna_spark.sources.warc import html_main_text
+
+    df = spark.createDataFrame([("<p>x</p>",)], "payload string").select(
+        html_main_text(F.col("payload")).alias("t")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle
+    assert "BatchEvalPython" not in plan  # pure JVM expression
+
+
+def test_html_main_text_entity_and_link_density_edges(spark):
+    from pyspark.sql import functions as F
+
+    from talna_spark.sources.warc import html_main_text
+
+    long_linky = (
+        "<p>"
+        + " ".join(f'<a href="/{i}">link text number {i} padded</a>' for i in range(8))
+        + "</p>"
+    )
+    body = ("<p>Entities &amp; &lt;tags&gt; decode fine inside a body "
+            "paragraph that is comfortably over the length floor.</p>")
+    df = spark.createDataFrame(
+        [(f"<html><body>{long_linky}{body}</body></html>",)], "payload string"
+    )
+    main = df.select(html_main_text(F.col("payload")).alias("t")).collect()[0]["t"]
+    # the all-links block is long but link-dense -> dropped
+    assert "link text number" not in main
+    assert "Entities & <tags> decode fine" in main
+
+
+def test_warc_documents_boilerplate_flag(spark, warc_dir):
+    base = {r["doc_id"]: r["text"]
+            for r in warc_documents(spark, f"{warc_dir}/*.warc*").collect()}
+    main = {r["doc_id"]: r["text"]
+            for r in warc_documents(spark, f"{warc_dir}/*.warc*",
+                                    boilerplate=True).collect()}
+    assert set(base) == set(main)  # same docs, different extraction
+    # HTML_A's body blocks are short -> main text is empty, never an error
+    assert all(isinstance(t, str) for t in main.values())
+
+
 def test_normalize_url(spark):
     from pyspark.sql import functions as F
 
