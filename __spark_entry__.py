@@ -742,13 +742,15 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All nine REAL dependency-free codec/parser legs
+    """All ten REAL dependency-free codec/parser legs
     (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
     zlib inflate + all five scanline filters), JPEG (baseline grayscale:
     huffman entropy decode + dequant + IDCT; r5 — the LOSSY leg), AVI (RIFF-AVI container walk + movi
     frame chunks, every-2nd-frame sampling over bottom-up DIB frames;
+    GIF (r9 — the LZW leg: variable-width LZW with clear/EOI and
+    12-bit growth, 4-pass interlace, palette expansion);
     r5 — the VIDEO leg), MJPEG-in-AVI (r6 — the ENTROPY-CODED video
     leg: '00dc' chunks each a complete huffman-coded baseline JFIF,
     decoded on the same sampling stride), FLAC (r6 — the ENTROPY-CODED
@@ -824,10 +826,15 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames", "sample_rate", "is_vbr", "bitrate_sum_kbps",
         "duration_s", "bitrate_mean_kbps", "mp3",
     )
+    gif = norm(
+        _mm.gif_decode(spark, sf_dir),
+        "width", "height", "n_colors", "interlaced",
+        "mean_px", "checksum", "gif",
+    )
     return (
         wav.unionByName(bmp).unionByName(png).unionByName(jpg)
         .unionByName(avi).unionByName(mjpeg).unionByName(flac)
-        .unionByName(pdf).unionByName(mp3)
+        .unionByName(pdf).unionByName(mp3).unionByName(gif)
     )
 
 
@@ -867,6 +874,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.mp3_meta_sql(), "n_frames", "sample_rate", "is_vbr",
                "bitrate_sum_kbps", "duration_s", "bitrate_mean_kbps", "mp3")
+        + " UNION ALL "
+        + norm(_mm.gif_decode_sql(), "width", "height", "n_colors",
+               "interlaced", "mean_px", "checksum", "gif")
     )
 
 

@@ -2710,3 +2710,319 @@ def mp3_meta_sql() -> str:
         f"ROUND(n_frames * {_MP3_SAMPLES_PER_FRAME}.0 / sr, 6) AS duration_s, "
         "ROUND(kb_mean, 6) AS bitrate_mean_kbps FROM agg"
     )
+
+
+# ------------------------------------------------------------- GIF codec
+# The ENTROPY-CODED palette-image leg (r9, VERDICT r8 item 3): real GIF —
+# GIF89a header, logical screen descriptor, global color table, image
+# descriptor with optional 4-pass interlace, and variable-width LZW
+# (clear/EOI codes, LSB-first bit packing, width growth to 12 bits,
+# 255-byte sub-block framing). The codec seam already had DCT (JPEG) and
+# DEFLATE (PNG); LZW is the third entropy-coding family crawl corpora
+# carry. Same x19 discipline: payloads are synthesized deterministically
+# from doc_id, the oracle recomputes every decoded field by closed-form
+# arithmetic (no GIF parsing in SQL), and the checksum is order-sensitive
+# over the palette-EXPANDED logical RGB stream — a decoder that
+# mishandles LZW width growth, interlace row order, or palette lookup
+# cannot pass. Citation: the reference has no media surface at all
+# (SURVEY.md §2.2); format per GIF89a spec (public, CompuServe 1990).
+
+GIF_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, "
+    "n_colors long, interlaced long, mean_px double, checksum long"
+)
+
+
+def _gif_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_colors, interlaced) from doc_id."""
+    return (
+        3 + doc_id % 6,
+        2 + doc_id % 5,
+        4 if doc_id % 2 == 0 else 8,
+        1 if doc_id % 3 == 0 else 0,
+    )
+
+
+def gif_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one real GIF blob per document row. Logical pixel i
+    (top-down row-major) has palette index (doc_id*13 + 7*i) % nc;
+    palette entry j channel ch is (doc_id*5 + j*37 + ch*11) % 256.
+    Every third doc stores rows in GIF's 4-pass interlace order; the
+    LZW stream starts with a clear code and ends with EOI, packed
+    LSB-first at growing code width — all of which the decoder must
+    undo exactly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def interlace_rows(h):
+            order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                order.extend(range(start, h, step))
+            return order
+
+        def lzw_codes(indices, mcs):
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            codes = [clear]
+            w = ()
+            for k in indices:
+                wk = w + (int(k),)
+                if wk in table:
+                    w = wk
+                else:
+                    codes.append(table[w])
+                    table[wk] = next_code
+                    next_code += 1
+                    w = (int(k),)
+            if w:
+                codes.append(table[w])
+            codes.append(eoi)
+            return codes
+
+        def pack_codes(codes, mcs):
+            # bit widths REPLAY THE DECODER's schedule (the decoder's
+            # table is one entry behind the encoder's), so the two ends
+            # agree by construction
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            width = mcs + 1
+            next_code = eoi + 1
+            first = True
+            acc = 0
+            nbits = 0
+            out = bytearray()
+            for c in codes:
+                acc |= c << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+                if c == clear:
+                    width, next_code, first = mcs + 1, eoi + 1, True
+                elif c != eoi:
+                    if first:
+                        first = False
+                    else:
+                        next_code += 1
+                        if next_code == (1 << width) and width < 12:
+                            width += 1
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        def encode(did: int) -> bytes:
+            w, h, nc, il = (
+                3 + did % 6, 2 + did % 5,
+                4 if did % 2 == 0 else 8, 1 if did % 3 == 0 else 0,
+            )
+            mcs = 2 if nc == 4 else 3
+            idx = [(did * 13 + 7 * i) % nc for i in range(w * h)]
+            rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+            order = interlace_rows(h) if il else list(range(h))
+            stream = [p for y in order for p in rows[y]]
+            data = pack_codes(lzw_codes(stream, mcs), mcs)
+            blob = bytearray(b"GIF89a")
+            # LSD: GCT present, color resolution 8, GCT size 2^(k+1)=nc
+            packed = 0x80 | (7 << 4) | (mcs - 1)
+            blob += struct.pack("<HHBBB", w, h, packed, 0, 0)
+            for j in range(nc):
+                blob += bytes(
+                    (did * 5 + j * 37 + ch * 11) % 256 for ch in range(3)
+                )
+            blob += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+            blob += bytes([il << 6])
+            blob += bytes([mcs])
+            for i in range(0, len(data), 255):
+                chunk = data[i : i + 255]
+                blob += bytes([len(chunk)]) + chunk
+            blob += b"\x00\x3B"
+            return bytes(blob)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/gif",
+                    "payload": [encode(int(d)) for d in ids],
+                }
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gif_decode_payloads(gif_media_table(spark, sf_dir))
+
+
+def gif_decode_payloads(media: DataFrame) -> DataFrame:
+    """Decode GIF payloads: header + LSD + GCT parse, image descriptor,
+    variable-width LZW decompression (clear/EOI, KwKwK case, width
+    growth mirroring the packer), de-interlace, palette expansion.
+    mean_px/checksum run over the LOGICAL top-down RGB stream; checksum
+    = sum(byte * (pos+1)) is order-sensitive. Corrupt streams fail
+    LOUDLY (truncated bits, out-of-range codes, pixel-count mismatch,
+    missing trailer all raise)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def interlace_rows(h):
+            order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                order.extend(range(start, h, step))
+            return order
+
+        def lzw_decode(data: bytes, mcs: int):
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            width = mcs + 1
+            next_code = eoi + 1
+            table = {i: (i,) for i in range(1 << mcs)}
+            big = int.from_bytes(data, "little")
+            total = len(data) * 8
+            pos = 0
+            out = []
+            prev = None
+            while True:
+                if pos + width > total:
+                    raise ValueError("LZW stream truncated (no EOI)")
+                c = (big >> pos) & ((1 << width) - 1)
+                pos += width
+                if c == clear:
+                    width, next_code, prev = mcs + 1, eoi + 1, None
+                    table = {i: (i,) for i in range(1 << mcs)}
+                    continue
+                if c == eoi:
+                    return out
+                if prev is None:
+                    if c >= 1 << mcs:
+                        raise ValueError(f"invalid first LZW code {c}")
+                    entry = table[c]
+                else:
+                    if c < next_code:
+                        entry = table[c]
+                    elif c == next_code:
+                        entry = prev + (prev[0],)  # KwKwK
+                    else:
+                        raise ValueError(
+                            f"corrupt LZW: code {c} beyond table {next_code}"
+                        )
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                out.extend(entry)
+                prev = entry
+
+        def parse(blob: bytes):
+            if blob[:6] not in (b"GIF89a", b"GIF87a"):
+                raise ValueError("not a GIF payload")
+            sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+            if not packed & 0x80:
+                raise ValueError("GIF without global color table")
+            nc = 2 << (packed & 0x07)
+            pos = 13
+            pal = blob[pos : pos + 3 * nc]
+            pos += 3 * nc
+            while blob[pos] == 0x21:  # extensions: skip label+sub-blocks
+                pos += 2
+                while blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+            if blob[pos] != 0x2C:
+                raise ValueError(f"expected image descriptor, got {blob[pos]:#x}")
+            _l, _t, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            ipacked = blob[pos + 9]
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            il = (ipacked >> 6) & 1
+            pos += 10
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                n = blob[pos]
+                data += blob[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            if pos >= len(blob) or blob[pos] != 0x3B:
+                raise ValueError("missing GIF trailer")
+            stream = lzw_decode(bytes(data), mcs)
+            if len(stream) != w * h:
+                raise ValueError(
+                    f"decoded {len(stream)} pixels, expected {w * h}"
+                )
+            if any(p >= nc for p in stream):
+                raise ValueError("palette index out of range")
+            if il:
+                logical = [None] * h
+                for k, y in enumerate(interlace_rows(h)):
+                    logical[y] = stream[k * w : (k + 1) * w]
+                stream = [p for row in logical for p in row]
+            total = 0
+            checksum = 0
+            j = 0
+            for p in stream:
+                for ch in range(3):
+                    byte = pal[3 * p + ch]
+                    total += byte
+                    checksum += byte * (j + 1)
+                    j += 1
+            return w, h, nc, il, total / (3 * w * h), checksum
+
+        for pdf in batches:
+            rows = [parse(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_colors": [r[2] for r in rows],
+                    "interlaced": [r[3] for r in rows],
+                    "mean_px": [r[4] for r in rows],
+                    "checksum": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_decode, schema=GIF_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_colors",
+        "interlaced",
+        round6("mean_px").alias("mean_px"),
+        "checksum",
+    )
+
+
+def gif_decode_sql() -> str:
+    """Oracle: every field recomputed from doc_id arithmetic over the
+    palette-expanded logical RGB stream — no GIF parsing in SQL, so the
+    LZW packer and decoder must both be exact for the match."""
+    return (
+        "WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h, "
+        "CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS nc, "
+        "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS il FROM documents), "
+        "s AS (SELECT doc_id, nc, unnest(generate_series(0, w * h - 1)) AS i "
+        "FROM d), "
+        "b AS (SELECT doc_id, i, ch, "
+        "(doc_id * 5 + ((doc_id * 13 + 7 * i) % nc) * 37 + ch * 11) % 256 "
+        "AS byte FROM s, (VALUES (0), (1), (2)) t(ch)), "
+        "m AS (SELECT doc_id, AVG(CAST(byte AS DOUBLE)) AS mean_px, "
+        "SUM(byte * (3 * i + ch + 1)) AS checksum FROM b GROUP BY doc_id) "
+        "SELECT d.doc_id, 'image/gif' AS media_type, "
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+        "CAST(nc AS BIGINT) AS n_colors, CAST(il AS BIGINT) AS interlaced, "
+        "(ROUND(m.mean_px, 6) + 0) AS mean_px, "
+        "CAST(m.checksum AS BIGINT) AS checksum "
+        "FROM d JOIN m USING (doc_id)"
+    )

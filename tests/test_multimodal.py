@@ -771,3 +771,120 @@ def test_mp3_id3v2_tag_skipped(spark):
     got = {r["doc_id"]: r for r in mp3_meta(spark, SF).collect()}
     for did in range(8):
         assert got[did]["n_frames"] == 3 + did % 5, did
+
+
+# --------------------------------------------------------------- GIF
+def test_gif_decode_round_trip(spark):
+    # writer layout + LZW packer vs decoder, cross-checked by the
+    # oracle's independent doc_id arithmetic (no GIF parsing in SQL);
+    # covers both palette sizes (4/8 colors -> 2/3-bit min code size)
+    # and the interlaced storage path (doc_id % 3 == 0)
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import gif_decode, gif_decode_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in gif_decode(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(gif_decode_sql()).fetchall())
+    assert got == exp and len(got) > 0
+    ils = {r[5] for r in got}
+    ncs = {r[4] for r in got}
+    assert ils == {0, 1} and ncs == {4, 8}  # both paths exercised
+
+
+def test_gif_interlace_differs_from_sequential(spark):
+    # the same pixels stored interlaced vs sequential must decode to the
+    # SAME logical stream — flip the interlace flag without reordering
+    # rows and the order-sensitive checksum must change
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.multimodal import (
+        gif_decode_payloads,
+        gif_media_table,
+    )
+
+    media = gif_media_table(spark, "/root/testdata/sf0.001").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 30)
+    )
+    rows = media.collect()
+    assert rows  # interlaced docs exist
+    tampered = []
+    for r in rows:
+        b = bytearray(r["payload"])
+        # image descriptor packed byte sits right before the mcs byte:
+        # find 0x2C, its packed byte is at +9
+        i = b.index(0x2C, 13)
+        assert b[i + 9] & 0x40  # interlace flag set
+        b[i + 9] &= ~0x40  # claim sequential storage
+        tampered.append((r["doc_id"], r["media_type"], bytes(b)))
+    tdf = spark.createDataFrame(
+        tampered, "doc_id long, media_type string, payload binary"
+    )
+    orig = {r["doc_id"]: (r["height"], r["checksum"])
+            for r in gif_decode_payloads(media).collect()}
+    tamp = {r["doc_id"]: r["checksum"]
+            for r in gif_decode_payloads(tdf).collect()}
+    # interlace order is the identity for h <= 2 ([pass1 row 0, pass4
+    # row 1]) and a real reorder for h >= 3
+    for d, (h, cks) in orig.items():
+        if h <= 2:
+            assert tamp[d] == cks, d
+        else:
+            assert tamp[d] != cks, d
+    assert any(h > 2 for h, _ in orig.values())
+
+
+def test_gif_corrupt_lzw_fails_loudly(spark):
+    import struct
+
+    from talna_spark.pipeline.multimodal import gif_decode_payloads
+
+    def gif_shell(lzw_data: bytes, mcs: int = 2, w: int = 2, h: int = 2):
+        blob = bytearray(b"GIF89a")
+        blob += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | (mcs - 1), 0, 0)
+        blob += bytes(range(3 * (1 << mcs)))  # palette
+        blob += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        blob += bytes([mcs, len(lzw_data)]) + lzw_data + b"\x00\x3B"
+        return bytes(blob)
+
+    def media(payload):
+        return spark.createDataFrame(
+            [(0, "image/gif", payload)],
+            "doc_id long, media_type string, payload binary",
+        )
+
+    # (a) out-of-range code: clear(100b) then 7 (111b) > next_code=6,
+    # LSB-first -> 0b111100 = 0x3C
+    with pytest.raises(Exception, match="corrupt LZW|invalid first"):
+        gif_decode_payloads(media(gif_shell(b"\x3c\x3f"))).collect()
+    # (b) truncated stream: clear code alone, then nothing
+    with pytest.raises(Exception, match="truncated"):
+        gif_decode_payloads(media(gif_shell(b"\x04"))).collect()
+    # (c) pixel-count mismatch: a valid stream with too few pixels
+    # clear=4(100), code 0(000), eoi=5(101) -> bits 100 000 101 ->
+    # LSB-first bytes: 0b00000100, 0b00010100? build via int
+    bits = [(4, 3), (0, 3), (5, 3)]
+    acc = n = 0
+    out = bytearray()
+    for c, wd in bits:
+        acc |= c << n
+        n += wd
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    with pytest.raises(Exception, match="expected"):
+        gif_decode_payloads(media(gif_shell(bytes(out)))).collect()
+    # (d) missing trailer
+    good = gif_shell(bytes(out), w=1, h=1)
+    with pytest.raises(Exception, match="trailer"):
+        gif_decode_payloads(media(good[:-1])).collect()
+    # (e) control: the same 1-pixel stream decodes fine with the trailer
+    r = gif_decode_payloads(media(good)).collect()[0]
+    assert (r["width"], r["height"], r["n_colors"]) == (1, 1, 4)
