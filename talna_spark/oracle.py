@@ -1,8 +1,13 @@
 """DuckDB-oracle SQL generation for the declared query inventory
-(SURVEY.md §2.3). The oracle is generated from the SAME parsed AST the
-Spark path executes (talna_spark.dsl.compiler.compile_to_sql), over the
-same events->points mapping (talna_spark.sources.events.TAG_SQL), so the
-two sides cannot drift.
+(SURVEY.md §2.3). The oracle shares NO code with the engine it checks
+(r9, VERDICT r8 item 6): the filter DSL is compiled by an ORACLE-LOCAL
+recursive-descent compiler (:func:`oracle_filter_sql` below — a second
+independent implementation of the grammar at reference
+src/query/filter.rs:154-293 / lexer.rs:3-35, emitting SQL directly with
+no AST), differential-tested against the engine's shunting-yard +
+Column compiler on generated filter strings. The events->points column
+mapping (sources.events.TAG_SQL) remains shared by design — it is the
+INPUT schema contract, not engine logic.
 
 Output contract (driver hash-compare): columns (grp, start_ts, end_ts,
 value, len); aggregate ``value`` rounded to 6 decimals on BOTH sides to
@@ -14,9 +19,156 @@ from __future__ import annotations
 
 from typing import Optional
 
-from talna_spark.dsl.compiler import compile_to_sql
-from talna_spark.dsl.parser import parse_filter_query
+import re as _re
+
+from talna_spark.errors import InvalidQueryError
 from talna_spark.sources.events import METRIC_SQL, TAG_SQL, TS_SQL
+
+# ------------------------------------------------------------------
+# Oracle-local filter-DSL compiler: text -> SQL boolean, one pass of
+# recursive descent over a token scan — deliberately a DIFFERENT
+# architecture from the engine's lexer + shunting-yard + AST + Column
+# compiler, so a front-end bug cannot corrupt both sides identically.
+# Grammar (precedence NOT > AND > OR, '*' whole-expression only):
+#   query  := '*' | expr
+#   expr   := term (OR term)*
+#   term   := fact (AND fact)*
+#   fact   := '!' fact | '(' expr ')' | leaf
+#   leaf   := KEY ':' ('[' V (',' V)* ']' | V? '*' | V)
+_ORC_KEY = r"[a-zA-Z_-]+"
+_ORC_VAL = r"[a-zA-Z0-9_.\-]+"
+_ORC_TOKENS = (
+    ("SET", _re.compile(
+        rf"({_ORC_KEY}):\[\s*({_ORC_VAL}(?:\s*,\s*{_ORC_VAL})*)\s*\]")),
+    ("WILD", _re.compile(rf"({_ORC_KEY}):((?:{_ORC_VAL})?)\*")),
+    ("EQ", _re.compile(rf"({_ORC_KEY}):({_ORC_VAL})")),
+    ("AND", _re.compile(r"AND\b")),
+    ("OR", _re.compile(r"OR\b")),
+    ("NOT", _re.compile(r"!")),
+    ("LP", _re.compile(r"\(")),
+    ("RP", _re.compile(r"\)")),
+    ("STAR", _re.compile(r"\*")),
+)
+
+
+def _orc_scan(text: str) -> list[tuple]:
+    toks, pos = [], 0
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        for kind, rx in _ORC_TOKENS:
+            m = rx.match(text, pos)
+            if m:
+                toks.append((kind,) + m.groups())
+                pos = m.end()
+                break
+        else:
+            raise InvalidQueryError(
+                f"invalid filter query: unexpected character at {pos}"
+            )
+    return toks
+
+
+def oracle_filter_sql(text: str, lookup) -> str:
+    """Compile a filter-DSL string to a SQL boolean expression —
+    the oracle's independent second implementation (``lookup`` maps a
+    tag key to its VARCHAR SQL expression, NULL-when-absent)."""
+    if text.strip() == "*":
+        return "TRUE"
+    toks = _orc_scan(text)
+    if not toks:
+        raise InvalidQueryError("invalid filter query: empty expression")
+    i = 0
+
+    def peek():
+        return toks[i][0] if i < len(toks) else None
+
+    def esc(v: str) -> str:
+        return v.replace("'", "''")
+
+    def leaf(tok) -> str:
+        kind = tok[0]
+        if kind == "EQ":
+            return f"COALESCE({lookup(tok[1])} = '{esc(tok[2])}', FALSE)"
+        if kind == "WILD":
+            if tok[2] == "":
+                return f"({lookup(tok[1])} IS NOT NULL)"
+            pfx = esc(tok[2]).replace("%", r"\%").replace("_", r"\_")
+            return (
+                f"COALESCE({lookup(tok[1])} LIKE '{pfx}%' ESCAPE '\\', "
+                "FALSE)"
+            )
+        # SET -> OR-of-Eq, left-nested like the engine's desugaring
+        vals = [v.strip() for v in tok[2].split(",")]
+        sql = f"COALESCE({lookup(tok[1])} = '{esc(vals[0])}', FALSE)"
+        for v in vals[1:]:
+            sql = (
+                f"({sql} OR "
+                f"COALESCE({lookup(tok[1])} = '{esc(v)}', FALSE))"
+            )
+        return sql
+
+    def fact() -> str:
+        nonlocal i
+        k = peek()
+        if k == "NOT":
+            i += 1
+            return f"(NOT {fact()})"
+        if k == "LP":
+            i += 1
+            sql = expr()
+            if peek() != "RP":
+                raise InvalidQueryError(
+                    "invalid filter query: unbalanced '('"
+                )
+            i += 1
+        elif k in ("EQ", "WILD", "SET"):
+            tok = toks[i]
+            i += 1
+            if peek() in ("EQ", "WILD", "SET"):
+                raise InvalidQueryError(
+                    "invalid filter query: adjacent operands"
+                )
+            sql = leaf(tok)
+        elif k == "STAR":
+            raise InvalidQueryError(
+                "invalid filter query: '*' is only valid as the whole "
+                "expression"
+            )
+        else:
+            raise InvalidQueryError("invalid filter query: dangling operator")
+        # POSTFIX '!': the engine's shunting-yard pushes NOT onto the op
+        # stack with no position check, so a '!' AFTER a complete operand
+        # (or group) pops as a unary on it — 'a:1 !' == '!a:1',
+        # '(x:1 OR y:2)!' == '!(x:1 OR y:2)'. A quirk of the ported
+        # grammar (reference src/query/filter.rs) that the differential
+        # corpus surfaced; reproduced here deliberately.
+        while peek() == "NOT":
+            i += 1
+            sql = f"(NOT {sql})"
+        return sql
+
+    def term() -> str:
+        nonlocal i
+        sql = fact()
+        while peek() == "AND":
+            i += 1
+            sql = f"({sql} AND {fact()})"
+        return sql
+
+    def expr() -> str:
+        nonlocal i
+        sql = term()
+        while peek() == "OR":
+            i += 1
+            sql = f"({sql} OR {term()})"
+        return sql
+
+    sql = expr()
+    if i != len(toks):
+        raise InvalidQueryError("invalid filter query: malformed expression")
+    return sql
 
 _AGG_SQL = {
     "avg": "AVG(value)",
@@ -115,8 +267,7 @@ def events_query_sql(
     (rolling) that aggregate bucket values further before rounding.
     ``value_pred`` = (op, threshold) mirrors QueryBuilder.where_value —
     the row-level value predicate the reference has no surface for."""
-    node = parse_filter_query(flt)
-    pred = compile_to_sql(node, _tag_lookup)
+    pred = oracle_filter_sql(flt, _tag_lookup)
     grp, notnull = _grp_sql(group_by)
     where = [f"metric = '{metric}'", f"({pred})"] + notnull
     if start is not None:
@@ -271,8 +422,7 @@ def greedy_events_values_sql(
         return None
     import duckdb
 
-    node = parse_filter_query(flt)
-    pred = compile_to_sql(node, _tag_lookup)
+    pred = oracle_filter_sql(flt, _tag_lookup)
     grp, notnull = _grp_sql(group_by)
     where = [f"metric = '{metric}'", f"({pred})"] + notnull
     if start is not None:
@@ -409,8 +559,7 @@ def events_sliding_sql(
     generate_series explode of window indices — mirrors
     talna_spark.aggregate.sliding_buckets (window i covers
     [i*slide, i*slide + width - 1])."""
-    node = parse_filter_query(flt)
-    pred = compile_to_sql(node, _tag_lookup)
+    pred = oracle_filter_sql(flt, _tag_lookup)
     grp, notnull = _grp_sql(group_by)
     w, s = int(width), int(slide)
     where = [f"metric = '{metric}'", f"({pred})"] + notnull
@@ -448,8 +597,7 @@ def events_sessions_sql(
     """Oracle for QueryBuilder.sessions: lag -> boundary flag -> running
     sum -> per-session aggregation, mirroring
     talna_spark.aggregate.session_buckets (same (ts, value) tie order)."""
-    node = parse_filter_query(flt)
-    pred = compile_to_sql(node, _tag_lookup)
+    pred = oracle_filter_sql(flt, _tag_lookup)
     grp, notnull = _grp_sql(group_by)
     where = [f"metric = '{metric}'", f"({pred})"] + notnull
     if start is not None:
@@ -591,8 +739,7 @@ def events_histogram_sql(
     distribution — mirrors talna_spark.aggregate.histogram_buckets
     (bin = floor((value - lo)/binw), underflow -1, overflow nbins; bin
     edges as the identical double arithmetic, 6-dp-rounded on emit)."""
-    node = parse_filter_query(flt)
-    pred = compile_to_sql(node, _tag_lookup)
+    pred = oracle_filter_sql(flt, _tag_lookup)
     grp, notnull = _grp_sql(group_by)
     lo, hi, nbins = float(lo), float(hi), int(nbins)
     binw = (hi - lo) / nbins
@@ -641,8 +788,7 @@ def events_cube_sql(
     if isinstance(group_by, str) or len(tuple(group_by)) < 2:
         raise ValueError("cube requires at least two group tags")
     keys = tuple(group_by)
-    node = parse_filter_query(flt)
-    pred = compile_to_sql(node, _tag_lookup)
+    pred = oracle_filter_sql(flt, _tag_lookup)
     _, notnull = _grp_sql(keys)
     where = [f"metric = '{metric}'", f"({pred})"] + notnull
     if start is not None:

@@ -107,3 +107,112 @@ def test_compile_to_sql_shapes():
     assert "LIKE 'db.%'" in compile_to_sql(P("k:db.*"), {"k": "kk"})
     # unknown tag key -> NULL expression -> never matches, but NOT of it does
     assert compile_to_sql(P("nosuch:tag"), {}) == "COALESCE(NULL = 'tag', FALSE)"
+
+
+# ---------------------------------------------------------------------
+# Oracle front-end independence (r9, VERDICT r8 item 6): the oracle's
+# recursive-descent filter compiler (talna_spark.oracle.oracle_filter_sql)
+# must agree with the engine's lexer + shunting-yard + compile_to_sql on
+# EVERY string — same matched rows when valid, same accept/reject verdict
+# always — across a generated corpus of valid and mutated expressions.
+def _gen_expr(rng, depth=0):
+    keys = ["a", "b", "host", "env-x", "_k"]
+    vals = ["x", "y", "z1", "1", "prod.eu", "a-b"]
+    r = rng.random()
+    if depth >= 3 or r < 0.45:
+        k = rng.choice(keys)
+        kind = rng.randrange(4)
+        if kind == 0:
+            return f"{k}:{rng.choice(vals)}"
+        if kind == 1:
+            return f"{k}:{rng.choice(['', *vals])}*"
+        if kind == 2:
+            members = rng.sample(vals, rng.randrange(1, 4))
+            sep = rng.choice([",", ", ", " , "])
+            return f"{k}:[{sep.join(members)}]"
+        return f"!{_gen_expr(rng, depth + 1)}"
+    if r < 0.65:
+        return f"({_gen_expr(rng, depth + 1)})"
+    op = rng.choice([" AND ", " OR "])
+    return _gen_expr(rng, depth + 1) + op + _gen_expr(rng, depth + 1)
+
+
+def _mutate(rng, s):
+    ops = ["(", ")", "!", "*", " AND", " OR", ":", "[", "]", ",", " ", "@"]
+    i = rng.randrange(len(s) + 1)
+    kind = rng.randrange(3)
+    if kind == 0:
+        return s[:i] + rng.choice(ops) + s[i:]
+    if kind == 1 and s:
+        j = rng.randrange(len(s))
+        return s[:j] + s[j + 1 :]
+    return s[:i] + rng.choice(ops) + s[i:] + rng.choice(ops)
+
+
+def test_oracle_filter_compiler_differential():
+    import random
+
+    import duckdb
+
+    from talna_spark.dsl.compiler import compile_to_sql
+    from talna_spark.oracle import oracle_filter_sql
+
+    # fixture: every combination of present/absent tags a, b, host
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(0, 'x',  'y',  'prod.eu'), (1, 'y',  NULL, 'z1'), "
+        "(2, NULL, 'x',  NULL),      (3, '1',  '1',  'a-b'), "
+        "(4, 'z1', 'prod.eu', 'x'),  (5, NULL, NULL, NULL), "
+        "(6, 'prod.eu', 'z1', '1'),  (7, 'a-b', 'x', 'y')"
+        ") v(id, a, b, host)"
+    )
+    lookup = lambda k: k if k in ("a", "b", "host") else "NULL"  # noqa: E731
+
+    rng = random.Random(20260814)
+    cases = [_gen_expr(rng) for _ in range(150)]
+    cases += [_mutate(rng, _gen_expr(rng)) for _ in range(150)]
+    cases += ["*", " * ", "", "  ", "a:1 b:2", "a:1 AND AND b:2",
+              "(a:1", "a:1)", "()", "!*", "* AND a:1", "a:[x]",
+              "A-ND:x", "a:AND", "OR:y", "!!a:1", "! !a:1"]
+    n_valid = 0
+    for s in cases:
+        try:
+            eng = compile_to_sql(P(s), lookup)
+            eng_err = None
+        except InvalidQueryError:
+            eng_err = True
+        try:
+            orc = oracle_filter_sql(s, lookup)
+            orc_err = None
+        except InvalidQueryError:
+            orc_err = True
+        assert eng_err == orc_err, f"accept/reject drift on {s!r}"
+        if eng_err:
+            continue
+        n_valid += 1
+        a = {r[0] for r in con.execute(
+            f"SELECT id FROM t WHERE {eng}").fetchall()}
+        o = {r[0] for r in con.execute(
+            f"SELECT id FROM t WHERE {orc}").fetchall()}
+        assert a == o, f"matched-set drift on {s!r}: {a} vs {o}"
+    assert n_valid >= 100  # the corpus actually exercises the valid path
+
+
+def test_oracle_module_imports_no_engine_dsl():
+    # structural: oracle.py must not import the engine's DSL front end
+    import ast
+    import inspect
+
+    import talna_spark.oracle as oracle_mod
+
+    tree = ast.parse(inspect.getsource(oracle_mod))
+    for node in ast.walk(tree):
+        mods = []
+        if isinstance(node, ast.Import):
+            mods = [a.name for a in node.names]
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            mods = [node.module]
+        for m in mods:
+            assert not m.startswith("talna_spark.dsl"), m
+            assert m != "talna_spark.aggregate", m
