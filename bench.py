@@ -415,6 +415,17 @@ def main() -> None:
 
         qs["_bench_srp"] = _srp
         pipe["pipe_srp_embed"] = "_bench_srp"
+        # r9 (VERDICT r8 item 7): byte-level BPE end-to-end — train the
+        # GPT-2-style byte BPE, encode every doc, FFD-pack by byte-BPE
+        # length — so the r8 mode's cost is tracked round over round
+        from talna_spark.pipeline.packing import tokenize_pack as _tok_pack
+
+        def _bench_tokenize_pack_byte(spark, sf_dir):
+            return _tok_pack(spark, sf_dir, n_merges=30, mode="byte")
+
+        qs["_bench_tokenize_pack_byte"] = _bench_tokenize_pack_byte
+        pipe["pipe_tokenize_pack_byte"] = "_bench_tokenize_pack_byte"
+        extra["pipe_tokenize_pack_byte_merges"] = 30
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
