@@ -742,7 +742,7 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All ten REAL dependency-free codec/parser legs
+    """All eleven REAL dependency-free codec/parser legs
     (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
@@ -750,7 +750,10 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     huffman entropy decode + dequant + IDCT; r5 — the LOSSY leg), AVI (RIFF-AVI container walk + movi
     frame chunks, every-2nd-frame sampling over bottom-up DIB frames;
     GIF (r9 — the LZW leg: variable-width LZW with clear/EOI and
-    12-bit growth, 4-pass interlace, palette expansion);
+    12-bit growth, 4-pass interlace, palette expansion); MPEG-1 Audio
+    Layer I (r9 — true-MPEG subband decode: bit allocation, B.1
+    scalefactors, spec requantization to exact doubles; the synthesis
+    window table B.3 is the remaining declared seam);
     r5 — the VIDEO leg), MJPEG-in-AVI (r6 — the ENTROPY-CODED video
     leg: '00dc' chunks each a complete huffman-coded baseline JFIF,
     decoded on the same sampling stride), FLAC (r6 — the ENTROPY-CODED
@@ -831,10 +834,16 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_colors", "interlaced",
         "mean_px", "checksum", "gif",
     )
+    mp1 = norm(
+        _mm.layer1_decode(spark, sf_dir),
+        "n_frames", "sample_rate", "bitrate_kbps", "n_alloc",
+        "mean_amp", "checksum", "layer1",
+    )
     return (
         wav.unionByName(bmp).unionByName(png).unionByName(jpg)
         .unionByName(avi).unionByName(mjpeg).unionByName(flac)
         .unionByName(pdf).unionByName(mp3).unionByName(gif)
+        .unionByName(mp1)
     )
 
 
@@ -877,6 +886,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.gif_decode_sql(), "width", "height", "n_colors",
                "interlaced", "mean_px", "checksum", "gif")
+        + " UNION ALL "
+        + norm(_mm.layer1_decode_sql(), "n_frames", "sample_rate",
+               "bitrate_kbps", "n_alloc", "mean_amp", "checksum", "layer1")
     )
 
 

@@ -87,11 +87,16 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             raise NotImplementedError(
                 f"decoder for {media_type!r} not available in this environment "
-                "(remaining STUB seam: PERCEPTUAL audio codecs only — "
-                "MP3/AAC need psychoacoustic filterbanks no stdlib carries. "
-                "Real decoders on this same seam: WAV, BMP, PNG, JPEG, AVI, "
-                "MJPEG-in-AVI, FLAC, PDF — see the *_decode_payloads "
-                "functions; FLAC covers the entropy-coded audio family)"
+                "(remaining STUB seam, narrowed r9: the MPEG synthesis "
+                "filterbank WINDOW — spec table B.3's 512 coefficients are "
+                "data with no closed form — plus the Layer II allocation- "
+                "class and Layer III/AAC Huffman tables. Everything up to "
+                "the filterbank is real: Layer I frames decode to exact "
+                "requantized subband samples (layer1_decode_payloads), MP3 "
+                "frame metadata walks (mp3_meta), and FLAC covers the "
+                "entropy-coded audio family end-to-end. Other real legs on "
+                "this seam: WAV, BMP, PNG, JPEG, GIF, AVI, MJPEG-in-AVI, "
+                "PDF — see the *_decode_payloads functions)"
             )
 
         for pdf in batches:
@@ -3025,4 +3030,278 @@ def gif_decode_sql() -> str:
         "(ROUND(m.mean_px, 6) + 0) AS mean_px, "
         "CAST(m.checksum AS BIGINT) AS checksum "
         "FROM d JOIN m USING (doc_id)"
+    )
+
+
+# ------------------------------------------- MPEG-1 Audio Layer I codec
+# r9 (VERDICT r8 item 5, the tractable true-MPEG leg): real ISO 11172-3
+# LAYER I frame decode — 32-bit header, MSB-first bit reader, per-subband
+# 4-bit bit allocation (code+1 bits, code 15 forbidden), 6-bit
+# scalefactor indices (table B.1: sf = 2*2^(-idx/3); the writer uses
+# idx = 3k so every scalefactor is an exact power of two), and the spec
+# requantization s'' = (2^nb/(2^nb-1)) * ((s'''+1)*2^(1-nb) - 1) over
+# codes 0..2^nb-2 — every decoded subband sample is an exact closed-form
+# double, recomputed independently by the oracle. What this leg does NOT
+# include, deliberately: the 32-band synthesis filterbank, whose
+# 512-coefficient window (table B.3) is spec DATA with no closed form —
+# inventing coefficients would yield PCM wrong against every real
+# decoder. The extract_features seam narrows to exactly that: synthesis
+# windowing + the Layer II/III allocation-class and Huffman tables.
+
+LAYER1_SCHEMA = (
+    "doc_id long, media_type string, n_frames long, sample_rate long, "
+    "bitrate_kbps long, n_alloc long, mean_amp double, checksum long"
+)
+
+_L1_ALLOC_SBS = 8        # writer allocates subbands 0..7
+_L1_SAMPLE_RATE = 32000  # index 10
+_L1_BITRATE = 64         # kbps, Layer I index 2 -> 24 slots = 96 B/frame
+
+
+def _l1_params(doc_id: int) -> int:
+    return 2 + doc_id % 3  # n_frames
+
+
+def layer1_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize spec-layout MPEG-1 Layer I mono streams. Per doc:
+    n_frames = 2 + doc_id % 3 frames of 96 bytes (64 kbps @ 32 kHz, no
+    padding, no CRC). Subbands 0..7 get nb = 2 + (doc_id + sb) % 3 bit
+    samples with scalefactor index 3*((doc_id + sb) % 21); sample code
+    at (frame f, sample s, subband sb) is
+    (doc_id*7 + f*5 + s*3 + sb) % (2^nb - 1). Remaining frame bits are
+    zero ancillary data."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encode(did: int) -> bytes:
+            out = bytearray()
+            acc, nbits = 0, 0
+
+            def put(v: int, n: int):
+                nonlocal acc, nbits
+                acc = (acc << n) | (v & ((1 << n) - 1))
+                nbits += n
+                while nbits >= 8:
+                    out.append((acc >> (nbits - 8)) & 0xFF)
+                    nbits -= 8
+                acc &= (1 << nbits) - 1
+
+            for f in range(2 + did % 3):
+                start = len(out)
+                # header: sync FFF, MPEG-1, Layer I, no CRC,
+                # bitrate idx 2 (64k), fs idx 10 (32 kHz), mono
+                put(0xFFF, 12)
+                put(0b1, 1)    # ID: MPEG-1
+                put(0b11, 2)   # layer I
+                put(0b1, 1)    # protection: none
+                put(2, 4)      # bitrate index
+                put(0b10, 2)   # sample-rate index
+                put(0, 1)      # padding
+                put(0, 1)      # private
+                put(0b11, 2)   # mode: single channel
+                put(0, 2)      # mode extension
+                put(0, 4)      # copyright/original/emphasis
+                allocs = []
+                for sb in range(32):
+                    if sb < _L1_ALLOC_SBS:
+                        nb = 2 + (did + sb) % 3
+                        allocs.append(nb)
+                        put(nb - 1, 4)  # allocation code = nb - 1
+                    else:
+                        allocs.append(0)
+                        put(0, 4)
+                for sb in range(_L1_ALLOC_SBS):
+                    put(3 * ((did + sb) % 21), 6)  # scalefactor index
+                for s in range(12):
+                    for sb in range(_L1_ALLOC_SBS):
+                        nb = allocs[sb]
+                        code = (did * 7 + f * 5 + s * 3 + sb) % (
+                            (1 << nb) - 1
+                        )
+                        put(code, nb)
+                if nbits:
+                    put(0, 8 - nbits)  # byte-align
+                out.extend(b"\x00" * (start + 96 - len(out)))  # ancillary
+            return bytes(out)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "audio/mpeg-l1",
+                    "payload": [encode(int(x)) for x in ids],
+                }
+            )
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def layer1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layer1_decode_payloads(layer1_media_table(spark, sf_dir))
+
+
+def layer1_decode_payloads(media: DataFrame) -> DataFrame:
+    """Decode Layer I streams to requantized subband samples: header
+    validation + frame walk, bit allocation, scalefactors (table B.1
+    closed form), spec requantization. ``mean_amp`` = mean |sample| and
+    ``checksum`` = sum(micro_units * (pos+1)) run over the decoded
+    samples in (frame, sample, subband) order via exact integer
+    micro-unit accounting. Corruption (bad sync, allocation code 15,
+    truncated frames) fails loudly."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def away(v: float) -> int:
+            return int(math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1))
+
+        _L1_KBPS = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                    352, 384, 416, 448)
+        _L1_FS = (44100, 48000, 32000)
+
+        def parse(blob: bytes):
+            pos = 0  # bit cursor
+            total_bits = len(blob) * 8
+
+            def get(n: int) -> int:
+                nonlocal pos
+                if pos + n > total_bits:
+                    raise ValueError("Layer I stream truncated")
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | (
+                        (blob[pos >> 3] >> (7 - (pos & 7))) & 1
+                    )
+                    pos += 1
+                return v
+
+            n_frames = 0
+            sr = br = None
+            abs_micro_sum = 0
+            checksum = 0
+            n_alloc_total = 0
+            idx = 0  # global sample position
+            while pos < total_bits:
+                if total_bits - pos < 32:
+                    if any(blob[pos >> 3 :]):
+                        raise ValueError("trailing garbage after frames")
+                    break
+                if get(12) != 0xFFF:
+                    raise ValueError("bad sync word")
+                if get(1) != 1:
+                    raise ValueError("not MPEG-1")
+                if get(2) != 0b11:
+                    raise ValueError("not Layer I")
+                get(1)  # protection
+                bri = get(4)
+                fsi = get(2)
+                if bri in (0, 15) or fsi == 3:
+                    raise ValueError("bad bitrate/samplerate index")
+                get(2)  # padding+private
+                mode = get(2)
+                if mode != 0b11:
+                    raise ValueError("only mono streams supported")
+                get(6)  # ext/copyright/original/emphasis
+                br, sr = _L1_KBPS[bri], _L1_FS[fsi]
+                frame_start_bit = pos - 32
+                frame_bits = (12 * br * 1000 // sr) * 32
+                allocs = []
+                for _sb in range(32):
+                    a = get(4)
+                    if a == 15:
+                        raise ValueError("forbidden allocation code 15")
+                    allocs.append(a + 1 if a else 0)
+                scf = [get(6) if nb else None for nb in allocs]
+                for s in range(12):
+                    for sb in range(32):
+                        nb = allocs[sb]
+                        if not nb:
+                            continue
+                        c = get(nb)
+                        if c == (1 << nb) - 1:
+                            raise ValueError("forbidden all-ones sample")
+                        sf = 2.0 * 2.0 ** (-scf[sb] / 3.0)
+                        v = sf * (
+                            ((1 << nb) / ((1 << nb) - 1.0))
+                            * ((c + 1) * 2.0 ** (1 - nb) - 1.0)
+                        )
+                        m = away(v * 1e6)
+                        abs_micro_sum += abs(m)
+                        checksum += m * (idx + 1)
+                        idx += 1
+                n_alloc_total += sum(1 for nb in allocs if nb)
+                # skip ancillary: jump to the frame's slot boundary
+                pos = frame_start_bit + frame_bits
+                n_frames += 1
+            if n_frames == 0:
+                raise ValueError("no Layer I frames")
+            # half-away micro-mean (never Python's banker's round): the
+            # 6-dp decimal is exact on both engines
+            mean_amp = away(abs_micro_sum / idx) / 1e6 if idx else 0.0
+            return n_frames, sr, br, n_alloc_total, mean_amp, checksum
+
+        for pdf in batches:
+            rows = [parse(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_frames": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "bitrate_kbps": [r[2] for r in rows],
+                    "n_alloc": [r[3] for r in rows],
+                    "mean_amp": [r[4] for r in rows],
+                    "checksum": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_decode, schema=LAYER1_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "n_frames",
+        "sample_rate",
+        "bitrate_kbps",
+        "n_alloc",
+        round6("mean_amp").alias("mean_amp"),
+        "checksum",
+    )
+
+
+def layer1_decode_sql() -> str:
+    """Oracle: requantized sample values recomputed by the same spec
+    closed form from doc_id arithmetic (float expression shape matches
+    the decoder's op order exactly, then micro-unit integers make the
+    aggregation order-exact)."""
+    nb = "(2 + (doc_id + sb) % 3)"
+    k = "((doc_id + sb) % 21)"
+    c = f"((doc_id * 7 + f * 5 + s * 3 + sb) % ((1 << {nb}) - 1))"
+    v = (
+        f"(2.0 * power(2.0, -CAST(3 * {k} AS DOUBLE) / 3.0)) * "
+        f"((CAST(1 << {nb} AS DOUBLE) / (CAST(1 << {nb} AS DOUBLE) - 1.0)) "
+        f"* (({c} + 1) * power(2.0, CAST(1 - {nb} AS DOUBLE)) - 1.0))"
+    )
+    m = f"CAST(ROUND({v} * 1e6) AS BIGINT)"
+    pos = f"(f * 96 + s * 8 + sb)"
+    return (
+        "WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents), "
+        "g AS (SELECT doc_id, nf, f, s, sb FROM d, "
+        "LATERAL unnest(generate_series(0, nf - 1)) tf(f), "
+        "LATERAL unnest(generate_series(0, 11)) ts(s), "
+        "LATERAL unnest(generate_series(0, 7)) tb(sb)), "
+        f"agg AS (SELECT doc_id, MAX(nf) AS nf, SUM(ABS({m})) AS asum, "
+        f"SUM({m} * ({pos} + 1)) AS cks, COUNT(*) AS n FROM g "
+        "GROUP BY doc_id) "
+        "SELECT doc_id, 'audio/mpeg-l1' AS media_type, "
+        "CAST(nf AS BIGINT) AS n_frames, "
+        f"CAST({_L1_SAMPLE_RATE} AS BIGINT) AS sample_rate, "
+        f"CAST({_L1_BITRATE} AS BIGINT) AS bitrate_kbps, "
+        "CAST(nf * 8 AS BIGINT) AS n_alloc, "
+        "(CAST(ROUND(CAST(asum AS DOUBLE) / n, 0) AS BIGINT) / 1e6 + 0) "
+        "AS mean_amp, "
+        "CAST(cks AS BIGINT) AS checksum FROM agg"
     )

@@ -888,3 +888,100 @@ def test_gif_corrupt_lzw_fails_loudly(spark):
     # (e) control: the same 1-pixel stream decodes fine with the trailer
     r = gif_decode_payloads(media(good)).collect()[0]
     assert (r["width"], r["height"], r["n_colors"]) == (1, 1, 4)
+
+
+# ------------------------------------------------- MPEG-1 Audio Layer I
+def test_layer1_decode_round_trip(spark):
+    # writer bitstream vs decoder vs the oracle's independent spec
+    # arithmetic; all three frame counts and all three nb widths occur
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import (
+        layer1_decode, layer1_decode_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in layer1_decode(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(layer1_decode_sql()).fetchall())
+    assert got == exp and len(got) > 0
+    assert {r[2] for r in got} == {2, 3, 4}  # n_frames variants
+
+
+def test_layer1_requantization_hand_value(spark):
+    # hand-built single-frame stream: only subband 0 allocated, nb=2,
+    # scalefactor idx 0 (sf=2.0), all 12 codes = 0:
+    # s'' = (4/3)*((0+1)*1/2 - 1) = -2/3 -> sample = -4/3 everywhere
+    # -> micro = -1333333, mean_amp = 1.333333,
+    # checksum = -1333333 * sum(1..12) = -1333333*78
+    from talna_spark.pipeline.multimodal import layer1_decode_payloads
+
+    bits = []
+
+    def put(v, n):
+        bits.extend(((v >> (n - 1 - j)) & 1) for j in range(n))
+
+    put(0xFFF, 12); put(1, 1); put(0b11, 2); put(1, 1)   # sync/id/layer/prot
+    put(2, 4); put(0b10, 2); put(0, 2)                   # 64k, 32kHz
+    put(0b11, 2); put(0, 2); put(0, 4)                   # mono
+    put(1, 4)                                            # sb0: alloc code 1 -> nb 2
+    for _ in range(31):
+        put(0, 4)
+    put(0, 6)                                            # scf idx 0
+    for _ in range(12):
+        put(0, 2)                                        # codes
+    while len(bits) % 8:
+        bits.append(0)
+    blob = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    blob += b"\x00" * (96 - len(blob))
+    df = spark.createDataFrame(
+        [(0, "audio/mpeg-l1", blob)],
+        "doc_id long, media_type string, payload binary",
+    )
+    r = layer1_decode_payloads(df).collect()[0]
+    assert r["n_frames"] == 1 and r["n_alloc"] == 1
+    assert r["mean_amp"] == 1.333333
+    assert r["checksum"] == -1333333 * 78
+
+
+def test_layer1_corruption_fails_loudly(spark):
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.multimodal import (
+        layer1_decode_payloads, layer1_media_table,
+    )
+
+    media = layer1_media_table(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id") == 0
+    )
+    blob = bytearray(media.collect()[0]["payload"])
+
+    def decode(b):
+        df = spark.createDataFrame(
+            [(0, "audio/mpeg-l1", bytes(b))],
+            "doc_id long, media_type string, payload binary",
+        )
+        return layer1_decode_payloads(df).collect()
+
+    # bad sync
+    bad = bytearray(blob); bad[0] = 0x00
+    with pytest.raises(Exception, match="sync"):
+        decode(bad)
+    # allocation code 15 in subband 0: alloc bits start at bit 32
+    bad = bytearray(blob); bad[4] |= 0xF0
+    with pytest.raises(Exception, match="allocation"):
+        decode(bad)
+    # truncation mid-frame
+    with pytest.raises(Exception, match="truncated|sync|garbage"):
+        decode(blob[:40])
+    # trailing garbage after the last frame
+    with pytest.raises(Exception, match="garbage|sync"):
+        decode(bytes(blob) + b"\x12")
+    # control: the untampered stream decodes
+    assert decode(blob)[0]["n_frames"] == 2
