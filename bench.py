@@ -426,6 +426,13 @@ def main() -> None:
         qs["_bench_tokenize_pack_byte"] = _bench_tokenize_pack_byte
         pipe["pipe_tokenize_pack_byte"] = "_bench_tokenize_pack_byte"
         extra["pipe_tokenize_pack_byte_merges"] = 30
+        # r9: learned language-ID scoring (demo weights — the same
+        # char-gram featurize + broadcast-weight argmax plan a trained
+        # model runs)
+        from talna_spark.pipeline.text import lang_id_learned as _lid
+
+        qs["_bench_langid_learned"] = _lid
+        pipe["pipe_langid_learned"] = "_bench_langid_learned"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
