@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talna_spark.pipeline.portable import (
-    char_grams,
     hash64,
     hash64_sql,
     norm_text,
@@ -103,19 +102,31 @@ def char_ngram_features(
     (doc_id, f) hash-aggregate with map-side partials, one doc_id
     window over id rows. Text never crosses an exchange.
 
-    The normalized text is pinned behind a lazy localCheckpoint before
-    the gram transforms: higher-order-function lambdas evaluate
-    INTERPRETED per element, and Catalyst's projection collapse would
-    inline the whitespace-normalization regexp chain into the lambda —
-    one regexp evaluation PER GRAM instead of per document (measured
-    28.7 s -> 4.5 s cold / 0.7 s warm on 5k docs at sf0.1; the
-    LSH/curate shared-base rule)."""
+    Two perf rules shape this plan (both measured on 5k docs at sf0.1):
+    (1) the normalized text is pinned behind a lazy localCheckpoint —
+    projection collapse would otherwise inline the whitespace-normalize
+    regexp chain into per-gram evaluation (28.7 s before the pin);
+    (2) grams are produced by explode(position sequence) + substr in a
+    codegen'd projection, NOT a higher-order transform() — HOF lambdas
+    evaluate interpreted per element (6.4 s HOF vs 3.6 s codegen warm;
+    what remains is the portable md5 hash itself)."""
     base = docs.select(
         "doc_id", norm_text(F.col(text_col)).alias("_t")
     ).localCheckpoint(eager=False)
-    t = F.col("_t")
-    stream = F.concat(*[char_grams(t, k) for k in ks])
-    g = base.select("doc_id", F.explode(stream).alias("g"))
+    parts = []
+    for k in ks:
+        n = F.length("_t") - (k - 1)
+        seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        parts.append(
+            base.select("doc_id", "_t", F.explode(seq).alias("i")).select(
+                "doc_id", F.col("_t").substr(F.col("i"), F.lit(k)).alias("g")
+            )
+        )
+    g = parts[0]
+    for p in parts[1:]:
+        g = g.unionByName(p)
     feat = g.groupBy(
         "doc_id", (hash64(F.col("g")) % n_features).alias("f")
     ).agg(F.count(F.lit(1)).alias("tf"))
