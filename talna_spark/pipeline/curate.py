@@ -57,10 +57,25 @@ def curate(
     clf_bias: float = 0.0,
     clf_threshold: float = CLF_THRESHOLD,
     clf_features: int = 1024,
+    keep_langs=None,
+    lang_model: dict = None,
 ) -> DataFrame:
     """(doc_id, verdict, split) for every document: verdict in
-    {low_quality, classifier_reject, duplicate, contaminated, kept};
-    split only for kept.
+    {low_quality, classifier_reject, language_filtered, duplicate,
+    contaminated, kept}; split only for kept.
+
+    ``keep_langs`` (r9, optional): a collection of language codes —
+    docs whose learned-language prediction (pipeline.text.
+    lang_id_learned over ``lang_model``; the demo-formula model when
+    None) falls outside it get verdict ``language_filtered``. Sits
+    after the quality/classifier gates and before dedup (the CCNet
+    order: language-route before spending shuffles on dedup). Docs too
+    short for any char gram predict 'und' — include 'und' in
+    ``keep_langs`` to keep them. Default None keeps the plan (and the
+    driver oracle) byte-identical to the composition without the
+    stage; the gate branches off the SAME checkpoint, adding one
+    id-only (doc_id, f) aggregate + broadcast-weights join, no extra
+    scan.
     The source scan is widened via the shared TALNA_MIN_SCAN_TASKS
     fan-out (pipeline.scan) before the shared checkpoint — quality
     regexes + md5 + shingle hashing are the dominant map cost and would
@@ -126,9 +141,25 @@ def curate(
         ).select("doc_id", "clf_score")
         out = out.join(clf, "doc_id", "left")
         clf_fail = F.col("clf_score") < clf_threshold
+    lang_fail = F.lit(False)
+    if keep_langs is not None:
+        from talna_spark.pipeline.text import lang_id_learned
+
+        lid = lang_id_learned(
+            spark,
+            docs=corpus.withColumn("lang", F.lit(None).cast("string")),
+            model=lang_model,
+        ).select("doc_id", "pred_lang")
+        out = out.join(lid, "doc_id", "left")
+        # pred_lang is total ('und' fallback), so NULL only means the
+        # doc vanished from the left join — never filter on NULL
+        lang_fail = F.col("pred_lang").isNotNull() & ~F.col(
+            "pred_lang"
+        ).isin(*sorted(keep_langs))
     verdict = (
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality"))
         .when(clf_fail, F.lit("classifier_reject"))
+        .when(lang_fail, F.lit("language_filtered"))
         .when(F.col("_canon").isNull(), F.lit("duplicate"))
         .when(F.col("_hit").isNotNull(), F.lit("contaminated"))
         .otherwise(F.lit("kept"))

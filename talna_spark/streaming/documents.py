@@ -139,11 +139,14 @@ def stream_curate(
     clf_bias: float = 0.0,
     clf_threshold: float = 0.5,
     clf_features: int = 1024,
+    keep_langs=None,
+    lang_model: dict = None,
 ):
     """End-to-end streaming curation: gate -> reference-dedup ->
     per-batch exact dedup (-> per-batch reference NEAR-dedup with
     ``near_dup=True``; -> per-batch learned-classifier gate with
-    ``clf_weights``, both r6) -> parquet append. Returns the
+    ``clf_weights``, both r6; -> per-batch learned LANGUAGE gate with
+    ``keep_langs``/``lang_model``, r9) -> parquet append. Returns the
     StreamingQuery. Each curated batch should be appended to the
     reference corpus by the caller's cadence (or point ``reference`` at
     the out_path scan) so cross-batch duplicates are caught on the next
@@ -200,6 +203,26 @@ def stream_curate(
                     | (F.col("clf_score") >= clf_threshold)
                 )
                 .drop("clf_score")
+            )
+        if keep_langs is not None:
+            # learned language gate (r9): a batch plan like the clf
+            # scorer, so it runs per micro-batch here; same
+            # NULL-keeps-as-batch rule (pred_lang is total — 'und' for
+            # gramless docs — so NULL only means a dropped join row)
+            from talna_spark.pipeline.text import lang_id_learned
+
+            lid = lang_id_learned(
+                out.sparkSession,
+                docs=out.withColumn("lang", F.lit(None).cast("string")),
+                model=lang_model,
+            ).select("doc_id", "pred_lang")
+            out = (
+                out.join(lid, "doc_id", "left")
+                .filter(
+                    F.col("pred_lang").isNull()
+                    | F.col("pred_lang").isin(*sorted(keep_langs))
+                )
+                .drop("pred_lang")
             )
         out.write.mode("append").parquet(out_path)
 

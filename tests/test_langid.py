@@ -153,3 +153,87 @@ def test_und_for_gramless_docs(spark):
     # "" and NULL have no grams; "x" is shorter than the smallest gram
     assert got[1] == ("und", 0) and got[2] == ("und", 0) and got[3] == ("und", 0)
     assert got[4][0] in {"de", "en", "es", "fr"}
+
+
+def test_curate_language_gate(spark):
+    """r9 keep_langs: docs predicted outside the kept set become
+    'language_filtered', slotted between the classifier gate and dedup;
+    every other verdict is untouched, and the default path stays
+    byte-identical (same verdicts as an ungated run)."""
+    from talna_spark.pipeline.curate import curate
+
+    SF = "/root/testdata/sf0.001"
+    base = {r["doc_id"]: r["verdict"] for r in curate(spark, SF).collect()}
+    gated = {r["doc_id"]: r["verdict"]
+             for r in curate(spark, SF, keep_langs={"de"}).collect()}
+    assert set(base) == set(gated)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in lang_id_learned(spark, docs=docs).collect()}
+    n_filtered = 0
+    for d, v in gated.items():
+        if v == "language_filtered":
+            n_filtered += 1
+            assert preds[d] != "de"
+            # precedence: quality/classifier verdicts fire first
+            assert base[d] in ("duplicate", "contaminated", "kept")
+        elif v == "kept":
+            assert preds[d] == "de"
+            assert base[d] == "kept"
+        else:
+            assert v == base[d]  # low_quality/duplicate/contaminated as before
+    assert n_filtered > 0
+
+
+def test_stream_curate_language_gate(spark, tmp_path):
+    """The streaming language gate drops exactly the docs the batch
+    scorer predicts outside keep_langs — equivalence by construction
+    (the same lang_id_learned plan runs per micro-batch)."""
+    from talna_spark.streaming.documents import stream_curate
+
+    # must pass the rule-based quality gate (English-stopword ratio),
+    # so English prose; the demo model's prediction per doc is
+    # arbitrary but deterministic — the test keeps doc 1's language
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "runs far away to find more food for the winter den ") * 3
+    schema = "doc_id long, text string, source string"
+    batch = [
+        (1, good + "first clean ending words", "s"),
+        (2, good + "second much longer different tail of words", "s"),
+        (3, good + "third tail", "s"),
+    ]
+    bdf = spark.createDataFrame(batch, schema)
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in lang_id_learned(spark, docs=bdf.withColumn(
+                 "lang", F.lit(None).cast("string"))).collect()}
+    keep = {preds[1]}  # keep whatever language doc 1 lands in
+    expected = {d for d, p in preds.items() if p in keep}
+    reference = spark.createDataFrame(
+        [(900, good + "only in the reference", "ref")], schema
+    )
+    src, out, ckpt = (str(tmp_path / n) for n in ("src", "out", "ckpt"))
+    bdf.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_curate(stream, reference, out, ckpt, keep_langs=keep)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == expected and 1 in got
+    # and a keep-set matching nothing drops every doc (no output files)
+    import os
+
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q2 = stream_curate(
+        spark.readStream.schema(schema).parquet(src),
+        reference, out2, ckpt2, keep_langs={"zz"},
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert (
+        not os.path.exists(out2)
+        or spark.read.parquet(out2).count() == 0
+    )
