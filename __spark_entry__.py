@@ -1190,7 +1190,10 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     `upsample` (r6) = integer-epoch mixture upsampling — one full
     corpus epoch redistributed by weight, uncapped rates, copies =
     floor(rate) + deterministic fractional epoch (v2=rate_ppm,
-    v3=copies)."""
+    v3=copies); `alpha` (r9) = temperature mixture — the same budget
+    machinery with weights t_s^0.5 derived from the corpus itself (the
+    XLM/mC4 multilingual balancing step; sqrt is correctly rounded in
+    both engines, so the weight is cross-engine exact)."""
     mx = _sampling.mixture_sample(spark, sf_dir).select(
         "doc_id",
         F.col("source").alias("s1"),
@@ -1223,7 +1226,17 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("copies").cast("double").alias("v3"),
         F.lit("upsample").alias("kind"),
     )
-    return mx.unionByName(ds).unionByName(rs).unionByName(up)
+    al = _sampling.alpha_mixture_sample(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.col("keep_ppm").cast("long").alias("v2"),
+        F.col("rate").cast("double").alias("v3"),
+        F.lit("alpha").alias("kind"),
+    )
+    return (
+        mx.unionByName(ds).unionByName(rs).unionByName(up).unionByName(al)
+    )
 
 
 def _x23_mixture_sample_sql() -> str:
@@ -1242,7 +1255,11 @@ def _x23_mixture_sample_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
         "CAST(rate_ppm AS BIGINT) AS v2, CAST(copies AS DOUBLE) AS v3, "
-        f"'upsample' AS kind FROM ({_sampling.mixture_upsample_sql()})"
+        f"'upsample' AS kind FROM ({_sampling.mixture_upsample_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
+        "CAST(keep_ppm AS BIGINT) AS v2, CAST(rate AS DOUBLE) AS v3, "
+        f"'alpha' AS kind FROM ({_sampling.alpha_mixture_sample_sql()})"
     )
 
 

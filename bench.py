@@ -347,6 +347,10 @@ def main() -> None:
             "pipe_curate": "q41_curate",
             "pipe_mixture": "x23_mixture_sample",
         }
+        # the x23 row is a kind-union; record its slice count so the
+        # timing is interpretable across rounds (r6 ADVICE precedent —
+        # r9 adds the `alpha` temperature-mixture slice)
+        extra["pipe_mixture_slices"] = 5
         # r6 (VERDICT r5 item 6 + ADVICE): pipe_ann_ivf times ONLY the
         # ivf operator again (r5 silently rebound it to the ivf+pq
         # union, reading as a regression); pq gets its own row.

@@ -108,12 +108,18 @@ def _mix_weight(source_col: F.Column) -> F.Column:
     return (F.lit(1) + num % 3).cast("long")
 
 
-def _mix_scaffold(spark: SparkSession, sf_dir: str) -> tuple:
-    """Shared front half of the mixture pair (sample + upsample): the
-    tokenized (doc_id, source, n_tokens) projection behind one lazy
-    localCheckpoint, and the per-source frame with weights and
-    corpus/weight totals. Factored so the sampler and the upsampler
-    cannot drift (review r6) — only the rate expression differs.
+def _mix_scaffold(
+    spark: SparkSession, sf_dir: str, weight_col: F.Column | None = None
+) -> tuple:
+    """Shared front half of the mixture family (sample + upsample +
+    alpha): the tokenized (doc_id, source, n_tokens) projection behind
+    one lazy localCheckpoint, and the per-source frame with weights and
+    corpus/weight totals. Factored so the samplers cannot drift (review
+    r6) — only the rate/weight expressions differ. ``weight_col`` is
+    evaluated over the per-source frame (columns ``source``, ``t_s``)
+    and defaults to the demo source-name weights; it MUST be integer-
+    valued so ``w_all`` is an exact any-order sum (the micro-unit
+    discipline).
 
     The checkpoint: the projection feeds BOTH the per-domain totals and
     the final join; without a cut Catalyst re-evaluates the tokenize map
@@ -132,7 +138,9 @@ def _mix_scaffold(spark: SparkSession, sf_dir: str) -> tuple:
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=False)
     per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
-    per_src = per_src.withColumn("w_s", _mix_weight(F.col("source")))
+    if weight_col is None:
+        weight_col = _mix_weight(F.col("source"))
+    per_src = per_src.withColumn("w_s", weight_col)
     wall = Window.partitionBy(F.lit(1))
     per_src = per_src.withColumn("t_all", F.sum("t_s").over(wall)).withColumn(
         "w_all", F.sum("w_s").over(wall)
@@ -162,9 +170,19 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     at rate 1.0 — visible in the output as keep_ppm = 1000000 — rather
     than failing; upsampling/repetition is a training-loader concern.
     """
+    d, per_src = _mix_scaffold(spark, sf_dir)
+    return _budget_mixture(d, per_src)
+
+
+def _budget_mixture(d: DataFrame, per_src: DataFrame) -> DataFrame:
+    """Shared back half of the budgeted samplers (mixture + alpha):
+    per-source keep-rates from whatever ``w_s`` the scaffold installed,
+    then the deterministic 'mix|' id-hash keep. Sharing the hash stream
+    across weight schemes makes the samplers NESTED (a doc kept at a
+    lower rate is kept at every higher one), so switching mixture tables
+    reuses, not resamples, the corpus."""
     from talna_spark.pipeline.portable import hash64
 
-    d, per_src = _mix_scaffold(spark, sf_dir)
     budget = F.floor(F.col("t_all") * F.lit(MIX_BUDGET_FRACTION)).cast("long")
     # rate = min(1, (B * w_s / w_all) / t_s); evaluation order fixed so
     # both engines fold the same IEEE doubles.
@@ -192,17 +210,64 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mixture_sample_sql() -> str:
+def alpha_weight_col(alpha: float = 0.5) -> F.Column:
+    """Temperature weight w_s = floor(t_s^alpha * 1e6) as an exact
+    int64 — the exponent-smoothed sampling weight of multilingual
+    pipelines (XLM, Lample & Conneau 2019, alpha = 0.5; mC4/mT5, Xue et
+    al. 2021, alpha = 0.3): raising corpus shares to alpha < 1 flattens
+    the head so low-resource domains keep proportionally more tokens.
+
+    alpha = 0.5 (the default and the driver-checked configuration) is
+    computed with sqrt, which IEEE-754 requires to be CORRECTLY ROUNDED
+    — bit-identical across Spark's JVM and DuckDB's libm. Other alphas
+    go through pow, whose last-ulp rounding is libm-specific; fine for
+    production use, but a cross-engine hash gate should stick to 0.5."""
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    t = F.col("t_s").cast("double")
+    root = F.sqrt(t) if a == 0.5 else F.pow(t, F.lit(a))
+    return F.floor(root * MIX_RESOLUTION).cast("long")
+
+
+def alpha_mixture_sample(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+) -> DataFrame:
+    """Self-weighted (temperature) mixture sampling: identical budget /
+    rate / keep machinery as :func:`mixture_sample`, but the per-domain
+    weights come from the corpus itself — w_s proportional to t_s^alpha
+    (:func:`alpha_weight_col`) — instead of a hand-tuned table. This is
+    the step multilingual pipelines run when no DoReMi-style weights
+    exist yet: alpha = 1 reproduces the natural distribution, alpha -> 0
+    approaches uniform-per-domain.
+
+    100 TB shape: unchanged from mixture_sample — the weight is one
+    extra expression over the #domains-row aggregate; zero additional
+    corpus work, zero corpus shuffle."""
+    d, per_src = _mix_scaffold(spark, sf_dir, alpha_weight_col(alpha))
+    return _budget_mixture(d, per_src)
+
+
+_MIX_DEMO_WEIGHT_SQL = (
+    "(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3)"
+)
+
+
+def _budget_mixture_sql(weight_sql: str) -> str:
+    """DuckDB twin of :func:`_budget_mixture`; ``weight_sql`` may
+    reference ``source`` and ``t_s`` (the per-source aggregate columns)
+    and must be integer-valued, mirroring the Spark contract."""
     from talna_spark.pipeline.portable import hash64_sql, tokens_sql
 
     w = tokens_sql("text")
-    weight = "(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3)"
     keep = hash64_sql("'mix|' || CAST(doc_id AS VARCHAR)")
     return (
         f"WITH d AS MATERIALIZED (SELECT doc_id, source, "
         f"CAST(len({w}) AS BIGINT) AS n_tokens FROM documents), "
-        f"per_src AS (SELECT source, SUM(n_tokens) AS t_s, "
-        f"{weight} AS w_s FROM d GROUP BY source), "
+        "per_src0 AS (SELECT source, SUM(n_tokens) AS t_s "
+        "FROM d GROUP BY source), "
+        f"per_src AS (SELECT source, t_s, {weight_sql} AS w_s "
+        "FROM per_src0), "
         "tot AS (SELECT SUM(t_s) AS t_all, SUM(w_s) AS w_all FROM per_src), "
         "rates AS (SELECT source, t_s, w_s, "
         f"CAST(FLOOR(LEAST(1.0, CAST(FLOOR(t_all * {MIX_BUDGET_FRACTION}) "
@@ -213,6 +278,19 @@ def mixture_sample_sql() -> str:
         "ROUND(r.keep_ppm / 1000000.0, 6) AS rate "
         "FROM d JOIN rates r ON d.source = r.source "
         f"WHERE {keep} % {MIX_RESOLUTION} < r.keep_ppm"
+    )
+
+
+def mixture_sample_sql() -> str:
+    return _budget_mixture_sql(_MIX_DEMO_WEIGHT_SQL)
+
+
+def alpha_mixture_sample_sql() -> str:
+    # alpha = 0.5 only: sqrt is correctly rounded in both engines (see
+    # alpha_weight_col); CAST keeps the t_s -> double step explicit so
+    # the Spark side's cast("double") is mirrored exactly.
+    return _budget_mixture_sql(
+        f"CAST(FLOOR(SQRT(CAST(t_s AS DOUBLE)) * {MIX_RESOLUTION}) AS BIGINT)"
     )
 
 

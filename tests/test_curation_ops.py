@@ -121,6 +121,89 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert 0.6 * budget < total_kept < 1.4 * budget
 
 
+def test_alpha_mixture_flattens_and_matches_closed_form(spark):
+    import pytest as _pt
+
+    from talna_spark.pipeline.sampling import (
+        MIX_BUDGET_FRACTION,
+        alpha_mixture_sample,
+        mixture_sample,
+    )
+
+    a = alpha_mixture_sample(spark, SF).collect()
+    assert len(a) > 0
+
+    # closed-form recompute: w_s = floor(sqrt(t_s) * 1e6), same budget
+    # arithmetic as mixture_sample
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tokens"] = (
+        docs["text"].str.lower().str.strip().str.split().map(len)
+    )
+    per = docs.groupby("source")["n_tokens"].sum()
+    weights = {s: math.floor(math.sqrt(float(t)) * 1e6) for s, t in per.items()}
+    budget = math.floor(per.sum() * MIX_BUDGET_FRACTION)
+    w_all = sum(weights.values())
+    ppm = {}
+    for r in a:
+        rate = min(
+            1.0,
+            float(budget) * weights[r["source"]] / w_all / per[r["source"]],
+        )
+        ppm[r["source"]] = r["keep_ppm"]
+        assert r["keep_ppm"] == math.floor(rate * 1_000_000)
+
+    # temperature flattening: among uncapped sources, keep-rates order
+    # INVERSELY to corpus share (smaller domains keep a larger fraction)
+    uncapped = sorted(
+        (s for s in ppm if ppm[s] < 1_000_000), key=lambda s: per[s]
+    )
+    rates_by_size = [ppm[s] for s in uncapped]
+    assert rates_by_size == sorted(rates_by_size, reverse=True)
+
+    # nested with mixture_sample (shared 'mix|' hash stream): per
+    # source, the lower-rate sampler's keeps are a subset of the
+    # higher-rate sampler's
+    m = mixture_sample(spark, SF).collect()
+    m_ppm = {r["source"]: r["keep_ppm"] for r in m}
+    m_kept = {}
+    a_kept = {}
+    for r in m:
+        m_kept.setdefault(r["source"], set()).add(r["doc_id"])
+    for r in a:
+        a_kept.setdefault(r["source"], set()).add(r["doc_id"])
+    for s in set(m_ppm) & set(ppm):
+        lo, hi = (
+            (a_kept.get(s, set()), m_kept.get(s, set()))
+            if ppm[s] <= m_ppm[s]
+            else (m_kept.get(s, set()), a_kept.get(s, set()))
+        )
+        assert lo <= hi
+
+    with _pt.raises(ValueError):
+        alpha_mixture_sample(spark, SF, alpha=0.0)
+
+
+def test_alpha_mixture_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from talna_spark.pipeline.sampling import (
+        alpha_mixture_sample,
+        alpha_mixture_sample_sql,
+    )
+
+    got = sorted(
+        map(tuple, alpha_mixture_sample(spark, SF).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(alpha_mixture_sample_sql()).fetchall()))
+    con.close()
+    assert got == want
+
+
 def test_x01_text_signals_slices(spark):
     """The consolidated registration carries all six signals with the
     documented null-pattern per slice."""
