@@ -169,6 +169,7 @@ from talna_spark.pipeline import multimodal as _mm
 from talna_spark.pipeline import sampling as _sampling
 from talna_spark.pipeline import similarity as _sim
 from talna_spark.pipeline import text as _text
+from talna_spark.pipeline.packing import chunk_documents_sql as _chunk_sql
 
 _EXT: dict[str, tuple] = {
     # x01 consolidates the four map-only text signals (token stats,
@@ -914,7 +915,12 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
       tab/newline/CR; C1 added r6 for cp1252 mojibake), v3=nonascii_ratio;
     - ``redact``: PII redaction transform (r6) — s1=md5 of the fully
       redacted text (pins every replacement byte-for-byte),
-      v1/v2/v3=email/phone/IPv4 match counts in the original text.
+      v1/v2/v3=email/phone/IPv4 match counts in the original text;
+    - ``chunk`` (r9, pipeline.packing): overlapping token-window
+      chunking of long documents (the dual of FFD packing) — MULTIPLE
+      rows per doc: s1=md5 of the chunk text (pins window placement,
+      overlap and reassembly byte-for-byte), v1=chunk_idx,
+      v2=n_chunk_tokens.
     """
 
     def norm(df, s1, s2, v1, v2, v3, kind):
@@ -967,9 +973,18 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_emails"), F.col("n_phones"), F.col("n_ips"),
         "redact",
     )
+    from talna_spark.pipeline.packing import chunk_documents as _chunk
+
+    chk = norm(
+        _chunk(spark, sf_dir),
+        F.md5(F.col("chunk_text")), nul,
+        F.col("chunk_idx"), F.col("n_tokens"), F.lit(0.0),
+        "chunk",
+    )
     return (
         tok.unionByName(qua).unionByName(lid).unionByName(lil)
         .unionByName(fpr).unionByName(uni).unionByName(red)
+        .unionByName(chk)
     )
 
 
@@ -1008,7 +1023,11 @@ def _x01_text_signals_sql() -> str:
         "SELECT doc_id, md5(text_redacted) AS s1, "
         "CAST(NULL AS VARCHAR) AS s2, CAST(n_emails AS DOUBLE) AS v1, "
         "CAST(n_phones AS DOUBLE) AS v2, CAST(n_ips AS DOUBLE) AS v3, "
-        f"'redact' AS kind FROM ({_text.pii_redact_sql()})"
+        f"'redact' AS kind FROM ({_text.pii_redact_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, md5(chunk_text) AS s1, CAST(NULL AS VARCHAR) AS s2, "
+        "CAST(chunk_idx AS DOUBLE) AS v1, CAST(n_tokens AS DOUBLE) AS v2, "
+        f"0.0 AS v3, 'chunk' AS kind FROM ({_chunk_sql()})"
     )
 
 

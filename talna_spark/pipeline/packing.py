@@ -164,6 +164,81 @@ def pack_texts(
     )
 
 
+# --------------------------------------------------- document chunking
+CHUNK_MAX = 64   # tokens per chunk (production: the model context length)
+CHUNK_STEP = 48  # window advance; overlap = CHUNK_MAX - CHUNK_STEP
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    max_tokens: int = CHUNK_MAX,
+    step: int = CHUNK_STEP,
+) -> DataFrame:
+    """Split long documents into overlapping token windows — the dual of
+    FFD packing (packing concatenates SHORT docs up to the context
+    length; chunking cuts LONG docs down to it, the fate of
+    :func:`pack_assign`'s ``oversize`` singletons). Windows start every
+    ``step`` tokens and carry ``max_tokens`` each (the HF tokenizer
+    ``return_overflowing_tokens``/``stride`` convention), so consecutive
+    chunks share ``max_tokens - step`` tokens of context across the cut.
+
+    Emission rule: window start s is emitted iff s == 0 or
+    s < n - overlap — the last window is dropped exactly when a previous
+    window already covered its every token, so coverage is total and no
+    chunk is redundant. Returns (doc_id, chunk_idx, n_tokens,
+    chunk_text); NULL-text docs emit nothing.
+
+    100 TB shape: one corpus scan, a map-only explode (amplification
+    ~ doc_len/step) — zero shuffle, no UDF; chunk text is assembled
+    JVM-side per output row and flows straight to the export sink."""
+    ms, st = int(max_tokens), int(step)
+    if not 0 < st <= ms:
+        raise ValueError("require 0 < step <= max_tokens")
+    overlap = ms - st
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(_docs(spark, sf_dir)).filter(F.col("text").isNotNull())
+    w = tokens(F.col("text"))
+    # explode in its own select (generators cannot nest in expressions)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(w) - F.lit(overlap + 1), F.lit(0)),
+        F.lit(st),
+    )
+    e = d.select("doc_id", w.alias("w"), F.explode(starts).alias("s"))
+    chunk = F.slice(F.col("w"), F.col("s") + 1, ms)
+    return e.select(
+        "doc_id",
+        (F.col("s") / st).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    max_tokens: int = CHUNK_MAX, step: int = CHUNK_STEP
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based inclusive list
+    slices mirror Spark's slice(start, length) exactly, both clipped at
+    the array end)."""
+    from talna_spark.pipeline.portable import tokens_sql
+
+    ms, st = int(max_tokens), int(step)
+    overlap = ms - st
+    sl = f"w[s+1:s+{ms}]"
+    return (
+        "WITH d AS MATERIALIZED (SELECT doc_id, "
+        f"{tokens_sql('text')} AS w FROM documents "
+        "WHERE text IS NOT NULL), "
+        "e AS (SELECT doc_id, w, unnest(generate_series(0, "
+        f"greatest(len(w) - {overlap + 1}, 0), {st})) AS s FROM d) "
+        f"SELECT doc_id, CAST(s / {st} AS BIGINT) AS chunk_idx, "
+        f"CAST(len({sl}) AS BIGINT) AS n_tokens, "
+        f"array_to_string({sl}, ' ') AS chunk_text FROM e"
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Per-pack fill statistics over a :func:`pack_assign` result —
     the packing-efficiency report (one row per pack; map-side partial

@@ -202,3 +202,75 @@ def test_tokenize_pack_end_to_end(spark):
     a = pdf.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_chunk_documents_invariants(spark):
+    """Overlapping token-window chunking: fixture docs pin the window
+    schedule, overlap stitching, tail suppression, short-doc identity,
+    and NULL handling; reconstruction proves total, non-redundant
+    coverage."""
+    import tempfile
+
+    import pytest
+
+    from talna_spark.pipeline.packing import chunk_documents
+
+    toks = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (0, "src0", toks(100, "a")),   # starts [0, 48]: 96 suppressed
+        (1, "src0", toks(113, "b")),   # starts [0, 48, 96]: tail needed
+        (2, "src0", toks(112, "c")),   # starts [0, 48]: 48 reaches 111
+        (3, "src0", "short doc"),      # n <= max: single identity chunk
+        (4, "src0", None),             # NULL: no chunks
+        (5, "src0", toks(64, "e")),    # exactly max: one chunk
+    ]
+    d = tempfile.mkdtemp(prefix="talna_chunk_")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = chunk_documents(spark, d, max_tokens=64, step=48)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert set(by_doc) == {0, 1, 2, 3, 5}
+    assert sorted(by_doc[0]) == [0, 1] and by_doc[0][1]["n_tokens"] == 52
+    assert sorted(by_doc[1]) == [0, 1, 2] and by_doc[1][2]["n_tokens"] == 17
+    assert sorted(by_doc[2]) == [0, 1]
+    assert sorted(by_doc[3]) == [0]
+    assert by_doc[3][0]["chunk_text"] == "short doc"
+    assert sorted(by_doc[5]) == [0] and by_doc[5][0]["n_tokens"] == 64
+
+    for doc_id, chunks in by_doc.items():
+        orig = [t for t in rows[doc_id][2].lower().strip().split()]
+        # overlap stitching: chunk i>0 repeats the previous chunk's
+        # last 16 tokens; dropping them reconstructs the original
+        rebuilt = chunks[0]["chunk_text"].split()
+        for i in sorted(chunks)[1:]:
+            cur = chunks[i]["chunk_text"].split()
+            assert cur[:16] == rebuilt[-16:] if len(rebuilt) >= 16 else True
+            rebuilt.extend(cur[16:])
+        assert rebuilt == orig, doc_id
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark, d, max_tokens=64, step=65)
+    with pytest.raises(ValueError):
+        chunk_documents(spark, d, max_tokens=64, step=0)
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    import duckdb
+
+    from talna_spark.pipeline.packing import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    got = sorted(map(tuple, chunk_documents(spark, SF).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(chunk_documents_sql()).fetchall()))
+    con.close()
+    assert got and got == want

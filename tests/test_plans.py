@@ -313,6 +313,18 @@ def test_mixture_sample_map_side_keep(spark):
             raise AssertionError(f"document text crosses a shuffle: {line}")
 
 
+def test_chunk_documents_map_only(spark):
+    # x01/chunk: overlapping token-window chunking is one scan + a
+    # Generate (explode) — zero shuffle, no Python; chunk text is
+    # assembled map-side and never crosses an Exchange
+    from talna_spark.pipeline.packing import chunk_documents
+
+    plan = plan_of(chunk_documents(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan
+
+
 def test_semdedup_broadcast_assignment_id_only_pairs(spark):
     # x12/semdedup: centroid assignment reaches the corpus via broadcast;
     # the within-cluster compare may shuffle (cluster-keyed) but no
