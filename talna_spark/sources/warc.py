@@ -646,11 +646,44 @@ BLOCKLIST_DEMO = (
 )
 
 
+def url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL-level exact dedup — the FIRST dedup stage of a crawl
+    pipeline (CCNet et al. run it before any content hashing: re-crawls
+    of one page under trivially different spellings collapse here, far
+    cheaper than text dedup). Groups documents by
+    :func:`normalize_url`'s canonical form; the lowest doc_id per group
+    is the deterministic survivor. Returns every input row as
+    (doc_id, url, canonical_url, keep_doc_id, is_canonical) — the audit
+    ledger; filter ``is_canonical`` for the survivor set.
+
+    100 TB shape: one hash-agg keyed by canonical URL (map-side MIN
+    partials) + a shuffle join back on the same key — only (doc_id,
+    url) id-rows move, document text never enters the operator."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(url_col).alias("url")
+    ).withColumn("canonical_url", normalize_url(F.col(url_col)))
+    winners = d.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    return d.join(winners, "canonical_url").select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "keep_doc_id",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("is_canonical"),
+    )
+
+
 def url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row x24: the per-URL operators as `kind` slices on
     (doc_id, s1=url, s2=result) — ``norm`` = :func:`normalize_url`,
-    ``domain`` = PSL :func:`registered_domain_psl`. Both are map-side
-    (pure projection / broadcast joins): zero shuffles, plan-tested."""
+    ``domain`` = PSL :func:`registered_domain_psl`; both map-side (pure
+    projection / broadcast joins), zero shuffles, plan-tested. ``dedup``
+    (r9) = :func:`url_dedup` — s1=canonical URL, s2=surviving doc_id
+    (id-rows-only hash-agg + join; the synth URL families without the
+    full doc_id in them produce REAL multi-doc duplicate groups)."""
     d = _synth_docs(spark, sf_dir)
     norm = d.select(
         "doc_id",
@@ -664,7 +697,13 @@ def url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("domain").alias("s2"),
         F.lit("domain").alias("kind"),
     )
-    return norm.unionByName(dom)
+    ddp = url_dedup(d.select("doc_id", "url")).select(
+        "doc_id",
+        F.col("canonical_url").alias("s1"),
+        F.col("keep_doc_id").cast("string").alias("s2"),
+        F.lit("dedup").alias("kind"),
+    )
+    return norm.unionByName(dom).unionByName(ddp)
 
 
 def url_layer_sql() -> str:
@@ -675,7 +714,16 @@ def url_layer_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, url AS s1, domain AS s2, 'domain' AS kind FROM ("
         + registered_domain_psl_sql(urls, "doc_id, url")
-        + ")"
+        + ") "
+        "UNION ALL "
+        "SELECT c.doc_id, c.canonical_url AS s1, "
+        "CAST(w.keep_doc_id AS VARCHAR) AS s2, 'dedup' AS kind FROM "
+        f"(SELECT doc_id, url, {normalize_url_sql('url')} AS canonical_url "
+        f"FROM ({urls})) c JOIN "
+        "(SELECT canonical_url, MIN(doc_id) AS keep_doc_id FROM "
+        f"(SELECT doc_id, {normalize_url_sql('url')} AS canonical_url "
+        f"FROM ({urls})) GROUP BY canonical_url) w "
+        "USING (canonical_url)"
     )
 
 

@@ -622,3 +622,35 @@ def test_domain_stats_psl(spark):
     # naive mode collapses all three under 'co.uk'
     naive = {r["domain"]: r for r in domain_stats(docs).collect()}
     assert naive["co.uk"]["n_docs"] == 3
+
+
+def test_url_dedup_collapses_spelling_variants(spark):
+    from talna_spark.sources.warc import url_dedup
+
+    rows = [
+        # three spellings of ONE page: case, default port, query order,
+        # fragment — all must collapse to the lowest doc_id
+        (10, "HTTP://Example.COM:80/a?b=2&a=1#frag"),
+        (11, "http://example.com/a?a=1&b=2"),
+        (12, "http://example.com:80/a?b=2&a=1"),
+        # same host, different path: NOT a duplicate
+        (13, "http://example.com/b?a=1&b=2"),
+        # unique page
+        (14, "https://other.net/x"),
+        # path case differs: semantic-preserving normalizer keeps both
+        (15, "http://example.com/A"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_dedup(docs).collect()}
+    assert len(out) == len(rows)  # every row in the ledger
+
+    assert {out[i]["keep_doc_id"] for i in (10, 11, 12)} == {10}
+    assert out[10]["is_canonical"] and not out[11]["is_canonical"]
+    assert not out[12]["is_canonical"]
+    assert out[10]["canonical_url"] == "http://example.com/a?a=1&b=2"
+    for i in (13, 14, 15):
+        assert out[i]["keep_doc_id"] == i and out[i]["is_canonical"]
+
+    # survivor set size == number of distinct canonical forms
+    survivors = [r for r in out.values() if r["is_canonical"]]
+    assert len(survivors) == len({r["canonical_url"] for r in out.values()})
