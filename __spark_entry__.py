@@ -273,17 +273,33 @@ from talna_spark.oracle import (  # noqa: E402
     events_zscore_sql,
 )
 
+def _q44_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTC-calendar weekly buckets (ISO Monday weeks) — a bucketing no
+    fixed-width granularity can express; months/quarters are the same
+    code path with irregular lengths (unit-tested)."""
+    return (
+        Database.from_events(spark, sf_dir)
+        .sum("app.click", "user")
+        .calendar("week")
+        .to_df()
+        .withColumn("value", round6("value"))
+    )
+
+
 def _q31_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated window/bucket-materialization registration (driver
     50-row cap): trailing-k moving average + rolling z-score + zero-mode
-    gapfill (all bucket-shaped outputs), tagged by `kind`. r5 folds the
-    former q25_gapfill registration in here to free a slot for
-    q42_signals."""
+    gapfill + calendar weekly buckets (r9) — all bucket-shaped outputs,
+    tagged by `kind`. r5 folds the former q25_gapfill registration in
+    here to free a slot for q42_signals."""
     r = _q31_rolling(spark, sf_dir).withColumn("kind", F.lit("rolling"))
     z = _q33_zscore(spark, sf_dir).withColumn("kind", F.lit("zscore"))
     g = _q25_gapfill(spark, sf_dir).withColumn("kind", F.lit("gapfill"))
-    return r.unionByName(z).unionByName(g)
+    c = _q44_calendar(spark, sf_dir).withColumn("kind", F.lit("calendar"))
+    return r.unionByName(z).unionByName(g).unionByName(c)
 
+
+from talna_spark.oracle import events_calendar_sql  # noqa: E402
 
 _EXT["q31_rolling_zscore"] = (
     _q31_rolling_zscore,
@@ -295,6 +311,8 @@ _EXT["q31_rolling_zscore"] = (
     + events_gapfill_sql(
         "count", "app.signup", "k", "k:1*", T_JAN10, T_JAN24, DAY, "zero"
     )
+    + ") UNION ALL SELECT *, 'calendar' AS kind FROM ("
+    + events_calendar_sql("sum", "app.click", "user", "*", "week")
     + ")",
 )
 

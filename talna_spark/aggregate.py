@@ -136,16 +136,50 @@ def _value_agg(kind: str) -> Column:
     raise ValueError(f"unknown aggregation: {kind}")
 
 
+CALENDAR_UNITS = ("day", "week", "month", "quarter", "year")
+_DAY_NS = 86_400_000_000_000
+
+
+def calendar_bucket_col(unit: str) -> Column:
+    """UTC-calendar bucket id (days since epoch of the period start) for
+    the scan's ``ts`` column — the group key behind calendar-aligned
+    buckets (monthly/weekly reports, which no fixed-width granularity
+    can express: months are irregular).
+
+    Timezone-free by construction: epoch ns -> whole UTC days by exact
+    int64 division, days -> a DATE by calendar addition, then DATE-level
+    truncation — no timestamp type ever appears, so the session
+    timezone (which a host harness owns, not us) cannot shift a bucket
+    boundary. Weeks are ISO Monday-aligned in both engines."""
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(f"unknown calendar unit: {unit}")
+    epoch = F.lit("1970-01-01").cast("date")
+    # SQL `div` = exact integer division (ts ~1.7e18 does not fit a
+    # double, so `/` + floor would misplace boundary points)
+    d = F.date_add(epoch, F.expr(f"ts div {_DAY_NS}").cast("int"))
+    trunc = d if unit == "day" else F.trunc(d, unit)
+    return F.datediff(trunc, epoch)
+
+
 def aligned_buckets(
-    scan: DataFrame, group_col: Column, kind: str, width: int | None
+    scan: DataFrame,
+    group_col: Column,
+    kind: str,
+    width: int | None,
+    calendar_unit: str | None = None,
 ) -> DataFrame:
     """B_al: epoch-aligned bucketed aggregation; width=None -> one bucket.
+    ``calendar_unit`` switches the bucket key to UTC-calendar periods
+    (:func:`calendar_bucket_col`) — same single-shuffle plan, only the
+    grouping expression changes.
 
     One hash aggregate: Catalyst plans partial_agg -> shuffle(grp, bucket)
     -> final_agg; with AQE the shuffle partition count adapts to data size.
     """
     keys = [group_col.alias("grp")]
-    if width is not None:
+    if calendar_unit is not None:
+        keys.append(calendar_bucket_col(calendar_unit).alias("_bucket"))
+    elif width is not None:
         keys.append(F.expr(f"ts div {int(width)}").alias("_bucket"))
     if kind == "distinct_series":
         # extension: distinct contributing series per bucket. The scan must

@@ -316,6 +316,7 @@ class QueryBuilder:
         self._zscore: Optional[int] = None
         self._value_pred: Optional[tuple] = None
         self._cube: Optional[str] = None  # None | "cube" | "rollup"
+        self._calendar: Optional[str] = None
 
     def filter(self, expr: str) -> "QueryBuilder":
         self._filter = expr
@@ -405,6 +406,10 @@ class QueryBuilder:
         """Bucket width in ns; ``None`` = a single unbounded bucket per group."""
         if width_ns is not None and width_ns <= 0:
             raise InvalidQueryError("granularity must be positive")
+        if self._calendar is not None:
+            raise InvalidQueryError(
+                "calendar replaces granularity — set only one"
+            )
         self._granularity = None if width_ns is None else int(width_ns)
         self._granularity_set = True
         return self
@@ -426,6 +431,26 @@ class QueryBuilder:
         if int(slice_width_ns) <= 0:
             raise InvalidQueryError("greedy slice width must be positive")
         self._greedy_slice_width = int(slice_width_ns)
+        return self
+
+    def calendar(self, unit: str) -> "QueryBuilder":
+        """Bucket by UTC-calendar periods — ``day``/``week``/``month``/
+        ``quarter``/``year`` (extension: the reference's buckets are
+        fixed-width durations, which cannot express a month or an
+        ISO week; `granularity(Duration.days(30))` drifts off month
+        boundaries immediately). Aligned mode only; replaces
+        granularity. Weeks start Monday (ISO), all boundaries are UTC
+        — computed tz-free at the DATE level, so the session timezone
+        cannot move them."""
+        from talna_spark.aggregate import CALENDAR_UNITS
+
+        if unit not in CALENDAR_UNITS:
+            raise InvalidQueryError(f"unknown calendar unit: {unit}")
+        if self._granularity_set:
+            raise InvalidQueryError(
+                "calendar replaces granularity — set only one"
+            )
+        self._calendar = unit
         return self
 
     def gapfill(self, mode: str = "null") -> "QueryBuilder":
@@ -588,6 +613,7 @@ class QueryBuilder:
             self._start, self._end, self._granularity, self._granularity_set,
             self._mode, self._greedy_slice_width, self._gapfill,
             self._rolling, self._zscore, self._value_pred, self._cube,
+            self._calendar,
         )
 
     # -- plan assembly (reference `build()`, src/agg/builder.rs:95-140) -----
@@ -610,9 +636,14 @@ class QueryBuilder:
 
     def _build_df(self) -> DataFrame:
         node = parse_filter_query(self._filter)  # may raise InvalidQueryError
-        if self._value_pred is None and not self._cube:
-            # neither survives the rollup rewrite: partials can't see
-            # row values, and cube changes the grouping key set
+        if (
+            self._value_pred is None
+            and not self._cube
+            and self._calendar is None
+        ):
+            # none survive the rollup rewrite: partials can't see row
+            # values, cube changes the grouping key set, and rollup
+            # partials are fixed-width (calendar periods are not)
             rollup_df = self._try_rollup(node)
             if rollup_df is not None:
                 return self._apply_rolling(self._apply_gapfill(rollup_df))
@@ -689,6 +720,18 @@ class QueryBuilder:
                 combos.append(F.concat_ws(",", *parts))
             scan = scan.withColumn("_cube_grp", F.explode(F.array(*combos)))
             group_col = F.col("_cube_grp")
+        if self._calendar is not None:
+            if self._mode != "aligned":
+                raise InvalidQueryError("calendar requires aligned mode")
+            if (
+                self._gapfill is not None
+                or self._rolling is not None
+                or self._zscore is not None
+            ):
+                raise InvalidQueryError(
+                    "calendar cannot combine with gapfill/rolling/zscore "
+                    "(their bucket spines/frames assume a fixed width)"
+                )
         if self._mode == "greedy":
             from talna_spark.aggregate import approx_percentile_q
 
@@ -715,6 +758,10 @@ class QueryBuilder:
             return greedy_buckets(scan, group_col, kind, self._granularity)
         if self._greedy_slice_width is not None:
             raise InvalidQueryError("greedy_slices requires greedy mode")
+        if self._calendar is not None:
+            return aligned_buckets(
+                scan, group_col, kind, None, calendar_unit=self._calendar
+            )
         return self._apply_rolling(
             self._apply_gapfill(
                 aligned_buckets(scan, group_col, kind, self._granularity)

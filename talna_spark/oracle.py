@@ -484,6 +484,45 @@ def greedy_events_values_sql(
     return f"SELECT {cols} FROM (VALUES {lits}) t(c0, c1, c2, c3, c4)"
 
 
+def events_calendar_sql(
+    kind: str,
+    metric: str,
+    group_by,
+    flt: str = "*",
+    unit: str = "week",
+    start: Optional[int] = None,
+    end: Optional[int] = None,
+) -> str:
+    """DuckDB twin of an aligned CALENDAR-bucket query
+    (``QueryBuilder.calendar(unit)``): the group key is the
+    days-since-epoch of the UTC period start, computed at the DATE level
+    (epoch ns -> whole days by integer division -> calendar date ->
+    date_trunc) so no timestamp type and no session timezone is
+    involved; weeks are ISO Monday in both engines. Oracle-local
+    re-statement of talna_spark.aggregate.calendar_bucket_col — no
+    engine import."""
+    if unit not in ("day", "week", "month", "quarter", "year"):
+        raise ValueError(f"unknown calendar unit: {unit}")
+    pred = oracle_filter_sql(flt, _tag_lookup)
+    grp, notnull = _grp_sql(group_by)
+    where = [f"metric = '{metric}'", f"({pred})"] + notnull
+    if start is not None:
+        where.append(f"ts >= {int(start)}")
+    if end is not None:
+        where.append(f"ts <= {int(end)}")
+    bucket = (
+        f"(date_trunc('{unit}', DATE '1970-01-01' "
+        "+ CAST(ts // 86400000000000 AS INTEGER)) - DATE '1970-01-01')"
+    )
+    return (
+        f"{_PTS_CTE} "
+        f"SELECT {grp} AS grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
+        f"{round6_sql(_agg_sql(kind))} AS value, COUNT(*) AS len "
+        f"FROM pts WHERE {' AND '.join(where)} "
+        f"GROUP BY {grp}, {bucket}"
+    )
+
+
 def events_rolling_sql(
     kind: str,
     metric: str,
