@@ -154,9 +154,15 @@ def calendar_bucket_col(unit: str) -> Column:
     if unit not in CALENDAR_UNITS:
         raise ValueError(f"unknown calendar unit: {unit}")
     epoch = F.lit("1970-01-01").cast("date")
-    # SQL `div` = exact integer division (ts ~1.7e18 does not fit a
-    # double, so `/` + floor would misplace boundary points)
-    d = F.date_add(epoch, F.expr(f"ts div {_DAY_NS}").cast("int"))
+    # Exact int64 FLOOR division (ts ~1.7e18 does not fit a double, so
+    # `/` + floor would misplace boundary points; bare `div` truncates
+    # toward zero, which would miscalendar pre-epoch ts in (-1 day, 0)
+    # into 1970-01-01 — the same correction events_sliding uses)
+    day = F.expr(
+        f"(ts div {_DAY_NS}) - "
+        f"(CASE WHEN ts % {_DAY_NS} < 0 THEN 1 ELSE 0 END)"
+    )
+    d = F.date_add(epoch, day.cast("int"))
     trunc = d if unit == "day" else F.trunc(d, unit)
     return F.datediff(trunc, epoch)
 

@@ -510,9 +510,17 @@ def events_calendar_sql(
         where.append(f"ts >= {int(start)}")
     if end is not None:
         where.append(f"ts <= {int(end)}")
+    # FLOOR division, not DuckDB's truncating `//` — pre-epoch ts in
+    # (-1 day, 0) belongs to 1969-12-31 (same correction as the engine's
+    # calendar_bucket_col and events_sliding_sql's floordiv).
+    _d = 86400000000000
+    day = (
+        f"((ts // {_d}) - "
+        f"(CASE WHEN ts % {_d} < 0 THEN 1 ELSE 0 END))"
+    )
     bucket = (
         f"(date_trunc('{unit}', DATE '1970-01-01' "
-        "+ CAST(ts // 86400000000000 AS INTEGER)) - DATE '1970-01-01')"
+        f"+ CAST({day} AS INTEGER)) - DATE '1970-01-01')"
     )
     return (
         f"{_PTS_CTE} "

@@ -3200,14 +3200,17 @@ def layer1_decode_payloads(media: DataFrame) -> DataFrame:
                 fsi = get(2)
                 if bri in (0, 15) or fsi == 3:
                     raise ValueError("bad bitrate/samplerate index")
-                get(2)  # padding+private
+                pad = get(1)  # padding: one extra 32-bit slot this frame
+                get(1)  # private
                 mode = get(2)
                 if mode != 0b11:
                     raise ValueError("only mono streams supported")
                 get(6)  # ext/copyright/original/emphasis
                 br, sr = _L1_KBPS[bri], _L1_FS[fsi]
                 frame_start_bit = pos - 32
-                frame_bits = (12 * br * 1000 // sr) * 32
+                # ISO 11172-3 frame walk: slots = 12*br/sr (+1 if the
+                # padding bit is set — 44.1 kHz streams alternate it)
+                frame_bits = ((12 * br * 1000 // sr) + pad) * 32
                 allocs = []
                 for _sb in range(32):
                     a = get(4)

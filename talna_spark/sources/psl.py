@@ -47,8 +47,15 @@ _SNAPSHOT = os.path.join(os.path.dirname(__file__), "public_suffix_list.dat")
 
 def _load_rules() -> tuple[str, ...]:
     """Parse the vendored snapshot (comments/blanks dropped, lowered)
-    and append punycode twins for Unicode rules. IDNA failures (none in
-    the current snapshot) skip the twin rather than fail the import."""
+    and append punycode twins for Unicode rules.
+
+    Twin encoding uses the stdlib ``idna`` codec (IDNA2003). Zero
+    IDNA2003-vs-UTS46 drift on the current snapshot (verified against
+    the uts46 library in r9); a FUTURE snapshot could contain labels the
+    2003 codec rejects (sharp-s, final sigma, joiners), so a rule that
+    fails to encode raises at import — loud, not a silently missing
+    twin. If that fires on a snapshot swap, vendor the UTS46 mapping or
+    pre-encode the offending twins into the .dat file."""
     rules: list[str] = []
     with open(_SNAPSHOT, encoding="utf-8") as f:
         for line in f:
@@ -71,8 +78,11 @@ def _load_rules() -> tuple[str, ...]:
                 lab if lab.isascii() else lab.encode("idna").decode("ascii")
                 for lab in key.split(".")
             )
-        except UnicodeError:
-            continue
+        except UnicodeError as e:
+            raise RuntimeError(
+                f"PSL rule {r!r} has no IDNA2003 punycode twin — "
+                "snapshot needs a pre-encoded twin or a UTS46 mapper"
+            ) from e
         if puny != key:
             out.append(prefix + puny)
     return tuple(out)

@@ -656,23 +656,32 @@ def url_dedup(
     :func:`normalize_url`'s canonical form; the lowest doc_id per group
     is the deterministic survivor. Returns every input row as
     (doc_id, url, canonical_url, keep_doc_id, is_canonical) — the audit
-    ledger; filter ``is_canonical`` for the survivor set.
+    ledger; filter ``is_canonical`` for the survivor set. The ledger is
+    TOTAL: rows whose url (or canonical form) is NULL cannot be equated
+    with anything, so each is its own survivor (keep_doc_id = doc_id)
+    rather than silently dropping out of an inner join.
 
     100 TB shape: one hash-agg keyed by canonical URL (map-side MIN
     partials) + a shuffle join back on the same key — only (doc_id,
-    url) id-rows move, document text never enters the operator."""
+    url) id-rows move, document text never enters the operator. NULL
+    keys never enter the shuffle (both sides filter them), so a
+    NULL-heavy crawl cannot create a hot key."""
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(url_col).alias("url")
     ).withColumn("canonical_url", normalize_url(F.col(url_col)))
-    winners = d.groupBy("canonical_url").agg(
-        F.min("doc_id").alias("keep_doc_id")
+    winners = (
+        d.where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
     )
-    return d.join(winners, "canonical_url").select(
+    return d.join(winners, "canonical_url", "left").select(
         "doc_id",
         "url",
         "canonical_url",
-        "keep_doc_id",
-        (F.col("doc_id") == F.col("keep_doc_id")).alias("is_canonical"),
+        F.coalesce("keep_doc_id", "doc_id").alias("keep_doc_id"),
+        (
+            F.col("doc_id") == F.coalesce("keep_doc_id", "doc_id")
+        ).alias("is_canonical"),
     )
 
 

@@ -165,6 +165,30 @@ def test_aligned_minute_buckets(spark):
         0, m - 1, 2.0, 2)
 
 
+def test_calendar_bucket_pre_epoch_floor(spark):
+    # ts in (-1 day, 0) belongs to 1969-12-31, not the 1970-01-01 bucket
+    # (regression: truncating `div` miscalendared it; and DuckDB's `//`
+    # truncates identically so the oracle could not catch it — both
+    # engines now use explicit floor division)
+    from talna_spark.aggregate import calendar_bucket_col
+
+    d = 86_400_000_000_000
+    df = spark.createDataFrame(
+        [(-1,), (-d,), (0,), (d - 1,), (d,)], "ts long"
+    ).select("ts", calendar_bucket_col("day").alias("b"))
+    got = {r["ts"]: r["b"] for r in df.collect()}
+    assert got == {-1: -1, -d: -1, 0: 0, d - 1: 0, d: 1}
+
+    import duckdb
+
+    from talna_spark.oracle import events_calendar_sql
+
+    sql = events_calendar_sql("sum", "m", "h", "*", "day")
+    # extract the oracle's day expression check indirectly: the full
+    # oracle needs the pts CTE; instead assert its floordiv fragment
+    assert "CASE WHEN ts %" in sql and "// 86400000000000" in sql
+
+
 def test_bucket_middle():
     from talna_spark.aggregate import Bucket
 

@@ -950,6 +950,45 @@ def test_layer1_requantization_hand_value(spark):
     assert r["checksum"] == -1333333 * 78
 
 
+def test_layer1_padded_frame_advances_one_extra_slot(spark):
+    # padding bit set -> frame occupies (12*br/sr)+1 slots (ISO 11172-3
+    # frame walk; 44.1 kHz streams alternate it). Regression: the
+    # decoder read-and-discarded the bit, so a padded frame desynced
+    # into 'bad sync word' at the phantom 25th slot.
+    from talna_spark.pipeline.multimodal import layer1_decode_payloads
+
+    bits = []
+
+    def put(v, n):
+        bits.extend(((v >> (n - 1 - j)) & 1) for j in range(n))
+
+    put(0xFFF, 12); put(1, 1); put(0b11, 2); put(1, 1)
+    put(2, 4); put(0b10, 2)                              # 64k, 32kHz
+    put(0b10, 2)                                         # PADDING=1, private=0
+    put(0b11, 2); put(0, 2); put(0, 4)                   # mono
+    put(1, 4)                                            # sb0 alloc -> nb 2
+    for _ in range(31):
+        put(0, 4)
+    put(0, 6)
+    for _ in range(12):
+        put(0, 2)
+    while len(bits) % 8:
+        bits.append(0)
+    blob = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    # 24 slots (96 B) + the one padding slot = 100 B total
+    blob += b"\x00" * (100 - len(blob))
+    df = spark.createDataFrame(
+        [(0, "audio/mpeg-l1", blob)],
+        "doc_id long, media_type string, payload binary",
+    )
+    r = layer1_decode_payloads(df).collect()[0]
+    assert r["n_frames"] == 1 and r["n_alloc"] == 1
+    assert r["mean_amp"] == 1.333333
+
+
 def test_layer1_corruption_fails_loudly(spark):
     from pyspark.sql import functions as F
 

@@ -654,3 +654,25 @@ def test_url_dedup_collapses_spelling_variants(spark):
     # survivor set size == number of distinct canonical forms
     survivors = [r for r in out.values() if r["is_canonical"]]
     assert len(survivors) == len({r["canonical_url"] for r in out.values()})
+
+
+def test_url_dedup_ledger_total_with_null_urls(spark):
+    # NULL urls cannot be equated with anything: each is its own
+    # survivor and STAYS in the ledger (regression: the inner join on
+    # canonical_url silently dropped them)
+    from talna_spark.sources.warc import url_dedup
+
+    rows = [
+        (1, "http://example.com/a"),
+        (2, "HTTP://EXAMPLE.com/a"),
+        (3, None),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    # the two NULL rows do NOT merge with each other
+    for i in (3, 4):
+        assert out[i]["keep_doc_id"] == i and out[i]["is_canonical"]
+        assert out[i]["canonical_url"] is None
