@@ -234,11 +234,24 @@ def lang_id_learned(
         c: F.col(f"zn{i}") + F.lit(int(round(biases[c] * NANO)))
         for i, c in enumerate(classes)
     }
-    best = F.greatest(*z.values())
-    pred = F.lit(None).cast("string")
-    for c in sorted(classes, reverse=True):
-        pred = F.when(z[c] == best, F.lit(c)).otherwise(pred)
-    sc = sc.select("doc_id", pred.alias("_pred"), best.alias("_z"))
+    # Flat argmax: array_min over (-z, class) structs — the minimum
+    # struct is (largest z, lexicographically-smallest class), matching
+    # the documented tie rule exactly. A K-deep chained F.when argmax
+    # strains Catalyst analysis at fastText scale (~170 classes) the
+    # same way the k×d centroid literal did pre-r6; the array
+    # constructor is a single flat node with K children, and the whole
+    # expression stays map-side whole-stage-codegen (no extra agg).
+    m = F.array_min(
+        F.array(
+            *[
+                F.struct((-z[c]).alias("nz"), F.lit(c).alias("c"))
+                for c in classes
+            ]
+        )
+    )
+    sc = sc.select(
+        "doc_id", m["c"].alias("_pred"), (-m["nz"]).alias("_z")
+    )
     return (
         d.select("doc_id", F.col("lang").alias("labeled_lang"))
         .join(sc, "doc_id", "left")

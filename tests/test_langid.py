@@ -97,6 +97,56 @@ def test_learned_beats_heuristic_on_markerless_languages(spark, model):
     assert hist[-1] < hist[0] * 0.7
 
 
+def test_wide_k_argmax_matches_exact_recompute(spark):
+    # 64 synthetic classes — the regime where the pre-r10 K-deep chained
+    # F.when argmax strained Catalyst. The flat array_min argmax must
+    # reproduce the exact nano-unit accounting and the tie rule
+    # (max z, then lexicographically smallest class) bit-for-bit.
+    from talna_spark.pipeline.classifier import NANO, char_ngram_features
+
+    K, NF = 64, 32
+    classes = [f"c{i:02d}" for i in range(K)]
+    # deterministic small weights; several classes share identical
+    # weight rows so real TIES occur and exercise the lexicographic rule
+    weights = {
+        c: [(((f * 7 + (i % 8) * 29) % 19) - 9) / 10.0 for f in range(NF)]
+        for i, c in enumerate(classes)
+    }
+    model = {
+        "classes": classes,
+        "n_features": NF,
+        "biases": {c: 0.0 for c in classes},
+        "weights": weights,
+    }
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with text variant {i * i}", "xx")
+         for i in range(20)],
+        DOCS_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["z_best"])
+        for r in lang_id_learned(spark, docs=docs, model=model).collect()
+    }
+    # exact recompute from the engine's own feature frame, pure Python
+    feats = char_ngram_features(docs, NF).collect()
+    by_doc: dict[int, list] = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], []).append((r["f"], r["tf"], r["n"]))
+    for doc_id in range(20):
+        z = {}
+        for c in classes:
+            z[c] = sum(
+                int(round(weights[c][f] * (tf / n) * NANO))
+                for f, tf, n in by_doc[doc_id]
+            )
+        best = max(z.values())
+        want = min(c for c in classes if z[c] == best)
+        assert got[doc_id] == (want, best), doc_id
+    # the shared-weight groups really did tie (i % 8 collapses 64 -> 8
+    # distinct weight rows), so the lexicographic rule was exercised
+    assert len({tuple(w) for w in weights.values()}) == 8
+
+
 def test_trained_model_scores_close_pairs(spark, model):
     # a short doc (2 words) — the other regime markers can't touch
     test = spark.createDataFrame(
