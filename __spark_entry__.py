@@ -1363,23 +1363,27 @@ _EXT["x12_embedding_near_dup"] = (_x12_embedding_near_dup, _x12_embedding_near_d
 
 
 def _x11_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN registration, two `kind` slices on the shared
+    """ANN registration, three `kind` slices on the shared
     (query_id, neighbor_id, rank, cos) schema: ``ivf`` = inverted-file
     probe (scan work ~ nprobe/N_CLUSTERS), ``pq`` = product-quantized
     search (Jégou et al. 2011: corpus compressed to PQ_M codebook codes,
-    asymmetric exact-query-vs-reconstruction cosine) — together the two
-    halves of a production IVF-PQ index, each oracle-checked including
-    ranks."""
+    asymmetric exact-query-vs-reconstruction cosine), ``ivfpq`` = the
+    composed production index (r10: ADC over PQ codes restricted to the
+    query's nprobe probed IVF clusters — FAISS ``IVFPQ``) — each
+    oracle-checked including ranks."""
     ivf = _sim.ivf_topk(spark, sf_dir).withColumn("kind", F.lit("ivf"))
     pq = _sim.pq_topk(spark, sf_dir).withColumn("kind", F.lit("pq"))
-    return ivf.unionByName(pq)
+    ivfpq = _sim.ivfpq_topk(spark, sf_dir).withColumn("kind", F.lit("ivfpq"))
+    return ivf.unionByName(pq).unionByName(ivfpq)
 
 
 def _x11_ann_sql() -> str:
     return (
         f"SELECT *, 'ivf' AS kind FROM ({_sim.ivf_topk_sql()}) "
         "UNION ALL "
-        f"SELECT *, 'pq' AS kind FROM ({_sim.pq_topk_sql()})"
+        f"SELECT *, 'pq' AS kind FROM ({_sim.pq_topk_sql()}) "
+        "UNION ALL "
+        f"SELECT *, 'ivfpq' AS kind FROM ({_sim.ivfpq_topk_sql()})"
     )
 
 

@@ -427,19 +427,16 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
-    """ANN over the PQ-compressed corpus: queries keep exact vectors,
-    corpus vectors are codebook reconstructions (asymmetric distance,
-    the standard ADC setup). Scores are true cosine between the exact
-    query and the reconstruction — at scale the same sum decomposes into
-    PQ_M lookup-table adds per candidate, which is the point of PQ; the
-    reconstruction here keeps the plan in verified JVM cosine folds."""
-    e = _emb(spark, sf_dir)
+def _pq_recon(e: DataFrame) -> DataFrame:
+    """(vec_id, rv): the codebook reconstruction of every vector — the
+    decoded form ADC scores against (broadcast codebook join + one
+    id-keyed collect; vectors re-enter only as PQ_DS-long codebook
+    sub-vectors)."""
     subs = _pq_subs(e)
     cb = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
         "m", F.col("vec_id").alias("code"), F.col("sub").alias("cv")
     )
-    recon = (
+    return (
         _pq_codes(e)
         .join(F.broadcast(cb), ["m", "code"])
         .groupBy("vec_id")
@@ -452,6 +449,17 @@ def pq_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
             ).alias("rv")
         )
     )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
+    """ANN over the PQ-compressed corpus: queries keep exact vectors,
+    corpus vectors are codebook reconstructions (asymmetric distance,
+    the standard ADC setup). Scores are true cosine between the exact
+    query and the reconstruction — at scale the same sum decomposes into
+    PQ_M lookup-table adds per candidate, which is the point of PQ; the
+    reconstruction here keeps the plan in verified JVM cosine folds."""
+    e = _emb(spark, sf_dir)
+    recon = _pq_recon(e)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -496,6 +504,88 @@ def pq_topk_sql() -> str:
         "pairs AS (SELECT query_id, r.vec_id AS neighbor_id, "
         "(ROUND(list_cosine_similarity(qv, r.rv), 6) + 0) AS cos "
         "FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+        "FROM pairs) "
+        f"SELECT query_id, neighbor_id, rank, cos FROM ranked "
+        f"WHERE rank <= {PQ_TOP_K}"
+    )
+
+
+IVFPQ_NPROBE = 2
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVFPQ_NPROBE,
+    k: int = PQ_TOP_K,
+) -> DataFrame:
+    """Composed IVF-PQ search — the production index shape (FAISS
+    ``IVFPQ``; Jégou et al. 2011 §IV): ADC scoring over PQ codebook
+    reconstructions restricted to the query's ``nprobe`` probed IVF
+    clusters, so scan work is ~nprobe/N_CLUSTERS of the code table
+    *on top of* the PQ_M-byte-per-vector compression.
+
+    Semantics: corpus vectors keep their single nearest IVF centroid
+    (same assignment as :func:`ivf_topk`); queries probe their
+    ``nprobe`` nearest; candidates are scored as exact-query-vs-
+    reconstruction cosine (same ADC as :func:`pq_topk`). At
+    nprobe = IVF_CENTROIDS the probed set is the whole corpus and the
+    result equals :func:`pq_topk` exactly (tested — the invariant that
+    separates a partitioning bug from a recall trade-off).
+
+    100 TB shape: centroids and codebooks broadcast; the cluster column
+    joins against the (vec_id, rv) code table by a broadcast of the
+    tiny probe list — at scale the code table is physically partitioned
+    by cluster, so probing prunes partitions before any scan. Only
+    (ids, score) rows enter the top-k shuffle."""
+    if not 1 <= int(nprobe) <= IVF_CENTROIDS:
+        raise ValueError(f"nprobe must be in [1, {IVF_CENTROIDS}]")
+    e = _emb(spark, sf_dir)
+    a = _assignments(e).select("vec_id", "cluster")
+    recon = _pq_recon(e).join(a, "vec_id")
+    q = _assignments(
+        e.filter(F.col("vec_id") < N_QUERIES), n=nprobe, centroid_src=e
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cluster").alias("qcluster"),
+    )
+    pairs = recon.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.round(cosine(F.col("qv"), F.col("rv")), 6) + F.lit(0.0)).alias("cos"),
+    )
+    return _per_query_topk(pairs, k)
+
+
+def ivfpq_topk_sql(nprobe: int = IVFPQ_NPROBE) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the PQ reconstruction CTEs
+    (shared with the pq oracle) + the IVF assignment/probe CTEs (same
+    cosine-argmax as the ivf oracle), joined on probed cluster."""
+    return (
+        f"WITH {_pq_sql_parts()}, "
+        f"cent AS (SELECT vec_id AS centroid_id, v AS cv2 FROM e "
+        f"WHERE vec_id < {IVF_CENTROIDS}), "
+        "cscored AS (SELECT e.vec_id, e.v, centroid_id, "
+        "ROUND(list_cosine_similarity(v, cv2), 6) AS ccos "
+        "FROM e CROSS JOIN cent), "
+        "cranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY ccos DESC, centroid_id ASC) AS rn FROM cscored), "
+        "assigned AS (SELECT vec_id, centroid_id AS cluster "
+        "FROM cranked WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv, "
+        f"centroid_id AS qcluster FROM cranked "
+        f"WHERE vec_id < {N_QUERIES} AND rn <= {int(nprobe)}), "
+        "pairs AS (SELECT query_id, r.vec_id AS neighbor_id, "
+        "(ROUND(list_cosine_similarity(qv, r.rv), 6) + 0) AS cos "
+        "FROM recon r JOIN assigned a ON r.vec_id = a.vec_id "
+        "JOIN q ON a.cluster = q.qcluster AND r.vec_id <> q.query_id), "
         "ranked AS (SELECT *, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
         "FROM pairs) "

@@ -179,6 +179,61 @@ def test_pq_plan_broadcasts_codebook_and_queries(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_ivfpq_full_probe_equals_pq(spark):
+    """The invariant that separates a partitioning bug from a recall
+    trade-off: at nprobe = IVF_CENTROIDS the probed set is the whole
+    corpus, so composed IVF-PQ must equal plain PQ search exactly
+    (same ADC scores, same ranks, same tie-breaks)."""
+    from talna_spark.pipeline.similarity import (
+        IVF_CENTROIDS, ivfpq_topk, pq_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pq = sorted(map(tuple, pq_topk(spark, sf).collect()))
+    full = sorted(
+        map(tuple, ivfpq_topk(spark, sf, nprobe=IVF_CENTROIDS).collect())
+    )
+    assert full == pq
+
+
+def test_ivfpq_probed_scores_are_pq_scores(spark):
+    """At nprobe < full, every (query, neighbor, cos) the composed index
+    returns must appear with the SAME ADC score in the full PQ scoring —
+    probing prunes candidates, it never changes how a candidate scores."""
+    from talna_spark.pipeline.similarity import ivfpq_topk, pq_topk
+
+    sf = "/root/testdata/sf0.001"
+    pq_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in pq_topk(spark, sf, k=10**6).collect()
+    }
+    got = ivfpq_topk(spark, sf, nprobe=2).collect()
+    assert got, "nprobe=2 returned nothing"
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in pq_scores and pq_scores[key] == r["cos"], (key, r["cos"])
+
+
+def test_ivfpq_nprobe_validation(spark):
+    import pytest as _pytest
+
+    from talna_spark.pipeline.similarity import ivfpq_topk
+
+    with _pytest.raises(ValueError, match="nprobe"):
+        ivfpq_topk(spark, "/root/testdata/sf0.001", nprobe=0)
+
+
+def test_ivfpq_plan_broadcasts_probe_list(spark):
+    # 100 TB contract: the probe list / queries join by broadcast; the
+    # code table never funnels through a single-partition exchange
+    from talna_spark.pipeline.similarity import ivfpq_topk
+
+    df = ivfpq_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_kmeans_inertia_decreases_and_beats_seeds(spark):
     """Lloyd's iterations: inertia is monotonically non-increasing, the
     trained centroids beat (or match) the training-free seed set, and
