@@ -277,7 +277,33 @@ def tokenize_pack(
     ``mode="byte"`` trains/encodes GPT-2-style byte-level BPE (r8), so
     the packed lengths are the ones a real byte-level training run pays
     — the word-internal default undercounts whitespace/punctuation
-    tokens. ``mode`` must match the mode of a passed-in ``merges``."""
+    tokens. ``mode="unigram"`` (r10) trains/encodes a SentencePiece-
+    style unigram LM instead (pipeline.unigram; ``merges`` then carries
+    the ``[(piece, logp)]`` model and ``n_merges`` is ignored — the
+    unigram vocabulary is sized by pipeline.unigram.VOCAB_SIZE). The
+    output column stays ``n_bpe_tokens`` across modes — "the trained
+    tokenizer's token count" — so downstream schemas never fork on the
+    tokenizer family. ``mode`` must match the mode of a passed-in
+    ``merges``."""
+    if mode == "unigram":
+        from talna_spark.pipeline.unigram import unigram_encode, unigram_train
+
+        model = merges if merges is not None else unigram_train(spark, sf_dir)
+        enc = (
+            unigram_encode(spark, sf_dir, model)
+            .select(
+                "doc_id",
+                "n_words",
+                F.col("n_unigram_tokens").alias("n_bpe_tokens"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        assign = pack_assign_lengths(
+            enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+            budget=budget,
+            n_shards=n_shards,
+        ).select("doc_id", "pack_id", "oversize")
+        return enc.join(assign, "doc_id")
     from talna_spark.pipeline.bpe import bpe_encode, bpe_train
 
     if merges is None:

@@ -1,0 +1,332 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer training +
+encoding over the ``documents`` table — the other major tokenizer family
+next to BPE (Kudo 2018, "Subword Regularization"; the T5/Llama lineage
+trains this instead of merges).
+
+Algorithm (the Kudo recipe, hard-EM variant):
+1. **Seed vocabulary**: the most frequent substrings of corpus words (up
+   to :data:`MAX_PIECE_LEN` chars, weighted by word frequency), plus ALL
+   single characters — the coverage floor that guarantees every word
+   stays segmentable no matter how hard later rounds prune.
+2. **EM rounds**: E-step = Viterbi segmentation of every *distinct* word
+   under the current piece log-probabilities; expected piece counts are
+   the Viterbi counts weighted by word frequency (hard EM — the
+   forward-backward soft E-step changes constants, not the shape).
+   M-step = renormalize counts into log-probabilities.
+3. **Prune**: drop the lowest-count :data:`SHRINK` fraction of
+   multi-char pieces each round (single chars never pruned) until the
+   vocabulary reaches the target size, then one final EM pass.
+
+Scale design (the bpe.py discipline):
+- The corpus is scanned ONCE into the word-frequency table; every
+  E-step then runs on that *vocab-sized* table, never on the corpus:
+  an Arrow-batched ``mapInPandas`` with the piece table in the closure
+  (model-sized — the same broadcast-the-model shape as
+  classifier.py scoring), followed by ONE hash aggregate of integer
+  counts (shuffle ∝ vocabulary, order-free, exact).
+- Driver traffic per EM iteration is the piece-count table itself —
+  model-sized by definition (the piece table IS the tokenizer being
+  trained, like the BPE argmax row or the k-means centroids).
+- Determinism: seed selection and pruning rank by (count DESC, piece
+  ASC) over exact integer counts; Viterbi log-probs are computed once
+  driver-side and shipped verbatim, and the DP breaks ties by strict
+  ``>`` with ascending split points — partitioning-independent
+  (tested, the test_bpe.py pattern).
+- Training is NOT SQL-expressible (iterative EM), so this module is
+  oracle'd by unit tests against an independent pure-Python reference
+  implementation instead of a DuckDB twin; see tests/test_unigram.py.
+
+Encoding (:func:`unigram_encode`) broadcasts the learned piece table and
+Viterbi-segments each word inside Arrow-batched ``mapInPandas``:
+map-only, bounded memory, per-distinct-word cache — tokenizer inference
+at 100 TB. Characters unseen at training time segment as single-char
+pieces at :data:`UNK_LOGP` so encoding is total over any input.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talna_spark.pipeline.portable import tokens
+
+VOCAB_SIZE = 200     # target vocabulary (production: 32k-256k)
+SEED_SIZE = 1000     # candidate pool before pruning
+MAX_PIECE_LEN = 8    # longest candidate substring
+EM_ITERS = 2         # EM iterations per prune round (Kudo's sub-EM)
+SHRINK = 0.75        # keep-fraction per prune round
+UNK_LOGP = -20.0     # per-char penalty for chars outside the vocabulary
+
+Model = list[tuple[str, float]]  # [(piece, logp)] sorted by piece
+
+
+def _viterbi(w: str, logp: dict, max_len: int, unk: float) -> list[str]:
+    """Best segmentation of ``w`` under piece log-probs: DP over end
+    positions, strict ``>`` improvement with ascending start index —
+    fully deterministic for a fixed piece table. Single chars absent
+    from the table cost ``unk`` so the DP never dead-ends.
+
+    Kept module-level for the driver-side reference path; the Spark
+    closures INLINE a copy (executors' Python workers cannot import
+    talna_spark — see packing.py's self-contained-closure note)."""
+    n = len(w)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            p = logp.get(w[i:j])
+            if p is None and j - i == 1:
+                p = unk
+            if p is not None and best[i] + p > best[j]:
+                best[j] = best[i] + p
+                back[j] = i
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(w[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def _word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n): corpus word frequencies — one corpus scan, vocab-sized
+    result (the bpe.py word table without the symbol split)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _seed_candidates(
+    wt: DataFrame, seed_size: int, max_piece_len: int
+) -> dict[str, int]:
+    """Seed piece -> corpus count: ALL single characters plus the top
+    multi-char substrings by (count DESC, piece ASC), capped so the
+    total pool is ``seed_size``. Substring explosion is a JVM nested
+    transform over the vocab-sized table — the corpus is never
+    rescanned."""
+    ml = int(max_piece_len)
+    subs = F.expr(
+        "flatten(transform(sequence(1, length(word)), "
+        f"i -> transform(sequence(i, least(length(word), i + {ml} - 1)), "
+        "j -> substring(word, i, j - i + 1))))"
+    )
+    counts = (
+        wt.select("n", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    chars = {
+        r["piece"]: int(r["cnt"])
+        for r in counts.filter(F.length("piece") == 1).collect()
+    }
+    room = max(int(seed_size) - len(chars), 0)
+    multi = (
+        counts.filter((F.length("piece") >= 2) & (F.col("cnt") >= 2))
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(room)
+        .collect()
+    )
+    seeds = dict(chars)
+    for r in multi:
+        seeds[r["piece"]] = int(r["cnt"])
+    return seeds
+
+
+def _m_step(counts: dict[str, int]) -> dict[str, float]:
+    """counts -> log-probabilities. Zero-count pieces (possible once
+    Viterbi routes around them) get the 0.5-pseudo-count floor so the
+    piece stays usable until pruning ranks it out — both engines (Spark
+    trainer, pure-python reference) share this exact formula."""
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("empty corpus: no piece received any count")
+    lt = math.log(total)
+    return {
+        p: (math.log(c) - lt if c > 0 else math.log(0.5) - lt)
+        for p, c in counts.items()
+    }
+
+
+def _e_step(
+    wt: DataFrame, logp: dict[str, float], max_piece_len: int
+) -> dict[str, int]:
+    """Viterbi-count every distinct word under the current model: one
+    Arrow map pass over the vocab-sized word table (piece table in the
+    closure), one integer hash-agg, one model-sized collect."""
+    ml, unk = int(max_piece_len), UNK_LOGP
+    pieces = dict(logp)
+
+    def _seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # inlined _viterbi (self-contained closure — see module docstring)
+        def viterbi(w):
+            n = len(w)
+            best = [0.0] + [float("-inf")] * n
+            back = [0] * (n + 1)
+            for j in range(1, n + 1):
+                for i in range(max(0, j - ml), j):
+                    p = pieces.get(w[i:j])
+                    if p is None and j - i == 1:
+                        p = unk
+                    if p is not None and best[i] + p > best[j]:
+                        best[j] = best[i] + p
+                        back[j] = i
+            out = []
+            j = n
+            while j > 0:
+                i = back[j]
+                out.append(w[i:j])
+                j = i
+            out.reverse()
+            return out
+
+        for pdf in batches:
+            local: dict[str, int] = {}
+            for w, n in zip(pdf["word"], pdf["n"]):
+                for piece in viterbi(w):
+                    local[piece] = local.get(piece, 0) + int(n)
+            yield pd.DataFrame(
+                {"piece": list(local), "c": list(local.values())}
+            )
+
+    got = (
+        wt.mapInPandas(_seg, schema="piece string, c long")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    counts = {p: 0 for p in logp}  # pieces Viterbi skipped keep a 0 row
+    for r in got:
+        if r["piece"] in counts:  # UNK chars outside the vocab: not model
+            counts[r["piece"]] = int(r["c"])
+    return counts
+
+
+def _prune(counts: dict[str, int], keep: int) -> dict[str, int]:
+    """Keep the ``keep`` best pieces by (count DESC, piece ASC); single
+    characters are never pruned (the coverage floor), and count toward
+    ``keep`` first."""
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    room = max(int(keep) - len(chars), 0)
+    out = dict(chars)
+    for p, c in multi[:room]:
+        out[p] = c
+    return out
+
+
+def unigram_train(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_size: int = VOCAB_SIZE,
+    seed_size: int = SEED_SIZE,
+    max_piece_len: int = MAX_PIECE_LEN,
+    em_iters: int = EM_ITERS,
+    shrink: float = SHRINK,
+) -> Model:
+    """Learn a unigram-LM tokenizer from the corpus. Returns the model:
+    ``[(piece, logp)]`` sorted by piece — a pure function of the corpus
+    (deterministic, partitioning-independent, tested). The vocabulary
+    lands at ``max(vocab_size, #distinct chars)``: single characters are
+    never sacrificed to the size target."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be positive")
+    if not 0 < shrink < 1:
+        raise ValueError("shrink must be in (0, 1)")
+    wt = _word_table(spark, sf_dir).localCheckpoint(eager=False)
+    counts = _seed_candidates(wt, seed_size, max_piece_len)
+    logp = _m_step(counts)
+    while True:
+        for _ in range(max(int(em_iters), 1)):
+            counts = _e_step(wt, logp, max_piece_len)
+            logp = _m_step(counts)
+        if len(logp) <= vocab_size:
+            break
+        keep = max(int(vocab_size), int(len(logp) * float(shrink)))
+        if keep >= len(logp):  # chars alone exceed the target: done
+            break
+        counts = _prune(counts, keep)
+        logp = _m_step(counts)
+    return sorted(logp.items())
+
+
+def unigram_encode(
+    spark: SparkSession, sf_dir: str, model: Model
+) -> DataFrame:
+    """Encode every document with a trained model: Viterbi-segment each
+    word under the broadcast piece table (Arrow mapInPandas, map-only,
+    per-distinct-word cache — the bpe_encode shape). Returns (doc_id,
+    n_words, n_unigram_tokens, compression), compression =
+    round(chars-per-token, 6). Unseen characters segment as single-char
+    UNK pieces, so encoding is total over any input."""
+    pieces = {p: float(lp) for p, lp in model}
+    ml = max((len(p) for p in pieces), default=1)
+    unk = UNK_LOGP
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def viterbi_len(w):
+            got = cache.get(w)
+            if got is not None:
+                return got
+            n = len(w)
+            best = [0.0] + [float("-inf")] * n
+            back = [0] * (n + 1)
+            for j in range(1, n + 1):
+                for i in range(max(0, j - ml), j):
+                    p = pieces.get(w[i:j])
+                    if p is None and j - i == 1:
+                        p = unk
+                    if p is not None and best[i] + p > best[j]:
+                        best[j] = best[i] + p
+                        back[j] = i
+            k = 0
+            j = n
+            while j > 0:
+                j = back[j]
+                k += 1
+            cache[w] = k
+            return k
+
+        for pdf in batches:
+            n_words, n_tok, n_chars = [], [], []
+            for cell in pdf["words"]:
+                ws = [w for w in cell if w] if cell is not None else []
+                n_words.append(len(ws))
+                n_tok.append(sum(viterbi_len(w) for w in ws))
+                n_chars.append(sum(len(w) for w in ws))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_words": n_words,
+                    "n_unigram_tokens": n_tok,
+                }
+            )
+            out["compression"] = [
+                round(c / t, 6) if t else 0.0 for c, t in zip(n_chars, n_tok)
+            ]
+            yield out
+
+    return d.mapInPandas(
+        _enc,
+        schema=(
+            "doc_id long, n_words long, n_unigram_tokens long, "
+            "compression double"
+        ),
+    )

@@ -1,0 +1,231 @@
+"""Distributed unigram-LM (SentencePiece-style) trainer vs an
+independent pure-Python reference implementation — exact piece-table and
+encoding equality, partitioning-independence, and token-total
+conservation through tokenize_pack(mode="unigram")."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from talna_spark.pipeline.unigram import (
+    UNK_LOGP,
+    unigram_encode,
+    unigram_train,
+)
+
+
+# --------------------------- reference implementation (test-side, pure py)
+def _ref_word_counts(texts):
+    counts = {}
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _ref_viterbi(w, logp, max_len, unk=UNK_LOGP):
+    n = len(w)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            p = logp.get(w[i:j])
+            if p is None and j - i == 1:
+                p = unk
+            if p is not None and best[i] + p > best[j]:
+                best[j] = best[i] + p
+                back[j] = i
+    out, j = [], n
+    while j > 0:
+        i = back[j]
+        out.append(w[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def _ref_m_step(counts):
+    total = sum(counts.values())
+    lt = math.log(total)
+    return {
+        p: (math.log(c) - lt if c > 0 else math.log(0.5) - lt)
+        for p, c in counts.items()
+    }
+
+
+def _ref_train(
+    texts, vocab_size, seed_size=1000, max_len=8, em_iters=2, shrink=0.75
+):
+    wc = _ref_word_counts(texts)
+    # seeds: all chars + top multi-char substrings (cnt >= 2)
+    sub = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_len) + 1):
+                p = w[i:j]
+                sub[p] = sub.get(p, 0) + n
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) >= 2 and c >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    counts = dict(chars)
+    for p, c in multi[: max(seed_size - len(chars), 0)]:
+        counts[p] = c
+    logp = _ref_m_step(counts)
+
+    def e_step(lp):
+        out = {p: 0 for p in lp}
+        for w, n in wc.items():
+            for piece in _ref_viterbi(w, lp, max_len):
+                if piece in out:
+                    out[piece] += n
+        return out
+
+    while True:
+        for _ in range(em_iters):
+            counts = e_step(logp)
+            logp = _ref_m_step(counts)
+        if len(logp) <= vocab_size:
+            break
+        keep = max(vocab_size, int(len(logp) * shrink))
+        if keep >= len(logp):
+            break
+        ch = {p: c for p, c in counts.items() if len(p) == 1}
+        mu = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        counts = dict(ch)
+        for p, c in mu[: max(keep - len(ch), 0)]:
+            counts[p] = c
+        logp = _ref_m_step(counts)
+    return sorted(logp.items())
+
+
+@pytest.fixture(scope="module")
+def corpus_dir():
+    d = tempfile.mkdtemp(prefix="talna_unigram_")
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest wide",
+        "low new wide slow slower",
+        "the lowest newest widest",
+        "internationalization international nation nationally",
+    ]
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    yield d, texts
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_unigram_train_matches_reference(spark, corpus_dir):
+    d, texts = corpus_dir
+    got = unigram_train(spark, d, vocab_size=40)
+    want = _ref_train(texts, 40)
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (gp, gl), (_, wl) in zip(got, want):
+        assert gl == wl, gp  # exact float equality: same formula, same ints
+    # the model learned real multi-char pieces, not just the char floor
+    assert any(len(p) > 2 for p, _ in got)
+
+
+def test_unigram_train_partitioning_independent(spark, corpus_dir):
+    d, texts = corpus_dir
+    df = spark.read.parquet(f"{d}/documents.parquet")
+    d2 = tempfile.mkdtemp(prefix="talna_unigram_rp_")
+    try:
+        df.repartition(7).write.parquet(f"{d2}/documents.parquet")
+        assert unigram_train(spark, d2, vocab_size=40) == _ref_train(
+            texts, 40
+        )
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_unigram_encode_matches_reference(spark, corpus_dir):
+    d, texts = corpus_dir
+    model = unigram_train(spark, d, vocab_size=40)
+    logp = dict(model)
+    max_len = max(len(p) for p in logp)
+    got = {
+        r["doc_id"]: r for r in unigram_encode(spark, d, model).collect()
+    }
+    for doc_id, t in enumerate(texts):
+        ws = [w for w in t.lower().strip().split() if w]
+        n_tok = sum(len(_ref_viterbi(w, logp, max_len)) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        assert got[doc_id]["n_words"] == len(ws)
+        assert got[doc_id]["n_unigram_tokens"] == n_tok
+        assert got[doc_id]["compression"] == pytest.approx(
+            round(n_chars / n_tok, 6), abs=1e-9
+        )
+
+
+def test_unigram_encode_unseen_chars_total(spark, corpus_dir):
+    # a document full of chars the model never saw still encodes (one
+    # UNK single-char piece each), never crashes or drops rows
+    d, _ = corpus_dir
+    model = unigram_train(spark, d, vocab_size=40)
+    d2 = tempfile.mkdtemp(prefix="talna_unigram_unk_")
+    try:
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["zzz über", None]}
+        ).to_parquet(os.path.join(d2, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in unigram_encode(spark, d2, model).collect()
+        }
+        assert got[0]["n_words"] == 2
+        assert got[0]["n_unigram_tokens"] >= 2  # segmented, not dropped
+        assert got[1]["n_words"] == 0 and got[1]["n_unigram_tokens"] == 0
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_unigram_beats_char_segmentation(spark, corpus_dir):
+    # sanity: the learned model compresses better than chars-only —
+    # mean tokens/word strictly below mean chars/word
+    d, texts = corpus_dir
+    model = unigram_train(spark, d, vocab_size=40)
+    rows = unigram_encode(spark, d, model).collect()
+    n_tok = sum(r["n_unigram_tokens"] for r in rows)
+    n_chars = sum(
+        len(w) for t in texts for w in t.lower().strip().split() if w
+    )
+    assert n_tok < n_chars
+
+
+def test_tokenize_pack_unigram_conserves_tokens(spark, corpus_dir):
+    from talna_spark.pipeline.packing import pack_stats, tokenize_pack
+
+    d, texts = corpus_dir
+    packed = tokenize_pack(spark, d, mode="unigram", budget=32, n_shards=4)
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == set(range(len(texts)))
+    # token totals conserved through packing
+    enc_total = sum(r["n_bpe_tokens"] for r in rows)
+    stats = pack_stats(
+        packed.withColumnRenamed("n_bpe_tokens", "n_tokens"), budget=32
+    ).collect()
+    assert sum(r["tokens"] for r in stats) == enc_total
+    # every non-oversize pack respects the budget
+    for r in stats:
+        assert r["oversize"] or r["tokens"] <= 32
+
+
+def test_unigram_train_validation(spark, corpus_dir):
+    d, _ = corpus_dir
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_train(spark, d, vocab_size=0)
+    with pytest.raises(ValueError, match="shrink"):
+        unigram_train(spark, d, shrink=1.5)
