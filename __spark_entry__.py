@@ -1063,7 +1063,11 @@ def _x21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       v2=removed_tokens;
     - ``paragraph``: CCNet-style paragraph dedup (Wenzek et al. 2020) —
       s1=md5 of the reassembled text after every duplicated paragraph
-      keeps only its globally-first copy, v1=n_paras, v2=removed_paras.
+      keeps only its globally-first copy, v1=n_paras, v2=removed_paras;
+    - ``maximal`` (r10): suffix-granular exact-substring dedup (Lee et
+      al. 2022) — adjacent duplicated grams coalesce into maximal runs,
+      only runs >= SPAN_MIN_TOKENS removed; s1=md5 of the reconstructed
+      text, v1=n_spans, v2=span_tokens, v3=kept_tokens.
     """
 
     def norm(df, s1, v1, v2, v3, kind):
@@ -1091,7 +1095,14 @@ def _x21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clean_hash"), F.col("n_paras"), F.col("removed_paras"),
         F.lit(0.0), "paragraph",
     )
-    return scan.unionByName(clean).unionByName(para)
+    maximal = norm(
+        _dedup.dup_span_maximal(spark, sf_dir),
+        F.col("clean_hash"), F.col("n_spans"), F.col("span_tokens"),
+        F.col("kept_tokens"), "maximal",
+    )
+    return (
+        scan.unionByName(clean).unionByName(para).unionByName(maximal)
+    )
 
 
 def _x21_dup_spans_sql() -> str:
@@ -1107,7 +1118,12 @@ def _x21_dup_spans_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, clean_hash AS s1, CAST(n_paras AS DOUBLE) AS v1, "
         "CAST(removed_paras AS DOUBLE) AS v2, 0.0 AS v3, 'paragraph' AS kind "
-        f"FROM ({_dedup.paragraph_dedup_sql()})"
+        f"FROM ({_dedup.paragraph_dedup_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, clean_hash AS s1, CAST(n_spans AS DOUBLE) AS v1, "
+        "CAST(span_tokens AS DOUBLE) AS v2, CAST(kept_tokens AS DOUBLE) AS v3, "
+        "'maximal' AS kind "
+        f"FROM ({_dedup.dup_span_maximal_sql()})"
     )
 
 

@@ -221,6 +221,7 @@ def main() -> None:
         # ingest and halves its measured throughput run-to-run (observed
         # 1.44M vs 0.72M pts/s on identical code)
         os.sync()
+        first_runs = []
         try:
             for _ in range(reps):  # min-of-N: an IO hiccup otherwise skews 5x
                 if whsN:  # only the newest warehouse is queried below;
@@ -234,14 +235,34 @@ def main() -> None:
                 wdbN = Database.open(spark, whN)
                 wdbN.write_batch(ptsN, persist=False)
                 runs.append(time.perf_counter() - t0)
+                # cold first call, probed PER REP (r10, VERDICT r9 item
+                # 3): each rep has a fresh warehouse AND a fresh facade,
+                # so both probes pay full file listing + Catalyst
+                # analysis + execution with an empty prepared-plan
+                # cache; min-of-N strips the one-time JVM codegen /
+                # writeback noise that made the r9 single-shot number
+                # swing 1.3 <-> 2.0 s on identical code. (The probe also
+                # pre-warms nothing downstream: the queried warehouse is
+                # the last rep's, whose own probe ran before any warm
+                # timing below.)
+                os.sync()
+                t0 = time.perf_counter()
+                (
+                    wdbN.avg("app.purchase", "user")
+                    .filter("user:9 OR user:8")
+                    .start(entrymod.T_JAN24)
+                    .to_df()
+                    .collect()
+                )
+                first_runs.append(time.perf_counter() - t0)
             ingestN = min(runs)
-            extra[p + "n_points"] = n_points * mult
+            extra[p + "q16_first_call_sec"] = round(min(first_runs), 4)
+            # n_points (= n_points * mult) and scaling-vs-1x (= pps
+            # ratio) are derivable — not recorded, the BENCH tail is
+            # size-limited (VERDICT r9)
             extra[p + "ingest_sec"] = round(ingestN, 4)
             extra[p + "ingest_points_per_sec"] = round(
                 n_points * mult / ingestN, 1
-            )
-            extra[p + "ingest_scaling_vs_1x"] = round(
-                (n_points * mult / ingestN) / extra["ingest_points_per_sec"], 2
             )
 
             # settle dirty-page writeback from the ingest before timing
@@ -253,11 +274,15 @@ def main() -> None:
             # storage efficiency: facts bytes per point (reference: ~10
             # B/point incl. LZ4, README.md:55; zstd + ts-clustered row
             # groups land tighter)
-            fsz = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _dn, fn in os.walk(f"{whN}/points") for f in fn
-            )
-            extra[p + "facts_bytes_per_point"] = round(fsz / (n_points * mult), 2)
+            if mult >= 100:  # the data-dominated regime (the ~10.7
+                # B/point BASELINE contract); small scales pad the tail
+                fsz = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _dn, fn in os.walk(f"{whN}/points") for f in fn
+                )
+                extra[p + "facts_bytes_per_point"] = round(
+                    fsz / (n_points * mult), 2
+                )
             extra[p + "reopen_sec"] = timed(
                 lambda: Database.open(spark, whN), reps=3
             )
@@ -271,16 +296,9 @@ def main() -> None:
                     .collect()
                 )
 
-            # cold first call: plan built from scratch (py4j builder
-            # chatter + Catalyst analysis + execution) — the facade's
-            # prepared-plan cache is empty for this signature
-            t0 = time.perf_counter()
-            q16(entrymod.T_JAN24)
-            extra[p + "q16_first_call_sec"] = round(
-                time.perf_counter() - t0, 4
-            )
             # repeat-query latency: identical builder signature hits the
-            # facade plan cache (the dashboard / monitoring steady state)
+            # facade plan cache (warmed by the per-rep cold probe above
+            # — the dashboard / monitoring steady state)
             extra[p + "q16_warehouse_sec"] = timed(
                 lambda: q16(entrymod.T_JAN24)
             )

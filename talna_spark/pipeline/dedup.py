@@ -709,6 +709,165 @@ def dup_span_clean_sql(k: int = SPAN_K) -> str:
     )
 
 
+SPAN_MIN_TOKENS = 10  # a maximal duplicated run must cover >= this many
+# tokens to be removed (Lee et al. 2022 use >=50 at web scale; the
+# testdata documents are tens of tokens, so the demo threshold is lower)
+
+
+def dup_span_maximal(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SPAN_K,
+    min_tokens: int = SPAN_MIN_TOKENS,
+) -> DataFrame:
+    """Exact-substring dedup at suffix granularity — the published
+    Lee et al. 2022 shape that :func:`dup_span_clean` approximates with
+    fixed k-grams: adjacent duplicated k-grams COALESCE into maximal
+    variable-length duplicated runs, and only runs covering at least
+    ``min_tokens`` tokens are removed. Two documents sharing a 50-token
+    passage therefore dedup as ONE 50-token span (not 46 overlapping
+    grams), while short incidental k-gram collisions below the
+    threshold survive untouched — the behavior the suffix-array variant
+    delivers, expressed over the same id-only shuffles.
+
+    Returns (doc_id, n_spans, span_tokens, kept_tokens, clean_hash):
+    maximal-run count and their total token coverage, surviving token
+    count, and md5 of the space-joined surviving tokens in original
+    order (the oracle proves the reconstructed TEXT).
+
+    100 TB shape: identical to the scan — (doc_id, gram_hash) pairs
+    computed once behind a lazy localCheckpoint, the duplicated set by
+    shuffle join, coverage as one (doc_id)-keyed aggregate; the
+    run-coalescing fold walks each doc's SORTED covered-index array
+    JVM-side (map-only after the aggregate), and text never crosses an
+    Exchange."""
+    if min_tokens < int(k):
+        raise ValueError(
+            f"min_tokens must be >= k ({k}): a duplicated run always "
+            "covers at least one whole k-gram"
+        )
+    d = fan_out(_docs(spark, sf_dir))
+    pos = d.select(
+        "doc_id",
+        F.posexplode(
+            _positional_gram_hashes(tokens(F.col("text")), k)
+        ).alias("p", "h"),
+    ).localCheckpoint(eager=False)
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        pos.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (k - 1))
+            ).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("t")).alias("cov"))
+    )
+    # coalesce consecutive covered indices into maximal runs, keep runs
+    # >= min_tokens: one JVM aggregate() fold per doc over the sorted
+    # array — acc = (rem: removal set so far, run: current open run,
+    # n: closed runs kept). No UDF, no extra shuffle.
+    mt = int(min_tokens)
+    empty_i = F.array().cast("array<int>")
+
+    def _close(rem, run, n):
+        big = F.size(run) >= mt
+        return F.struct(
+            F.when(big, F.concat(rem, run)).otherwise(rem).alias("rem"),
+            empty_i.alias("run"),
+            F.when(big, n + 1).otherwise(n).alias("n"),
+        )
+
+    fold = F.aggregate(
+        F.col("cov"),
+        F.struct(empty_i.alias("rem"), empty_i.alias("run"), F.lit(0).alias("n")),
+        lambda acc, t: F.when(
+            (F.size(acc["run"]) > 0)
+            & (t == F.element_at(acc["run"], -1) + 1),
+            F.struct(
+                acc["rem"].alias("rem"),
+                F.concat(acc["run"], F.array(t)).alias("run"),
+                acc["n"].alias("n"),
+            ),
+        ).otherwise(
+            F.struct(
+                _close(acc["rem"], acc["run"], acc["n"])["rem"].alias("rem"),
+                F.array(t).alias("run"),
+                _close(acc["rem"], acc["run"], acc["n"])["n"].alias("n"),
+            )
+        ),
+        lambda acc: _close(acc["rem"], acc["run"], acc["n"]),
+    )
+    w = tokens(F.col("text"))
+    kept = F.filter(w, lambda x, i: ~F.array_contains(F.col("rem"), i))
+    return (
+        d.join(covered, "doc_id", "left")
+        .withColumn("cov", F.coalesce("cov", empty_i))
+        .withColumn("_f", fold)
+        .withColumn("rem", F.col("_f.rem"))
+        .select(
+            "doc_id",
+            F.col("_f.n").cast("long").alias("n_spans"),
+            F.size("rem").cast("long").alias("span_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            F.md5(F.array_join(kept, " ")).alias("clean_hash"),
+        )
+    )
+
+
+def dup_span_maximal_sql(
+    k: int = SPAN_K, min_tokens: int = SPAN_MIN_TOKENS
+) -> str:
+    """DuckDB twin of :func:`dup_span_maximal`: the classic
+    gaps-and-islands (t - ROW_NUMBER() per doc groups consecutive
+    covered indices) instead of the Spark-side fold — same maximal
+    runs, same threshold, same reconstruction."""
+    w = tokens_sql("text")
+    gh = _positional_gram_hashes_sql(w, k)
+    mt = int(min_tokens)
+    return (
+        f"WITH g AS (SELECT doc_id, {gh} AS gh FROM documents), "
+        "pos AS (SELECT doc_id, i, gh[i] AS h FROM g, "
+        "unnest(generate_series(1, len(gh))) AS u(i)), "
+        "dup AS (SELECT h FROM pos GROUP BY h "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, "
+        f"unnest(generate_series(i - 1, i + {k - 2})) AS t "
+        "FROM pos JOIN dup USING (h)), "
+        "isl AS (SELECT doc_id, t, t - ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY t) AS grp FROM cov), "
+        "runs AS (SELECT doc_id, grp, COUNT(*) AS len FROM isl "
+        "GROUP BY doc_id, grp), "
+        f"big AS (SELECT doc_id, grp, len FROM runs WHERE len >= {mt}), "
+        "rem AS (SELECT i.doc_id, i.t FROM isl i "
+        "JOIN big b ON i.doc_id = b.doc_id AND i.grp = b.grp), "
+        "spans AS (SELECT doc_id, COUNT(*) AS n_spans, "
+        "SUM(len) AS span_tokens FROM big GROUP BY doc_id), "
+        f"toks AS (SELECT doc_id, ({w})[idx] AS tok, idx "
+        f"FROM documents, unnest(generate_series(1, len({w}))) AS s(idx)), "
+        "clean AS (SELECT tk.doc_id, COUNT(*) AS kept, "
+        "string_agg(tk.tok, ' ' ORDER BY tk.idx) AS txt "
+        "FROM toks tk LEFT JOIN rem r "
+        "ON tk.doc_id = r.doc_id AND tk.idx - 1 = r.t "
+        "WHERE r.t IS NULL GROUP BY tk.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans, "
+        "CAST(COALESCE(sp.span_tokens, 0) AS BIGINT) AS span_tokens, "
+        "CAST(COALESCE(cl.kept, 0) AS BIGINT) AS kept_tokens, "
+        "md5(COALESCE(cl.txt, '')) AS clean_hash "
+        "FROM documents d "
+        "LEFT JOIN spans sp ON d.doc_id = sp.doc_id "
+        "LEFT JOIN clean cl ON d.doc_id = cl.doc_id"
+    )
+
+
 # --------------------------------------------- incremental (cross-corpus)
 def dedup_against(
     spark: SparkSession,

@@ -169,6 +169,107 @@ def test_paragraph_dedup_first_occurrence_wins(spark, tmp_path):
         ), f"doc {did} engine mismatch"
 
 
+def test_dup_span_maximal_coalesces_one_span(spark, tmp_path):
+    """The Lee et al. suffix-granularity contract: two docs sharing a
+    50-token passage dedup as ONE maximal 50-token span — not 46
+    overlapping 5-grams — and the reconstruction md5 is exact."""
+    import hashlib
+
+    import duckdb
+
+    from talna_spark.pipeline.dedup import (
+        dup_span_maximal, dup_span_maximal_sql,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(50))  # 50 shared tokens
+    short = "tiny shared bit here five"            # 5 tokens: one 5-gram
+    rows = [
+        (1, f"a1 a2 a3 {shared} a4 a5", "en", "s", 1),
+        (2, f"{shared} b1 b2 b3 b4 b5 b6", "en", "s", 1),
+        (3, f"c1 c2 {short} c3 c4", "en", "s", 1),   # below threshold
+        (4, f"d1 d2 {short} d3 d4", "en", "s", 1),
+        (5, "", "en", "s", 1),
+    ]
+    d = str(tmp_path / "ms")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r
+        for r in dup_span_maximal(spark, d, min_tokens=10).collect()
+    }
+    # ONE coalesced span of exactly 50 tokens in each sharing doc
+    for did, expect_clean in [(1, "a1 a2 a3 a4 a5"), (2, "b1 b2 b3 b4 b5 b6")]:
+        assert got[did]["n_spans"] == 1, got[did]
+        assert got[did]["span_tokens"] == 50
+        assert got[did]["clean_hash"] == hashlib.md5(
+            expect_clean.encode()
+        ).hexdigest()
+    # the 5-token shared run is a real cross-doc duplicate but sits
+    # below min_tokens -> survives untouched (unlike dup_span_clean)
+    for did, txt in [(3, rows[2][1]), (4, rows[3][1])]:
+        assert got[did]["n_spans"] == 0 and got[did]["span_tokens"] == 0
+        assert got[did]["clean_hash"] == hashlib.md5(txt.encode()).hexdigest()
+    assert got[5]["kept_tokens"] == 1  # split('') -> [''] : the empty token
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        row[0]: row
+        for row in con.execute(dup_span_maximal_sql(min_tokens=10)).fetchall()
+    }
+    for did, r in got.items():
+        assert oracle[did] == (
+            did, r["n_spans"], r["span_tokens"], r["kept_tokens"],
+            r["clean_hash"],
+        ), f"doc {did} engine mismatch"
+
+
+def test_dup_span_maximal_multiple_spans_and_validation(spark, tmp_path):
+    """Two disjoint shared passages in one doc produce TWO spans; a
+    min_tokens below k is rejected loudly."""
+    import pytest as _pytest
+
+    from talna_spark.pipeline.dedup import dup_span_maximal
+
+    p1 = " ".join(f"x{i}" for i in range(12))
+    p2 = " ".join(f"y{i}" for i in range(15))
+    rows = [
+        (1, f"{p1} mid1 mid2 mid3 {p2}", "en", "s", 1),
+        (2, f"{p1} other tail", "en", "s", 1),
+        (3, f"lead {p2}", "en", "s", 1),
+    ]
+    d = str(tmp_path / "ms2")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in dup_span_maximal(spark, d, min_tokens=10).collect()
+    }
+    assert got[1]["n_spans"] == 2 and got[1]["span_tokens"] == 27
+    assert got[1]["kept_tokens"] == 3
+    assert got[2]["n_spans"] == 1 and got[2]["span_tokens"] == 12
+    assert got[3]["n_spans"] == 1 and got[3]["span_tokens"] == 15
+
+    with _pytest.raises(ValueError, match="min_tokens"):
+        dup_span_maximal(spark, d, min_tokens=3)
+
+
+def test_dup_span_maximal_text_never_shuffles(spark):
+    # 100 TB contract: no Exchange row carries the text column
+    from talna_spark.pipeline.dedup import dup_span_maximal
+
+    df = dup_span_maximal(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"document text crosses a shuffle: {line}")
+
+
 def test_paragraph_dedup_text_never_shuffles(spark):
     # 100 TB contract: no Exchange row carries the text column
     from talna_spark.pipeline.dedup import paragraph_dedup
