@@ -1246,7 +1246,12 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     v3=copies); `alpha` (r9) = temperature mixture — the same budget
     machinery with weights t_s^0.5 derived from the corpus itself (the
     XLM/mC4 multilingual balancing step; sqrt is correctly rounded in
-    both engines, so the weight is cross-engine exact)."""
+    both engines, so the weight is cross-engine exact); `doremi` (r10)
+    = the same budget machinery under weights LEARNED from the corpus —
+    exp of per-domain mean excess loss between the engine's own
+    unigram (proxy) and bigram (reference) LMs, the one-shot DoReMi
+    core (Xie et al. 2023) — completing hand-tuned -> corpus-shape ->
+    learned."""
     mx = _sampling.mixture_sample(spark, sf_dir).select(
         "doc_id",
         F.col("source").alias("s1"),
@@ -1287,8 +1292,20 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate").cast("double").alias("v3"),
         F.lit("alpha").alias("kind"),
     )
+    do = _sampling.doremi_mixture_sample(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.col("keep_ppm").cast("long").alias("v2"),
+        F.col("rate").cast("double").alias("v3"),
+        F.lit("doremi").alias("kind"),
+    )
     return (
-        mx.unionByName(ds).unionByName(rs).unionByName(up).unionByName(al)
+        mx.unionByName(ds)
+        .unionByName(rs)
+        .unionByName(up)
+        .unionByName(al)
+        .unionByName(do)
     )
 
 
@@ -1312,7 +1329,11 @@ def _x23_mixture_sample_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
         "CAST(keep_ppm AS BIGINT) AS v2, CAST(rate AS DOUBLE) AS v3, "
-        f"'alpha' AS kind FROM ({_sampling.alpha_mixture_sample_sql()})"
+        f"'alpha' AS kind FROM ({_sampling.alpha_mixture_sample_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
+        "CAST(keep_ppm AS BIGINT) AS v2, CAST(rate AS DOUBLE) AS v3, "
+        f"'doremi' AS kind FROM ({_sampling.doremi_mixture_sample_sql()})"
     )
 
 

@@ -109,17 +109,22 @@ def _mix_weight(source_col: F.Column) -> F.Column:
 
 
 def _mix_scaffold(
-    spark: SparkSession, sf_dir: str, weight_col: F.Column | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    weight_col: F.Column | None = None,
+    weights_df: DataFrame | None = None,
 ) -> tuple:
     """Shared front half of the mixture family (sample + upsample +
-    alpha): the tokenized (doc_id, source, n_tokens) projection behind
-    one lazy localCheckpoint, and the per-source frame with weights and
-    corpus/weight totals. Factored so the samplers cannot drift (review
-    r6) — only the rate/weight expressions differ. ``weight_col`` is
-    evaluated over the per-source frame (columns ``source``, ``t_s``)
-    and defaults to the demo source-name weights; it MUST be integer-
-    valued so ``w_all`` is an exact any-order sum (the micro-unit
-    discipline).
+    alpha + doremi): the tokenized (doc_id, source, n_tokens) projection
+    behind one lazy localCheckpoint, and the per-source frame with
+    weights and corpus/weight totals. Factored so the samplers cannot
+    drift (review r6) — only the rate/weight expressions differ.
+    ``weight_col`` is evaluated over the per-source frame (columns
+    ``source``, ``t_s``) and defaults to the demo source-name weights;
+    ``weights_df`` instead broadcast-joins an explicit (source, w_s)
+    frame (the learned-table path — :func:`doremi_mixture_sample`).
+    Either way ``w_s`` MUST be integer-valued so ``w_all`` is an exact
+    any-order sum (the micro-unit discipline).
 
     The checkpoint: the projection feeds BOTH the per-domain totals and
     the final join; without a cut Catalyst re-evaluates the tokenize map
@@ -138,9 +143,12 @@ def _mix_scaffold(
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=False)
     per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
-    if weight_col is None:
-        weight_col = _mix_weight(F.col("source"))
-    per_src = per_src.withColumn("w_s", weight_col)
+    if weights_df is not None:
+        per_src = per_src.join(F.broadcast(weights_df), "source")
+    else:
+        if weight_col is None:
+            weight_col = _mix_weight(F.col("source"))
+        per_src = per_src.withColumn("w_s", weight_col)
     wall = Window.partitionBy(F.lit(1))
     per_src = per_src.withColumn("t_all", F.sum("t_s").over(wall)).withColumn(
         "w_all", F.sum("w_s").over(wall)
@@ -291,6 +299,147 @@ def alpha_mixture_sample_sql() -> str:
     # the Spark side's cast("double") is mirrored exactly.
     return _budget_mixture_sql(
         f"CAST(FLOOR(SQRT(CAST(t_s AS DOUBLE)) * {MIX_RESOLUTION}) AS BIGINT)"
+    )
+
+
+# ----------------------------- DoReMi-lite learned mixture weights (r10)
+DOREMI_TEMP = 1.0  # temperature on the per-domain mean excess loss
+
+
+def doremi_weights(
+    spark: SparkSession, sf_dir: str, temperature: float = DOREMI_TEMP
+) -> DataFrame:
+    """(source, excess_micro, n_docs, w_s): per-domain mixture weights
+    LEARNED from the corpus — the DoReMi idea (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining") reduced to its one-shot excess-loss core: domains
+    where a weak proxy model loses the most versus a stronger reference
+    model have the most learnable signal and gain weight,
+    w_s = floor(exp(mean_excess_nats / T) * 1e6). The proxy/reference
+    pair here is the engine's own LM ladder — unigram
+    :func:`~talna_spark.pipeline.text.lm_score` (proxy) vs interpolated
+    bigram :func:`~talna_spark.pipeline.text.lm_score_bigram`
+    (reference) — so the table needs no external model. (Full DoReMi
+    iterates proxy training under the reweighted mixture; this is the
+    single exponentiated-gradient step that produces a tuned table from
+    fixed losses.)
+
+    Float discipline: each document's excess is quantized to integer
+    micro-nats (round((xent - xent2) * 1e6)) BEFORE the per-domain sum,
+    so the aggregate is an exact int64 sum in any order; the mean is a
+    single int64/int64 division and the only libm call is one exp() per
+    domain. exp is within-1-ulp (not correctly-rounded) in both
+    engines, so — like the pow() note on :func:`alpha_weight_col` — a
+    cross-engine hash gate relies on the floor(x * 1e6) boundary not
+    landing within ~1e-8 of the exp ulp, which holds on the shipped
+    testdata at every SF (verified) and is overwhelmingly likely on any
+    real corpus; production use is unaffected.
+
+    100 TB shape: the LM scorers are the existing token-keyed hash
+    aggregates (their own plans — see lm_score's 100 TB note); on top
+    of them this adds one (doc_id)-keyed join of two doc-sized score
+    frames and ONE #domains-row aggregate. The result is model-sized —
+    it broadcasts into :func:`doremi_mixture_sample`."""
+    from talna_spark.pipeline.text import lm_score, lm_score_bigram
+
+    t = float(temperature)
+    if not t > 0:
+        raise ValueError("temperature must be positive")
+    uni = lm_score(spark, sf_dir).select("doc_id", "xent")
+    bi = lm_score_bigram(spark, sf_dir).select("doc_id", "xent2")
+    src = _docs_src(spark, sf_dir)
+    excess_micro = F.round(
+        (F.col("xent") - F.col("xent2")) * 1_000_000
+    ).cast("long")
+    per_doc = (
+        src.join(uni, "doc_id")
+        .join(bi, "doc_id")
+        .select("source", excess_micro.alias("em"))
+    )
+    mean_nats = F.col("excess_micro") / F.col("n_docs") / 1_000_000.0
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("em").alias("excess_micro"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "source",
+            "excess_micro",
+            "n_docs",
+            F.floor(F.exp(mean_nats / t) * MIX_RESOLUTION)
+            .cast("long")
+            .alias("w_s"),
+        )
+    )
+
+
+def _docs_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+
+
+def doremi_mixture_sample(
+    spark: SparkSession, sf_dir: str, temperature: float = DOREMI_TEMP
+) -> DataFrame:
+    """Budgeted mixture sampling under the LEARNED :func:`doremi_weights`
+    table — identical budget / rate / keep machinery (and the same
+    nested 'mix|' hash stream) as :func:`mixture_sample`; only the
+    weight source changes, completing the mixture family's progression
+    hand-tuned -> corpus-shape (alpha) -> learned (doremi).
+
+    100 TB shape: the weight table is #domains rows and broadcast-joins
+    into the scaffold; everything else is mixture_sample's plan — one
+    tiny aggregate, rates broadcast back, map-side integer ppm compare,
+    zero corpus shuffle beyond the LM scorers' own token aggregates."""
+    w = doremi_weights(spark, sf_dir, temperature).select("source", "w_s")
+    d, per_src = _mix_scaffold(spark, sf_dir, weights_df=w)
+    return _budget_mixture(d, per_src)
+
+
+def doremi_mixture_sample_sql(temperature: float = DOREMI_TEMP) -> str:
+    """DuckDB twin of :func:`doremi_mixture_sample`: the lm_score /
+    lm_score_bigram oracle SQL as CTE bodies (a CTE body may itself be
+    a WITH query), the identical micro-nat excess aggregate, and the
+    shared budget machinery."""
+    from talna_spark.pipeline.portable import hash64_sql, tokens_sql
+    from talna_spark.pipeline.text import lm_score_bigram_sql, lm_score_sql
+
+    t = float(temperature)
+    w = tokens_sql("text")
+    keep = hash64_sql("'mix|' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH lm1 AS ({lm_score_sql()}), "
+        f"lm2 AS ({lm_score_bigram_sql()}), "
+        "exc AS (SELECT d0.source, "
+        "SUM(CAST(ROUND((lm1.xent - lm2.xent2) * 1000000) AS BIGINT)) "
+        "AS excess_micro, COUNT(*) AS n_docs "
+        "FROM documents d0 JOIN lm1 USING (doc_id) JOIN lm2 USING (doc_id) "
+        "GROUP BY d0.source), "
+        "wts AS (SELECT source, CAST(FLOOR(EXP("
+        f"excess_micro / n_docs / 1000000.0 / {t}) * {MIX_RESOLUTION}) "
+        "AS BIGINT) AS w_s FROM exc), "
+        # dm, not d: lm_score_bigram_sql's nested WITH also names a CTE
+        # `d`, and DuckDB binds CTE names across scopes — a same-named
+        # outer CTE captures the inner body's references (observed:
+        # `FROM d` inside lm2 resolved to the OUTER d and lost column w)
+        f"dm AS MATERIALIZED (SELECT doc_id, source, "
+        f"CAST(len({w}) AS BIGINT) AS n_tokens FROM documents), "
+        "per_src AS (SELECT source, SUM(n_tokens) AS t_s "
+        "FROM dm GROUP BY source), "
+        "ps AS (SELECT p.source, p.t_s, w.w_s FROM per_src p "
+        "JOIN wts w USING (source)), "
+        "tot AS (SELECT SUM(t_s) AS t_all, SUM(w_s) AS w_all FROM ps), "
+        "rates AS (SELECT source, t_s, w_s, "
+        f"CAST(FLOOR(LEAST(1.0, CAST(FLOOR(t_all * {MIX_BUDGET_FRACTION}) "
+        "AS BIGINT) * 1.0 * w_s / w_all / t_s) "
+        f"* {MIX_RESOLUTION}) AS BIGINT) AS keep_ppm "
+        "FROM ps CROSS JOIN tot) "
+        "SELECT dm.doc_id, dm.source, dm.n_tokens, r.keep_ppm, "
+        "ROUND(r.keep_ppm / 1000000.0, 6) AS rate "
+        "FROM dm JOIN rates r ON dm.source = r.source "
+        f"WHERE {keep} % {MIX_RESOLUTION} < r.keep_ppm"
     )
 
 

@@ -204,6 +204,75 @@ def test_alpha_mixture_matches_duckdb_oracle(spark):
     assert got == want
 
 
+def test_doremi_high_excess_domain_gains_weight(spark, tmp_path):
+    """The DoReMi semantic contract: a domain whose text is much more
+    predictable under the bigram reference than the unigram proxy
+    (high excess loss = learnable structure) earns a HIGHER weight and
+    keep-rate than a word-salad domain of the same size."""
+    from talna_spark.pipeline.sampling import (
+        doremi_mixture_sample,
+        doremi_weights,
+    )
+
+    # Both domains share ONE 20-word vocabulary, so the unigram proxy
+    # sees them identically; only word ORDER differs. structured walks
+    # the same chain every doc (bigrams near-deterministic -> the
+    # bigram reference wins big -> high excess); salad scrambles the
+    # order per doc (each bigram ~unique -> the reference gains nothing
+    # -> low/negative excess). Seeded shuffle: fixture-determinism.
+    import random
+
+    words = [f"w{i}" for i in range(20)]
+    chain = " ".join(words)
+    rows = []
+    for i in range(12):
+        rows.append((i, chain, "en", "structured", 1))
+        shuffled = words[:]
+        random.Random(i).shuffle(shuffled)
+        rows.append((100 + i, " ".join(shuffled), "en", "salad", 1))
+    d = str(tmp_path / "doremi")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    w = {r["source"]: r for r in doremi_weights(spark, d).collect()}
+    assert w["structured"]["excess_micro"] > w["salad"]["excess_micro"]
+    assert w["structured"]["w_s"] > w["salad"]["w_s"]
+
+    kept = doremi_mixture_sample(spark, d).collect()
+    ppm = {r["source"]: r["keep_ppm"] for r in kept}
+    # equal-size domains, so the higher weight is visible in the rate
+    # unless both cap at 1.0 — this corpus leaves headroom (budget 50%)
+    assert ppm["structured"] > ppm["salad"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="temperature"):
+        doremi_weights(spark, d, temperature=0.0)
+
+
+def test_doremi_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from talna_spark.pipeline.sampling import (
+        doremi_mixture_sample,
+        doremi_mixture_sample_sql,
+    )
+
+    got = sorted(map(tuple, doremi_mixture_sample(spark, SF).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF}/documents.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(doremi_mixture_sample_sql()).fetchall())
+    )
+    con.close()
+    assert got == want
+    assert len(got) > 0
+
+
 def test_x01_text_signals_slices(spark):
     """The consolidated registration carries all six signals with the
     documented null-pattern per slice."""
