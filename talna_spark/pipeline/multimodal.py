@@ -87,16 +87,19 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             raise NotImplementedError(
                 f"decoder for {media_type!r} not available in this environment "
-                "(remaining STUB seam, narrowed r9: the MPEG synthesis "
-                "filterbank WINDOW — spec table B.3's 512 coefficients are "
-                "data with no closed form — plus the Layer II allocation- "
-                "class and Layer III/AAC Huffman tables. Everything up to "
-                "the filterbank is real: Layer I frames decode to exact "
-                "requantized subband samples (layer1_decode_payloads), MP3 "
-                "frame metadata walks (mp3_meta), and FLAC covers the "
-                "entropy-coded audio family end-to-end. Other real legs on "
-                "this seam: WAV, BMP, PNG, JPEG, GIF, AVI, MJPEG-in-AVI, "
-                "PDF — see the *_decode_payloads functions)"
+                "(remaining STUB seam, narrowed again r10: ONLY the table "
+                "B.3 window DATA — 512 published spec coefficients with no "
+                "closed form, unfetchable without network; vendor them at "
+                "sources/mpeg_dewindow.dat per load_dewindow() — plus the "
+                "Layer II allocation-class and Layer III/AAC Huffman "
+                "tables. The synthesis filterbank CODE itself is now real "
+                "and tested (layer1_pcm_payloads: cosine matrixing, V "
+                "FIFO, windowing, overlap-add), Layer I frames decode to "
+                "exact requantized subband samples (layer1_decode_"
+                "payloads), MP3 frame metadata walks (mp3_meta), and FLAC "
+                "covers the entropy-coded audio family end-to-end. Other "
+                "real legs on this seam: WAV, BMP, PNG, JPEG, GIF, AVI, "
+                "MJPEG-in-AVI, PDF — see the *_decode_payloads functions)"
             )
 
         for pdf in batches:
@@ -3308,3 +3311,249 @@ def layer1_decode_sql() -> str:
         "AS mean_amp, "
         "CAST(cks AS BIGINT) AS checksum FROM agg"
     )
+
+
+# ---------------- MPEG-1 synthesis filterbank (r10, VERDICT r9 item 4)
+# The COMPLETE ISO 11172-3 §2.4.3.2 decoder synthesis: 32 -> 64 cosine
+# matrixing (closed form: N[i][k] = cos((16+i)(2k+1)pi/64)), the 1024-
+# value V FIFO, the U re-ordering, windowing by the 512-coefficient
+# table B.3 window D, and the 16-tap overlap-add to 32 PCM samples per
+# granule. ALL of the code is real and parity-tested (delta-window
+# probes isolate individual FIFO segments; a synthetic full window
+# checks the whole pipeline against an independent pure-Python
+# transcription of the spec pseudo-code — tests/test_multimodal.py).
+# Only the table B.3 DATA remains a seam: the 512 coefficients are spec
+# data with no closed form, this container has no network to fetch the
+# published table, and inventing them would yield PCM wrong against
+# every real decoder. Vendor it exactly like the PSL snapshot:
+# drop the published table (e.g. the ISO reference decoder's dewindow
+# array) into sources/mpeg_dewindow.dat — one float per line, '#'
+# comments for the provenance header — and load_dewindow()/
+# layer1_pcm_payloads(window=None) pick it up with no code change.
+
+_DEWINDOW_N = 512
+
+
+def load_dewindow(path: str | None = None) -> tuple:
+    """Load the vendored ISO 11172-3 table B.3 synthesis window.
+    Default path: ``talna_spark/sources/mpeg_dewindow.dat`` (one float
+    per line; ``#`` starts a comment — put the provenance header
+    there, the PSL precedent). Raises ``NotImplementedError`` with
+    vendor instructions while the file is absent, and ``ValueError``
+    on a malformed file (wrong count / non-floats) — a bad vendored
+    table must fail loudly, not synthesize garbage PCM."""
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..",
+            "sources",
+            "mpeg_dewindow.dat",
+        )
+    if not os.path.exists(path):
+        raise NotImplementedError(
+            "ISO 11172-3 table B.3 synthesis window not vendored: the 512 "
+            "coefficients are published spec data with no closed form and "
+            "this environment has no network to fetch them. To close the "
+            "seam, place the published table (e.g. the ISO reference "
+            "decoder's dewindow array) at talna_spark/sources/"
+            "mpeg_dewindow.dat — one float per line, '#' comments for the "
+            "provenance header. All synthesis CODE (matrixing, V FIFO, "
+            "windowing, overlap-add) is already implemented and tested."
+        )
+    vals = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                vals.append(float(line))
+    if len(vals) != _DEWINDOW_N:
+        raise ValueError(
+            f"table B.3 window must have {_DEWINDOW_N} coefficients, "
+            f"got {len(vals)} in {path}"
+        )
+    return tuple(vals)
+
+
+LAYER1_PCM_SCHEMA = (
+    "doc_id long, media_type string, n_frames long, n_pcm long, "
+    "peak_micro long, pcm_checksum long"
+)
+
+
+def layer1_pcm(
+    spark: SparkSession, sf_dir: str, window: "tuple | None" = None
+) -> DataFrame:
+    return layer1_pcm_payloads(
+        layer1_media_table(spark, sf_dir), window=window
+    )
+
+
+def layer1_pcm_payloads(
+    media: DataFrame, window: "tuple | None" = None
+) -> DataFrame:
+    """Layer I streams -> PCM: the frame walk + requantization of
+    :func:`layer1_decode_payloads` followed by the full §2.4.3.2
+    synthesis filterbank. Per granule: matrix the 32 requantized
+    subband samples into 64 values (closed-form cosine matrix), shift
+    them into the 1024-value V FIFO, re-order into U, window by D, and
+    overlap-add 16 taps into 32 PCM samples. Returns (doc_id,
+    media_type, n_frames, n_pcm, peak_micro, pcm_checksum) with PCM
+    quantized to integer micro-units (half-away) before the positional
+    checksum — the exact-integer discipline of every codec leg.
+
+    ``window``: the 512-tap synthesis window; ``None`` loads the
+    vendored table B.3 via :func:`load_dewindow` (raising loudly until
+    it is vendored). Tests inject delta/synthetic windows to pin the
+    filterbank's every stage without the spec data.
+
+    100 TB shape: identical to layer1_decode_payloads — Arrow
+    mapInPandas, one stream per row, bounded by the frame walk; the
+    filterbank is O(32*64 + 512) flops per granule with the cosine
+    matrix built once per Python worker."""
+    win = tuple(
+        float(x)
+        for x in (window if window is not None else load_dewindow())
+    )
+    if len(win) != _DEWINDOW_N:
+        raise ValueError(f"window must have {_DEWINDOW_N} taps")
+
+    def _syn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def away(v: float) -> int:
+            return int(math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1))
+
+        # closed-form matrixing coefficients (ISO 11172-3 §2.4.3.2):
+        # N[i][k] = cos((16 + i) * (2k + 1) * pi / 64), i<64, k<32
+        N = [
+            [
+                math.cos((16 + i) * (2 * k + 1) * math.pi / 64.0)
+                for k in range(32)
+            ]
+            for i in range(64)
+        ]
+
+        def parse_granules(blob: bytes):
+            """Frame walk identical to layer1_decode_payloads.parse
+            (inlined: executor workers cannot import talna_spark),
+            yielding each granule's 32 requantized subband samples."""
+            pos = 0
+            total_bits = len(blob) * 8
+
+            def get(n: int) -> int:
+                nonlocal pos
+                if pos + n > total_bits:
+                    raise ValueError("Layer I stream truncated")
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | ((blob[pos >> 3] >> (7 - (pos & 7))) & 1)
+                    pos += 1
+                return v
+
+            _KBPS = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                     352, 384, 416, 448)
+            _FS = (44100, 48000, 32000)
+            n_frames = 0
+            granules = []
+            while pos < total_bits:
+                if total_bits - pos < 32:
+                    if any(blob[pos >> 3 :]):
+                        raise ValueError("trailing garbage after frames")
+                    break
+                if get(12) != 0xFFF:
+                    raise ValueError("bad sync word")
+                if get(1) != 1:
+                    raise ValueError("not MPEG-1")
+                if get(2) != 0b11:
+                    raise ValueError("not Layer I")
+                get(1)
+                bri = get(4)
+                fsi = get(2)
+                if bri in (0, 15) or fsi == 3:
+                    raise ValueError("bad bitrate/samplerate index")
+                pad = get(1)
+                get(1)
+                if get(2) != 0b11:
+                    raise ValueError("only mono streams supported")
+                get(6)
+                br, sr = _KBPS[bri], _FS[fsi]
+                frame_start_bit = pos - 32
+                frame_bits = ((12 * br * 1000 // sr) + pad) * 32
+                allocs = []
+                for _sb in range(32):
+                    a = get(4)
+                    if a == 15:
+                        raise ValueError("forbidden allocation code 15")
+                    allocs.append(a + 1 if a else 0)
+                scf = [get(6) if nb else None for nb in allocs]
+                for _s in range(12):
+                    S = [0.0] * 32
+                    for sb in range(32):
+                        nb = allocs[sb]
+                        if not nb:
+                            continue
+                        c = get(nb)
+                        if c == (1 << nb) - 1:
+                            raise ValueError("forbidden all-ones sample")
+                        sf = 2.0 * 2.0 ** (-scf[sb] / 3.0)
+                        S[sb] = sf * (
+                            ((1 << nb) / ((1 << nb) - 1.0))
+                            * ((c + 1) * 2.0 ** (1 - nb) - 1.0)
+                        )
+                    granules.append(S)
+                pos = frame_start_bit + frame_bits
+                n_frames += 1
+            if n_frames == 0:
+                raise ValueError("no Layer I frames")
+            return n_frames, granules
+
+        def synth(blob: bytes):
+            n_frames, granules = parse_granules(blob)
+            V = [0.0] * 1024
+            U = [0.0] * 512
+            peak = 0
+            checksum = 0
+            idx = 0
+            for S in granules:
+                # shift the FIFO by 64 and matrix the new granule in
+                V[64:] = V[:960]
+                for i in range(64):
+                    Ni = N[i]
+                    acc = 0.0
+                    for k in range(32):
+                        acc += Ni[k] * S[k]
+                    V[i] = acc
+                # build U from alternating half-segments of V
+                for seg in range(8):
+                    b0, v0 = seg * 64, seg * 128
+                    U[b0 : b0 + 32] = V[v0 : v0 + 32]
+                    U[b0 + 32 : b0 + 64] = V[v0 + 96 : v0 + 128]
+                # window and 16-tap overlap-add -> 32 PCM samples
+                for j in range(32):
+                    acc = 0.0
+                    for t in range(16):
+                        p = j + 32 * t
+                        acc += U[p] * win[p]
+                    m = away(acc * 1e6)
+                    if abs(m) > peak:
+                        peak = abs(m)
+                    checksum += m * (idx + 1)
+                    idx += 1
+            return n_frames, idx, peak, checksum
+
+        for pdf in batches:
+            rows = [synth(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_frames": [r[0] for r in rows],
+                    "n_pcm": [r[1] for r in rows],
+                    "peak_micro": [r[2] for r in rows],
+                    "pcm_checksum": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_syn, schema=LAYER1_PCM_SCHEMA)
