@@ -342,12 +342,26 @@ def pack_token_ids(
     only shuffle carrying token ids — int64 rows, ~8 bytes/token, the
     unavoidable materialization cost of emitting tensors at all; the
     concat is a JVM flatten over doc_id-sorted member structs, no
-    Python."""
-    from talna_spark.pipeline.bpe import bpe_encode_ids
+    Python.
 
-    enc = bpe_encode_ids(spark, sf_dir, merges, mode=mode).localCheckpoint(
-        eager=False
-    )
+    ``mode="unigram"`` (r10) emits ids under a trained unigram model
+    instead (``merges`` then carries the ``[(piece, logp)]`` model;
+    ids = sorted-model index, pipeline.unigram.unigram_encode_ids) —
+    the tensor path for the other tokenizer family, same plan shape."""
+    if mode == "unigram":
+        from talna_spark.pipeline.unigram import unigram_encode_ids
+
+        enc = (
+            unigram_encode_ids(spark, sf_dir, merges)
+            .withColumnRenamed("n_unigram_tokens", "n_bpe_tokens")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        from talna_spark.pipeline.bpe import bpe_encode_ids
+
+        enc = bpe_encode_ids(
+            spark, sf_dir, merges, mode=mode
+        ).localCheckpoint(eager=False)
     assign = pack_assign_lengths(
         enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
         budget=budget,

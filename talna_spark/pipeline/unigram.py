@@ -330,3 +330,82 @@ def unigram_encode(
             "compression double"
         ),
     )
+
+
+# ------------------------------------------------------- token-id encode
+# Closed-form id scheme (the bpe.MERGE_ID_BASE discipline): a piece's id
+# is its index in the SORTED model (the model list IS the vocab — ids
+# are invertible given the model), and an out-of-vocabulary single char
+# takes UNK_ID_BASE + codepoint, a range that sits above any realistic
+# vocabulary so the classes cannot collide.
+UNK_ID_BASE = 4_194_304  # 2^22
+
+
+def unigram_encode_ids(
+    spark: SparkSession, sf_dir: str, model: Model
+) -> DataFrame:
+    """(doc_id, n_unigram_tokens, ids array<long>): the actual token-id
+    sequence per document under the trained unigram model — what a
+    training loader consumes. Same Viterbi loop and per-distinct-word
+    cache as :func:`unigram_encode` (whose token counts this agrees
+    with by construction — tested), same Arrow map-only shape: the
+    piece table and the id scheme live in the closure, no shuffle, no
+    vocab broadcast. Unseen characters encode as UNK_ID_BASE +
+    codepoint, so the id stream is total and still invertible."""
+    pieces = {p: float(lp) for p, lp in model}
+    pid = {p: i for i, (p, _lp) in enumerate(sorted(model))}
+    ml = max((len(p) for p in pieces), default=1)
+    unk = UNK_LOGP
+    unk_base = UNK_ID_BASE
+    if len(pid) >= unk_base:
+        raise ValueError("vocabulary too large for the UNK id range")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(w):
+            got = cache.get(w)
+            if got is not None:
+                return got
+            n = len(w)
+            best = [0.0] + [float("-inf")] * n
+            back = [0] * (n + 1)
+            for j in range(1, n + 1):
+                for i in range(max(0, j - ml), j):
+                    p = pieces.get(w[i:j])
+                    if p is None and j - i == 1:
+                        p = unk
+                    if p is not None and best[i] + p > best[j]:
+                        best[j] = best[i] + p
+                        back[j] = i
+            segs = []
+            j = n
+            while j > 0:
+                i = back[j]
+                segs.append(w[i:j])
+                j = i
+            segs.reverse()
+            out = [
+                pid[p] if p in pid else unk_base + ord(p) for p in segs
+            ]
+            cache[w] = out
+            return out
+
+        for pdf in batches:
+            rows = []
+            for did, cell in zip(pdf["doc_id"], pdf["words"]):
+                ids: list[int] = []
+                ws = [w for w in cell if w] if cell is not None else []
+                for w in ws:
+                    ids.extend(word_ids(w))
+                rows.append((int(did), len(ids), ids))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_unigram_tokens", "ids"]
+            )
+
+    return d.mapInPandas(
+        _enc, schema="doc_id long, n_unigram_tokens long, ids array<long>"
+    )

@@ -229,3 +229,60 @@ def test_unigram_train_validation(spark, corpus_dir):
         unigram_train(spark, d, vocab_size=0)
     with pytest.raises(ValueError, match="shrink"):
         unigram_train(spark, d, shrink=1.5)
+
+
+def test_unigram_encode_ids_matches_reference_segmentation(spark, corpus_dir):
+    from talna_spark.pipeline.unigram import (
+        UNK_ID_BASE, unigram_encode, unigram_encode_ids, unigram_train,
+    )
+
+    d, texts = corpus_dir
+    model = unigram_train(spark, d, vocab_size=40)
+    logp = dict(model)
+    pid = {p: i for i, (p, _l) in enumerate(sorted(model))}
+    max_len = max(len(p) for p in logp)
+    got = {
+        r["doc_id"]: r
+        for r in unigram_encode_ids(spark, d, model).collect()
+    }
+    enc = {
+        r["doc_id"]: r for r in unigram_encode(spark, d, model).collect()
+    }
+    for doc_id, t in enumerate(texts):
+        want = []
+        for w in t.lower().strip().split():
+            if w:
+                for p in _ref_viterbi(w, logp, max_len):
+                    want.append(
+                        pid[p] if p in pid else UNK_ID_BASE + ord(p)
+                    )
+        assert list(got[doc_id]["ids"]) == want, doc_id
+        # agrees with the count encoder by construction
+        assert got[doc_id]["n_unigram_tokens"] == enc[doc_id]["n_unigram_tokens"]
+    # every in-vocab id is invertible back to its piece
+    inv = {i: p for p, i in pid.items()}
+    for r in got.values():
+        for i in r["ids"]:
+            assert i in inv or i >= UNK_ID_BASE
+
+
+def test_pack_token_ids_unigram_mode(spark, corpus_dir):
+    from talna_spark.pipeline.packing import pack_token_ids
+    from talna_spark.pipeline.unigram import unigram_encode_ids, unigram_train
+
+    d, _texts = corpus_dir
+    model = unigram_train(spark, d, vocab_size=40)
+    packs = pack_token_ids(
+        spark, d, model, budget=32, n_shards=4, mode="unigram"
+    ).collect()
+    enc = unigram_encode_ids(spark, d, model).collect()
+    # token conservation through the tensor path
+    assert sum(r["n_tokens"] for r in packs) == sum(
+        r["n_unigram_tokens"] for r in enc
+    )
+    assert sum(len(r["ids"]) for r in packs) == sum(
+        len(r["ids"]) for r in enc
+    )
+    for r in packs:
+        assert r["oversize"] or r["n_tokens"] <= 32
+        assert len(r["ids"]) == r["n_tokens"]
