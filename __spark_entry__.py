@@ -1400,18 +1400,21 @@ _EXT["x12_embedding_near_dup"] = (_x12_embedding_near_dup, _x12_embedding_near_d
 
 
 def _x11_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN registration, three `kind` slices on the shared
+    """ANN registration, four `kind` slices on the shared
     (query_id, neighbor_id, rank, cos) schema: ``ivf`` = inverted-file
     probe (scan work ~ nprobe/N_CLUSTERS), ``pq`` = product-quantized
     search (Jégou et al. 2011: corpus compressed to PQ_M codebook codes,
     asymmetric exact-query-vs-reconstruction cosine), ``ivfpq`` = the
     composed production index (r10: ADC over PQ codes restricted to the
-    query's nprobe probed IVF clusters — FAISS ``IVFPQ``) — each
-    oracle-checked including ranks."""
+    query's nprobe probed IVF clusters — FAISS ``IVFPQ``), ``sq8`` =
+    8-bit scalar quantization (r10: per-vector affine codes, ~8x
+    compression, the FAISS SQ8 fidelity point between exact and PQ) —
+    each oracle-checked including ranks."""
     ivf = _sim.ivf_topk(spark, sf_dir).withColumn("kind", F.lit("ivf"))
     pq = _sim.pq_topk(spark, sf_dir).withColumn("kind", F.lit("pq"))
     ivfpq = _sim.ivfpq_topk(spark, sf_dir).withColumn("kind", F.lit("ivfpq"))
-    return ivf.unionByName(pq).unionByName(ivfpq)
+    sq8 = _sim.sq8_topk(spark, sf_dir).withColumn("kind", F.lit("sq8"))
+    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(sq8)
 
 
 def _x11_ann_sql() -> str:
@@ -1420,7 +1423,9 @@ def _x11_ann_sql() -> str:
         "UNION ALL "
         f"SELECT *, 'pq' AS kind FROM ({_sim.pq_topk_sql()}) "
         "UNION ALL "
-        f"SELECT *, 'ivfpq' AS kind FROM ({_sim.ivfpq_topk_sql()})"
+        f"SELECT *, 'ivfpq' AS kind FROM ({_sim.ivfpq_topk_sql()}) "
+        "UNION ALL "
+        f"SELECT *, 'sq8' AS kind FROM ({_sim.sq8_topk_sql()})"
     )
 
 

@@ -594,6 +594,111 @@ def ivfpq_topk_sql(nprobe: int = IVFPQ_NPROBE) -> str:
     )
 
 
+# --------------------------------- scalar quantization (SQ8, r10)
+SQ8_LEVELS = 255  # 8-bit codes 0..255
+
+
+def _sq8_scaled(e: DataFrame) -> DataFrame:
+    """(vec_id, v, vmin, scale): per-vector quantization range — scale =
+    (max - min) / 255, the FAISS ``SQ8`` per-vector affine scheme."""
+    return e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("vmin"),
+        ((F.array_max("v") - F.array_min("v")) / SQ8_LEVELS).alias("scale"),
+    )
+
+
+def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vmin, scale, codes array<int>): 8-bit scalar-quantized
+    embeddings — the storage artifact of an SQ8 index (FAISS
+    ``ScalarQuantizer`` QT_8bit): each dimension rounds to its level in
+    the vector's own [min, max] range, so a float64 vector stores as
+    d bytes + two doubles (~8x smaller). Constant vectors (scale 0)
+    encode as all-zero codes. Map-only, no shuffle."""
+    s = _sq8_scaled(_emb(spark, sf_dir))
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(
+            F.round((x - F.col("vmin")) / F.col("scale"), 0).cast("int")
+        ),
+    )
+    return s.select("vec_id", "vmin", "scale", codes.alias("codes"))
+
+
+def _sq8_recon(e: DataFrame) -> DataFrame:
+    """(vec_id, rv): dequantized vectors. The fused projection
+    vmin + round((x-vmin)/scale) * scale is bit-identical to
+    encode -> decode (codes are integral doubles <= 255, exact through
+    the int cast — tested), so search semantics ARE
+    search-over-the-stored-codes while the plan stays one map stage."""
+    s = _sq8_scaled(e)
+    rv = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.col("vmin")).otherwise(
+            F.col("vmin")
+            + F.round((x - F.col("vmin")) / F.col("scale"), 0)
+            * F.col("scale")
+        ),
+    )
+    return s.select("vec_id", rv.alias("rv"))
+
+
+def sq8_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
+    """ANN over the SQ8-compressed corpus: exact queries score against
+    dequantized corpus vectors (asymmetric, the pq_topk convention).
+    Completes the production quantization ladder — PQ (codebook,
+    ~64x), SQ8 (affine, ~8x, higher fidelity), and composed IVF-PQ —
+    each oracle-checked including ranks.
+
+    100 TB shape: identical to brute force — broadcast queries over a
+    map-side dequant projection of the stored code table; only
+    (ids, score) rows enter the two-phase top-k shuffle. The win is the
+    8x smaller scan (and at cluster scale, codes living in memory)."""
+    e = _emb(spark, sf_dir)
+    recon = _sq8_recon(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = recon.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.round(cosine(F.col("qv"), F.col("rv")), 6) + F.lit(0.0)).alias(
+            "cos"
+        ),
+    )
+    return _per_query_topk(pairs, k)
+
+
+def sq8_topk_sql() -> str:
+    """DuckDB twin of :func:`sq8_topk`: same per-vector affine range,
+    same fused round-and-rescale projection, same asymmetric cosine."""
+    lv = SQ8_LEVELS
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "s AS (SELECT vec_id, v, list_min(v) AS vmin, "
+        f"(list_max(v) - list_min(v)) / {lv} AS scale FROM e), "
+        "r AS (SELECT vec_id, CASE WHEN scale = 0 "
+        "THEN list_transform(v, x -> vmin) "
+        "ELSE list_transform(v, x -> vmin + ROUND((x - vmin) / scale, 0) "
+        "* scale) END AS rv FROM s), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e "
+        f"WHERE vec_id < {N_QUERIES}), "
+        "pairs AS (SELECT query_id, r.vec_id AS neighbor_id, "
+        "(ROUND(list_cosine_similarity(qv, rv), 6) + 0) AS cos "
+        "FROM r CROSS JOIN q WHERE r.vec_id <> q.query_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+        "FROM pairs) "
+        f"SELECT query_id, neighbor_id, rank, cos FROM ranked "
+        f"WHERE rank <= {PQ_TOP_K}"
+    )
+
+
 # ---------------------------------------------------- k-means training
 def _sq_l2(a, b) -> "F.Column":
     return F.aggregate(

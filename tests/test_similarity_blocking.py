@@ -478,3 +478,68 @@ def test_srp_embed_dim_bounds(spark):
         srp_embed_documents(spark, "/root/testdata/sf0.001", dim=0)
     with _pt.raises(ValueError):
         srp_embed_documents(spark, "/root/testdata/sf0.001", dim=61)
+
+
+def test_sq8_codes_in_range_and_bounded_error(spark):
+    """SQ8 storage contract: every code in [0, 255]; every dequantized
+    dimension within scale/2 of the original (the affine scheme's
+    half-level bound); constant vectors guarded (scale 0 -> code 0)."""
+    from talna_spark.pipeline.similarity import sq8_encode
+
+    sf = "/root/testdata/sf0.001"
+    enc = sq8_encode(spark, sf).collect()
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    assert len(enc) == len(emb)
+    for r in enc:
+        v = emb[r["vec_id"]]
+        assert all(0 <= c <= 255 for c in r["codes"])
+        s = r["scale"]
+        for x, c in zip(v, r["codes"]):
+            recon = r["vmin"] + c * s
+            assert abs(recon - x) <= (s / 2 if s else 0) + 1e-12
+
+
+def test_sq8_fused_recon_equals_encode_decode(spark):
+    """The search projection must BE search-over-the-stored-codes:
+    vmin + code * scale from sq8_encode equals the fused _sq8_recon
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.similarity import _emb, _sq8_recon, sq8_encode
+
+    sf = "/root/testdata/sf0.001"
+    fused = {
+        r["vec_id"]: list(r["rv"])
+        for r in _sq8_recon(_emb(spark, sf)).collect()
+    }
+    dec = sq8_encode(spark, sf).select(
+        "vec_id",
+        F.transform(
+            "codes",
+            lambda c: F.col("vmin")
+            + c.cast("double") * F.col("scale"),
+        ).alias("rv"),
+    )
+    for r in dec.collect():
+        assert list(r["rv"]) == fused[r["vec_id"]], r["vec_id"]
+
+
+def test_sq8_topk_recall_and_score_bound(spark):
+    """8-bit affine quantization is high-fidelity: each query's SQ8
+    top-3 should strongly overlap its brute-force top-5."""
+    from talna_spark.pipeline.similarity import brute_force_topk, sq8_topk
+
+    sf = "/root/testdata/sf0.001"
+    bf = {}
+    for r in brute_force_topk(spark, sf).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    sq = {}
+    for r in sq8_topk(spark, sf).collect():
+        sq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(sq) == set(bf)
+    recalls = [len(sq[q] & bf[q]) / 3 for q in sq]
+    # SQ8 keeps far more signal than PQ's 1/3 floor
+    assert sum(recalls) / len(recalls) >= 2 / 3, recalls
