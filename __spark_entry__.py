@@ -915,7 +915,7 @@ _EXT["x19_codecs"] = (_x19_codecs, _x19_codecs_sql())
 
 
 def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The seven text-analysis operators (pipeline.text) as `kind`
+    """The nine text-analysis operators (pipeline.text) as `kind`
     slices of one registration on a normalized
     (doc_id, s1, s2, v1, v2, v3) schema (all map-only except
     langid_learned, whose hash-aggs carry id rows only):
@@ -938,7 +938,11 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
       chunking of long documents (the dual of FFD packing) — MULTIPLE
       rows per doc: s1=md5 of the chunk text (pins window placement,
       overlap and reassembly byte-for-byte), v1=chunk_idx,
-      v2=n_chunk_tokens.
+      v2=n_chunk_tokens;
+    - ``script`` (r10): dominant Unicode script (ISO 15924-style
+      routing, the pre-language-ID step) — s1=script name ('none' when
+      no scripted chars), v1=script_chars, v2=scripted_chars,
+      v3=dominance ratio.
     """
 
     def norm(df, s1, s2, v1, v2, v3, kind):
@@ -999,10 +1003,16 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx"), F.col("n_tokens"), F.lit(0.0),
         "chunk",
     )
+    scr = norm(
+        _text.script_id(spark, sf_dir),
+        F.col("script"), nul,
+        F.col("script_chars"), F.col("scripted_chars"),
+        F.col("script_ratio"), "script",
+    )
     return (
         tok.unionByName(qua).unionByName(lid).unionByName(lil)
         .unionByName(fpr).unionByName(uni).unionByName(red)
-        .unionByName(chk)
+        .unionByName(chk).unionByName(scr)
     )
 
 
@@ -1045,7 +1055,13 @@ def _x01_text_signals_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, md5(chunk_text) AS s1, CAST(NULL AS VARCHAR) AS s2, "
         "CAST(chunk_idx AS DOUBLE) AS v1, CAST(n_tokens AS DOUBLE) AS v2, "
-        f"0.0 AS v3, 'chunk' AS kind FROM ({_chunk_sql()})"
+        f"0.0 AS v3, 'chunk' AS kind FROM ({_chunk_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, script AS s1, CAST(NULL AS VARCHAR) AS s2, "
+        "CAST(script_chars AS DOUBLE) AS v1, "
+        "CAST(scripted_chars AS DOUBLE) AS v2, "
+        "CAST(script_ratio AS DOUBLE) AS v3, 'script' AS kind "
+        f"FROM ({_text.script_id_sql()})"
     )
 
 

@@ -1220,6 +1220,124 @@ def unicode_signals_sql() -> str:
     )
 
 
+# ------------------------------------------------- script detection (r10)
+# Unicode script ranges (BMP; name -> inclusive codepoint ranges). The
+# routing signal fastText-class pipelines compute BEFORE language ID:
+# script narrows the candidate language set and catches mislabeled
+# docs cheaply. Latin excludes the Latin-1 math signs (U+00D7/U+00F7).
+_SCRIPT_RANGES = (
+    ("arabic", ((0x0600, 0x06FF), (0x0750, 0x077F))),
+    ("cyrillic", ((0x0400, 0x04FF),)),
+    ("devanagari", ((0x0900, 0x097F),)),
+    ("greek", ((0x0370, 0x03FF),)),
+    ("han", ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))),
+    ("hangul", ((0xAC00, 0xD7AF), (0x1100, 0x11FF))),
+    ("kana", ((0x3040, 0x30FF),)),
+    (
+        "latin",
+        (
+            (0x41, 0x5A),
+            (0x61, 0x7A),
+            (0xC0, 0xD6),
+            (0xD8, 0xF6),
+            (0xF8, 0x024F),
+        ),
+    ),
+)
+_SCRIPT_PAD = 9_999_999_999  # > any char count; keys sort by count DESC
+
+
+def _script_class_java(ranges) -> str:
+    return "".join(f"\\u{a:04x}-\\u{b:04x}" for a, b in ranges)
+
+
+def _script_class_re2(ranges) -> str:
+    # DuckDB regexps are RE2: \x{...} syntax, not \uXXXX
+    return "".join(
+        f"\\x{{{a:04X}}}-\\x{{{b:04X}}}" for a, b in ranges
+    )
+
+
+def script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant Unicode script per document — ISO 15924-style routing:
+    count characters in each script's codepoint ranges, pick the argmax
+    (ties break alphabetically on script name), report the winner, its
+    character count, the total scripted-character count, and the
+    dominance ratio. Documents with no scripted characters (digits,
+    punctuation, empty) report ``none``.
+
+    Determinism: the argmax is a string MIN over
+    lpad(PAD - count) || '|' || name keys — counts compare numerically
+    via the zero-padded prefix, ties fall through to the name, and both
+    engines compare identical ASCII bytes.
+
+    100 TB shape: map-only JVM regexp counts over one corpus scan (one
+    codegen'd regexp_extract_all per script), no UDF, no shuffle — the
+    unicode_signals class."""
+    d = _docs(spark, sf_dir)
+    cnts = [
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(f"([{_script_class_java(r)}])"),
+                1,
+            )
+        ).cast("long")
+        for _n, r in _SCRIPT_RANGES
+    ]
+    keys = [
+        F.concat(
+            F.lpad((F.lit(_SCRIPT_PAD) - c).cast("string"), 10, "0"),
+            F.lit("|"),
+            F.lit(n),
+        )
+        for (n, _r), c in zip(_SCRIPT_RANGES, cnts)
+    ]
+    win = F.array_min(F.array(*keys))
+    best = F.lit(_SCRIPT_PAD) - F.split(win, r"\|").getItem(0).cast("long")
+    total = cnts[0]
+    for c in cnts[1:]:
+        total = total + c
+    return d.select(
+        "doc_id",
+        F.when(best == 0, F.lit("none"))
+        .otherwise(F.split(win, r"\|").getItem(1))
+        .alias("script"),
+        best.alias("script_chars"),
+        total.alias("scripted_chars"),
+        F.round(best / F.greatest(total, F.lit(1)), 6).alias("script_ratio"),
+    )
+
+
+def script_id_sql() -> str:
+    cnt_sqls = [
+        (
+            n,
+            "len(regexp_extract_all(COALESCE(text, ''), "
+            f"'[{_script_class_re2(r)}]'))",
+        )
+        for n, r in _SCRIPT_RANGES
+    ]
+    keys = ", ".join(
+        f"lpad(CAST({_SCRIPT_PAD} - {c} AS VARCHAR), 10, '0') || '|{n}'"
+        for n, c in cnt_sqls
+    )
+    total = " + ".join(c for _n, c in cnt_sqls)
+    return (
+        f"WITH s AS (SELECT doc_id, list_min([{keys}]) AS win, "
+        f"CAST({total} AS BIGINT) AS total FROM documents), "
+        f"b AS (SELECT doc_id, win, total, "
+        f"{_SCRIPT_PAD} - CAST(split_part(win, '|', 1) AS BIGINT) AS best "
+        "FROM s) "
+        "SELECT doc_id, CASE WHEN best = 0 THEN 'none' "
+        "ELSE split_part(win, '|', 2) END AS script, "
+        "CAST(best AS BIGINT) AS script_chars, "
+        "total AS scripted_chars, "
+        "ROUND(best * 1.0 / GREATEST(total, 1), 6) AS script_ratio "
+        "FROM b"
+    )
+
+
 # --------------------------------------- bigram LM scoring (lm upgrade)
 LM2_LAMBDA = 0.7  # interpolation weight on the bigram term
 

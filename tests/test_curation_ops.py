@@ -282,12 +282,12 @@ def test_x01_text_signals_slices(spark):
     pdf = df.toPandas()
     assert set(pdf["kind"]) == {
         "tokens", "quality", "langid", "langid_learned", "fingerprint",
-        "unicode", "redact", "chunk"
+        "unicode", "redact", "chunk", "script"
     }
     n_docs = pdf[pdf["kind"] == "tokens"].shape[0]
     assert all(pdf[pdf["kind"] == k].shape[0] == n_docs for k in
                ("quality", "langid", "langid_learned", "fingerprint",
-                "unicode", "redact"))
+                "unicode", "redact", "script"))
     # chunk is the one multi-row-per-doc slice: >= one chunk per doc
     assert pdf[pdf["kind"] == "chunk"].shape[0] >= n_docs
     assert pdf[pdf["kind"] == "langid"]["s1"].notna().all()
@@ -296,6 +296,61 @@ def test_x01_text_signals_slices(spark):
     assert pdf[pdf["kind"] == "tokens"]["s1"].isna().all()
     # redact: s1 = md5 of the redacted text, always present
     assert pdf[pdf["kind"] == "redact"]["s1"].str.len().eq(32).all()
+
+
+def test_script_id_detects_every_script(spark, tmp_path):
+    """Dominant-script routing: one doc per script family, mixed-script
+    dominance ratios, the alphabetical tie-break, the 'none' class for
+    unscripted/NULL text — and the DuckDB twin row-identical (the Java
+    \\uXXXX vs RE2 \\x{...} character classes must count the same)."""
+    import duckdb
+    import pandas as pd
+
+    from talna_spark.pipeline.text import script_id, script_id_sql
+
+    rows = [
+        (0, "Hello wonderful world of Latin text"),
+        (1, "Привет мир это кириллица здесь"),
+        (2, "Γειά σου κόσμε ελληνικά"),
+        (3, "你好世界这是汉字文本"),
+        (4, "こんにちは世界 カタカナもある"),  # kana majority over han
+        (5, "안녕하세요 세계"),
+        (6, "مرحبا بالعالم نص عربي"),
+        (7, "नमस्ते दुनिया देवनागरी"),
+        (8, "1234 ... !!! 5678"),
+        (9, None),
+        (10, "ab аб"),  # 2 latin vs 2 cyrillic -> tie -> alphabetical
+    ]
+    d = str(tmp_path / "scripts")
+    import os
+
+    os.makedirs(d)
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    ).to_parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in script_id(spark, d).collect()}
+    want_scripts = {
+        0: "latin", 1: "cyrillic", 2: "greek", 3: "han", 4: "kana",
+        5: "hangul", 6: "arabic", 7: "devanagari", 8: "none", 9: "none",
+        10: "cyrillic",
+    }
+    for did, sc in want_scripts.items():
+        assert got[did]["script"] == sc, (did, got[did])
+    assert got[4]["script_ratio"] == 0.857143  # 12 kana / 14 scripted
+    assert got[10]["script_ratio"] == 0.5
+    assert got[8]["scripted_chars"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    oracle = sorted(map(tuple, con.execute(script_id_sql()).fetchall()))
+    ours = sorted(
+        (r["doc_id"], r["script"], r["script_chars"],
+         r["scripted_chars"], r["script_ratio"])
+        for r in got.values()
+    )
+    assert ours == oracle
 
 
 def test_dup_span_clean_trims_covered_tokens(spark, span_dir):
