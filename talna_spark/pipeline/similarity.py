@@ -384,15 +384,37 @@ def _pq_subs(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codes(e: DataFrame) -> DataFrame:
+def _pq_seed_codebook(e: DataFrame) -> DataFrame:
+    """(m, code, cv): the default training-free codebook — the first
+    PQ_SEEDS corpus vectors' sub-vectors (deterministic, so the driver
+    oracle stays SQL-expressible)."""
+    return _pq_subs(e).filter(F.col("vec_id") < PQ_SEEDS).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cv")
+    )
+
+
+def _pq_codebook_df(spark: SparkSession, codebooks: list) -> DataFrame:
+    """(m, code, cv) from an explicit per-subspace centroid list (the
+    :func:`pq_train_codebooks` output) — the trained-codebook path."""
+    rows = [
+        (m, c, [float(x) for x in cv])
+        for m, book in enumerate(codebooks)
+        for c, cv in enumerate(book)
+    ]
+    return spark.createDataFrame(
+        rows, "m int, code int, cv array<double>"
+    )
+
+
+def _pq_codes(e: DataFrame, cb: DataFrame | None = None) -> DataFrame:
     """(vec_id, m, code): nearest codebook entry per subspace (squared-L2
     argmin over the broadcast codebook; distances rounded to 6 dp before
     the argmin so ties resolve identically across engines, then broken
-    by code ascending)."""
+    by code ascending). ``cb`` overrides the seed codebook (trained
+    path) — same plan either way."""
     subs = _pq_subs(e)
-    cb = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
-        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cv")
-    )
+    if cb is None:
+        cb = _pq_seed_codebook(e)
     d2 = F.round(
         F.aggregate(
             F.zip_with(F.col("sub"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
@@ -427,17 +449,15 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recon(e: DataFrame) -> DataFrame:
+def _pq_recon(e: DataFrame, cb: DataFrame | None = None) -> DataFrame:
     """(vec_id, rv): the codebook reconstruction of every vector — the
     decoded form ADC scores against (broadcast codebook join + one
     id-keyed collect; vectors re-enter only as PQ_DS-long codebook
-    sub-vectors)."""
-    subs = _pq_subs(e)
-    cb = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
-        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cv")
-    )
+    sub-vectors). ``cb`` overrides the seed codebook (trained path)."""
+    if cb is None:
+        cb = _pq_seed_codebook(e)
     return (
-        _pq_codes(e)
+        _pq_codes(e, cb)
         .join(F.broadcast(cb), ["m", "code"])
         .groupBy("vec_id")
         .agg(
@@ -451,15 +471,29 @@ def _pq_recon(e: DataFrame) -> DataFrame:
     )
 
 
-def pq_topk(spark: SparkSession, sf_dir: str, k: int = PQ_TOP_K) -> DataFrame:
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = PQ_TOP_K,
+    codebooks: "list | None" = None,
+) -> DataFrame:
     """ANN over the PQ-compressed corpus: queries keep exact vectors,
     corpus vectors are codebook reconstructions (asymmetric distance,
     the standard ADC setup). Scores are true cosine between the exact
     query and the reconstruction — at scale the same sum decomposes into
     PQ_M lookup-table adds per candidate, which is the point of PQ; the
-    reconstruction here keeps the plan in verified JVM cosine folds."""
+    reconstruction here keeps the plan in verified JVM cosine folds.
+    ``codebooks`` swaps in per-subspace TRAINED centroids
+    (:func:`pq_train_codebooks`) — the FAISS production path; the
+    default stays the deterministic corpus seeds so the driver oracle
+    remains SQL."""
     e = _emb(spark, sf_dir)
-    recon = _pq_recon(e)
+    cb = (
+        F.broadcast(_pq_codebook_df(spark, codebooks))
+        if codebooks is not None
+        else None
+    )
+    recon = _pq_recon(e, cb)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -510,6 +544,40 @@ def pq_topk_sql() -> str:
         f"SELECT query_id, neighbor_id, rank, cos FROM ranked "
         f"WHERE rank <= {PQ_TOP_K}"
     )
+
+
+# ------------------------------ trained PQ codebooks (r10)
+def pq_train_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    seeds: int = PQ_SEEDS,
+    iters: int = 10,
+) -> list:
+    """Per-subspace k-means codebooks — the FAISS ``ProductQuantizer``
+    TRAINING step the seed defaults stand in for: for each of the PQ_M
+    subspaces, run Lloyd's k-means (:func:`kmeans_centroids` — the
+    deterministic, hash-initialized, driver-model-sized loop) over that
+    subspace's sub-vectors. Returns ``PQ_M`` lists of ``seeds``
+    PQ_DS-dim centroids, ready for ``pq_topk(codebooks=...)``.
+
+    Iterative (unit-tier, like kmeans/BPE): verified by reconstruction
+    MSE strictly improving on the seed codebook and by the plumbing
+    identity pq_topk(codebooks=seed-sub-vectors) == pq_topk().
+
+    100 TB shape: PQ_M sequential k-means runs, each with the kmeans
+    discipline — centroids driver-side (seeds x PQ_DS doubles), per
+    round one (cluster, dim)-cell aggregate; sub-vector extraction is
+    the map-side explode of :func:`_pq_subs`, filtered per subspace."""
+    e = _emb(spark, sf_dir)
+    subs = _pq_subs(e).localCheckpoint(eager=False)
+    books = []
+    for m in range(PQ_M):
+        sm = subs.filter(F.col("m") == m).select(
+            "vec_id", F.col("sub").alias("v")
+        )
+        cents, _hist = kmeans_centroids(sm, k=seeds, iters=iters)
+        books.append(cents)
+    return books
 
 
 IVFPQ_NPROBE = 2

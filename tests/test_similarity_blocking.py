@@ -543,3 +543,51 @@ def test_sq8_topk_recall_and_score_bound(spark):
     recalls = [len(sq[q] & bf[q]) / 3 for q in sq]
     # SQ8 keeps far more signal than PQ's 1/3 floor
     assert sum(recalls) / len(recalls) >= 2 / 3, recalls
+
+
+def test_pq_trained_codebooks_beat_seeds_and_plumbing_identity(spark):
+    """FAISS-style PQ training: per-subspace k-means codebooks must cut
+    total reconstruction error vs the training-free seed codebook, and
+    passing the seed sub-vectors THROUGH the codebooks parameter must
+    reproduce pq_topk() exactly (the plumbing identity)."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.similarity import (
+        PQ_M, PQ_SEEDS, _emb, _pq_codebook_df, _pq_recon, _pq_subs,
+        pq_topk, pq_train_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf)
+
+    def recon_mse(cb_df):
+        r = _pq_recon(e, F.broadcast(cb_df)) if cb_df is not None else _pq_recon(e)
+        joined = e.join(r, "vec_id")
+        err = F.aggregate(
+            F.zip_with(F.col("v"), F.col("rv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return joined.agg(F.sum(err)).first()[0]
+
+    seed_mse = recon_mse(None)
+    books = pq_train_codebooks(spark, sf, iters=6)
+    assert len(books) == PQ_M and all(len(b) == PQ_SEEDS for b in books)
+    trained_mse = recon_mse(_pq_codebook_df(spark, books))
+    assert trained_mse < seed_mse, (trained_mse, seed_mse)
+
+    # plumbing identity: seed sub-vectors via the codebooks parameter
+    seed_books = [[None] * PQ_SEEDS for _ in range(PQ_M)]
+    for r in _pq_subs(e).filter(F.col("vec_id") < PQ_SEEDS).collect():
+        seed_books[r["m"]][r["vec_id"]] = [float(x) for x in r["sub"]]
+    got = sorted(map(tuple, pq_topk(spark, sf, codebooks=seed_books).collect()))
+    want = sorted(map(tuple, pq_topk(spark, sf).collect()))
+    assert got == want
+
+    # trained search still returns a full, well-formed top-k
+    t = pq_topk(spark, sf, codebooks=books).collect()
+    per_q = {}
+    for r in t:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3], (q, ranks)
