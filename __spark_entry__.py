@@ -1248,7 +1248,9 @@ def _x22_quality_scoring_sql() -> str:
 
 X22_N_SLICES = 7  # recorded in the bench artifact (battery-row comparability)
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
-def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _x23_mixture_sample(
+    spark: SparkSession, sf_dir: str, include_doremi: bool = True
+) -> DataFrame:
     """Sampling-policy registration, three `kind` slices on a normalized
     (doc_id, s1, v1, v2, v3, kind) schema: `mixture` = domain-mixture
     sampling to a token budget (per-domain weights -> keep-rates);
@@ -1308,6 +1310,11 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate").cast("double").alias("v3"),
         F.lit("alpha").alias("kind"),
     )
+    out = (
+        mx.unionByName(ds).unionByName(rs).unionByName(up).unionByName(al)
+    )
+    if not include_doremi:  # bench pins the r9 5-slice content so the
+        return out          # pipe_mixture trend stays comparable
     do = _sampling.doremi_mixture_sample(spark, sf_dir).select(
         "doc_id",
         F.col("source").alias("s1"),
@@ -1316,13 +1323,7 @@ def _x23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate").cast("double").alias("v3"),
         F.lit("doremi").alias("kind"),
     )
-    return (
-        mx.unionByName(ds)
-        .unionByName(rs)
-        .unionByName(up)
-        .unionByName(al)
-        .unionByName(do)
-    )
+    return out.unionByName(do)
 
 
 def _x23_mixture_sample_sql() -> str:

@@ -457,6 +457,27 @@ def main() -> None:
 
         qs["_bench_langid_learned"] = _lid
         pipe["pipe_langid_learned"] = "_bench_langid_learned"
+        # r10: pipe_mixture keeps timing the r9 5-slice registration
+        # content (the new doremi slice is timed on its own row — it
+        # adds two LM-scorer passes the mixture trend must not absorb)
+        def _bench_mixture_r9(spark, sf_dir):
+            return entrymod._x23_mixture_sample(
+                spark, sf_dir, include_doremi=False
+            )
+
+        qs["_bench_mixture_r9"] = _bench_mixture_r9
+        pipe["pipe_mixture"] = "_bench_mixture_r9"
+        from talna_spark.pipeline.sampling import (
+            doremi_mixture_sample as _doremi,
+        )
+
+        qs["_bench_doremi"] = _doremi
+        pipe["pipe_doremi"] = "_bench_doremi"
+        # r10: composed IVF-PQ — the production index shape
+        from talna_spark.pipeline.similarity import ivfpq_topk as _ivfpq
+
+        qs["_bench_ivfpq"] = _ivfpq
+        pipe["pipe_ivfpq"] = "_bench_ivfpq"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
