@@ -632,6 +632,71 @@ def ivfpq_topk(
     return _per_query_topk(pairs, k)
 
 
+def ivfpq_topk_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list,
+    codebooks: list,
+    nprobe: int = IVFPQ_NPROBE,
+    k: int = PQ_TOP_K,
+) -> DataFrame:
+    """The fully-TRAINED composed index — :func:`ivfpq_topk` with
+    k-means IVF centroids (:func:`kmeans_centroids`) and per-subspace
+    k-means codebooks (:func:`pq_train_codebooks`): exactly what a
+    FAISS ``IVFPQ`` build produces. Corpus vectors assign to their
+    nearest trained centroid (L2, :func:`kmeans_assign`); queries probe
+    their ``nprobe`` nearest via an expression-level sort over the
+    literal centroid distances; candidates score as exact-query-vs-
+    trained-reconstruction cosine. At nprobe = len(centroids) the
+    result equals ``pq_topk(codebooks=codebooks)`` exactly (tested).
+
+    Unit-tier like its trained inputs (iterative training upstream);
+    the same 100 TB shape as ivfpq_topk — everything model-sized is
+    broadcast or literal, only (ids, score) rows shuffle."""
+    ncent = len(centroids)
+    if not 1 <= int(nprobe) <= ncent:
+        raise ValueError(f"nprobe must be in [1, {ncent}]")
+    e = _emb(spark, sf_dir)
+    a = kmeans_assign(e, centroids).select("vec_id", "cluster")
+    cb = F.broadcast(_pq_codebook_df(spark, codebooks))
+    recon = _pq_recon(e, cb).join(a, "vec_id")
+    dstructs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _sq_l2(F.col("v"), F.array(*[F.lit(float(x)) for x in c])),
+                    6,
+                ).alias("d2"),
+                F.lit(i).cast("int").alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.array_sort(dstructs), 1, int(nprobe))
+            ).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.cid").alias("qcluster"))
+    )
+    pairs = recon.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.round(cosine(F.col("qv"), F.col("rv")), 6) + F.lit(0.0)).alias(
+            "cos"
+        ),
+    )
+    return _per_query_topk(pairs, k)
+
+
 def ivfpq_topk_sql(nprobe: int = IVFPQ_NPROBE) -> str:
     """DuckDB twin of :func:`ivfpq_topk`: the PQ reconstruction CTEs
     (shared with the pq oracle) + the IVF assignment/probe CTEs (same

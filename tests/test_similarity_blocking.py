@@ -591,3 +591,44 @@ def test_pq_trained_codebooks_beat_seeds_and_plumbing_identity(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in per_q.items():
         assert sorted(ranks) == [1, 2, 3], (q, ranks)
+
+
+def test_ivfpq_trained_full_probe_equals_trained_pq(spark):
+    """The trained composed index: at full probe it must equal plain PQ
+    search under the SAME trained codebooks exactly; at nprobe=1 it
+    returns a well-formed subset whose scores are trained-PQ scores."""
+    from talna_spark.pipeline.similarity import (
+        IVF_CENTROIDS, ivfpq_topk_trained, kmeans_centroids, _emb,
+        pq_topk, pq_train_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cents, _h = kmeans_centroids(_emb(spark, sf), k=IVF_CENTROIDS, iters=4)
+    books = pq_train_codebooks(spark, sf, iters=4)
+
+    full = sorted(
+        map(
+            tuple,
+            ivfpq_topk_trained(
+                spark, sf, cents, books, nprobe=len(cents)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, pq_topk(spark, sf, codebooks=books).collect())
+    )
+    assert full == want
+
+    pq_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in pq_topk(spark, sf, k=10**6, codebooks=books).collect()
+    }
+    got = ivfpq_topk_trained(spark, sf, cents, books, nprobe=1).collect()
+    assert got
+    for r in got:
+        assert pq_scores[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nprobe"):
+        ivfpq_topk_trained(spark, sf, cents, books, nprobe=0)
