@@ -394,3 +394,45 @@ def test_histogram_single_shuffle(spark):
     plan = plan_of(df)
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_script_id_map_only(spark):
+    # x01/script: dominant-script detection is pure codegen regexp
+    # counts — zero shuffle, no Python
+    from talna_spark.pipeline.text import script_id
+
+    plan = plan_of(script_id(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sq8_encode_map_only(spark):
+    # x11/sq8: quantization is a map-side projection of the vector
+    # scan — zero shuffle, no Python
+    from talna_spark.pipeline.similarity import sq8_encode
+
+    plan = plan_of(sq8_encode(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doremi_no_text_in_shuffles(spark):
+    # x23/doremi: the LM scorers shuffle (doc_id, token) id rows by
+    # design; the raw document text itself must never cross an
+    # Exchange, and no Python runs anywhere
+    from talna_spark.pipeline.sampling import doremi_mixture_sample
+
+    plan = plan_of(doremi_mixture_sample(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"document text crosses a shuffle: {line}")
+
+
+def test_dup_span_maximal_no_python(spark):
+    # x21/maximal: the run-coalescing fold is a JVM aggregate() — the
+    # whole operator stays Python-free
+    from talna_spark.pipeline.dedup import dup_span_maximal
+
+    plan = plan_of(dup_span_maximal(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
