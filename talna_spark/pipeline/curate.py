@@ -59,10 +59,22 @@ def curate(
     clf_features: int = 1024,
     keep_langs=None,
     lang_model: dict = None,
+    keep_scripts=None,
 ) -> DataFrame:
     """(doc_id, verdict, split) for every document: verdict in
-    {low_quality, classifier_reject, language_filtered, duplicate,
-    contaminated, kept}; split only for kept.
+    {low_quality, classifier_reject, script_filtered,
+    language_filtered, duplicate, contaminated, kept}; split only for
+    kept.
+
+    ``keep_scripts`` (r10, optional): a collection of script names
+    (pipeline.text._SCRIPT_RANGES keys, plus 'none') — docs whose
+    dominant Unicode script falls outside it get verdict
+    ``script_filtered``. Sits BEFORE the learned language gate (the
+    routing order: script is a pure map-side expression computed
+    inline on the shared scan — no join, no aggregate — while the
+    language gate costs a char-gram hash-agg; cheap rejections first).
+    Default None keeps the plan byte-identical to the composition
+    without the stage.
 
     ``keep_langs`` (r9, optional): a collection of language codes —
     docs whose learned-language prediction (pipeline.text.
@@ -108,11 +120,20 @@ def curate(
         .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    # quality + split inline on the scan: text is consumed map-side and
-    # pruned before any shuffle — scored rows are id-sized
-    scored = corpus.select(
-        "doc_id", F.round(score, 6).alias("quality"), split.alias("_split")
-    )
+    # quality + split (+ the optional script verdict) inline on the
+    # scan: text is consumed map-side and pruned before any shuffle —
+    # scored rows are id-sized
+    inline = [
+        F.col("doc_id"),
+        F.round(score, 6).alias("quality"),
+        split.alias("_split"),
+    ]
+    if keep_scripts is not None:
+        from talna_spark.pipeline.text import script_parts
+
+        script, _best, _total = script_parts()
+        inline.append(script.alias("_script"))
+    scored = corpus.select(*inline)
     # exact-dedup survivors over the eval-filtered corpus: md5 computed
     # map-side, the aggregate shuffles (hash, id) partials only
     keep = (
@@ -156,9 +177,13 @@ def curate(
         lang_fail = F.col("pred_lang").isNotNull() & ~F.col(
             "pred_lang"
         ).isin(*sorted(keep_langs))
+    script_fail = F.lit(False)
+    if keep_scripts is not None:
+        script_fail = ~F.col("_script").isin(*sorted(keep_scripts))
     verdict = (
         F.when(F.col("quality") < QUALITY_MIN, F.lit("low_quality"))
         .when(clf_fail, F.lit("classifier_reject"))
+        .when(script_fail, F.lit("script_filtered"))
         .when(lang_fail, F.lit("language_filtered"))
         .when(F.col("_canon").isNull(), F.lit("duplicate"))
         .when(F.col("_hit").isNotNull(), F.lit("contaminated"))

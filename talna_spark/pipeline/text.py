@@ -1258,29 +1258,18 @@ def _script_class_re2(ranges) -> str:
     )
 
 
-def script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant Unicode script per document — ISO 15924-style routing:
-    count characters in each script's codepoint ranges, pick the argmax
-    (ties break alphabetically on script name), report the winner, its
-    character count, the total scripted-character count, and the
-    dominance ratio. Documents with no scripted characters (digits,
-    punctuation, empty) report ``none``.
-
-    Determinism: the argmax is a string MIN over
-    lpad(PAD - count) || '|' || name keys — counts compare numerically
-    via the zero-padded prefix, ties fall through to the name, and both
-    engines compare identical ASCII bytes.
-
-    100 TB shape: map-only JVM regexp counts over one corpus scan (one
-    codegen'd regexp_extract_all per script), no UDF, no shuffle — the
-    unicode_signals class."""
-    d = _docs(spark, sf_dir)
+def script_parts(text_col=None):
+    """(script, best, total) Column triple over a text column — the
+    expression core of :func:`script_id`, reusable inline wherever the
+    scan already flows (the curate() script gate computes it map-side
+    with no extra join)."""
+    t = F.coalesce(
+        text_col if text_col is not None else F.col("text"), F.lit("")
+    )
     cnts = [
         F.size(
             F.regexp_extract_all(
-                F.coalesce(F.col("text"), F.lit("")),
-                F.lit(f"([{_script_class_java(r)}])"),
-                1,
+                t, F.lit(f"([{_script_class_java(r)}])"), 1
             )
         ).cast("long")
         for _n, r in _SCRIPT_RANGES
@@ -1298,11 +1287,33 @@ def script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = cnts[0]
     for c in cnts[1:]:
         total = total + c
+    script = F.when(best == 0, F.lit("none")).otherwise(
+        F.split(win, r"\|").getItem(1)
+    )
+    return script, best, total
+
+
+def script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant Unicode script per document — ISO 15924-style routing:
+    count characters in each script's codepoint ranges, pick the argmax
+    (ties break alphabetically on script name), report the winner, its
+    character count, the total scripted-character count, and the
+    dominance ratio. Documents with no scripted characters (digits,
+    punctuation, empty) report ``none``.
+
+    Determinism: the argmax is a string MIN over
+    lpad(PAD - count) || '|' || name keys — counts compare numerically
+    via the zero-padded prefix, ties fall through to the name, and both
+    engines compare identical ASCII bytes.
+
+    100 TB shape: map-only JVM regexp counts over one corpus scan (one
+    codegen'd regexp_extract_all per script), no UDF, no shuffle — the
+    unicode_signals class."""
+    d = _docs(spark, sf_dir)
+    script, best, total = script_parts()
     return d.select(
         "doc_id",
-        F.when(best == 0, F.lit("none"))
-        .otherwise(F.split(win, r"\|").getItem(1))
-        .alias("script"),
+        script.alias("script"),
         best.alias("script_chars"),
         total.alias("scripted_chars"),
         F.round(best / F.greatest(total, F.lit(1)), 6).alias("script_ratio"),

@@ -141,12 +141,16 @@ def stream_curate(
     clf_features: int = 1024,
     keep_langs=None,
     lang_model: dict = None,
+    keep_scripts=None,
 ):
     """End-to-end streaming curation: gate -> reference-dedup ->
     per-batch exact dedup (-> per-batch reference NEAR-dedup with
     ``near_dup=True``; -> per-batch learned-classifier gate with
-    ``clf_weights``, both r6; -> per-batch learned LANGUAGE gate with
-    ``keep_langs``/``lang_model``, r9) -> parquet append. Returns the
+    ``clf_weights``, both r6; -> SCRIPT gate with ``keep_scripts``,
+    r10 — a pure row-wise expression, so unlike the batch-plan gates it
+    applies directly on the STREAM before dedup spends any state; ->
+    per-batch learned LANGUAGE gate with ``keep_langs``/``lang_model``,
+    r9) -> parquet append. Returns the
     StreamingQuery. Each curated batch should be appended to the
     reference corpus by the caller's cadence (or point ``reference`` at
     the out_path scan) so cross-batch duplicates are caught on the next
@@ -160,10 +164,13 @@ def stream_curate(
     micro-batch is a bounded DataFrame where it is legal. Stream-vs-
     batch score equivalence is therefore by construction, not by a
     parallel reimplementation."""
-    gated = dedup_against_reference(
-        gate_documents(doc_stream).filter(F.col("verdict") == "kept"),
-        reference,
-    )
+    kept = gate_documents(doc_stream).filter(F.col("verdict") == "kept")
+    if keep_scripts is not None:
+        from talna_spark.pipeline.text import script_parts
+
+        script, _best, _total = script_parts()
+        kept = kept.filter(script.isin(*sorted(keep_scripts)))
+    gated = dedup_against_reference(kept, reference)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

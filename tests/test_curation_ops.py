@@ -858,3 +858,76 @@ def test_mixture_upsample_single_source_is_one_epoch_exact(spark):
         assert (out.copies == 1).all()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_script_gate(spark):
+    """r10 keep_scripts: docs whose dominant script falls outside the
+    kept set become 'script_filtered' (before the language gate, after
+    quality/classifier); the default path stays byte-identical, and
+    the filter is a pure map-side expression (no new join)."""
+    from talna_spark.pipeline.curate import curate
+    from talna_spark.pipeline.text import script_id
+
+    SF = "/root/testdata/sf0.001"
+    base = {r["doc_id"]: r["verdict"] for r in curate(spark, SF).collect()}
+    scripts = {
+        r["doc_id"]: r["script"] for r in script_id(spark, SF).collect()
+    }
+    present = {scripts[d] for d in base}
+    assert present, "no scripts detected in testdata"
+    keep = {sorted(present)[0]}  # keep one script family
+    gated = {
+        r["doc_id"]: r["verdict"]
+        for r in curate(spark, SF, keep_scripts=keep).collect()
+    }
+    assert set(base) == set(gated)
+    for d, v in gated.items():
+        if v == "script_filtered":
+            assert scripts[d] not in keep
+            assert base[d] in ("duplicate", "contaminated", "kept")
+        elif v == "kept":
+            assert scripts[d] in keep
+            assert base[d] == "kept"
+        elif v in ("low_quality", "classifier_reject"):
+            assert v == base[d]
+    # keeping every present script (+ none) changes nothing
+    all_gated = {
+        r["doc_id"]: r["verdict"]
+        for r in curate(
+            spark, SF, keep_scripts=present | {"none"}
+        ).collect()
+    }
+    assert all_gated == base
+
+
+def test_stream_curate_script_gate(spark, tmp_path):
+    """The streaming script gate drops exactly the docs whose dominant
+    script is outside keep_scripts — applied on the stream itself (a
+    row-wise expression, not a foreachBatch plan)."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.streaming.documents import stream_curate
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "runs far away to find more food for the winter den ") * 3
+    schema = "doc_id long, text string, source string"
+    batch = [
+        (1, good + "latin tail stays here", "s"),
+        (2, good + "кириллица " * 40, "s"),  # cyrillic-dominant
+    ]
+    bdf = spark.createDataFrame(batch, schema)
+    reference = spark.createDataFrame(
+        [(900, good + "only in the reference", "ref")], schema
+    )
+    src, out, ckpt = (str(tmp_path / n) for n in ("src", "out", "ckpt"))
+    bdf.write.mode("append").parquet(src)
+    q = stream_curate(
+        spark.readStream.schema(schema).parquet(src),
+        reference, out, ckpt, keep_scripts={"latin"},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1}
