@@ -456,3 +456,27 @@ def bpe_encode_ids(
     return d.mapInPandas(
         _enc, schema="doc_id long, n_bpe_tokens long, ids array<long>"
     )
+
+
+# ------------------------------------------------ model persistence (r10)
+def save_merges(spark: SparkSession, merges: list, path: str) -> None:
+    """Persist a trained merge list as one parquet table of
+    (rank, a, b) rows — readable by any engine, no pickle (the
+    classifier-persistence convention): train once in batch, load in
+    the job that encodes or packs."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank long, a string, b string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_merges`: the ordered merge list. Rank
+    gaps fail loudly — a truncated table must not silently train-time
+    reorder the greedy encoder."""
+    rows = spark.read.parquet(path).collect()
+    by_rank = {int(r["rank"]): (r["a"], r["b"]) for r in rows}
+    n = len(by_rank)
+    if set(by_rank) != set(range(n)):
+        raise ValueError(f"merge table at {path} has rank gaps")
+    return [by_rank[i] for i in range(n)]

@@ -409,3 +409,25 @@ def unigram_encode_ids(
     return d.mapInPandas(
         _enc, schema="doc_id long, n_unigram_tokens long, ids array<long>"
     )
+
+
+# ------------------------------------------------ model persistence (r10)
+def save_unigram(spark: SparkSession, model: Model, path: str) -> None:
+    """Persist a trained unigram model as one parquet table of
+    (piece, logp) rows — engine-neutral, no pickle (the
+    classifier-persistence convention)."""
+    spark.createDataFrame(
+        [(p, float(lp)) for p, lp in model], "piece string, logp double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_unigram(spark: SparkSession, path: str) -> Model:
+    """Inverse of :func:`save_unigram`: the piece-sorted model (the
+    sorted order IS the id space of :func:`unigram_encode_ids`, so the
+    round trip preserves token ids exactly). Duplicate pieces fail
+    loudly."""
+    rows = spark.read.parquet(path).collect()
+    model = sorted((r["piece"], float(r["logp"])) for r in rows)
+    if len({p for p, _ in model}) != len(model):
+        raise ValueError(f"unigram table at {path} has duplicate pieces")
+    return model

@@ -286,3 +286,49 @@ def test_pack_token_ids_unigram_mode(spark, corpus_dir):
     for r in packs:
         assert r["oversize"] or r["n_tokens"] <= 32
         assert len(r["ids"]) == r["n_tokens"]
+
+
+def test_tokenizer_persistence_round_trip(spark, corpus_dir, tmp_path):
+    """Engine-neutral parquet persistence for BOTH tokenizer families:
+    the loaded model reproduces training output exactly (unigram ids
+    depend on the sorted order, so the round trip must preserve it),
+    and corrupted tables fail loudly."""
+    import pytest as _pytest
+
+    from talna_spark.pipeline.bpe import bpe_train, load_merges, save_merges
+    from talna_spark.pipeline.unigram import (
+        load_unigram, save_unigram, unigram_encode_ids,
+    )
+
+    d, _texts = corpus_dir
+    merges = bpe_train(spark, d, n_merges=12)
+    mp = str(tmp_path / "merges")
+    save_merges(spark, merges, mp)
+    assert load_merges(spark, mp) == merges
+
+    model = unigram_train(spark, d, vocab_size=40)
+    up = str(tmp_path / "uni")
+    save_unigram(spark, model, up)
+    loaded = load_unigram(spark, up)
+    assert loaded == model
+    a = sorted(
+        map(tuple, unigram_encode_ids(spark, d, model).collect())
+    )
+    b = sorted(
+        map(tuple, unigram_encode_ids(spark, d, loaded).collect())
+    )
+    assert a == b
+
+    # loud failures: rank gap / duplicate piece
+    bad = str(tmp_path / "badm")
+    spark.createDataFrame(
+        [(0, "a", "b"), (2, "c", "d")], "rank long, a string, b string"
+    ).write.parquet(bad)
+    with _pytest.raises(ValueError, match="rank gaps"):
+        load_merges(spark, bad)
+    badu = str(tmp_path / "badu")
+    spark.createDataFrame(
+        [("x", -1.0), ("x", -2.0)], "piece string, logp double"
+    ).write.parquet(badu)
+    with _pytest.raises(ValueError, match="duplicate"):
+        load_unigram(spark, badu)
