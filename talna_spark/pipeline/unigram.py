@@ -158,15 +158,32 @@ def _m_step(counts: dict[str, int]) -> dict[str, float]:
 
 
 def _e_step(
-    wt: DataFrame, logp: dict[str, float], max_piece_len: int
+    wt: DataFrame,
+    logp: dict[str, float],
+    max_piece_len: int,
+    em: str = "hard",
 ) -> dict[str, int]:
-    """Viterbi-count every distinct word under the current model: one
-    Arrow map pass over the vocab-sized word table (piece table in the
-    closure), one integer hash-agg, one model-sized collect."""
+    """Expected piece counts for every distinct word under the current
+    model: one Arrow map pass over the vocab-sized word table (piece
+    table in the closure), one integer hash-agg, one model-sized
+    collect.
+
+    ``em="hard"`` counts Viterbi segmentations (integer word
+    frequencies). ``em="soft"`` (r10) runs the published Kudo E-step —
+    forward-backward posterior marginals over the full segmentation
+    lattice — with each word's posterior count QUANTIZED to integer
+    micro-units (round(post * n * 1e6)) BEFORE the aggregate, so the
+    sum stays exact in any order and training remains
+    partitioning-independent (the lm_score micro-nat discipline; a raw
+    double sum would make the learned vocabulary depend on task
+    boundaries)."""
     ml, unk = int(max_piece_len), UNK_LOGP
     pieces = dict(logp)
+    soft = em == "soft"
 
     def _seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         # inlined _viterbi (self-contained closure — see module docstring)
         def viterbi(w):
             n = len(w)
@@ -189,11 +206,56 @@ def _e_step(
             out.reverse()
             return out
 
+        def lse(vals):
+            m = max(vals)
+            if m == float("-inf"):
+                return m
+            return m + math.log(sum(math.exp(v - m) for v in vals))
+
+        def posteriors(w):
+            """[(piece, posterior)] over every lattice edge — forward/
+            backward in log space, fixed ascending iteration order so
+            the floats match the pure-python reference bit-for-bit."""
+            n = len(w)
+            arcs = []  # (i, j, lp)
+            for j in range(1, n + 1):
+                for i in range(max(0, j - ml), j):
+                    p = pieces.get(w[i:j])
+                    if p is None and j - i == 1:
+                        p = unk
+                    if p is not None:
+                        arcs.append((i, j, p))
+            alpha = [0.0] + [float("-inf")] * n
+            for j in range(1, n + 1):
+                alpha[j] = lse(
+                    [
+                        alpha[i] + p
+                        for (i, jj, p) in arcs
+                        if jj == j
+                    ]
+                )
+            beta = [float("-inf")] * n + [0.0]
+            for i in range(n - 1, -1, -1):
+                beta[i] = lse(
+                    [p + beta[j] for (ii, j, p) in arcs if ii == i]
+                )
+            z = alpha[n]
+            return [
+                (w[i:j], math.exp(alpha[i] + p + beta[j] - z))
+                for (i, j, p) in arcs
+            ]
+
         for pdf in batches:
             local: dict[str, int] = {}
             for w, n in zip(pdf["word"], pdf["n"]):
-                for piece in viterbi(w):
-                    local[piece] = local.get(piece, 0) + int(n)
+                if soft:
+                    for piece, post in posteriors(w):
+                        m = int(math.floor(post * int(n) * 1e6 + 0.5))
+                        if m:
+                            local[piece] = local.get(piece, 0) + m
+                else:
+                    for piece in viterbi(w):
+                        local[piece] = local.get(piece, 0) + int(n)
             yield pd.DataFrame(
                 {"piece": list(local), "c": list(local.values())}
             )
@@ -235,22 +297,32 @@ def unigram_train(
     max_piece_len: int = MAX_PIECE_LEN,
     em_iters: int = EM_ITERS,
     shrink: float = SHRINK,
+    em: str = "hard",
 ) -> Model:
     """Learn a unigram-LM tokenizer from the corpus. Returns the model:
     ``[(piece, logp)]`` sorted by piece — a pure function of the corpus
     (deterministic, partitioning-independent, tested). The vocabulary
     lands at ``max(vocab_size, #distinct chars)``: single characters are
-    never sacrificed to the size target."""
+    never sacrificed to the size target.
+
+    ``em="hard"`` (default) counts Viterbi segmentations;
+    ``em="soft"`` (r10) runs the published Kudo forward-backward
+    E-step — expected counts over the FULL segmentation lattice, so
+    probability mass that hard EM starves out of near-tied
+    alternatives survives pruning. Same plan shape either way (see
+    :func:`_e_step`); counts stay exact integers in both modes."""
     if vocab_size < 1:
         raise ValueError("vocab_size must be positive")
     if not 0 < shrink < 1:
         raise ValueError("shrink must be in (0, 1)")
+    if em not in ("hard", "soft"):
+        raise ValueError("em must be 'hard' or 'soft'")
     wt = _word_table(spark, sf_dir).localCheckpoint(eager=False)
     counts = _seed_candidates(wt, seed_size, max_piece_len)
     logp = _m_step(counts)
     while True:
         for _ in range(max(int(em_iters), 1)):
-            counts = _e_step(wt, logp, max_piece_len)
+            counts = _e_step(wt, logp, max_piece_len, em=em)
             logp = _m_step(counts)
         if len(logp) <= vocab_size:
             break

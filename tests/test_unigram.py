@@ -332,3 +332,114 @@ def test_tokenizer_persistence_round_trip(spark, corpus_dir, tmp_path):
     ).write.parquet(badu)
     with _pytest.raises(ValueError, match="duplicate"):
         load_unigram(spark, badu)
+
+
+# ----------------------- soft (forward-backward) EM, r10
+def _ref_posteriors(w, logp, max_len, unk=UNK_LOGP):
+    arcs = []
+    n = len(w)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            p = logp.get(w[i:j])
+            if p is None and j - i == 1:
+                p = unk
+            if p is not None:
+                arcs.append((i, j, p))
+
+    def lse(vals):
+        m = max(vals)
+        if m == float("-inf"):
+            return m
+        return m + math.log(sum(math.exp(v - m) for v in vals))
+
+    alpha = [0.0] + [float("-inf")] * n
+    for j in range(1, n + 1):
+        alpha[j] = lse([alpha[i] + p for (i, jj, p) in arcs if jj == j])
+    beta = [float("-inf")] * n + [0.0]
+    for i in range(n - 1, -1, -1):
+        beta[i] = lse([p + beta[j] for (ii, j, p) in arcs if ii == i])
+    z = alpha[n]
+    return [
+        (w[i:j], math.exp(alpha[i] + p + beta[j] - z)) for (i, j, p) in arcs
+    ]
+
+
+def _ref_train_soft(
+    texts, vocab_size, seed_size=1000, max_len=8, em_iters=2, shrink=0.75
+):
+    wc = _ref_word_counts(texts)
+    sub = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_len) + 1):
+                p = w[i:j]
+                sub[p] = sub.get(p, 0) + n
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) >= 2 and c >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    counts = dict(chars)
+    for p, c in multi[: max(seed_size - len(chars), 0)]:
+        counts[p] = c
+    logp = _ref_m_step(counts)
+
+    def e_step(lp):
+        out = {p: 0 for p in lp}
+        for w, n in wc.items():
+            for piece, post in _ref_posteriors(w, lp, max_len):
+                m = int(math.floor(post * n * 1e6 + 0.5))
+                if m and piece in out:
+                    out[piece] += m
+        return out
+
+    while True:
+        for _ in range(em_iters):
+            counts = e_step(logp)
+            logp = _ref_m_step(counts)
+        if len(logp) <= vocab_size:
+            break
+        keep = max(vocab_size, int(len(logp) * shrink))
+        if keep >= len(logp):
+            break
+        ch = {p: c for p, c in counts.items() if len(p) == 1}
+        mu = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        counts = dict(ch)
+        for p, c in mu[: max(keep - len(ch), 0)]:
+            counts[p] = c
+        logp = _ref_m_step(counts)
+    return sorted(logp.items())
+
+
+def test_unigram_soft_em_matches_reference(spark, corpus_dir):
+    d, texts = corpus_dir
+    got = unigram_train(spark, d, vocab_size=40, em="soft")
+    want = _ref_train_soft(texts, 40)
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (gp, gl), (_, wl) in zip(got, want):
+        assert gl == wl, gp
+    assert any(len(p) > 2 for p, _ in got)
+
+
+def test_unigram_soft_em_partitioning_independent(spark, corpus_dir):
+    # the micro-unit quantization BEFORE the aggregate is what makes a
+    # float-valued E-step partitioning-safe — pin it
+    d, texts = corpus_dir
+    df = spark.read.parquet(f"{d}/documents.parquet")
+    d2 = tempfile.mkdtemp(prefix="talna_unigram_soft_rp_")
+    try:
+        df.repartition(5).write.parquet(f"{d2}/documents.parquet")
+        assert unigram_train(
+            spark, d2, vocab_size=40, em="soft"
+        ) == _ref_train_soft(texts, 40)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_unigram_em_mode_validation(spark, corpus_dir):
+    d, _ = corpus_dir
+    with pytest.raises(ValueError, match="em"):
+        unigram_train(spark, d, em="viterbi")
