@@ -761,7 +761,7 @@ _EXT["q42_signals"] = (_q42_signals, _q42_signals_sql())
 
 
 def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All eleven REAL dependency-free codec/parser legs
+    """All twelve REAL dependency-free codec/parser/transform legs
     (pipeline.multimodal) as
     `kind` slices of one registration on a normalized schema — WAV (RIFF
     chunk walk + PCM), BMP (bottom-up padded rows), PNG (CRC'd chunks +
@@ -858,11 +858,19 @@ def _x19_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames", "sample_rate", "bitrate_kbps", "n_alloc",
         "mean_amp", "checksum", "layer1",
     )
+    # r10: image RESIZE — the multimodal transform leg (box-filter
+    # downsample of the decoded BMP; the oracle recomputes every
+    # resized byte closed-form)
+    rsz = norm(
+        _mm.bmp_resize(spark, sf_dir),
+        "in_width", "in_height", "out_width", "out_height",
+        "mean_px", "checksum", "resize",
+    )
     return (
         wav.unionByName(bmp).unionByName(png).unionByName(jpg)
         .unionByName(avi).unionByName(mjpeg).unionByName(flac)
         .unionByName(pdf).unionByName(mp3).unionByName(gif)
-        .unionByName(mp1)
+        .unionByName(mp1).unionByName(rsz)
     )
 
 
@@ -908,6 +916,9 @@ def _x19_codecs_sql() -> str:
         + " UNION ALL "
         + norm(_mm.layer1_decode_sql(), "n_frames", "sample_rate",
                "bitrate_kbps", "n_alloc", "mean_amp", "checksum", "layer1")
+        + " UNION ALL "
+        + norm(_mm.bmp_resize_sql(), "in_width", "in_height", "out_width",
+               "out_height", "mean_px", "checksum", "resize")
     )
 
 

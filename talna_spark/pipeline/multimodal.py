@@ -428,6 +428,159 @@ def bmp_decode_sql() -> str:
     )
 
 
+# ----------------------------------------------------- image resize (r10)
+RESIZE_FACTOR = 2  # box-filter downsample factor
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, in_width long, in_height long, "
+    "out_width long, out_height long, mean_px double, checksum long"
+)
+
+
+def bmp_resize(
+    spark: SparkSession, sf_dir: str, factor: int = RESIZE_FACTOR
+) -> DataFrame:
+    return bmp_resize_payloads(bmp_media_table(spark, sf_dir), factor)
+
+
+def bmp_resize_payloads(
+    media: DataFrame, factor: int = RESIZE_FACTOR
+) -> DataFrame:
+    """Image RESIZE — the multimodal transform the brief names next to
+    decode/feature-extract/frame-sample: decode the 24-bit BMP (the
+    same header/bottom-up/padding walk as :func:`bmp_decode_payloads`)
+    and box-filter downsample by ``factor`` — every output channel
+    byte is the half-away-rounded mean of its covered input block,
+    edge blocks averaging only in-bounds pixels (the standard area
+    filter for non-divisible dims, both of which occur across the
+    corpus dims). Output dims are ceil(in/factor). checksum =
+    sum(out_byte * (j+1)) over the logical resized stream (row-major
+    top-down, BGR) — order-sensitive, so block coverage, edge
+    handling, and channel interleave are all proven by the oracle.
+
+    100 TB shape: identical to every codec leg — Arrow mapInPandas,
+    one image per row, map-only; real pipelines swap the per-pixel
+    loop for a vectorized kernel, the Spark plumbing is unchanged."""
+    f = int(factor)
+    if f < 1:
+        raise ValueError("factor must be >= 1")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        def parse_logical(blob: bytes):
+            if blob[0:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            (_sz, _r1, _r2, offset) = struct.unpack("<IHHI", blob[2:14])
+            (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack(
+                "<IiiHHI", blob[14:34]
+            )
+            if hdr_sz < 40 or bpp != 24 or comp != 0:
+                raise ValueError(f"unsupported BMP ({hdr_sz}, {bpp}, {comp})")
+            top_down = h < 0
+            h = abs(h)
+            row_raw = 3 * w
+            stride = row_raw + ((-row_raw) % 4)
+            px = []
+            for y in range(h):
+                src_y = y if top_down else h - 1 - y
+                px.append(
+                    blob[offset + src_y * stride : offset + src_y * stride + row_raw]
+                )
+            return w, h, px  # logical top-down rows of BGR bytes
+
+        def resize_one(blob: bytes):
+            w, h, px = parse_logical(blob)
+            ow = (w + f - 1) // f
+            oh = (h + f - 1) // f
+            total = 0
+            checksum = 0
+            j = 0
+            for oy in range(oh):
+                y0, y1 = oy * f, min((oy + 1) * f, h)
+                for ox in range(ow):
+                    x0, x1 = ox * f, min((ox + 1) * f, w)
+                    for c in range(3):  # BGR
+                        s = 0
+                        for y in range(y0, y1):
+                            row = px[y]
+                            for x in range(x0, x1):
+                                s += row[3 * x + c]
+                        cnt = (y1 - y0) * (x1 - x0)
+                        v = int(math.floor(s / cnt + 0.5))  # half-away (>=0)
+                        total += v
+                        checksum += v * (j + 1)
+                        j += 1
+            n_out = 3 * ow * oh
+            return w, h, ow, oh, total / n_out, checksum
+
+        for pdf in batches:
+            rows = [resize_one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "in_width": [r[0] for r in rows],
+                    "in_height": [r[1] for r in rows],
+                    "out_width": [r[2] for r in rows],
+                    "out_height": [r[3] for r in rows],
+                    "mean_px": [r[4] for r in rows],
+                    "checksum": [r[5] for r in rows],
+                }
+            )
+
+    from talna_spark.aggregate import round6
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "in_width",
+        "in_height",
+        "out_width",
+        "out_height",
+        round6("mean_px").alias("mean_px"),
+        "checksum",
+    )
+
+
+def bmp_resize_sql(factor: int = RESIZE_FACTOR) -> str:
+    """Oracle: the box averages recomputed closed-form from doc_id
+    arithmetic over the logical channel stream — no BMP parsing and no
+    resize code in SQL, so writer, decoder AND the pooling kernel must
+    all be exact for the round trip to match."""
+    f = int(factor)
+    # input channel byte at logical (y, x, c): (did*17 + 11*(3wy+3x+c))%256
+    val = "(doc_id * 17 + 11 * (3 * w * y + 3 * x + c)) % 256"
+    return (
+        "WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h "
+        "FROM documents), "
+        f"dd AS (SELECT doc_id, w, h, CAST(CEIL(w * 1.0 / {f}) AS BIGINT) "
+        f"AS ow, CAST(CEIL(h * 1.0 / {f}) AS BIGINT) AS oh FROM d), "
+        "og AS (SELECT doc_id, w, h, ow, oh, oy, ox, c, "
+        "(3 * ow * oy + 3 * ox + c) AS j FROM dd, "
+        "LATERAL unnest(generate_series(0, oh - 1)) t1(oy), "
+        "LATERAL unnest(generate_series(0, ow - 1)) t2(ox), "
+        "LATERAL unnest(generate_series(0, 2)) t3(c)), "
+        "blocks AS (SELECT doc_id, j, "
+        f"CAST(ROUND(AVG(CAST({val} AS DOUBLE)), 0) AS BIGINT) AS v "
+        "FROM og, "
+        f"LATERAL unnest(generate_series(oy * {f}, "
+        f"LEAST((oy + 1) * {f}, h) - 1)) ty(y), "
+        f"LATERAL unnest(generate_series(ox * {f}, "
+        f"LEAST((ox + 1) * {f}, w) - 1)) tx(x) "
+        "GROUP BY doc_id, j), "
+        "agg AS (SELECT doc_id, AVG(CAST(v AS DOUBLE)) AS mean_px, "
+        "SUM(v * (j + 1)) AS cks FROM blocks GROUP BY doc_id) "
+        "SELECT dd.doc_id, 'image/bmp' AS media_type, "
+        "CAST(w AS BIGINT) AS in_width, CAST(h AS BIGINT) AS in_height, "
+        "ow AS out_width, oh AS out_height, "
+        "(ROUND(agg.mean_px, 6) + 0) AS mean_px, "
+        "CAST(agg.cks AS BIGINT) AS checksum "
+        "FROM dd JOIN agg USING (doc_id)"
+    )
+
+
 # --------------------------------------------------------------- PNG codec
 # The COMPRESSED-image leg of the multimodal seam (r4 VERDICT item 3):
 # real PNG — 8-byte signature, CRC-verified chunks, IHDR, zlib-deflated

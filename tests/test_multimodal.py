@@ -1163,3 +1163,82 @@ def test_layer1_pcm_full_parity_synthetic_window(spark):
         assert got[did]["peak_micro"] == peak
         assert got[did]["pcm_checksum"] == cks, did
         assert peak > 0  # non-trivial audio actually flowed through
+
+
+# ----------------------------- image resize (r10)
+def test_bmp_resize_hand_case(spark):
+    """Hand-built 3x2 BMP, factor 2: out dims 2x1; block (0,0) averages
+    4 pixels, edge block (0,1) averages the 2 remaining — edge blocks
+    must average ONLY in-bounds pixels, and rounding is half-away."""
+    import struct
+
+    from talna_spark.pipeline.multimodal import bmp_resize_payloads
+
+    w, h = 3, 2
+    # logical top-down BGR bytes: row0 = [10,20,30, 40,50,60, 70,80,90]
+    #                             row1 = [11,21,31, 41,51,61, 71,81,91]
+    rows_logical = [
+        bytes([10, 20, 30, 40, 50, 60, 70, 80, 90]),
+        bytes([11, 21, 31, 41, 51, 61, 71, 81, 91]),
+    ]
+    row_raw = 3 * w
+    pad = (-row_raw) % 4
+    px = b"".join(
+        rows_logical[y] + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+    blob = hdr + info + px
+    df = spark.createDataFrame(
+        [(0, "image/bmp", blob)],
+        "doc_id long, media_type string, payload binary",
+    )
+    r = bmp_resize_payloads(df, factor=2).collect()[0]
+    assert (r["in_width"], r["in_height"]) == (3, 2)
+    assert (r["out_width"], r["out_height"]) == (2, 1)
+    # block (0,0): B=(10+40+11+41)/4=25.5->26, G=(20+50+21+51)/4=35.5->36,
+    #              R=(30+60+31+61)/4=45.5->46
+    # edge (0,1):  B=(70+71)/2=70.5->71, G=(80+81)/2=80.5->81, R=(90+91)/2=90.5->91
+    want = [26, 36, 46, 71, 81, 91]
+    assert r["checksum"] == sum(v * (j + 1) for j, v in enumerate(want))
+    assert r["mean_px"] == round(sum(want) / 6, 6)
+
+
+def test_bmp_resize_factor1_is_identity(spark):
+    from talna_spark.pipeline.multimodal import (
+        bmp_decode, bmp_resize, bmp_resize_payloads,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dec = {r["doc_id"]: r for r in bmp_decode(spark, sf).collect()}
+    rsz = {r["doc_id"]: r for r in bmp_resize(spark, sf, factor=1).collect()}
+    assert set(dec) == set(rsz)
+    for did, r in rsz.items():
+        assert (r["out_width"], r["out_height"]) == (
+            dec[did]["width"], dec[did]["height"]
+        )
+        assert r["checksum"] == dec[did]["checksum"]
+        assert r["mean_px"] == dec[did]["mean_px"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="factor"):
+        bmp_resize_payloads(None, factor=0)
+
+
+def test_bmp_resize_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from talna_spark.pipeline.multimodal import bmp_resize, bmp_resize_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, bmp_resize(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(bmp_resize_sql()).fetchall()))
+    assert got == want and len(got) == 500
+    # the corpus exercises both divisible and edge-block dims
+    dims = {(r[2], r[3]) for r in got}
+    assert len(dims) > 3
