@@ -1369,7 +1369,7 @@ _EXT["x23_mixture_sample"] = (_x23_mixture_sample, _x23_mixture_sample_sql())
 
 
 def _x12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-dedup registration, two `kind` slices on a normalized
+    """Embedding-dedup registration, four `kind` slices on a normalized
     (vec_id, v1, v2, v3, kind) schema: `neardup` = each vector's nearest
     neighbor within its (label, LSH-bucket) block; `semdedup` =
     cluster-blocked semantic dedup (SemDeDup, Abbas et al. 2023) with
@@ -1377,7 +1377,9 @@ def _x12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed-random-projection document embeddings — the documents-table
     bridge into this module (v1=n_tokens, v3=the full L2-normalized
     vector pinned as comma-joined micro-units, so every component is
-    hash-checked)."""
+    hash-checked); `balanced` (r10) = cluster-balanced sampling — the
+    cluster-then-sample-uniformly complement of SemDeDup (v1=cluster,
+    v2=ccos, v3=within-cluster sample rank)."""
     nn = _sim.label_nearest_neighbor(spark, sf_dir).select(
         "vec_id",
         F.col("neighbor_id").cast("long").alias("v1"),
@@ -1404,7 +1406,14 @@ def _x12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v3"),
         F.lit("embed").alias("kind"),
     )
-    return nn.unionByName(sd).unionByName(em)
+    cb = _sim.cluster_balanced_sample(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster").cast("long").alias("v1"),
+        F.col("ccos").cast("double").alias("v2"),
+        F.col("sample_rank").cast("string").alias("v3"),
+        F.lit("balanced").alias("kind"),
+    )
+    return nn.unionByName(sd).unionByName(em).unionByName(cb)
 
 
 def _x12_embedding_near_dup_sql() -> str:
@@ -1420,7 +1429,11 @@ def _x12_embedding_near_dup_sql() -> str:
         "SELECT doc_id AS vec_id, CAST(n_tokens AS BIGINT) AS v1, "
         "0.0 AS v2, array_to_string(list_transform(v, x -> "
         "CAST(CAST(ROUND(x * 1000000.0) AS BIGINT) AS VARCHAR)), ',') AS v3, "
-        f"'embed' AS kind FROM ({_sim.srp_embed_documents_sql()})"
+        f"'embed' AS kind FROM ({_sim.srp_embed_documents_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id AS vec_id, CAST(cluster AS BIGINT) AS v1, "
+        "CAST(ccos AS DOUBLE) AS v2, CAST(sample_rank AS VARCHAR) AS v3, "
+        f"'balanced' AS kind FROM ({_sim.cluster_balanced_sample_sql()})"
     )
 
 

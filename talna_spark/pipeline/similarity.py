@@ -1133,3 +1133,97 @@ def srp_embed_documents_sql(dim: int = SRP_DIM) -> str:
         "ELSE list_transform(raw, x -> x * 0.0) END AS v "
         "FROM nrm v JOIN nt USING (doc_id)"
     )
+
+
+# --------------------------- cluster-balanced sampling (r10)
+CB_CENTROIDS = 8    # topic clusters for the driver slice
+CB_PER_CLUSTER = 5  # exact-k winners per cluster
+
+
+def cluster_balanced_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = CB_CENTROIDS,
+    per_cluster: int = CB_PER_CLUSTER,
+) -> DataFrame:
+    """TOPIC-BALANCED subsampling — the cluster-then-sample-uniformly
+    step of cluster-based data selection (the sampling complement of
+    SemDeDup's cluster-then-dedup): documents embed via
+    :func:`srp_embed_documents`, assign to the nearest of
+    ``n_centroids`` fixed centroids (the deterministic seed convention
+    — the SRP vectors of the lowest doc_ids — so the whole path keeps
+    a strict SQL oracle; :func:`kmeans_centroids` drops in for the
+    trained build), and each cluster keeps its ``per_cluster`` lowest
+    'cbal|'-hash-ranked members — the exact-k deterministic reservoir
+    of pipeline.sampling, per TOPIC instead of per source. Output:
+    (doc_id, cluster, ccos, sample_rank) for winners only.
+
+    Docs with zero tokens have no embedding direction (zero vector, no
+    cosine) and do not participate — they are the business of the
+    quality/script gates, not the topic sampler.
+
+    100 TB shape: SRP's one (doc_id, dim-sums) exchange; assignment is
+    a broadcast-centroids argmax; the per-cluster rank windows on
+    (cluster) over id rows — cluster count is the parallelism dial,
+    and only (doc_id, cluster, score) ids ever shuffle."""
+    if int(n_centroids) < 1 or int(per_cluster) < 1:
+        raise ValueError("n_centroids and per_cluster must be >= 1")
+    from talna_spark.pipeline.portable import hash64
+
+    emb = srp_embed_documents(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    cent = emb.filter(F.col("doc_id") < int(n_centroids)).select(
+        F.col("doc_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = emb.join(F.broadcast(cent), how="cross").select(
+        "doc_id",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
+    )
+    wa = Window.partitionBy("doc_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("centroid_id").alias("cluster"),
+            (F.col("ccos") + F.lit(0.0)).alias("ccos"),
+        )
+    )
+    h = hash64(F.concat(F.lit("cbal|"), F.col("doc_id").cast("string")))
+    wr = Window.partitionBy("cluster").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(wr))
+        .filter(F.col("sample_rank") <= int(per_cluster))
+        .select("doc_id", "cluster", "ccos", "sample_rank")
+    )
+
+
+def cluster_balanced_sample_sql(
+    n_centroids: int = CB_CENTROIDS, per_cluster: int = CB_PER_CLUSTER
+) -> str:
+    """DuckDB twin: the srp oracle as a CTE body (names tok/sgn/nt/vec/
+    nrm stay un-shadowed — the cross-scope CTE binding trap), the same
+    cosine argmax and 'cbal|' hash rank."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'cbal|' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH emb AS ({srp_embed_documents_sql()}), "
+        "eb AS (SELECT doc_id, v FROM emb WHERE n_tokens > 0), "
+        f"cent AS (SELECT doc_id AS centroid_id, v AS cv FROM eb "
+        f"WHERE doc_id < {int(n_centroids)}), "
+        "scored AS (SELECT eb.doc_id, centroid_id, "
+        "ROUND(list_cosine_similarity(v, cv), 6) AS ccos "
+        "FROM eb CROSS JOIN cent), "
+        "assigned AS (SELECT doc_id, centroid_id AS cluster, "
+        "(ccos + 0) AS ccos FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY ccos DESC, centroid_id ASC) AS rn "
+        "FROM scored) WHERE rn = 1), "
+        "ranked AS (SELECT doc_id, cluster, ccos, ROW_NUMBER() OVER "
+        f"(PARTITION BY cluster ORDER BY {h} ASC, doc_id ASC) "
+        "AS sample_rank FROM assigned) "
+        f"SELECT doc_id, cluster, ccos, sample_rank FROM ranked "
+        f"WHERE sample_rank <= {int(per_cluster)}"
+    )

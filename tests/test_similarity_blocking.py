@@ -632,3 +632,56 @@ def test_ivfpq_trained_full_probe_equals_trained_pq(spark):
 
     with _pytest.raises(ValueError, match="nprobe"):
         ivfpq_topk_trained(spark, sf, cents, books, nprobe=0)
+
+
+def test_cluster_balanced_sample_invariants(spark):
+    """Topic-balanced sampling: at most per_cluster winners per
+    cluster, ranks are 1..n within each, k=3 winners are a PREFIX of
+    k=5's (nested — the 'cbal|' hash stream is rate-independent), and
+    the whole thing is partitioning-independent."""
+    from talna_spark.pipeline.similarity import cluster_balanced_sample
+
+    sf = "/root/testdata/sf0.001"
+    got5 = cluster_balanced_sample(spark, sf, per_cluster=5).collect()
+    by_c: dict = {}
+    for r in got5:
+        by_c.setdefault(r["cluster"], []).append(r)
+    assert len(by_c) > 1  # the corpus actually splits into topics
+    for c, rows in by_c.items():
+        assert len(rows) <= 5
+        assert sorted(r["sample_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    got3 = {
+        (r["cluster"], r["doc_id"])
+        for r in cluster_balanced_sample(spark, sf, per_cluster=3).collect()
+    }
+    prefix5 = {
+        (r["cluster"], r["doc_id"]) for r in got5 if r["sample_rank"] <= 3
+    }
+    assert got3 == prefix5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="per_cluster"):
+        cluster_balanced_sample(spark, sf, per_cluster=0)
+
+
+def test_cluster_balanced_excludes_gramless_docs(spark, tmp_path):
+    # zero-token docs have no embedding direction -> not sampled
+    import pandas as pd
+
+    from talna_spark.pipeline.similarity import cluster_balanced_sample
+
+    d = str(tmp_path / "cb")
+    rows = [(i, f"alpha beta doc {i} words here") for i in range(20)]
+    rows += [(100, ""), (101, None)]
+    import os
+
+    os.makedirs(d)
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    ).to_parquet(f"{d}/documents.parquet")
+    got = cluster_balanced_sample(spark, d, n_centroids=4).collect()
+    ids = {r["doc_id"] for r in got}
+    assert ids and 100 not in ids and 101 not in ids
