@@ -9,6 +9,7 @@ pass doesn't cost one Spark job per example.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from talna_spark.aggregate import _greedy_segment_ids
@@ -159,3 +160,92 @@ def test_sliced_greedy_equals_single_task_on_random_data(
         )
     )
     assert sliced == single
+
+
+# ------------------------- unigram Viterbi / lattice properties (r10)
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.lists(
+        st.text(alphabet="abcd", min_size=2, max_size=4),
+        max_size=6,
+        unique=True,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_unigram_viterbi_is_optimal_and_total(word, extra_pieces):
+    """Viterbi vs brute-force enumeration over ALL segmentations of a
+    short word: same best score (and the DP's segmentation achieves
+    it), every piece either in the model or a single UNK char, and the
+    pieces concatenate exactly to the word."""
+    import itertools
+    import math
+
+    from talna_spark.pipeline.unigram import UNK_LOGP, _viterbi
+
+    logp = {c: math.log(0.2) for c in "ab"}  # 'c','d' are UNK chars
+    for i, p in enumerate(extra_pieces):
+        logp[p] = math.log(0.3) - 0.1 * i
+
+    def arc(piece):
+        if piece in logp:
+            return logp[piece]
+        if len(piece) == 1:
+            return UNK_LOGP
+        return None
+
+    segs = _viterbi(word, logp, max_len=4, unk=UNK_LOGP)
+    assert "".join(segs) == word
+    assert all(arc(p) is not None for p in segs)
+    got = sum(arc(p) for p in segs)
+
+    # brute force: all compositions of the word into 1..4-char pieces
+    n = len(word)
+    best = float("-inf")
+    for cuts in range(1 << (n - 1)):
+        bounds = [0] + [i + 1 for i in range(n - 1) if cuts >> i & 1] + [n]
+        if any(b - a > 4 for a, b in zip(bounds, bounds[1:])):
+            continue
+        score = 0.0
+        ok = True
+        for a, b in zip(bounds, bounds[1:]):
+            s = arc(word[a:b])
+            if s is None:
+                ok = False
+                break
+            score += s
+        if ok:
+            best = max(best, score)
+    assert got == pytest.approx(best, abs=1e-9)
+
+
+@given(st.text(alphabet="abc", min_size=1, max_size=7))
+@settings(max_examples=100, deadline=None)
+def test_unigram_soft_posteriors_cover_each_position_once(word):
+    """The lattice marginal identity: for every character position, the
+    posteriors of the arcs covering it sum to 1 — the invariant that
+    makes soft-EM expected counts conserve corpus mass."""
+    import math
+
+    from tests.test_unigram import _ref_posteriors
+
+    logp = {c: math.log(0.3) for c in "abc"}
+    logp["ab"] = math.log(0.25)
+    logp["bc"] = math.log(0.2)
+    logp["abc"] = math.log(0.15)
+    post = _ref_posteriors(word, logp, max_len=3)
+    # locate arcs: re-walk the same (i, j) enumeration order
+    n = len(word)
+    arcs = []
+    for j in range(1, n + 1):
+        for i in range(max(0, j - 3), j):
+            p = logp.get(word[i:j])
+            if p is None and j - i == 1:
+                p = -20.0
+            if p is not None:
+                arcs.append((i, j))
+    assert len(arcs) == len(post)
+    for pos in range(n):
+        cover = sum(
+            pr for (i, j), (_pc, pr) in zip(arcs, post) if i <= pos < j
+        )
+        assert cover == pytest.approx(1.0, abs=1e-9)
