@@ -710,3 +710,165 @@ def reservoir_docs_sql() -> str:
         f") AS sample_rank FROM documents) "
         f"WHERE sample_rank <= {RESERVOIR_K}"
     )
+
+
+# --------------------------- DoReMi iterated (r10, the full loop)
+DOREMI_ROUNDS = 3
+DOREMI_ETA = 1.0
+_W_UNIT = 1_000_000  # ppm weight units; uniform init = one unit per domain
+
+
+def _weighted_unigram_xent(tok: DataFrame, wts: DataFrame) -> DataFrame:
+    """(doc_id, xent): per-doc cross-entropy under a DOMAIN-WEIGHTED
+    add-one unigram LM — the proxy retrained each DoReMi round. Vocab
+    counts weigh each token occurrence by its document's domain weight
+    (integer ppm units, exact any-order sums); smoothing adds one
+    average-weight pseudo-count (+1e6 ppm), so UNIFORM weights make
+    p = (c*1e6 + 1e6)/(N*1e6 + 1e6*V) = (c+1)/(N+V) — bit-identical to
+    the unweighted :func:`~talna_spark.pipeline.text.lm_score`, which
+    is what pins round 1 of the iterated loop to the one-shot table
+    (tested). Same micro-nat rounding chain as lm_score."""
+    tw = tok.join(F.broadcast(wts), "source")
+    vocab = tw.groupBy("token").agg(F.sum("w_ppm").alias("cw"))
+    totals = vocab.agg(
+        F.sum("cw").alias("nw"), F.count(F.lit(1)).alias("v_size")
+    )
+    nll_micro = F.round(
+        -F.log(
+            (F.col("cw") + F.lit(float(_W_UNIT)))
+            / (F.col("nw") + F.lit(float(_W_UNIT)) * F.col("v_size"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(nll_micro) / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("xent")
+        )
+    )
+
+
+def doremi_weights_iterated(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = DOREMI_ROUNDS,
+    eta: float = DOREMI_ETA,
+) -> tuple:
+    """The FULL DoReMi loop (Xie et al. 2023) that
+    :func:`doremi_weights` takes one step of: per round, retrain the
+    proxy under the current mixture (the domain-weighted unigram LM —
+    reweighting token counts is exactly what training on a reweighted
+    mixture does to a count-based proxy), measure per-domain mean
+    excess loss against the FIXED bigram reference, and take the
+    exponentiated-gradient step w <- w * exp(eta * excess), integer
+    ppm units throughout (renormalized to mean 1e6 per round so the
+    product neither drifts to zero nor overflows).
+
+    Round 1 from the uniform init reproduces the one-shot
+    :func:`doremi_weights` table exactly up to the shared ppm
+    quantization (tested — the +1-average-weight smoothing makes the
+    uniformly-weighted proxy bit-identical to lm_score). Returns
+    ``(weights, history)``: the final {source: w_ppm} dict and the
+    per-round list of {source: excess_micro} — model-sized driver
+    state, the kmeans_centroids convention.
+
+    100 TB shape per round: one token-keyed weighted hash-agg (the
+    lm_score plan with a broadcast #domains weight join on the way
+    in), one (doc_id)-keyed score join, one #domains-row aggregate;
+    token streams and the fixed reference are computed once behind
+    lazy localCheckpoints — rounds add scoring passes, never new
+    corpus scans."""
+    from talna_spark.pipeline.portable import tokens
+    from talna_spark.pipeline.scan import fan_out
+    from talna_spark.pipeline.text import lm_score_bigram
+
+    if int(rounds) < 1:
+        raise ValueError("rounds must be >= 1")
+    e = float(eta)
+    if not e > 0:
+        raise ValueError("eta must be positive")
+    d = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+    )
+    src = d.select("doc_id", "source").localCheckpoint(eager=False)
+    # NO empty-token filter: round-1 parity with the one-shot table
+    # requires the uniformly-weighted proxy to be bit-identical to
+    # lm_score, whose token stream keeps them
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("token"),
+    ).localCheckpoint(eager=False)
+    # hold out nothing: the reference is fixed across rounds
+    ref = (
+        lm_score_bigram(spark, sf_dir)
+        .select("doc_id", "xent2")
+        .localCheckpoint(eager=False)
+    )
+    sources = sorted(r["source"] for r in src.select("source").distinct().collect())
+    weights = {s: _W_UNIT for s in sources}
+    history = []
+    import math
+
+    for _ in range(int(rounds)):
+        wts = spark.createDataFrame(
+            sorted(weights.items()), "source string, w_ppm long"
+        )
+        prox = _weighted_unigram_xent(tok, wts)
+        excess_micro = F.round(
+            (F.col("xent") - F.col("xent2")) * 1_000_000
+        ).cast("long")
+        agg = (
+            src.join(prox, "doc_id")
+            .join(ref, "doc_id")
+            .select("source", excess_micro.alias("em"))
+            .groupBy("source")
+            .agg(F.sum("em").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        exc = {r["source"]: (int(r["s"]), int(r["n"])) for r in agg}
+        history.append({s: exc[s][0] for s in exc})
+        new_w = {}
+        for s in sources:
+            sm, n = exc.get(s, (0, 1))
+            mean_nats = sm / n / 1_000_000.0
+            new_w[s] = int(
+                math.floor(weights[s] * math.exp(e * mean_nats))
+            )
+        # renormalize to mean _W_UNIT (integer arithmetic, order-free)
+        total = sum(new_w.values())
+        if total <= 0:
+            raise ValueError("all weights collapsed to zero")
+        weights = {
+            s: max(
+                1,
+                (new_w[s] * _W_UNIT * len(sources)) // total,
+            )
+            for s in sources
+        }
+    return weights, history
+
+
+def doremi_mixture_sample_iterated(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = DOREMI_ROUNDS,
+    eta: float = DOREMI_ETA,
+) -> DataFrame:
+    """Budgeted mixture sampling under the ITERATED DoReMi table —
+    unchanged budget/rate/'mix|'-hash machinery, only the weight
+    source differs (unit-tier like its trainer: the loop is
+    iterative)."""
+    w, _hist = doremi_weights_iterated(spark, sf_dir, rounds, eta)
+    wdf = spark.createDataFrame(
+        sorted(w.items()), "source string, w_s long"
+    )
+    d, per_src = _mix_scaffold(spark, sf_dir, weights_df=wdf)
+    return _budget_mixture(d, per_src)

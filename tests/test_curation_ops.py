@@ -931,3 +931,76 @@ def test_stream_curate_script_gate(spark, tmp_path):
         q.stop()
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1}
+
+
+def test_doremi_iterated_round1_matches_one_shot(spark):
+    """Uniform-init round 1 of the full loop must reproduce the
+    one-shot table: the +1-average-weight smoothing makes the
+    uniformly-weighted proxy bit-identical to lm_score, so the excess
+    aggregate — and hence the weights up to the shared ppm floor — is
+    the SAME number both paths."""
+    from talna_spark.pipeline.sampling import (
+        doremi_weights, doremi_weights_iterated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    one = {
+        r["source"]: (r["excess_micro"], r["w_s"])
+        for r in doremi_weights(spark, sf).collect()
+    }
+    w1, hist = doremi_weights_iterated(spark, sf, rounds=1, eta=1.0)
+    assert len(hist) == 1
+    assert hist[0] == {s: em for s, (em, _w) in one.items()}
+    # weights proportional: iterated renormalizes to mean 1e6, so
+    # compare ratios against the one-shot table (integer floors give
+    # <= 2 ppm relative slack)
+    import math
+
+    tot_one = sum(w for _e, w in one.values())
+    tot_it = sum(w1.values())
+    for s, (_e, w) in one.items():
+        a = w / tot_one
+        b = w1[s] / tot_it
+        assert math.isclose(a, b, rel_tol=5e-6), (s, a, b)
+
+
+def test_doremi_iterated_amplifies_high_excess_domain(spark, tmp_path):
+    """Over rounds, a domain with persistently positive excess gains
+    weight monotonically relative to a persistently lower-excess
+    domain — the exponentiated-gradient direction."""
+    import random
+
+    from talna_spark.pipeline.sampling import doremi_weights_iterated
+
+    words = [f"w{i}" for i in range(20)]
+    chain = " ".join(words)
+    rows = []
+    for i in range(12):
+        rows.append((i, chain, "en", "structured", 1))
+        shuffled = words[:]
+        random.Random(i).shuffle(shuffled)
+        rows.append((100 + i, " ".join(shuffled), "en", "salad", 1))
+    d = str(tmp_path / "doremi_it")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    ratios = []
+    for rounds in (1, 2, 3):
+        w, _h = doremi_weights_iterated(spark, d, rounds=rounds, eta=2.0)
+        ratios.append(w["structured"] / w["salad"])
+    assert ratios[0] > 1.0
+    assert ratios[0] <= ratios[1] <= ratios[2], ratios
+
+    import pytest as _pt
+
+    from talna_spark.pipeline.sampling import doremi_mixture_sample_iterated
+
+    kept = doremi_mixture_sample_iterated(spark, d, rounds=2, eta=2.0).collect()
+    ppm = {r["source"]: r["keep_ppm"] for r in kept}
+    # a domain starved below the hash threshold keeps zero docs and
+    # vanishes from the (kept-rows-only) output — that IS the
+    # amplification working; default it to 0
+    assert ppm["structured"] > ppm.get("salad", 0)
+    with _pt.raises(ValueError, match="rounds"):
+        doremi_weights_iterated(spark, d, rounds=0)
