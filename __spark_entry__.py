@@ -1094,7 +1094,11 @@ def _x21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``maximal`` (r10): suffix-granular exact-substring dedup (Lee et
       al. 2022) — adjacent duplicated grams coalesce into maximal runs,
       only runs >= SPAN_MIN_TOKENS removed; s1=md5 of the reconstructed
-      text, v1=n_spans, v2=span_tokens, v3=kept_tokens.
+      text, v1=n_spans, v2=span_tokens, v3=kept_tokens;
+    - ``withindoc`` (r10): WITHIN-document repeated-line removal (the
+      Gopher/C4 cleanup next to cross-corpus paragraph dedup; pure
+      map-side, zero shuffle) — s1=md5 of the reassembled text,
+      v1=n_lines, v2=removed_lines.
     """
 
     def norm(df, s1, v1, v2, v3, kind):
@@ -1127,8 +1131,14 @@ def _x21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clean_hash"), F.col("n_spans"), F.col("span_tokens"),
         F.col("kept_tokens"), "maximal",
     )
+    within = norm(
+        _dedup.within_doc_line_dedup(spark, sf_dir),
+        F.col("clean_hash"), F.col("n_lines"), F.col("removed_lines"),
+        F.lit(0.0), "withindoc",
+    )
     return (
         scan.unionByName(clean).unionByName(para).unionByName(maximal)
+        .unionByName(within)
     )
 
 
@@ -1150,7 +1160,12 @@ def _x21_dup_spans_sql() -> str:
         "SELECT doc_id, clean_hash AS s1, CAST(n_spans AS DOUBLE) AS v1, "
         "CAST(span_tokens AS DOUBLE) AS v2, CAST(kept_tokens AS DOUBLE) AS v3, "
         "'maximal' AS kind "
-        f"FROM ({_dedup.dup_span_maximal_sql()})"
+        f"FROM ({_dedup.dup_span_maximal_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, clean_hash AS s1, CAST(n_lines AS DOUBLE) AS v1, "
+        "CAST(removed_lines AS DOUBLE) AS v2, 0.0 AS v3, "
+        "'withindoc' AS kind "
+        f"FROM ({_dedup.within_doc_line_dedup_sql()})"
     )
 
 

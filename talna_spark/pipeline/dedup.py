@@ -1155,3 +1155,71 @@ def paragraph_dedup_sql() -> str:
         "chr(10))) AS clean_hash "
         "FROM d LEFT JOIN rml ON d.doc_id = rml.doc_id"
     )
+
+
+def within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal — the Gopher/C4-family
+    cleanup step next to the cross-corpus :func:`paragraph_dedup`:
+    inside each document, a (trimmed) line keeps only its first
+    occurrence; later copies are dropped (menus, cookie banners and
+    boilerplate headers repeat within pages long before they repeat
+    across them). Whitespace-only lines are structure, never deduped —
+    the paragraph_dedup convention. Returns (doc_id, n_lines,
+    removed_lines, clean_hash) with clean_hash = md5 of the
+    reassembled text (the exact surviving string, not just counts).
+
+    100 TB shape: the best possible — a PURE map-side expression (one
+    first-occurrence array_position test per line, JVM-only), no
+    shuffle, no aggregate, no UDF, nothing leaves the scan stage
+    (plan-tested). Per-doc cost is O(lines^2) string compares in the
+    worst case, bounded by document size, not corpus size."""
+    d = fan_out(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.split(F.col("text"), "\n").alias("ps"),
+    ).select(
+        "doc_id",
+        F.transform(F.col("ps"), lambda p: F.trim(p)).alias("pst"),
+        F.col("ps"),
+    ).select(
+        "doc_id",
+        F.size("ps").cast("long").alias("n_lines"),
+        (
+            F.size("ps")
+            - F.size(
+                F.expr(
+                    "filter(ps, (p, i) -> trim(p) = '' "
+                    "OR array_position(pst, trim(p)) = i + 1)"
+                )
+            )
+        )
+        .cast("long")
+        .alias("removed_lines"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "filter(ps, (p, i) -> trim(p) = '' "
+                    "OR array_position(pst, trim(p)) = i + 1)"
+                ),
+                "\n",
+            )
+        ).alias("clean_hash"),
+    )
+
+
+def within_doc_line_dedup_sql() -> str:
+    """DuckDB twin: 1-based lambda index and list_position mirror
+    Spark's 0-based filter index + 1-based array_position exactly."""
+    keep = (
+        "list_filter(ps, (p, i) -> trim(p) = '' "
+        "OR list_position(pst, trim(p)) = i)"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ps "
+        "FROM documents), "
+        "t AS (SELECT doc_id, ps, list_transform(ps, p -> trim(p)) AS pst "
+        "FROM d) "
+        "SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_lines, "
+        f"CAST(len(ps) - len({keep}) AS BIGINT) AS removed_lines, "
+        f"md5(array_to_string({keep}, chr(10))) AS clean_hash FROM t"
+    )

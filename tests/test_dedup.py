@@ -279,3 +279,59 @@ def test_paragraph_dedup_text_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "text#" in line:
             raise AssertionError(f"document text crosses a shuffle: {line}")
+
+
+def test_within_doc_line_dedup(spark, tmp_path):
+    """Within-doc repeated lines keep only their first copy; trimmed
+    variants match; whitespace-only lines are structure; repeats ACROSS
+    docs are untouched (that's paragraph_dedup's job); zero-shuffle
+    plan; engines row-identical."""
+    import hashlib
+
+    import duckdb
+
+    from talna_spark.pipeline.dedup import (
+        within_doc_line_dedup, within_doc_line_dedup_sql,
+    )
+
+    rows = [
+        (1, "menu\nbody one.\nmenu\n\nbody two.\n  menu  ", "en", "s", 1),
+        (2, "menu\nunique text here.", "en", "s", 1),  # cross-doc: kept
+        (3, "", "en", "s", 1),
+        (4, "a\n\n\na", "en", "s", 1),  # blank lines never dedup
+    ]
+    d = str(tmp_path / "wd")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in within_doc_line_dedup(spark, d).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1]["n_lines"] == 6 and got[1]["removed_lines"] == 2
+    assert got[1]["clean_hash"] == h("menu\nbody one.\n\nbody two.")
+    assert got[2]["removed_lines"] == 0
+    assert got[2]["clean_hash"] == h(rows[1][1])
+    assert got[3]["removed_lines"] == 0
+    assert got[4]["n_lines"] == 4 and got[4]["removed_lines"] == 1
+    assert got[4]["clean_hash"] == h("a\n\n")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(within_doc_line_dedup_sql()).fetchall()
+    }
+    for did, r in got.items():
+        assert oracle[did] == (
+            did, r["n_lines"], r["removed_lines"], r["clean_hash"]
+        ), did
+
+    # 100 TB contract: pure map-side — NO Exchange at all
+    plan = (
+        within_doc_line_dedup(spark, d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
