@@ -1170,7 +1170,9 @@ def _x21_dup_spans_sql() -> str:
 
 
 _EXT["x21_dup_spans"] = (_x21_dup_spans, _x21_dup_spans_sql())
-def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _x22_quality_scoring(
+    spark: SparkSession, sf_dir: str, include_pplbucket: bool = True
+) -> DataFrame:
     """Corpus-trained quality scoring, two `kind` slices on a normalized
     (doc_id, s1, v1, v2) schema:
 
@@ -1194,7 +1196,11 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
       v1=n_tokens, v2=clf_score = sigmoid of the broadcast-weight dot
       product over md5-hashed token buckets (the fastText-style gate;
       the demo formula weights keep the row oracle-expressible while
-      exercising the exact production scoring plan).
+      exercising the exact production scoring plan);
+    - ``pplbucket`` (r10): CCNet head/middle/tail perplexity terciles
+      per domain (Wenzek et al. 2020) — s1=bucket, v1=xent,
+      v2=tail_cut (the p67 boundary; head_cut is pinned transitively
+      through the bucket labels).
     """
 
     def norm(df, s1, v1, v2, kind):
@@ -1234,10 +1240,17 @@ def _x22_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _classifier.score_documents(spark, sf_dir),
         F.lit(None), F.col("n_tokens"), F.col("clf_score"), "clf",
     )
-    return (
+    out = (
         lm.unionByName(cut).unionByName(gopher).unionByName(c4)
         .unionByName(lm2).unionByName(lm3).unionByName(clf)
     )
+    if not include_pplbucket:  # bench pins the r9 7-slice content so
+        return out             # the quality-battery trend stays comparable
+    ppb = norm(
+        _text.perplexity_buckets(spark, sf_dir),
+        F.col("bucket"), F.col("xent"), F.col("tail_cut"), "pplbucket",
+    )
+    return out.unionByName(ppb)
 
 
 def _x22_quality_scoring_sql() -> str:
@@ -1269,10 +1282,14 @@ def _x22_quality_scoring_sql() -> str:
         "SELECT doc_id, CAST(NULL AS VARCHAR) AS s1, "
         "CAST(n_tokens AS DOUBLE) AS v1, CAST(clf_score AS DOUBLE) AS v2, "
         f"'clf' AS kind FROM ({_classifier.score_documents_sql()})"
+        + " UNION ALL "
+        + ("SELECT doc_id, bucket AS s1, CAST(xent AS DOUBLE) AS v1, "
+           "CAST(tail_cut AS DOUBLE) AS v2, 'pplbucket' AS kind "
+           f"FROM ({_text.perplexity_buckets_sql()})")
     )
 
 
-X22_N_SLICES = 7  # recorded in the bench artifact (battery-row comparability)
+X22_N_SLICES = 8  # recorded in the bench artifact (battery-row comparability)
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 def _x23_mixture_sample(
     spark: SparkSession, sf_dir: str, include_doremi: bool = True

@@ -401,7 +401,16 @@ def main() -> None:
         # pipe_lm_score label (which had silently grown from 3 to 5
         # slices) and records its slice count so historical rows are
         # never conflated.
-        pipe["pipe_quality_battery"] = "x22_quality_scoring"
+        # r10: pipe_quality_battery keeps timing the r9 7-slice
+        # registration content (the new pplbucket slice re-runs an lm
+        # pass the battery trend must not absorb)
+        def _bench_battery_r9(spark, sf_dir):
+            return entrymod._x22_quality_scoring(
+                spark, sf_dir, include_pplbucket=False
+            )
+
+        qs["_bench_battery_r9"] = _bench_battery_r9
+        pipe["pipe_quality_battery"] = "_bench_battery_r9"
         from talna_spark.pipeline.multimodal import pdf_extract as _pdfx
 
         qs["_bench_pdf"] = _pdfx

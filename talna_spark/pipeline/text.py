@@ -831,6 +831,67 @@ def quality_cutoff_filter_sql() -> str:
     )
 
 
+# ---------------------------------------- CCNet perplexity buckets (r10)
+PPL_TERCILES = (1 / 3, 2 / 3)  # head | middle | tail boundaries
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): within
+    each domain, documents partition into perplexity TERCILES of the
+    LM cross-entropy — 'head' (most fluent third, <= p33), 'middle'
+    (<= p67), 'tail' (the rest); CCNet pipelines typically train on
+    head+middle and hold tail for inspection. Distinct from
+    :func:`quality_cutoff_filter`: that drops a fixed worst quantile,
+    this LABELS the whole corpus so the downstream mixture can choose.
+    Cutpoints are the exact interpolated percentile (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the q21 portability
+    pair), 6-dp-rounded before the boundary compares so a doc sitting
+    exactly on a cutpoint buckets identically everywhere.
+
+    Returns (doc_id, source, xent, head_cut, tail_cut, bucket).
+
+    100 TB shape: lm_score's own token-hash-agg plan + ONE
+    #sources-row exact-percentile aggregate broadcast back; the bucket
+    label is a map-side compare — no additional corpus shuffle."""
+    xent = lm_score(spark, sf_dir).select("doc_id", "xent")
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    scored = d.join(xent, "doc_id")
+    p1, p2 = PPL_TERCILES
+    cuts = scored.groupBy("source").agg(
+        F.round(F.percentile("xent", F.lit(p1)), 6).alias("head_cut"),
+        F.round(F.percentile("xent", F.lit(p2)), 6).alias("tail_cut"),
+    )
+    bucket = (
+        F.when(F.col("xent") <= F.col("head_cut"), F.lit("head"))
+        .when(F.col("xent") <= F.col("tail_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id", "source", "xent", "head_cut", "tail_cut",
+            bucket.alias("bucket"),
+        )
+    )
+
+
+def perplexity_buckets_sql() -> str:
+    p1, p2 = PPL_TERCILES
+    return (
+        f"WITH lm AS ({lm_score_sql()}), "
+        "scored AS (SELECT d.doc_id, d.source, lm.xent FROM documents d "
+        "JOIN lm ON d.doc_id = lm.doc_id), "
+        "cuts AS (SELECT source, "
+        f"ROUND(quantile_cont(xent, {p1!r}), 6) AS head_cut, "
+        f"ROUND(quantile_cont(xent, {p2!r}), 6) AS tail_cut "
+        "FROM scored GROUP BY source) "
+        "SELECT s.doc_id, s.source, s.xent, c.head_cut, c.tail_cut, "
+        "CASE WHEN s.xent <= c.head_cut THEN 'head' "
+        "WHEN s.xent <= c.tail_cut THEN 'middle' ELSE 'tail' END AS bucket "
+        "FROM scored s JOIN cuts c ON s.source = c.source"
+    )
+
+
 # ------------------------------------------------------- Gopher rule filter
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000

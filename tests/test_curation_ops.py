@@ -1004,3 +1004,56 @@ def test_doremi_iterated_amplifies_high_excess_domain(spark, tmp_path):
     assert ppm["structured"] > ppm.get("salad", 0)
     with _pt.raises(ValueError, match="rounds"):
         doremi_weights_iterated(spark, d, rounds=0)
+
+
+def test_perplexity_buckets_terciles(spark, tmp_path):
+    """CCNet head/middle/tail: within a source, docs partition into
+    perplexity terciles (boundary docs bucket by <=); buckets are
+    non-empty thirds on a 9-doc source; engines row-identical."""
+    import duckdb
+
+    from talna_spark.pipeline.text import (
+        perplexity_buckets, perplexity_buckets_sql,
+    )
+
+    # 9 docs with increasingly rare vocabulary -> strictly increasing
+    # xent within the single source
+    common = "the the the the"
+    rows = []
+    for i in range(9):
+        rare = " ".join(f"rare{i}_{j}" for j in range(i))
+        rows.append((i, f"{common} {rare}".strip(), "en", "s0", 1))
+    d = str(tmp_path / "ppl")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in perplexity_buckets(spark, d).collect()}
+    assert len(got) == 9
+    xents = [got[i]["xent"] for i in range(9)]
+    assert xents == sorted(xents) and len(set(xents)) == 9
+    buckets = [got[i]["bucket"] for i in range(9)]
+    # interpolated terciles of 9 ordered values: 3 head, 3 middle, 3 tail
+    assert buckets == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    for i in range(9):
+        r = got[i]
+        if r["bucket"] == "head":
+            assert r["xent"] <= r["head_cut"]
+        elif r["bucket"] == "middle":
+            assert r["head_cut"] < r["xent"] <= r["tail_cut"]
+        else:
+            assert r["xent"] > r["tail_cut"]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = sorted(
+        map(tuple, con.execute(perplexity_buckets_sql()).fetchall())
+    )
+    ours = sorted(
+        (r["doc_id"], r["source"], r["xent"], r["head_cut"],
+         r["tail_cut"], r["bucket"])
+        for r in got.values()
+    )
+    assert ours == oracle
