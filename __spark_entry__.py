@@ -1289,7 +1289,7 @@ def _x22_quality_scoring_sql() -> str:
     )
 
 
-X22_N_SLICES = 8  # recorded in the bench artifact (battery-row comparability)
+X22_N_SLICES = 8  # total registration slices (the bench battery row pins the 7-slice r9 subset)
 _EXT["x22_quality_scoring"] = (_x22_quality_scoring, _x22_quality_scoring_sql())
 def _x23_mixture_sample(
     spark: SparkSession, sf_dir: str, include_doremi: bool = True
