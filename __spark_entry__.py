@@ -178,7 +178,7 @@ _EXT: dict[str, tuple] = {
     "x05_dedup_exact": (_dedup.exact_survivors, _dedup.exact_survivors_sql()),
     "x06_dedup_minhash_sig": (_dedup.minhash_signatures, _dedup.minhash_signatures_sql()),
     "x07_dedup_lsh_pairs": (_dedup.lsh_near_dup_pairs, _dedup.lsh_near_dup_pairs_sql()),
-    "x08_dedup_simhash": (_dedup.simhash, _dedup.simhash_sql()),
+    # x08 is defined below (sig + Manku pigeonhole pairs kind slices, r10)
     "x09_dedup_ngram_jaccard": (_dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql()),
     "x14_dedup_clusters": (_dedup.dedup_clusters, _dedup.dedup_clusters_sql()),
     "x10_ann_bruteforce": (_sim.brute_force_topk, _sim.brute_force_topk_sql()),
@@ -192,6 +192,42 @@ _EXT: dict[str, tuple] = {
     "x17_pii_scan": (_text.pii_scan, _text.pii_scan_sql()),
     "x18_token_freq": (_text.token_freq, _text.token_freq_sql()),
 }
+
+
+def _x08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash registration, two `kind` slices on a normalized
+    (doc_id, v1, v2, kind) schema: ``sig`` = the per-doc fingerprint
+    (v1=simhash); ``pairs`` (r10) = Manku et al. 2007 near-dup pairs —
+    pigeonhole band-join candidates verified by exact Hamming distance
+    (doc_id=doc_a, v1=doc_b, v2=hamming)."""
+    sig = _dedup.simhash(spark, sf_dir).select(
+        "doc_id",
+        F.col("simhash").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit("sig").alias("kind"),
+    )
+    pairs = _dedup.simhash_near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").cast("long").alias("v1"),
+        F.col("hamming").cast("long").alias("v2"),
+        F.lit("pairs").alias("kind"),
+    )
+    return sig.unionByName(pairs)
+
+
+def _x08_simhash_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(simhash AS BIGINT) AS v1, "
+        "CAST(0 AS BIGINT) AS v2, 'sig' AS kind "
+        f"FROM ({_dedup.simhash_sql()}) "
+        "UNION ALL "
+        "SELECT doc_a AS doc_id, CAST(doc_b AS BIGINT) AS v1, "
+        "CAST(hamming AS BIGINT) AS v2, 'pairs' AS kind "
+        f"FROM ({_dedup.simhash_near_dup_pairs_sql()})"
+    )
+
+
+_EXT["x08_dedup_simhash"] = (_x08_simhash, _x08_simhash_sql())
 
 
 def _q24_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

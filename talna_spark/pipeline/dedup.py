@@ -341,6 +341,102 @@ def simhash_sql() -> str:
     )
 
 
+SIMHASH_BANDS = 4        # pigeonhole bands over the SIMHASH_BITS fingerprint
+SIMHASH_MAX_HAMMING = 3  # verified distance; B bands guarantee recall < B
+
+
+def simhash_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS — the Manku et al. 2007 crawl-dedup
+    method (the one Google published for web-scale near-dup detection)
+    next to the MinHash-LSH pair generator: split each SimHash
+    fingerprint into ``bands`` equal bit-bands; by pigeonhole, two
+    fingerprints within Hamming distance < ``bands`` agree EXACTLY on
+    at least one band, so candidates are a band-keyed equality
+    self-join — never all pairs — and each candidate verifies by exact
+    bit_count(xor) <= ``max_hamming``. Returns (doc_a, doc_b, hamming)
+    with doc_a < doc_b.
+
+    Recall contract (tested): exact for max_hamming < bands; a larger
+    max_hamming is allowed but recall drops to the banding's —
+    documented, not silent (the guarantee is the caller's dial).
+
+    100 TB shape: fingerprints computed once behind a lazy
+    localCheckpoint (map-only folds); the only shuffle keys
+    (band, value) id-rows — the LSH band-join shape with 64-bit values
+    instead of minhash tuples; verification is a map-side bit_count."""
+    b = int(bands)
+    h = int(max_hamming)
+    if b < 1 or SIMHASH_BITS % b != 0:
+        raise ValueError(f"bands must divide SIMHASH_BITS ({SIMHASH_BITS})")
+    if h < 0:
+        raise ValueError("max_hamming must be >= 0")
+    width = SIMHASH_BITS // b
+    mask = (1 << width) - 1
+    sig = simhash(spark, sf_dir).localCheckpoint(eager=False)
+    bandvals = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for i in range(b)
+        ]
+    )
+    rows = sig.select(
+        "doc_id", "simhash", F.explode(bandvals).alias("bv")
+    ).select(
+        "doc_id", "simhash", F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
+    )
+    a_, b_ = rows.alias("a"), rows.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a_.join(
+            b_,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= h)
+        .distinct()
+    )
+
+
+def simhash_near_dup_pairs_sql(
+    max_hamming: int = SIMHASH_MAX_HAMMING, bands: int = SIMHASH_BANDS
+) -> str:
+    """DuckDB twin: same band split (shift+mask), same bit_count(xor)
+    verification."""
+    b = int(bands)
+    width = SIMHASH_BITS // b
+    mask = (1 << width) - 1
+    return (
+        f"WITH sig AS MATERIALIZED ({simhash_sql()}), "
+        "bands AS (SELECT doc_id, simhash, i AS b, "
+        f"(simhash >> (i * {width})) & {mask} AS v "
+        f"FROM sig, unnest(generate_series(0, {b - 1})) t(i)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM bands a JOIN bands b "
+        "ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, hamming FROM pairs "
+        f"WHERE hamming <= {int(max_hamming)}"
+    )
+
+
 # ------------------------------------------------- duplicate clustering (CC)
 def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 25) -> DataFrame:
     """Connected components over the verified near-dup pair graph: every

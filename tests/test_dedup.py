@@ -335,3 +335,57 @@ def test_within_doc_line_dedup(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_simhash_pairs_exact_vs_brute_force(spark):
+    """The Manku pigeonhole contract, proven against brute force: for
+    max_hamming < bands, the band-join finds EXACTLY the pairs within
+    the Hamming threshold — no recall loss, no false positives (the
+    verify step), over the whole sf0.001 corpus."""
+    from talna_spark.pipeline.dedup import (
+        SIMHASH_MAX_HAMMING, simhash, simhash_near_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(spark, sf).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_simhash_pairs_validation_and_zero_hamming(spark, tmp_path):
+    import pandas as pd
+    import pytest as _pytest
+
+    from talna_spark.pipeline.dedup import simhash_near_dup_pairs
+
+    d = str(tmp_path / "sh")
+    import os
+
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "identical text body here",
+                "identical text body here",   # hamming 0 with doc 1
+                "completely different words unrelated entirely",
+            ],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(spark, d).collect()
+    }
+    assert got.get((1, 2)) == 0
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_near_dup_pairs(spark, d, bands=5)  # 5 does not divide 16
