@@ -367,8 +367,15 @@ def simhash_near_dup_pairs(
 
     100 TB shape: fingerprints computed once behind a lazy
     localCheckpoint (map-only folds); the only shuffle keys
-    (band, value) id-rows — the LSH band-join shape with 64-bit values
-    instead of minhash tuples; verification is a map-side bit_count."""
+    (band, value) id-rows — the LSH band-join shape with integer band
+    values instead of minhash tuples; verification is a map-side
+    bit_count. Candidate volume is governed by the per-band value
+    space (~2^(SIMHASH_BITS/bands) buckets): the shipped 16-bit
+    fingerprint is the oracle-friendly demo width and collides
+    heavily on template-heavy corpora; production runs Manku's 64-bit
+    fingerprints (SIMHASH_BITS is the dial — the plan shape is
+    width-independent), plus the LSH hot-bucket cap pattern if a
+    band value still floods."""
     b = int(bands)
     h = int(max_hamming)
     if b < 1 or SIMHASH_BITS % b != 0:
