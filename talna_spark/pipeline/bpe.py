@@ -476,6 +476,10 @@ def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     reorder the greedy encoder."""
     rows = spark.read.parquet(path).collect()
     by_rank = {int(r["rank"]): (r["a"], r["b"]) for r in rows}
+    if len(rows) != len(by_rank):
+        # Two rows at the same rank would collapse in the dict above,
+        # keeping a collect-order-dependent winner and dropping a merge.
+        raise ValueError(f"merge table at {path} has duplicate ranks")
     n = len(by_rank)
     if set(by_rank) != set(range(n)):
         raise ValueError(f"merge table at {path} has rank gaps")

@@ -327,9 +327,16 @@ def unigram_train(
         if len(logp) <= vocab_size:
             break
         keep = max(int(vocab_size), int(len(logp) * float(shrink)))
-        if keep >= len(logp):  # chars alone exceed the target: done
+        pruned = _prune(counts, keep)
+        if len(pruned) >= len(logp):
+            # No progress: the single-char coverage floor alone meets or
+            # exceeds the target (>vocab_size distinct characters), so the
+            # vocabulary has landed at max(vocab_size, #distinct chars).
+            # Without this guard the loop would re-run EM + a no-op prune
+            # forever on any corpus with more distinct chars than
+            # vocab_size (e.g. CJK/multilingual input).
             break
-        counts = _prune(counts, keep)
+        counts = pruned
         logp = _m_step(counts)
     return sorted(logp.items())
 

@@ -184,9 +184,44 @@ def test_calendar_bucket_pre_epoch_floor(spark):
     from talna_spark.oracle import events_calendar_sql
 
     sql = events_calendar_sql("sum", "m", "h", "*", "day")
-    # extract the oracle's day expression check indirectly: the full
-    # oracle needs the pts CTE; instead assert its floordiv fragment
+    # the oracle's floordiv fragment is present...
     assert "CASE WHEN ts %" in sql and "// 86400000000000" in sql
+    # ...and BEHAVES: execute the oracle on a pre-epoch events fixture
+    # and require it to bucket exactly as calendar_bucket_col does (a
+    # future oracle edit must not silently reintroduce the truncating
+    # `//` divergence). Timestamps are microsecond-representable: -1 us
+    # and exactly -1 day both belong to the 1969-12-31 bucket.
+    con = duckdb.connect()
+    us = d // 1000
+    fixture_us = [(-1, 1.0), (-us, 2.0), (0, 4.0), (us - 1, 8.0), (us, 16.0)]
+    con.execute(
+        "CREATE TABLE events AS SELECT make_timestamp(t) AS ts, "
+        "'click' AS event_type, 1 AS user_id, '{}' AS props, v AS value "
+        "FROM (VALUES "
+        + ", ".join(f"({t}, {v})" for t, v in fixture_us)
+        + ") AS x(t, v)"
+    )
+    oracle = {
+        (r[1], r[2]): (r[3], r[4])  # (start_ts, end_ts) -> (value, len)
+        for r in con.execute(
+            events_calendar_sql("sum", "app.click", "user", "*", "day")
+        ).fetchall()
+    }
+    assert oracle == {
+        (-d, -1000): (3.0, 2),  # 1969-12-31: -1 day and -1 us together
+        (0, d - 1000): (12.0, 2),  # 1970-01-01
+        (d, d): (16.0, 1),  # 1970-01-02
+    }
+    # engine partitions the same instants identically (ns-side)
+    eng = {
+        r["ts"]: r["b"]
+        for r in spark.createDataFrame(
+            [(t * 1000,) for t, _ in fixture_us], "ts long"
+        )
+        .select("ts", calendar_bucket_col("day").alias("b"))
+        .collect()
+    }
+    assert eng == {-1000: -1, -d: -1, 0: 0, d - 1000: 0, d: 1}
 
 
 def test_bucket_middle():

@@ -231,6 +231,26 @@ def test_unigram_train_validation(spark, corpus_dir):
         unigram_train(spark, d, shrink=1.5)
 
 
+def test_unigram_train_terminates_when_chars_exceed_vocab(spark):
+    """Regression: a corpus with more distinct single characters than
+    vocab_size must terminate (vocabulary lands at the char floor), not
+    re-run EM + a no-op prune forever. 30 distinct chars, vocab_size=5."""
+    d = tempfile.mkdtemp(prefix="talna_unigram_chars_")
+    try:
+        # 30 distinct single-char words -> char floor of 30 > vocab 5
+        chars = [chr(ord("a") + i) for i in range(26)] + list("0123")
+        texts = [" ".join(chars), " ".join(reversed(chars))]
+        pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        model = unigram_train(spark, d, vocab_size=5, em_iters=1)
+        got = {p for p, _ in model}
+        assert got == set(chars)  # char floor, nothing pruned
+        assert unigram_train(spark, d, vocab_size=5, em_iters=1) == model
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_unigram_encode_ids_matches_reference_segmentation(spark, corpus_dir):
     from talna_spark.pipeline.unigram import (
         UNK_ID_BASE, unigram_encode, unigram_encode_ids, unigram_train,
@@ -326,6 +346,16 @@ def test_tokenizer_persistence_round_trip(spark, corpus_dir, tmp_path):
     ).write.parquet(bad)
     with _pytest.raises(ValueError, match="rank gaps"):
         load_merges(spark, bad)
+    # duplicate ranks collapse in the rank dict, so set(by_rank) still
+    # equals range(n): must be caught by the row-count check, not pass
+    # silently with a collect-order-dependent winner
+    baddup = str(tmp_path / "baddupm")
+    spark.createDataFrame(
+        [(0, "a", "b"), (1, "c", "d"), (1, "e", "f")],
+        "rank long, a string, b string",
+    ).write.parquet(baddup)
+    with _pytest.raises(ValueError, match="duplicate ranks"):
+        load_merges(spark, baddup)
     badu = str(tmp_path / "badu")
     spark.createDataFrame(
         [("x", -1.0), ("x", -2.0)], "piece string, logp double"
