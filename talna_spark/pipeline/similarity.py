@@ -990,6 +990,78 @@ def assign_centroids(
     return df.join(best, id_col)
 
 
+def assign_centroids_cos(
+    df: DataFrame,
+    cents: list,
+    id_col: str = "doc_id",
+    literal_max: int = CENTROID_LITERAL_MAX,
+) -> DataFrame:
+    """Cosine-ARGMAX twin of :func:`assign_centroids` for labelled
+    centroids: ``cents`` is ``[(centroid_id, vector)]`` sorted by
+    centroid_id ascending; returns (``id_col``, cluster, ccos) — the
+    centroid of highest 6-dp-rounded cosine, ties to the LOWEST
+    centroid_id. Same two physical strategies, same threshold:
+
+    - k <= ``literal_max``: one literal-array expression per row —
+      array_max over the k cosines, array_position's first hit is the
+      lowest list index = lowest centroid_id. Pure map-side projection,
+      ZERO shuffle (no window, no join): the row_number-over-crossJoin
+      assignment this replaced pushed K rows per document through a
+      sort Exchange with no map-side partials.
+    - k > ``literal_max``: centroids broadcast as a DataFrame,
+      ``groupBy(id_col).agg(F.max(struct(ccos, -centroid_id)))`` — the
+      hash-agg has map-side partial max, so the one shuffle carries a
+      single id-row per vector (never the vectors). Struct max is
+      lexicographic: max ccos first, then max(-cid) = min cid — the
+      same tie-break as the literal path, bit-identical (tested on
+      both sides of the threshold).
+    """
+    if len(cents) <= int(literal_max):
+        sims = F.array(
+            *[
+                F.round(
+                    cosine(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in cv])
+                    ),
+                    6,
+                )
+                for _, cv in cents
+            ]
+        )
+        ids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cents])
+        best = F.array_max(sims)
+        return df.select(
+            id_col,
+            F.element_at(ids, F.array_position(sims, best).cast("int")).alias(
+                "cluster"
+            ),
+            best.alias("ccos"),
+        )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "_cb_cid long, _cb_v array<double>",
+    )
+    sim = F.round(cosine(F.col("v"), F.col("_cb_v")), 6)
+    return (
+        df.select(id_col, "v")
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            id_col,
+            F.struct(
+                sim.alias("ccos"), (-F.col("_cb_cid")).alias("ncid")
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_s").alias("_b"))
+        .select(
+            id_col,
+            (-F.col("_b.ncid")).alias("cluster"),
+            F.col("_b.ccos").alias("ccos"),
+        )
+    )
+
+
 def kmeans_assign(e: DataFrame, cents: list) -> DataFrame:
     """(vec_id, cluster, d2) for a trained centroid list — the handoff
     from :func:`kmeans_centroids` to an IVF build: at scale this column
@@ -1151,45 +1223,43 @@ def cluster_balanced_sample(
     SemDeDup's cluster-then-dedup): documents embed via
     :func:`srp_embed_documents`, assign to the nearest of
     ``n_centroids`` fixed centroids (the deterministic seed convention
-    — the SRP vectors of the lowest doc_ids — so the whole path keeps
-    a strict SQL oracle; :func:`kmeans_centroids` drops in for the
-    trained build), and each cluster keeps its ``per_cluster`` lowest
-    'cbal|'-hash-ranked members — the exact-k deterministic reservoir
-    of pipeline.sampling, per TOPIC instead of per source. Output:
+    — the SRP vectors of the ``n_centroids`` LOWEST token-bearing
+    doc_ids, so gramless low-id docs cannot silently shrink the
+    centroid set — and the whole path keeps a strict SQL oracle;
+    :func:`kmeans_centroids` drops in for the trained build), and each
+    cluster keeps its ``per_cluster`` lowest 'cbal|'-hash-ranked
+    members — the exact-k deterministic reservoir of pipeline.sampling,
+    per TOPIC instead of per source. Output:
     (doc_id, cluster, ccos, sample_rank) for winners only.
 
     Docs with zero tokens have no embedding direction (zero vector, no
     cosine) and do not participate — they are the business of the
     quality/script gates, not the topic sampler.
 
-    100 TB shape: SRP's one (doc_id, dim-sums) exchange; assignment is
-    a broadcast-centroids argmax; the per-cluster rank windows on
-    (cluster) over id rows — cluster count is the parallelism dial,
-    and only (doc_id, cluster, score) ids ever shuffle."""
+    100 TB shape: SRP's one (doc_id, dim-sums) exchange; the centroid
+    fetch is a model-sized TakeOrdered (K vectors to the driver — the
+    kmeans_centroids discipline); assignment is
+    :func:`assign_centroids_cos` — a ZERO-shuffle map-side literal
+    argmax up to CENTROID_LITERAL_MAX centroids, a broadcast-DF
+    struct-max hash-agg (map-side partials, one id-row per doc in the
+    shuffle) above it — never a row_number window over K rows per
+    document; the per-cluster rank windows on (cluster) over id rows —
+    cluster count is the parallelism dial, and only
+    (doc_id, cluster, score) ids ever shuffle."""
     if int(n_centroids) < 1 or int(per_cluster) < 1:
         raise ValueError("n_centroids and per_cluster must be >= 1")
     from talna_spark.pipeline.portable import hash64
 
     emb = srp_embed_documents(spark, sf_dir).filter(F.col("n_tokens") > 0)
-    cent = emb.filter(F.col("doc_id") < int(n_centroids)).select(
-        F.col("doc_id").alias("centroid_id"), F.col("v").alias("cv")
+    cents = sorted(
+        (int(r["doc_id"]), [float(x) for x in r["v"]])
+        for r in emb.select("doc_id", "v")
+        .orderBy("doc_id")
+        .limit(int(n_centroids))
+        .collect()
     )
-    scored = emb.join(F.broadcast(cent), how="cross").select(
-        "doc_id",
-        "centroid_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos"),
-    )
-    wa = Window.partitionBy("doc_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("centroid_id").alias("cluster"),
-            (F.col("ccos") + F.lit(0.0)).alias("ccos"),
-        )
+    assigned = assign_centroids_cos(emb, cents, id_col="doc_id").select(
+        "doc_id", "cluster", (F.col("ccos") + F.lit(0.0)).alias("ccos")
     )
     h = hash64(F.concat(F.lit("cbal|"), F.col("doc_id").cast("string")))
     wr = Window.partitionBy("cluster").orderBy(h.asc(), F.col("doc_id").asc())
@@ -1205,7 +1275,8 @@ def cluster_balanced_sample_sql(
 ) -> str:
     """DuckDB twin: the srp oracle as a CTE body (names tok/sgn/nt/vec/
     nrm stay un-shadowed — the cross-scope CTE binding trap), the same
-    cosine argmax and 'cbal|' hash rank."""
+    lowest-token-bearing-doc_ids centroid rule, cosine argmax and
+    'cbal|' hash rank."""
     from talna_spark.pipeline.portable import hash64_sql
 
     h = hash64_sql("'cbal|' || CAST(doc_id AS VARCHAR)")
@@ -1213,7 +1284,7 @@ def cluster_balanced_sample_sql(
         f"WITH emb AS ({srp_embed_documents_sql()}), "
         "eb AS (SELECT doc_id, v FROM emb WHERE n_tokens > 0), "
         f"cent AS (SELECT doc_id AS centroid_id, v AS cv FROM eb "
-        f"WHERE doc_id < {int(n_centroids)}), "
+        f"ORDER BY doc_id LIMIT {int(n_centroids)}), "
         "scored AS (SELECT eb.doc_id, centroid_id, "
         "ROUND(list_cosine_similarity(v, cv), 6) AS ccos "
         "FROM eb CROSS JOIN cent), "

