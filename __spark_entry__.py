@@ -1517,13 +1517,24 @@ def _x11_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed production index (r10: ADC over PQ codes restricted to the
     query's nprobe probed IVF clusters — FAISS ``IVFPQ``), ``sq8`` =
     8-bit scalar quantization (r10: per-vector affine codes, ~8x
-    compression, the FAISS SQ8 fidelity point between exact and PQ) —
-    each oracle-checked including ranks."""
+    compression, the FAISS SQ8 fidelity point between exact and PQ),
+    ``resivfpq`` = RESIDUAL-encoded IVF-PQ (r11: reconstruction =
+    centroid + PQ(v - centroid), Jégou et al. 2011 §IV.A — the
+    published coding; the trained variant where the fidelity claim
+    holds is unit-tier) — each oracle-checked including ranks."""
     ivf = _sim.ivf_topk(spark, sf_dir).withColumn("kind", F.lit("ivf"))
     pq = _sim.pq_topk(spark, sf_dir).withColumn("kind", F.lit("pq"))
     ivfpq = _sim.ivfpq_topk(spark, sf_dir).withColumn("kind", F.lit("ivfpq"))
     sq8 = _sim.sq8_topk(spark, sf_dir).withColumn("kind", F.lit("sq8"))
-    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(sq8)
+    res = _sim.ivfpq_residual_topk(spark, sf_dir).withColumn(
+        "kind", F.lit("resivfpq")
+    )
+    return (
+        ivf.unionByName(pq)
+        .unionByName(ivfpq)
+        .unionByName(sq8)
+        .unionByName(res)
+    )
 
 
 def _x11_ann_sql() -> str:
@@ -1534,7 +1545,10 @@ def _x11_ann_sql() -> str:
         "UNION ALL "
         f"SELECT *, 'ivfpq' AS kind FROM ({_sim.ivfpq_topk_sql()}) "
         "UNION ALL "
-        f"SELECT *, 'sq8' AS kind FROM ({_sim.sq8_topk_sql()})"
+        f"SELECT *, 'sq8' AS kind FROM ({_sim.sq8_topk_sql()}) "
+        "UNION ALL "
+        f"SELECT *, 'resivfpq' AS kind "
+        f"FROM ({_sim.ivfpq_residual_topk_sql()})"
     )
 
 

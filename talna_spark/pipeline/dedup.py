@@ -978,12 +978,24 @@ def dup_span_maximal(
         lambda acc: _close(acc["rem"], acc["run"], acc["n"]),
     )
     w = tokens(F.col("text"))
-    kept = F.filter(w, lambda x, i: ~F.array_contains(F.col("rem"), i))
+    # membership via a per-doc hash map, not array_contains: the linear
+    # scan made the survivor filter O(tokens x removed_tokens) per
+    # document — a real hazard for 100k-token heavily-duplicated docs.
+    # map build is O(|rem|) once per row, lookups O(1) per token.
+    kept = F.filter(
+        w, lambda x, i: ~F.map_contains_key(F.col("_remmap"), i)
+    )
     return (
         d.join(covered, "doc_id", "left")
         .withColumn("cov", F.coalesce("cov", empty_i))
         .withColumn("_f", fold)
         .withColumn("rem", F.col("_f.rem"))
+        .withColumn(
+            "_remmap",
+            F.map_from_arrays(
+                F.col("rem"), F.array_repeat(F.lit(True), F.size("rem"))
+            ),
+        )
         .select(
             "doc_id",
             F.col("_f.n").cast("long").alias("n_spans"),
