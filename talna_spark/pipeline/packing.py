@@ -283,8 +283,36 @@ def tokenize_pack(
     unigram vocabulary is sized by pipeline.unigram.VOCAB_SIZE). The
     output column stays ``n_bpe_tokens`` across modes — "the trained
     tokenizer's token count" — so downstream schemas never fork on the
-    tokenizer family. ``mode`` must match the mode of a passed-in
-    ``merges``."""
+    tokenizer family. ``mode="wordpiece"`` (r11) trains/encodes the
+    BERT-family tokenizer (pipeline.wordpiece; ``merges`` then carries
+    the vocabulary list and ``n_merges`` is the merge budget). ``mode``
+    must match the mode of a passed-in ``merges``."""
+    if mode == "wordpiece":
+        from talna_spark.pipeline.wordpiece import (
+            wordpiece_encode,
+            wordpiece_train,
+        )
+
+        vocab = (
+            merges
+            if merges is not None
+            else wordpiece_train(spark, sf_dir, n_merges=n_merges)
+        )
+        enc = (
+            wordpiece_encode(spark, sf_dir, vocab)
+            .select(
+                "doc_id",
+                "n_words",
+                F.col("n_wp_tokens").alias("n_bpe_tokens"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        assign = pack_assign_lengths(
+            enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+            budget=budget,
+            n_shards=n_shards,
+        ).select("doc_id", "pack_id", "oversize")
+        return enc.join(assign, "doc_id")
     if mode == "unigram":
         from talna_spark.pipeline.unigram import unigram_encode, unigram_train
 

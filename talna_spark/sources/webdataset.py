@@ -1,0 +1,238 @@
+"""WebDataset tar-shard source/sink: the standard large-scale multimodal
+interchange format (webdataset.github.io — tar archives whose members
+group into samples by the part of the filename before the FIRST dot:
+``000123.jpg`` + ``000123.txt`` + ``000123.json`` is one sample).
+
+Scale design is the WARC template (sources/warc.py): FILES are the
+parallelism unit — one ``binaryFile`` row per .tar shard maps 1:1 onto
+tasks, the member walk runs executor-side in Arrow-batched mapInPandas
+with stdlib ``tarfile``, and a whole shard is the bounded per-task
+memory footprint (shards are sized ~100 MB-1 GB for exactly this
+reason). No shuffle, no driver involvement, no delimiter scanning:
+tar's 512-byte header framing sizes every member, and a corrupted
+member fails LOUDLY (tarfile.ReadError / truncation ValueError), never
+silently skips — a half-read shard must not quietly shrink the corpus.
+
+The reader emits one row per sample with the three conventional typed
+members decoded (``.txt`` -> text utf-8, ``.json`` -> meta string,
+first image extension -> raw bytes, opaque — decode composes downstream
+with pipeline.multimodal's bmp_decode_payloads / bmp_resize_payloads,
+tested) plus the total member count, so unknown extensions are counted,
+not dropped silently.
+
+The writer is the round-trip twin: samples hash-partition into
+``n_shards`` tars by key (applyInPandas — one group, one shard file),
+members laid out contiguously per sample in sorted-extension order with
+zeroed mtime/uid/gid so shard bytes are deterministic; duplicate keys
+in a shard fail loudly. Returns the manifest (shard, n_samples,
+n_members, n_bytes) — the audit artifact, never a silent write.
+
+Citation: the reference has no multimodal source surface (SURVEY.md
+§2.2) — pure scale-pipeline extension, format per the public
+WebDataset spec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IMAGE_EXTS = ("bmp", "jpg", "jpeg", "png")
+
+WDS_SCHEMA = (
+    "shard string, key string, text string, image binary, "
+    "image_ext string, meta string, n_members long"
+)
+
+
+def read_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Parse every sample of every matched .tar shard. Returns one row
+    per sample: (shard, key, text, image, image_ext, meta, n_members).
+    Keys group members WITHIN a shard (samples never span shards, per
+    the format); sample order inside a shard follows first appearance,
+    but nothing downstream may rely on row order — the contract is the
+    key set."""
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import os
+        import tarfile
+
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf["path"], pdf["content"]):
+                raw = bytes(raw)
+                samples: dict[str, dict[str, bytes]] = {}
+                order: list[str] = []
+                end = 0  # offset just past the last member's padded data
+                # tarfile raises tarfile.ReadError on corrupt framing and
+                # this loop raises on short member data — but a file cut
+                # exactly at a member boundary just ENDS the iterator, so
+                # the end-of-archive marker (two 512-byte zero blocks) is
+                # verified explicitly below: trailing truncation must not
+                # silently shrink the corpus.
+                with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                    for mem in tf:
+                        end = mem.offset_data + 512 * ((mem.size + 511) // 512)
+                        if not mem.isfile():
+                            continue
+                        base = os.path.basename(mem.name)
+                        if "." in base:
+                            key, ext = base.split(".", 1)
+                        else:
+                            key, ext = base, ""
+                        f = tf.extractfile(mem)
+                        data = f.read() if f is not None else b""
+                        if len(data) != mem.size:
+                            raise ValueError(
+                                f"truncated member {mem.name} in {path}: "
+                                f"{len(data)} of {mem.size} bytes"
+                            )
+                        if key not in samples:
+                            samples[key] = {}
+                            order.append(key)
+                        if ext in samples[key]:
+                            raise ValueError(
+                                f"duplicate member {base} in {path}"
+                            )
+                        samples[key][ext] = data
+                tail = raw[end:]
+                if len(tail) < 1024 or any(tail[:1024]):
+                    raise ValueError(
+                        f"missing end-of-archive marker in {path} "
+                        "(truncated shard?)"
+                    )
+                for key in order:
+                    mem_map = samples[key]
+                    text = mem_map.get("txt")
+                    meta = mem_map.get("json")
+                    image = image_ext = None
+                    for ext in IMAGE_EXTS:
+                        if ext in mem_map:
+                            image, image_ext = mem_map[ext], ext
+                            break
+                    rows.append(
+                        (
+                            path,
+                            key,
+                            text.decode("utf-8") if text is not None else None,
+                            image,
+                            image_ext,
+                            meta.decode("utf-8") if meta is not None else None,
+                            len(mem_map),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard",
+                    "key",
+                    "text",
+                    "image",
+                    "image_ext",
+                    "meta",
+                    "n_members",
+                ],
+            )
+
+    return files.mapInPandas(_parse, schema=WDS_SCHEMA)
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 4,
+    image_ext: str = "bmp",
+) -> DataFrame:
+    """Write (key, text, image, meta) rows as WebDataset tar shards
+    under ``out_dir`` (shard-00000.tar ... deterministic bytes: keys
+    hash-partition by xxhash64, samples sort by key inside a shard,
+    members emit in sorted-extension order with zeroed mtime/uid/gid).
+    NULL members are simply omitted from the sample. Duplicate keys
+    fail loudly. Returns the manifest DataFrame
+    (shard, n_samples, n_members, n_bytes) — collect it to force the
+    write and audit the layout.
+
+    100 TB shape: one hash shuffle of the sample rows into shard
+    groups, then each group streams its tar to disk executor-side —
+    shard count is the parallelism dial (the reader's too)."""
+    if int(n_shards) < 1:
+        raise ValueError("n_shards must be >= 1")
+    cols = df.columns
+    for need in ("key",):
+        if need not in cols:
+            raise ValueError(f"write_webdataset input needs a '{need}' column")
+    sel = [F.col("key").cast("string").alias("key")]
+    sel.append(
+        (F.col("text") if "text" in cols else F.lit(None)).cast("string").alias("text")
+    )
+    sel.append(
+        (F.col("image") if "image" in cols else F.lit(None)).cast("binary").alias("image")
+    )
+    sel.append(
+        (F.col("meta") if "meta" in cols else F.lit(None)).cast("string").alias("meta")
+    )
+    data = df.select(*sel).withColumn(
+        "_shard", F.pmod(F.xxhash64("key"), F.lit(int(n_shards))).cast("int")
+    )
+    img_ext = str(image_ext)
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import os
+        import tarfile
+
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["shard", "n_samples", "n_members", "n_bytes"]
+            )
+        shard_id = int(pdf["_shard"].iloc[0])
+        name = f"shard-{shard_id:05d}.tar"
+        pdf = pdf.sort_values("key", kind="mergesort")
+        keys = list(pdf["key"])
+        if len(set(keys)) != len(keys):
+            raise ValueError(f"duplicate sample keys in shard {shard_id}")
+        buf = io.BytesIO()
+        n_members = 0
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for _, row in pdf.iterrows():
+                members = {}
+                if row["meta"] is not None:
+                    members["json"] = row["meta"].encode("utf-8")
+                if row["text"] is not None:
+                    members["txt"] = row["text"].encode("utf-8")
+                if row["image"] is not None:
+                    members[img_ext] = bytes(row["image"])
+                for ext in sorted(members):
+                    info = tarfile.TarInfo(name=f"{row['key']}.{ext}")
+                    info.size = len(members[ext])
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, io.BytesIO(members[ext]))
+                    n_members += 1
+        payload = buf.getvalue()
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "wb") as out:
+            out.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))  # atomic publish
+        return pd.DataFrame(
+            {
+                "shard": [name],
+                "n_samples": [len(pdf)],
+                "n_members": [n_members],
+                "n_bytes": [len(payload)],
+            }
+        )
+
+    return data.groupBy("_shard").applyInPandas(
+        _write,
+        schema="shard string, n_samples long, n_members long, n_bytes long",
+    )
