@@ -486,6 +486,21 @@ def main() -> None:
 
         qs["_bench_ivfpq"] = _ivfpq
         pipe["pipe_ivfpq"] = "_bench_ivfpq"
+        # r11: residual-encoded IVF-PQ — the published FAISS coding
+        from talna_spark.pipeline.similarity import (
+            ivfpq_residual_topk as _resivfpq,
+        )
+
+        qs["_bench_resivfpq"] = _resivfpq
+        pipe["pipe_resivfpq"] = "_bench_resivfpq"
+        # r11: WordPiece end-to-end — likelihood merges, longest-match
+        # encode, FFD-pack by WordPiece length (the third family's cost
+        # tracked next to byte-BPE and unigram)
+        def _bench_tokenize_pack_wordpiece(spark, sf_dir):
+            return _tok_pack(spark, sf_dir, n_merges=30, mode="wordpiece")
+
+        qs["_bench_tokenize_pack_wordpiece"] = _bench_tokenize_pack_wordpiece
+        pipe["pipe_tokenize_pack_wordpiece"] = "_bench_tokenize_pack_wordpiece"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number

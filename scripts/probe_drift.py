@@ -1,0 +1,116 @@
+"""Targeted drift probe (VERDICT r10 item 7): measure the two drifted
+bench rows — scale1000 warm q16 and pipe_srp_embed — in isolation at
+min-of-N against an arbitrary code checkout, so r9 vs r10 runs on the
+same quiet box separate code regression from load noise.
+
+Usage: python scripts/probe_drift.py <repo_checkout_path>
+Prints one JSON line.
+
+FINDINGS (r11, 2026-08-15, this box, back-to-back runs):
+- q16 warm (scale1000, min-of-7): r9 code (c7cc3be) measures 147.2 ms
+  TODAY vs its recorded 107 ms in BENCH_r9; r11 HEAD measures 123.1 ms
+  vs r10's recorded 141 ms. HEAD is FASTER than r9 code on the same
+  box — the 107 -> 141 ms drift was environment noise (a quieter box
+  at r9 time), not a code regression. The q16 engine path diff
+  r9..r10 confirms: only calendar_bucket_col changed, which q16 never
+  touches.
+- pipe_srp_embed (sf0.1, min-of-5, THREE interleaved A/B process
+  pairs): r9 code {1.173, 1.100, 0.993} s vs HEAD {0.946, 1.243,
+  1.010} s — means within 2%, run-to-run spread +-15% dominates, and
+  srp_embed_documents is textually unchanged since r9. The 0.92 ->
+  1.15 s drift was load noise.
+- ingest_sec here is NOT comparable to bench: this probe reads
+  points_from_events without parallelism=32, so the x1000 explode
+  runs on the source's single row-group task."""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+repo = os.path.abspath(sys.argv[1])
+sys.path.insert(0, repo)
+os.environ.setdefault("TALNA_MIN_SCAN_TASKS", "32")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("talna-drift-probe")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "8g")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from talna_spark.database import Database
+from talna_spark.sources.events import points_from_events
+from talna_spark.pipeline.similarity import srp_embed_documents
+
+SF = "/root/testdata/sf0.1"
+T_JAN24 = 1_706_054_400 * 10**9
+
+# bench-identical warmups
+spark.range(1000).count()
+import pandas as _pd  # noqa: F401
+warm = spark.range(256).selectExpr("id % 8 AS g", "id AS v")
+warm.groupBy("g").applyInPandas(lambda p: p.head(1), schema="g long, v long").count()
+
+
+def min_of(fn, n):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+out = {"repo": repo}
+
+# --- pipe_srp_embed at sf0.1, min-of-5 (the bench closure incl. assert)
+def srp_run():
+    rows = srp_embed_documents(spark, SF).collect()
+    assert rows
+
+out["srp_embed_min5_sec"] = min_of(srp_run, 5)
+
+# --- scale1000 warm q16: one ingest, then min-of-7 repeat-query latency
+pts = points_from_events(spark, SF)
+ptsN = (
+    pts.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(999))))
+    .withColumn("ts", F.col("ts") + F.col("_i") * F.lit(3_600_000_000_000))
+    .drop("_i")
+)
+wh = tempfile.mkdtemp(prefix="talna_drift_wh_")
+try:
+    os.sync()
+    t0 = time.perf_counter()
+    db = Database.open(spark, wh)
+    db.write_batch(ptsN, persist=False)
+    out["ingest_sec"] = round(time.perf_counter() - t0, 2)
+    os.sync()
+
+    def q16():
+        (
+            db.avg("app.purchase", "user")
+            .filter("user:9 OR user:8")
+            .start(T_JAN24)
+            .to_df()
+            .collect()
+        )
+
+    q16()  # cold first call warms the facade plan cache, as in bench
+    out["q16_warm_min7_sec"] = min_of(q16, 7)
+finally:
+    shutil.rmtree(wh, ignore_errors=True)
+
+print(json.dumps(out))
