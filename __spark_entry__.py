@@ -1593,7 +1593,27 @@ from talna_spark.sources import warc as _warc  # noqa: E402
 # URLs (the documents table carries no URL column); x26: domain_stats +
 # blocklist survivors, both in PSL mode. The DuckDB twins re-derive the
 # identical URLs and match against the same vendored PSL rule table.
-_EXT["x24_url_layer"] = (_warc.url_layer, _warc.url_layer_sql())
+# r11 adds the `wds` slice: a full WebDataset shard round trip (every
+# document's text + BMP payload through write_webdataset ->
+# read_webdataset) whose oracle derives the same md5/byte-length values
+# straight from the documents table with NO tar code — a framing,
+# encoding, or member-loss bug anywhere in the tar layer breaks the
+# hash (sources/webdataset.py roundtrip_layer).
+from talna_spark.sources import webdataset as _wds  # noqa: E402
+
+
+def _x24_url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _warc.url_layer(spark, sf_dir).unionByName(
+        _wds.roundtrip_layer(spark, sf_dir)
+    )
+
+
+_EXT["x24_url_layer"] = (
+    _x24_url_layer,
+    _warc.url_layer_sql()
+    + " UNION ALL "
+    + _wds.roundtrip_layer_sql(),
+)
 _EXT["x26_domain_layer"] = (_warc.domain_layer, _warc.domain_layer_sql())
 
 # x25: incremental dedup (new crawl vs reference corpus) over the

@@ -375,8 +375,19 @@ def pack_token_ids(
     ``mode="unigram"`` (r10) emits ids under a trained unigram model
     instead (``merges`` then carries the ``[(piece, logp)]`` model;
     ids = sorted-model index, pipeline.unigram.unigram_encode_ids) —
-    the tensor path for the other tokenizer family, same plan shape."""
-    if mode == "unigram":
+    the tensor path for the other tokenizer family, same plan shape.
+    ``mode="wordpiece"`` (r11) completes the triple (``merges`` carries
+    the vocabulary list; ids = vocabulary position, UNK words emit the
+    reserved id len(vocab))."""
+    if mode == "wordpiece":
+        from talna_spark.pipeline.wordpiece import wordpiece_encode_ids
+
+        enc = (
+            wordpiece_encode_ids(spark, sf_dir, merges)
+            .withColumnRenamed("n_wp_tokens", "n_bpe_tokens")
+            .localCheckpoint(eager=False)
+        )
+    elif mode == "unigram":
         from talna_spark.pipeline.unigram import unigram_encode_ids
 
         enc = (

@@ -251,6 +251,73 @@ def wordpiece_encode(
     )
 
 
+def wordpiece_encode_ids(
+    spark: SparkSession, sf_dir: str, vocab: list[str]
+) -> DataFrame:
+    """(doc_id, n_wp_tokens, ids array<long>): the actual token-id
+    sequence per document — what a training loader consumes. Ids are
+    the vocabulary LIST positions (the save_wordpiece persistence
+    order, so a round-tripped model emits identical ids); a word that
+    hits the [UNK] fallback emits the single reserved id
+    ``len(vocab)``. Same greedy longest-match walk and
+    per-distinct-word cache as :func:`wordpiece_encode` (token counts
+    agree by construction — tested), same Arrow map-only shape: no
+    shuffle, no broadcast, the model lives in the closure."""
+    pid = {p: i for i, p in enumerate(vocab)}
+    unk_id = len(vocab)
+    maxlen = max((len(p) for p in pid), default=1)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            n, i = len(w), 0
+            out: list[int] = []
+            while i < n:
+                j = min(n, i + maxlen)
+                while j > i:
+                    piece = w[i:j] if i == 0 else WP_CONT + w[i:j]
+                    got_id = pid.get(piece)
+                    if got_id is not None:
+                        break
+                    j -= 1
+                if j == i:
+                    out = [unk_id]
+                    break
+                out.append(got_id)
+                i = j
+            cache[w] = out
+            return out
+
+        for pdf in batches:
+            toks, ids = [], []
+            for ws in pdf["words"]:
+                ws = [] if ws is None else ws
+                seq: list[int] = []
+                for w in ws:
+                    if w:
+                        seq.extend(word_ids(w))
+                toks.append(len(seq))
+                ids.append(seq)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_wp_tokens": toks,
+                    "ids": ids,
+                }
+            )
+
+    return d.mapInPandas(
+        _enc, schema="doc_id long, n_wp_tokens long, ids array<long>"
+    )
+
+
 # ------------------------------------------------ model persistence
 def save_wordpiece(spark: SparkSession, vocab: list[str], path: str) -> None:
     """Persist a trained vocabulary as one parquet table of (id, piece)

@@ -236,3 +236,68 @@ def write_webdataset(
         _write,
         schema="shard string, n_samples long, n_members long, n_bytes long",
     )
+
+
+def roundtrip_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver slice (x24 ``kind=wds``): prove the tar layer end-to-end
+    against a straight-SQL oracle — every document (text + its
+    deterministic BMP payload) writes into shards and reads back, and
+    the emitted values must equal what the oracle derives from the
+    ``documents`` table WITHOUT any tar code: s1 = zero-padded key,
+    s2 = md5(text utf-8) ':' byte-length of the BMP payload (closed
+    form from doc_id arithmetic — 54-byte header + padded bottom-up
+    rows). A framing bug, an encoding bug, or a dropped/duplicated
+    member all break the hash. The shard round trip materializes behind
+    an EAGER localCheckpoint so the scratch dir can be removed before
+    the DataFrame is consumed."""
+    import shutil
+    import tempfile
+
+    from talna_spark.pipeline.multimodal import bmp_media_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    media = bmp_media_table(spark, sf_dir).select(
+        "doc_id", F.col("payload").alias("image")
+    )
+    df = docs.join(media, "doc_id").select(
+        F.format_string("%08d", F.col("doc_id")).alias("key"),
+        "text",
+        "image",
+    )
+    d = tempfile.mkdtemp(prefix="talna_wds_rt_")
+    try:
+        write_webdataset(df, d, n_shards=4).collect()
+        out = (
+            read_webdataset(spark, f"{d}/shard-*.tar")
+            .select(
+                F.col("key").cast("long").alias("doc_id"),
+                F.col("key").alias("s1"),
+                F.concat(
+                    F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")),
+                    F.lit(":"),
+                    F.length("image").cast("string"),
+                ).alias("s2"),
+                F.lit("wds").alias("kind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def roundtrip_layer_sql() -> str:
+    """DuckDB twin of :func:`roundtrip_layer`: everything from the
+    documents table directly — md5 of the text, BMP byte size by the
+    writer's closed form (no tar, no BMP code)."""
+    return (
+        "SELECT doc_id, "
+        "lpad(CAST(doc_id AS VARCHAR), 8, '0') AS s1, "
+        "md5(COALESCE(text, '')) || ':' || CAST("
+        "54 + (3 * (3 + doc_id % 6) "
+        "+ (4 - (3 * (3 + doc_id % 6)) % 4) % 4) * (2 + doc_id % 5) "
+        "AS VARCHAR) AS s2, "
+        "'wds' AS kind FROM documents"
+    )

@@ -229,3 +229,68 @@ def test_wordpiece_persistence_round_trip(spark, corpus_dir, tmp_path):
     ).write.parquet(dpp)
     with pytest.raises(ValueError, match="duplicate pieces"):
         load_wordpiece(spark, dpp)
+
+
+def test_wordpiece_encode_ids_matches_reference_segmentation(spark, corpus_dir):
+    """Ids are vocabulary-list positions under the same greedy walk the
+    reference performs; counts agree with wordpiece_encode; a
+    round-tripped model emits identical ids."""
+    d, texts = corpus_dir
+    vocab = wordpiece_train(spark, d, n_merges=20)
+    from talna_spark.pipeline.wordpiece import wordpiece_encode_ids
+
+    pid = {p: i for i, p in enumerate(vocab)}
+    vs = frozenset(vocab)
+    maxlen = max(len(p) for p in vs)
+
+    def ref_ids(w):
+        n, i, out = len(w), 0, []
+        while i < n:
+            j = min(n, i + maxlen)
+            while j > i:
+                piece = w[i:j] if i == 0 else WP_CONT + w[i:j]
+                if piece in vs:
+                    break
+                j -= 1
+            if j == i:
+                return [len(vocab)]
+            out.append(pid[piece])
+            i = j
+        return out
+
+    got = {
+        r["doc_id"]: (r["n_wp_tokens"], list(r["ids"]))
+        for r in wordpiece_encode_ids(spark, d, vocab).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_wp_tokens"]
+        for r in wordpiece_encode(spark, d, vocab).collect()
+    }
+    for i, t in enumerate(texts):
+        want: list = []
+        for w in t.lower().strip().split():
+            if w:
+                want.extend(ref_ids(w))
+        assert got[i] == (len(want), want), i
+        assert counts[i] == len(want)
+
+
+def test_pack_token_ids_wordpiece_mode(spark, corpus_dir):
+    from talna_spark.pipeline.packing import pack_token_ids
+    from talna_spark.pipeline.wordpiece import wordpiece_encode_ids
+
+    d, _texts = corpus_dir
+    vocab = wordpiece_train(spark, d, n_merges=20)
+    packs = pack_token_ids(
+        spark, d, vocab, budget=32, n_shards=4, mode="wordpiece"
+    ).collect()
+    enc = wordpiece_encode_ids(spark, d, vocab).collect()
+    assert sum(r["n_tokens"] for r in packs) == sum(
+        r["n_wp_tokens"] for r in enc
+    )
+    assert sum(len(r["ids"]) for r in packs) == sum(
+        len(r["ids"]) for r in enc
+    )
+    for r in packs:
+        assert r["oversize"] or r["n_tokens"] <= 32
+        assert len(r["ids"]) == r["n_tokens"]
