@@ -179,12 +179,17 @@ def _pair_counts(wt: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(wt: DataFrame, a: str, b: str) -> DataFrame:
+def _apply_merge(
+    wt: DataFrame, a: str, b: str, merged: "str | None" = None
+) -> DataFrame:
     """Replace every adjacent (a, b) in the symbol arrays with the merged
     symbol, greedily left-to-right (standard BPE: 'aaa' + (a,a) ->
     [aa, a]) — a JVM aggregate() fold with a (out, carry) accumulator,
-    no Python."""
-    merged = a + b
+    no Python. ``merged`` overrides the merged-symbol name (BPE
+    concatenates verbatim; WordPiece strips the right side's '##'
+    continuation prefix — pipeline.wordpiece reuses this fold)."""
+    if merged is None:
+        merged = a + b
     fold = F.aggregate(
         F.col("syms"),
         F.struct(

@@ -309,35 +309,43 @@ def simhash(
     spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """Frequency-weighted SimHash over token hashes (``bits`` wide),
-    entirely as JVM-side aggregate() folds — no UDF, no shuffle.
-    Per-bit folds cost ~the same as one at the driver corpus size
-    (measured: 60 folds 3.51 s vs 16 folds 3.38 s at sf0.01,
-    planning-dominated)."""
+    entirely as ONE JVM-side aggregate() fold — no UDF, no shuffle.
+
+    The fold carries a ``bits``-long score VECTOR (zip_with against a
+    literal powers-of-two array; exact bit test via ``h & 2^b``, never
+    double division — the 53-bit-mantissa trap), so the md5 token
+    transform evaluates ONCE per token. The naive per-bit formulation
+    (one fold per bit) inlines that transform into every fold —
+    60 md5 passes over every document — and measured 12.5x slower at
+    the 60-bit production width (16.89 s vs 1.34 s over sf0.1's 5k
+    docs, execution-side min-of-3; bit-identical outputs verified).
+    NULL text folds to fingerprint 0 (the per-bit form's behavior,
+    kept via the final coalesce)."""
     if not 1 <= int(bits) <= 60:
         raise ValueError("bits must be in [1, 60] (hash64 is 60-bit)")
-    d = _docs(spark, sf_dir)
-    w = tokens(F.col("text"))
-    th = F.transform(w, lambda t: hash64(t))
-    # exact bit extraction via shift+mask — double division would lose
-    # the low bits of a 60-bit hash (53-bit mantissa). The bit index is
-    # bound through a factory: pyspark requires exactly-2-arg lambdas for
-    # aggregate(), so a `b=b` default parameter would break arity checks.
-    def _bit_score(bit: int):
-        return F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_terms = []
-    for b in range(int(bits)):
-        score = _bit_score(b)
-        bit_terms.append(F.when(score > 0, F.lit(2**b)).otherwise(F.lit(0)))
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
-    return d.select("doc_id", sim.cast("long").alias("simhash"))
+    d = fan_out(_docs(spark, sf_dir))
+    th = F.transform(tokens(F.col("text")), lambda t: hash64(t))
+    zero = F.lit(0).cast("long")
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(int(bits))])
+    scores = F.aggregate(
+        th,
+        F.array_repeat(zero, int(bits)),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            scores, powers, lambda s, p: F.when(s > 0, p).otherwise(zero)
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id", F.coalesce(sim, zero).alias("simhash")
+    )
 
 
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:

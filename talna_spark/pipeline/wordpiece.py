@@ -39,7 +39,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from talna_spark.pipeline.bpe import _CHECKPOINT_EVERY, _pair_counts
+from talna_spark.pipeline.bpe import (
+    _CHECKPOINT_EVERY,
+    _apply_merge,
+    _pair_counts,
+)
 from talna_spark.pipeline.portable import tokens
 
 WP_CONT = "##"     # continuation prefix (BERT convention)
@@ -68,40 +72,6 @@ def _wp_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _merge_name(a: str, b: str) -> str:
     """The merged symbol: right side loses its continuation prefix."""
     return a + (b[len(WP_CONT):] if b.startswith(WP_CONT) else b)
-
-
-def _apply_merge_named(wt: DataFrame, a: str, b: str, merged: str) -> DataFrame:
-    """pipeline.bpe._apply_merge with an explicit merged-symbol name
-    (WordPiece strips the '##' of the right side; BPE concatenates
-    verbatim) — the same greedy left-to-right JVM fold, no Python."""
-    fold = F.aggregate(
-        F.col("syms"),
-        F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("carry"),
-        ),
-        lambda acc, s: F.when(
-            acc["carry"].isNull(),
-            F.struct(acc["out"].alias("out"), s.alias("carry")),
-        )
-        .when(
-            (acc["carry"] == F.lit(a)) & (s == F.lit(b)),
-            F.struct(
-                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
-                F.lit(None).cast("string").alias("carry"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
-                s.alias("carry"),
-            )
-        ),
-        lambda acc: F.when(
-            acc["carry"].isNull(), acc["out"]
-        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
-    )
-    return wt.select("word", "n", fold.alias("syms"))
 
 
 def _sym_counts(wt: DataFrame) -> DataFrame:
@@ -171,7 +141,7 @@ def wordpiece_train(
         if merged not in seen:  # two merge paths can yield one name
             seen.add(merged)
             vocab.append(merged)
-        wt = _apply_merge_named(wt, a, b, merged)
+        wt = _apply_merge(wt, a, b, merged)
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             wt = wt.localCheckpoint(eager=False)
     return vocab

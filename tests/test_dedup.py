@@ -374,14 +374,19 @@ def test_simhash_pairs_validation_and_zero_hamming(spark, tmp_path):
     os.makedirs(d)
     pd.DataFrame(
         {
-            "doc_id": [1, 2, 3],
+            "doc_id": [1, 2, 3, 4],
             "text": [
                 "identical text body here",
                 "identical text body here",   # hamming 0 with doc 1
                 "completely different words unrelated entirely",
+                None,  # NULL text -> fingerprint 0 (not NULL), no crash
             ],
         }
     ).to_parquet(f"{d}/documents.parquet")
+    from talna_spark.pipeline.dedup import simhash
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(spark, d).collect()}
+    assert sigs[4] == 0 and sigs[1] == sigs[2] != 0
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in simhash_near_dup_pairs(spark, d).collect()
