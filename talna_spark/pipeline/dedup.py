@@ -103,21 +103,36 @@ def _base_hashes(sh):
     return F.transform(sh, lambda s: hash64(s) % MINHASH_P)
 
 
-def _affine_mix(a: int, b: int):
-    # factory, not default-arg capture: PySpark reads the lambda's arity
-    # to type the higher-order function, so extra defaulted params break
-    return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
-
-
 def _minhash_cols_from_base(bh):
-    """H minhash values from a (materialized) base-hash array column."""
-    out = []
-    for i in range(MINHASH_H):
-        a, b = _mh_ab(i)
-        out.append(
-            F.array_min(F.transform(bh, _affine_mix(a, b))).alias(f"h{i}")
-        )
-    return out
+    """H minhash values from a base-hash array column — all H mins in
+    ONE aggregate() fold (an H-long running-min vector against literal
+    coefficient arrays), extracted per column from the shared subtree.
+
+    The simhash lesson applied to MinHash: the former per-column
+    ``array_min(transform(...))`` formulation inlined the base subtree
+    (shingles + md5) into every column — H full hash passes per
+    document. The single fold evaluates it once, and Spark's runtime
+    subexpression elimination keeps the H extractions at one evaluation
+    (measured: 29.7 s -> 4.5 s for the 8-column signature over sf0.1,
+    values identical including the empty-shingle NULL semantics). An
+    affine value is always < MINHASH_P, so a surviving init value marks
+    an empty shingle array and maps back to the array_min NULL."""
+    pairs = [_mh_ab(i) for i in range(MINHASH_H)]
+    coeff = F.arrays_zip(
+        F.array(*[F.lit(a).cast("long") for a, _ in pairs]).alias("a"),
+        F.array(*[F.lit(b).cast("long") for _, b in pairs]).alias("b"),
+    )
+    mins = F.aggregate(
+        bh,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), MINHASH_H),
+        lambda acc, x: F.zip_with(
+            acc,
+            coeff,
+            lambda m, c: F.least(m, (c["a"] * x + c["b"]) % MINHASH_P),
+        ),
+    )
+    sig = F.transform(mins, lambda m: F.when(m < MINHASH_P, m))
+    return [sig[i].alias(f"h{i}") for i in range(MINHASH_H)]
 
 
 def _minhash_cols(sh):

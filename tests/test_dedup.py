@@ -438,3 +438,50 @@ def test_simhash_hot_bucket_cap_excludes_and_reports(spark, tmp_path):
     }
     assert (0, 1) in full and (100, 101) in full
     assert simhash_hot_buckets(spark, d).collect() == []
+
+
+def test_minhash_signature_empty_shingles_null(spark, tmp_path):
+    """r11: the one-fold signature must keep array_min's semantics —
+    docs with fewer than SHINGLE_K words have an EMPTY shingle array
+    and every h_i is NULL (the surviving fold init maps back), while
+    real signatures stay in [0, MINHASH_P) and identical texts get
+    identical signatures."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.dedup import (
+        MINHASH_H,
+        MINHASH_P,
+        SHINGLE_K,
+        _base_hashes,
+        _minhash_cols_from_base,
+    )
+    from talna_spark.pipeline.portable import shingles, tokens
+
+    d = str(tmp_path / "mh")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "too short",  # < SHINGLE_K words -> empty shingles
+                "a full sentence with plenty of words in it",
+                "a full sentence with plenty of words in it",
+                None,
+            ],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    assert SHINGLE_K > 2  # fixture assumption
+    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    sig = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(MINHASH_H)]
+        for r in spark.read.parquet(f"{d}/documents.parquet")
+        .select("doc_id", *_minhash_cols_from_base(_base_hashes(sh)))
+        .collect()
+    }
+    assert sig[0] == [None] * MINHASH_H
+    assert sig[3] == [None] * MINHASH_H  # NULL text
+    assert sig[1] == sig[2]
+    assert all(v is not None and 0 <= v < MINHASH_P for v in sig[1])
