@@ -13,9 +13,11 @@ Scale design:
   driver-side by nature, like the connected-components convergence
   count). The winning merge is applied map-side with a JVM aggregate()
   fold over the symbol arrays — no Python in the loop.
-- Lineage is truncated with a lazy localCheckpoint every few rounds
-  (the dedup_clusters pattern): N rounds otherwise stack N plan layers
-  and planning time goes quadratic.
+- Lineage is truncated with a lazy localCheckpoint EVERY round (the
+  dedup_clusters pattern): round i's pair scan otherwise re-evaluates
+  every merge fold stacked since the last truncation — sum-of-depths
+  fold passes instead of one per round (the r11 cadence fix: 13.6 s ->
+  7.1 s for 30 byte-mode merges at sf0.1, identical merge list).
 - Encoding (:func:`bpe_encode`) broadcasts the learned merge ranks and
   runs the classic greedy lowest-rank-pair loop inside Arrow-batched
   mapInPandas: map-only, bounded memory, the shape tokenizer inference
@@ -36,7 +38,6 @@ from pyspark.sql import functions as F
 from talna_spark.pipeline.portable import tokens
 
 EOW = "</w>"  # end-of-word marker, per the original BPE formulation
-_CHECKPOINT_EVERY = 8
 
 # ---------------------------------------------------- byte-level (GPT-2)
 # r8 (VERDICT r7 item 3): the second training mode — GPT-2-style
@@ -238,7 +239,7 @@ def bpe_train(
     _init_syms_fn(mode)  # validate the mode before any Spark work
     wt = builder(spark, sf_dir).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    for _ in range(n_merges):
         top = (
             _pair_counts(wt)
             .filter(F.col("cnt") >= 2)
@@ -250,9 +251,12 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        wt = _apply_merge(wt, a, b)
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            wt = wt.localCheckpoint(eager=False)
+        # truncate lineage EVERY round: round i's pair scan otherwise
+        # re-evaluates every merge fold since the last checkpoint (sum
+        # 1..8 = 36 fold passes per 8 rounds instead of 8) — measured
+        # 13.6 s -> 7.1 s for 30 byte-mode merges at sf0.1, identical
+        # merge list; the checkpoint write is of the vocab-sized table
+        wt = _apply_merge(wt, a, b).localCheckpoint(eager=False)
     return merges
 
 
