@@ -1342,6 +1342,10 @@ def assign_centroids_cos(
       same tie-break as the literal path, bit-identical (tested on
       both sides of the threshold).
     """
+    if not cents:
+        # an all-NULL-text corpus seeds zero centroids; an empty
+        # literal array would silently assign NULL clusters downstream
+        raise ValueError("assign_centroids_cos needs at least 1 centroid")
     if len(cents) <= int(literal_max):
         sims = F.array(
             *[

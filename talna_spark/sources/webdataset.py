@@ -164,6 +164,11 @@ def write_webdataset(
     shard count is the parallelism dial (the reader's too)."""
     if int(n_shards) < 1:
         raise ValueError("n_shards must be >= 1")
+    if str(image_ext) in ("txt", "json") or not str(image_ext):
+        # 'txt' and 'json' are the reserved text/meta member names — an
+        # image under either would silently overwrite the other member
+        # in the sample dict
+        raise ValueError(f"image_ext may not be {image_ext!r}")
     cols = df.columns
     for need in ("key",):
         if need not in cols:

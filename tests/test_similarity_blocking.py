@@ -991,3 +991,23 @@ def test_probe_clusters_bit_identical_across_threshold(spark):
         )
     )
     assert c and c == d
+
+
+def test_cluster_balanced_all_null_corpus_fails_loudly(spark, tmp_path):
+    # zero token-bearing docs -> zero centroids -> loud error, not NULL
+    # clusters
+    import os
+
+    import pandas as pd
+
+    from talna_spark.pipeline.similarity import cluster_balanced_sample
+
+    d = str(tmp_path / "nulls")
+    os.makedirs(d)
+    pd.DataFrame({"doc_id": [0, 1], "text": [None, None]}).to_parquet(
+        f"{d}/documents.parquet"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroid"):
+        cluster_balanced_sample(spark, d).collect()

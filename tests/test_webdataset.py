@@ -150,3 +150,10 @@ def test_webdataset_composes_with_bmp_codec(spark, tmp_path):
         )
     )
     assert got == want and len(got) == 25
+
+
+def test_webdataset_reserved_image_ext_rejected(spark, tmp_path):
+    df = spark.createDataFrame([("k", "t")], "key string, text string")
+    for bad in ("txt", "json", ""):
+        with pytest.raises(Exception, match="image_ext"):
+            write_webdataset(df, str(tmp_path / "x"), image_ext=bad).collect()
