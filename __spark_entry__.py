@@ -1618,9 +1618,16 @@ _EXT["x26_domain_layer"] = (_warc.domain_layer, _warc.domain_layer_sql())
 
 # x25: incremental dedup (new crawl vs reference corpus) over the
 # deterministic doc_id%3 split — exact-hash flags + LSH near-dup best
-# match + verdict per new doc.
+# match + verdict per new doc. r11 adds the `bloom` kind slice: the
+# same semantics through the Bloom-bitmap exact-path prefilter
+# (pipeline.dedup.bloom_build/bloom_prefilter) — one oracle states
+# both kinds, because the bitmap has no false negatives by
+# construction; a bloom bug that drops a true dup breaks the hash.
 _EXT["x25_dedup_against"] = (
-    _dedup.dedup_against_docs, _dedup.dedup_against_docs_sql(),
+    _dedup.dedup_against_docs,
+    f"SELECT *, 'direct' AS kind FROM ({_dedup.dedup_against_docs_sql()}) "
+    "UNION ALL "
+    f"SELECT *, 'bloom' AS kind FROM ({_dedup.dedup_against_docs_sql()})",
 )
 
 

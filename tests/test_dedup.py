@@ -485,3 +485,123 @@ def test_minhash_signature_empty_shingles_null(spark, tmp_path):
     assert sig[3] == [None] * MINHASH_H  # NULL text
     assert sig[1] == sig[2]
     assert all(v is not None and 0 <= v < MINHASH_P for v in sig[1])
+
+
+def test_bloom_bitmap_cross_engine_and_properties(spark, tmp_path):
+    """r11 Bloom sketch: (1) the bitmap words are bit-identical to an
+    independent DuckDB computation of the same double-hashed positions;
+    (2) NO false negatives — every inserted value passes membership on
+    BOTH strategy paths, which are themselves bit-identical; (3) the
+    filter is selective (non-members mostly rejected at the default m);
+    (4) per-shard bitmaps OR-merge to the union's bitmap."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.dedup import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_build,
+        bloom_merge,
+        bloom_prefilter,
+        bloom_to_words,
+    )
+    from talna_spark.pipeline.portable import hash64_sql
+
+    vals = [f"member-{i}" for i in range(300)]
+    d = spark.createDataFrame([(v,) for v in vals], "v string")
+    bm = bloom_build(d, "v")
+    words = bloom_to_words(bm)
+
+    # (1) DuckDB twin: same positions, same words
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE vals AS SELECT 'member-' || CAST(r AS VARCHAR) AS v "
+        "FROM range(300) t(r)"
+    )
+    h1 = hash64_sql("'bl1|' || v")
+    h2 = hash64_sql("'bl2|' || v")
+    # DuckDB refuses a checked 1 << 63 (sign bit); Spark wraps to
+    # -2^63, so the twin states the wrapped value explicitly
+    mask = (
+        "CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END"
+    )
+    twin = dict(
+        con.execute(
+            f"SELECT p // 64 AS w, bit_or({mask}) AS bits FROM ("
+            f"SELECT (({h1}) + i * ({h2})) % {BLOOM_BITS} AS p "
+            f"FROM vals, unnest(generate_series(0, {BLOOM_K - 1})) t(i)"
+            f") GROUP BY 1"
+        ).fetchall()
+    )
+    want = [twin.get(i, 0) for i in range(BLOOM_BITS // 64)]
+    assert words == want
+
+    # (2) no false negatives + strategy paths bit-identical
+    probe = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)]
+        + [(1000 + i, f"absent-{i}") for i in range(300)],
+        "doc_id long, v string",
+    )
+    lit_pass = {
+        r["doc_id"]
+        for r in bloom_prefilter(probe, "v", bm).collect()
+    }
+    join_pass = {
+        r["doc_id"]
+        for r in bloom_prefilter(
+            probe, "v", bm, literal_max_words=0
+        ).collect()
+    }
+    assert lit_pass == join_pass
+    assert set(range(300)) <= lit_pass  # every member passes
+    # (3) selective: most absentees rejected (2^16 bits, 300*4 set bits
+    # -> fp ~ (1200/65536)^4, essentially zero)
+    assert len(lit_pass - set(range(300))) <= 2
+
+    # (4) shard merge == union build
+    d1 = spark.createDataFrame([(v,) for v in vals[:150]], "v string")
+    d2 = spark.createDataFrame([(v,) for v in vals[150:]], "v string")
+    merged = bloom_to_words(bloom_merge(bloom_build(d1, "v"), bloom_build(d2, "v")))
+    assert merged == words
+
+
+def test_dedup_against_bloom_prefilter_identical(spark):
+    """The bloom-prefiltered exact path must produce EXACTLY the plain
+    dedup_against verdicts on real data (no false negatives -> verify
+    recovers precision; a dropped true dup would diverge here)."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.dedup import _docs, dedup_against_frames
+
+    d = _docs(spark, "/root/testdata/sf0.001")
+    new_d = d.filter(F.col("doc_id") % 3 != 0)
+    ref_d = d.filter(F.col("doc_id") % 3 == 0)
+    plain = sorted(
+        map(tuple, dedup_against_frames(new_d, ref_d).collect())
+    )
+    bloomed = sorted(
+        map(
+            tuple,
+            dedup_against_frames(new_d, ref_d, bloom_bits=1 << 16).collect(),
+        )
+    )
+    assert plain == bloomed and plain
+    verdicts = {v for _, v, _, _ in plain}
+    assert "near_dup" in verdicts and "new" in verdicts
+    # exact dups specifically must survive the prefilter: a synthetic
+    # pair where the new doc is byte-identical to a reference doc
+    new2 = spark.createDataFrame(
+        [(1, "the exact same text"), (2, "something else entirely")],
+        "doc_id long, text string",
+    )
+    ref2 = spark.createDataFrame(
+        [(100, "the exact same text")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_against_frames(
+            new2, ref2, bloom_bits=1 << 16
+        ).collect()
+    }
+    assert got[1] == "exact_dup" and got[2] == "new"
