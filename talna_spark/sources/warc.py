@@ -773,10 +773,34 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("v3"),
         F.lit("blocklist").alias("kind"),
     )
-    return st.unionByName(bl)
+    # ``cms`` (r11): count-min-sketch per-domain doc-count estimates
+    # next to the exact counts (v1=estimate, v2=exact) — the
+    # bounded-memory heavy-hitter path for high-cardinality keys; the
+    # oracle recomputes the identical sketch cells in SQL, so the
+    # estimate column proves the whole hash grid cross-engine and the
+    # exact column pins est >= exact == est-without-collisions.
+    from talna_spark.pipeline.sketches import cms_build, cms_estimate
+
+    doms = registered_domain_psl(d.select("doc_id", "url"), out="_dom").select(
+        F.col("_dom").alias("v")
+    ).filter(F.col("v").isNotNull())
+    sk = cms_build(doms, "v")
+    est = cms_estimate(doms.distinct(), "v", sk)
+    exact = doms.groupBy("v").agg(F.count(F.lit(1)).alias("_n"))
+    cms = est.join(exact, "v").select(
+        F.col("v").alias("id"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("est").cast("long").alias("v1"),
+        F.col("_n").cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.lit("cms").alias("kind"),
+    )
+    return st.unionByName(bl).unionByName(cms)
 
 
 def domain_layer_sql() -> str:
+    from talna_spark.pipeline.sketches import cms_estimate_sql
+
     urls = (
         f"SELECT doc_id, {synth_url_sql()} AS url, text FROM documents"
     )
@@ -794,5 +818,17 @@ def domain_layer_sql() -> str:
         "SELECT CAST(doc_id AS VARCHAR) AS id, domain AS s1, "
         "CAST(0 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2, "
         "CAST(0 AS BIGINT) AS v3, 'blocklist' AS kind "
-        f"FROM ({doms}) WHERE domain NOT IN ({norm_entries})"
+        f"FROM ({doms}) WHERE domain NOT IN ({norm_entries}) "
+        "UNION ALL "
+        f"SELECT e.v AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(e.est AS BIGINT) AS v1, CAST(x.n AS BIGINT) AS v2, "
+        "CAST(0 AS BIGINT) AS v3, 'cms' AS kind FROM ("
+        + cms_estimate_sql(
+            f"SELECT DISTINCT domain AS v FROM ({doms}) "
+            "WHERE domain IS NOT NULL",
+            f"SELECT domain AS v FROM ({doms}) WHERE domain IS NOT NULL",
+        )
+        + ") e JOIN (SELECT domain AS v, COUNT(*) AS n "
+        f"FROM ({doms}) WHERE domain IS NOT NULL GROUP BY 1) x "
+        "ON e.v = x.v"
     )

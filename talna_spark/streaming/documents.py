@@ -102,6 +102,42 @@ def dedup_against_reference(
     )
 
 
+def dedup_against_reference_bloom(
+    doc_stream: DataFrame,
+    reference: DataFrame,
+    bloom_words: list[int],
+    m: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """:func:`dedup_against_reference` with a Bloom fast path — the
+    shape a high-volume crawl stream wants: docs whose text-hash is
+    DEFINITELY not in the reference (the common case) pass through a
+    pure MAP-SIDE literal-bitmap check, zero shuffle and zero static
+    re-scan; only might-contain docs (true dups + the fp rate) pay the
+    stream-static anti-join. No false negatives, so the output is
+    row-identical to the plain variant (tested). ``bloom_words`` is the
+    collected bitmap (pipeline.dedup.bloom_build -> bloom_to_words),
+    built once per reference refresh OUTSIDE the stream — the sketch is
+    a broadcast constant, so the gate stays stateless.
+
+    NULL-text docs pass (md5(NULL) never equals a reference hash —
+    matching the anti-join's NULL-key behavior)."""
+    from talna_spark.pipeline.dedup import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_might_contain,
+    )
+
+    m = BLOOM_BITS if m is None else int(m)
+    k = BLOOM_K if k is None else int(k)
+    might = bloom_might_contain(F.md5("text"), bloom_words, m, k)
+    definite_new = doc_stream.filter(F.coalesce(~might, F.lit(True)))
+    candidates = doc_stream.filter(F.coalesce(might, F.lit(False)))
+    return definite_new.unionByName(
+        dedup_against_reference(candidates, reference)
+    )
+
+
 def drop_near_dups_of_reference(
     batch_df: DataFrame, reference: DataFrame, max_bucket: int = 1000
 ) -> DataFrame:

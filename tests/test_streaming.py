@@ -560,3 +560,63 @@ def test_stream_clf_gate_keeps_null_text_like_batch(spark, dirs):
         q.stop()
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2}, got
+
+
+def test_dedup_against_reference_bloom_identical_and_streams(spark, tmp_path):
+    """r11: the Bloom fast path must be row-identical to the plain
+    stream-static anti-join (no false negatives), keep NULL-text rows
+    (matching the anti-join's NULL-key behavior), and run on an actual
+    stream — the gate is a stateless broadcast-constant expression."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.dedup import bloom_build, bloom_to_words
+    from talna_spark.streaming.documents import (
+        dedup_against_reference,
+        dedup_against_reference_bloom,
+    )
+
+    schema = "doc_id long, text string"
+    reference = spark.createDataFrame(
+        [(900, "already archived text"), (901, "another archived doc")],
+        schema,
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "already archived text"),   # exact ref dup -> dropped
+            (2, "genuinely new content"),
+            (3, None),                      # NULL text -> kept
+            (4, "another archived doc"),    # dropped
+            (5, "more new material here"),
+        ],
+        schema,
+    )
+    words = bloom_to_words(
+        bloom_build(
+            reference.select(F.md5("text").alias("_h")).distinct(), "_h"
+        )
+    )
+    plain = {r["doc_id"] for r in dedup_against_reference(docs, reference).collect()}
+    fast = {
+        r["doc_id"]
+        for r in dedup_against_reference_bloom(docs, reference, words).collect()
+    }
+    assert fast == plain == {2, 3, 5}
+
+    # and on a real stream: same three survivors
+    src, out, ckpt = (str(tmp_path / n) for n in ("src", "out", "ckpt"))
+    docs.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_against_reference_bloom(stream, reference, words)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2, 3, 5}
