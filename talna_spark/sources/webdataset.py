@@ -160,8 +160,13 @@ def write_webdataset(
     write and audit the layout.
 
     100 TB shape: one hash shuffle of the sample rows into shard
-    groups, then each group streams its tar to disk executor-side —
-    shard count is the parallelism dial (the reader's too)."""
+    partitions SORTED on (_shard, key), then an Arrow mapInPandas
+    STREAMS each shard's tar to disk batch-by-batch (members append to
+    an open file as rows arrive; a shard is never materialized in
+    memory — per-task footprint is one Arrow batch, not
+    corpus/n_shards, so a mis-sized n_shards degrades wall time, not
+    memory). Shard count is the parallelism dial (the reader's too);
+    size it so shards land ~100 MB-1 GB, the format's convention."""
     if int(n_shards) < 1:
         raise ValueError("n_shards must be >= 1")
     if str(image_ext) in ("txt", "json") or not str(image_ext):
@@ -188,25 +193,57 @@ def write_webdataset(
     )
     img_ext = str(image_ext)
 
-    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _write(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import io
         import os
         import tarfile
 
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["shard", "n_samples", "n_members", "n_bytes"]
+        # streaming per-shard state: sortWithinPartitions guarantees a
+        # shard's rows arrive contiguously and key-sorted across batches
+        state = {
+            "shard": None, "tf": None, "tmp": None, "name": None,
+            "n_samples": 0, "n_members": 0, "last_key": None,
+        }
+        manifests: list[tuple] = []
+
+        def close_shard():
+            if state["tf"] is None:
+                return
+            state["tf"].close()
+            n_bytes = os.path.getsize(state["tmp"])
+            final = os.path.join(out_dir, state["name"])
+            os.replace(state["tmp"], final)  # atomic publish
+            manifests.append(
+                (state["name"], state["n_samples"], state["n_members"], n_bytes)
             )
-        shard_id = int(pdf["_shard"].iloc[0])
-        name = f"shard-{shard_id:05d}.tar"
-        pdf = pdf.sort_values("key", kind="mergesort")
-        keys = list(pdf["key"])
-        if len(set(keys)) != len(keys):
-            raise ValueError(f"duplicate sample keys in shard {shard_id}")
-        buf = io.BytesIO()
-        n_members = 0
-        with tarfile.open(fileobj=buf, mode="w") as tf:
+            state.update(
+                shard=None, tf=None, tmp=None, name=None,
+                n_samples=0, n_members=0, last_key=None,
+            )
+
+        def open_shard(shard_id: int):
+            close_shard()
+            os.makedirs(out_dir, exist_ok=True)
+            name = f"shard-{shard_id:05d}.tar"
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            state.update(
+                shard=shard_id,
+                tf=tarfile.open(tmp, mode="w"),
+                tmp=tmp,
+                name=name,
+            )
+
+        for pdf in batches:
             for _, row in pdf.iterrows():
+                sid = int(row["_shard"])
+                if state["shard"] != sid:
+                    open_shard(sid)
+                key = row["key"]
+                if key == state["last_key"]:
+                    raise ValueError(
+                        f"duplicate sample keys in shard {sid}: {key!r}"
+                    )
+                state["last_key"] = key
                 members = {}
                 if row["meta"] is not None:
                     members["json"] = row["meta"].encode("utf-8")
@@ -215,31 +252,29 @@ def write_webdataset(
                 if row["image"] is not None:
                     members[img_ext] = bytes(row["image"])
                 for ext in sorted(members):
-                    info = tarfile.TarInfo(name=f"{row['key']}.{ext}")
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
                     info.size = len(members[ext])
                     info.mtime = 0
                     info.uid = info.gid = 0
                     info.uname = info.gname = ""
-                    tf.addfile(info, io.BytesIO(members[ext]))
-                    n_members += 1
-        payload = buf.getvalue()
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = os.path.join(out_dir, f".{name}.tmp")
-        with open(tmp, "wb") as out:
-            out.write(payload)
-        os.replace(tmp, os.path.join(out_dir, name))  # atomic publish
-        return pd.DataFrame(
-            {
-                "shard": [name],
-                "n_samples": [len(pdf)],
-                "n_members": [n_members],
-                "n_bytes": [len(payload)],
-            }
+                    state["tf"].addfile(info, io.BytesIO(members[ext]))
+                    state["n_members"] += 1
+                state["n_samples"] += 1
+        close_shard()
+        yield pd.DataFrame(
+            manifests,
+            columns=["shard", "n_samples", "n_members", "n_bytes"],
         )
 
-    return data.groupBy("_shard").applyInPandas(
-        _write,
-        schema="shard string, n_samples long, n_members long, n_bytes long",
+    return (
+        data.repartition(int(n_shards), "_shard")
+        .sortWithinPartitions("_shard", "key")
+        .mapInPandas(
+            _write,
+            schema=(
+                "shard string, n_samples long, n_members long, n_bytes long"
+            ),
+        )
     )
 
 
