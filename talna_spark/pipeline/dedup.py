@@ -1145,10 +1145,14 @@ def bloom_build(
     map-side partials; merging two bitmaps = union + the same agg, see
     :func:`bloom_merge`). At the default m it is 1024 rows; a 2^33-bit
     production bitmap is ~134M id-rows and still just a hash-agg.
-    Absent words are implicit zeros."""
+    Absent words are implicit zeros. NULL values are not inserted (a
+    NULL is not a member of anything — and an unfiltered NULL would
+    produce a NULL cell that breaks the collected word list; NULL-text
+    reference docs reach here as md5(NULL))."""
     pos = F.array(*_bloom_positions(F.col(col), m, k))
     return (
-        d.select(F.explode(pos).alias("p"))
+        d.filter(F.col(col).isNotNull())
+        .select(F.explode(pos).alias("p"))
         .select(
             F.shiftright(F.col("p"), 6).alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(

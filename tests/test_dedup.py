@@ -605,3 +605,17 @@ def test_dedup_against_bloom_prefilter_identical(spark):
         ).collect()
     }
     assert got[1] == "exact_dup" and got[2] == "new"
+    # NULL-text reference docs must not break the bitmap build
+    # (md5(NULL) is NULL; unfiltered it produced a NULL cell that
+    # crashed bloom_to_words)
+    ref3 = spark.createDataFrame(
+        [(100, "the exact same text"), (101, None)],
+        "doc_id long, text string",
+    )
+    got3 = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_against_frames(
+            new2, ref3, bloom_bits=1 << 16
+        ).collect()
+    }
+    assert got3[1] == "exact_dup" and got3[2] == "new"
