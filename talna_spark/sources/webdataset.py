@@ -225,7 +225,16 @@ def write_webdataset(
             close_shard()
             os.makedirs(out_dir, exist_ok=True)
             name = f"shard-{shard_id:05d}.tar"
-            tmp = os.path.join(out_dir, f".{name}.tmp")
+            # tmp name carries the task attempt id: under speculative
+            # execution two attempts of the same task would otherwise
+            # interleave writes into one tmp file; the atomic rename
+            # then publishes whichever attempt finishes (identical
+            # bytes — the write is deterministic)
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            attempt = ctx.taskAttemptId() if ctx is not None else 0
+            tmp = os.path.join(out_dir, f".{name}.{attempt}.tmp")
             state.update(
                 shard=shard_id,
                 tf=tarfile.open(tmp, mode="w"),
