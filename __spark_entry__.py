@@ -212,10 +212,24 @@ def _x08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("long").alias("v2"),
         F.lit("pairs").alias("kind"),
     )
-    return sig.unionByName(pairs)
+    # ``winnow`` (r11): true Schleimer/MOSS winnowing fingerprints —
+    # per-window min with the rightmost tie rule (doc_id, v1=pos,
+    # v2=gram hash); the third fingerprint family next to simhash and
+    # the single min-hash.
+    from talna_spark.pipeline.text import winnow_fingerprints as _winnow
+
+    win = _winnow(spark, sf_dir).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("v1"),
+        F.col("h").cast("long").alias("v2"),
+        F.lit("winnow").alias("kind"),
+    )
+    return sig.unionByName(pairs).unionByName(win)
 
 
 def _x08_simhash_sql() -> str:
+    from talna_spark.pipeline.text import winnow_fingerprints_sql
+
     return (
         "SELECT doc_id, CAST(simhash AS BIGINT) AS v1, "
         "CAST(0 AS BIGINT) AS v2, 'sig' AS kind "
@@ -223,7 +237,11 @@ def _x08_simhash_sql() -> str:
         "UNION ALL "
         "SELECT doc_a AS doc_id, CAST(doc_b AS BIGINT) AS v1, "
         "CAST(hamming AS BIGINT) AS v2, 'pairs' AS kind "
-        f"FROM ({_dedup.simhash_near_dup_pairs_sql()})"
+        f"FROM ({_dedup.simhash_near_dup_pairs_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, CAST(pos AS BIGINT) AS v1, "
+        "CAST(h AS BIGINT) AS v2, 'winnow' AS kind "
+        f"FROM ({winnow_fingerprints_sql()})"
     )
 
 

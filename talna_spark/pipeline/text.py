@@ -353,6 +353,86 @@ def fingerprint_sql() -> str:
     )
 
 
+WINNOW_W = 4  # window width; match guarantee t = WINNOW_W + k - 1 tokens
+
+
+def winnow_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = FINGERPRINT_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """TRUE winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm), upgrading the single min-hash
+    :func:`fingerprint` to the published LOCAL selection: over the
+    positional k-gram hash stream, every window of ``w`` consecutive
+    hashes selects its minimum, ties to the RIGHTMOST occurrence (the
+    paper's rule), and the distinct (position, hash) pairs are the
+    document's fingerprints. Guarantees (both tested): every w-window
+    contains at least one selected position (density — no unfingerprinted
+    gap longer than w grams), and any two documents sharing at least
+    t = w + k - 1 consecutive tokens share at least one fingerprint
+    HASH (the matching guarantee plagiarism/near-dup detection relies
+    on). Docs with fewer than w grams emit no fingerprints.
+
+    Returns (doc_id, pos, h): 0-based gram position and the gram hash.
+
+    100 TB shape: the whole selection is ONE map-side array pass per
+    document (positional hashes -> per-window struct transform ->
+    distinct explode) — no shuffle, no UDF; per-doc cost O(grams * w)
+    with w a small constant."""
+    from talna_spark.pipeline.dedup import _positional_gram_hashes
+
+    if int(w) < 1:
+        raise ValueError("w must be >= 1")
+    d = _docs(spark, sf_dir)
+    hs = _positional_gram_hashes(tokens(F.col("text")), int(k))
+    wl = int(w)
+    n_windows = F.size(hs) - (wl - 1)
+
+    def pick(i):
+        sl = F.slice(hs, i + 1, wl)
+        mn = F.array_min(sl)
+        jrev = F.array_position(F.reverse(sl), mn)
+        return F.struct(
+            (i + wl - jrev).cast("long").alias("pos"), mn.alias("h")
+        )
+
+    fps = F.when(
+        n_windows >= 1,
+        F.transform(F.sequence(F.lit(0), n_windows - 1), pick),
+    ).otherwise(F.array().cast("array<struct<pos: bigint, h: bigint>>"))
+    return (
+        d.select("doc_id", F.explode(fps).alias("f"))
+        .select("doc_id", F.col("f.pos").alias("pos"), F.col("f.h").alias("h"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(
+    k: int = FINGERPRINT_K, w: int = WINNOW_W
+) -> str:
+    """DuckDB twin: the identical per-window min + rightmost-tie
+    selection via list functions (list_reverse + list_position gives
+    the rightmost minimal offset, exactly the engine's reverse +
+    array_position)."""
+    from talna_spark.pipeline.dedup import _positional_gram_hashes_sql
+
+    gh = _positional_gram_hashes_sql(tokens_sql("text"), int(k))
+    wl = int(w)
+    sl = f"hs[i + 1 : i + {wl}]"
+    mn = f"list_aggregate({sl}, 'min')"
+    pos = f"i + {wl} - list_position(list_reverse({sl}), {mn})"
+    return (
+        f"WITH g AS (SELECT doc_id, {gh} AS hs FROM documents), "
+        "f AS (SELECT doc_id, unnest(list_transform("
+        f"generate_series(0, len(hs) - {wl}), "
+        f"i -> struct_pack(pos := CAST({pos} AS BIGINT), h := {mn}))) AS fp "
+        "FROM g) "
+        "SELECT DISTINCT doc_id, fp.pos AS pos, fp.h AS h FROM f"
+    )
+
+
 # ---------------------------------------------------------- corpus stats
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus rollup: doc count, total tokens, mean
