@@ -1207,16 +1207,30 @@ def bloom_might_contain(col, words: list[int], m: int = BLOOM_BITS,
     """Boolean Column: all k bits set in the LITERAL bitmap — a pure
     map-side expression, zero shuffle (the broadcast is the plan
     itself; bit masks come from a literal 64-long powers array because
-    shift amounts must be columns here). NULL values yield NULL (and
-    filter out), which is correct: NULL never equals anything, so it
-    cannot be a member."""
+    shift amounts must be columns here). NULL values yield False (a
+    NULL is not a member of anything).
+
+    Plan-size discipline: the k probes fold into ONE aggregate() AND
+    over a positions array, so the m/64-word literal bitmap appears in
+    the tree ONCE (inside the lambda), not once per probe — k x 1024
+    literal copies at the default boundary is exactly the
+    plan-analysis blowup CENTROID_LITERAL_MAX documents. An
+    aggregate() fold, NOT forall(): Spark 4.1's ArrayForAll eval NPEs
+    unboxing a NULL lambda result on the NULL-value probe rows
+    (repro'd); the fold's null-safe accumulator sidesteps it."""
     arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
-    cond = F.lit(True)
-    for p in _bloom_positions(col, m, k):
-        w = F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
-        mask = F.element_at(_pow64(), (p % 64 + 1).cast("int"))
-        cond = cond & (w.bitwiseAND(mask) == mask)
-    return cond
+    positions = F.array(*_bloom_positions(col, m, k))
+    return F.aggregate(
+        positions,
+        F.lit(True),
+        lambda acc, p: acc
+        & F.coalesce(
+            F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
+            .bitwiseAND(F.element_at(_pow64(), (p % 64 + 1).cast("int")))
+            == F.element_at(_pow64(), (p % 64 + 1).cast("int")),
+            F.lit(False),
+        ),
+    )
 
 
 def bloom_prefilter(
@@ -1234,28 +1248,52 @@ def bloom_prefilter(
 
     - m/64 <= ``literal_max_words``: collect + the literal expression
       (:func:`bloom_might_contain`) — map-only;
-    - larger: explode the k (word_idx, mask) probes per row, join the
-      bitmap on word_idx (id-rows only), keep rows with k hits — one
-      join + one count-k hash-agg, no driver materialization.
-    Both bit-identical (tested)."""
+    - larger: explode the k (word_idx, mask) probes per DISTINCT
+      (id, value) pair, join the bitmap on word_idx (id-rows only),
+      keep pairs where every probe hits — one join + one
+      all-hits hash-agg, no driver materialization. Counting hits per
+      (id, value) — never per id alone — keeps the filter ROW-level:
+      duplicate rows and ids carrying several values each pass or fail
+      on their own value (a per-id count would see 2k probes for a
+      duplicated row and reject a TRUE member — the regression the
+      tests pin).
+    Both bit-identical (tested, incl. duplicate rows)."""
     if int(m) // 64 <= int(literal_max_words):
         return d.filter(bloom_might_contain(F.col(col), bloom_to_words(bm, m), m, k))
-    probes = d.select(
-        id_col, F.explode(F.array(*_bloom_positions(F.col(col), m, k))).alias("p")
-    ).select(
-        id_col,
-        F.shiftright(F.col("p"), 6).alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+    probes = (
+        d.select(id_col, col)
+        .distinct()
+        .select(
+            id_col,
+            col,
+            F.explode(
+                F.array(*_bloom_positions(F.col(col), m, k))
+            ).alias("p"),
+        )
+        .select(
+            id_col,
+            col,
+            F.shiftright(F.col("p"), 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("mask"),
+        )
     )
     hits = (
-        probes.join(bm, "word_idx")
-        .filter(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_nhit"))
-        .filter(F.col("_nhit") == int(k))
-        .select(id_col)
+        probes.join(bm, "word_idx", "left")
+        .groupBy(id_col, col)
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+                    F.lit(False),
+                )
+            ).alias("_all_hit")
+        )
+        .filter(F.col("_all_hit"))
+        .select(id_col, col)
     )
-    return d.join(hits, id_col)
+    return d.join(hits, [id_col, col])
 
 
 def dedup_against_frames(

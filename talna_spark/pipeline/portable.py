@@ -130,7 +130,14 @@ def char_grams_sql(expr: str, k: int) -> str:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side fold
     (no UDF): zip_with products, sequential aggregate sum — the same
-    left-to-right accumulation DuckDB's list_cosine_similarity performs."""
+    left-to-right accumulation DuckDB's list_cosine_similarity performs.
+
+    A ZERO-NORM side yields NULL explicitly (cosine undefined): the
+    guard preserves the non-ANSI divide-by-zero-is-NULL behavior every
+    caller was built on, and under Spark 4's default ANSI mode — where
+    a bare division would ABORT the whole job with DIVIDE_BY_ZERO the
+    first time a degenerate vector appears — the non-taken branch is
+    never evaluated, so the expression is total either way."""
 
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
@@ -139,7 +146,8 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    den = F.sqrt(dot(a, a) * dot(b, b))
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -837,7 +837,7 @@ def _residual_recon(e: DataFrame) -> DataFrame:
     those ids ARE the coarse centroids, so their residuals are ~zero
     (self-assignment) and a codebook of near-zero entries would
     reconstruct every vector as its bare centroid (measured: recall
-    0.04 vs 0.63 with the shifted seeds)."""
+    0.04 vs 0.21 with the shifted seeds)."""
     res = _ivf_residuals(e).localCheckpoint(eager=False)
     rcb = _pq_subs(
         res.filter(
@@ -1341,6 +1341,16 @@ def assign_centroids_cos(
       lexicographic: max ccos first, then max(-cid) = min cid — the
       same tie-break as the literal path, bit-identical (tested on
       both sides of the threshold).
+
+    ZERO-NORM vectors (cosine undefined -> NULL against every
+    centroid) are EXCLUDED from the output on BOTH paths — without the
+    explicit filter the literal path emitted cluster=NULL while the
+    struct-max path (NULLs sort low in struct comparison) emitted a
+    real centroid id, the exact divergence the bit-identical contract
+    forbids. Zero-norm inputs are reachable: an SRP document whose
+    token sign contributions cancel in every dimension embeds as the
+    zero vector despite being token-bearing (p ~ 2^-SRP_DIM per
+    near-tied pair — routine at corpus scale). Tested.
     """
     if not cents:
         # an all-NULL-text corpus seeds zero centroids; an empty
@@ -1360,12 +1370,15 @@ def assign_centroids_cos(
         )
         ids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cents])
         best = F.array_max(sims)
-        return df.select(
-            id_col,
-            F.element_at(ids, F.array_position(sims, best).cast("int")).alias(
-                "cluster"
-            ),
-            best.alias("ccos"),
+        return (
+            df.select(
+                id_col,
+                F.element_at(
+                    ids, F.array_position(sims, best).cast("int")
+                ).alias("cluster"),
+                best.alias("ccos"),
+            )
+            .filter(F.col("ccos").isNotNull())
         )
     spark = df.sparkSession
     cdf = spark.createDataFrame(
@@ -1389,6 +1402,7 @@ def assign_centroids_cos(
             (-F.col("_b.ncid")).alias("cluster"),
             F.col("_b.ccos").alias("ccos"),
         )
+        .filter(F.col("ccos").isNotNull())
     )
 
 
@@ -1564,7 +1578,12 @@ def cluster_balanced_sample(
 
     Docs with zero tokens have no embedding direction (zero vector, no
     cosine) and do not participate — they are the business of the
-    quality/script gates, not the topic sampler.
+    quality/script gates, not the topic sampler. The same applies to
+    the measure-zero token-bearing doc whose SRP sign contributions
+    cancel in every dimension (zero-norm embedding):
+    :func:`assign_centroids_cos` excludes it identically on both
+    physical paths (r11 — the two paths previously diverged on NULL
+    cosines).
 
     100 TB shape: SRP's one (doc_id, dim-sums) exchange; the centroid
     fetch is a model-sized TakeOrdered (K vectors to the driver — the

@@ -131,7 +131,12 @@ def wordpiece_train(
                 "b",
                 (
                     F.col("cnt").cast("double")
-                    / (F.col("ca") * F.col("cb")).cast("double")
+                    # cast EACH count before multiplying: the int64
+                    # product ca*cb wraps negative past 2^63 (frequent
+                    # symbols at corpus scale each clear 3e9), silently
+                    # corrupting the argmax; double*double just loses
+                    # ulps, which the tie-break tolerates
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
                 ).alias("score"),
             )
             .orderBy(F.col("score").desc(), F.col("a"), F.col("b"))

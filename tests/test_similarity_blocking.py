@@ -1011,3 +1011,54 @@ def test_cluster_balanced_all_null_corpus_fails_loudly(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="centroid"):
         cluster_balanced_sample(spark, d).collect()
+
+
+def test_assign_centroids_cos_zero_norm_excluded_both_paths(spark):
+    """r11 review finding (repro-confirmed): a zero-norm vector has
+    NULL cosine against every centroid; the literal path emitted
+    cluster=NULL while the struct-max path emitted a real centroid id.
+    Both paths now EXCLUDE the row — bit-identical again."""
+    from talna_spark.pipeline.similarity import assign_centroids_cos
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "doc_id long, v array<double>",
+    )
+    cents = [(10, [1.0, 0.0]), (11, [0.0, 1.0])]
+    lit = sorted(
+        map(tuple, assign_centroids_cos(df, cents, literal_max=10**6).collect())
+    )
+    jn = sorted(
+        map(tuple, assign_centroids_cos(df, cents, literal_max=0).collect())
+    )
+    assert lit == jn
+    assert {r[0] for r in lit} == {2, 3}  # the zero-norm doc is absent
+    assert dict((r[0], r[1]) for r in lit) == {2: 10, 3: 11}
+
+
+def test_bloom_prefilter_join_path_duplicate_rows(spark):
+    """r11 review finding (repro-confirmed): the join path counted hits
+    PER ID, so a duplicated row produced 2k probes and rejected a TRUE
+    member. Hits now aggregate per (id, value): duplicate rows and ids
+    carrying several values each pass or fail on their own value,
+    bit-identical to the literal path."""
+    from talna_spark.pipeline.dedup import bloom_build, bloom_prefilter
+
+    bm = bloom_build(
+        spark.createDataFrame([("x",), ("z",)], "v string"), "v"
+    )
+    probe = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, "x"), (3, "z"), (3, "y")],
+        "doc_id long, v string",
+    )
+    lit = sorted(
+        map(tuple, bloom_prefilter(probe, "v", bm).collect())
+    )
+    jn = sorted(
+        map(
+            tuple,
+            bloom_prefilter(probe, "v", bm, literal_max_words=0).collect(),
+        )
+    )
+    assert lit == jn
+    assert lit == [(1, "x"), (1, "x"), (3, "x"), (3, "z")]
