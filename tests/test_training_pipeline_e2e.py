@@ -138,3 +138,79 @@ def test_r10_stack_script_doremi_unigram_pack(spark, tmp_path):
         F.sum("n_tokens").alias("t"), F.max("oversize").alias("o")
     ).collect():
         assert r["o"] or r["t"] <= 256
+
+
+def test_r11_stack_bloom_dedup_wordpiece_pack_shard(spark, tmp_path):
+    """Capstone for the r11 additions: Bloom-prefiltered incremental
+    dedup against a reference split → WordPiece tokenize the surviving
+    new docs → FFD-pack token ids → export the packed corpus as
+    WebDataset shards and read it back exactly. Pins that the new
+    stages COMPOSE: the sketch gate restricts the tokenizer's input,
+    WordPiece token totals are conserved through packing, and the tar
+    layer round-trips the final artifact."""
+    import glob
+    import json
+
+    from talna_spark.pipeline.dedup import dedup_against_frames
+    from talna_spark.pipeline.packing import pack_assign_lengths
+    from talna_spark.pipeline.wordpiece import (
+        wordpiece_encode_ids,
+        wordpiece_train,
+    )
+    from talna_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    new = docs.filter(F.col("doc_id") % 4 != 0)
+
+    # 1. bloom-prefiltered incremental dedup: keep only genuinely-new
+    flags = dedup_against_frames(new, ref, bloom_bits=1 << 16)
+    kept = flags.filter(F.col("verdict") == "new").select("doc_id")
+    n_kept = kept.count()
+    assert 0 < n_kept <= new.count()
+
+    # 2. wordpiece tokenize the survivors, pack by wordpiece length
+    vocab = wordpiece_train(spark, SF, n_merges=12)
+    enc = (
+        wordpiece_encode_ids(spark, SF, vocab)
+        .join(kept, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    assert enc.count() == n_kept
+    assign = pack_assign_lengths(
+        enc.select("doc_id", F.col("n_wp_tokens").alias("n_tokens")),
+        budget=256,
+    )
+    packed = assign.join(enc.select("doc_id", "ids"), "doc_id")
+    total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total == enc.agg(F.sum("n_wp_tokens")).collect()[0][0]
+    assert packed.agg(F.sum(F.size("ids"))).collect()[0][0] == total
+
+    # 3. export the packed corpus as WebDataset shards: one sample per
+    # doc, token ids in the json member, then read back EXACTLY
+    out = str(tmp_path / "shards")
+    samples = packed.select(
+        F.format_string("%08d", F.col("doc_id")).alias("key"),
+        F.to_json(
+            F.struct(F.col("pack_id"), F.col("n_tokens"), F.col("ids"))
+        ).alias("meta"),
+    )
+    manifest = write_webdataset(samples, out, n_shards=3).collect()
+    assert sum(r["n_samples"] for r in manifest) == n_kept
+    back = read_webdataset(spark, f"{out}/shard-*.tar")
+    got = {
+        int(r["key"]): json.loads(r["meta"]) for r in back.collect()
+    }
+    want = {
+        r["doc_id"]: (r["pack_id"], r["n_tokens"], list(r["ids"]))
+        for r in packed.collect()
+    }
+    assert set(got) == set(want)
+    for did, meta in got.items():
+        assert (meta["pack_id"], meta["n_tokens"], meta["ids"]) == want[did]
+    assert len(glob.glob(f"{out}/shard-*.tar")) == len(manifest)
