@@ -436,3 +436,25 @@ def test_dup_span_maximal_no_python(spark):
 
     plan = plan_of(dup_span_maximal(spark, "/root/testdata/sf0.001"))
     assert "BatchEvalPython" not in plan
+
+
+def test_survivor_filters_use_hashset_membership(spark):
+    # x21/clean+maximal, paragraph: the survivor rebuild must be the
+    # O(n + removed) array_except shape (_kept_by_index). The two
+    # regressions it replaces both leave fingerprints in the optimized
+    # plan: per-element array_contains over the removal list, and the
+    # r11 map shape, which Catalyst rewrites to
+    # array_contains(map_keys(...)) — a per-element key-array COPY
+    # (measured 103 s / ~2700 s vs 1 s on 200 heavily-duplicated docs).
+    from talna_spark.pipeline.dedup import (
+        dup_span_clean,
+        dup_span_maximal,
+        paragraph_dedup,
+    )
+
+    for op in (dup_span_clean, dup_span_maximal, paragraph_dedup):
+        df = op(spark, "/root/testdata/sf0.001")
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "array_except" in opt, op.__name__
+        assert "map_keys" not in opt, op.__name__
+        assert "array_contains" not in opt, op.__name__
