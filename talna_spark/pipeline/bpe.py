@@ -50,17 +50,48 @@ EOW = "</w>"  # end-of-word marker, per the original BPE formulation
 # `tokenize_pack(mode="byte")` measures the packing length that matters.
 #
 # GPT-2's pretokenizer regex uses \p{L}/\p{N}; Python's stdlib `re` has
-# no \p, so the documented approximation (unicode-aware, tested):
-#   \p{L} -> [^\W\d_]   (unicode letters)
-#   \p{N} -> \d         (unicode decimal digits; \p{N}'s non-decimal
-#                        forms — roman numerals, superscripts, fractions
-#                        — are \w but not \d, so they match the LETTER
-#                        class [^\W\d_]: e.g. 'abcⅫ' stays one pretoken
-#                        where GPT-2 splits it. Documented deviation.)
-#   [^\s\p{L}\p{N}] -> (?:[^\s\w]|_)
+# no \p, so the classes are GENERATED from unicodedata at import (the
+# same codepoint-table trick text.py uses for script classes): \p{L} =
+# categories Lu/Ll/Lt/Lm/Lo, \p{N} = Nd/Nl/No, per the running CPython's
+# Unicode tables. This is EXACT \p semantics — the r8-r11 approximation
+# (\p{L} -> [^\W\d_], \p{N} -> \d) misclassified \p{N}'s non-decimal
+# forms (roman numerals, superscripts, fractions) as letters, so
+# 'abcⅫ' stayed one pretoken where GPT-2 splits it. Build cost 0.25 s
+# once on the driver; closures capture the finished ~15 KB pattern
+# string, executors only re.compile it (~12 ms).
+
+
+def _unicode_class(*prefixes: str) -> str:
+    """Regex character-class body covering every codepoint whose
+    unicodedata category starts with one of ``prefixes``, as compressed
+    \\UXXXXXXXX ranges (escape form is class-metachar-safe)."""
+    import sys
+    import unicodedata
+
+    cps = [
+        cp
+        for cp in range(sys.maxunicode + 1)
+        if unicodedata.category(chr(cp)).startswith(prefixes)
+    ]
+    parts: list[str] = []
+    s = p = cps[0]
+    for c in cps[1:]:
+        if c == p + 1:
+            p = c
+            continue
+        parts.append(
+            f"\\U{s:08X}" if s == p else f"\\U{s:08X}-\\U{p:08X}"
+        )
+        s = p = c
+    parts.append(f"\\U{s:08X}" if s == p else f"\\U{s:08X}-\\U{p:08X}")
+    return "".join(parts)
+
+
+_P_L = _unicode_class("L")  # \p{L}
+_P_N = _unicode_class("N")  # \p{N}
 GPT2_PRETOKEN_RE = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    rf"| ?[{_P_L}]+| ?[{_P_N}]+| ?[^\s{_P_L}{_P_N}]+"
     r"|\s+(?!\S)|\s+"
 )
 

@@ -347,6 +347,43 @@ def test_pretokenize_keeps_leading_space_and_contractions():
     assert "".join(got) == "it's low-lower!  café 123\n x"
 
 
+def test_pretokenize_exact_unicode_number_class():
+    # r12: \p{L}/\p{N} are generated from unicodedata, so non-decimal
+    # \p{N} forms (roman numerals Nl, superscripts/fractions No) split
+    # off letter runs exactly as the published GPT-2 regex does — the
+    # r8-r11 [^\W\d_]/\d approximation kept 'abcⅫ' as one pretoken
+    from talna_spark.pipeline.bpe import pretokenize
+
+    assert pretokenize("abcⅫ") == ["abc", "Ⅻ"]
+    assert pretokenize("x2³ ½kg") == ["x", "2³", " ½", "kg"]
+    # Mongolian digits are Nd but not ASCII \d — one number run
+    assert pretokenize("a᠑᠒") == ["a", "᠑᠒"]
+    # underscore is Pc: punctuation class, never a letter
+    assert pretokenize("a_b") == ["a", "_", "b"]
+    for s in ("abcⅫ", "x2³ ½kg", " ᠑1½ a"):
+        assert "".join(pretokenize(s)) == s
+
+
+def test_unicode_class_matches_unicodedata():
+    # the generated class bodies ARE \p{L} / \p{N}: spot-check every
+    # 97th codepoint plus the category boundary neighbors
+    import re
+    import sys
+    import unicodedata
+
+    from talna_spark.pipeline.bpe import _P_L, _P_N
+
+    pl = re.compile(f"[{_P_L}]\\Z")
+    pn = re.compile(f"[{_P_N}]\\Z")
+    for cp in list(range(0, sys.maxunicode + 1, 97)) + [
+        0x2160, 0x2188, 0x00B2, 0x00BD, 0x1811, 0x10FFFF
+    ]:
+        ch = chr(cp)
+        cat = unicodedata.category(ch)[0]
+        assert bool(pl.match(ch)) == (cat == "L"), hex(cp)
+        assert bool(pn.match(ch)) == (cat == "N"), hex(cp)
+
+
 def test_byte_bpe_train_matches_reference(spark, byte_corpus_dir):
     d, texts = byte_corpus_dir
     got = bpe_train(spark, d, n_merges=25, mode="byte")
