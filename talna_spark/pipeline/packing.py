@@ -239,6 +239,84 @@ def chunk_documents_sql(
     )
 
 
+def chunk_token_ids(
+    ids_df: DataFrame,
+    max_tokens: int = CHUNK_MAX,
+    step: int = CHUNK_STEP,
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Tokenizer-aware chunking — :func:`chunk_documents`' window and
+    emission rule applied to a token-ID sequence instead of whitespace
+    tokens, so ``max_tokens`` is measured in the tokens a training run
+    actually pays for. ``ids_df`` is any (doc_id, ..., ids array<long>)
+    frame — all three trained tokenizer families emit exactly that
+    (``bpe_encode_ids`` / ``wordpiece_encode_ids`` /
+    ``unigram_encode_ids``). Returns (doc_id, chunk_idx, n_tokens, ids);
+    consecutive chunks share ``max_tokens - step`` ids of context, the
+    redundant-last-window drop rule matches :func:`chunk_documents`
+    (window start s is emitted iff s == 0 or s < n - overlap), and a
+    zero-id document emits one empty chunk (callers filter). Coverage,
+    overlap and conservation against the encoders' own id streams are
+    pinned in tests/test_packing.py.
+
+    100 TB shape: identical to :func:`chunk_documents` — a map-only
+    explode over the encoder's map-only Arrow output, zero shuffle end
+    to end."""
+    ms, st = int(max_tokens), int(step)
+    if not 0 < st <= ms:
+        raise ValueError("require 0 < step <= max_tokens")
+    overlap = ms - st
+    w = F.col(ids_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(w) - F.lit(overlap + 1), F.lit(0)),
+        F.lit(st),
+    )
+    e = ids_df.select("doc_id", w.alias("_w"), F.explode(starts).alias("s"))
+    chunk = F.slice(F.col("_w"), F.col("s") + 1, ms)
+    return e.select(
+        "doc_id",
+        (F.col("s") / st).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        chunk.alias("ids"),
+    )
+
+
+def chunk_documents_tokenized(
+    spark: SparkSession,
+    sf_dir: str,
+    model,
+    tokenizer: str = "byte",
+    max_tokens: int = CHUNK_MAX,
+    step: int = CHUNK_STEP,
+) -> DataFrame:
+    """Encode the corpus with a TRAINED tokenizer and chunk by its token
+    lengths — the context-length accounting a training run pays, where
+    :func:`chunk_documents` approximates with whitespace tokens.
+    ``tokenizer`` picks the family and ``model`` is that family's
+    trained artifact: ``"word"``/``"byte"`` take a BPE merges list,
+    ``"wordpiece"`` a vocabulary list, ``"unigram"`` a (piece, logp)
+    model. Returns (doc_id, chunk_idx, n_tokens, ids)."""
+    if tokenizer in ("word", "byte"):
+        from talna_spark.pipeline.bpe import bpe_encode_ids
+
+        ids = bpe_encode_ids(spark, sf_dir, model, mode=tokenizer)
+    elif tokenizer == "wordpiece":
+        from talna_spark.pipeline.wordpiece import wordpiece_encode_ids
+
+        ids = wordpiece_encode_ids(spark, sf_dir, model)
+    elif tokenizer == "unigram":
+        from talna_spark.pipeline.unigram import unigram_encode_ids
+
+        ids = unigram_encode_ids(spark, sf_dir, model)
+    else:
+        raise ValueError(
+            f"unknown tokenizer family: {tokenizer!r} "
+            "(want 'word', 'byte', 'wordpiece' or 'unigram')"
+        )
+    return chunk_token_ids(ids, max_tokens=max_tokens, step=step)
+
+
 def pack_stats(packed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Per-pack fill statistics over a :func:`pack_assign` result —
     the packing-efficiency report (one row per pack; map-side partial

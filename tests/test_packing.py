@@ -274,3 +274,87 @@ def test_chunk_documents_matches_duckdb(spark):
     want = sorted(map(tuple, con.execute(chunk_documents_sql()).fetchall()))
     con.close()
     assert got and got == want
+
+
+def test_chunk_token_ids_window_schedule(spark):
+    """Pure id-space chunking pins the same window schedule, tail rule
+    and overlap stitching as chunk_documents, with ids = 0..n-1 so every
+    positional claim is checkable by value."""
+    import pytest
+
+    from talna_spark.pipeline.packing import chunk_token_ids
+
+    rows = [(n, list(range(n))) for n in (100, 113, 112, 2, 64, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    out = chunk_token_ids(df, max_tokens=64, step=48)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert sorted(by_doc[100]) == [0, 1] and by_doc[100][1]["n_tokens"] == 52
+    assert sorted(by_doc[113]) == [0, 1, 2]
+    assert sorted(by_doc[112]) == [0, 1]
+    assert sorted(by_doc[2]) == [0] and by_doc[2][0]["ids"] == [0, 1]
+    assert sorted(by_doc[64]) == [0]
+    # zero-id doc: one empty chunk (documented; callers filter)
+    assert sorted(by_doc[0]) == [0] and by_doc[0][0]["n_tokens"] == 0
+    for n, chunks in by_doc.items():
+        rebuilt = list(chunks[0]["ids"])
+        for i in sorted(chunks)[1:]:
+            cur = list(chunks[i]["ids"])
+            assert cur[:16] == rebuilt[-16:]  # shared context
+            rebuilt.extend(cur[16:])
+        assert rebuilt == list(range(n)), n
+
+    with pytest.raises(ValueError):
+        chunk_token_ids(df, max_tokens=64, step=0)
+
+
+def test_chunk_documents_tokenized_conserves_encoder_ids(spark):
+    """chunk_documents_tokenized windows by the TRAINED tokenizer's token
+    lengths: for byte-BPE and WordPiece, stitching each doc's chunks back
+    together (dropping the shared overlap) reproduces the encoder's own
+    id stream exactly, and every chunk fits max_tokens."""
+    import pytest
+
+    from talna_spark.pipeline.bpe import bpe_encode_ids, bpe_train
+    from talna_spark.pipeline.packing import chunk_documents_tokenized
+    from talna_spark.pipeline.wordpiece import (
+        wordpiece_encode_ids,
+        wordpiece_train,
+    )
+
+    def check(chunked, ids_df, max_tokens, step):
+        want = {r["doc_id"]: list(r["ids"]) for r in ids_df.collect()}
+        by_doc = {}
+        for r in chunked.collect():
+            assert r["n_tokens"] <= max_tokens
+            by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = list(r["ids"])
+        ov = max_tokens - step
+        for doc_id, chunks in by_doc.items():
+            rebuilt = chunks[0]
+            for i in sorted(chunks)[1:]:
+                assert chunks[i][:ov] == rebuilt[-ov:]
+                rebuilt = rebuilt + chunks[i][ov:]
+            assert rebuilt == want[doc_id], doc_id
+        assert set(by_doc) == set(want)
+
+    merges = bpe_train(spark, SF, n_merges=10, mode="byte")
+    check(
+        chunk_documents_tokenized(
+            spark, SF, merges, tokenizer="byte", max_tokens=32, step=24
+        ),
+        bpe_encode_ids(spark, SF, merges, mode="byte"),
+        32,
+        24,
+    )
+    vocab = wordpiece_train(spark, SF, n_merges=10)
+    check(
+        chunk_documents_tokenized(
+            spark, SF, vocab, tokenizer="wordpiece", max_tokens=32, step=24
+        ),
+        wordpiece_encode_ids(spark, SF, vocab),
+        32,
+        24,
+    )
+    with pytest.raises(ValueError):
+        chunk_documents_tokenized(spark, SF, merges, tokenizer="nope")
