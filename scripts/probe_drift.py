@@ -1,10 +1,26 @@
-"""Targeted drift probe (VERDICT r10 item 7): measure the two drifted
-bench rows — scale1000 warm q16 and pipe_srp_embed — in isolation at
-min-of-N against an arbitrary code checkout, so r9 vs r10 runs on the
-same quiet box separate code regression from load noise.
+"""Targeted drift probe (VERDICT r10 item 7; r12: row selection):
+measure drifted bench rows in isolation at min-of-N against an
+arbitrary code checkout, so old-code vs HEAD runs on the same quiet box
+separate code regression from load noise.
 
-Usage: python scripts/probe_drift.py <repo_checkout_path>
+Usage: python scripts/probe_drift.py <repo_checkout_path> [row ...]
+Rows: srp_embed, q16 (the defaults), plus any pipe op by alias
+(ann_ivf, pq, lsh_pairs, dup_spans, paragraph_dedup, bm25, curate) or
+an explicit "module.path:function" spec — the function is called as
+fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
+
+FINDINGS (r12, 2026-08-15, pipe_ann_ivf +60% drift from BENCH_r11):
+- ann_ivf min-of-5, THREE interleaved A/B pairs: r10 code (3f06fba)
+  {1.190, 1.336, 1.246} s vs r11-HEAD {1.525, 1.618, 1.563} s — a
+  CONSISTENT +25% gap on the same box, NOT load noise. Root cause:
+  portable.cosine's r11 zero-norm guard `when(den > 0, num/den)`
+  duplicated the den subtree; the interpreted aggregate() folds get no
+  CSE, so every cosine ran 5 dot-folds instead of 3. Fixed with
+  try_divide (NULL-on-zero under ANSI, single den eval, bit-identical
+  division); post-fix interleaved pairs: r10 {1.511, 1.421} vs HEAD
+  {1.314, 1.491} — within noise. Part of the r11 drift WAS load (the
+  bench recorded +60%, code explains +25%), but the code half was real.
 
 FINDINGS (r11, 2026-08-15, this box, back-to-back runs):
 - q16 warm (scale1000, min-of-7): r9 code (c7cc3be) measures 147.2 ms
@@ -76,14 +92,40 @@ def min_of(fn, n):
 
 out = {"repo": repo}
 
-# --- pipe_srp_embed at sf0.1, min-of-5 (the bench closure incl. assert)
-def srp_run():
-    rows = srp_embed_documents(spark, SF).collect()
-    assert rows
+ROWS = [a for a in sys.argv[2:]] or ["srp_embed", "q16"]
 
-out["srp_embed_min5_sec"] = min_of(srp_run, 5)
+# pipe-op aliases -> bench-identical callables (fn(spark, SF).collect())
+PIPE_ALIASES = {
+    "srp_embed": "talna_spark.pipeline.similarity:srp_embed_documents",
+    "ann_ivf": "talna_spark.pipeline.similarity:ivf_topk",
+    "pq": "talna_spark.pipeline.similarity:pq_topk",
+    "lsh_pairs": "talna_spark.pipeline.dedup:lsh_near_dup_pairs",
+    "dup_spans": "talna_spark.pipeline.dedup:dup_spans",
+    "paragraph_dedup": "talna_spark.pipeline.dedup:paragraph_dedup",
+    "bm25": "talna_spark.pipeline.relevance:bm25_topk",
+    "curate": "talna_spark.pipeline.curate:curate",
+}
+
+for row in ROWS:
+    if row == "q16":
+        continue  # handled below (needs the ingested warehouse)
+    spec = PIPE_ALIASES.get(row, row)
+    mod_name, fn_name = spec.split(":")
+    import importlib
+
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+
+    def pipe_run(fn=fn):
+        rows = fn(spark, SF).collect()
+        assert rows
+
+    out[f"{row}_min5_sec"] = min_of(pipe_run, 5)
 
 # --- scale1000 warm q16: one ingest, then min-of-7 repeat-query latency
+if "q16" not in ROWS:
+    print(json.dumps(out))
+    sys.exit(0)
+
 pts = points_from_events(spark, SF)
 ptsN = (
     pts.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(999))))

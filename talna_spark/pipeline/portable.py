@@ -132,12 +132,19 @@ def cosine(a: Column, b: Column) -> Column:
     (no UDF): zip_with products, sequential aggregate sum — the same
     left-to-right accumulation DuckDB's list_cosine_similarity performs.
 
-    A ZERO-NORM side yields NULL explicitly (cosine undefined): the
-    guard preserves the non-ANSI divide-by-zero-is-NULL behavior every
-    caller was built on, and under Spark 4's default ANSI mode — where
-    a bare division would ABORT the whole job with DIVIDE_BY_ZERO the
-    first time a degenerate vector appears — the non-taken branch is
-    never evaluated, so the expression is total either way."""
+    A ZERO-NORM side yields NULL explicitly (cosine undefined), via
+    ``try_divide``: NULL on a zero divisor even under Spark 4's default
+    ANSI mode (where a bare division would ABORT the whole job with
+    DIVIDE_BY_ZERO the first time a degenerate vector appears), and for
+    a nonzero divisor the exact same division — bit-identical to the
+    unguarded form. NOT the when(den > 0, num/den) guard shape: these
+    aggregate() folds are interpreted with no subexpression
+    elimination, so the predicate's copy of den re-ran BOTH norm dots
+    per row — 5 dot-folds per cosine instead of 3, measured as the r11
+    pipe_ann_ivf regression (+25% end-to-end; interleaved A/B r10 {1.19,
+    1.34, 1.25} s vs r11-shape {1.52, 1.62, 1.56} s, and try_divide
+    0.200 s vs when-guard 0.282 s vs bare 0.197 s on a 20k-row cosine
+    microbench)."""
 
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
@@ -146,8 +153,7 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    den = F.sqrt(dot(a, a) * dot(b, b))
-    return F.when(den > 0, dot(a, b) / den)
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a) * dot(b, b)))
 
 
 def cosine_sql(a: str, b: str) -> str:
