@@ -12,8 +12,13 @@ either too big to broadcast or must merge across shards/streams:
   incrementally and usable as broadcast state for a stream.
 - Bloom membership lives in pipeline.dedup (bloom_build — same
   discipline, bit_or instead of sum).
-- Distinct-count (HLL++) is Spark's own approx_count_distinct, already
-  wired as the reference surface's distinct_series_approx.
+- LINEAR COUNTING (this module; Whang, Vander-Zanden & Taylor 1990):
+  the portable distinct-count leg. Every value sets ONE bit of an m-bit
+  bitmap; the estimate is m * ln(m / zero_bits), a pure function of the
+  bitmap, so two engines that build identical bitmaps report identical
+  estimates — unlike Spark's approx_count_distinct (HLL++, engine-
+  specific and therefore unit-tier only). Bitmaps of shards OR into the
+  bitmap of the union (tested) — same merge discipline as Bloom.
 
 All hashing is the portable md5-based hash64 with a per-row prefix, so
 the cell grid is deterministic and cross-engine: the DuckDB twin
@@ -143,4 +148,99 @@ def cms_estimate_sql(
         f"CROSS JOIN unnest(generate_series(0, {int(depth) - 1})) t(i)) "
         "SELECT p.v, MIN(COALESCE(cells.cnt, 0)) AS est FROM probes p "
         "LEFT JOIN cells ON p.r = cells.r AND p.c = cells.c GROUP BY p.v"
+    )
+
+
+# ------------------------------------------------------ linear counting
+LC_M = 1 << 14  # bitmap bits (256 int64 words); good to ~LC_M distincts
+
+
+def lc_build(d: DataFrame, col: str, m: int = LC_M) -> DataFrame:
+    """(word_idx, bits): the m-bit linear-counting bitmap of ``col``'s
+    distinct values as int64 words — each value sets bit
+    hash64('lc|' || v) % m. Same distributed bitmap discipline as
+    pipeline.dedup.bloom_build: ONE map-side projection + ONE bit_or
+    hash-agg capped at m/64 rows regardless of corpus size; absent
+    words are implicit zeros; NULLs are not counted (a NULL is not a
+    value). Mergeable: see :func:`lc_merge`."""
+    if int(m) < 64 or int(m) % 64 != 0:
+        raise ValueError("m must be a positive multiple of 64")
+    p = hash64(F.concat(F.lit("lc|"), F.col(col))) % F.lit(int(m))
+    return (
+        d.filter(F.col(col).isNotNull())
+        .select(p.alias("p"))
+        .select(
+            F.shiftright(F.col("p"), 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def lc_merge(*bitmaps: DataFrame) -> DataFrame:
+    """OR together bitmaps built with the same m: the bitmap of the
+    union of the shards (tested cell-identical) — incremental and
+    per-shard parallel builds compose."""
+    out = bitmaps[0]
+    for bm in bitmaps[1:]:
+        out = out.unionByName(bm)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def lc_estimate(bitmap: DataFrame, m: int = LC_M) -> DataFrame:
+    """One row (set_bits, zero_bits, est): the linear-counting distinct
+    estimate m * ln(m / zero_bits) — deterministic given the bitmap,
+    cross-engine identical at 6 dp (the ln/round twin is pinned by the
+    driver slice). A SATURATED bitmap (zero_bits = 0) estimates NULL:
+    the sketch is past its design load and callers must grow m. Plan:
+    one sketch-sized popcount aggregate — no data-sized work."""
+    mm = int(m)
+    set_bits = F.coalesce(
+        F.sum(F.bit_count(F.col("bits"))), F.lit(0)
+    ).cast("long")
+    z = (F.lit(mm) - set_bits).cast("double")
+    est = F.when(
+        z > 0,
+        F.round(F.lit(float(mm)) * F.log(F.lit(float(mm)) / z), 6),
+    )
+    return bitmap.agg(
+        set_bits.alias("set_bits"),
+        (F.lit(mm) - set_bits).cast("long").alias("zero_bits"),
+        est.alias("est"),
+    )
+
+
+def lc_sql_words(values_sql: str, m: int = LC_M) -> str:
+    """DuckDB twin of :func:`lc_build` over ``values_sql`` (one column
+    named v): identical (word_idx, bits) words. Bit 63 needs the
+    explicit signed-wrap literal — DuckDB's BIGINT << raises on
+    overflow where Spark's shiftleft wraps."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'lc|' || v")
+    return (
+        f"SELECT p // 64 AS word_idx, "
+        "bit_or(CASE WHEN p % 64 = 63 THEN -9223372036854775808 "
+        "ELSE 1::BIGINT << CAST(p % 64 AS INT) END) AS bits "
+        f"FROM (SELECT ({h}) % {int(m)} AS p FROM ({values_sql}) "
+        "WHERE v IS NOT NULL) GROUP BY 1"
+    )
+
+
+def lc_estimate_sql(values_sql: str, m: int = LC_M) -> str:
+    """DuckDB twin of build + estimate: identical (set_bits, zero_bits,
+    est) row, ln over explicit DOUBLE casts (DuckDB's decimal-literal
+    arithmetic would otherwise round before the log)."""
+    mm = int(m)
+    return (
+        f"WITH w AS ({lc_sql_words(values_sql, m)}), "
+        "s AS (SELECT COALESCE(SUM(bit_count(bits)), 0)::BIGINT AS set_bits "
+        "FROM w) "
+        f"SELECT set_bits, ({mm} - set_bits)::BIGINT AS zero_bits, "
+        f"CASE WHEN set_bits < {mm} THEN "
+        f"round(CAST({mm} AS DOUBLE) * ln(CAST({mm} AS DOUBLE) / "
+        f"CAST({mm} - set_bits AS DOUBLE)), 6) END AS est FROM s"
     )

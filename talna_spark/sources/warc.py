@@ -795,11 +795,33 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("v3"),
         F.lit("cms").alias("kind"),
     )
-    return st.unionByName(bl).unionByName(cms)
+    # ``lc`` (r12): linear-counting distinct-domain estimate next to the
+    # exact count — the portable cardinality leg completing the sketch
+    # trio (CMS counts, Bloom membership, LC distincts), all three
+    # driver-checked. One row: v1=set_bits, v2=exact distinct,
+    # v3=round(estimate * 1e6) — the estimate is a pure function of the
+    # bitmap both engines build identically, scaled to micro-units so
+    # the 6-dp double survives the long column.
+    from talna_spark.pipeline.sketches import lc_build, lc_estimate
+
+    nd = doms.agg(F.countDistinct("v").alias("_nd"))
+    lc = (
+        lc_estimate(lc_build(doms, "v"))
+        .crossJoin(nd)
+        .select(
+            F.lit("corpus").alias("id"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("set_bits").cast("long").alias("v1"),
+            F.col("_nd").cast("long").alias("v2"),
+            F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
+            F.lit("lc").alias("kind"),
+        )
+    )
+    return st.unionByName(bl).unionByName(cms).unionByName(lc)
 
 
 def domain_layer_sql() -> str:
-    from talna_spark.pipeline.sketches import cms_estimate_sql
+    from talna_spark.pipeline.sketches import cms_estimate_sql, lc_estimate_sql
 
     urls = (
         f"SELECT doc_id, {synth_url_sql()} AS url, text FROM documents"
@@ -830,5 +852,15 @@ def domain_layer_sql() -> str:
         )
         + ") e JOIN (SELECT domain AS v, COUNT(*) AS n "
         f"FROM ({doms}) WHERE domain IS NOT NULL GROUP BY 1) x "
-        "ON e.v = x.v"
+        "ON e.v = x.v "
+        "UNION ALL "
+        "SELECT 'corpus' AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(l.set_bits AS BIGINT) AS v1, CAST(x.nd AS BIGINT) AS v2, "
+        "CAST(round(l.est * 1000000, 0) AS BIGINT) AS v3, 'lc' AS kind "
+        "FROM ("
+        + lc_estimate_sql(
+            f"SELECT domain AS v FROM ({doms}) WHERE domain IS NOT NULL"
+        )
+        + ") l CROSS JOIN (SELECT COUNT(DISTINCT domain) AS nd "
+        f"FROM ({doms}) WHERE domain IS NOT NULL) x"
     )

@@ -132,3 +132,85 @@ def test_cms_plan_is_sketch_sized(spark):
     est = cms_estimate(d.distinct(), "v", sk)
     eplan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in eplan
+
+
+# ------------------------------------------------------ linear counting
+from talna_spark.pipeline.sketches import (  # noqa: E402
+    LC_M,
+    lc_build,
+    lc_estimate,
+    lc_estimate_sql,
+    lc_merge,
+    lc_sql_words,
+)
+
+
+def test_lc_estimate_accuracy_and_determinism(spark):
+    """m=4096 bitmap over 3777 distincts (load ~0.9): the estimate lands
+    within a few percent of truth, and repeated values change nothing
+    (distinct-count semantics)."""
+    d = spark.range(5000).select(
+        F.concat(F.lit("v"), (F.col("id") % 3777).cast("string")).alias("v")
+    )
+    est = lc_estimate(lc_build(d, "v", m=4096), m=4096).collect()[0]
+    assert est["set_bits"] + est["zero_bits"] == 4096
+    assert abs(est["est"] - 3777) / 3777 < 0.05
+    # duplicates are invisible: same bitmap from the distinct values
+    once = d.distinct()
+    assert sorted(map(tuple, lc_build(once, "v", m=4096).collect())) == sorted(
+        map(tuple, lc_build(d, "v", m=4096).collect())
+    )
+
+
+def test_lc_shard_merge_equals_union(spark):
+    a = spark.createDataFrame([("x",), ("y",)], "v string")
+    b = spark.createDataFrame([("x",), ("z",), (None,)], "v string")
+    merged = lc_merge(lc_build(a, "v", m=256), lc_build(b, "v", m=256))
+    union = lc_build(a.unionByName(b), "v", m=256)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+    est = lc_estimate(merged, m=256).collect()[0]
+    assert est["set_bits"] == 3  # x, y, z — NULL not counted
+
+
+def test_lc_cross_engine_words_and_estimate(spark):
+    """The DuckDB twin builds the IDENTICAL word list and reports the
+    IDENTICAL (set_bits, zero_bits, est) row at 6 dp — the portable
+    contract behind the x26 lc slice."""
+    vals = [f"dom{i}.example" for i in range(300)]
+    d = spark.createDataFrame([(v,) for v in vals], "v string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals (v VARCHAR)")
+    con.executemany("INSERT INTO vals VALUES (?)", [(v,) for v in vals])
+    assert sorted(map(tuple, lc_build(d, "v", m=1024).collect())) == sorted(
+        map(tuple, con.execute(lc_sql_words("SELECT v FROM vals", 1024)).fetchall())
+    )
+    assert tuple(lc_estimate(lc_build(d, "v", m=1024), m=1024).collect()[0]) == (
+        con.execute(lc_estimate_sql("SELECT v FROM vals", 1024)).fetchall()[0]
+    )
+
+
+def test_lc_saturation_and_validation(spark):
+    # a saturated bitmap (every bit set) has no finite estimate: NULL
+    d = spark.range(20000).select(F.col("id").cast("string").alias("v"))
+    est = lc_estimate(lc_build(d, "v", m=64), m=64).collect()[0]
+    assert est["zero_bits"] == 0 and est["est"] is None
+    with pytest.raises(ValueError, match="multiple of 64"):
+        lc_build(d, "v", m=100)
+    # empty input: zero set bits, estimate 0.0 (ln(m/m) == 0)
+    empty = spark.createDataFrame([], "v string")
+    est0 = lc_estimate(lc_build(empty, "v", m=256), m=256).collect()[0]
+    assert est0["set_bits"] == 0 and est0["est"] == 0.0
+
+
+def test_lc_plan_is_sketch_sized(spark):
+    """100 TB contract: the only shuffle is the bit_or hash-agg over
+    word-id rows (<= m/64 regardless of corpus size), map-side partials,
+    no Window, no Python."""
+    d = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    bm = lc_build(d, "v", m=1024)
+    plan = bm._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert bm.count() <= 1024 // 64
