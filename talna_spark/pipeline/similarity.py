@@ -638,11 +638,22 @@ def ivfpq_topk(
     return _per_query_topk(pairs, k)
 
 
+# The broadcast/window probe path below has NO map-side partials (a
+# row_number window shuffles every (query x centroid) row to its
+# query's reducer), which is fine exactly because query sets are
+# model-sized by contract. The guard makes the contract ENFORCED: a
+# corpus-sized query set fails loudly instead of silently planning a
+# partial-less window. limit(max+1).count() stops scanning at the
+# bound, so the check never pays a corpus pass.
+PROBE_QUERIES_MAX = 1 << 16
+
+
 def _probe_clusters(
     queries: DataFrame,
     centroids: list,
     nprobe: int,
     literal_max: int = CENTROID_LITERAL_MAX,
+    max_queries: int = PROBE_QUERIES_MAX,
 ) -> DataFrame:
     """(query_id, qv, qcluster): each query's ``nprobe`` nearest trained
     centroids by 6-dp-rounded squared L2, ties to the lowest cid —
@@ -663,7 +674,12 @@ def _probe_clusters(
 
     Struct sort is lexicographic on (d2, cid), identical to the
     window's (d2 ASC, cid ASC) — bit-identical probe sets on both
-    sides of the threshold (tested)."""
+    sides of the threshold (tested).
+
+    The window path raises on a query set over ``max_queries`` rows
+    (the model-sized contract, enforced — see PROBE_QUERIES_MAX); the
+    literal path needs no guard, it is a pure map-side expression at
+    any query count."""
     if len(centroids) <= int(literal_max):
         dstructs = F.array(
             *[
@@ -689,6 +705,16 @@ def _probe_clusters(
                 ).alias("p"),
             )
             .select("query_id", "qv", F.col("p.cid").alias("qcluster"))
+        )
+    n_q = queries.limit(int(max_queries) + 1).count()
+    if n_q > int(max_queries):
+        raise ValueError(
+            f"_probe_clusters' window path got > {int(max_queries)} "
+            "query rows — the per-query row_number window has no "
+            "map-side partials, so this only scales while query sets "
+            "are model-sized. Probe in batches, or raise max_queries "
+            "deliberately if the reducer-side (queries x nprobe) state "
+            "is actually acceptable."
         )
     spark = queries.sparkSession
     cdf = spark.createDataFrame(

@@ -1062,3 +1062,28 @@ def test_bloom_prefilter_join_path_duplicate_rows(spark):
     )
     assert lit == jn
     assert lit == [(1, "x"), (1, "x"), (3, "x"), (3, "z")]
+
+
+def test_probe_clusters_window_path_enforces_query_contract(spark):
+    """r12 (VERDICT r11 item 6): the broadcast/window probe path rejects
+    an over-contract query set LOUDLY (its per-query row_number window
+    has no map-side partials); the literal path takes any query count —
+    it is a pure map-side expression."""
+    import pytest
+
+    from talna_spark.pipeline import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    e = S._emb(spark, sf).localCheckpoint()
+    cents, _ = S.kmeans_centroids(e, k=4, iters=1)
+    q = e.filter("vec_id < 8")
+    with pytest.raises(ValueError, match="model-sized"):
+        S._probe_clusters(q, cents, 2, literal_max=0, max_queries=5)
+    # at or under the bound: fine
+    assert S._probe_clusters(
+        q, cents, 2, literal_max=0, max_queries=8
+    ).count() == 16
+    # the literal path never counts, whatever the query set size
+    assert S._probe_clusters(
+        q, cents, 2, literal_max=10**6, max_queries=1
+    ).count() == 16
