@@ -501,6 +501,49 @@ def main() -> None:
 
         qs["_bench_tokenize_pack_wordpiece"] = _bench_tokenize_pack_wordpiece
         pipe["pipe_tokenize_pack_wordpiece"] = "_bench_tokenize_pack_wordpiece"
+        # r12: WebDataset tar shard write + read-back (the x24 wds layer
+        # end-to-end, its own scratch dir per call)
+        from talna_spark.sources.webdataset import (
+            roundtrip_layer as _wds_roundtrip,
+        )
+
+        qs["_bench_wds_roundtrip"] = _wds_roundtrip
+        pipe["pipe_wds_roundtrip"] = "_bench_wds_roundtrip"
+        # r12: incremental dedup with the Bloom exact-path prefilter ON
+        # vs OFF — identical results by construction; the pair records
+        # the prefilter's cost/benefit at this scale. EXPECTED SIGN at
+        # sf0.1: ON is ~1.5-2 s SLOWER (measured 7.1 vs 5.1-5.6 s
+        # min-of-2) — the bitmap build is a full ref pass and the
+        # 1024-word literal fold runs per new doc, while the exact
+        # join it shrinks is tiny at 10k docs. The prefilter pays when
+        # the ref hash set is too big to shuffle cheaply (the 100 TB
+        # regime it exists for), so read this pair as overhead
+        # accounting, not a win/loss on its own.
+        from talna_spark.pipeline.dedup import (
+            dedup_against_frames as _daf,
+            BLOOM_BITS as _BLOOM_BITS,
+        )
+
+        def _bench_bloom_dedup(spark, sf_dir, bloom_bits=_BLOOM_BITS):
+            from pyspark.sql import functions as _Fb
+
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            return _daf(
+                new_d=d.filter(_Fb.col("doc_id") % 3 != 0),
+                ref_d=d.filter(_Fb.col("doc_id") % 3 == 0),
+                bloom_bits=bloom_bits,
+            )
+
+        qs["_bench_bloom_dedup"] = _bench_bloom_dedup
+        pipe["pipe_bloom_dedup"] = "_bench_bloom_dedup"
+
+        def _bench_bloom_dedup_off(spark, sf_dir):
+            return _bench_bloom_dedup(spark, sf_dir, bloom_bits=None)
+
+        qs["_bench_bloom_dedup_off"] = _bench_bloom_dedup_off
+        pipe["pipe_bloom_dedup_off"] = "_bench_bloom_dedup_off"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
