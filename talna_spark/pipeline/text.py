@@ -735,13 +735,28 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     array via one aggregate() fold — O(n log n) per document, vs the
     naive distinct x count-each formulation that goes quadratic on long
     documents (a 100k-token doc would do ~10^9 comparisons). Same value:
-    max run length in sorted order IS the max token frequency."""
-    d = _docs(spark, sf_dir)
-    w = tokens(F.col("text"))
+    max run length in sorted order IS the max token frequency.
+
+    r12 plan-shape fix, 28x at sf0.1 (9.20 -> 0.33 s): HOF-containing
+    subtrees are excluded from Spark's subexpression elimination AND
+    lambda-captured expressions evaluate per element, so the previous
+    inline form (a) rebuilt the gram array three times per row via the
+    size(g) guard/divisor, and (b) re-ran the token SPLIT once per gram
+    inside the transform lambda. The token array is now materialized
+    once behind a lazy localCheckpoint (the shared-base rule every
+    HOF-over-computed-column op follows), and the guard/divisor use the
+    closed form size(g) == max(n_words - k + 1, 0)."""
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(_docs(spark, sf_dir)).select(
+        "doc_id", tokens(F.col("text")).alias("_w")
+    ).localCheckpoint(eager=False)
+    w = F.col("_w")
     g = _grams(w, REP_GRAM_K)
+    n_g = F.size(w) - F.lit(REP_GRAM_K - 1)
     dup_frac = F.when(
-        F.size(g) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+        n_g > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)) / n_g,
     ).otherwise(F.lit(0.0))
 
     def _merge(a, x):
