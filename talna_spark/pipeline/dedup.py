@@ -844,6 +844,20 @@ def _kept_by_index(arr, removed):
     return F.transform(F.array_except(idx, removed), lambda i: F.get(arr, i))
 
 
+def _tokenized(d, arr_expr) -> DataFrame:
+    """(doc_id, _w): the document array MATERIALIZED once behind a lazy
+    localCheckpoint — REQUIRED before :func:`_kept_by_index`. Its
+    ``get(arr, i)`` lambda captures ``arr``; a captured EXPRESSION
+    (e.g. the inline tokens() split) re-evaluates per element — one
+    split per kept token, measured 61.6 s vs 0.19 s on 200 docs x 5k
+    tokens — while a checkpointed column is a bound attribute read.
+    The gram/paragraph position scans reuse the same frame, so the
+    tokenize also runs once instead of once per consumer."""
+    return d.select("doc_id", arr_expr.alias("_w")).localCheckpoint(
+        eager=False
+    )
+
+
 def dup_span_clean(
     spark: SparkSession,
     sf_dir: str,
@@ -863,11 +877,11 @@ def dup_span_clean(
     one (doc_id, token_index) coverage aggregate; the rebuild is a
     map-side indexed filter over the token array — text never crosses an
     Exchange."""
-    d = fan_out(_docs(spark, sf_dir))
-    pos = d.select(
+    dw = _tokenized(fan_out(_docs(spark, sf_dir)), tokens(F.col("text")))
+    pos = dw.select(
         "doc_id",
         F.posexplode(
-            _positional_gram_hashes(tokens(F.col("text")), k)
+            _positional_gram_hashes(F.col("_w"), k)
         ).alias("p", "h"),  # p = 0-based gram start = covered-token base
     ).localCheckpoint(eager=False)
     dup = (
@@ -887,17 +901,18 @@ def dup_span_clean(
         .groupBy("doc_id")
         .agg(F.collect_set("t").alias("cov"))
     )
-    w = tokens(F.col("text"))
-    kept = _kept_by_index(w, F.col("cov"))
+    kept = _kept_by_index(F.col("_w"), F.col("cov"))
     empty = F.array().cast("array<int>")
     return (
-        d.join(covered, "doc_id", "left")
+        dw.join(covered, "doc_id", "left")
         .withColumn("cov", F.coalesce("cov", empty))
         .withColumn("_kept", kept)
         .select(
             "doc_id",
             F.size("_kept").cast("long").alias("kept_tokens"),
-            (F.size(w) - F.size("_kept")).cast("long").alias("removed_tokens"),
+            (F.size("_w") - F.size("_kept")).cast("long").alias(
+                "removed_tokens"
+            ),
             F.md5(F.array_join("_kept", " ")).alias("clean_hash"),
         )
     )
@@ -969,11 +984,11 @@ def dup_span_maximal(
             f"min_tokens must be >= k ({k}): a duplicated run always "
             "covers at least one whole k-gram"
         )
-    d = fan_out(_docs(spark, sf_dir))
-    pos = d.select(
+    dw = _tokenized(fan_out(_docs(spark, sf_dir)), tokens(F.col("text")))
+    pos = dw.select(
         "doc_id",
         F.posexplode(
-            _positional_gram_hashes(tokens(F.col("text")), k)
+            _positional_gram_hashes(F.col("_w"), k)
         ).alias("p", "h"),
     ).localCheckpoint(eager=False)
     dup = (
@@ -1028,10 +1043,9 @@ def dup_span_maximal(
         ),
         lambda acc: _close(acc["rem"], acc["run"], acc["n"]),
     )
-    w = tokens(F.col("text"))
-    kept = _kept_by_index(w, F.col("rem"))
+    kept = _kept_by_index(F.col("_w"), F.col("rem"))
     return (
-        d.join(covered, "doc_id", "left")
+        dw.join(covered, "doc_id", "left")
         .withColumn("cov", F.coalesce("cov", empty_i))
         .withColumn("_f", fold)
         .withColumn("rem", F.col("_f.rem"))
@@ -1540,13 +1554,12 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as dup_span_clean, at paragraph instead of k-gram
     granularity.
     """
-    d = _docs(spark, sf_dir)
-    paras = F.split(F.col("text"), "\n")
+    dw = _tokenized(_docs(spark, sf_dir), F.split(F.col("text"), "\n"))
     # (doc_id, idx, h) id-rows for non-empty paragraphs only
     pos = (
-        d.select(
+        dw.select(
             "doc_id",
-            F.posexplode(paras).alias("idx", "para"),
+            F.posexplode(F.col("_w")).alias("idx", "para"),
         )
         .filter(F.trim("para") != "")
         .select("doc_id", "idx", hash64(F.trim(F.col("para"))).alias("h"))
@@ -1564,14 +1577,14 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list("idx").alias("rm"))
     )
-    kept = _kept_by_index(paras, F.col("rm"))
+    kept = _kept_by_index(F.col("_w"), F.col("rm"))
     return (
-        d.join(removed, "doc_id", "left")
+        dw.join(removed, "doc_id", "left")
         .withColumn("rm", F.coalesce("rm", F.array().cast("array<int>")))
         .withColumn("_kept", kept)
         .select(
             "doc_id",
-            F.size(paras).cast("long").alias("n_paras"),
+            F.size("_w").cast("long").alias("n_paras"),
             F.size("rm").cast("long").alias("removed_paras"),
             F.md5(F.array_join("_kept", "\n")).alias("clean_hash"),
         )
