@@ -157,9 +157,13 @@ def _minhash_cols_sql():
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    sh = shingles(tokens(F.col("text")), SHINGLE_K)
-    return d.select("doc_id", *_minhash_cols(sh))
+    # tokens materialized first (_tokenized): shingles' slice lambda
+    # captures the words expression, so the inline form re-ran the
+    # token SPLIT once per shingle (r12; measured 4.91 -> 2.61 s at
+    # sf0.1, same fix class as the survivor rebuild)
+    dw = _tokenized(_docs(spark, sf_dir), tokens(F.col("text")))
+    sh = shingles(F.col("_w"), SHINGLE_K)
+    return dw.select("doc_id", *_minhash_cols(sh))
 
 
 def minhash_signatures_sql() -> str:
@@ -207,9 +211,9 @@ def lsh_hot_buckets(
     the exclusion is audited, not silent; a non-empty report means the
     corpus needs exact dedup first (identical-text floods) or a larger
     cap. One map-side-combined groupBy over id-only band rows."""
-    d = _docs(spark, sf_dir)
-    sh = shingles(tokens(F.col("text")), SHINGLE_K)
-    sig = d.select("doc_id", *_minhash_cols(sh))
+    dw = _tokenized(_docs(spark, sf_dir), tokens(F.col("text")))
+    sh = shingles(F.col("_w"), SHINGLE_K)
+    sig = dw.select("doc_id", *_minhash_cols(sh))
     return (
         _band_rows(sig)
         .groupBy("band", "key")
@@ -240,8 +244,8 @@ def lsh_near_dup_pairs(
     # TALNA_MIN_SCAN_TASKS fan-out (pipeline.scan) spreads a
     # single-row-group source across tasks (no-op on real multi-file
     # sources and in the default configuration)
-    d = fan_out(_docs(spark, sf_dir))
-    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    dw = _tokenized(fan_out(_docs(spark, sf_dir)), tokens(F.col("text")))
+    sh = shingles(F.col("_w"), SHINGLE_K)
     # Materialize (shingles, base hashes) ONCE behind a lazy
     # localCheckpoint, then derive the H signature columns from the
     # stored base array. Two pathologies die here, both measured at
@@ -253,7 +257,7 @@ def lsh_near_dup_pairs(
     # Downstream plans see a flat scan; the affine mixes recompute
     # cheaply. Same lineage-truncation cure the connected-components
     # loop uses.
-    base = d.select(
+    base = dw.select(
         "doc_id", sh.alias("sh"), _base_hashes(sh).alias("_bh")
     ).localCheckpoint(eager=False)
     sig = base.select("doc_id", "sh", *_minhash_cols_from_base(F.col("_bh")))
@@ -623,27 +627,74 @@ def dedup_clusters_sql() -> str:
 
 # -------------------------------------------------- n-gram jaccard (blocked)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quadratic Jaccard verifier blocked by text-length bucket — the
-    brute-force comparison path, bounded by the blocking key. Kept as the
-    recall baseline for LSH (at scale, run LSH; this verifies it)."""
+    """Blocked exact-Jaccard pairs (the LSH recall baseline) as a
+    SORT-MERGE-style intersection instead of per-candidate-pair array
+    hashing: shingle hashes explode to (doc_id, lb, h) id-rows, the
+    self-join on (lb, h) touches ONLY pairs that actually share a
+    shingle, and a count per (doc_a, doc_b) IS the intersection size
+    (shingles are a distinct set per doc). Pairs sharing nothing have
+    jaccard 0 < threshold and are correctly absent. r12 rewrite,
+    measured at sf0.1 with identical output pairs: 74.7 s (string
+    array_intersect per candidate pair, shingle subtree duplicated onto
+    both join sides) -> 21 s (hash64 shingles) -> 0.21 s (this shape).
+
+    Work is proportional to SHARED shingle occurrences — the useful
+    work of the intersection — vs (na + nb) hash-set ops per candidate
+    pair regardless of overlap. Shingle identity is the portable
+    60-bit hash64; a within-pair collision (p ~ 2^-60 per shingle
+    pair) would overcount by one, and the DuckDB oracle keeps the raw
+    STRING formulation, so any collision is DETECTED by the driver's
+    hash gate rather than silently absorbed. Identical-text floods
+    (one shingle in every doc of a bucket) go quadratic per (lb, h)
+    group by design — the same degenerate input the LSH hot-bucket
+    guard documents; exact dedup runs first."""
     d = _docs(spark, sf_dir)
-    sh = shingles(tokens(F.col("text")), SHINGLE_K)
     # integer division on both sides: DuckDB CAST(float AS BIGINT) rounds
     # half-to-even while Spark's cast truncates — `div` / `//` sidestep it
-    base = d.select(
-        "doc_id", sh.alias("sh"),
+    dt = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("_w"),
         F.expr(f"length(text) div {LENGTH_BUCKET}").alias("lb"),
+    ).localCheckpoint(eager=False)
+    hsh = F.transform(shingles(F.col("_w"), SHINGLE_K), lambda s: hash64(s))
+    base = dt.select("doc_id", hsh.alias("sh"), "lb").localCheckpoint(
+        eager=False
     )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, (F.col("a.lb") == F.col("b.lb")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .withColumn("jaccard", F.round(_jaccard(F.col("a.sh"), F.col("b.sh")), 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(
+    ex = base.select("doc_id", "lb", F.explode("sh").alias("h"))
+    ea, eb = ex.alias("a"), ex.alias("b")
+    pcnt = (
+        ea.join(
+            eb,
+            (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "jaccard",
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    return (
+        pcnt.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -758,15 +809,15 @@ def dup_spans(
     pipeline.text.repetition); >= 2 distinct documents must share the
     gram.
     """
-    d = fan_out(_docs(spark, sf_dir))
+    dw = _tokenized(fan_out(_docs(spark, sf_dir)), tokens(F.col("text")))
     # (doc_id, gram_hash) computed ONCE behind a lazy localCheckpoint:
     # three consumers (dup set, per-doc count, final join) would
     # otherwise each re-evaluate the md5 transform — the LSH planning
     # pathology class (measured 27s -> ~4s at sf0.1)
-    pos = d.select(
+    pos = dw.select(
         "doc_id",
         F.explode(
-            _positional_gram_hashes(tokens(F.col("text")), k)
+            _positional_gram_hashes(F.col("_w"), k)
         ).alias("h"),
     ).localCheckpoint(eager=False)
     dup = (
@@ -781,11 +832,9 @@ def dup_spans(
         .agg(F.count(F.lit(1)).alias("dup_positions"))
     )
     # n_grams needs no hashing at all — it is a pure token-count formula
-    n_grams = F.greatest(
-        F.size(tokens(F.col("text"))) - (k - 1), F.lit(0)
-    )
+    n_grams = F.greatest(F.size("_w") - (k - 1), F.lit(0))
     return (
-        d.select("doc_id", n_grams.cast("long").alias("n_grams"))
+        dw.select("doc_id", n_grams.cast("long").alias("n_grams"))
         .join(dcount, "doc_id", "left")
         .select(
             "doc_id",
@@ -1360,8 +1409,9 @@ def dedup_against_frames(
 
     # near: new band rows join ref band rows on the bucket
     def sig_of(d: DataFrame) -> DataFrame:
-        sh = shingles(tokens(F.col("text")), SHINGLE_K)
-        base = d.select(
+        dw = _tokenized(d, tokens(F.col("text")))
+        sh = shingles(F.col("_w"), SHINGLE_K)
+        base = dw.select(
             "doc_id", sh.alias("sh"), _base_hashes(sh).alias("_bh")
         ).localCheckpoint(eager=False)
         return base.select(
