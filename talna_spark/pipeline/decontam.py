@@ -38,9 +38,15 @@ SHINGLE_K = 5
 
 
 def _shingle_hashes(docs: DataFrame, k: int) -> DataFrame:
-    return docs.select(
+    # tokens materialized first: shingles' slice lambda captures the
+    # words expression, so the inline form re-ran the split per shingle
+    # (r12, the dedup._tokenized rule)
+    from talna_spark.pipeline.dedup import _tokenized
+
+    dw = _tokenized(docs, tokens(F.col("text")))
+    return dw.select(
         "doc_id",
-        F.explode(shingles(tokens(F.col("text")), k)).alias("_s"),
+        F.explode(shingles(F.col("_w"), k)).alias("_s"),
     ).select("doc_id", hash64(F.col("_s")).alias("h"))
 
 

@@ -338,10 +338,12 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hash-of-shingles document fingerprint (rolling-window analog of
     Karp-Rabin winnowing): the lexicographic min of md5 over word 5-grams.
     Stable under small edits away from the minimizing window."""
-    d = _docs(spark, sf_dir)
-    sh = shingles(tokens(F.col("text")), FINGERPRINT_K)
+    from talna_spark.pipeline.dedup import _tokenized
+
+    dw = _tokenized(_docs(spark, sf_dir), tokens(F.col("text")))
+    sh = shingles(F.col("_w"), FINGERPRINT_K)
     fp = F.array_min(F.transform(sh, F.md5))
-    return d.select("doc_id", fp.alias("fingerprint"))
+    return dw.select("doc_id", fp.alias("fingerprint"))
 
 
 def fingerprint_sql() -> str:
@@ -381,12 +383,27 @@ def winnow_fingerprints(
     document (positional hashes -> per-window struct transform ->
     distinct explode) — no shuffle, no UDF; per-doc cost O(grams * w)
     with w a small constant."""
-    from talna_spark.pipeline.dedup import _positional_gram_hashes
+    from talna_spark.pipeline.dedup import (
+        _positional_gram_hashes,
+        _tokenized,
+    )
 
     if int(w) < 1:
         raise ValueError("w must be >= 1")
-    d = _docs(spark, sf_dir)
-    hs = _positional_gram_hashes(tokens(F.col("text")), int(k))
+    # two materialization stages (r12): the per-window pick lambda
+    # captures the hash-stream expression, and the hash stream's own
+    # lambda captures the words expression — inline, the token split
+    # re-ran per GRAM and the whole hash stream re-ran per WINDOW
+    # (O(grams^2) per doc, not the declared O(grams x w)). Checkpointed
+    # columns make both captures O(1) attribute reads; at sf0.1 the
+    # inline form did not finish in 500 s, this one runs in 2.0 s
+    # (identical fingerprints, oracle-verified).
+    dw = _tokenized(_docs(spark, sf_dir), tokens(F.col("text")))
+    dh = dw.select(
+        "doc_id",
+        _positional_gram_hashes(F.col("_w"), int(k)).alias("_h"),
+    ).localCheckpoint(eager=False)
+    hs = F.col("_h")
     wl = int(w)
     n_windows = F.size(hs) - (wl - 1)
 
@@ -403,7 +420,7 @@ def winnow_fingerprints(
         F.transform(F.sequence(F.lit(0), n_windows - 1), pick),
     ).otherwise(F.array().cast("array<struct<pos: bigint, h: bigint>>"))
     return (
-        d.select("doc_id", F.explode(fps).alias("f"))
+        dh.select("doc_id", F.explode(fps).alias("f"))
         .select("doc_id", F.col("f.pos").alias("pos"), F.col("f.h").alias("h"))
         .distinct()
     )
