@@ -555,10 +555,16 @@ def dsir_select(
     # the gram explode + hash is the dominant map cost; the shared
     # TALNA_MIN_SCAN_TASKS fan-out spreads a single-row-group source
     d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # tokens materialized first: grams' slice lambda captures the words
+    # expression, so the inline form re-ran the split per gram (r12,
+    # the dedup._tokenized rule)
     d = d.select(
         "doc_id", "text", (F.col("doc_id") % 97 == 0).alias("is_target")
     )
-    toks = tokens(F.col("text"))
+    d = d.select(
+        "doc_id", "is_target", tokens(F.col("text")).alias("_w")
+    ).localCheckpoint(eager=False)
+    toks = F.col("_w")
     feat = d.select(
         "doc_id",
         "is_target",
