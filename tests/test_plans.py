@@ -458,3 +458,48 @@ def test_survivor_filters_use_hashset_membership(spark):
         assert "array_except" in opt, op.__name__
         assert "map_keys" not in opt, op.__name__
         assert "array_contains" not in opt, op.__name__
+
+
+def test_token_split_stays_behind_checkpoint_barrier(spark):
+    # r12 regression guard for the captured-expression class: a HOF
+    # lambda evaluates captured expressions PER ELEMENT, so the token /
+    # paragraph split must be materialized behind the localCheckpoint
+    # barrier (dedup._tokenized) and never appear inline in these ops'
+    # own plans. Any split( in the optimized plan means the barrier was
+    # dropped and some lambda can capture the split again (measured
+    # costs of that class: winnowing >500 s -> 2 s, repetition 9.2 ->
+    # 0.33 s, blocked jaccard 74.7 -> 0.21 s at sf0.1).
+    from talna_spark.pipeline.decontam import contamination_scan
+    from talna_spark.pipeline.dedup import (
+        dup_span_clean,
+        dup_span_maximal,
+        dup_spans,
+        lsh_near_dup_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        paragraph_dedup,
+    )
+    from talna_spark.pipeline.sampling import dsir_select
+    from talna_spark.pipeline.text import (
+        fingerprint,
+        repetition,
+        winnow_fingerprints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for op in (
+        minhash_signatures,
+        lsh_near_dup_pairs,
+        dup_spans,
+        ngram_jaccard_pairs,
+        dup_span_clean,
+        dup_span_maximal,
+        paragraph_dedup,
+        fingerprint,
+        winnow_fingerprints,
+        repetition,
+        dsir_select,
+        contamination_scan,
+    ):
+        opt = op(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+        assert "split(" not in opt, op.__name__
