@@ -118,16 +118,35 @@ def quality_sql() -> str:
 
 # ------------------------------------------------------------ language ID
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # marker scores as COLUMNS over a checkpointed token array (r12):
+    # inline, the argmax when-chain textually duplicated `best` (a
+    # greatest over N HOF filters, each re-splitting the text) into
+    # every branch — ~N/2 x (N+1) filter evaluations per row. With
+    # per-code score columns the chain compares attributes; measured
+    # 0.66 -> 0.20 s at sf0.1, identical output.
     d = _docs(spark, sf_dir)
-    w = tokens(F.col("text"))
-    scores = {code: _count_in(w, mk) for code, mk in sorted(LANG_MARKERS.items())}
+    codes = sorted(LANG_MARKERS)
+    dw = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("_w")
+    ).localCheckpoint(eager=False)
+    ds = dw.select(
+        "doc_id",
+        "lang",
+        *[
+            _count_in(F.col("_w"), LANG_MARKERS[c])
+            .cast("long")
+            .alias(f"_s_{c}")
+            for c in codes
+        ],
+    )
+    scores = {c: F.col(f"_s_{c}") for c in codes}
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     # argmax with lexicographic tie-break: first code reaching the max wins
     for code in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(scores[code] == best, F.lit(code)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return d.select(
+    return ds.select(
         "doc_id",
         pred.alias("pred_lang"),
         best.cast("long").alias("marker_hits"),
