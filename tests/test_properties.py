@@ -249,3 +249,113 @@ def test_unigram_soft_posteriors_cover_each_position_once(word):
             pr for (i, j), (_pc, pr) in zip(arcs, post) if i <= pos < j
         )
         assert cover == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------- r12 ops
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # n elements
+            st.data(),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_kept_by_index_matches_python(spark, docs):
+    """dedup._kept_by_index == the obvious Python comprehension for
+    random arrays and random distinct removal index sets (including
+    empty arrays, empty removals, and full removal)."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.dedup import _kept_by_index
+
+    rows = []
+    for i, (n, data) in enumerate(docs):
+        arr = [f"t{j % 7}" for j in range(n)]
+        rem = sorted(
+            data.draw(
+                st.sets(st.integers(min_value=0, max_value=max(n - 1, 0)), max_size=n)
+            )
+        ) if n else []
+        rows.append((i, arr, [int(r) for r in rem]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, arr array<string>, rem array<int>"
+    )
+    got = {
+        r["doc_id"]: list(r["k"])
+        for r in df.withColumn(
+            "k", _kept_by_index(F.col("arr"), F.col("rem"))
+        ).collect()
+    }
+    for i, arr, rem in rows:
+        want = [x for j, x in enumerate(arr) if j not in set(rem)]
+        assert got[i] == want, (i, arr, rem)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=120),  # n ids
+    st.integers(min_value=1, max_value=20),   # max_tokens
+    st.data(),
+)
+def test_chunk_token_ids_properties(spark, n, ms, data):
+    """Random (n, max_tokens, step): every chunk fits max_tokens,
+    consecutive chunks share exactly the overlap, stitching reproduces
+    the original ids, and the redundant-last-window rule holds."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from talna_spark.pipeline.packing import chunk_token_ids
+
+    st_ = data.draw(st.integers(min_value=1, max_value=ms))
+    ov = ms - st_
+    df = spark.createDataFrame([(0, list(range(n)))], "doc_id long, ids array<long>")
+    chunks = {
+        r["chunk_idx"]: list(r["ids"])
+        for r in chunk_token_ids(df, max_tokens=ms, step=st_).collect()
+    }
+    assert sorted(chunks) == list(range(len(chunks)))
+    rebuilt = list(chunks[0])
+    assert len(chunks[0]) <= ms
+    for i in sorted(chunks)[1:]:
+        assert len(chunks[i]) <= ms
+        assert chunks[i][:ov] == rebuilt[-ov:] if ov else True
+        rebuilt.extend(chunks[i][ov:])
+    assert rebuilt == list(range(n))
+    # no redundant last window: every chunk past the first contributes
+    # at least one new id
+    for i in sorted(chunks)[1:]:
+        assert len(chunks[i]) > ov
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=4), max_size=60),
+    st.integers(min_value=1, max_value=4),
+)
+def test_lc_merge_and_estimate_properties(spark, values, n_shards):
+    """Random value lists split into random shards: the OR-merge of
+    per-shard bitmaps equals the union's bitmap, and the estimate
+    matches the closed form from the set-bit count."""
+    import math
+
+    from talna_spark.pipeline.sketches import lc_build, lc_estimate, lc_merge
+
+    m = 256
+    df = spark.createDataFrame([(v,) for v in values] or [(None,)], "v string")
+    full = lc_build(df, "v", m=m)
+    shards = [
+        lc_build(df.filter(f"abs(hash(v)) % {n_shards} = {i}"), "v", m=m)
+        for i in range(n_shards)
+    ]
+    merged = lc_merge(*shards) if shards else full
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    est = lc_estimate(full, m=m).collect()[0]
+    z = est["zero_bits"]
+    if z > 0:
+        assert est["est"] == round(m * math.log(m / z), 6)
+    else:
+        assert est["est"] is None
