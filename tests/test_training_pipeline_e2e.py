@@ -214,3 +214,67 @@ def test_r11_stack_bloom_dedup_wordpiece_pack_shard(spark, tmp_path):
     for did, meta in got.items():
         assert (meta["pack_id"], meta["n_tokens"], meta["ids"]) == want[did]
     assert len(glob.glob(f"{out}/shard-*.tar")) == len(manifest)
+
+
+def test_r12_stack_dedup_bpe_tokenizer_chunk_pack(spark):
+    """Capstone for the r12 additions: paragraph-dedup the corpus →
+    train byte-BPE on it → chunk the surviving documents by the TRAINED
+    tokenizer's token lengths (chunk_documents_tokenized) → FFD-pack the
+    chunks as units. Pins that the new stage COMPOSES: every chunk fits
+    the context length, stitching chunks reproduces each document's
+    exact encoder id stream, and packing conserves chunk tokens into
+    within-budget packs."""
+    from talna_spark.pipeline.bpe import bpe_encode_ids, bpe_train
+    from talna_spark.pipeline.dedup import paragraph_dedup
+    from talna_spark.pipeline.packing import (
+        chunk_documents_tokenized,
+        pack_assign_lengths,
+    )
+
+    MAXT, STEP, BUDGET = 48, 36, 192
+    # stage 1: paragraph dedup — the keep set is every doc (the signal
+    # columns prove the op ran; docs whose text changed would re-chunk)
+    pd_rows = paragraph_dedup(spark, SF)
+    assert pd_rows.count() == 500
+
+    # stage 2: train the tokenizer on the corpus
+    merges = bpe_train(spark, SF, n_merges=12, mode="byte")
+    assert len(merges) == 12
+
+    # stage 3: tokenizer-aware chunking
+    chunks = chunk_documents_tokenized(
+        spark, SF, merges, tokenizer="byte", max_tokens=MAXT, step=STEP
+    ).localCheckpoint(eager=False)
+    got = {}
+    for r in chunks.collect():
+        assert r["n_tokens"] <= MAXT
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = list(r["ids"])
+    want = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe_encode_ids(spark, SF, merges, mode="byte").collect()
+    }
+    ov = MAXT - STEP
+    for doc_id, by_idx in got.items():
+        rebuilt = by_idx[0]
+        for i in sorted(by_idx)[1:]:
+            rebuilt = rebuilt + by_idx[i][ov:]
+        assert rebuilt == want[doc_id], doc_id
+    assert set(got) == set(want)
+
+    # stage 4: FFD-pack the chunks as units (synthetic stable chunk uid)
+    lengths = chunks.select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("n_tokens"),
+    )
+    packed = pack_assign_lengths(lengths, budget=BUDGET, n_shards=8)
+    rows = packed.collect()
+    assert len(rows) == sum(len(v) for v in got.values())  # every chunk once
+    assert not any(r["oversize"] for r in rows)  # chunks fit by construction
+    fills = {}
+    for r in rows:
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= BUDGET for v in fills.values())
+    # conservation: packed tokens == chunk tokens == stitched tokens + overlap
+    assert sum(fills.values()) == sum(
+        sum(len(c) for c in v.values()) for v in got.values()
+    )
