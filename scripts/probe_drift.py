@@ -110,6 +110,11 @@ for row in ROWS:
     if row == "q16":
         continue  # handled below (needs the ingested warehouse)
     spec = PIPE_ALIASES.get(row, row)
+    if ":" not in spec:
+        sys.exit(
+            f"unknown row {row!r} — use one of {sorted(PIPE_ALIASES)} "
+            "or an explicit 'module.path:function' spec"
+        )
     mod_name, fn_name = spec.split(":")
     import importlib
 

@@ -266,6 +266,10 @@ def chunk_token_ids(
     if not 0 < st <= ms:
         raise ValueError("require 0 < step <= max_tokens")
     overlap = ms - st
+    # NULL ids emit nothing — the chunk_documents NULL-text contract
+    # (a left-join miss would otherwise produce one corrupt
+    # n_tokens=-1/ids=NULL row that poisons downstream packing)
+    ids_df = ids_df.filter(F.col(ids_col).isNotNull())
     w = F.col(ids_col)
     starts = F.sequence(
         F.lit(0),

@@ -153,7 +153,16 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return F.try_divide(dot(a, b), F.sqrt(dot(a, a) * dot(b, b)))
+    # nanvl: a NaN component in either vector makes its self-dot NaN
+    # (NaN*0 = NaN), so the old guard's when(NaN > 0) -> false mapped a
+    # corrupt vector to NULL; bare try_divide would propagate NaN, which
+    # Spark sorts ABOVE every real double — the corrupt vector would
+    # become the #1 neighbor in every top-k. One extra O(1) op, single
+    # evaluation of each dot.
+    return F.nanvl(
+        F.try_divide(dot(a, b), F.sqrt(dot(a, a) * dot(b, b))),
+        F.lit(None).cast("double"),
+    )
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -706,6 +706,13 @@ def _probe_clusters(
             )
             .select("query_id", "qv", F.col("p.cid").alias("qcluster"))
         )
+    # the guard count executes the queries lineage, so checkpoint it
+    # first and feed the SAME materialization to the crossJoin below —
+    # the lineage then runs once total (the count triggers it), not
+    # once for the guard and again for the plan (r12 review fix). The
+    # construction-time job is the documented price of the enforced
+    # contract on this path.
+    queries = queries.localCheckpoint(eager=False)
     n_q = queries.limit(int(max_queries) + 1).count()
     if n_q > int(max_queries):
         raise ValueError(

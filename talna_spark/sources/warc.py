@@ -781,9 +781,13 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact column pins est >= exact == est-without-collisions.
     from talna_spark.pipeline.sketches import cms_build, cms_estimate
 
+    # doms is the shared base of FIVE consumers (cms build + probes,
+    # exact counts, countDistinct, lc build): materialize the PSL-regex
+    # domain extraction once behind a lazy localCheckpoint (r12 — the
+    # shared-base rule) instead of re-running the corpus scan per branch
     doms = registered_domain_psl(d.select("doc_id", "url"), out="_dom").select(
         F.col("_dom").alias("v")
-    ).filter(F.col("v").isNotNull())
+    ).filter(F.col("v").isNotNull()).localCheckpoint(eager=False)
     sk = cms_build(doms, "v")
     est = cms_estimate(doms.distinct(), "v", sk)
     exact = doms.groupBy("v").agg(F.count(F.lit(1)).alias("_n"))
