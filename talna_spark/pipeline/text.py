@@ -1570,8 +1570,14 @@ def lm_score_bigram(
     # stage, so a single-row-group source file serializes the whole
     # operator onto one task — the shared TALNA_MIN_SCAN_TASKS fan-out
     # spreads it (no-op at real scale and in the default configuration)
-    d = fan_out(_docs(spark, sf_dir))
-    w = tokens(F.col("text"))
+    # tokens materialized once behind a lazy localCheckpoint (r12): the
+    # pair-struct transform's element_at(w, i) lambda CAPTURES w, so the
+    # inline split re-ran once per pair position (the captured-expression
+    # class; see dedup._tokenized)
+    d = fan_out(_docs(spark, sf_dir)).select(
+        "doc_id", tokens(F.col("text")).alias("_w")
+    ).localCheckpoint(eager=False)
+    w = F.col("_w")
     # tok feeds uni (and through it totals/c1/cu); pairs feeds bi AND the
     # scoring join — materialize both behind lazy localCheckpoints or the
     # tokenize/split subtree re-evaluates once per consumer (the LSH
@@ -1719,8 +1725,13 @@ def lm_score_trigram_kn(
     from talna_spark.pipeline.scan import fan_out
 
     D = float(LM3_DISCOUNT)
-    d = fan_out(_docs(spark, sf_dir))
-    w = tokens(F.col("text"))
+    # tokens materialized once (r12) — same captured-expression fix as
+    # lm_score_bigram: element_at(w, i) in the pair/tri struct lambdas
+    # re-ran the inline split per position
+    d = fan_out(_docs(spark, sf_dir)).select(
+        "doc_id", tokens(F.col("text")).alias("_w")
+    ).localCheckpoint(eager=False)
+    w = F.col("_w")
 
     tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
         eager=False
