@@ -1680,3 +1680,89 @@ def cluster_balanced_sample_sql(
         f"SELECT doc_id, cluster, ccos, sample_rank FROM ranked "
         f"WHERE sample_rank <= {int(per_cluster)}"
     )
+
+
+# --------------------------------------------------- ANN model persistence
+def save_ann_model(
+    spark: SparkSession,
+    path: str,
+    centroids: list,
+    codebooks: "list | None" = None,
+    residual_codebooks: "list | None" = None,
+) -> None:
+    """Persist a trained ANN index model — IVF centroids plus optional
+    PQ / residual-PQ codebooks — as ONE parquet table of
+    (part, i, j, vec) rows (the save_merges convention: engine-neutral,
+    no pickle). A production pipeline trains the index once and reuses
+    it per crawl; the tokenizer families already persist
+    (save_merges/save_wordpiece/save_unigram) and the ANN artifacts are
+    the same kind of model-sized object. Layout: part='centroid' rows
+    carry (i=cid, j=0, vec); part='codebook'/'rescodebook' rows carry
+    (i=subspace, j=entry, vec). Doubles round-trip bit-exactly through
+    parquet, so a loaded model reproduces bit-identical
+    ivfpq_topk_trained / ivfpq_residual_topk_trained results (tested)."""
+    rows = [("centroid", i, 0, [float(x) for x in c])
+            for i, c in enumerate(centroids)]
+    for part, books in (
+        ("codebook", codebooks), ("rescodebook", residual_codebooks)
+    ):
+        for m, book in enumerate(books or []):
+            rows.extend(
+                (part, m, j, [float(x) for x in e])
+                for j, e in enumerate(book)
+            )
+    if not rows:
+        raise ValueError("refusing to save an empty ANN model")
+    spark.createDataFrame(
+        rows, "part string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ann_model(spark: SparkSession, path: str) -> dict:
+    """Inverse of :func:`save_ann_model`:
+    {"centroids": [...], "codebooks": [...] | None,
+    "residual_codebooks": [...] | None}. Gaps, duplicates, unknown
+    parts, and ragged codebooks all fail loudly — a silently truncated
+    model would quietly degrade recall instead of erroring."""
+    rows = spark.read.parquet(path).collect()
+    by_part: dict = {}
+    for r in rows:
+        key = (int(r["i"]), int(r["j"]))
+        part = by_part.setdefault(r["part"], {})
+        if key in part:
+            raise ValueError(f"duplicate ANN model row {r['part']}{key}")
+        part[key] = list(r["vec"])
+    unknown = set(by_part) - {"centroid", "codebook", "rescodebook"}
+    if unknown:
+        raise ValueError(f"unknown ANN model parts: {sorted(unknown)}")
+
+    def dense(part: str, two_level: bool):
+        entries = by_part.get(part)
+        if not entries:
+            return None
+        if not two_level:
+            out = [None] * (max(i for i, _ in entries) + 1)
+            for (i, j), vec in entries.items():
+                if j != 0:
+                    raise ValueError(f"{part} rows must have j=0, got {j}")
+                out[i] = vec
+            if any(v is None for v in out):
+                raise ValueError(f"{part} ids have gaps")
+            return out
+        n_m = max(i for i, _ in entries) + 1
+        books = []
+        for m in range(n_m):
+            sub = {j: v for (i, j), v in entries.items() if i == m}
+            if not sub or sorted(sub) != list(range(len(sub))):
+                raise ValueError(f"{part} subspace {m} entries have gaps")
+            books.append([sub[j] for j in range(len(sub))])
+        return books
+
+    cents = dense("centroid", two_level=False)
+    if cents is None:
+        raise ValueError("ANN model has no centroid rows")
+    return {
+        "centroids": cents,
+        "codebooks": dense("codebook", two_level=True),
+        "residual_codebooks": dense("rescodebook", two_level=True),
+    }

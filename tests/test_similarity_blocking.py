@@ -1087,3 +1087,57 @@ def test_probe_clusters_window_path_enforces_query_contract(spark):
     assert S._probe_clusters(
         q, cents, 2, literal_max=10**6, max_queries=1
     ).count() == 16
+
+
+def test_ann_model_save_load_round_trip(spark, tmp_path):
+    """r12: ANN model persistence — centroids + PQ + residual codebooks
+    round-trip exactly through parquet, a loaded model reproduces
+    bit-identical trained-index results, and truncated/corrupt models
+    fail loudly."""
+    import pytest
+
+    from talna_spark.pipeline import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    e = S._emb(spark, sf).localCheckpoint()
+    cents, _ = S.kmeans_centroids(e, k=5, iters=2)
+    books = S.pq_train_codebooks(spark, sf, iters=2)
+    res = S.pq_train_residual_codebooks(spark, sf, cents, iters=2)
+    p = str(tmp_path / "annmodel")
+    S.save_ann_model(
+        spark, p, cents, codebooks=books, residual_codebooks=res
+    )
+    m = S.load_ann_model(spark, p)
+    assert m["centroids"] == [[float(x) for x in c] for c in cents]
+    assert m["codebooks"] == [
+        [[float(x) for x in e_] for e_ in b] for b in books
+    ]
+    assert m["residual_codebooks"] == [
+        [[float(x) for x in e_] for e_ in b] for b in res
+    ]
+    # a loaded model drives the trained index to bit-identical results
+    a = sorted(map(tuple, S.ivfpq_topk_trained(spark, sf, cents, books).collect()))
+    b = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk_trained(
+                spark, sf, m["centroids"], m["codebooks"]
+            ).collect(),
+        )
+    )
+    assert a and a == b
+    # centroids-only model: optional parts come back None
+    p2 = str(tmp_path / "annmodel2")
+    S.save_ann_model(spark, p2, cents)
+    m2 = S.load_ann_model(spark, p2)
+    assert m2["codebooks"] is None and m2["residual_codebooks"] is None
+    # loud failures: empty save, gap in a codebook subspace
+    with pytest.raises(ValueError, match="empty"):
+        S.save_ann_model(spark, str(tmp_path / "x"), [])
+    holey = spark.read.parquet(p).filter(
+        "NOT (part = 'codebook' AND i = 0 AND j = 1)"
+    )
+    p3 = str(tmp_path / "annmodel3")
+    holey.write.mode("overwrite").parquet(p3)
+    with pytest.raises(ValueError, match="gaps"):
+        S.load_ann_model(spark, p3)
