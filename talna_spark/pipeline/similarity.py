@@ -1548,14 +1548,25 @@ def srp_embed_documents(
         F.count(F.lit(1)).alias("n_tokens"),
         *[F.sum(sign(j)).alias(f"_s{j}") for j in range(dim)],
     )
+    # norm as a COLUMN, not an inline expression (r12): the normalize
+    # lambda captures norm, and a captured expression re-evaluates per
+    # element — the inline form ran the dim-step norm fold once per
+    # coordinate plus once for the guard. As an attribute it computes
+    # once per row (CollapseProject keeps multi-referenced non-cheap
+    # projections); measured 1.16 -> 0.16 s at sf0.1, bit-identical.
     raw = F.array(*[F.col(f"_s{j}").cast("double") for j in range(dim)])
-    norm = F.sqrt(
-        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    agg = agg.withColumn("_raw", raw).withColumn(
+        "_norm",
+        F.sqrt(
+            F.aggregate(F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
     )
     v = F.when(
-        norm > 0,
-        F.transform(raw, lambda x: F.round(x / norm, 6)),
-    ).otherwise(F.transform(raw, lambda x: x * 0.0))
+        F.col("_norm") > 0,
+        F.transform(
+            F.col("_raw"), lambda x: F.round(x / F.col("_norm"), 6)
+        ),
+    ).otherwise(F.transform(F.col("_raw"), lambda x: x * 0.0))
     return agg.select("doc_id", "n_tokens", v.alias("v"))
 
 
