@@ -50,21 +50,26 @@ EOW = "</w>"  # end-of-word marker, per the original BPE formulation
 # `tokenize_pack(mode="byte")` measures the packing length that matters.
 #
 # GPT-2's pretokenizer regex uses \p{L}/\p{N}; Python's stdlib `re` has
-# no \p, so the classes are GENERATED from unicodedata at import (the
-# same codepoint-table trick text.py uses for script classes): \p{L} =
+# no \p, so the classes are GENERATED from unicodedata (the same
+# codepoint-table trick text.py uses for script classes): \p{L} =
 # categories Lu/Ll/Lt/Lm/Lo, \p{N} = Nd/Nl/No, per the running CPython's
 # Unicode tables. This is EXACT \p semantics — the r8-r11 approximation
 # (\p{L} -> [^\W\d_], \p{N} -> \d) misclassified \p{N}'s non-decimal
 # forms (roman numerals, superscripts, fractions) as letters, so
-# 'abcⅫ' stayed one pretoken where GPT-2 splits it. Build cost 0.25 s
-# once on the driver; closures capture the finished ~15 KB pattern
-# string, executors only re.compile it (~12 ms).
+# 'abcⅫ' stayed one pretoken where GPT-2 splits it. The classes are
+# precomputed into _gpt2_classes.py (scripts/gen_gpt2_classes.py) so
+# import pays a dict lookup, not two 0x110000-codepoint scans (VERDICT
+# r12 #3); a runtime whose unicodedata version differs from the
+# generated file regenerates in-process — exactness always wins over
+# the cache. Closures capture the finished ~15 KB pattern string,
+# executors only re.compile it (~12 ms).
 
 
 def _unicode_class(*prefixes: str) -> str:
     """Regex character-class body covering every codepoint whose
     unicodedata category starts with one of ``prefixes``, as compressed
-    \\UXXXXXXXX ranges (escape form is class-metachar-safe)."""
+    \\UXXXXXXXX ranges (escape form is class-metachar-safe). Fallback
+    builder — normal imports read the generated constants instead."""
     import sys
     import unicodedata
 
@@ -87,13 +92,41 @@ def _unicode_class(*prefixes: str) -> str:
     return "".join(parts)
 
 
-_P_L = _unicode_class("L")  # \p{L}
-_P_N = _unicode_class("N")  # \p{N}
+def _load_classes() -> tuple[str, str]:
+    import unicodedata
+
+    from talna_spark.pipeline import _gpt2_classes as g
+
+    if g.UNIDATA_VERSION == unicodedata.unidata_version:
+        return g.P_L, g.P_N
+    # Unicode tables moved under this interpreter: regenerate so the
+    # classes stay exact \p semantics for the RUNNING runtime (and its
+    # unicodedata-derived PRETOKENIZER_VERSION below stays honest).
+    return _unicode_class("L"), _unicode_class("N")
+
+
+_P_L, _P_N = _load_classes()  # \p{L}, \p{N}
 GPT2_PRETOKEN_RE = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
     rf"| ?[{_P_L}]+| ?[{_P_N}]+| ?[^\s{_P_L}{_P_N}]+"
     r"|\s+(?!\S)|\s+"
 )
+
+
+def _pretokenizer_version() -> str:
+    """Identity of the byte-mode pretokenization in effect, stamped into
+    persisted merge tables (ADVICE r12: merges trained under a different
+    pretokenizer silently re-tokenize differently when loaded — e.g. the
+    pre-r12 \\d approximation vs the exact classes, or a CPython with
+    newer Unicode tables). ``gpt2-exact/<unidata version>`` — the exact
+    \\p classes ARE a function of the Unicode version, so the stamp
+    carries it."""
+    import unicodedata
+
+    return f"gpt2-exact/{unicodedata.unidata_version}"
+
+
+PRETOKENIZER_VERSION = _pretokenizer_version()
 
 
 def bytes_to_unicode() -> dict[int, str]:
@@ -499,22 +532,61 @@ def bpe_encode_ids(
 
 
 # ------------------------------------------------ model persistence (r10)
-def save_merges(spark: SparkSession, merges: list, path: str) -> None:
+def save_merges(
+    spark: SparkSession,
+    merges: list,
+    path: str,
+    pretokenizer: str | None = None,
+) -> None:
     """Persist a trained merge list as one parquet table of
-    (rank, a, b) rows — readable by any engine, no pickle (the
+    (rank, a, b[, pretok]) rows — readable by any engine, no pickle (the
     classifier-persistence convention): train once in batch, load in
-    the job that encodes or packs."""
+    the job that encodes or packs.
+
+    Byte-mode merges depend on the pretokenization the corpus scan used,
+    so pass ``pretokenizer=PRETOKENIZER_VERSION`` when saving them: the
+    stamp is stored on every row and :func:`load_merges` with
+    ``expect_pretokenizer=`` fails loudly on a mismatch instead of
+    silently re-tokenizing differently (ADVICE r12 — e.g. the pre-r12
+    \\d-approximation classes, or merges trained under a CPython with
+    different Unicode tables). Word-mode merges (whitespace ``tokens``)
+    have no pretokenizer dependency — omit the stamp."""
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    spark.createDataFrame(
-        rows, "rank long, a string, b string"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.createDataFrame(rows, "rank long, a string, b string")
+    if pretokenizer is not None:
+        df = df.withColumn("pretok", F.lit(pretokenizer))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
-def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+def load_merges(
+    spark: SparkSession,
+    path: str,
+    expect_pretokenizer: str | None = None,
+) -> list[tuple[str, str]]:
     """Inverse of :func:`save_merges`: the ordered merge list. Rank
     gaps fail loudly — a truncated table must not silently train-time
-    reorder the greedy encoder."""
-    rows = spark.read.parquet(path).collect()
+    reorder the greedy encoder. With ``expect_pretokenizer=`` (byte
+    mode), an artifact saved without a stamp or under a different
+    pretokenizer version raises instead of decoding into a silently
+    different id stream."""
+    table = spark.read.parquet(path)
+    rows = table.collect()
+    if expect_pretokenizer is not None:
+        if "pretok" not in table.columns:
+            raise ValueError(
+                f"merge table at {path} has no pretokenizer stamp but "
+                f"{expect_pretokenizer!r} was required — it predates the "
+                "stamp (pre-r13) or was saved without pretokenizer=; "
+                "retrain or re-save with the current pretokenizer"
+            )
+        got = {r["pretok"] for r in rows}
+        if got != {expect_pretokenizer}:
+            raise ValueError(
+                f"merge table at {path} was trained under pretokenizer "
+                f"{sorted(got)} but this runtime is "
+                f"{expect_pretokenizer!r} — encodings would differ; "
+                "retrain under the current pretokenizer"
+            )
     by_rank = {int(r["rank"]): (r["a"], r["b"]) for r in rows}
     if len(rows) != len(by_rank):
         # Two rows at the same rank would collapse in the dict above,

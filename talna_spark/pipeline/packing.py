@@ -255,9 +255,13 @@ def chunk_token_ids(
     consecutive chunks share ``max_tokens - step`` ids of context, the
     redundant-last-window drop rule matches :func:`chunk_documents`
     (window start s is emitted iff s == 0 or s < n - overlap), and a
-    zero-id document emits one empty chunk (callers filter). Coverage,
-    overlap and conservation against the encoders' own id streams are
-    pinned in tests/test_packing.py.
+    tokenless document (NULL or EMPTY ids) emits nothing — one
+    contract for both absent shapes, so downstream :func:`pack_assign`
+    never sees n_tokens=0 rows (VERDICT r12 #7; chunk_documents can't
+    hit the empty case — whitespace ``tokens('')`` is ``['']`` — so
+    emit-nothing here is the consistent extension of its NULL rule).
+    Coverage, overlap and conservation against the encoders' own id
+    streams are pinned in tests/test_packing.py.
 
     100 TB shape: identical to :func:`chunk_documents` — a map-only
     explode over the encoder's map-only Arrow output, zero shuffle end
@@ -266,10 +270,11 @@ def chunk_token_ids(
     if not 0 < st <= ms:
         raise ValueError("require 0 < step <= max_tokens")
     overlap = ms - st
-    # NULL ids emit nothing — the chunk_documents NULL-text contract
-    # (a left-join miss would otherwise produce one corrupt
-    # n_tokens=-1/ids=NULL row that poisons downstream packing)
-    ids_df = ids_df.filter(F.col(ids_col).isNotNull())
+    # NULL ids emit nothing (a left-join miss would otherwise produce
+    # one corrupt n_tokens=-1/ids=NULL row that poisons downstream
+    # packing); empty ids emit nothing for the same reason — the
+    # explode would otherwise yield one n_tokens=0 chunk per doc
+    ids_df = ids_df.filter(F.size(F.col(ids_col)) > 0)
     w = F.col(ids_col)
     starts = F.sequence(
         F.lit(0),

@@ -643,8 +643,13 @@ def ivfpq_topk(
 # query's reducer), which is fine exactly because query sets are
 # model-sized by contract. The guard makes the contract ENFORCED: a
 # corpus-sized query set fails loudly instead of silently planning a
-# partial-less window. limit(max+1).count() stops scanning at the
-# bound, so the check never pays a corpus pass.
+# partial-less window. Cost: the guard count finalizes the lazy
+# localCheckpoint, i.e. ONE materialization of the (model-sized by
+# contract) query lineage — which the crossJoin then reuses, so the
+# lineage runs once total, not once per consumer (ADVICE r12: an
+# oversized set does pay its full materialization before the raise;
+# that is the price of checkpoint-then-count, accepted so the common
+# in-contract case never evaluates the lineage twice).
 PROBE_QUERIES_MAX = 1 << 16
 
 

@@ -384,6 +384,23 @@ def test_unicode_class_matches_unicodedata():
         assert bool(pn.match(ch)) == (cat == "N"), hex(cp)
 
 
+def test_generated_classes_match_fallback_builder():
+    """The checked-in _gpt2_classes constants must be byte-identical to
+    what the in-process fallback builder produces on this interpreter —
+    a stale generated file after a Unicode-table bump is caught here
+    (and would be bypassed at import by the UNIDATA_VERSION check)."""
+    import unicodedata
+
+    from talna_spark.pipeline import _gpt2_classes as g
+    from talna_spark.pipeline.bpe import _P_L, _P_N, _unicode_class
+
+    assert g.UNIDATA_VERSION == unicodedata.unidata_version
+    assert g.P_L == _unicode_class("L")
+    assert g.P_N == _unicode_class("N")
+    # and the module-level classes in effect ARE the constants
+    assert _P_L == g.P_L and _P_N == g.P_N
+
+
 def test_byte_bpe_train_matches_reference(spark, byte_corpus_dir):
     d, texts = byte_corpus_dir
     got = bpe_train(spark, d, n_merges=25, mode="byte")

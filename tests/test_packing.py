@@ -285,7 +285,10 @@ def test_chunk_token_ids_window_schedule(spark):
     from talna_spark.pipeline.packing import chunk_token_ids
 
     rows = [(n, list(range(n))) for n in (100, 113, 112, 2, 64, 0)]
-    df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    # NULL-ids doc: same emit-nothing contract as empty ids
+    df = spark.createDataFrame(
+        rows + [(999, None)], "doc_id long, ids array<long>"
+    )
     out = chunk_token_ids(df, max_tokens=64, step=48)
     by_doc = {}
     for r in out.collect():
@@ -295,8 +298,11 @@ def test_chunk_token_ids_window_schedule(spark):
     assert sorted(by_doc[112]) == [0, 1]
     assert sorted(by_doc[2]) == [0] and by_doc[2][0]["ids"] == [0, 1]
     assert sorted(by_doc[64]) == [0]
-    # zero-id doc: one empty chunk (documented; callers filter)
-    assert sorted(by_doc[0]) == [0] and by_doc[0][0]["n_tokens"] == 0
+    # tokenless docs (empty OR NULL ids) emit NOTHING — one contract for
+    # both absent shapes, so pack_assign never sees n_tokens=0 rows
+    # (VERDICT r12 #7)
+    assert 0 not in by_doc and 999 not in by_doc
+    assert out.filter("n_tokens = 0").count() == 0
     for n, chunks in by_doc.items():
         rebuilt = list(chunks[0]["ids"])
         for i in sorted(chunks)[1:]:

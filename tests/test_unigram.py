@@ -364,6 +364,42 @@ def test_tokenizer_persistence_round_trip(spark, corpus_dir, tmp_path):
         load_unigram(spark, badu)
 
 
+def test_merge_pretokenizer_stamp(spark, corpus_dir, tmp_path):
+    """ADVICE r12: byte-mode merges persisted under one pretokenizer
+    must not silently load under another — the stamp round-trips, a
+    stamped-vs-expected mismatch raises, and an UNstamped (pre-r13)
+    artifact raises when a stamp is required."""
+    import pytest as _pytest
+
+    from talna_spark.pipeline.bpe import (
+        PRETOKENIZER_VERSION, bpe_train, load_merges, save_merges,
+    )
+
+    d, _texts = corpus_dir
+    merges = bpe_train(spark, d, n_merges=8)
+
+    stamped = str(tmp_path / "stamped")
+    save_merges(spark, merges, stamped, pretokenizer=PRETOKENIZER_VERSION)
+    # stamp satisfied -> identical merges; stamp ignored when not asked
+    assert (
+        load_merges(spark, stamped, expect_pretokenizer=PRETOKENIZER_VERSION)
+        == merges
+    )
+    assert load_merges(spark, stamped) == merges
+
+    # trained under a DIFFERENT pretokenizer -> loud failure
+    with _pytest.raises(ValueError, match="pretokenizer"):
+        load_merges(
+            spark, stamped, expect_pretokenizer="gpt2-approx/legacy"
+        )
+
+    # pre-r13 artifact (no pretok column) -> loud failure when required
+    bare = str(tmp_path / "bare")
+    save_merges(spark, merges, bare)
+    with _pytest.raises(ValueError, match="no pretokenizer stamp"):
+        load_merges(spark, bare, expect_pretokenizer=PRETOKENIZER_VERSION)
+
+
 # ----------------------- soft (forward-backward) EM, r10
 def _ref_posteriors(w, logp, max_len, unk=UNK_LOGP):
     arcs = []
