@@ -503,3 +503,126 @@ def test_token_split_stays_behind_checkpoint_barrier(spark):
     ):
         opt = op(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
         assert "split(" not in opt, op.__name__
+
+
+# ------------------------------------------------------------------
+# r13 (VERDICT r12 next-round #1): the SYSTEMATIC captured-expression
+# guard. A HOF lambda re-evaluates any CAPTURED expression per element
+# (HOF inputs are evaluated once; only lambda-body captures repeat), so
+# a lambda body embedding a split()/md5()/regexp_*() call over a
+# non-lambda attribute is the exact fingerprint of the r12 bug class
+# (winnowing O(grams^2), >500 s at sf0.1 -> 2 s once materialized;
+# found at 10 more sites that round). The detector below parses the
+# rendered optimized plan: every `lambdafunction(...)` balanced span is
+# a lambda body; inside it, a costly call whose own balanced span
+# references an attribute (`name#id`) NOT introduced as a lambda
+# variable (`lambda name#id`) is a capture. Splitting/hashing a lambda
+# VARIABLE is inherent per-element work and exempt (minhash hashes its
+# shingle argument — fine).
+#
+# Revert-proof (run by hand, documented here because tests cannot
+# depend on git history): on aa59723^ (pre-fix winnowing),
+# _captured_costly_calls over winnow_fingerprints' optimized plan
+# reports the captured `split(text#..)`/`md5(..)` subtree inside the
+# per-window slice lambda; on HEAD it reports nothing.
+
+_COSTLY_CALLS = ("split(", "md5(", "regexp_replace(", "regexp_extract(")
+_ATTR_RE = __import__("re").compile(r"\b\w+#\d+")
+
+
+def _balanced_spans(plan: str, marker: str):
+    """Every balanced-paren span opened by ``marker`` in the rendered
+    plan (inclusive of the marker, exclusive scan on nesting)."""
+    out = []
+    start = plan.find(marker)
+    while start != -1:
+        i = start + len(marker)  # just past the opening paren
+        depth = 1
+        while i < len(plan) and depth:
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        out.append(plan[start:i])
+        start = plan.find(marker, start + len(marker))
+    return out
+
+
+def _captured_attrs(span: str):
+    """Attribute references in ``span`` that are NOT lambda variables
+    (lambda vars render as ``lambda name#id``)."""
+    hits = []
+    for m in _ATTR_RE.finditer(span):
+        if span[max(0, m.start() - 7) : m.start()] != "lambda ":
+            hits.append(m.group())
+    return hits
+
+def _captured_costly_calls(plan: str):
+    """(costly-call snippet, captured attrs) pairs for every costly call
+    inside a lambda body that references a captured attribute."""
+    bad = []
+    for lam in _balanced_spans(plan, "lambdafunction("):
+        body = lam[len("lambdafunction(") :]
+        for call in _COSTLY_CALLS:
+            for span in _balanced_spans(body, call):
+                caps = _captured_attrs(span)
+                if caps:
+                    bad.append((span[:120], sorted(set(caps))))
+    return bad
+
+
+def test_captured_expression_detector_self_check(spark):
+    """The detector must fire on a synthetic reconstruction of the bug
+    shape (lambda captures split(text)) and stay silent on the two
+    legitimate shapes (split as HOF input; hashing the lambda var)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+
+    bug = df.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.element_at(F.split(F.col("text"), " "), i + 1),
+        ).alias("g")
+    )
+    hits = _captured_costly_calls(
+        bug._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert hits and any("split(" in h for h, _ in hits), hits
+
+    ok_input = df.select(
+        F.transform(F.split(F.col("text"), " "), lambda w: F.upper(w)).alias(
+            "g"
+        )
+    )
+    ok_lamvar = df.select(
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.md5(w)
+        ).alias("g")
+    )
+    for ok in (ok_input, ok_lamvar):
+        plan = ok._jdf.queryExecution().optimizedPlan().toString()
+        assert _captured_costly_calls(plan) == [], plan
+
+
+def test_no_captured_costly_expressions_in_any_driver_query(spark):
+    """The class invariant: NO query on the driver surface may plan an
+    interpreted HOF lambda that captures a split/md5/regexp subtree over
+    a non-lambda attribute. Sweeps every queries() entry (the full
+    driver surface — dedup, text, sampling, similarity, sketches,
+    multimodal, sources — auto-extends as rows are added) at sf0.001."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in sorted(entrymod.queries().items()):
+        plan = q(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+        hits = _captured_costly_calls(plan)
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "HOF lambdas capturing costly expressions over non-lambda "
+        f"attributes (the r12 O(n^2) class): {offenders}"
+    )
