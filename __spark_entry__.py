@@ -1539,9 +1539,14 @@ def _x11_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``resivfpq`` = RESIDUAL-encoded IVF-PQ (r11: reconstruction =
     centroid + PQ(v - centroid), Jégou et al. 2011 §IV.A — the
     published coding; the trained variant where the fidelity claim
-    holds is unit-tier) — each oracle-checked including ranks."""
+    holds is unit-tier) — each oracle-checked including ranks. r13
+    (VERDICT r12 #4): the ``pq`` slice routes its seed codebook through
+    save_ann_model -> load_ann_model (bit-identical to pq_topk(), so
+    the unchanged SQL oracle now hash-checks the PERSISTENCE path)."""
     ivf = _sim.ivf_topk(spark, sf_dir).withColumn("kind", F.lit("ivf"))
-    pq = _sim.pq_topk(spark, sf_dir).withColumn("kind", F.lit("pq"))
+    pq = _sim.pq_topk_via_saved_model(spark, sf_dir).withColumn(
+        "kind", F.lit("pq")
+    )
     ivfpq = _sim.ivfpq_topk(spark, sf_dir).withColumn("kind", F.lit("ivfpq"))
     sq8 = _sim.sq8_topk(spark, sf_dir).withColumn("kind", F.lit("sq8"))
     res = _sim.ivfpq_residual_topk(spark, sf_dir).withColumn(

@@ -10,6 +10,22 @@ an explicit "module.path:function" spec — the function is called as
 fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
 
+FINDINGS (r13, 2026-08-15, the two BENCH_r12 drift rows):
+- pipe_tokenize_pack_byte +51% (6.09 -> 9.21 s): NOT the exact-\p-class
+  commit and NOT code. Interleaved min-of-3 A/B, three pairs each:
+  HEAD {8.24, 8.04, 9.93} vs 0e30eea^ (pre-exact-classes) {9.80, 7.77,
+  10.44} — means within 7%, HEAD slightly FASTER; HEAD {9.44, 11.99,
+  10.59} vs r11-final e2528dd {8.71, 8.60, 13.75} — means within 3%.
+  r11 code measures 8.6-13.8 s TODAY vs its recorded 6.09 s, so the
+  bench drift was box speed between rounds, not a regression.
+- scale1000 ingest 39 -> 64 s: LOAD, not code. Two interleaved
+  min-of-2 pairs (bench-identical: parallelism=32, fresh warehouse +
+  sync per rep): HEAD {36.18, 39.84} vs r11-final {35.20, 39.83} —
+  identical within 1-3%, and BOTH match r11's recorded 39.2 s, not
+  r12's 64.1 s. The r12 driver-run number was a loaded box (the row
+  was ALREADY min-of-2 — bench.py since r8; the verdict's 'single
+  cold pass by design' claim was stale). Nothing to fix in ingest.
+
 FINDINGS (r12, 2026-08-15, pipe_ann_ivf +60% drift from BENCH_r11):
 - ann_ivf min-of-5, THREE interleaved A/B pairs: r10 code (3f06fba)
   {1.190, 1.336, 1.246} s vs r11-HEAD {1.525, 1.618, 1.563} s — a
@@ -106,9 +122,75 @@ PIPE_ALIASES = {
     "curate": "talna_spark.pipeline.curate:curate",
 }
 
+
+# r13: the two BENCH_r12 drift rows need bench-identical closures the
+# alias table can't express (extra args / label construction / a full
+# warehouse ingest), so they get dedicated handlers.
+def _tokenize_pack_byte_run():
+    from talna_spark.pipeline.packing import tokenize_pack
+
+    rows = tokenize_pack(spark, SF, n_merges=30, mode="byte").collect()
+    assert rows
+
+
+def _clf_train_run():
+    from talna_spark.pipeline.classifier import train_classifier
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = docs.select(
+        "doc_id", (F.col("doc_id") % 2).cast("double").alias("y")
+    )
+    m = train_classifier(docs, labels, n_features=1024, iters=5, lr=4.0)
+    assert m["loss_history"]
+
+
+def _scale1000_ingest_min2() -> float:
+    """Bench-identical scale1000 ingest: explode x1000, fresh warehouse
+    per rep, os.sync settles before each timing, previous warehouse
+    freed first — min-of-2 like bench.py's scale_section(1000, 2).
+    parallelism=32 matters: without it the x1000 explode runs on the
+    source's single row-group task (the q16 section's documented
+    caveat) and the ingest takes 20x longer."""
+    ptsN = (
+        points_from_events(spark, SF, parallelism=32)
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(999))))
+        .withColumn("ts", F.col("ts") + F.col("_i") * F.lit(3_600_000_000_000))
+        .drop("_i")
+    )
+    runs, whs = [], []
+    try:
+        for _ in range(2):
+            if whs:
+                shutil.rmtree(whs.pop(), ignore_errors=True)
+            whN = tempfile.mkdtemp(prefix="talna_drift_wh1000_")
+            whs.append(whN)
+            os.sync()
+            t0 = time.perf_counter()
+            dbN = Database.open(spark, whN)
+            dbN.write_batch(ptsN, persist=False)
+            runs.append(time.perf_counter() - t0)
+    finally:
+        for w in whs:
+            shutil.rmtree(w, ignore_errors=True)
+    return runs
+
+
+CUSTOM_ROWS = {
+    "tokenize_pack_byte": lambda: min_of(_tokenize_pack_byte_run, 3),
+    "clf_train": lambda: min_of(_clf_train_run, 3),
+}
+
 for row in ROWS:
     if row == "q16":
         continue  # handled below (needs the ingested warehouse)
+    if row == "scale1000_ingest":
+        runs = _scale1000_ingest_min2()
+        out["scale1000_ingest_runs_sec"] = [round(r, 2) for r in runs]
+        out["scale1000_ingest_min2_sec"] = round(min(runs), 2)
+        continue
+    if row in CUSTOM_ROWS:
+        out[f"{row}_sec"] = CUSTOM_ROWS[row]()
+        continue
     spec = PIPE_ALIASES.get(row, row)
     if ":" not in spec:
         sys.exit(

@@ -587,6 +587,35 @@ def test_dedup_against_bloom_prefilter_identical(spark):
         )
     )
     assert plain == bloomed and plain
+    # r13: a PREBUILT bitmap (the amortized per-batch path) must give
+    # the same verdicts as building inline
+    from talna_spark.pipeline.dedup import bloom_build
+
+    bm = bloom_build(
+        ref_d.select(F.md5("text").alias("_h")), "_h", m=1 << 16
+    ).localCheckpoint()
+    prebuilt = sorted(
+        map(
+            tuple,
+            dedup_against_frames(
+                new_d, ref_d, bloom_bits=1 << 16, bloom_bm=bm
+            ).collect(),
+        )
+    )
+    assert prebuilt == plain
+    # and the exact-only per-batch helper agrees with the exact slice
+    from talna_spark.pipeline.dedup import exact_dedup_against_bloom
+
+    exact_want = {
+        did: (v == "exact_dup") for did, v, _, _ in plain
+    }
+    exact_got = {
+        r["doc_id"]: r["exact_dup"]
+        for r in exact_dedup_against_bloom(
+            new_d, ref_d, bm, m=1 << 16
+        ).collect()
+    }
+    assert exact_got == exact_want
     verdicts = {v for _, v, _, _ in plain}
     assert "near_dup" in verdicts and "new" in verdicts
     # exact dups specifically must survive the prefilter: a synthetic

@@ -573,6 +573,30 @@ def _captured_costly_calls(plan: str):
     return bad
 
 
+def test_exact_dedup_against_bloom_zero_ref_shuffle(spark):
+    """r13: the amortized per-batch exact-dedup path must never shuffle
+    the reference — candidates and dup-hashes move as broadcasts, the
+    ref hash scan streams map-side through broadcast semi-joins. A
+    SortMergeJoin anywhere in the plan means a corpus-sized side got
+    shuffled and the amortization claim is gone."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.dedup import (
+        bloom_build,
+        exact_dedup_against_bloom,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new_d = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    ref_d = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    bm = bloom_build(
+        ref_d.select(F.md5("text").alias("_h")), "_h", m=1 << 16
+    ).localCheckpoint()
+    plan = plan_of(exact_dedup_against_bloom(new_d, ref_d, bm, m=1 << 16))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_captured_expression_detector_self_check(spark):
     """The detector must fire on a synthetic reconstruction of the bug
     shape (lambda captures split(text)) and stay silent on the two

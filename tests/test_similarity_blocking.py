@@ -1089,6 +1089,45 @@ def test_probe_clusters_window_path_enforces_query_contract(spark):
     ).count() == 16
 
 
+def test_pq_topk_via_saved_model_bit_identical(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the x11 pq slice routes its seed codebook
+    through save_ann_model -> load_ann_model; the result must be
+    BIT-identical to pq_topk()'s seed path (same oracle), and the seed
+    extractor must fail loudly on missing seed ids."""
+    import pytest
+
+    from talna_spark.pipeline import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    direct = sorted(map(tuple, S.pq_topk(spark, sf).collect()))
+    routed = sorted(
+        map(
+            tuple,
+            S.pq_topk_via_saved_model(
+                spark, sf, path=str(tmp_path / "seedmodel")
+            ).collect(),
+        )
+    )
+    assert direct and direct == routed
+
+    # seed extractor: the model matches the in-plan seed codebook shape
+    m = S.seed_ann_model(spark, sf)
+    assert len(m["centroids"]) == S.IVF_CENTROIDS
+    assert len(m["codebooks"]) == S.PQ_M
+    assert all(len(b) == S.PQ_SEEDS for b in m["codebooks"])
+    assert all(
+        len(cv) == S.PQ_DS for b in m["codebooks"] for cv in b
+    )
+
+    # loud failure: a gap in the seed ids must not silently shift codes
+    gappy = str(tmp_path / "gappy")
+    S._emb(spark, sf).filter("vec_id <> 3").withColumnRenamed(
+        "v", "embedding"
+    ).write.parquet(f"{gappy}/embeddings.parquet")
+    with pytest.raises(ValueError, match="seed vec_ids"):
+        S.seed_ann_model(spark, gappy)
+
+
 def test_ann_model_save_load_round_trip(spark, tmp_path):
     """r12: ANN model persistence — centroids + PQ + residual codebooks
     round-trip exactly through parquet, a loaded model reproduces
