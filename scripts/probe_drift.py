@@ -18,6 +18,12 @@ FINDINGS (r13, 2026-08-15, the two BENCH_r12 drift rows):
   10.59} vs r11-final e2528dd {8.71, 8.60, 13.75} — means within 3%.
   r11 code measures 8.6-13.8 s TODAY vs its recorded 6.09 s, so the
   bench drift was box speed between rounds, not a regression.
+- pipe_pq +21% / pipe_clf_train +12% (VERDICT r12 next-round #6):
+  both CLEAN post-cosine-fix. Interleaved, three pairs: pq HEAD
+  {1.61, 1.50, 1.58} vs r11 {2.10, 1.70, 2.06} — HEAD is consistently
+  ~20% FASTER than r11 code (the e6231e9 try_divide fix reaches pq's
+  cosine folds); clf_train HEAD {4.91, 5.47, 4.84} vs r11 {4.84, 4.62,
+  5.46} — means within 2%, pure noise. Nothing remains of either drift.
 - scale1000 ingest 39 -> 64 s: LOAD, not code. Two interleaved
   min-of-2 pairs (bench-identical: parallelism=32, fresh warehouse +
   sync per rep): HEAD {36.18, 39.84} vs r11-final {35.20, 39.83} —
