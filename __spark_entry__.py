@@ -177,7 +177,7 @@ _EXT: dict[str, tuple] = {
     # freeing inventory slots for x21-x23 (defined below, like q42/x19).
     "x05_dedup_exact": (_dedup.exact_survivors, _dedup.exact_survivors_sql()),
     "x06_dedup_minhash_sig": (_dedup.minhash_signatures, _dedup.minhash_signatures_sql()),
-    "x07_dedup_lsh_pairs": (_dedup.lsh_near_dup_pairs, _dedup.lsh_near_dup_pairs_sql()),
+    # x07 is defined below (full-width + b-bit banding kind slices, r13)
     # x08 is defined below (sig + Manku pigeonhole pairs kind slices, r10)
     "x09_dedup_ngram_jaccard": (_dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql()),
     "x14_dedup_clusters": (_dedup.dedup_clusters, _dedup.dedup_clusters_sql()),
@@ -1576,6 +1576,40 @@ def _x11_ann_sql() -> str:
 
 
 _EXT["x11_ann_ivf"] = (_x11_ann, _x11_ann_sql())
+
+
+_LSH_BBIT = 8  # b-bit band keys: 16 effective bits per 2-row band
+
+
+def _x07_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs, two `kind` slices on (doc_a, doc_b, jaccard):
+    ``full`` = full-width band keys (the r1 operator), ``bbit`` = b-BIT
+    minhash banding (Li & König 2010; r13) — band keys keep only the
+    low 8 bits of each component, shrinking the corpus-scale
+    (band, key) shuffle ~4x here (~32x vs raw 64-bit components) while
+    candidates stay a SUPERSET of full-width banding's (masking is a
+    projection), so verified pairs are >=; both slices verify at the
+    same exact-Jaccard threshold and each is oracle-checked against a
+    DuckDB twin computing the identical masked keys."""
+    full = _dedup.lsh_near_dup_pairs(spark, sf_dir).withColumn(
+        "kind", F.lit("full")
+    )
+    bbit = _dedup.lsh_near_dup_pairs(
+        spark, sf_dir, band_bits=_LSH_BBIT
+    ).withColumn("kind", F.lit("bbit"))
+    return full.unionByName(bbit)
+
+
+def _x07_lsh_sql() -> str:
+    return (
+        f"SELECT *, 'full' AS kind FROM ({_dedup.lsh_near_dup_pairs_sql()}) "
+        "UNION ALL "
+        f"SELECT *, 'bbit' AS kind "
+        f"FROM ({_dedup.lsh_near_dup_pairs_sql(band_bits=_LSH_BBIT)})"
+    )
+
+
+_EXT["x07_dedup_lsh_pairs"] = (_x07_lsh, _x07_lsh_sql())
 
 
 # --- r6 promotions: histogram / URL layer / domain layer / incremental

@@ -176,10 +176,27 @@ def _jaccard(a, b):
     return inter / (F.size(a) + F.size(b) - inter)
 
 
-def _band_rows(sig: DataFrame) -> DataFrame:
+def _band_rows(sig: DataFrame, band_bits: "int | None" = None) -> DataFrame:
     """(doc_id, band, key) rows — ONLY ids through the explode: the band
     self-join shuffles O(docs x B) id-sized rows, and shingle sets are
-    joined back just for the (few) surviving candidates."""
+    joined back just for the (few) surviving candidates.
+
+    ``band_bits`` (r13) keeps only the low b bits of each minhash
+    component in the band key — b-BIT MINHASH (Li & König 2010,
+    "b-Bit Minwise Hashing", WWW): at corpus scale the (band, key)
+    shuffle is keyed by B concatenated ~10-digit values per doc, and
+    masking shrinks that key ~32x at b=8 while candidate sets can only
+    GROW (equal full components => equal masked components — masking is
+    a projection), so verified recall is monotonically >= the full-width
+    banding's; precision is verification's job either way."""
+    if band_bits is not None and not 1 <= int(band_bits) <= 31:
+        raise ValueError("band_bits must be in [1, 31]")
+    mask = None if band_bits is None else F.lit((1 << int(band_bits)) - 1)
+
+    def comp(i: int):
+        c = F.col(f"h{i}")
+        return c if mask is None else c.bitwiseAND(mask)
+
     return sig.select(
         "doc_id",
         F.explode(
@@ -190,7 +207,7 @@ def _band_rows(sig: DataFrame) -> DataFrame:
                         F.concat_ws(
                             "_",
                             *[
-                                F.col(f"h{b * LSH_ROWS + r}")
+                                comp(b * LSH_ROWS + r)
                                 for r in range(LSH_ROWS)
                             ],
                         ).alias("key"),
@@ -226,6 +243,7 @@ def lsh_near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
     max_bucket: int = LSH_MAX_BUCKET,
+    band_bits: "int | None" = None,
 ) -> DataFrame:
     """MinHash-LSH candidates -> exact-Jaccard verification >= threshold.
 
@@ -239,6 +257,15 @@ def lsh_near_dup_pairs(
     :func:`lsh_hot_buckets` with the same cap for the membership report;
     pairs inside an excluded bucket are undercounted here by design and
     identical-text floods are exact dedup's job.
+
+    ``band_bits`` (r13) switches to b-BIT banding (see
+    :func:`_band_rows`): ~32x smaller band-key shuffle at b=8, candidate
+    sets a SUPERSET of full-width banding's (verified output therefore
+    >= — every extra candidate that passes exact Jaccard is a true pair
+    the full keys missed; extra non-pairs die in verification). The
+    trade is more verify work per collision — pick b so the expected
+    bucket size stays small (b=8 at 2-row bands = 16 effective key bits
+    per band, collision floor 2^-16 per pair per band).
     """
     # the shingle+md5 base pass is the dominant map cost; the shared
     # TALNA_MIN_SCAN_TASKS fan-out (pipeline.scan) spreads a
@@ -261,7 +288,7 @@ def lsh_near_dup_pairs(
         "doc_id", sh.alias("sh"), _base_hashes(sh).alias("_bh")
     ).localCheckpoint(eager=False)
     sig = base.select("doc_id", "sh", *_minhash_cols_from_base(F.col("_bh")))
-    bands = _band_rows(sig)
+    bands = _band_rows(sig, band_bits=band_bits)
     # hot-bucket guard: per-(band, key) membership count via a window —
     # same shuffle partitioning the self-join needs anyway, id-only rows
     from pyspark.sql.window import Window
@@ -298,12 +325,21 @@ def lsh_near_dup_pairs(
     )
 
 
-def lsh_near_dup_pairs_sql() -> str:
+def lsh_near_dup_pairs_sql(band_bits: "int | None" = None) -> str:
     sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
     sig_cols = ", ".join(_minhash_cols_sql())
+
+    def comp(i: int) -> str:
+        # & masks identically in both engines: minhash affine values are
+        # non-negative (< MINHASH_P), so no sign-extension trap
+        return (
+            f"h{i}" if band_bits is None
+            else f"(h{i} & {(1 << int(band_bits)) - 1})"
+        )
+
     band_structs = ", ".join(
         "{'band': %d, 'key': concat_ws('_', %s)}"
-        % (b, ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+        % (b, ", ".join(comp(b * LSH_ROWS + r) for r in range(LSH_ROWS)))
         for b in range(LSH_BANDS)
     )
     inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"

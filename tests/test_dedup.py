@@ -59,6 +59,35 @@ def test_lsh_default_cap_keeps_driver_corpus_intact(spark):
     assert lsh_hot_buckets(spark, SF).count() == 0
 
 
+def test_bbit_banding_superset_and_sound(spark):
+    """r13 b-bit minhash (Li & König 2010): masking band-key components
+    is a projection, so b-bit candidates — and therefore VERIFIED pairs
+    (same exact-Jaccard gate) — must be a superset of full-width
+    banding's at every b; soundness holds because every returned pair
+    passed the threshold. At b=1 the collision floor is 2^-2 per band
+    and buckets flood, which is exactly where the superset claim would
+    break if masking were not a projection."""
+    from talna_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD, lsh_near_dup_pairs,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_near_dup_pairs(spark, SF).collect()
+    }
+    assert full  # vacuous superset proves nothing
+    for b in (8, 1):
+        rows = lsh_near_dup_pairs(spark, SF, band_bits=b).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+        assert pairs >= full, f"b={b} lost pairs: {sorted(full - pairs)[:5]}"
+        assert all(r["jaccard"] >= JACCARD_THRESHOLD for r in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="band_bits"):
+        lsh_near_dup_pairs(spark, SF, band_bits=0)
+
+
 def test_exact_dedup_catches_the_flood(spark, flood_dir):
     from talna_spark.pipeline.dedup import exact_survivors
 
