@@ -244,3 +244,98 @@ def lc_estimate_sql(values_sql: str, m: int = LC_M) -> str:
         f"round(CAST({mm} AS DOUBLE) * ln(CAST({mm} AS DOUBLE) / "
         f"CAST({mm} - set_bits AS DOUBLE)), 6) END AS est FROM s"
     )
+
+
+# ------------------------------------------------- bottom-k resemblance
+# (r13) Broder 1997, "On the resemblance and containment of documents":
+# the k smallest hash values of a value SET are a mergeable sketch from
+# which the Jaccard resemblance of two sets is estimated WITHOUT any
+# pairwise or corpus-sized work — the similarity leg completing the
+# sketch family (Bloom membership, CMS frequencies, LC cardinality,
+# bottom-k resemblance). est = |bottom_k(A u B) ∩ bk(A) ∩ bk(B)| /
+# |bottom_k(A u B)|, and bottom_k(A u B) is computable from the two
+# sketches alone (it only needs the k smallest of the union, all of
+# which are in one of the sketches). EXACT whenever |A u B| <= k.
+BK_K = 256
+
+
+def bk_build(d: DataFrame, col: str, k: int = BK_K) -> DataFrame:
+    """(h): the k smallest DISTINCT portable hashes of ``col`` — the
+    bottom-k sketch of the value set. NULLs are not values.
+
+    100 TB shape: one distinct hash-agg (map-side partials on the
+    60-bit hash) + a global top-k (per-partition partial limits, k rows
+    total) — the corpus never sorts, and the sketch is k rows
+    regardless of corpus size."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    h = hash64(F.concat(F.lit("bk|"), F.col(col)))
+    return (
+        d.filter(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+    )
+
+
+def bk_merge(a: DataFrame, b: DataFrame, k: int = BK_K) -> DataFrame:
+    """bottom-k sketch of the UNION of the two sketched sets, from the
+    sketches alone (the k smallest of A u B all appear in bk(A) or
+    bk(B)) — the shard-merge property (tested: merge of per-shard
+    sketches == sketch of the union)."""
+    return a.unionByName(b).distinct().orderBy("h").limit(int(k))
+
+
+def bk_resemblance(a: DataFrame, b: DataFrame, k: int = BK_K) -> DataFrame:
+    """One row (n_union_k, n_common, est): Broder's resemblance
+    estimator between the two sketched sets — est = n_common /
+    n_union_k at 6 dp, where n_union_k = |bottom_k(A u B)| and
+    n_common counts union-sketch members present in BOTH input
+    sketches. Deterministic given the sketches (portable hash64), so
+    two engines report the identical estimate; exact when the union
+    has <= k distinct values. Plan: sketch-sized joins only."""
+    x = bk_merge(a, b, k)
+    both = (
+        x.join(a.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"))
+        .join(b.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
+        .select("h")
+    )
+    nu = x.count()
+    nc = both.count()
+    est = round(nc / nu, 6) if nu else None
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(nu, nc, est)], "n_union_k long, n_common long, est double"
+    )
+
+
+def bk_sql(values_sql: str, k: int = BK_K) -> str:
+    """DuckDB twin of :func:`bk_build` over ``values_sql`` (one column
+    named v): the identical k smallest hashes."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'bk|' || v")
+    return (
+        f"SELECT DISTINCT ({h}) AS h FROM ({values_sql}) "
+        f"WHERE v IS NOT NULL ORDER BY h LIMIT {int(k)}"
+    )
+
+
+def bk_resemblance_sql(a_sql: str, b_sql: str, k: int = BK_K) -> str:
+    """DuckDB twin of build + build + :func:`bk_resemblance`: the
+    identical (n_union_k, n_common, est) row."""
+    return (
+        f"WITH ha AS ({bk_sql(a_sql, k)}), hb AS ({bk_sql(b_sql, k)}), "
+        f"x AS (SELECT h FROM (SELECT DISTINCT h FROM "
+        f"(SELECT h FROM ha UNION ALL SELECT h FROM hb)) "
+        f"ORDER BY h LIMIT {int(k)}), "
+        "c AS (SELECT COUNT(*) AS n_common FROM x "
+        "WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)), "
+        "u AS (SELECT COUNT(*) AS n_union_k FROM x) "
+        "SELECT CAST(n_union_k AS BIGINT) AS n_union_k, "
+        "CAST(n_common AS BIGINT) AS n_common, "
+        "CASE WHEN n_union_k > 0 THEN "
+        "round(CAST(n_common AS DOUBLE) / CAST(n_union_k AS DOUBLE), 6) "
+        "END AS est FROM u CROSS JOIN c"
+    )

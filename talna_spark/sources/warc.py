@@ -750,9 +750,11 @@ def url_layer_sql() -> str:
 def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row x26: the domain-level operators as `kind` slices on
     (id, s1, v1, v2, v3) — ``stats`` = :func:`domain_stats` (PSL mode;
-    id=domain, v1=n_docs, v2=n_urls, v3=total_chars) and ``blocklist``
+    id=domain, v1=n_docs, v2=n_urls, v3=total_chars), ``blocklist``
     = :func:`filter_blocklist` survivors against BLOCKLIST_DEMO (PSL
-    mode; id=doc_id, s1=the doc's domain). One hash-agg shuffle for
+    mode; id=doc_id, s1=the doc's domain), plus the sketch kinds
+    ``cms`` (r11), ``lc`` (r12) and ``bk`` (r13, bottom-k resemblance
+    between the even/odd-doc domain sets). One hash-agg shuffle for
     stats; the blocklist slice is map-side broadcast joins only."""
     d = _synth_docs(spark, sf_dir)
     st = domain_stats(d, psl=True).select(
@@ -781,13 +783,17 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact column pins est >= exact == est-without-collisions.
     from talna_spark.pipeline.sketches import cms_build, cms_estimate
 
-    # doms is the shared base of FIVE consumers (cms build + probes,
-    # exact counts, countDistinct, lc build): materialize the PSL-regex
-    # domain extraction once behind a lazy localCheckpoint (r12 — the
-    # shared-base rule) instead of re-running the corpus scan per branch
-    doms = registered_domain_psl(d.select("doc_id", "url"), out="_dom").select(
-        F.col("_dom").alias("v")
-    ).filter(F.col("v").isNotNull()).localCheckpoint(eager=False)
+    # domsb is the shared base of SIX consumers (cms build + probes,
+    # exact counts, countDistinct, lc build, r13 bottom-k halves):
+    # materialize the PSL-regex domain extraction once behind a lazy
+    # localCheckpoint (r12 — the shared-base rule) instead of re-running
+    # the corpus scan per branch; doc_id is kept for the per-half split
+    domsb = (
+        registered_domain_psl(d.select("doc_id", "url"), out="_dom")
+        .filter(F.col("_dom").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    doms = domsb.select(F.col("_dom").alias("v"))
     sk = cms_build(doms, "v")
     est = cms_estimate(doms.distinct(), "v", sk)
     exact = doms.groupBy("v").agg(F.count(F.lit(1)).alias("_n"))
@@ -821,11 +827,49 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("lc").alias("kind"),
         )
     )
-    return st.unionByName(bl).unionByName(cms).unionByName(lc)
+    # ``bk`` (r13): bottom-k resemblance (Broder 1997) between the
+    # even-doc and odd-doc domain SETS — the similarity leg completing
+    # the sketch family. k=16 (< the corpus's distinct-domain count) so
+    # the TRUNCATED estimator is exercised, not the small-set exact
+    # case; one row: v1=n_union_k, v2=n_common, v3=round(est * 1e6)
+    # (micro-units, the lc convention). Deterministic portable hashes:
+    # the oracle computes the identical sketches and estimate.
+    from talna_spark.pipeline.sketches import bk_build, bk_resemblance
+
+    _bk_k = 16
+    ska = bk_build(
+        domsb.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("_dom").alias("v")
+        ),
+        "v",
+        k=_bk_k,
+    )
+    skb = bk_build(
+        domsb.filter(F.col("doc_id") % 2 == 1).select(
+            F.col("_dom").alias("v")
+        ),
+        "v",
+        k=_bk_k,
+    )
+    bk = bk_resemblance(ska, skb, k=_bk_k).select(
+        F.lit("corpus").alias("id"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_union_k").cast("long").alias("v1"),
+        F.col("n_common").cast("long").alias("v2"),
+        F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
+        F.lit("bk").alias("kind"),
+    )
+    return (
+        st.unionByName(bl).unionByName(cms).unionByName(lc).unionByName(bk)
+    )
 
 
 def domain_layer_sql() -> str:
-    from talna_spark.pipeline.sketches import cms_estimate_sql, lc_estimate_sql
+    from talna_spark.pipeline.sketches import (
+        bk_resemblance_sql,
+        cms_estimate_sql,
+        lc_estimate_sql,
+    )
 
     urls = (
         f"SELECT doc_id, {synth_url_sql()} AS url, text FROM documents"
@@ -866,5 +910,19 @@ def domain_layer_sql() -> str:
             f"SELECT domain AS v FROM ({doms}) WHERE domain IS NOT NULL"
         )
         + ") l CROSS JOIN (SELECT COUNT(DISTINCT domain) AS nd "
-        f"FROM ({doms}) WHERE domain IS NOT NULL) x"
+        f"FROM ({doms}) WHERE domain IS NOT NULL) x "
+        "UNION ALL "
+        "SELECT 'corpus' AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(r.n_union_k AS BIGINT) AS v1, "
+        "CAST(r.n_common AS BIGINT) AS v2, "
+        "CAST(round(r.est * 1000000, 0) AS BIGINT) AS v3, 'bk' AS kind "
+        "FROM ("
+        + bk_resemblance_sql(
+            f"SELECT domain AS v FROM ({doms}) "
+            "WHERE domain IS NOT NULL AND doc_id % 2 = 0",
+            f"SELECT domain AS v FROM ({doms}) "
+            "WHERE domain IS NOT NULL AND doc_id % 2 = 1",
+            k=16,
+        )
+        + ") r"
     )

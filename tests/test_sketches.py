@@ -214,3 +214,93 @@ def test_lc_plan_is_sketch_sized(spark):
     assert "HashAggregate" in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert bm.count() <= 1024 // 64
+
+
+# ------------------------------------------------- bottom-k (r13)
+from talna_spark.pipeline.sketches import (  # noqa: E402
+    bk_build,
+    bk_merge,
+    bk_resemblance,
+    bk_resemblance_sql,
+    bk_sql,
+)
+
+
+def test_bk_exact_when_union_fits(spark):
+    """|A u B| <= k: the estimator is EXACT Jaccard, by construction."""
+    A = [f"a{i}" for i in range(30)] + [f"c{i}" for i in range(20)]
+    B = [f"b{i}" for i in range(10)] + [f"c{i}" for i in range(20)]
+    da = spark.createDataFrame([(v,) for v in A], "v string")
+    db = spark.createDataFrame([(v,) for v in B], "v string")
+    row = bk_resemblance(
+        bk_build(da, "v", k=256), bk_build(db, "v", k=256), k=256
+    ).collect()[0]
+    true_j = len(set(A) & set(B)) / len(set(A) | set(B))
+    assert row["n_union_k"] == len(set(A) | set(B))
+    assert row["n_common"] == len(set(A) & set(B))
+    assert row["est"] == pytest.approx(round(true_j, 6), abs=1e-9)
+
+
+def test_bk_merge_equals_union_sketch(spark):
+    """Shard-merge property: bottom-k of (A u B) from the two sketches
+    == the sketch built over the union directly — at a k SMALLER than
+    the union so truncation is active."""
+    A = [f"v{i}" for i in range(0, 400)]
+    B = [f"v{i}" for i in range(200, 600)]
+    da = spark.createDataFrame([(v,) for v in A], "v string")
+    db = spark.createDataFrame([(v,) for v in B], "v string")
+    du = spark.createDataFrame([(v,) for v in set(A) | set(B)], "v string")
+    merged = sorted(
+        r["h"]
+        for r in bk_merge(
+            bk_build(da, "v", k=32), bk_build(db, "v", k=32), k=32
+        ).collect()
+    )
+    direct = sorted(r["h"] for r in bk_build(du, "v", k=32).collect())
+    assert merged == direct and len(direct) == 32
+
+
+def test_bk_truncated_estimate_near_true_jaccard(spark):
+    """Truncated regime (union >> k): the estimate is deterministic
+    (fixed portable hashes) and lands near the true Jaccard — k=256
+    over a union of 1500 with J = 0.25 has binomial std ~0.027, so a
+    +-0.1 assertion is ~4 sigma and not flaky (and the value is FIXED
+    given the hash function anyway)."""
+    A = [f"s{i}" for i in range(0, 1000)]
+    B = [f"s{i}" for i in range(500, 1500)]  # |A&B|=500, |AuB|=1500
+    da = spark.createDataFrame([(v,) for v in A], "v string")
+    db = spark.createDataFrame([(v,) for v in B], "v string")
+    row = bk_resemblance(
+        bk_build(da, "v", k=256), bk_build(db, "v", k=256), k=256
+    ).collect()[0]
+    assert row["n_union_k"] == 256
+    assert abs(row["est"] - 500 / 1500) < 0.1
+    with pytest.raises(ValueError, match="k must be"):
+        bk_build(da, "v", k=0)
+
+
+def test_bk_cross_engine_sketch_and_estimate(spark):
+    """The DuckDB twin computes the IDENTICAL sketch hashes and the
+    IDENTICAL (n_union_k, n_common, est) row — the portable contract
+    behind the x26 bk slice."""
+    A = [f"d{i}.example" for i in range(200)]
+    B = [f"d{i}.example" for i in range(100, 300)]
+    da = spark.createDataFrame([(v,) for v in A], "v string")
+    db = spark.createDataFrame([(v,) for v in B], "v string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE va (v VARCHAR)")
+    con.execute("CREATE TABLE vb (v VARCHAR)")
+    con.executemany("INSERT INTO va VALUES (?)", [(v,) for v in A])
+    con.executemany("INSERT INTO vb VALUES (?)", [(v,) for v in B])
+    assert sorted(r["h"] for r in bk_build(da, "v", k=64).collect()) == [
+        r[0] for r in con.execute(bk_sql("SELECT v FROM va", 64)).fetchall()
+    ]
+    got = tuple(
+        bk_resemblance(
+            bk_build(da, "v", k=64), bk_build(db, "v", k=64), k=64
+        ).collect()[0]
+    )
+    want = con.execute(
+        bk_resemblance_sql("SELECT v FROM va", "SELECT v FROM vb", k=64)
+    ).fetchall()[0]
+    assert got == tuple(want)
