@@ -573,6 +573,21 @@ def _captured_costly_calls(plan: str):
     return bad
 
 
+def test_bk_build_no_global_sort(spark):
+    """r13: the bottom-k sketch's 'the corpus never sorts' claim — the
+    physical plan must be TakeOrderedAndProject (per-partition partial
+    top-k, k rows out) over a partial-agg distinct, never a global
+    Sort + Exchange of the full hash set."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.sketches import bk_build
+
+    d = spark.range(10000).select(F.col("id").cast("string").alias("v"))
+    plan = plan_of(bk_build(d, "v", k=64))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+
+
 def test_exact_dedup_against_bloom_zero_ref_shuffle(spark):
     """r13: the amortized per-batch exact-dedup path must never shuffle
     the reference — candidates and dup-hashes move as broadcasts, the

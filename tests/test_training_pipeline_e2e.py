@@ -278,3 +278,90 @@ def test_r12_stack_dedup_bpe_tokenizer_chunk_pack(spark):
     assert sum(fills.values()) == sum(
         sum(len(c) for c in v.values()) for v in got.values()
     )
+
+
+def test_r13_stack_incremental_crawls_prebuilt_bloom(spark):
+    """r13 capstone: the RECURRING-CRAWL workflow the amortized Bloom
+    API exists for — build the reference bitmap once, dedup successive
+    crawls against it with `bloom_bm=`, and GROW both the reference and
+    the bitmap (bloom_merge) between crawls so later crawls are checked
+    against everything accepted so far. Exactness contract: verdicts at
+    every step are bit-identical to the plain (no-bloom) path."""
+    from talna_spark.pipeline.dedup import (
+        _docs,
+        bloom_build,
+        bloom_merge,
+        dedup_against_frames,
+    )
+
+    M = 1 << 16
+    d = _docs(spark, SF)
+    ref = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    bm = bloom_build(
+        ref.select(F.md5("text").alias("_h")), "_h", m=M
+    ).localCheckpoint()
+
+    def crawl(base_mod: int, copy_of, id_off: int):
+        """Fresh docs (doc_id % 3 == base_mod) plus exact copies of
+        ``copy_of`` rows under new ids — the dups the dedup must flag."""
+        fresh = d.filter(F.col("doc_id") % 3 == base_mod).select(
+            "doc_id", "text"
+        )
+        # deterministic, NULL-text-free picks: a bare limit() could
+        # choose different rows per run, and a copied NULL text is not
+        # an exact dup (md5(NULL) is NULL)
+        copies = (
+            copy_of.filter(F.col("text").isNotNull())
+            .orderBy("doc_id")
+            .limit(20)
+            .select((F.col("doc_id") + id_off).alias("doc_id"), "text")
+        )
+        return fresh.unionByName(copies)
+
+    c1 = crawl(1, ref, 1_000_000).localCheckpoint()
+    v1 = dedup_against_frames(c1, ref, bloom_bits=M, bloom_bm=bm)
+    got1 = {r["doc_id"]: r["verdict"] for r in v1.collect()}
+    plain1 = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_against_frames(c1, ref).collect()
+    }
+    assert got1 == plain1
+    # every planted copy is caught; survivors join the reference
+    assert all(
+        got1[i] == "exact_dup" for i in got1 if i >= 1_000_000
+    ) and any(v == "exact_dup" for v in got1.values())
+    keep1 = c1.join(
+        spark.createDataFrame(
+            [(i,) for i, v in got1.items() if v == "new"], "doc_id long"
+        ),
+        "doc_id",
+    ).localCheckpoint()
+
+    # grow the reference AND the bitmap incrementally (no rebuild):
+    ref2 = ref.unionByName(keep1)
+    bm2 = bloom_merge(
+        bm, bloom_build(keep1.select(F.md5("text").alias("_h")), "_h", m=M)
+    ).localCheckpoint()
+
+    # crawl 2 copies CRAWL-1 docs — only the UPDATED bitmap+ref see them
+    c2 = crawl(2, keep1, 2_000_000).localCheckpoint()
+    v2 = dedup_against_frames(c2, ref2, bloom_bits=M, bloom_bm=bm2)
+    got2 = {r["doc_id"]: r["verdict"] for r in v2.collect()}
+    plain2 = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup_against_frames(c2, ref2).collect()
+    }
+    assert got2 == plain2
+    assert all(got2[i] == "exact_dup" for i in got2 if i >= 2_000_000)
+
+    # the final corpus holds no duplicate text
+    keep2 = c2.join(
+        spark.createDataFrame(
+            [(i,) for i, v in got2.items() if v == "new"], "doc_id long"
+        ),
+        "doc_id",
+    )
+    final = ref2.unionByName(keep2)
+    n = final.count()
+    nd = final.select("text").distinct().count()
+    assert n == nd > 0
