@@ -339,3 +339,45 @@ def bk_resemblance_sql(a_sql: str, b_sql: str, k: int = BK_K) -> str:
         "round(CAST(n_common AS DOUBLE) / CAST(n_union_k AS DOUBLE), 6) "
         "END AS est FROM u CROSS JOIN c"
     )
+
+
+def bk_containment(a: DataFrame, b: DataFrame, k: int = BK_K) -> DataFrame:
+    """One row (n_a_k, n_common, est): the CONTAINMENT of the first
+    sketched set in the second — est = |X ∩ A ∩ B| / |X ∩ A| at 6 dp
+    with X = bottom_k(A u B) (Broder 1997 §3: the union's bottom-k is a
+    uniform sample of A u B, so the members drawn from A estimate
+    |A ∩ B| / |A|). The decontamination-style question ("what fraction
+    of corpus A already sits in B?") answered from two k-row sketches,
+    no corpus work. Deterministic; exact when |A u B| <= k."""
+    x = bk_merge(a, b, k)
+    xa = x.join(a.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"))
+    n_a = xa.count()
+    n_common = (
+        xa.join(b.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
+        .count()
+    )
+    est = round(n_common / n_a, 6) if n_a else None
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_common, est)], "n_a_k long, n_common long, est double"
+    )
+
+
+def bk_containment_sql(a_sql: str, b_sql: str, k: int = BK_K) -> str:
+    """DuckDB twin of :func:`bk_containment`: the identical
+    (n_a_k, n_common, est) row."""
+    return (
+        f"WITH ha AS ({bk_sql(a_sql, k)}), hb AS ({bk_sql(b_sql, k)}), "
+        f"x AS (SELECT h FROM (SELECT DISTINCT h FROM "
+        f"(SELECT h FROM ha UNION ALL SELECT h FROM hb)) "
+        f"ORDER BY h LIMIT {int(k)}), "
+        "xa AS (SELECT h FROM x WHERE h IN (SELECT h FROM ha)), "
+        "c AS (SELECT COUNT(*) AS n_common FROM xa "
+        "WHERE h IN (SELECT h FROM hb)), "
+        "u AS (SELECT COUNT(*) AS n_a_k FROM xa) "
+        "SELECT CAST(n_a_k AS BIGINT) AS n_a_k, "
+        "CAST(n_common AS BIGINT) AS n_common, "
+        "CASE WHEN n_a_k > 0 THEN "
+        "round(CAST(n_common AS DOUBLE) / CAST(n_a_k AS DOUBLE), 6) "
+        "END AS est FROM u CROSS JOIN c"
+    )

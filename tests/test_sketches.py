@@ -304,3 +304,43 @@ def test_bk_cross_engine_sketch_and_estimate(spark):
         bk_resemblance_sql("SELECT v FROM va", "SELECT v FROM vb", k=64)
     ).fetchall()[0]
     assert got == tuple(want)
+
+
+def test_bk_containment_exact_truncated_and_cross_engine(spark):
+    """Containment est = |X∩A∩B| / |X∩A|: exact when the union fits k;
+    near-true and deterministic truncated; DuckDB twin identical."""
+    from talna_spark.pipeline.sketches import (
+        bk_containment, bk_containment_sql,
+    )
+
+    # exact case: A half-inside B, union of 40 values fits k=256
+    A = [f"a{i}" for i in range(20)] + [f"c{i}" for i in range(20)]
+    B = [f"c{i}" for i in range(20)]
+    da = spark.createDataFrame([(v,) for v in A], "v string")
+    db = spark.createDataFrame([(v,) for v in B], "v string")
+    row = bk_containment(
+        bk_build(da, "v", k=256), bk_build(db, "v", k=256), k=256
+    ).collect()[0]
+    assert (row["n_a_k"], row["n_common"], row["est"]) == (40, 20, 0.5)
+
+    # truncated: |A|=1000, |A∩B|=500 -> containment 0.5; k=256 over a
+    # 1500-value union samples ~170 A-members, std ~0.04 — ±0.15 is
+    # wide AND the value is fixed given the hash function
+    A2 = [f"s{i}" for i in range(0, 1000)]
+    B2 = [f"s{i}" for i in range(500, 1500)]
+    da2 = spark.createDataFrame([(v,) for v in A2], "v string")
+    db2 = spark.createDataFrame([(v,) for v in B2], "v string")
+    row2 = bk_containment(
+        bk_build(da2, "v", k=256), bk_build(db2, "v", k=256), k=256
+    ).collect()[0]
+    assert abs(row2["est"] - 0.5) < 0.15
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ca (v VARCHAR)")
+    con.execute("CREATE TABLE cb (v VARCHAR)")
+    con.executemany("INSERT INTO ca VALUES (?)", [(v,) for v in A2])
+    con.executemany("INSERT INTO cb VALUES (?)", [(v,) for v in B2])
+    want = con.execute(
+        bk_containment_sql("SELECT v FROM ca", "SELECT v FROM cb", k=256)
+    ).fetchall()[0]
+    assert tuple(row2) == tuple(want)
