@@ -1442,12 +1442,28 @@ def _exact_flags_bloom(
     )
 
 
+BLOOM_MAX_FP = 0.5  # useless-filter guard: fp above this means resize m
+
+
+def bloom_fp_estimate(bm: DataFrame, m: int, k: int = BLOOM_K) -> float:
+    """The bitmap's expected false-positive rate, fill_ratio**k — one
+    sketch-sized popcount aggregate (<= m/64 rows), no data work. The
+    operational health check for a deployed bitmap: fp ~ 1.0 means the
+    prefilter passes everything (harmless for correctness — no false
+    negatives either way — but pure overhead) and ``m`` must grow."""
+    row = bm.agg(
+        F.coalesce(F.sum(F.bit_count(F.col("bits"))), F.lit(0)).alias("s")
+    ).collect()[0]
+    return (int(row["s"]) / int(m)) ** int(k)
+
+
 def exact_dedup_against_bloom(
     new_d: DataFrame,
     ref_d: DataFrame,
     bm: DataFrame,
     m: int = BLOOM_BITS,
     k: int = BLOOM_K,
+    max_fp: float = BLOOM_MAX_FP,
 ) -> DataFrame:
     """Exact-dup flags for a fresh crawl against a PREBUILT reference
     bitmap — the recurring per-batch shape Bloom is FOR: build the
@@ -1456,7 +1472,22 @@ def exact_dedup_against_bloom(
     candidate-sized broadcasts; the reference is re-SCANNED (map-side,
     no shuffle) only to verify candidates. Returns (doc_id, exact_dup
     boolean) for every new doc. One-shot callers should NOT take this
-    path — see the crossover note on :func:`dedup_against_frames`."""
+    path — see the crossover note on :func:`dedup_against_frames`.
+
+    A SATURATED bitmap fails loudly (r13, the lc-saturation
+    discipline): above ``max_fp`` expected false positives the gate
+    passes ~everything and the 'candidates are small' contract behind
+    the broadcasts is gone — the check is one sketch-sized popcount,
+    and ``max_fp=1.0`` opts out for deliberately degraded use."""
+    fp = bloom_fp_estimate(bm, m, k)
+    if fp > float(max_fp):
+        raise ValueError(
+            f"reference bitmap is saturated: expected fp rate {fp:.3f} > "
+            f"max_fp {max_fp} — the prefilter would pass ~everything and "
+            "the candidate broadcasts would be batch-sized. Grow m "
+            "(~10 bits/ref value for ~1% fp at k=4) or pass max_fp=1.0 "
+            "to run degraded deliberately"
+        )
     new_hashes = new_d.select("doc_id", F.md5("text").alias("_h"))
     ref_hashes_raw = ref_d.select(F.md5("text").alias("_h"))
     flags = _exact_flags_bloom(new_hashes, ref_hashes_raw, bm, m, k)

@@ -88,6 +88,47 @@ def test_bbit_banding_superset_and_sound(spark):
         lsh_near_dup_pairs(spark, SF, band_bits=0)
 
 
+def test_bloom_saturation_guard(spark):
+    """r13: a saturated reference bitmap must fail LOUDLY in the
+    per-batch path (the prefilter would pass everything and the
+    candidate broadcasts would be batch-sized), with max_fp=1.0 as the
+    deliberate opt-out — and the opt-out must still return correct
+    verdicts (no false negatives regardless of fp)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.dedup import (
+        bloom_build,
+        bloom_fp_estimate,
+        exact_dedup_against_bloom,
+    )
+
+    ref = spark.range(5000).select(
+        F.concat(F.lit("ref"), F.col("id")).alias("text"),
+        F.col("id").alias("doc_id"),
+    )
+    new = spark.createDataFrame(
+        [(1, "ref7"), (2, "fresh text")], "doc_id long, text string"
+    )
+    # m=64 for 5000 values: fill ~1.0, fp ~1.0
+    tiny = bloom_build(ref.select(F.md5("text").alias("_h")), "_h", m=64)
+    assert bloom_fp_estimate(tiny, 64) > 0.9
+    with pytest.raises(ValueError, match="saturated"):
+        exact_dedup_against_bloom(new, ref, tiny, m=64)
+    got = {
+        r["doc_id"]: r["exact_dup"]
+        for r in exact_dedup_against_bloom(
+            new, ref, tiny, m=64, max_fp=1.0
+        ).collect()
+    }
+    assert got == {1: True, 2: False}
+    # a healthy bitmap passes the guard
+    ok = bloom_build(
+        ref.select(F.md5("text").alias("_h")), "_h", m=1 << 16
+    )
+    assert bloom_fp_estimate(ok, 1 << 16) < 0.01
+
+
 def test_exact_dedup_catches_the_flood(spark, flood_dir):
     from talna_spark.pipeline.dedup import exact_survivors
 
