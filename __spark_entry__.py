@@ -1366,7 +1366,9 @@ def _x23_mixture_sample(
     exp of per-domain mean excess loss between the engine's own
     unigram (proxy) and bigram (reference) LMs, the one-shot DoReMi
     core (Xie et al. 2023) — completing hand-tuned -> corpus-shape ->
-    learned."""
+    learned; `tbudget` (r13) = HARD-budget per-source prefix cut (exact
+    deterministic token budgets via a distributed two-phase prefix sum
+    — the exact-cut complement of the rate samplers)."""
     mx = _sampling.mixture_sample(spark, sf_dir).select(
         "doc_id",
         F.col("source").alias("s1"),
@@ -1420,7 +1422,19 @@ def _x23_mixture_sample(
         F.col("rate").cast("double").alias("v3"),
         F.lit("doremi").alias("kind"),
     )
-    return out.unionByName(do)
+    # `tbudget` (r13): HARD-budget per-source prefix cut — exact token
+    # budgets via the distributed two-phase prefix sum (range buckets of
+    # the order hash; see sampling.token_budget_sample), the exact-cut
+    # complement of the rate samplers above (v2=cum_before, v3=budget).
+    tb = _sampling.token_budget_sample(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.col("cum_before").cast("long").alias("v2"),
+        F.col("budget").cast("double").alias("v3"),
+        F.lit("tbudget").alias("kind"),
+    )
+    return out.unionByName(do).unionByName(tb)
 
 
 def _x23_mixture_sample_sql() -> str:
@@ -1447,7 +1461,11 @@ def _x23_mixture_sample_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
         "CAST(keep_ppm AS BIGINT) AS v2, CAST(rate AS DOUBLE) AS v3, "
-        f"'doremi' AS kind FROM ({_sampling.doremi_mixture_sample_sql()})"
+        f"'doremi' AS kind FROM ({_sampling.doremi_mixture_sample_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
+        "CAST(cum_before AS BIGINT) AS v2, CAST(budget AS DOUBLE) AS v3, "
+        f"'tbudget' AS kind FROM ({_sampling.token_budget_sample_sql()})"
     )
 
 

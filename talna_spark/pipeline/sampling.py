@@ -694,6 +694,105 @@ def reservoir_sample(
     )
 
 
+# ------------------------------------------------- hard token budget (r13)
+TB_BUCKETS_BITS = 6  # 64 range buckets = the prefix-sum parallelism
+
+
+def token_budget_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_fraction: float = MIX_BUDGET_FRACTION,
+) -> DataFrame:
+    """HARD-budget per-source sampling: keep each source's documents in
+    deterministic ``'tb|'`` id-hash order until the cumulative token
+    count reaches budget = floor(t_s * fraction) — the doc whose
+    exclusive prefix is under the budget is kept, so the kept set is
+    the minimal deterministic prefix COVERING the budget. The exact-cut
+    complement of :func:`mixture_sample`'s rate sampling (which meets
+    budgets only in expectation): epochs land on the token count the
+    schedule promised, and the prefix property makes budgets NESTED
+    (a doc kept at a lower fraction is kept at every higher one).
+
+    100 TB shape — the distributed prefix-sum, never one window per
+    source: the order hash's top ``TB_BUCKETS_BITS`` bits split each
+    source into 64 RANGE buckets of the global order, (1) per-(source,
+    bucket) token sums aggregate map-side to a sources x 64 frame, (2)
+    the exclusive bucket prefix runs as a window over that TINY frame,
+    (3) each doc's offset = its bucket's prefix + a within-bucket
+    exclusive cumsum whose window is partitioned by (source, bucket) —
+    64-way parallel per source, so a mega-source never funnels through
+    one reducer. All sums are int64 — any-order exact, cross-engine.
+
+    Returns (doc_id, source, n_tokens, cum_before, budget)."""
+    from talna_spark.pipeline.portable import hash64
+
+    d, per_src = _mix_scaffold(spark, sf_dir)
+    h = hash64(F.concat(F.lit("tb|"), F.col("doc_id").cast("string")))
+    dd = d.withColumn("_h", h).withColumn(
+        "_b", F.shiftright(F.col("_h"), 60 - TB_BUCKETS_BITS)
+    )
+    bs = dd.groupBy("source", "_b").agg(F.sum("n_tokens").alias("_bt"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bp = bs.select(
+        "source",
+        "_b",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long")).alias(
+            "_bprev"
+        ),
+    )
+    ww = (
+        Window.partitionBy("source", "_b")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.floor(F.col("t_s") * F.lit(float(budget_fraction))).cast(
+        "long"
+    )
+    return (
+        dd.join(F.broadcast(bp), ["source", "_b"])
+        .withColumn(
+            "_w",
+            F.coalesce(F.sum("n_tokens").over(ww), F.lit(0).cast("long")),
+        )
+        .withColumn("cum_before", (F.col("_bprev") + F.col("_w")).cast("long"))
+        .join(F.broadcast(per_src.select("source", "t_s")), "source")
+        .withColumn("budget", budget)
+        .filter(F.col("cum_before") < F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_before", "budget")
+    )
+
+
+def token_budget_sample_sql(
+    budget_fraction: float = MIX_BUDGET_FRACTION,
+) -> str:
+    """DuckDB twin: the identical order hash, range buckets, two-phase
+    prefix (mirrored as one partitioned window — same int64 sums, so
+    the SHAPE may differ but every cell is equal) and budget cut."""
+    from talna_spark.pipeline.portable import hash64_sql, tokens_sql
+
+    w = tokens_sql("text")
+    h = hash64_sql("'tb|' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH d AS MATERIALIZED (SELECT doc_id, source, "
+        f"CAST(len({w}) AS BIGINT) AS n_tokens, ({h}) AS h FROM documents), "
+        "per_src AS (SELECT source, SUM(n_tokens) AS t_s "
+        "FROM d GROUP BY source), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "COALESCE(SUM(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND 1 PRECEDING), 0)::BIGINT AS cum_before FROM d) "
+        "SELECT c.doc_id, c.source, c.n_tokens, c.cum_before, "
+        f"CAST(FLOOR(p.t_s * {float(budget_fraction)}) AS BIGINT) AS budget "
+        "FROM c JOIN per_src p ON c.source = p.source "
+        f"WHERE c.cum_before < CAST(FLOOR(p.t_s * {float(budget_fraction)}) "
+        "AS BIGINT)"
+    )
+
+
 def reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver registration: RESERVOIR_K docs per source with their
     within-group rank."""

@@ -1057,3 +1057,71 @@ def test_perplexity_buckets_terciles(spark, tmp_path):
         for r in got.values()
     )
     assert ours == oracle
+
+
+def test_token_budget_sample_hard_cut_nested_and_portable(spark):
+    """r13 hard-budget sampling: per source the kept set is the minimal
+    deterministic hash-order prefix covering budget = floor(t_s * f)
+    (every kept doc's exclusive prefix < budget; kept tokens cover the
+    budget unless the source ran out); budgets are NESTED (kept at
+    f=0.25 => kept at f=0.5, the prefix property); and the DuckDB twin
+    — a single partitioned window where the engine side runs the
+    bucketed two-phase prefix sum — produces the identical rows."""
+    import collections
+
+    import duckdb
+
+    from talna_spark.pipeline.sampling import (
+        token_budget_sample,
+        token_budget_sample_sql,
+    )
+
+    got = sorted(map(tuple, token_budget_sample(spark, SF).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(token_budget_sample_sql()).fetchall()))
+    con.close()
+    assert got == want and got
+
+    by_src = collections.defaultdict(list)
+    for doc_id, src, nt, cb, b in got:
+        by_src[src].append((cb, nt or 0, b))
+    for src, rows in by_src.items():
+        b = rows[0][2]
+        assert all(r[2] == b for r in rows)
+        assert all(cb < b for cb, _, _ in rows), src
+        # minimal covering prefix: the furthest kept doc crosses the
+        # budget (sf0.01 sources all have more tokens than the budget)
+        assert max(cb + nt for cb, nt, _ in rows) >= b, src
+
+    quarter = {
+        r["doc_id"]
+        for r in token_budget_sample(spark, SF, budget_fraction=0.25).collect()
+    }
+    half = {r[0] for r in got}
+    assert quarter <= half and quarter  # nested budgets
+
+
+def test_token_budget_sample_two_phase_plan(spark):
+    """The 100 TB shape contract: the corpus-sized cumsum window must be
+    partitioned by (source, BUCKET) — 64-way parallel per source — and
+    the only window partitioned by source alone runs over the tiny
+    per-bucket frame. A plan whose corpus window is keyed by source
+    alone funnels every mega-source through one reducer."""
+    from talna_spark.pipeline.sampling import token_budget_sample
+
+    opt = (
+        token_budget_sample(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the within-bucket cumsum: windowspecdefinition(source, _b, ...)
+    assert "windowspecdefinition(source" in opt
+    import re
+
+    corpus_windows = re.findall(r"windowspecdefinition\(source#\d+, [^_\n]*", opt)
+    bucket_windows = re.findall(r"windowspecdefinition\(source#\d+, _b#\d+", opt)
+    assert bucket_windows, opt[:2000]
