@@ -1478,7 +1478,12 @@ def exact_dedup_against_bloom(
     discipline): above ``max_fp`` expected false positives the gate
     passes ~everything and the 'candidates are small' contract behind
     the broadcasts is gone — the check is one sketch-sized popcount,
-    and ``max_fp=1.0`` opts out for deliberately degraded use."""
+    and ``max_fp=1.0`` opts out for deliberately degraded use.
+    ``max_fp`` is a useless-filter backstop, NOT the sizing rule: the
+    candidate broadcast is ~(true dups + fp x batch rows), so size m
+    for fp x batch << the executor broadcast budget — at a 1B-doc
+    batch even fp = 0.1 broadcasts 100M rows; ~10 bits/ref value gives
+    ~1% fp at k=4 and is the production default."""
     fp = bloom_fp_estimate(bm, m, k)
     if fp > float(max_fp):
         raise ValueError(
