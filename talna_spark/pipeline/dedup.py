@@ -1445,6 +1445,27 @@ def _exact_flags_bloom(
 BLOOM_MAX_FP = 0.5  # useless-filter guard: fp above this means resize m
 
 
+def bloom_bits_for(n_values: int, fp: float = 0.01, k: int = BLOOM_K) -> int:
+    """The bitmap size m (rounded up to a multiple of 64) that holds
+    ``n_values`` insertions at the target false-positive rate under k
+    hash functions — the sizing rule as code: fp = (1 - e^(-k n/m))^k
+    solved for m. The standard figures fall out: 1% fp at k=4 needs
+    ~10.5 bits/value, 14% (the bench's deliberate budget) ~4.2."""
+    import math
+
+    if n_values < 0:
+        raise ValueError("n_values must be >= 0")
+    if not 0 < float(fp) < 1:
+        raise ValueError("fp must be in (0, 1)")
+    if not 1 <= int(k) <= 7:
+        raise ValueError("k must be in [1, 7]")
+    if n_values == 0:
+        return 64
+    # m = -k n / ln(1 - fp^(1/k))
+    m = -int(k) * int(n_values) / math.log(1.0 - float(fp) ** (1.0 / int(k)))
+    return max(64, int(math.ceil(m / 64.0)) * 64)
+
+
 def bloom_fp_estimate(bm: DataFrame, m: int, k: int = BLOOM_K) -> float:
     """The bitmap's expected false-positive rate, fill_ratio**k — one
     sketch-sized popcount aggregate (<= m/64 rows), no data work. The

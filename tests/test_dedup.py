@@ -718,3 +718,33 @@ def test_dedup_against_bloom_prefilter_identical(spark):
         ).collect()
     }
     assert got3[1] == "exact_dup" and got3[2] == "new"
+
+
+def test_bloom_bits_for_sizing():
+    """Pure-math sizing rule: the returned m actually delivers <= the
+    target fp under the closed form, lands near the standard
+    bits-per-value figures, and validates its inputs. (No Spark.)"""
+    import math
+
+    import pytest
+
+    from talna_spark.pipeline.dedup import bloom_bits_for
+
+    for n, fp, k in [(10**6, 0.01, 4), (4_000_000, 0.14, 2), (5000, 0.02, 4)]:
+        m = bloom_bits_for(n, fp, k)
+        assert m % 64 == 0
+        achieved = (1.0 - math.exp(-k * n / m)) ** k
+        assert achieved <= fp + 1e-9, (n, fp, k, m, achieved)
+        # not wildly oversized: 64 bits under m would miss the target
+        if m > 64:
+            worse = (1.0 - math.exp(-k * n / (m - 64))) ** k
+            assert worse > fp - 1e-9
+    # the standard figure: ~10.5 bits/value for 1% at k=4
+    assert 10.0 < bloom_bits_for(10**6, 0.01, 4) / 10**6 < 11.0
+    assert bloom_bits_for(0) == 64
+    with pytest.raises(ValueError):
+        bloom_bits_for(-1)
+    with pytest.raises(ValueError):
+        bloom_bits_for(10, fp=0.0)
+    with pytest.raises(ValueError):
+        bloom_bits_for(10, k=8)
