@@ -381,3 +381,121 @@ def bk_containment_sql(a_sql: str, b_sql: str, k: int = BK_K) -> str:
         "round(CAST(n_common AS DOUBLE) / CAST(n_a_k AS DOUBLE), 6) "
         "END AS est FROM u CROSS JOIN c"
     )
+
+
+def bk_build_grouped(
+    d: DataFrame, group_col: str, col: str, k: int = BK_K
+) -> DataFrame:
+    """(g, h): a bottom-k sketch PER GROUP in one distributed pass —
+    the per-domain form of :func:`bk_build` (crawl-over-crawl drift
+    reports sketch every domain at once, never one job per domain).
+
+    100 TB shape — the _per_query_topk discipline (similarity.py): a
+    single row_number window partitioned by group alone would funnel
+    each group's full distinct-hash set through ONE reducer, so phase 1
+    takes the per-(group, input-partition) top-k first (bounded
+    k x partitions survivors per group), and phase 2 ranks the
+    survivors; distinct runs group-keyed with map-side partials."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window as W
+
+    h = hash64(F.concat(F.lit("bk|"), F.col(col)))
+    dh = (
+        d.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    w1 = W.partitionBy("g", "_p").orderBy("h")
+    w2 = W.partitionBy("g").orderBy("h")
+    return (
+        dh.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= int(k))
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= int(k))
+        .select("g", "h")
+    )
+
+
+def bk_resemblance_grouped(
+    a: DataFrame, b: DataFrame, k: int = BK_K
+) -> DataFrame:
+    """Per-group Broder resemblance between two grouped sketches, as
+    ONE DataFrame op (no driver-side counts — groups can number in the
+    millions): (g, n_union_k, n_common, est). Groups present in only
+    one input estimate 0.0 against an empty other side. The union's
+    bottom-k per group is ranked from the two sketches' union — all
+    sketch-sized work keyed by group."""
+    from pyspark.sql.window import Window as W
+
+    u = a.unionByName(b).distinct()
+    w = W.partitionBy("g").orderBy("h")
+    x = (
+        u.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .select("g", "h")
+    )
+    ina = a.withColumn("_ina", F.lit(1))
+    inb = b.withColumn("_inb", F.lit(1))
+    j = (
+        x.join(ina, ["g", "h"], "left")
+        .join(inb, ["g", "h"], "left")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_k"),
+            F.sum(
+                (
+                    F.coalesce(F.col("_ina"), F.lit(0))
+                    * F.coalesce(F.col("_inb"), F.lit(0))
+                ).cast("long")
+            ).alias("n_common"),
+        )
+    )
+    return j.select(
+        "g",
+        "n_union_k",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / F.col("n_union_k").cast("double"),
+            6,
+        ).alias("est"),
+    )
+
+
+def bk_grouped_sql(values_sql: str, k: int = BK_K) -> str:
+    """DuckDB twin of :func:`bk_build_grouped` over ``values_sql``
+    (columns g, v): identical (g, h) rows (single partitioned window —
+    different shape, same cells)."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'bk|' || v")
+    return (
+        f"SELECT g, h FROM (SELECT g, h, ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY h) AS r FROM (SELECT DISTINCT g, "
+        f"({h}) AS h FROM ({values_sql}) WHERE v IS NOT NULL "
+        f"AND g IS NOT NULL)) WHERE r <= {int(k)}"
+    )
+
+
+def bk_resemblance_grouped_sql(
+    a_sql: str, b_sql: str, k: int = BK_K
+) -> str:
+    """DuckDB twin of grouped build + build + resemblance: identical
+    (g, n_union_k, n_common, est) rows."""
+    return (
+        f"WITH ha AS ({bk_grouped_sql(a_sql, k)}), "
+        f"hb AS ({bk_grouped_sql(b_sql, k)}), "
+        "x AS (SELECT g, h FROM (SELECT g, h, ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY h) AS r FROM (SELECT DISTINCT g, h "
+        "FROM (SELECT g, h FROM ha UNION ALL SELECT g, h FROM hb))) "
+        f"WHERE r <= {int(k)}) "
+        "SELECT x.g, CAST(COUNT(*) AS BIGINT) AS n_union_k, "
+        "CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_common, "
+        "round(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL "
+        "THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS est "
+        "FROM x LEFT JOIN ha a ON x.g = a.g AND x.h = a.h "
+        "LEFT JOIN hb b ON x.g = b.g AND x.h = b.h GROUP BY x.g"
+    )

@@ -859,13 +859,47 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
         F.lit("bk").alias("kind"),
     )
+    # ``bkg`` (r13): the GROUPED bottom-k form — per-DOMAIN resemblance
+    # of the even-half vs odd-half URL sets, every domain sketched in
+    # one distributed pass (the crawl-over-crawl drift report shape);
+    # id=domain, v1=n_union_k, v2=n_common, v3=round(est * 1e6).
+    from talna_spark.pipeline.sketches import (
+        bk_build_grouped,
+        bk_resemblance_grouped,
+    )
+
+    _bkg_k = 8
+    halves = [
+        bk_build_grouped(
+            domsb.filter(F.col("doc_id") % 2 == par).select(
+                F.col("_dom").alias("g"), F.col("url").alias("v")
+            ),
+            "g",
+            "v",
+            k=_bkg_k,
+        )
+        for par in (0, 1)
+    ]
+    bkg = bk_resemblance_grouped(halves[0], halves[1], k=_bkg_k).select(
+        F.col("g").alias("id"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_union_k").cast("long").alias("v1"),
+        F.col("n_common").cast("long").alias("v2"),
+        F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
+        F.lit("bkg").alias("kind"),
+    )
     return (
-        st.unionByName(bl).unionByName(cms).unionByName(lc).unionByName(bk)
+        st.unionByName(bl)
+        .unionByName(cms)
+        .unionByName(lc)
+        .unionByName(bk)
+        .unionByName(bkg)
     )
 
 
 def domain_layer_sql() -> str:
     from talna_spark.pipeline.sketches import (
+        bk_resemblance_grouped_sql,
         bk_resemblance_sql,
         cms_estimate_sql,
         lc_estimate_sql,
@@ -924,5 +958,19 @@ def domain_layer_sql() -> str:
             "WHERE domain IS NOT NULL AND doc_id % 2 = 1",
             k=16,
         )
-        + ") r"
+        + ") r "
+        "UNION ALL "
+        "SELECT rg.g AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(rg.n_union_k AS BIGINT) AS v1, "
+        "CAST(rg.n_common AS BIGINT) AS v2, "
+        "CAST(round(rg.est * 1000000, 0) AS BIGINT) AS v3, "
+        "'bkg' AS kind FROM ("
+        + bk_resemblance_grouped_sql(
+            f"SELECT domain AS g, url AS v FROM ({doms}) "
+            "WHERE domain IS NOT NULL AND doc_id % 2 = 0",
+            f"SELECT domain AS g, url AS v FROM ({doms}) "
+            "WHERE domain IS NOT NULL AND doc_id % 2 = 1",
+            k=8,
+        )
+        + ") rg"
     )

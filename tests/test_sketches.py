@@ -344,3 +344,92 @@ def test_bk_containment_exact_truncated_and_cross_engine(spark):
         bk_containment_sql("SELECT v FROM ca", "SELECT v FROM cb", k=256)
     ).fetchall()[0]
     assert tuple(row2) == tuple(want)
+
+
+def test_bk_grouped_matches_ungrouped_and_cross_engine(spark):
+    """Grouped bottom-k: each group's sketch equals the UNgrouped sketch
+    of that group's values (the two-phase top-k must not change
+    results); per-group resemblance equals the scalar estimator per
+    group; one-sided groups estimate 0; DuckDB twins identical."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.sketches import (
+        bk_build_grouped,
+        bk_grouped_sql,
+        bk_resemblance_grouped,
+        bk_resemblance_grouped_sql,
+    )
+
+    rows_a = (
+        [("d1", f"a{i}") for i in range(300)]
+        + [("d1", f"c{i}") for i in range(100)]
+        + [("d2", f"x{i}") for i in range(50)]
+        + [("donly_a", f"q{i}") for i in range(40)]
+    )
+    rows_b = (
+        [("d1", f"b{i}") for i in range(300)]
+        + [("d1", f"c{i}") for i in range(100)]
+        + [("d2", f"x{i}") for i in range(50)]
+    )
+    da = spark.createDataFrame(rows_a, "g string, v string").repartition(7)
+    db = spark.createDataFrame(rows_b, "g string, v string").repartition(5)
+
+    K = 64
+    ga = bk_build_grouped(da, "g", "v", k=K)
+    # per-group equality with the scalar sketch
+    for g in ("d1", "d2", "donly_a"):
+        grp = sorted(r["h"] for r in ga.filter(F.col("g") == g).collect())
+        scalar = sorted(
+            r["h"]
+            for r in bk_build(
+                da.filter(F.col("g") == g), "v", k=K
+            ).collect()
+        )
+        assert grp == scalar, g
+
+    gb = bk_build_grouped(db, "g", "v", k=K)
+    res = {
+        r["g"]: (r["n_union_k"], r["n_common"], r["est"])
+        for r in bk_resemblance_grouped(ga, gb, k=K).collect()
+    }
+    # d2 identical on both sides -> est 1.0 exactly (union fits k)
+    assert res["d2"] == (50, 50, 1.0)
+    # one-sided group -> 0 overlap
+    assert res["donly_a"][1] == 0 and res["donly_a"][2] == 0.0
+    # d1 (J = 100/700) equals the scalar estimator on the same sketches
+    scalar_d1 = bk_resemblance(
+        bk_build(da.filter("g = 'd1'"), "v", k=K),
+        bk_build(db.filter("g = 'd1'"), "v", k=K),
+        k=K,
+    ).collect()[0]
+    assert res["d1"] == (
+        scalar_d1["n_union_k"],
+        scalar_d1["n_common"],
+        scalar_d1["est"],
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ga_t (g VARCHAR, v VARCHAR)")
+    con.execute("CREATE TABLE gb_t (g VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO ga_t VALUES (?, ?)", rows_a)
+    con.executemany("INSERT INTO gb_t VALUES (?, ?)", rows_b)
+    assert sorted(map(tuple, ga.collect())) == sorted(
+        map(
+            tuple,
+            con.execute(
+                bk_grouped_sql("SELECT g, v FROM ga_t", K)
+            ).fetchall(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                bk_resemblance_grouped_sql(
+                    "SELECT g, v FROM ga_t", "SELECT g, v FROM gb_t", K
+                )
+            ).fetchall(),
+        )
+    )
+    got = sorted(map(tuple, bk_resemblance_grouped(ga, gb, k=K).collect()))
+    assert got == want
