@@ -499,3 +499,99 @@ def bk_resemblance_grouped_sql(
         "FROM x LEFT JOIN ha a ON x.g = a.g AND x.h = a.h "
         "LEFT JOIN hb b ON x.g = b.g AND x.h = b.h GROUP BY x.g"
     )
+
+
+# --------------------------------------------------- quantile sample (r13)
+# Deterministic mergeable quantile estimation, this module's discipline
+# applied to order statistics: a hash-gated uniform sample (keep a row
+# iff hash64('qs|' || id) % 1e6 < rate_ppm) is (a) DETERMINISTIC — no
+# rand(), retry/partitioning stable, cross-engine identical, (b)
+# MERGEABLE — the union of shard samples IS the sample of the union,
+# because membership depends only on the row itself, and (c) sized
+# predictably (expected rate x n rows). Quantiles are then EXACT type-1
+# order statistics of the sample (rank ceil(q*m), ties impossible to
+# mis-break — the value at a rank is a value, not an interpolation), so
+# two engines holding the same sample report identical cells. Sampling
+# error: the q-th sample quantile deviates by O(sqrt(q(1-q)/m)) in rank
+# — size rate for the m you need. (KLL/t-digest compact adaptively but
+# randomize or data-depend; this trades a size guarantee for exact
+# determinism, the hash-gate 'mix|' sampling discipline.)
+QS_RATE_PPM = 10_000  # 1% default sample
+
+
+def qs_build(
+    d: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+    rate_ppm: int = QS_RATE_PPM,
+) -> DataFrame:
+    """(v): the deterministic quantile sample of ``col`` — rows whose
+    'qs|'-prefixed id-hash falls under ``rate_ppm``. NULL values are
+    not order statistics and are excluded. Map-only (one filter +
+    projection, zero shuffle); merge shard samples with a plain union
+    (same gate => same rows, tested)."""
+    if not 0 < int(rate_ppm) <= 1_000_000:
+        raise ValueError("rate_ppm must be in (0, 1e6]")
+    gate = (
+        hash64(F.concat(F.lit("qs|"), F.col(id_col).cast("string")))
+        % F.lit(1_000_000)
+    )
+    return (
+        d.filter(F.col(col).isNotNull())
+        .filter(gate < F.lit(int(rate_ppm)))
+        .select(F.col(col).alias("v"))
+    )
+
+
+def qs_quantiles(sample: DataFrame, probs: list) -> DataFrame:
+    """(p, v): exact type-1 quantiles of the (sketch-sized) sample —
+    v = the element at rank max(1, ceil(p * m)) of the ascending sort.
+    One window over the sample (model-sized by the rate contract) plus
+    a broadcast of the probe list; empty samples return no rows (no
+    order statistics exist) — callers treat absence as 'grow the
+    rate'."""
+    from pyspark.sql.window import Window as W
+
+    spark = sample.sparkSession
+    ps = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    ranked = sample.select(
+        "v",
+        F.row_number().over(W.orderBy(F.col("v").asc())).alias("_r"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("_m"),
+    )
+    want = F.greatest(
+        F.lit(1), F.ceil(F.col("p") * F.col("_m")).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(ps), F.col("_r") == want)
+        .select("p", "v")
+    )
+
+
+def qs_sql(values_sql: str, rate_ppm: int = QS_RATE_PPM) -> str:
+    """DuckDB twin of :func:`qs_build` over ``values_sql`` (columns
+    doc_id, v): the identical sample rows."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'qs|' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT v FROM ({values_sql}) WHERE v IS NOT NULL "
+        f"AND ({h}) % 1000000 < {int(rate_ppm)}"
+    )
+
+
+def qs_quantiles_sql(
+    values_sql: str, probs: list, rate_ppm: int = QS_RATE_PPM
+) -> str:
+    """DuckDB twin of build + quantiles: identical (p, v) rows."""
+    # CAST each prob: DuckDB types bare VALUES decimals as DECIMAL,
+    # which round-trips as decimal.Decimal instead of float
+    plist = ", ".join(f"(CAST({float(p)} AS DOUBLE))" for p in probs)
+    return (
+        f"WITH s AS ({qs_sql(values_sql, rate_ppm)}), "
+        "r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) AS rk, "
+        "COUNT(*) OVER () AS m FROM s), "
+        f"ps (p) AS (VALUES {plist}) "
+        "SELECT ps.p, r.v FROM r JOIN ps "
+        "ON r.rk = GREATEST(1, CAST(CEIL(ps.p * r.m) AS BIGINT))"
+    )

@@ -753,8 +753,10 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     id=domain, v1=n_docs, v2=n_urls, v3=total_chars), ``blocklist``
     = :func:`filter_blocklist` survivors against BLOCKLIST_DEMO (PSL
     mode; id=doc_id, s1=the doc's domain), plus the sketch kinds
-    ``cms`` (r11), ``lc`` (r12) and ``bk`` (r13, bottom-k resemblance
-    between the even/odd-doc domain sets). One hash-agg shuffle for
+    ``cms`` (r11), ``lc`` (r12), ``bk``/``bkg`` (r13, bottom-k
+    resemblance — corpus-level between even/odd-doc domain sets, and
+    the grouped per-domain URL-set form) and ``qs`` (r13, quantile
+    sample: p50/p90/p99 doc token counts). One hash-agg shuffle for
     stats; the blocklist slice is map-side broadcast joins only."""
     d = _synth_docs(spark, sf_dir)
     st = domain_stats(d, psl=True).select(
@@ -888,21 +890,44 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
         F.lit("bkg").alias("kind"),
     )
+    # ``qs`` (r13): deterministic quantile-sample sketch — p50/p90/p99
+    # of per-doc token counts from a 50%-rate hash-gated sample (the
+    # "length filter thresholds without a corpus sort" primitive);
+    # id='50'/'90'/'99', v1=the sampled order statistic.
+    from talna_spark.pipeline.portable import tokens as _toks
+    from talna_spark.pipeline.sketches import qs_build, qs_quantiles
+
+    lens = d.select(
+        "doc_id", F.size(_toks(F.col("text"))).cast("long").alias("v")
+    )
+    qs = qs_quantiles(
+        qs_build(lens, "v", rate_ppm=500_000), [0.5, 0.9, 0.99]
+    ).select(
+        (F.col("p") * 100).cast("long").cast("string").alias("id"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("v").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.lit("qs").alias("kind"),
+    )
     return (
         st.unionByName(bl)
         .unionByName(cms)
         .unionByName(lc)
         .unionByName(bk)
         .unionByName(bkg)
+        .unionByName(qs)
     )
 
 
 def domain_layer_sql() -> str:
+    from talna_spark.pipeline.portable import tokens_sql
     from talna_spark.pipeline.sketches import (
         bk_resemblance_grouped_sql,
         bk_resemblance_sql,
         cms_estimate_sql,
         lc_estimate_sql,
+        qs_quantiles_sql,
     )
 
     urls = (
@@ -972,5 +997,17 @@ def domain_layer_sql() -> str:
             "WHERE domain IS NOT NULL AND doc_id % 2 = 1",
             k=8,
         )
-        + ") rg"
+        + ") rg "
+        "UNION ALL "
+        "SELECT CAST(CAST(q.p * 100 AS BIGINT) AS VARCHAR) AS id, "
+        "CAST(NULL AS VARCHAR) AS s1, CAST(q.v AS BIGINT) AS v1, "
+        "CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3, "
+        "'qs' AS kind FROM ("
+        + qs_quantiles_sql(
+            f"SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) "
+            "AS v FROM documents",
+            [0.5, 0.9, 0.99],
+            rate_ppm=500_000,
+        )
+        + ") q"
     )

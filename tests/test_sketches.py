@@ -433,3 +433,70 @@ def test_bk_grouped_matches_ungrouped_and_cross_engine(spark):
     )
     got = sorted(map(tuple, bk_resemblance_grouped(ga, gb, k=K).collect()))
     assert got == want
+
+
+def test_qs_quantile_sample_exact_mergeable_cross_engine(spark):
+    """r13 quantile sample: the hash gate is deterministic and
+    mergeable (union of shard samples == sample of the union, exactly);
+    qs_quantiles returns the type-1 order statistics of the sample
+    (checked against a Python recomputation); DuckDB twins identical."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.sketches import (
+        qs_build,
+        qs_quantiles,
+        qs_quantiles_sql,
+        qs_sql,
+    )
+
+    d = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 997).cast("long").alias("v"),
+    )
+    rate = 100_000  # 10% for a solid sample
+    s = qs_build(d, "v", rate_ppm=rate)
+    # mergeable: shard samples union to the full sample
+    sh1 = qs_build(d.filter("doc_id % 2 = 0"), "v", rate_ppm=rate)
+    sh2 = qs_build(d.filter("doc_id % 2 = 1"), "v", rate_ppm=rate)
+    assert sorted(r["v"] for r in sh1.unionByName(sh2).collect()) == sorted(
+        r["v"] for r in s.collect()
+    )
+
+    probs = [0.5, 0.9, 0.99]
+    got = {r["p"]: r["v"] for r in qs_quantiles(s, probs).collect()}
+    vals = sorted(r["v"] for r in s.collect())
+    m = len(vals)
+    for p in probs:
+        assert got[p] == vals[max(1, math.ceil(p * m)) - 1], p
+        # the 10% sample's quantile lands near the true distribution's
+        assert abs(got[p] - p * 996) < 40, (p, got[p])
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, v BIGINT)")
+    con.execute(
+        "INSERT INTO t SELECT i, i % 997 FROM generate_series(0, 19999) s(i)"
+    )
+    assert sorted(r["v"] for r in s.collect()) == sorted(
+        r[0]
+        for r in con.execute(
+            qs_sql("SELECT doc_id, v FROM t", rate)
+        ).fetchall()
+    )
+    want = dict(
+        con.execute(
+            qs_quantiles_sql("SELECT doc_id, v FROM t", probs, rate)
+        ).fetchall()
+    )
+    assert got == want
+
+    # empty sample -> no rows; bad rate -> loud
+    import pytest
+
+    empty = qs_build(d.filter("v IS NULL"), "v", rate_ppm=rate)
+    assert qs_quantiles(empty, probs).count() == 0
+    with pytest.raises(ValueError, match="rate_ppm"):
+        qs_build(d, "v", rate_ppm=0)
