@@ -666,6 +666,15 @@ def main() -> None:
         pipe["pipe_bloom_amortized"] = "_bench_bloom_amortized"
         qs["_bench_bloom_amortized_off"] = _bench_bloom_amortized_off
         pipe["pipe_bloom_amortized_off"] = "_bench_bloom_amortized_off"
+        # r13: hard token-budget sampling — tracks the distributed
+        # two-phase prefix sum (range-bucket sums + tiny bucket-prefix
+        # window + (source, bucket)-partitioned cumsums) round over round
+        from talna_spark.pipeline.sampling import (
+            token_budget_sample as _tbudget,
+        )
+
+        qs["_bench_tbudget"] = _tbudget
+        pipe["pipe_tbudget"] = "_bench_tbudget"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
