@@ -12,6 +12,14 @@ either too big to broadcast or must merge across shards/streams:
   incrementally and usable as broadcast state for a stream.
 - Bloom membership lives in pipeline.dedup (bloom_build — same
   discipline, bit_or instead of sum).
+- BOTTOM-K (this module; Broder 1997 / Beyer et al. 2007): the k
+  smallest distinct hashes — resemblance, containment AND cardinality
+  (the KMV estimator) of value sets from k-row sketches; merge = union
+  + re-truncate.
+- HYPERLOGLOG (this module; Flajolet et al. 2007): the large-range
+  distinct-count leg — 2^p max-rank registers good to ~2^32/30
+  distincts where linear counting saturates; merge = register-wise
+  MAX. Register sums stay integer so the twin is cell-identical.
 - LINEAR COUNTING (this module; Whang, Vander-Zanden & Taylor 1990):
   the portable distinct-count leg. Every value sets ONE bit of an m-bit
   bitmap; the estimate is m * ln(m / zero_bits), a pure function of the
@@ -594,4 +602,227 @@ def qs_quantiles_sql(
         f"ps (p) AS (VALUES {plist}) "
         "SELECT ps.p, r.v FROM r JOIN ps "
         "ON r.rk = GREATEST(1, CAST(CEIL(ps.p * r.m) AS BIGINT))"
+    )
+
+
+# --------------------------------------------------- bottom-k cardinality
+# (r13) The KMV estimator (Bar-Yossef et al. 2002; Beyer et al. 2007
+# "On synopses for distinct-value estimation"): the k-th smallest of n
+# uniform hashes on [0, H) sits near k/(n+1) * H, so n is estimated
+# from the sketch's max as (k-1) * H / h_k (the unbiased KMV form).
+# Together with bk_resemblance this gives theta-sketch-style SET
+# ALGEBRA from sketches alone: |A u B| = bk_cardinality(bk_merge(a,b)),
+# |A n B| = resemblance * |A u B| — crawl-overlap accounting with zero
+# corpus-sized work. hash64 is 15 hex digits => H = 2^60.
+BK_HASH_SPACE = 1 << 60
+
+
+def bk_cardinality(sk: DataFrame, k: int = BK_K) -> DataFrame:
+    """One row (n_k, est): the distinct-value count of the set behind a
+    :func:`bk_build` sketch. EXACT when the sketch holds fewer than k
+    hashes (the set had < k distinct values, and the sketch IS its
+    distinct hash set); otherwise the KMV estimate
+    (k-1) * 2^60 / max(h), rounded to 6 dp. Deterministic given the
+    sketch — a single division on integer inputs, so two engines report
+    the identical estimate. Plan: one sketch-sized aggregate."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    n_k = F.count(F.lit(1)).cast("long")
+    mx = F.max("h").cast("double")
+    est = F.when(
+        n_k < F.lit(int(k)), F.round(n_k.cast("double"), 6)
+    ).otherwise(
+        F.round(F.lit(float(int(k) - 1) * BK_HASH_SPACE) / mx, 6)
+    )
+    return sk.agg(n_k.alias("n_k"), est.alias("est"))
+
+
+def bk_cardinality_sql(values_sql: str, k: int = BK_K) -> str:
+    """DuckDB twin of build + :func:`bk_cardinality`: the identical
+    (n_k, est) row."""
+    num = float(int(k) - 1) * BK_HASH_SPACE
+    return (
+        f"WITH s AS ({bk_sql(values_sql, k)}) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_k, "
+        f"CASE WHEN COUNT(*) < {int(k)} "
+        "THEN round(CAST(COUNT(*) AS DOUBLE), 6) "
+        f"ELSE round({num!r} / CAST(MAX(h) AS DOUBLE), 6) END AS est "
+        "FROM s"
+    )
+
+
+# ------------------------------------------------------------ HyperLogLog
+# (r13) Flajolet, Fusy, Gandouet & Meunier 2007 — the LARGE-cardinality
+# leg pairing linear counting (which saturates past ~LC_M distincts and
+# estimates NULL): m = 2^p registers, each holding the maximum rank of
+# any value hashing into its bucket, estimate = alpha_m * m^2 /
+# sum(2^-reg). Portable-twin design decisions (each keeps the estimate
+# a pure function of integers both engines compute identically — the
+# lc discipline, NOT Spark's approx_count_distinct, whose HLL++ is
+# engine-private):
+# - the paper's 32-bit-hash formulation: bucket = low p bits of the
+#   hash's low 32 bits, rank from the remaining 32-p bits, with the
+#   paper's small-range (linear counting over empty registers) and
+#   large-range (2^32 collision) corrections;
+# - rank = TRAILING zeros + 1 rather than leading (same geometric
+#   distribution; tz = bit_count((w & -w) - 1) is branch-free integer
+#   algebra in both engines, where a leading-zero count needs unsigned
+#   shifts Spark has and DuckDB lacks); w = 0 caps at Q = 32 - p + 1;
+# - the register sum is kept INTEGER: sum(2^(Q - rho)) as BIGINT
+#   (absent registers contribute 2^Q), so no cross-engine
+#   double-summation-order hazard exists; the one division
+#   alpha*m^2*2^Q / S happens once, on exact integer inputs.
+# Standard error ~ 1.04/sqrt(m): p=12 => ~1.6%. Registers of shards
+# MAX-merge into the registers of the union (tested) — the same
+# shard/stream composition discipline as CMS (+), Bloom/LC (|).
+HLL_P = 12
+
+
+def _hll_alpha(m: int) -> float:
+    """The paper's alpha_m bias constant (m >= 128 closed form)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(d: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
+    """(bucket, rho): the HyperLogLog register table of ``col``'s
+    distinct values — bucket = low ``p`` bits of the portable hash's
+    low 32 bits, rho = max over the bucket's values of (trailing zeros
+    of the remaining 32-p bits) + 1, capped at Q = 33 - p. Absent
+    buckets are implicit rho = 0. NULLs are not values. Mergeable:
+    see :func:`hll_merge`.
+
+    100 TB shape: one map-side projection + one max hash-agg capped at
+    2^p rows regardless of corpus size — the same bounded-shuffle
+    discipline as lc_build, good to ~2^32/30 distincts where LC's
+    bitmap saturates at ~LC_M."""
+    if not 7 <= int(p) <= 16:
+        raise ValueError("p must be in [7, 16]")
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    h32 = hash64(F.concat(F.lit("hll|"), F.col(col))).bitwiseAND(
+        F.lit(4294967295)
+    )
+    return (
+        d.filter(F.col(col).isNotNull())
+        .select(h32.alias("_h"))
+        .select(
+            F.col("_h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            F.shiftright(F.col("_h"), p).alias("_w"),
+        )
+        .select(
+            "bucket",
+            F.least(
+                F.bit_count(
+                    F.col("_w").bitwiseAND(-F.col("_w")) - F.lit(1)
+                )
+                + F.lit(1),
+                F.lit(q),
+            )
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """MAX together register tables built with the same p: the
+    registers of the union of the shards (tested cell-identical) —
+    incremental and per-shard parallel builds compose."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One row (buckets_set, zeros, est): the HLL distinct estimate
+    with the paper's corrections — linear counting over empty
+    registers when the raw estimate <= 2.5m and zeros remain; the
+    2^32 collision correction when raw > 2^32/30; raw otherwise.
+    Deterministic given the registers: the register sum is exact
+    BIGINT algebra and the estimate is one division (+ one ln on the
+    correction paths), cross-engine identical at 6 dp (the lc
+    precedent). Plan: one sketch-sized aggregate."""
+    if not 7 <= int(p) <= 16:
+        raise ValueError("p must be in [7, 16]")
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    a_num = _hll_alpha(m) * m * m * float(1 << q)
+    two32 = float(1 << 32)
+    cnt = F.count(F.lit(1)).cast("long")
+    sumterm = F.coalesce(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")),
+        F.lit(0),
+    ).cast("long")
+    agg = sketch.agg(cnt.alias("_cnt"), sumterm.alias("_st"))
+    zeros = (F.lit(m) - F.col("_cnt")).cast("long")
+    s_scaled = (
+        (F.lit(m) - F.col("_cnt")).cast("long") * F.lit(1 << q)
+        + F.col("_st")
+    ).cast("double")
+    e_raw = F.lit(a_num) / s_scaled
+    est = (
+        F.when(
+            (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.round(
+                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+                6,
+            ),
+        )
+        .when(
+            e_raw > F.lit(two32 / 30.0),
+            F.round(
+                -F.lit(two32) * F.log(F.lit(1.0) - e_raw / F.lit(two32)), 6
+            ),
+        )
+        .otherwise(F.round(e_raw, 6))
+    )
+    return agg.select(
+        F.col("_cnt").alias("buckets_set"), zeros.alias("zeros"), est.alias("est")
+    )
+
+
+def hll_registers_sql(values_sql: str, p: int = HLL_P) -> str:
+    """DuckDB twin of :func:`hll_build` over ``values_sql`` (one column
+    named v): identical (bucket, rho) registers."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    h = hash64_sql("'hll|' || v")
+    return (
+        f"SELECT h & {m - 1} AS bucket, "
+        f"MAX(CAST(LEAST(bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1, "
+        f"{q}) AS INT)) AS rho "
+        f"FROM (SELECT ({h}) & 4294967295 AS h FROM ({values_sql}) "
+        "WHERE v IS NOT NULL) GROUP BY 1"
+    )
+
+
+def hll_estimate_sql(values_sql: str, p: int = HLL_P) -> str:
+    """DuckDB twin of build + estimate: the identical
+    (buckets_set, zeros, est) row. SUM(BIGINT) is HUGEINT in DuckDB —
+    cast back before the integer scale-up so both engines feed the
+    division the same exact value."""
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    a_num = _hll_alpha(m) * m * m * float(1 << q)
+    two32 = float(1 << 32)
+    return (
+        f"WITH r AS ({hll_registers_sql(values_sql, p)}), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(COALESCE(SUM(1::BIGINT << ({q} - rho)), 0) AS BIGINT) "
+        "AS st FROM r), "
+        f"e AS (SELECT cnt, CAST({m} - cnt AS BIGINT) AS zeros, "
+        f"{a_num!r} / CAST(({m} - cnt) * {1 << q} + st AS DOUBLE) "
+        "AS e_raw FROM a) "
+        "SELECT cnt AS buckets_set, zeros, "
+        f"CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN "
+        f"round(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
+        "CAST(zeros AS DOUBLE)), 6) "
+        f"WHEN e_raw > {two32 / 30.0!r} THEN "
+        f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
+        "ELSE round(e_raw, 6) END AS est FROM e"
     )

@@ -755,9 +755,11 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode; id=doc_id, s1=the doc's domain), plus the sketch kinds
     ``cms`` (r11), ``lc`` (r12), ``bk``/``bkg`` (r13, bottom-k
     resemblance — corpus-level between even/odd-doc domain sets, and
-    the grouped per-domain URL-set form) and ``qs`` (r13, quantile
-    sample: p50/p90/p99 doc token counts). One hash-agg shuffle for
-    stats; the blocklist slice is map-side broadcast joins only."""
+    the grouped per-domain URL-set form), ``hll`` (r13, HyperLogLog
+    distinct counts, both correction branches), ``bkc`` (r13, KMV
+    bottom-k cardinality) and ``qs`` (r13, quantile sample:
+    p50/p90/p99 doc token counts). One hash-agg shuffle for stats;
+    the blocklist slice is map-side broadcast joins only."""
     d = _synth_docs(spark, sf_dir)
     st = domain_stats(d, psl=True).select(
         F.col("domain").alias("id"),
@@ -890,6 +892,71 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
         F.lit("bkg").alias("kind"),
     )
+    # ``hll`` (r13): HyperLogLog distinct estimates next to the exact
+    # counts — the LARGE-range cardinality leg pairing ``lc`` (which
+    # saturates past its bitmap size), over the crawl's three natural
+    # cardinality levels (captures >= URLs >= domains). Two rows prove
+    # both correction branches cross-engine: id='dom' (p=12, distinct
+    # domains — the small-range linear-counting-over-empty-registers
+    # branch) and id='capture' (p=7, distinct url#doc_id capture
+    # identities — enough values per register to drive the raw
+    # alpha*m^2/S branch). v1=buckets_set, v2=exact distinct,
+    # v3=round(est * 1e6) (micro-units, the lc convention).
+    from talna_spark.pipeline.sketches import hll_build, hll_estimate
+
+    capv = domsb.select(
+        F.concat(
+            F.col("url"), F.lit("#"), F.col("doc_id").cast("string")
+        ).alias("v")
+    )
+    ndc = capv.agg(F.countDistinct("v").alias("_nd"))
+    hll = (
+        hll_estimate(hll_build(doms, "v", p=12), p=12)
+        .crossJoin(nd)
+        .select(
+            F.lit("dom").alias("id"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("buckets_set").cast("long").alias("v1"),
+            F.col("_nd").cast("long").alias("v2"),
+            F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
+            F.lit("hll").alias("kind"),
+        )
+        .unionByName(
+            hll_estimate(hll_build(capv, "v", p=7), p=7)
+            .crossJoin(ndc)
+            .select(
+                F.lit("capture").alias("id"),
+                F.lit(None).cast("string").alias("s1"),
+                F.col("buckets_set").cast("long").alias("v1"),
+                F.col("_nd").cast("long").alias("v2"),
+                F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
+                F.lit("hll").alias("kind"),
+            )
+        )
+    )
+    # ``bkc`` (r13): KMV bottom-k cardinality of the URL set (k=64 <
+    # the distinct count, so the (k-1)*H/h_k estimator is exercised,
+    # not the small-set exact case) — with bk/bkg this completes
+    # theta-sketch-style set algebra from k-row sketches. v1=n_k,
+    # v2=exact distinct, v3=round(est * 1e6).
+    from talna_spark.pipeline.sketches import bk_build as _bkb
+    from talna_spark.pipeline.sketches import bk_cardinality
+
+    urlv = domsb.select(F.col("url").alias("v"))
+    ndu = urlv.agg(F.countDistinct("v").alias("_nd"))
+    _bkc_k = 64
+    bkc = (
+        bk_cardinality(_bkb(urlv, "v", k=_bkc_k), k=_bkc_k)
+        .crossJoin(ndu)
+        .select(
+            F.lit("url").alias("id"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("n_k").cast("long").alias("v1"),
+            F.col("_nd").cast("long").alias("v2"),
+            F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
+            F.lit("bkc").alias("kind"),
+        )
+    )
     # ``qs`` (r13): deterministic quantile-sample sketch — p50/p90/p99
     # of per-doc token counts from a 50%-rate hash-gated sample (the
     # "length filter thresholds without a corpus sort" primitive);
@@ -916,6 +983,8 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lc)
         .unionByName(bk)
         .unionByName(bkg)
+        .unionByName(hll)
+        .unionByName(bkc)
         .unionByName(qs)
     )
 
@@ -923,9 +992,11 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def domain_layer_sql() -> str:
     from talna_spark.pipeline.portable import tokens_sql
     from talna_spark.pipeline.sketches import (
+        bk_cardinality_sql,
         bk_resemblance_grouped_sql,
         bk_resemblance_sql,
         cms_estimate_sql,
+        hll_estimate_sql,
         lc_estimate_sql,
         qs_quantiles_sql,
     )
@@ -998,6 +1069,41 @@ def domain_layer_sql() -> str:
             k=8,
         )
         + ") rg "
+        "UNION ALL "
+        "SELECT 'dom' AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(h.buckets_set AS BIGINT) AS v1, CAST(x.nd AS BIGINT) AS v2, "
+        "CAST(round(h.est * 1000000, 0) AS BIGINT) AS v3, 'hll' AS kind "
+        "FROM ("
+        + hll_estimate_sql(
+            f"SELECT domain AS v FROM ({doms}) WHERE domain IS NOT NULL",
+            p=12,
+        )
+        + ") h CROSS JOIN (SELECT COUNT(DISTINCT domain) AS nd "
+        f"FROM ({doms}) WHERE domain IS NOT NULL) x "
+        "UNION ALL "
+        "SELECT 'capture' AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(h.buckets_set AS BIGINT) AS v1, CAST(x.nd AS BIGINT) AS v2, "
+        "CAST(round(h.est * 1000000, 0) AS BIGINT) AS v3, 'hll' AS kind "
+        "FROM ("
+        + hll_estimate_sql(
+            "SELECT url || '#' || CAST(doc_id AS VARCHAR) AS v "
+            f"FROM ({doms}) WHERE domain IS NOT NULL",
+            p=7,
+        )
+        + ") h CROSS JOIN (SELECT COUNT(DISTINCT url || '#' || "
+        "CAST(doc_id AS VARCHAR)) AS nd "
+        f"FROM ({doms}) WHERE domain IS NOT NULL) x "
+        "UNION ALL "
+        "SELECT 'url' AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(c.n_k AS BIGINT) AS v1, CAST(x.nd AS BIGINT) AS v2, "
+        "CAST(round(c.est * 1000000, 0) AS BIGINT) AS v3, 'bkc' AS kind "
+        "FROM ("
+        + bk_cardinality_sql(
+            f"SELECT url AS v FROM ({doms}) WHERE domain IS NOT NULL",
+            k=64,
+        )
+        + ") c CROSS JOIN (SELECT COUNT(DISTINCT url) AS nd "
+        f"FROM ({doms}) WHERE domain IS NOT NULL) x "
         "UNION ALL "
         "SELECT CAST(CAST(q.p * 100 AS BIGINT) AS VARCHAR) AS id, "
         "CAST(NULL AS VARCHAR) AS s1, CAST(q.v AS BIGINT) AS v1, "

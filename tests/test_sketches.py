@@ -500,3 +500,149 @@ def test_qs_quantile_sample_exact_mergeable_cross_engine(spark):
     assert qs_quantiles(empty, probs).count() == 0
     with pytest.raises(ValueError, match="rate_ppm"):
         qs_build(d, "v", rate_ppm=0)
+
+
+# ------------------------------------------------- HLL + KMV (r13)
+def test_hll_cross_engine_registers_and_all_branches(spark):
+    """Registers AND the (buckets_set, zeros, est) row are cell-identical
+    to the DuckDB twin on all three correction branches: small-range
+    (zeros dominate), raw (dense registers, zeros may remain), and the
+    empty corpus (est exactly 0)."""
+    from talna_spark.pipeline.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    con = duckdb.connect()
+    for n, p in [(100, 12), (5000, 12), (5000, 7), (0, 12)]:
+        d = (
+            spark.range(n).select(
+                F.concat(F.lit("val-"), F.col("id")).alias("v")
+            )
+            if n
+            else spark.createDataFrame([], "v string")
+        )
+        vsql = (
+            f"SELECT 'val-' || CAST(i AS VARCHAR) AS v "
+            f"FROM generate_series(0, {n - 1}) s(i)"
+            if n
+            else "SELECT CAST(NULL AS VARCHAR) AS v WHERE 1 = 0"
+        )
+        sk = hll_build(d, "v", p=p)
+        regs = sorted((r["bucket"], r["rho"]) for r in sk.collect())
+        assert regs == sorted(
+            con.execute(hll_registers_sql(vsql, p=p)).fetchall()
+        ), (n, p)
+        row = hll_estimate(sk, p=p).collect()[0]
+        orow = con.execute(hll_estimate_sql(vsql, p=p)).fetchall()[0]
+        assert (row["buckets_set"], row["zeros"], row["est"]) == orow, (n, p)
+        if n:
+            # ~1.04/sqrt(m) stderr: stay within ~4 sigma of the truth
+            assert abs(row["est"] - n) / n < 4 * 1.04 / (1 << p) ** 0.5, (
+                n,
+                p,
+                row["est"],
+            )
+        else:
+            assert row["est"] == 0.0 and row["zeros"] == 1 << p
+
+
+def test_hll_branch_selection_is_the_papers(spark):
+    """100 distincts at p=12 take the small-range linear-counting form
+    m*ln(m/zeros) EXACTLY; 5000 at p=7 saturate every register
+    (zeros=0) and take the raw form — pinned against closed-form
+    recomputation from the registers themselves."""
+    import math
+
+    from talna_spark.pipeline.sketches import (
+        _hll_alpha,
+        hll_build,
+        hll_estimate,
+    )
+
+    d = spark.range(100).select(
+        F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    row = hll_estimate(hll_build(d, "v", p=12), p=12).collect()[0]
+    m = 1 << 12
+    assert row["est"] == round(m * math.log(m / row["zeros"]), 6)
+
+    d = spark.range(5000).select(
+        F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    sk = hll_build(d, "v", p=7)
+    regs = {r["bucket"]: r["rho"] for r in sk.collect()}
+    row = hll_estimate(sk, p=7).collect()[0]
+    m, q = 1 << 7, 33 - 7
+    assert row["zeros"] == 0
+    s_scaled = sum(1 << (q - regs.get(b, 0)) for b in range(m))
+    want = _hll_alpha(m) * m * m * float(1 << q) / float(s_scaled)
+    assert row["est"] == round(want, 6)
+
+
+def test_hll_shard_merge_equals_union(spark):
+    from talna_spark.pipeline.sketches import hll_build, hll_merge
+
+    d = spark.range(3000).select(
+        F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    sh = [
+        hll_build(d.filter(F.col("id") % 3 == i), "v") for i in range(3)
+    ]
+    merged = sorted(
+        (r["bucket"], r["rho"]) for r in hll_merge(*sh).collect()
+    )
+    whole = sorted(
+        (r["bucket"], r["rho"]) for r in hll_build(d, "v").collect()
+    )
+    assert merged == whole
+
+
+def test_hll_plan_is_sketch_sized_and_validation(spark):
+    """100 TB contract: one max hash-agg over (bucket, rho) id-rows
+    (map-side partials), <= 2^p rows out, no Window, no Python."""
+    import pytest
+
+    from talna_spark.pipeline.sketches import hll_build, hll_estimate
+
+    d = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+    sk = hll_build(d, "v", p=7)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert sk.count() <= 1 << 7
+    for bad in (6, 17):
+        with pytest.raises(ValueError, match="p must be"):
+            hll_build(d, "v", p=bad)
+        with pytest.raises(ValueError, match="p must be"):
+            hll_estimate(sk, p=bad)
+
+
+def test_bk_cardinality_exact_estimator_and_cross_engine(spark):
+    """< k distincts: exact (the sketch IS the distinct hash set);
+    >= k: the KMV (k-1)*H/h_k estimate within ~4/sqrt(k) of truth —
+    both rows cell-identical to the DuckDB twin."""
+    from talna_spark.pipeline.sketches import (
+        bk_build,
+        bk_cardinality,
+        bk_cardinality_sql,
+    )
+
+    con = duckdb.connect()
+    for n, k in [(50, 256), (5000, 256)]:
+        d = spark.range(n).select(
+            F.concat(F.lit("val-"), F.col("id")).alias("v")
+        )
+        vsql = (
+            "SELECT 'val-' || CAST(i AS VARCHAR) AS v "
+            f"FROM generate_series(0, {n - 1}) s(i)"
+        )
+        row = bk_cardinality(bk_build(d, "v", k=k), k=k).collect()[0]
+        orow = con.execute(bk_cardinality_sql(vsql, k=k)).fetchall()[0]
+        assert (row["n_k"], row["est"]) == orow, (n, k)
+        if n < k:
+            assert row["est"] == float(n)
+        else:
+            assert abs(row["est"] - n) / n < 4 / k**0.5, (n, k, row["est"])
