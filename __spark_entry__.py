@@ -1368,7 +1368,12 @@ def _x23_mixture_sample(
     core (Xie et al. 2023) — completing hand-tuned -> corpus-shape ->
     learned; `tbudget` (r13) = HARD-budget per-source prefix cut (exact
     deterministic token budgets via a distributed two-phase prefix sum
-    — the exact-cut complement of the rate samplers)."""
+    — the exact-cut complement of the rate samplers); `wres` (r13) =
+    Efraimidis-Spirakis weight-PROPORTIONAL sampling without
+    replacement (per-ROW weights where every slice above weighs
+    SOURCES: the k smallest -ln(u)/w race keys per source, weight =
+    char length here, a quality score in real pipelines; v1=rank,
+    v2=n_chars, v3=the race key)."""
     mx = _sampling.mixture_sample(spark, sf_dir).select(
         "doc_id",
         F.col("source").alias("s1"),
@@ -1434,7 +1439,18 @@ def _x23_mixture_sample(
         F.col("budget").cast("double").alias("v3"),
         F.lit("tbudget").alias("kind"),
     )
-    return out.unionByName(do).unionByName(tb)
+    # `wres` (r13): per-ROW weight-proportional sampling (A-ES race
+    # keys; see sampling.weighted_sample) — the per-document complement
+    # of the per-source mixture slices above.
+    ws = _sampling.weighted_docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("sample_rank").cast("long").alias("v1"),
+        F.col("n_chars").cast("long").alias("v2"),
+        F.col("key").cast("double").alias("v3"),
+        F.lit("wres").alias("kind"),
+    )
+    return out.unionByName(do).unionByName(tb).unionByName(ws)
 
 
 def _x23_mixture_sample_sql() -> str:
@@ -1465,7 +1481,11 @@ def _x23_mixture_sample_sql() -> str:
         "UNION ALL "
         "SELECT doc_id, source AS s1, CAST(n_tokens AS BIGINT) AS v1, "
         "CAST(cum_before AS BIGINT) AS v2, CAST(budget AS DOUBLE) AS v3, "
-        f"'tbudget' AS kind FROM ({_sampling.token_budget_sample_sql()})"
+        f"'tbudget' AS kind FROM ({_sampling.token_budget_sample_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, source AS s1, CAST(sample_rank AS BIGINT) AS v1, "
+        "CAST(n_chars AS BIGINT) AS v2, CAST(key AS DOUBLE) AS v3, "
+        f"'wres' AS kind FROM ({_sampling.weighted_docs_sql()})"
     )
 
 

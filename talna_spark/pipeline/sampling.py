@@ -817,6 +817,116 @@ def reservoir_docs_sql() -> str:
     )
 
 
+# ------------------------- weight-proportional sampling (r13)
+# Efraimidis & Spirakis 2006, "Weighted random sampling with a
+# reservoir" (the A-ES key construction): give row i the key
+# u_i^(1/w_i) and keep the k LARGEST — equivalently, keep the k
+# SMALLEST of -ln(u_i)/w_i (the exponential-race form: an Exp(w_i)
+# arrival time; the k earliest arrivals are a weight-proportional
+# sample WITHOUT replacement). Every per-row weighted selection the
+# mixture samplers above cannot express (they weigh SOURCES, not
+# rows): sample k docs proportional to a quality score, importance
+# weight or length, deterministically.
+WS_PREFIX = "wres|"
+
+
+def _ws_key(id_col: str, weight_col: str) -> F.Column:
+    """The A-ES race key -ln(u)/w rounded to 9 dp. u = (h % 2^53 + 1)
+    / 2^53 is an EXACT dyadic rational in (0, 1] both engines compute
+    bit-identically from the portable id hash ('wres|' prefix — the
+    sampling stream stays independent of every other hash decision);
+    ln and the division are one libm call + one IEEE op, pinned
+    cross-engine by the 9-dp round (the lc ln-at-6dp acceptance)."""
+    from talna_spark.pipeline.portable import hash64
+
+    h = hash64(F.concat(F.lit(WS_PREFIX), F.col(id_col).cast("string")))
+    u = ((h % F.lit(1 << 53)).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 53)
+    )
+    return F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Deterministic weight-proportional sample WITHOUT replacement:
+    the k rows with the smallest A-ES race keys, globally or per
+    ``group_col`` stratum. Inclusion probability follows the weights
+    (a weight-9 row is ~9x a weight-1 row's chance; exact ES
+    semantics), yet the draw is a pure function of (id, weight) —
+    stable across runs, retries, repartitioning and cluster size, and
+    nested in k (growing k never evicts a sampled row). Rows with
+    NULL or non-positive weight cannot win a race and are excluded
+    (zero mass). Adds ``sample_rank`` (1 = smallest key) and ``_wk``
+    (the key, for auditability).
+
+    100 TB shape: grouped = one hash-partitioned window per stratum
+    (the reservoir_sample shape — bounded by the group's rows, AQE
+    top-k pushdown with k << group); global = per-partition top-k
+    merged via sort+limit (TakeOrderedAndProject: k rows reach the
+    driver, the corpus never globally sorts)."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_wk", _ws_key(id_col, weight_col))
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("_wk").asc(), F.col(id_col).asc()
+        )
+        return base.withColumn(
+            "sample_rank", F.row_number().over(w)
+        ).filter(F.col("sample_rank") <= int(k))
+    top = base.orderBy(F.col("_wk").asc(), F.col(id_col).asc()).limit(
+        int(k)
+    )
+    # rank the k survivors (model-sized by construction)
+    w = Window.orderBy(F.col("_wk").asc(), F.col(id_col).asc())
+    return top.withColumn("sample_rank", F.row_number().over(w))
+
+
+WS_K = 10  # docs per source in the driver registration (< the
+# per-source corpus at every sf, so selection actually excludes)
+
+
+def weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration: WS_K docs per source sampled proportional
+    to character length (the simplest cross-engine weight; real
+    pipelines pass a quality/classifier score) — long docs are
+    proportionally likelier, short ones still reachable."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").cast("double").alias("w")
+    )
+    return weighted_sample(d, "doc_id", "w", WS_K, group_col="source").select(
+        "doc_id",
+        "source",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        F.col("w").cast("long").alias("n_chars"),
+        F.col("_wk").alias("key"),
+    )
+
+
+def weighted_docs_sql() -> str:
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'wres|' || CAST(doc_id AS VARCHAR)")
+    u = f"(CAST(({h}) % {1 << 53} AS DOUBLE) + 1.0) / {float(1 << 53)!r}"
+    key = f"round(-ln({u}) / CAST(length(text) AS DOUBLE), 9)"
+    return (
+        "SELECT doc_id, source, sample_rank, n_chars, key FROM ("
+        "SELECT doc_id, source, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        f"{key} AS key, ROW_NUMBER() OVER ("
+        f"PARTITION BY source ORDER BY {key} ASC, doc_id ASC"
+        ") AS sample_rank FROM documents WHERE length(text) > 0) "
+        f"WHERE sample_rank <= {WS_K}"
+    )
+
+
 # --------------------------- DoReMi iterated (r10, the full loop)
 DOREMI_ROUNDS = 3
 DOREMI_ETA = 1.0

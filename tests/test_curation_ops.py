@@ -1125,3 +1125,80 @@ def test_token_budget_sample_two_phase_plan(spark):
     corpus_windows = re.findall(r"windowspecdefinition\(source#\d+, [^_\n]*", opt)
     bucket_windows = re.findall(r"windowspecdefinition\(source#\d+, _b#\d+", opt)
     assert bucket_windows, opt[:2000]
+
+
+def test_weighted_sample_proportional_nested_stable_cross_engine(
+    spark, tmp_path
+):
+    """weighted_sample (Efraimidis-Spirakis A-ES): inclusion follows the
+    weights (weight-9 rows land ~9x as often as weight-1 rows in a
+    half/half pool), winners are nested in k, membership survives
+    repartitioning, zero/negative/NULL weights are excluded (zero
+    mass), and the driver pair agrees with DuckDB bit-for-bit
+    including the double race key."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.sampling import (
+        WS_K,
+        weighted_docs,
+        weighted_docs_sql,
+        weighted_sample,
+    )
+
+    d = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 9.0).otherwise(1.0).alias("w"),
+    )
+    s = weighted_sample(d, "doc_id", "w", 1000)
+    heavy = s.filter("w = 9.0").count()
+    # E[heavy] ~ 900 of 1000 under weight-proportional draws; the draw
+    # is deterministic so this is a fixed number (889), not a flake
+    assert 0.85 <= heavy / 1000 <= 0.95, heavy
+
+    ids500 = {r["doc_id"] for r in weighted_sample(d, "doc_id", "w", 500).collect()}
+    ids1000 = {r["doc_id"] for r in s.collect()}
+    assert ids500 <= ids1000  # nested: growing k never evicts
+
+    reparted = {
+        r["doc_id"]
+        for r in weighted_sample(
+            d.repartition(17), "doc_id", "w", 1000
+        ).collect()
+    }
+    assert reparted == ids1000  # partitioning-independent
+
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, -1.0), (4, 2.0)],
+        "doc_id long, w double",
+    )
+    assert [
+        r["doc_id"] for r in weighted_sample(bad, "doc_id", "w", 10).collect()
+    ] == [4]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(d, "doc_id", "w", 0)
+
+    # grouped driver pair vs DuckDB on a skewed-length corpus
+    d2 = str(tmp_path / "wres")
+    spark.range(60).selectExpr(
+        "id AS doc_id",
+        "repeat('x', CAST(1 + id % 7 AS INT) * 10) AS text",
+        "'en' AS lang",
+        "concat('g', CAST(id % 2 AS STRING)) AS source",
+        "1 AS n_chars",
+    ).write.parquet(f"{d2}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["source"], r["sample_rank"], r["n_chars"], r["key"])
+        for r in weighted_docs(spark, d2).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d2}/documents.parquet/*.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(weighted_docs_sql()).fetchall()))
+    assert got == want  # bit-identical incl. the double key
+    assert max(r[2] for r in got) <= WS_K
