@@ -1696,10 +1696,19 @@ from talna_spark.sources import warc as _warc  # noqa: E402
 # hash (sources/webdataset.py roundtrip_layer).
 from talna_spark.sources import webdataset as _wds  # noqa: E402
 
+# r13 adds the `mm` slice: the same round-trip discipline for the
+# Megatron-style .bin/.idx token-shard sink (sources/megatron.py
+# mm_roundtrip_layer) — closed-form token-length id streams through
+# write_indexed_dataset -> read_indexed_dataset, oracle recomputed
+# from the documents table with no binary code.
+from talna_spark.sources import megatron as _mm  # noqa: E402
+
 
 def _x24_url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _warc.url_layer(spark, sf_dir).unionByName(
-        _wds.roundtrip_layer(spark, sf_dir)
+    return (
+        _warc.url_layer(spark, sf_dir)
+        .unionByName(_wds.roundtrip_layer(spark, sf_dir))
+        .unionByName(_mm.mm_roundtrip_layer(spark, sf_dir))
     )
 
 
@@ -1707,7 +1716,9 @@ _EXT["x24_url_layer"] = (
     _x24_url_layer,
     _warc.url_layer_sql()
     + " UNION ALL "
-    + _wds.roundtrip_layer_sql(),
+    + _wds.roundtrip_layer_sql()
+    + " UNION ALL "
+    + _mm.mm_roundtrip_layer_sql(),
 )
 _EXT["x26_domain_layer"] = (_warc.domain_layer, _warc.domain_layer_sql())
 

@@ -1,0 +1,424 @@
+"""Megatron-style indexed-dataset sink/source — the ".bin/.idx token
+shard" layout GPT-class training loaders mmap directly, the step after
+tokenize+pack that turns the curated corpus into training tensors on
+disk.
+
+Layout follows the PUBLIC Megatron-LM / fairseq mmap indexed-dataset
+format (megatron `indexed_dataset.py`, index header ``MMIDIDX``), one
+(.bin, .idx) pair per shard:
+
+  .idx:  magic ``MMIDIDX\\x00\\x00`` (9 bytes)
+         | version   u64 LE  (= 1)
+         | dtype     u8      (code table below)
+         | n_seq     u64     (sequence count)
+         | n_docidx  u64     (doc_idx length = documents + 1)
+         | sizes     i32[n_seq]     token counts per sequence
+         | pointers  i64[n_seq]     BYTE offsets into .bin
+         | doc_idx   i64[n_docidx]  sequence index of each document
+                                    start (leading 0, trailing n_seq)
+  .bin:  token ids back-to-back in the declared dtype, little-endian.
+
+Each input row writes as one document holding one sequence (the
+GPT-style layout: a "document" is a pack/chunk), so doc_idx is
+[0, 1, ..., n_seq]. Only the INTEGER dtype codes are supported —
+published forks disagree on the float codes, and token ids are the
+only payload this sink exists for.
+
+Scale design (the write_webdataset discipline, sources/webdataset.py):
+- the only corpus-sized move is ONE hash shuffle of the sequence rows
+  into shard partitions sorted on (_shard, key); shard assignment is
+  the PORTABLE 'mm|' id-hash (not engine-private xxhash), so an oracle
+  can recompute every sequence's (shard, ordinal) without this code;
+- each task STREAMS its shard's .bin to disk batch-by-batch; per-task
+  memory is one Arrow batch plus the shard's index arrays (12 bytes
+  per SEQUENCE — the format's own index cost, which any writer must
+  hold to emit sizes/pointers contiguously), never the token payload;
+- shards publish atomically (tmp + rename), .bin strictly BEFORE .idx
+  — a reader keyed on .idx presence never sees a torn pair; tmp names
+  carry the task attempt id so speculative attempts cannot interleave.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MMIDX_MAGIC = b"MMIDIDX\x00\x00"
+MMIDX_VERSION = 1
+
+# the public integer dtype codes (fairseq/Megatron indexed_dataset);
+# float codes (6/7) vary across published forks and are not written
+MM_DTYPES: dict[str, tuple[int, type]] = {
+    "uint8": (1, np.uint8),
+    "int8": (2, np.int8),
+    "int16": (3, np.int16),
+    "int32": (4, np.int32),
+    "int64": (5, np.int64),
+    "uint16": (8, np.uint16),
+}
+_CODE_TO_NP = {code: np_t for code, np_t in MM_DTYPES.values()}
+
+
+def _shard_col(key_col: str, n_shards: int) -> F.Column:
+    from talna_spark.pipeline.portable import hash64
+
+    h = hash64(F.concat(F.lit("mm|"), F.col(key_col).cast("string")))
+    return (h % F.lit(int(n_shards))).cast("int")
+
+
+def shard_expr_sql(key_expr: str, n_shards: int) -> str:
+    """DuckDB twin of the shard assignment — an oracle recomputes
+    every sequence's shard without any sink code."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql(f"'mm|' || CAST({key_expr} AS VARCHAR)")
+    return f"(({h}) % {int(n_shards)})"
+
+
+def write_indexed_dataset(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 4,
+    dtype: str = "int32",
+    key_col: str = "seq_id",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Write (key, ids) sequence rows as Megatron mmap indexed-dataset
+    shards under ``out_dir`` (shard-00000.bin/.idx ... deterministic
+    bytes: portable-hash sharding, key-sorted within a shard). Ids out
+    of the declared dtype's range fail LOUDLY (a silent wrap would
+    corrupt training data); NULL id arrays fail loudly; empty arrays
+    are legal zero-length sequences. Returns the manifest DataFrame
+    (shard, n_sequences, n_tokens, bin_bytes, idx_bytes) — collect it
+    to force the write and audit the layout."""
+    if int(n_shards) < 1:
+        raise ValueError("n_shards must be >= 1")
+    if dtype not in MM_DTYPES:
+        raise ValueError(
+            f"dtype must be one of {sorted(MM_DTYPES)} (integer token "
+            f"ids only), got {dtype!r}"
+        )
+    for need in (key_col, ids_col):
+        if need not in df.columns:
+            raise ValueError(f"write_indexed_dataset input needs {need!r}")
+    code, np_t = MM_DTYPES[dtype]
+    lo = int(np.iinfo(np_t).min)
+    hi = int(np.iinfo(np_t).max)
+    itemsize = np.dtype(np_t).itemsize
+    data = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ids_col).cast("array<long>").alias("ids"),
+        _shard_col(key_col, n_shards).alias("_shard"),
+    )
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        state: dict = {"shard": None}
+        manifests: list[tuple] = []
+
+        def close_shard():
+            if state["shard"] is None:
+                return
+            state["bin"].close()
+            sizes = np.asarray(state["sizes"], dtype=np.int32)
+            pointers = np.asarray(state["pointers"], dtype=np.int64)
+            n_seq = len(sizes)
+            doc_idx = np.arange(n_seq + 1, dtype=np.int64)
+            idx_tmp = state["idx_tmp"]
+            with open(idx_tmp, "wb") as f:
+                f.write(MMIDX_MAGIC)
+                f.write(struct.pack("<Q", MMIDX_VERSION))
+                f.write(struct.pack("<B", code))
+                f.write(struct.pack("<Q", n_seq))
+                f.write(struct.pack("<Q", len(doc_idx)))
+                f.write(sizes.tobytes())
+                f.write(pointers.tobytes())
+                f.write(doc_idx.tobytes())
+            bin_bytes = os.path.getsize(state["bin_tmp"])
+            idx_bytes = os.path.getsize(idx_tmp)
+            # publish .bin first: a reader keyed on .idx presence never
+            # sees an index whose payload is missing
+            os.replace(state["bin_tmp"], os.path.join(out_dir, state["bin_name"]))
+            os.replace(idx_tmp, os.path.join(out_dir, state["idx_name"]))
+            manifests.append(
+                (
+                    state["name"],
+                    n_seq,
+                    int(sizes.sum()),
+                    bin_bytes,
+                    idx_bytes,
+                )
+            )
+            state["shard"] = None
+
+        def open_shard(shard_id: int):
+            close_shard()
+            os.makedirs(out_dir, exist_ok=True)
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            attempt = ctx.taskAttemptId() if ctx is not None else 0
+            name = f"shard-{shard_id:05d}"
+            bin_tmp = os.path.join(out_dir, f".{name}.bin.{attempt}.tmp")
+            state.update(
+                shard=shard_id,
+                name=name,
+                bin_name=f"{name}.bin",
+                idx_name=f"{name}.idx",
+                bin_tmp=bin_tmp,
+                idx_tmp=os.path.join(out_dir, f".{name}.idx.{attempt}.tmp"),
+                bin=open(bin_tmp, "wb"),
+                sizes=[],
+                pointers=[],
+                offset=0,
+            )
+
+        try:
+            for pdf in batches:
+                for key, ids, sid in zip(
+                    pdf["key"], pdf["ids"], pdf["_shard"]
+                ):
+                    sid = int(sid)
+                    if state["shard"] != sid:
+                        open_shard(sid)
+                    if ids is None:
+                        raise ValueError(
+                            f"NULL ids array for sequence {key!r}"
+                        )
+                    arr = np.asarray(ids, dtype=np.int64)
+                    if len(arr) and (
+                        arr.min() < lo or arr.max() > hi
+                    ):
+                        raise ValueError(
+                            f"sequence {key!r} has ids outside "
+                            f"{dtype} range [{lo}, {hi}]: "
+                            f"[{arr.min()}, {arr.max()}]"
+                        )
+                    state["bin"].write(arr.astype(np_t).tobytes())
+                    state["sizes"].append(len(arr))
+                    state["pointers"].append(state["offset"])
+                    state["offset"] += len(arr) * itemsize
+            close_shard()
+        except BaseException:
+            if state["shard"] is not None:
+                try:
+                    state["bin"].close()
+                except Exception:
+                    pass
+                for t in (state["bin_tmp"], state["idx_tmp"]):
+                    if os.path.exists(t):
+                        os.remove(t)
+            raise
+        yield pd.DataFrame(
+            manifests,
+            columns=[
+                "shard",
+                "n_sequences",
+                "n_tokens",
+                "bin_bytes",
+                "idx_bytes",
+            ],
+        )
+
+    return (
+        data.repartition(int(n_shards), "_shard")
+        .sortWithinPartitions("_shard", "key")
+        .mapInPandas(
+            _write,
+            schema=(
+                "shard string, n_sequences long, n_tokens long, "
+                "bin_bytes long, idx_bytes long"
+            ),
+        )
+    )
+
+
+MM_READ_SCHEMA = "shard string, seq_idx long, n_tokens long, ids array<long>"
+
+
+def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
+    """Read Megatron indexed-dataset shards back as (shard, seq_idx,
+    n_tokens, ids) rows — ``seq_idx`` is the sequence's ordinal within
+    its shard (the format stores no keys; writer order is key-sorted).
+    Header corruption, dtype/doc_idx inconsistencies and torn
+    bin/pointer layouts fail LOUDLY (tested). Files are the
+    parallelism unit: the small .idx ships via binaryFile, the token
+    payload streams from the sibling .bin executor-side (shared
+    storage at scale, the same contract every file-based source has)."""
+    files = spark.read.format("binaryFile").load(idx_glob).select(
+        "path", "content"
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:9] != MMIDX_MAGIC:
+                    raise ValueError(f"{path}: bad index magic")
+                (ver,) = struct.unpack_from("<Q", raw, 9)
+                if ver != MMIDX_VERSION:
+                    raise ValueError(f"{path}: unsupported version {ver}")
+                (code,) = struct.unpack_from("<B", raw, 17)
+                if code not in _CODE_TO_NP:
+                    raise ValueError(f"{path}: unsupported dtype code {code}")
+                np_t = _CODE_TO_NP[code]
+                n_seq, n_docidx = struct.unpack_from("<QQ", raw, 18)
+                off = 34
+                sizes = np.frombuffer(raw, np.int32, n_seq, off)
+                off += 4 * n_seq
+                pointers = np.frombuffer(raw, np.int64, n_seq, off)
+                off += 8 * n_seq
+                doc_idx = np.frombuffer(raw, np.int64, n_docidx, off)
+                off += 8 * n_docidx
+                if off != len(raw):
+                    raise ValueError(
+                        f"{path}: trailing bytes ({len(raw) - off})"
+                    )
+                if n_docidx != n_seq + 1 or doc_idx[0] != 0 or (
+                    n_seq and doc_idx[-1] != n_seq
+                ):
+                    raise ValueError(f"{path}: inconsistent doc_idx")
+                itemsize = np.dtype(np_t).itemsize
+                want = pointers + sizes.astype(np.int64) * itemsize
+                if n_seq and (
+                    (pointers[1:] != want[:-1]).any() or pointers[0] != 0
+                ):
+                    raise ValueError(f"{path}: non-contiguous pointers")
+                local = path[len("file:"):] if path.startswith("file:") else path
+                bin_path = local[: -len(".idx")] + ".bin"
+                with open(bin_path, "rb") as f:
+                    payload = f.read()
+                if len(payload) != (int(want[-1]) if n_seq else 0):
+                    raise ValueError(
+                        f"{bin_path}: size {len(payload)} != index's "
+                        f"{int(want[-1]) if n_seq else 0}"
+                    )
+                shard = os.path.basename(local)[: -len(".idx")]
+                ids = [
+                    np.frombuffer(
+                        payload, np_t, int(sz), int(ptr)
+                    ).astype(np.int64)
+                    for sz, ptr in zip(sizes, pointers)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "shard": shard,
+                        "seq_idx": np.arange(n_seq, dtype=np.int64),
+                        "n_tokens": sizes.astype(np.int64),
+                        "ids": ids,
+                    }
+                )
+
+    return files.mapInPandas(_parse, schema=MM_READ_SCHEMA)
+
+
+MM_RT_SHARDS = 4
+
+
+def mm_roundtrip_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver slice (x24 ``kind=mm``, schema doc_id/s1/s2): prove the
+    binary token-shard layer end-to-end against a straight-SQL oracle
+    — every document's whitespace-token LENGTH array (a closed-form id
+    stream both engines derive from the text alone) writes into
+    .bin/.idx shards and reads back; s1 = shard name, s2 =
+    "seq_idx:n_tokens:id-stream-md5". The format stores no keys, so
+    doc_id is recovered by joining the read-back (shard, seq_idx) to
+    the sink's declared placement rule (portable hash shard +
+    key-sorted ordinal) computed from the INPUT side — the join itself
+    pins that placement. A header bug, a pointer off-by-one, a dtype
+    wrap or a dropped/duplicated/reordered sequence all break the
+    hash; the oracle recomputes everything from the documents table
+    with NO binary code. Materializes behind an EAGER localCheckpoint
+    so the scratch dir is removed before consumption."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from talna_spark.pipeline.portable import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("seq_id"),
+        F.transform(
+            tokens(F.col("text")), lambda t: F.length(t).cast("long")
+        ).alias("ids"),
+    )
+    expect = docs.select(
+        "doc_id",
+        F.format_string(
+            "shard-%05d", _shard_col("seq_id", MM_RT_SHARDS)
+        ).alias("shard"),
+        "seq_id",
+    ).withColumn(
+        "seq_idx",
+        F.row_number().over(
+            W.partitionBy("shard").orderBy(F.col("seq_id").asc())
+        )
+        - F.lit(1),
+    )
+    d = tempfile.mkdtemp(prefix="talna_mm_rt_")
+    try:
+        write_indexed_dataset(
+            docs.select("seq_id", "ids"), d, n_shards=MM_RT_SHARDS,
+            dtype="uint16",
+        ).collect()
+        out = (
+            read_indexed_dataset(spark, f"{d}/shard-*.idx")
+            .join(expect, ["shard", "seq_idx"])
+            .select(
+                "doc_id",
+                F.col("shard").alias("s1"),
+                F.concat_ws(
+                    ":",
+                    F.col("seq_idx").cast("string"),
+                    F.col("n_tokens").cast("string"),
+                    F.md5(
+                        F.encode(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.col("ids"),
+                                    lambda x: x.cast("string"),
+                                ),
+                            ),
+                            "UTF-8",
+                        )
+                    ),
+                ).alias("s2"),
+                F.lit("mm").alias("kind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def mm_roundtrip_layer_sql() -> str:
+    """DuckDB twin of :func:`mm_roundtrip_layer`: shard, ordinal and
+    id-stream md5 recomputed from the documents table directly — no
+    binary code anywhere in the oracle."""
+    from talna_spark.pipeline.portable import tokens_sql
+
+    shard = shard_expr_sql("doc_id", MM_RT_SHARDS)
+    lens = f"list_transform({tokens_sql('text')}, t -> len(t))"
+    return (
+        "SELECT doc_id, "
+        "'shard-' || lpad(CAST(shard AS VARCHAR), 5, '0') AS s1, "
+        "CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY shard ORDER BY CAST(doc_id AS VARCHAR)"
+        ") - 1 AS VARCHAR) || ':' || CAST(len(ids) AS VARCHAR) "
+        "|| ':' || md5(array_to_string(ids, ',')) AS s2, "
+        "'mm' AS kind "
+        f"FROM (SELECT {shard} AS shard, doc_id, {lens} AS ids "
+        "FROM documents)"
+    )

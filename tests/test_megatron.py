@@ -1,0 +1,170 @@
+"""Megatron-style indexed-dataset sink/source (sources/megatron.py):
+round-trip exactness, an INDEPENDENT struct-level parse of the
+published header layout, loud range/corruption failures, and
+deterministic bytes across repartitioning."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from talna_spark.sources.megatron import (
+    MM_DTYPES,
+    MMIDX_MAGIC,
+    MMIDX_VERSION,
+    read_indexed_dataset,
+    write_indexed_dataset,
+)
+
+
+def _seqs(spark, rows):
+    return spark.createDataFrame(rows, "seq_id string, ids array<long>")
+
+
+def test_roundtrip_exact_ids_and_manifest(spark, tmp_path):
+    """Every sequence's ids come back exactly (including a zero-length
+    sequence), and the manifest's token/sequence counts match."""
+    rows = [
+        ("a", [1, 2, 3]),
+        ("b", []),
+        ("c", [65535, 0, 7]),
+        ("d", list(range(100))),
+    ]
+    d = str(tmp_path / "mm")
+    man = write_indexed_dataset(
+        _seqs(spark, rows), d, n_shards=2, dtype="uint16"
+    ).collect()
+    assert sum(r["n_sequences"] for r in man) == 4
+    assert sum(r["n_tokens"] for r in man) == 3 + 0 + 3 + 100
+    back = read_indexed_dataset(spark, f"{d}/shard-*.idx").collect()
+    got = sorted(
+        (r["shard"], r["seq_idx"], list(r["ids"])) for r in back
+    )
+    # reconstruct expected (shard, ordinal) from the declared placement
+    from talna_spark.sources.megatron import _shard_col
+
+    placed = (
+        _seqs(spark, rows)
+        .select(
+            "seq_id", "ids", _shard_col("seq_id", 2).alias("s")
+        )
+        .collect()
+    )
+    by_shard: dict = {}
+    for r in sorted(placed, key=lambda r: (r["s"], r["seq_id"])):
+        by_shard.setdefault(r["s"], []).append(list(r["ids"]))
+    want = sorted(
+        (f"shard-{s:05d}", i, ids)
+        for s, seqs in by_shard.items()
+        for i, ids in enumerate(seqs)
+    )
+    assert got == want
+
+
+def test_index_header_is_the_published_layout(spark, tmp_path):
+    """Parse the .idx with nothing but struct/numpy — magic, version,
+    dtype code, counts, sizes, contiguous pointers, and the
+    [0..n_seq] doc_idx all sit exactly where the published format
+    puts them."""
+    rows = [("k0", [5, 6]), ("k1", [7]), ("k2", [8, 9, 10])]
+    d = str(tmp_path / "mm")
+    write_indexed_dataset(
+        _seqs(spark, rows), d, n_shards=1, dtype="int32"
+    ).collect()
+    raw = open(f"{d}/shard-00000.bin", "rb").read()
+    idx = open(f"{d}/shard-00000.idx", "rb").read()
+    assert idx[:9] == MMIDX_MAGIC
+    assert struct.unpack_from("<Q", idx, 9)[0] == MMIDX_VERSION
+    assert struct.unpack_from("<B", idx, 17)[0] == MM_DTYPES["int32"][0]
+    n_seq, n_docidx = struct.unpack_from("<QQ", idx, 18)
+    assert (n_seq, n_docidx) == (3, 4)
+    off = 34
+    sizes = np.frombuffer(idx, np.int32, n_seq, off)
+    off += 4 * n_seq
+    pointers = np.frombuffer(idx, np.int64, n_seq, off)
+    off += 8 * n_seq
+    doc_idx = np.frombuffer(idx, np.int64, n_docidx, off)
+    assert off + 8 * n_docidx == len(idx)  # nothing else in the file
+    assert sorted(sizes.tolist()) == [1, 2, 3]
+    assert pointers[0] == 0
+    assert (pointers[1:] == (pointers + sizes * 4)[:-1]).all()
+    assert doc_idx.tolist() == [0, 1, 2, 3]
+    assert len(raw) == int(sizes.sum()) * 4
+    # keys sort within the shard: k0's [5,6] is the first payload
+    assert np.frombuffer(raw, np.int32, 2, 0).tolist() == [5, 6]
+
+
+def test_out_of_range_null_and_bad_args_fail_loudly(spark, tmp_path):
+    d = str(tmp_path / "mm")
+    with pytest.raises(Exception, match="uint16 range"):
+        write_indexed_dataset(
+            _seqs(spark, [("a", [70000])]), d, n_shards=1, dtype="uint16"
+        ).collect()
+    with pytest.raises(Exception, match="uint16 range"):
+        write_indexed_dataset(
+            _seqs(spark, [("a", [-1])]), d, n_shards=1, dtype="uint16"
+        ).collect()
+    with pytest.raises(Exception, match="NULL ids"):
+        write_indexed_dataset(
+            _seqs(spark, [("a", None)]), d, n_shards=1
+        ).collect()
+    df = _seqs(spark, [("a", [1])])
+    with pytest.raises(ValueError, match="n_shards"):
+        write_indexed_dataset(df, d, n_shards=0)
+    with pytest.raises(ValueError, match="dtype"):
+        write_indexed_dataset(df, d, dtype="float32")
+    with pytest.raises(ValueError, match="needs"):
+        write_indexed_dataset(df.select("seq_id"), d)
+    # a failed write leaves no tmp residue behind
+    import os
+
+    leftovers = [
+        f for f in (os.listdir(d) if os.path.exists(d) else [])
+        if f.endswith(".tmp")
+    ]
+    assert leftovers == []
+
+
+def test_reader_rejects_corruption(spark, tmp_path):
+    d = str(tmp_path / "mm")
+    write_indexed_dataset(
+        _seqs(spark, [("a", [1, 2]), ("b", [3])]), d, n_shards=1
+    ).collect()
+    # bad magic
+    idx = f"{d}/shard-00000.idx"
+    raw = bytearray(open(idx, "rb").read())
+    raw[0] ^= 0xFF
+    open(idx, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="bad index magic"):
+        read_indexed_dataset(spark, idx).collect()
+    raw[0] ^= 0xFF
+    open(idx, "wb").write(bytes(raw))
+    # truncated payload
+    b = f"{d}/shard-00000.bin"
+    payload = open(b, "rb").read()
+    open(b, "wb").write(payload[:-4])
+    with pytest.raises(Exception, match="size"):
+        read_indexed_dataset(spark, idx).collect()
+
+
+def test_bytes_deterministic_across_partitioning(spark, tmp_path):
+    rows = [(f"k{i}", [i, i * 2, i * 3]) for i in range(50)]
+    outs = []
+    for rep, part in (("x", 1), ("y", 13)):
+        d = str(tmp_path / rep)
+        write_indexed_dataset(
+            _seqs(spark, rows).repartition(part), d, n_shards=3
+        ).collect()
+        outs.append(
+            {
+                f"shard-{s:05d}{ext}": open(
+                    f"{d}/shard-{s:05d}{ext}", "rb"
+                ).read()
+                for s in range(3)
+                for ext in (".bin", ".idx")
+            }
+        )
+    assert outs[0] == outs[1]
