@@ -675,6 +675,61 @@ def main() -> None:
 
         qs["_bench_tbudget"] = _tbudget
         pipe["pipe_tbudget"] = "_bench_tbudget"
+
+        # r13: the full mergeable-sketch family in ONE corpus pass over
+        # the exploded word-3-shingle stream (the synth corpus's plain
+        # tokens have a ~31-word vocabulary — shingles restore the
+        # high-cardinality regime the sketches exist for) — CMS cells,
+        # LC bitmap, HLL registers, bottom-k + KMV cardinality; wall =
+        # four bounded hash-aggs whose shuffles are sketch-sized,
+        # never corpus-keyed
+        def _bench_sketch_family(spark, sf_dir):
+            from pyspark.sql import functions as _Fs
+
+            from talna_spark.pipeline.portable import (
+                shingles as _shg,
+                tokens as _tok,
+            )
+            from talna_spark.pipeline.sketches import (
+                bk_build,
+                bk_cardinality,
+                cms_build,
+                hll_build,
+                hll_estimate,
+                lc_build,
+                lc_estimate,
+            )
+
+            toks = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select(_tok(_Fs.col("text")).alias("_w"))
+                .localCheckpoint(eager=False)
+                .select(_Fs.explode(_shg(_Fs.col("_w"), 3)).alias("v"))
+                .localCheckpoint(eager=False)
+            )
+            cms_n = cms_build(toks, "v").count()
+            lc_row = lc_estimate(lc_build(toks, "v")).collect()[0]
+            hll_row = hll_estimate(hll_build(toks, "v")).collect()[0]
+            kmv_row = bk_cardinality(bk_build(toks, "v")).collect()[0]
+            assert cms_n > 0 and kmv_row["est"] and hll_row["est"]
+            return spark.createDataFrame(
+                [(cms_n, lc_row["est"], hll_row["est"], kmv_row["est"])],
+                "cms_cells long, lc_est double, hll_est double, "
+                "kmv_est double",
+            )
+
+        qs["_bench_sketch_family"] = _bench_sketch_family
+        pipe["pipe_sketch_family"] = "_bench_sketch_family"
+
+        # r13: Megatron .bin/.idx token-shard sink round trip (write +
+        # read + verify join) — the binary-artifact analog of
+        # pipe_wds_roundtrip
+        from talna_spark.sources.megatron import (
+            mm_roundtrip_layer as _mm_rt,
+        )
+
+        qs["_bench_mm_roundtrip"] = _mm_rt
+        pipe["pipe_mm_roundtrip"] = "_bench_mm_roundtrip"
         for label, key in pipe.items():
             # assert non-empty inside the timed closure: a silently-empty
             # pipeline result must fail the bench, not post a fast number
