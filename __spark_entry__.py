@@ -1074,10 +1074,33 @@ def _x01_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("script_chars"), F.col("scripted_chars"),
         F.col("script_ratio"), "script",
     )
+    # `nfc` (r13): Unicode NFC normalization through the Arrow seam —
+    # each doc decorated with a closed-form DEnormalized suffix
+    # (combining marks / Hangul jamo / an NFKC-only form NFC must
+    # leave), then s1 = md5(NFC(decorated)) proves CPython's
+    # unicodedata against DuckDB's INDEPENDENT nfc_normalize
+    # byte-for-byte; v1 = changed flag, v2 = composed length, v3 =
+    # composition shrink.
+    deco = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.concat(
+                F.col("text"), _text.nfc_demo_decoration(F.col("doc_id"))
+            ).alias("text"),
+        )
+    )
+    nfc = norm(
+        _text.nfc_normalize_text(deco),
+        F.md5(F.encode(F.col("text_nfc"), "UTF-8")), nul,
+        (F.col("text_nfc") != F.col("text")).cast("int"),
+        F.length("text_nfc"),
+        F.length("text") - F.length("text_nfc"),
+        "nfc",
+    )
     return (
         tok.unionByName(qua).unionByName(lid).unionByName(lil)
         .unionByName(fpr).unionByName(uni).unionByName(red)
-        .unionByName(chk).unionByName(scr)
+        .unionByName(chk).unionByName(scr).unionByName(nfc)
     )
 
 
@@ -1126,7 +1149,16 @@ def _x01_text_signals_sql() -> str:
         "CAST(script_chars AS DOUBLE) AS v1, "
         "CAST(scripted_chars AS DOUBLE) AS v2, "
         "CAST(script_ratio AS DOUBLE) AS v3, 'script' AS kind "
-        f"FROM ({_text.script_id_sql()})"
+        f"FROM ({_text.script_id_sql()}) "
+        "UNION ALL "
+        "SELECT doc_id, md5(nfc_normalize(t)) AS s1, "
+        "CAST(NULL AS VARCHAR) AS s2, "
+        "CAST(nfc_normalize(t) != t AS INT) AS v1, "
+        "CAST(length(nfc_normalize(t)) AS DOUBLE) AS v2, "
+        "CAST(length(t) - length(nfc_normalize(t)) AS DOUBLE) AS v3, "
+        "'nfc' AS kind FROM (SELECT doc_id, text || "
+        + _text.nfc_demo_decoration_sql("doc_id")
+        + " AS t FROM documents)"
     )
 
 

@@ -1413,6 +1413,221 @@ def unicode_signals_sql() -> str:
 
 
 # ------------------------------------------------- script detection (r10)
+# ------------------------------------------- encoding repair (r13)
+# The REPAIR step behind unicode_signals' detection: the dominant
+# mojibake class is UTF-8 bytes decoded as cp1252/latin-1 ("ftfy"-class
+# damage: 'Ã©' where 'é' was meant), sometimes applied twice. Repair =
+# re-encode under the sloppy single-byte codec and re-decode as UTF-8,
+# accepted ONLY when the decode succeeds AND strictly reduces a damage
+# score — a conservative fixed point: clean text (which round-trips to
+# the same score) is never touched, and the loop re-runs until no
+# round improves (double-encoded damage unwinds in two).
+MOJIBAKE_MAX_ROUNDS = 3
+
+# chars whose PRESENCE marks likely cp1252-mojibake (UTF-8 lead/
+# continuation bytes viewed through cp1252), plus the C1 band and
+# U+FFFD; the score counts them so a repair must strictly shrink it
+_MOJIBAKE_MARKERS = "\u00c2\u00c3\u00c4\u00c5\u0082\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178\ufffd"
+
+
+def _mojibake_fix_one(text: str, max_rounds: int) -> tuple[str, int]:
+    """(fixed_text, rounds_applied) — pure function, shared by the
+    executor closure and the unit oracle."""
+
+    def score(t: str) -> int:
+        n = 0
+        for ch in t:
+            o = ord(ch)
+            if 0x80 <= o <= 0x9F or ch in _MOJIBAKE_MARKERS:
+                n += 1
+        return n
+
+    rounds = 0
+    cur = text
+    cur_score = score(cur)
+    while rounds < max_rounds and cur_score > 0:
+        try:
+            raw = cur.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                raw = cur.encode("latin-1")
+            except UnicodeEncodeError:
+                break
+        try:
+            cand = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        cand_score = score(cand)
+        if cand_score >= cur_score:
+            break
+        cur, cur_score = cand, cand_score
+        rounds += 1
+    return cur, rounds
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "text_fixed",
+    max_rounds: int = MOJIBAKE_MAX_ROUNDS,
+) -> DataFrame:
+    """Repair cp1252/latin-1 double-decode mojibake in ``text_col``,
+    adding ``out`` (the repaired text) and ``{out}_rounds`` (how many
+    decode layers unwound; 0 = untouched). NULL text passes through as
+    NULL with rounds 0. Conservative by construction — see the module
+    comment; unit-oracled against byte-level fixtures (codecs are not
+    SQL-expressible, so this op is unit-tier like the tokenizer seams).
+
+    100 TB shape: Arrow-batched mapInPandas, map-only, zero shuffle —
+    the multimodal-codec seam discipline; all other columns pass
+    through untouched."""
+    import pandas as pd
+
+    cols = df.columns
+    if text_col not in cols:
+        raise ValueError(f"fix_mojibake input needs {text_col!r}")
+    rounds_col = f"{out}_rounds"
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # StructType.add mutates in place — never touch df.schema itself
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out, StringType()), StructField(rounds_col, IntegerType())]
+    )
+    mr = int(max_rounds)
+    markers = _MOJIBAKE_MARKERS
+
+    def _fix(batches):
+        # self-contained closure (executors lack the repo on sys.path)
+        def score(t):
+            n = 0
+            for ch in t:
+                o = ord(ch)
+                if 0x80 <= o <= 0x9F or ch in markers:
+                    n += 1
+            return n
+
+        def fix_one(text):
+            rounds = 0
+            cur = text
+            cur_score = score(cur)
+            while rounds < mr and cur_score > 0:
+                try:
+                    raw = cur.encode("cp1252")
+                except UnicodeEncodeError:
+                    try:
+                        raw = cur.encode("latin-1")
+                    except UnicodeEncodeError:
+                        break
+                try:
+                    cand = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    break
+                cand_score = score(cand)
+                if cand_score >= cur_score:
+                    break
+                cur, cur_score = cand, cand_score
+                rounds += 1
+            return cur, rounds
+
+        for pdf in batches:
+            fixed, nr = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    fixed.append(None)
+                    nr.append(0)
+                else:
+                    f, r = fix_one(t)
+                    fixed.append(f)
+                    nr.append(r)
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(fixed, index=pdf.index, dtype=object)
+            pdf[rounds_col] = pd.Series(nr, index=pdf.index, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(_fix, schema=out_schema)
+
+
+def nfc_normalize_text(
+    df: DataFrame, text_col: str = "text", out: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization of ``text_col`` into ``out`` — the
+    canonical-composition step quality signals and dedup hashes assume
+    (decomposed 'e'+COMBINING ACUTE and composed 'é' must hash alike).
+    Spark has no normalization builtin, so this is the Arrow
+    mapInPandas seam running CPython's unicodedata NFC; the driver
+    slice proves it against DuckDB's nfc_normalize — two INDEPENDENT
+    implementations of the same published Unicode algorithm must agree
+    byte-for-byte (x01 ``kind=nfc``). NFKC (compatibility folding) is
+    deliberately NOT applied: 'ﬁ'/'²' are meaning-bearing and their
+    folding is a separate, lossy decision.
+
+    100 TB shape: map-only, zero shuffle, all columns pass through."""
+    import pandas as pd
+
+    if text_col not in df.columns:
+        raise ValueError(f"nfc_normalize_text input needs {text_col!r}")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, StringType())]
+    )
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(
+                [
+                    None if t is None else unicodedata.normalize("NFC", t)
+                    for t in pdf[text_col]
+                ],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield pdf
+
+    return df.mapInPandas(_norm, schema=out_schema)
+
+
+# the closed-form decorations the x01 `nfc` driver slice appends to each
+# doc (doc_id % len picks one): denormalized sequences NFC must compose
+# (combining marks, Hangul jamo) plus an NFKC-only form NFC must LEAVE
+# (the algorithm-identity check, not just the plumbing)
+NFC_DECORATIONS = (
+    "e\u0301",        # -> é
+    "A\u030a",        # -> Å
+    "o\u0308q\u0307",  # -> ö + q̇ (q has no precomposed dot form)
+    "\u1100\u1161",   # Hangul jamo -> 가
+    "\ufb01\u00b2",   # NFKC-only forms: NFC must keep ﬁ and ²
+    "s\u0323\u0307",  # s + dot-below + dot-above -> ṩ (reorder + compose)
+)
+
+
+def nfc_demo_decoration(doc_id_col) -> F.Column:
+    """The doc's decoration as a Column (element_at is 1-based)."""
+    return F.element_at(
+        F.array(*[F.lit(d) for d in NFC_DECORATIONS]),
+        (doc_id_col % F.lit(len(NFC_DECORATIONS))).cast("int") + F.lit(1),
+    )
+
+
+def nfc_demo_decoration_sql(doc_id_expr: str) -> str:
+    arr = ", ".join(
+        "'" + d.replace("'", "''") + "'" for d in NFC_DECORATIONS
+    )
+    return (
+        f"list_value({arr})[CAST(({doc_id_expr}) % "
+        f"{len(NFC_DECORATIONS)} AS INT) + 1]"
+    )
+
+
 # Unicode script ranges (BMP; name -> inclusive codepoint ranges). The
 # routing signal fastText-class pipelines compute BEFORE language ID:
 # script narrows the candidate language set and catches mislabeled

@@ -87,3 +87,82 @@ def test_winnow_fingerprints_guarantees(spark, tmp_path):
     for did, pos, h in con.execute(winnow_fingerprints_sql()).fetchall():
         orc.setdefault(did, set()).add((pos, h))
     assert orc == got
+
+
+# ------------------------------------------- encoding repair + NFC (r13)
+def test_fix_mojibake_repairs_and_stays_conservative(spark):
+    """Single and double cp1252 mojibake unwind (rounds 1 / 2), clean
+    ASCII and genuinely-accented text pass untouched (rounds 0), NULL
+    stays NULL, and other columns ride through."""
+    from talna_spark.pipeline.text import fix_mojibake
+
+    cafe = "caf\u00e9"
+    euro_moji = "price: \u00e2\u201a\u00ac5"  # euro sign through cp1252
+    cafe1 = "caf\u00c3\u00a9"            # cafe decoded once as cp1252
+    cafe2 = "caf\u00c3\u0192\u00c2\u00a9"  # decoded twice (0x83 -> U+0192)
+    rows = [
+        (1, cafe1, "a"),
+        (2, cafe2, "b"),
+        (3, "clean text", "c"),
+        (4, cafe, "d"),     # real accented text -- must not change
+        (5, None, "e"),
+        (6, euro_moji, "f"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    got = {
+        r["doc_id"]: (r["text_fixed"], r["text_fixed_rounds"], r["tag"])
+        for r in fix_mojibake(d).collect()
+    }
+    assert got[1] == (cafe, 1, "a")
+    assert got[2] == (cafe, 2, "b")
+    assert got[3] == ("clean text", 0, "c")
+    assert got[4] == (cafe, 0, "d")
+    assert got[5] == (None, 0, "e")
+    assert got[6] == ("price: \u20ac5", 1, "f")
+    # input frame's schema is untouched (StructType.add mutates --
+    # regression guard for the shared-schema bug)
+    assert d.columns == ["doc_id", "text", "tag"]
+
+
+def test_nfc_normalize_matches_duckdb_and_is_idempotent(spark):
+    """CPython's unicodedata NFC and DuckDB's nfc_normalize are two
+    INDEPENDENT implementations of the same Unicode algorithm -- they
+    must agree byte-for-byte on composition, mark reordering, Hangul
+    jamo, and on LEAVING NFKC-only compatibility forms."""
+    import duckdb
+
+    from talna_spark.pipeline.text import (
+        NFC_DECORATIONS,
+        nfc_normalize_text,
+    )
+
+    rows = [(i, f"doc {i} " + d) for i, d in enumerate(NFC_DECORATIONS)]
+    rows.append((len(rows), None))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_nfc"] for r in nfc_normalize_text(d).collect()
+    }
+    con = duckdb.connect()
+    for i, t in rows:
+        if t is None:
+            assert got[i] is None
+            continue
+        want = con.execute(
+            "SELECT nfc_normalize(?)", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (i, t)
+    # idempotent: normalizing the normalized output changes nothing
+    d2 = spark.createDataFrame(
+        [(k, v) for k, v in got.items() if v is not None],
+        "doc_id long, text string",
+    )
+    again = {
+        r["doc_id"]: r["text_nfc"] for r in nfc_normalize_text(d2).collect()
+    }
+    assert again == {k: v for k, v in got.items() if v is not None}
+    # the NFKC-only decoration is genuinely unchanged by NFC
+    import unicodedata
+
+    i_nfkc = 4  # NFC_DECORATIONS[4] is the compatibility-form entry
+    assert got[i_nfkc] == rows[i_nfkc][1]
+    assert unicodedata.normalize("NFKC", got[i_nfkc]) != got[i_nfkc]
