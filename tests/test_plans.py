@@ -665,3 +665,59 @@ def test_no_captured_costly_expressions_in_any_driver_query(spark):
         "HOF lambdas capturing costly expressions over non-lambda "
         f"attributes (the r12 O(n^2) class): {offenders}"
     )
+
+
+def test_weighted_sample_global_is_topk_not_full_sort(spark):
+    """100 TB contract: the global weighted sample plans as a top-k
+    (TakeOrderedAndProject — per-partition partial limits, k rows to
+    the driver), never a corpus-wide Sort+Exchange; grouped form is
+    the reservoir window shape."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.sampling import weighted_sample
+
+    d = spark.range(10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1.0).alias("w")
+    )
+    g = weighted_sample(d, "doc_id", "w", 50)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_indexed_dataset_writer_single_shuffle(spark, tmp_path):
+    """100 TB contract: the .bin/.idx writer's only exchange is the ONE
+    hash repartition into shard partitions — no window, no extra sort
+    exchange (sortWithinPartitions is partition-local), no Python rows
+    outside the Arrow sink itself."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.sources.megatron import write_indexed_dataset
+
+    d = spark.range(200).select(
+        F.col("id").cast("string").alias("seq_id"),
+        F.array(F.col("id"), F.col("id") * 2).alias("ids"),
+    )
+    man = write_indexed_dataset(d, str(tmp_path / "mm"), n_shards=3)
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_nfc_normalize_map_only(spark):
+    """100 TB contract: NFC normalization is one Arrow map pass — zero
+    exchanges, all input columns ride through."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.text import nfc_normalize_text
+
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x"), F.col("id")).alias("text"),
+        F.lit("keep").alias("extra"),
+    )
+    out = nfc_normalize_text(d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert out.columns == ["doc_id", "text", "extra", "text_nfc"]
