@@ -826,3 +826,150 @@ def hll_estimate_sql(values_sql: str, p: int = HLL_P) -> str:
         f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
         "ELSE round(e_raw, 6) END AS est FROM e"
     )
+
+
+def hll_build_grouped(
+    d: DataFrame, group_col: str, col: str, p: int = HLL_P
+) -> DataFrame:
+    """(g, bucket, rho): a HyperLogLog register table PER GROUP in one
+    distributed pass — the per-domain form of :func:`hll_build` (a
+    crawl dashboard sketches every domain's distinct-URL count at
+    once, never one job per domain). Same register semantics;
+    mergeable with :func:`hll_merge_grouped`.
+
+    100 TB shape: ONE max hash-agg keyed on (group, bucket) with
+    map-side partials — shuffle rows capped at groups x 2^p, and no
+    per-group funneling (the agg key carries the bucket, so a
+    mega-group spreads across reducers)."""
+    if not 7 <= int(p) <= 16:
+        raise ValueError("p must be in [7, 16]")
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    h32 = hash64(F.concat(F.lit("hll|"), F.col(col))).bitwiseAND(
+        F.lit(4294967295)
+    )
+    return (
+        d.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h32.alias("_h"))
+        .select(
+            "g",
+            F.col("_h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            F.shiftright(F.col("_h"), p).alias("_w"),
+        )
+        .select(
+            "g",
+            "bucket",
+            F.least(
+                F.bit_count(
+                    F.col("_w").bitwiseAND(-F.col("_w")) - F.lit(1)
+                )
+                + F.lit(1),
+                F.lit(q),
+            )
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge_grouped(*sketches: DataFrame) -> DataFrame:
+    """MAX together grouped register tables built with the same p —
+    per-shard crawl sketches compose into the union's per-group
+    registers (tested cell-identical)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("g", "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_grouped(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
+    """(g, buckets_set, zeros, est): the per-group HLL estimate — the
+    scalar :func:`hll_estimate` formula applied group-wise (identical
+    piecewise corrections, integer register sums, one division per
+    group). Plan: one sketch-sized hash-agg keyed on the group."""
+    if not 7 <= int(p) <= 16:
+        raise ValueError("p must be in [7, 16]")
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    a_num = _hll_alpha(m) * m * m * float(1 << q)
+    two32 = float(1 << 32)
+    cnt = F.count(F.lit(1)).cast("long")
+    sumterm = F.coalesce(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")),
+        F.lit(0),
+    ).cast("long")
+    agg = sketch.groupBy("g").agg(cnt.alias("_cnt"), sumterm.alias("_st"))
+    zeros = (F.lit(m) - F.col("_cnt")).cast("long")
+    s_scaled = (
+        (F.lit(m) - F.col("_cnt")).cast("long") * F.lit(1 << q)
+        + F.col("_st")
+    ).cast("double")
+    e_raw = F.lit(a_num) / s_scaled
+    est = (
+        F.when(
+            (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.round(
+                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+                6,
+            ),
+        )
+        .when(
+            e_raw > F.lit(two32 / 30.0),
+            F.round(
+                -F.lit(two32) * F.log(F.lit(1.0) - e_raw / F.lit(two32)), 6
+            ),
+        )
+        .otherwise(F.round(e_raw, 6))
+    )
+    return agg.select(
+        "g",
+        F.col("_cnt").alias("buckets_set"),
+        zeros.alias("zeros"),
+        est.alias("est"),
+    )
+
+
+def hll_grouped_registers_sql(
+    values_sql: str, p: int = HLL_P
+) -> str:
+    """DuckDB twin of :func:`hll_build_grouped` over ``values_sql``
+    (columns g, v): identical (g, bucket, rho) registers."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    h = hash64_sql("'hll|' || v")
+    return (
+        f"SELECT g, h & {m - 1} AS bucket, "
+        f"MAX(CAST(LEAST(bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1, "
+        f"{q}) AS INT)) AS rho "
+        f"FROM (SELECT g, ({h}) & 4294967295 AS h FROM ({values_sql}) "
+        "WHERE v IS NOT NULL AND g IS NOT NULL) GROUP BY 1, 2"
+    )
+
+
+def hll_estimate_grouped_sql(values_sql: str, p: int = HLL_P) -> str:
+    """DuckDB twin of grouped build + estimate: identical
+    (g, buckets_set, zeros, est) rows."""
+    p = int(p)
+    m, q = 1 << p, 33 - p
+    a_num = _hll_alpha(m) * m * m * float(1 << q)
+    two32 = float(1 << 32)
+    return (
+        f"WITH r AS ({hll_grouped_registers_sql(values_sql, p)}), "
+        "a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"CAST(COALESCE(SUM(1::BIGINT << ({q} - rho)), 0) AS BIGINT) "
+        "AS st FROM r GROUP BY g), "
+        f"e AS (SELECT g, cnt, CAST({m} - cnt AS BIGINT) AS zeros, "
+        f"{a_num!r} / CAST(({m} - cnt) * {1 << q} + st AS DOUBLE) "
+        "AS e_raw FROM a) "
+        "SELECT g, cnt AS buckets_set, zeros, "
+        f"CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN "
+        f"round(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
+        "CAST(zeros AS DOUBLE)), 6) "
+        f"WHEN e_raw > {two32 / 30.0!r} THEN "
+        f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
+        "ELSE round(e_raw, 6) END AS est FROM e"
+    )

@@ -934,6 +934,31 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # ``hllg`` (r13): the GROUPED HLL form — per-DOMAIN distinct-URL
+    # estimates next to the exact counts, every domain sketched in ONE
+    # (group, bucket)-keyed hash-agg (the crawl-dashboard shape; a
+    # mega-domain spreads across reducers because the agg key carries
+    # the bucket). id=domain, v1=buckets_set, v2=exact distinct urls,
+    # v3=round(est * 1e6).
+    from talna_spark.pipeline.sketches import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    gsrc = domsb.select(F.col("_dom").alias("g"), F.col("url").alias("v"))
+    gex = gsrc.groupBy("g").agg(F.countDistinct("v").alias("_nd"))
+    hllg = (
+        hll_estimate_grouped(hll_build_grouped(gsrc, "g", "v", p=7), p=7)
+        .join(gex, "g")
+        .select(
+            F.col("g").alias("id"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("buckets_set").cast("long").alias("v1"),
+            F.col("_nd").cast("long").alias("v2"),
+            F.round(F.col("est") * F.lit(1e6)).cast("long").alias("v3"),
+            F.lit("hllg").alias("kind"),
+        )
+    )
     # ``bkc`` (r13): KMV bottom-k cardinality of the URL set (k=64 <
     # the distinct count, so the (k-1)*H/h_k estimator is exercised,
     # not the small-set exact case) — with bk/bkg this completes
@@ -984,6 +1009,7 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bk)
         .unionByName(bkg)
         .unionByName(hll)
+        .unionByName(hllg)
         .unionByName(bkc)
         .unionByName(qs)
     )
@@ -996,6 +1022,7 @@ def domain_layer_sql() -> str:
         bk_resemblance_grouped_sql,
         bk_resemblance_sql,
         cms_estimate_sql,
+        hll_estimate_grouped_sql,
         hll_estimate_sql,
         lc_estimate_sql,
         qs_quantiles_sql,
@@ -1093,6 +1120,20 @@ def domain_layer_sql() -> str:
         + ") h CROSS JOIN (SELECT COUNT(DISTINCT url || '#' || "
         "CAST(doc_id AS VARCHAR)) AS nd "
         f"FROM ({doms}) WHERE domain IS NOT NULL) x "
+        "UNION ALL "
+        "SELECT hg.g AS id, CAST(NULL AS VARCHAR) AS s1, "
+        "CAST(hg.buckets_set AS BIGINT) AS v1, "
+        "CAST(gx.nd AS BIGINT) AS v2, "
+        "CAST(round(hg.est * 1000000, 0) AS BIGINT) AS v3, "
+        "'hllg' AS kind FROM ("
+        + hll_estimate_grouped_sql(
+            f"SELECT domain AS g, url AS v FROM ({doms}) "
+            "WHERE domain IS NOT NULL",
+            p=7,
+        )
+        + ") hg JOIN (SELECT domain AS g, COUNT(DISTINCT url) AS nd "
+        f"FROM ({doms}) WHERE domain IS NOT NULL GROUP BY 1) gx "
+        "ON hg.g = gx.g "
         "UNION ALL "
         "SELECT 'url' AS id, CAST(NULL AS VARCHAR) AS s1, "
         "CAST(c.n_k AS BIGINT) AS v1, CAST(x.nd AS BIGINT) AS v2, "

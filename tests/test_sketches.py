@@ -646,3 +646,68 @@ def test_bk_cardinality_exact_estimator_and_cross_engine(spark):
             assert row["est"] == float(n)
         else:
             assert abs(row["est"] - n) / n < 4 / k**0.5, (n, k, row["est"])
+
+
+def test_hll_grouped_matches_scalar_merges_and_cross_engine(spark):
+    """Per-group registers and estimates equal the scalar build on each
+    group's subset; shard merges compose; the DuckDB twin is register-
+    and estimate-identical."""
+    from talna_spark.pipeline.sketches import (
+        hll_build,
+        hll_build_grouped,
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_estimate_grouped_sql,
+        hll_grouped_registers_sql,
+        hll_merge_grouped,
+    )
+
+    d = spark.range(251).select(
+        F.when(F.col("id") < 200, F.lit("g0"))
+        .when(F.col("id") < 250, F.lit("g1"))
+        .otherwise(F.lit("g2"))
+        .alias("g"),
+        F.concat(F.lit("val-"), F.col("id")).alias("v"),
+    )
+    sk = hll_build_grouped(d, "g", "v", p=7)
+    est = {
+        r["g"]: (r["buckets_set"], r["zeros"], r["est"])
+        for r in hll_estimate_grouped(sk, p=7).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        sub = d.filter(F.col("g") == g).select("v")
+        row = hll_estimate(hll_build(sub, "v", p=7), p=7).collect()[0]
+        assert est[g] == (
+            row["buckets_set"],
+            row["zeros"],
+            row["est"],
+        ), g
+
+    sh = [
+        hll_build_grouped(d.filter(F.col("id") % 2 == i), "g", "v", p=7)
+        for i in range(2)
+    ]
+    merged = sorted(
+        (r["g"], r["bucket"], r["rho"])
+        for r in hll_merge_grouped(*sh).collect()
+    )
+    whole = sorted((r["g"], r["bucket"], r["rho"]) for r in sk.collect())
+    assert merged == whole
+
+    vsql = (
+        "SELECT CASE WHEN i < 200 THEN 'g0' WHEN i < 250 THEN 'g1' "
+        "ELSE 'g2' END AS g, 'val-' || CAST(i AS VARCHAR) AS v "
+        "FROM generate_series(0, 250) s(i)"
+    )
+    con = duckdb.connect()
+    oregs = sorted(
+        con.execute(hll_grouped_registers_sql(vsql, p=7)).fetchall()
+    )
+    assert whole == oregs
+    oest = {
+        g: (b, z, e)
+        for g, b, z, e in con.execute(
+            hll_estimate_grouped_sql(vsql, p=7)
+        ).fetchall()
+    }
+    assert oest == est
