@@ -1733,14 +1733,14 @@ from talna_spark.sources import webdataset as _wds  # noqa: E402
 # mm_roundtrip_layer) — closed-form token-length id streams through
 # write_indexed_dataset -> read_indexed_dataset, oracle recomputed
 # from the documents table with no binary code.
-from talna_spark.sources import megatron as _mm  # noqa: E402
+from talna_spark.sources import megatron as _mmidx  # noqa: E402
 
 
 def _x24_url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _warc.url_layer(spark, sf_dir)
         .unionByName(_wds.roundtrip_layer(spark, sf_dir))
-        .unionByName(_mm.mm_roundtrip_layer(spark, sf_dir))
+        .unionByName(_mmidx.mm_roundtrip_layer(spark, sf_dir))
     )
 
 
@@ -1750,7 +1750,7 @@ _EXT["x24_url_layer"] = (
     + " UNION ALL "
     + _wds.roundtrip_layer_sql()
     + " UNION ALL "
-    + _mm.mm_roundtrip_layer_sql(),
+    + _mmidx.mm_roundtrip_layer_sql(),
 )
 _EXT["x26_domain_layer"] = (_warc.domain_layer, _warc.domain_layer_sql())
 
