@@ -774,13 +774,26 @@ def _q42_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.col("n"), F.col("rank"),
         F.col("guaranteed").cast("int"), "heavyhitters",
     )
-    return dec.unionByName(rep).unionByName(hh)
+    # `entropy` (r13): per-doc character Shannon entropy in integer
+    # nano-bits (each (doc, char) term quantized BEFORE the sum — the
+    # DSIR integer-unit discipline, so no double-summation-order
+    # hazard) — id=doc_id, v1=n_chars, v2=distinct_chars,
+    # v3=entropy_nanobits.
+    from talna_spark.pipeline.text import char_entropy
+
+    ent = norm(
+        char_entropy(spark, sf_dir),
+        "doc_id", F.col("n_chars"), F.col("distinct_chars"),
+        F.col("entropy_nanobits"), "entropy",
+    )
+    return dec.unionByName(rep).unionByName(hh).unionByName(ent)
 
 
 from talna_spark.pipeline.decontam import contamination_scan_sql as _dc_sql  # noqa: E402
 from talna_spark.pipeline.portable import tokens_sql as _toks_sql  # noqa: E402
 from talna_spark.pipeline.text import HH_SLOTS as _HH_SLOTS  # noqa: E402
 from talna_spark.pipeline.text import TOKEN_TOP_K as _HH_K  # noqa: E402
+from talna_spark.pipeline.text import char_entropy_sql as _entropy_sql  # noqa: E402
 from talna_spark.pipeline.text import repetition_sql as _rep_sql  # noqa: E402
 
 
@@ -807,7 +820,13 @@ def _q42_signals_sql() -> str:
         f"CAST(top_word_share AS DOUBLE) AS v2, 0.0 AS v3, "
         f"'repetition' AS kind FROM ({_rep_sql()}) "
         f"UNION ALL "
-        f"SELECT id, v1, v2, v3, 'heavyhitters' AS kind FROM ({hh})"
+        f"SELECT id, v1, v2, v3, 'heavyhitters' AS kind FROM ({hh}) "
+        f"UNION ALL "
+        f"SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"CAST(n_chars AS DOUBLE) AS v1, "
+        f"CAST(distinct_chars AS DOUBLE) AS v2, "
+        f"CAST(entropy_nanobits AS DOUBLE) AS v3, 'entropy' AS kind "
+        f"FROM ({_entropy_sql()})"
     )
 
 

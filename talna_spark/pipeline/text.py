@@ -1413,6 +1413,137 @@ def unicode_signals_sql() -> str:
 
 
 # ------------------------------------------------- script detection (r10)
+# --------------------------------------- information signals (r13)
+# Two complementary "is this text junk?" measures quality batteries
+# use alongside the ratio heuristics: character-level Shannon entropy
+# (low = repetitive/templated junk, ~4.1 bits/char is typical English
+# prose) and a compressibility check (gzip squeezes generated/looping
+# text far below prose's ~2.5-3x).
+ENTROPY_UNIT = 1_000_000_000  # nano-bits: integer per-term quantization
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, distinct_chars, entropy_nanobits): per-doc
+    Shannon entropy of the character distribution, in integer NANO-BITS
+    (the DSIR micro-nat discipline: each (doc, char) term
+    n_i * log2(N/n_i) / N quantizes to an int64 BEFORE the sum, so the
+    cross-engine result never depends on double summation order — the
+    one log per term is pinned by the quantization). Empty/NULL docs
+    report zero entropy over zero chars.
+
+    100 TB shape: explode chars -> ONE count hash-agg keyed
+    (doc, char) whose map-side partials compress the stream to
+    docs x alphabet rows, then a window + sum over that TINY frame
+    (per-doc rows <= the alphabet, so no skew funnel)."""
+    from pyspark.sql.window import Window as W
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("doc_id")
+    total = F.sum("n").over(w)
+    term = F.round(
+        F.col("n")
+        * (F.log2(total.cast("double")) - F.log2(F.col("n").cast("double")))
+        / total
+        * F.lit(float(ENTROPY_UNIT))
+    ).cast("long")
+    per_doc = (
+        counts.select("doc_id", F.col("n"), term.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            F.sum("t").cast("long").alias("entropy_nanobits"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("distinct_chars", F.lit(0)).alias("distinct_chars"),
+            F.coalesce("entropy_nanobits", F.lit(0)).alias(
+                "entropy_nanobits"
+            ),
+        )
+    )
+
+
+def char_entropy_sql() -> str:
+    """DuckDB twin: identical per-term nano-bit quantization, identical
+    integer sums."""
+    return (
+        "WITH ch AS (SELECT doc_id, c FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(text, '')) AS c FROM documents) "
+        "WHERE c != ''), "
+        "counts AS (SELECT doc_id, c, COUNT(*) AS n FROM ch "
+        "GROUP BY 1, 2), "
+        "terms AS (SELECT doc_id, n, CAST(round(n * (log2(CAST("
+        "SUM(n) OVER (PARTITION BY doc_id) AS DOUBLE)) - "
+        "log2(CAST(n AS DOUBLE))) / SUM(n) OVER (PARTITION BY doc_id) "
+        f"* {float(ENTROPY_UNIT)!r}) AS BIGINT) AS t FROM counts), "
+        "agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars, "
+        "CAST(COUNT(*) AS BIGINT) AS distinct_chars, "
+        "CAST(SUM(t) AS BIGINT) AS entropy_nanobits FROM terms "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.n_chars, 0) AS n_chars, "
+        "COALESCE(a.distinct_chars, 0) AS distinct_chars, "
+        "COALESCE(a.entropy_nanobits, 0) AS entropy_nanobits "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out: str = "compression_ratio"
+) -> DataFrame:
+    """zlib compressibility signal: ``out`` = deflated bytes / utf-8
+    bytes at level 6, rounded to 6 dp (looping/generated text squeezes
+    far below prose; the Gopher-adjacent junk check entropy misses when
+    repetition spans longer than one character). NULL/empty text
+    reports NULL. Unit-tier (zlib is not SQL-expressible) — the
+    tokenizer-seam class, byte-exactness pinned against direct zlib in
+    tests.
+
+    100 TB shape: Arrow mapInPandas, map-only, zero shuffle, all
+    columns ride through."""
+    import pandas as pd
+
+    if text_col not in df.columns:
+        raise ValueError(f"compression_ratio input needs {text_col!r}")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, DoubleType())]
+    )
+
+    def _ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            vals = []
+            for t in pdf[text_col]:
+                if t is None or t == "":
+                    vals.append(None)
+                else:
+                    raw = t.encode("utf-8")
+                    vals.append(
+                        round(len(zlib.compress(raw, 6)) / len(raw), 6)
+                    )
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(vals, index=pdf.index, dtype=float)
+            yield pdf
+
+    return df.mapInPandas(_ratio, schema=out_schema)
+
+
 # ------------------------------------------- encoding repair (r13)
 # The REPAIR step behind unicode_signals' detection: the dominant
 # mojibake class is UTF-8 bytes decoded as cp1252/latin-1 ("ftfy"-class

@@ -166,3 +166,72 @@ def test_nfc_normalize_matches_duckdb_and_is_idempotent(spark):
     i_nfkc = 4  # NFC_DECORATIONS[4] is the compatibility-form entry
     assert got[i_nfkc] == rows[i_nfkc][1]
     assert unicodedata.normalize("NFKC", got[i_nfkc]) != got[i_nfkc]
+
+
+def test_char_entropy_closed_forms_and_cross_engine(spark, tmp_path):
+    """A two-symbol uniform string scores exactly 1 bit/char (1e9
+    nano-bits total), a one-symbol string exactly 0, repeated junk
+    scores below prose, empty text reports zeros — and DuckDB computes
+    the identical integer nano-bit sums."""
+    import duckdb
+
+    from talna_spark.pipeline.text import char_entropy, char_entropy_sql
+
+    rows = [
+        (0, "ab" * 50),
+        (1, "x" * 80),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "aaaaabaaaaabaaaaab"),
+        (4, ""),
+    ]
+    d = str(tmp_path / "ent")
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source", "1 AS n_chars"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["distinct_chars"], r["entropy_nanobits"]
+        )
+        for r in char_entropy(spark, d).collect()
+    }
+    assert got[0] == (100, 2, 10 ** 9)  # exactly 1 bit/char
+    assert got[1] == (80, 1, 0)
+    assert got[4] == (0, 0, 0)
+    # prose beats looping junk on the same length scale
+    assert got[2][2] / got[2][0] > got[3][2] / got[3][0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(char_entropy_sql()).fetchall()
+    }
+    assert got == want
+
+
+def test_compression_ratio_pins_zlib_and_separates_junk(spark):
+    """Ratios equal direct zlib level-6 on the utf-8 bytes; looping
+    text compresses far below prose; NULL/empty yield NULL; other
+    columns ride through."""
+    import zlib
+
+    from talna_spark.pipeline.text import compression_ratio
+
+    prose = (
+        "Weather systems moved east on Tuesday, bringing scattered "
+        "showers to the coastal plains while inland valleys stayed dry."
+    )
+    junk = "spam ham " * 40
+    rows = [(1, prose, "a"), (2, junk, "b"), (3, None, "c"), (4, "", "d")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    got = {
+        r["doc_id"]: (r["compression_ratio"], r["tag"])
+        for r in compression_ratio(d).collect()
+    }
+    for i, t in ((1, prose), (2, junk)):
+        raw = t.encode("utf-8")
+        assert got[i][0] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got[3] == (None, "c") and got[4] == (None, "d")
+    assert got[1][0] > 3 * got[2][0]  # prose vs looping junk
