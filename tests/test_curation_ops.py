@@ -282,12 +282,12 @@ def test_x01_text_signals_slices(spark):
     pdf = df.toPandas()
     assert set(pdf["kind"]) == {
         "tokens", "quality", "langid", "langid_learned", "fingerprint",
-        "unicode", "redact", "chunk", "script"
+        "unicode", "redact", "chunk", "script", "nfc"
     }
     n_docs = pdf[pdf["kind"] == "tokens"].shape[0]
     assert all(pdf[pdf["kind"] == k].shape[0] == n_docs for k in
                ("quality", "langid", "langid_learned", "fingerprint",
-                "unicode", "redact", "script"))
+                "unicode", "redact", "script", "nfc"))
     # chunk is the one multi-row-per-doc slice: >= one chunk per doc
     assert pdf[pdf["kind"] == "chunk"].shape[0] >= n_docs
     assert pdf[pdf["kind"] == "langid"]["s1"].notna().all()
