@@ -1414,11 +1414,10 @@ def unicode_signals_sql() -> str:
 
 # ------------------------------------------------- script detection (r10)
 # --------------------------------------- information signals (r13)
-# Two complementary "is this text junk?" measures quality batteries
-# use alongside the ratio heuristics: character-level Shannon entropy
-# (low = repetitive/templated junk, ~4.1 bits/char is typical English
-# prose) and a compressibility check (gzip squeezes generated/looping
-# text far below prose's ~2.5-3x).
+# Character-level Shannon entropy: the information-theoretic junk
+# signal alongside the ratio heuristics and the existing
+# compression_ratio op (low bits/char = repetitive/templated junk;
+# ~4.1 bits/char is typical English prose).
 ENTROPY_UNIT = 1_000_000_000  # nano-bits: integer per-term quantization
 
 
@@ -1499,49 +1498,6 @@ def char_entropy_sql() -> str:
         "COALESCE(a.entropy_nanobits, 0) AS entropy_nanobits "
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
     )
-
-
-def compression_ratio(
-    df: DataFrame, text_col: str = "text", out: str = "compression_ratio"
-) -> DataFrame:
-    """zlib compressibility signal: ``out`` = deflated bytes / utf-8
-    bytes at level 6, rounded to 6 dp (looping/generated text squeezes
-    far below prose; the Gopher-adjacent junk check entropy misses when
-    repetition spans longer than one character). NULL/empty text
-    reports NULL. Unit-tier (zlib is not SQL-expressible) — the
-    tokenizer-seam class, byte-exactness pinned against direct zlib in
-    tests.
-
-    100 TB shape: Arrow mapInPandas, map-only, zero shuffle, all
-    columns ride through."""
-    import pandas as pd
-
-    if text_col not in df.columns:
-        raise ValueError(f"compression_ratio input needs {text_col!r}")
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out, DoubleType())]
-    )
-
-    def _ratio(batches):
-        import zlib
-
-        for pdf in batches:
-            vals = []
-            for t in pdf[text_col]:
-                if t is None or t == "":
-                    vals.append(None)
-                else:
-                    raw = t.encode("utf-8")
-                    vals.append(
-                        round(len(zlib.compress(raw, 6)) / len(raw), 6)
-                    )
-            pdf = pdf.copy()
-            pdf[out] = pd.Series(vals, index=pdf.index, dtype=float)
-            yield pdf
-
-    return df.mapInPandas(_ratio, schema=out_schema)
 
 
 # ------------------------------------------- encoding repair (r13)

@@ -209,29 +209,3 @@ def test_char_entropy_closed_forms_and_cross_engine(spark, tmp_path):
         for r in con.execute(char_entropy_sql()).fetchall()
     }
     assert got == want
-
-
-def test_compression_ratio_pins_zlib_and_separates_junk(spark):
-    """Ratios equal direct zlib level-6 on the utf-8 bytes; looping
-    text compresses far below prose; NULL/empty yield NULL; other
-    columns ride through."""
-    import zlib
-
-    from talna_spark.pipeline.text import compression_ratio
-
-    prose = (
-        "Weather systems moved east on Tuesday, bringing scattered "
-        "showers to the coastal plains while inland valleys stayed dry."
-    )
-    junk = "spam ham " * 40
-    rows = [(1, prose, "a"), (2, junk, "b"), (3, None, "c"), (4, "", "d")]
-    d = spark.createDataFrame(rows, "doc_id long, text string, tag string")
-    got = {
-        r["doc_id"]: (r["compression_ratio"], r["tag"])
-        for r in compression_ratio(d).collect()
-    }
-    for i, t in ((1, prose), (2, junk)):
-        raw = t.encode("utf-8")
-        assert got[i][0] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
-    assert got[3] == (None, "c") and got[4] == (None, "d")
-    assert got[1][0] > 3 * got[2][0]  # prose vs looping junk
