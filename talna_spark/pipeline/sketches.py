@@ -605,6 +605,86 @@ def qs_quantiles_sql(
     )
 
 
+def qs_build_grouped(
+    d: DataFrame,
+    group_col: str,
+    col: str,
+    id_col: str = "doc_id",
+    rate_ppm: int = QS_RATE_PPM,
+) -> DataFrame:
+    """(g, v): the deterministic quantile sample PER GROUP in one
+    map-only pass — the per-domain form of :func:`qs_build` (the
+    "p99 doc length per domain" dashboard cut). Same hash gate, so a
+    row's membership is independent of its group: shard samples union
+    exactly, and regrouping never resamples."""
+    if not 0 < int(rate_ppm) <= 1_000_000:
+        raise ValueError("rate_ppm must be in (0, 1e6]")
+    gate = (
+        hash64(F.concat(F.lit("qs|"), F.col(id_col).cast("string")))
+        % F.lit(1_000_000)
+    )
+    return (
+        d.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .filter(gate < F.lit(int(rate_ppm)))
+        .select(F.col(group_col).alias("g"), F.col(col).alias("v"))
+    )
+
+
+def qs_quantiles_grouped(sample: DataFrame, probs: list) -> DataFrame:
+    """(g, p, v): exact type-1 quantiles of each group's sample — the
+    scalar :func:`qs_quantiles` rank rule applied group-wise. One
+    window partitioned BY GROUP over the sketch-sized sample (per-group
+    rows bounded by the rate contract) plus a broadcast probe join;
+    empty groups return no rows."""
+    from pyspark.sql.window import Window as W
+
+    spark = sample.sparkSession
+    ps = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    w = W.partitionBy("g")
+    ranked = sample.select(
+        "g",
+        "v",
+        F.row_number().over(w.orderBy(F.col("v").asc())).alias("_r"),
+        F.count(F.lit(1)).over(w).alias("_m"),
+    )
+    want = F.greatest(
+        F.lit(1), F.ceil(F.col("p") * F.col("_m")).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(ps), F.col("_r") == want)
+        .select("g", "p", "v")
+    )
+
+
+def qs_grouped_sql(values_sql: str, rate_ppm: int = QS_RATE_PPM) -> str:
+    """DuckDB twin of :func:`qs_build_grouped` over ``values_sql``
+    (columns doc_id, g, v): the identical (g, v) sample rows."""
+    from talna_spark.pipeline.portable import hash64_sql
+
+    h = hash64_sql("'qs|' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT g, v FROM ({values_sql}) WHERE v IS NOT NULL "
+        f"AND g IS NOT NULL AND ({h}) % 1000000 < {int(rate_ppm)}"
+    )
+
+
+def qs_quantiles_grouped_sql(
+    values_sql: str, probs: list, rate_ppm: int = QS_RATE_PPM
+) -> str:
+    """DuckDB twin of grouped build + quantiles: identical (g, p, v)
+    rows."""
+    plist = ", ".join(f"(CAST({float(p)} AS DOUBLE))" for p in probs)
+    return (
+        f"WITH s AS ({qs_grouped_sql(values_sql, rate_ppm)}), "
+        "r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g "
+        "ORDER BY v ASC) AS rk, COUNT(*) OVER (PARTITION BY g) AS m "
+        "FROM s), "
+        f"ps (p) AS (VALUES {plist}) "
+        "SELECT r.g, ps.p, r.v FROM r JOIN ps "
+        "ON r.rk = GREATEST(1, CAST(CEIL(ps.p * r.m) AS BIGINT))"
+    )
+
+
 # --------------------------------------------------- bottom-k cardinality
 # (r13) The KMV estimator (Bar-Yossef et al. 2002; Beyer et al. 2007
 # "On synopses for distinct-value estimation"): the k-th smallest of n

@@ -1002,6 +1002,29 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("v3"),
         F.lit("qs").alias("kind"),
     )
+    # ``qsg`` (r13): the GROUPED quantile-sample form — per-DOMAIN
+    # p50/p99 token counts from the same hash gate (membership is
+    # independent of the group, so regrouping never resamples);
+    # id=domain, s1=percentile, v1=the sampled order statistic.
+    from talna_spark.pipeline.sketches import (
+        qs_build_grouped,
+        qs_quantiles_grouped,
+    )
+
+    glens = lens.join(
+        domsb.select("doc_id", F.col("_dom").alias("dom")), "doc_id"
+    ).select("doc_id", F.col("dom"), "v")
+    qsg = qs_quantiles_grouped(
+        qs_build_grouped(glens, "dom", "v", rate_ppm=500_000),
+        [0.5, 0.99],
+    ).select(
+        F.col("g").alias("id"),
+        (F.col("p") * 100).cast("long").cast("string").alias("s1"),
+        F.col("v").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.lit("qsg").alias("kind"),
+    )
     return (
         st.unionByName(bl)
         .unionByName(cms)
@@ -1012,6 +1035,7 @@ def domain_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hllg)
         .unionByName(bkc)
         .unionByName(qs)
+        .unionByName(qsg)
     )
 
 
@@ -1025,6 +1049,7 @@ def domain_layer_sql() -> str:
         hll_estimate_grouped_sql,
         hll_estimate_sql,
         lc_estimate_sql,
+        qs_quantiles_grouped_sql,
         qs_quantiles_sql,
     )
 
@@ -1156,5 +1181,18 @@ def domain_layer_sql() -> str:
             [0.5, 0.9, 0.99],
             rate_ppm=500_000,
         )
-        + ") q"
+        + ") q "
+        "UNION ALL "
+        "SELECT qg.g AS id, "
+        "CAST(CAST(qg.p * 100 AS BIGINT) AS VARCHAR) AS s1, "
+        "CAST(qg.v AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2, "
+        "CAST(0 AS BIGINT) AS v3, 'qsg' AS kind FROM ("
+        + qs_quantiles_grouped_sql(
+            "SELECT doc_id, domain AS g, "
+            f"CAST(len({tokens_sql('text')}) AS BIGINT) AS v "
+            f"FROM ({doms}) WHERE domain IS NOT NULL",
+            [0.5, 0.99],
+            rate_ppm=500_000,
+        )
+        + ") qg"
     )

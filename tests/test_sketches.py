@@ -711,3 +711,58 @@ def test_hll_grouped_matches_scalar_merges_and_cross_engine(spark):
         ).fetchall()
     }
     assert oest == est
+
+
+def test_qs_grouped_matches_scalar_merges_and_cross_engine(spark):
+    """Per-group quantiles equal the scalar extractor on each group's
+    own sample, the hash gate makes shard samples union exactly, and
+    the DuckDB twin returns identical (g, p, v) rows."""
+    from talna_spark.pipeline.sketches import (
+        qs_build,
+        qs_build_grouped,
+        qs_quantiles,
+        qs_quantiles_grouped,
+        qs_quantiles_grouped_sql,
+    )
+
+    d = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+        ((F.col("id") % 997) * (F.col("id") % 3 + 1)).cast("long").alias("v"),
+    )
+    rate = 200_000
+    probs = [0.5, 0.99]
+    sg = qs_build_grouped(d, "g", "v", rate_ppm=rate)
+    got = {
+        (r["g"], r["p"]): r["v"]
+        for r in qs_quantiles_grouped(sg, probs).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        sub = qs_build(d.filter(F.col("g") == g), "v", rate_ppm=rate)
+        want = {r["p"]: r["v"] for r in qs_quantiles(sub, probs).collect()}
+        for p in probs:
+            assert got[(g, p)] == want[p], (g, p)
+
+    sh = [
+        qs_build_grouped(
+            d.filter(F.col("doc_id") % 2 == i), "g", "v", rate_ppm=rate
+        )
+        for i in range(2)
+    ]
+    assert sorted(
+        (r["g"], r["v"]) for r in sh[0].unionByName(sh[1]).collect()
+    ) == sorted((r["g"], r["v"]) for r in sg.collect())
+
+    con = duckdb.connect()
+    vsql = (
+        "SELECT i AS doc_id, 'g' || CAST(i % 3 AS VARCHAR) AS g, "
+        "CAST((i % 997) * (i % 3 + 1) AS BIGINT) AS v "
+        "FROM generate_series(0, 5999) s(i)"
+    )
+    want = {
+        (g, p): v
+        for g, p, v in con.execute(
+            qs_quantiles_grouped_sql(vsql, probs, rate_ppm=rate)
+        ).fetchall()
+    }
+    assert got == want
