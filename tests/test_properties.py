@@ -359,3 +359,107 @@ def test_lc_merge_and_estimate_properties(spark, values, n_shards):
         assert est["est"] == round(m * math.log(m / z), 6)
     else:
         assert est["est"] is None
+
+
+# ------------------------------------------- r13 sketch/repair properties
+def _hash64_py(s: str) -> int:
+    """Pure-Python third implementation of portable.hash64 (md5 prefix)
+    — lets properties cross-check the SQL twins without Spark."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@given(
+    st.lists(
+        st.text(
+            "abcdefghijklmnopqrstuvwxyz0123456789:/.-", min_size=1, max_size=24
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_hll_registers_sql_match_pure_python_model(values):
+    """DuckDB's hll register twin == an independent pure-Python model of
+    the published construction (bucket = low p bits of the hash's low 32
+    bits, rho = trailing zeros of the rest + 1 capped at Q) — with the
+    Spark side already driver-checked equal to DuckDB, all THREE
+    implementations agree."""
+    import duckdb
+
+    from talna_spark.pipeline.sketches import hll_grouped_registers_sql  # noqa: F401
+    from talna_spark.pipeline.sketches import hll_registers_sql
+
+    p = 7
+    q = 33 - p
+    want: dict[int, int] = {}
+    for v in set(values):
+        h32 = _hash64_py("hll|" + v) & 0xFFFFFFFF
+        bucket = h32 & ((1 << p) - 1)
+        w = h32 >> p
+        if w == 0:
+            rho = q
+        else:
+            rho = min((w & -w).bit_length(), q)  # tz + 1
+        want[bucket] = max(want.get(bucket, 0), rho)
+
+    if values:
+        vsql = "SELECT * FROM (VALUES " + ", ".join(
+            "('" + v.replace("'", "''") + "')" for v in values
+        ) + ") t(v)"
+    else:
+        vsql = "SELECT CAST(NULL AS VARCHAR) AS v WHERE 1 = 0"
+    got = dict(duckdb.execute(hll_registers_sql(vsql, p=p)).fetchall())
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text("abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=16),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_bk_cardinality_sql_matches_pure_python_model(values):
+    """DuckDB's KMV twin == the pure-Python model: exact below k, else
+    (k-1) * 2^60 / k-th smallest hash."""
+    import duckdb
+
+    from talna_spark.pipeline.sketches import bk_cardinality_sql
+
+    k = 8
+    hs = sorted({_hash64_py("bk|" + v) for v in values})[:k]
+    if len(hs) < k:
+        want = (len(hs), round(float(len(hs)), 6))
+    else:
+        want = (k, round((k - 1) * float(1 << 60) / hs[-1], 6))
+    if values:
+        vsql = "SELECT * FROM (VALUES " + ", ".join(
+            "('" + v.replace("'", "''") + "')" for v in values
+        ) + ") t(v)"
+    else:
+        vsql = "SELECT CAST(NULL AS VARCHAR) AS v WHERE 1 = 0"
+    got = duckdb.execute(bk_cardinality_sql(vsql, k=k)).fetchall()[0]
+    assert got == want
+
+
+_ACCENTS = "\u00e9\u00e8\u00fc\u00f1\u00e5\u00df\u00e7\u00f8"
+
+
+@given(
+    st.text("abcdefghijklmnopqrstuvwxyz " + _ACCENTS, min_size=1, max_size=60)
+)
+@settings(max_examples=120, deadline=None)
+def test_mojibake_repair_inverts_latin1_damage_and_fixes_clean_text(s):
+    """For any text over ASCII + Latin-1-supplement accents: pure ASCII
+    passes untouched, and one layer of decoded-as-latin-1 damage
+    repairs back to the original in exactly one round."""
+    from talna_spark.pipeline.text import _mojibake_fix_one
+
+    if all(ord(c) < 0x80 for c in s):
+        assert _mojibake_fix_one(s, 3) == (s, 0)
+        return
+    damaged = s.encode("utf-8").decode("latin-1")
+    assert _mojibake_fix_one(damaged, 3) == (s, 1)
