@@ -168,3 +168,48 @@ def test_bytes_deterministic_across_partitioning(spark, tmp_path):
             }
         )
     assert outs[0] == outs[1]
+
+
+def test_idx_single_byte_corruption_never_parses_silently(spark, tmp_path):
+    """EVERY byte of the .idx participates in a consistency check:
+    flipping any single byte of a non-empty shard's index either raises
+    loudly or (for sizes/pointers/doc_idx/counts) breaks the
+    contiguity/framing invariants the reader enforces — a corrupted
+    index can never yield a quietly different dataset. (The .bin
+    payload itself carries no checksum — the published format has
+    none; this pins everything the INDEX can catch.)"""
+    from pyspark.sql import functions as F
+
+    from talna_spark.sources.megatron import (
+        read_indexed_dataset,
+        write_indexed_dataset,
+    )
+
+    d = str(tmp_path / "mm")
+    df = spark.range(5).select(
+        F.col("id").cast("string").alias("seq_id"),
+        F.array(F.col("id"), F.col("id") * 2, F.lit(7)).alias("ids"),
+    )
+    write_indexed_dataset(df, d, n_shards=1, dtype="int32").collect()
+    idx_path = f"{d}/shard-00000.idx"
+    clean = open(idx_path, "rb").read()
+    baseline = sorted(
+        (r["seq_idx"], list(r["ids"]))
+        for r in read_indexed_dataset(spark, idx_path).collect()
+    )
+    silent = []
+    for i in range(len(clean)):
+        raw = bytearray(clean)
+        raw[i] ^= 0xFF
+        open(idx_path, "wb").write(bytes(raw))
+        try:
+            got = sorted(
+                (r["seq_idx"], list(r["ids"]))
+                for r in read_indexed_dataset(spark, idx_path).collect()
+            )
+        except Exception:
+            continue  # loud failure: the contract
+        if got != baseline:
+            silent.append(i)  # silently DIFFERENT data: the worst case
+    open(idx_path, "wb").write(clean)
+    assert silent == [], f"byte flips yielding silently different data: {silent}"
