@@ -1445,6 +1445,66 @@ def _exact_flags_bloom(
 BLOOM_MAX_FP = 0.5  # useless-filter guard: fp above this means resize m
 
 
+def lsh_collision_probability(s: float, bands: int, rows: int) -> float:
+    """P(two sets at Jaccard similarity ``s`` share at least one LSH
+    band) = 1 - (1 - s^rows)^bands — the banding S-curve (Mining of
+    Massive Datasets §3.4). The curve the (bands, rows) trade-off
+    bends: more rows -> sharper knee (fewer false candidates), more
+    bands -> knee moves left (higher recall)."""
+    if not 0.0 <= float(s) <= 1.0:
+        raise ValueError("s must be in [0, 1]")
+    if int(bands) < 1 or int(rows) < 1:
+        raise ValueError("bands and rows must be >= 1")
+    return 1.0 - (1.0 - float(s) ** int(rows)) ** int(bands)
+
+
+def lsh_params_for(
+    threshold: float,
+    n_hashes: int,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """(bands, rows): the banding split of ``n_hashes`` minhashes that
+    best separates pairs around the Jaccard ``threshold`` — the sizing
+    rule as code (the bloom_bits_for discipline; same integral-
+    minimization the datasketch library published). Over every exact
+    factorization b*r = n_hashes, minimize
+    fn_weight * (area of the miss region above the threshold)
+    + (1-fn_weight) * (area of the false-candidate region below it),
+    both by closed-quadrature sums of the S-curve. Higher ``fn_weight``
+    punishes misses (recall-leaning dedup); lower punishes false
+    candidates (verification-cost-leaning). Deterministic: ties break
+    to the smaller band count (fewer shuffle rows)."""
+    if not 0.0 < float(threshold) < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if int(n_hashes) < 1:
+        raise ValueError("n_hashes must be >= 1")
+    if not 0.0 <= float(fn_weight) <= 1.0:
+        raise ValueError("fn_weight must be in [0, 1]")
+    t = float(threshold)
+    steps = 200
+    best: "tuple[float, int, int] | None" = None
+    for b in range(1, int(n_hashes) + 1):
+        if int(n_hashes) % b:
+            continue
+        r = int(n_hashes) // b
+        fp_area = sum(
+            lsh_collision_probability(t * (i + 0.5) / steps, b, r)
+            for i in range(steps)
+        ) * (t / steps)
+        fn_area = sum(
+            1.0
+            - lsh_collision_probability(
+                t + (1.0 - t) * (i + 0.5) / steps, b, r
+            )
+            for i in range(steps)
+        ) * ((1.0 - t) / steps)
+        err = float(fn_weight) * fn_area + (1.0 - float(fn_weight)) * fp_area
+        if best is None or err < best[0] - 1e-15:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def bloom_bits_for(n_values: int, fp: float = 0.01, k: int = BLOOM_K) -> int:
     """The bitmap size m (rounded up to a multiple of 64) that holds
     ``n_values`` insertions at the target false-positive rate under k

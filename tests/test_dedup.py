@@ -748,3 +748,49 @@ def test_bloom_bits_for_sizing():
         bloom_bits_for(10, fp=0.0)
     with pytest.raises(ValueError):
         bloom_bits_for(10, k=8)
+
+
+def test_lsh_params_for_reproduces_shipped_constants_and_steers(spark):
+    """The sizing rule as code: at the engine's own MINHASH_H and the
+    0.5 near-dup threshold it returns exactly the shipped
+    (LSH_BANDS, LSH_ROWS) split; the S-curve is monotone in s with the
+    exact r=1 closed form; fn_weight steers bands up (recall-leaning)
+    or down (verification-cost-leaning); bad args fail loudly."""
+    import pytest
+
+    from talna_spark.pipeline.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_H,
+        lsh_collision_probability,
+        lsh_params_for,
+    )
+
+    assert lsh_params_for(0.5, MINHASH_H) == (LSH_BANDS, LSH_ROWS)
+    # the classic datasketch figure: threshold 0.5 at 128 perms
+    assert lsh_params_for(0.5, 128) == (32, 4)
+
+    # S-curve: exact closed form at rows=1, monotone non-decreasing in s
+    for b in (1, 4, 16):
+        assert lsh_collision_probability(0.3, b, 1) == pytest.approx(
+            1 - (1 - 0.3) ** b
+        )
+    ps = [lsh_collision_probability(s / 20, 16, 8) for s in range(21)]
+    assert ps == sorted(ps) and ps[0] == 0.0 and ps[-1] == 1.0
+
+    # recall-leaning picks at least as many bands as precision-leaning
+    b_recall, _ = lsh_params_for(0.5, 128, fn_weight=0.9)
+    b_precision, _ = lsh_params_for(0.5, 128, fn_weight=0.1)
+    assert b_recall >= b_precision
+    # factorization always exact
+    for thr in (0.3, 0.5, 0.8):
+        b, r = lsh_params_for(thr, 96)
+        assert b * r == 96
+
+    for bad in (0.0, 1.0, -1):
+        with pytest.raises(ValueError):
+            lsh_params_for(bad, 128)
+    with pytest.raises(ValueError):
+        lsh_params_for(0.5, 0)
+    with pytest.raises(ValueError):
+        lsh_collision_probability(1.5, 4, 2)
