@@ -712,6 +712,9 @@ def main() -> None:
             hll_row = hll_estimate(hll_build(toks, "v")).collect()[0]
             kmv_row = bk_cardinality(bk_build(toks, "v")).collect()[0]
             assert cms_n > 0 and kmv_row["est"] and hll_row["est"]
+            # lc saturates past its bitmap and estimates NULL "loudly" —
+            # a NULL here must fail the row, not post a silent timing
+            assert lc_row["est"] is not None, "lc bitmap saturated"
             return spark.createDataFrame(
                 [(cms_n, lc_row["est"], hll_row["est"], kmv_row["est"])],
                 "cms_cells long, lc_est double, hll_est double, "

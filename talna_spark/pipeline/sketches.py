@@ -763,6 +763,104 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def _hll_check_p(p: int) -> tuple[int, int, int]:
+    if not 7 <= int(p) <= 16:
+        raise ValueError("p must be in [7, 16]")
+    p = int(p)
+    return p, 1 << p, 33 - p
+
+
+def _hll_register_cols(d: DataFrame, col: str, p: int, *keep) -> DataFrame:
+    """(\*keep, bucket, rho) rows before the max-agg — ONE shared
+    implementation of the bucket/rank pipeline for the scalar and
+    grouped builds (a correction applied to one cannot miss the
+    other)."""
+    p, m, q = _hll_check_p(p)
+    h32 = hash64(F.concat(F.lit("hll|"), F.col(col))).bitwiseAND(
+        F.lit(4294967295)
+    )
+    return (
+        d.select(*keep, h32.alias("_h"))
+        .select(
+            *keep,
+            F.col("_h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            F.shiftright(F.col("_h"), p).alias("_w"),
+        )
+        .select(
+            *keep,
+            "bucket",
+            F.least(
+                F.bit_count(
+                    F.col("_w").bitwiseAND(-F.col("_w")) - F.lit(1)
+                )
+                + F.lit(1),
+                F.lit(q),
+            )
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+
+
+def _hll_sum_aggs(p: int) -> tuple:
+    """(count-agg, scaled-register-sum-agg) for one register group."""
+    _, _, q = _hll_check_p(p)
+    cnt = F.count(F.lit(1)).cast("long")
+    sumterm = F.coalesce(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")),
+        F.lit(0),
+    ).cast("long")
+    return cnt, sumterm
+
+
+def _hll_est_cols(p: int) -> tuple:
+    """(zeros, est) Columns over the (_cnt, _st) aggregate row — the
+    three-branch corrected estimate, shared by the scalar and grouped
+    estimators."""
+    _, m, q = _hll_check_p(p)
+    a_num = _hll_alpha(m) * m * m * float(1 << q)
+    two32 = float(1 << 32)
+    zeros = (F.lit(m) - F.col("_cnt")).cast("long")
+    s_scaled = (
+        (F.lit(m) - F.col("_cnt")).cast("long") * F.lit(1 << q)
+        + F.col("_st")
+    ).cast("double")
+    e_raw = F.lit(a_num) / s_scaled
+    est = (
+        F.when(
+            (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.round(
+                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+                6,
+            ),
+        )
+        .when(
+            e_raw > F.lit(two32 / 30.0),
+            F.round(
+                -F.lit(two32) * F.log(F.lit(1.0) - e_raw / F.lit(two32)), 6
+            ),
+        )
+        .otherwise(F.round(e_raw, 6))
+    )
+    return zeros, est
+
+
+def _hll_est_case_sql(m: int, q: int) -> str:
+    """The estimate CASE over (cnt, zeros, e_raw) — ONE text shared by
+    the scalar and grouped SQL twins."""
+    two32 = float(1 << 32)
+    return (
+        f"CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN "
+        f"round(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
+        "CAST(zeros AS DOUBLE)), 6) "
+        f"WHEN e_raw > {two32 / 30.0!r} THEN "
+        f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
+        "ELSE round(e_raw, 6) END"
+    )
+
+
+
+
 def hll_build(d: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     """(bucket, rho): the HyperLogLog register table of ``col``'s
     distinct values — bucket = low ``p`` bits of the portable hash's
@@ -775,35 +873,10 @@ def hll_build(d: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     2^p rows regardless of corpus size — the same bounded-shuffle
     discipline as lc_build, good to ~2^32/30 distincts where LC's
     bitmap saturates at ~LC_M."""
-    if not 7 <= int(p) <= 16:
-        raise ValueError("p must be in [7, 16]")
-    p = int(p)
-    m, q = 1 << p, 33 - p
-    h32 = hash64(F.concat(F.lit("hll|"), F.col(col))).bitwiseAND(
-        F.lit(4294967295)
+    rows = _hll_register_cols(
+        d.filter(F.col(col).isNotNull()), col, p
     )
-    return (
-        d.filter(F.col(col).isNotNull())
-        .select(h32.alias("_h"))
-        .select(
-            F.col("_h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
-            F.shiftright(F.col("_h"), p).alias("_w"),
-        )
-        .select(
-            "bucket",
-            F.least(
-                F.bit_count(
-                    F.col("_w").bitwiseAND(-F.col("_w")) - F.lit(1)
-                )
-                + F.lit(1),
-                F.lit(q),
-            )
-            .cast("int")
-            .alias("rho"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return rows.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
@@ -825,42 +898,20 @@ def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
     BIGINT algebra and the estimate is one division (+ one ln on the
     correction paths), cross-engine identical at 6 dp (the lc
     precedent). Plan: one sketch-sized aggregate."""
-    if not 7 <= int(p) <= 16:
-        raise ValueError("p must be in [7, 16]")
-    p = int(p)
-    m, q = 1 << p, 33 - p
-    a_num = _hll_alpha(m) * m * m * float(1 << q)
-    two32 = float(1 << 32)
-    cnt = F.count(F.lit(1)).cast("long")
-    sumterm = F.coalesce(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")),
-        F.lit(0),
-    ).cast("long")
+    cnt, sumterm = _hll_sum_aggs(p)
     agg = sketch.agg(cnt.alias("_cnt"), sumterm.alias("_st"))
-    zeros = (F.lit(m) - F.col("_cnt")).cast("long")
-    s_scaled = (
-        (F.lit(m) - F.col("_cnt")).cast("long") * F.lit(1 << q)
-        + F.col("_st")
-    ).cast("double")
-    e_raw = F.lit(a_num) / s_scaled
-    est = (
-        F.when(
-            (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
-            F.round(
-                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-                6,
-            ),
-        )
-        .when(
-            e_raw > F.lit(two32 / 30.0),
-            F.round(
-                -F.lit(two32) * F.log(F.lit(1.0) - e_raw / F.lit(two32)), 6
-            ),
-        )
-        .otherwise(F.round(e_raw, 6))
-    )
+    zeros, est = _hll_est_cols(p)
     return agg.select(
         F.col("_cnt").alias("buckets_set"), zeros.alias("zeros"), est.alias("est")
+    )
+
+
+def _hll_rho_sql(p: int, q: int) -> str:
+    """The rank expression over a low-32-bit hash column h — ONE text
+    shared by the scalar and grouped register twins."""
+    return (
+        f"CAST(LEAST(bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1, "
+        f"{q}) AS INT)"
     )
 
 
@@ -869,13 +920,11 @@ def hll_registers_sql(values_sql: str, p: int = HLL_P) -> str:
     named v): identical (bucket, rho) registers."""
     from talna_spark.pipeline.portable import hash64_sql
 
-    p = int(p)
-    m, q = 1 << p, 33 - p
+    p, m, q = _hll_check_p(p)
     h = hash64_sql("'hll|' || v")
     return (
         f"SELECT h & {m - 1} AS bucket, "
-        f"MAX(CAST(LEAST(bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1, "
-        f"{q}) AS INT)) AS rho "
+        f"MAX({_hll_rho_sql(p, q)}) AS rho "
         f"FROM (SELECT ({h}) & 4294967295 AS h FROM ({values_sql}) "
         "WHERE v IS NOT NULL) GROUP BY 1"
     )
@@ -886,10 +935,8 @@ def hll_estimate_sql(values_sql: str, p: int = HLL_P) -> str:
     (buckets_set, zeros, est) row. SUM(BIGINT) is HUGEINT in DuckDB —
     cast back before the integer scale-up so both engines feed the
     division the same exact value."""
-    p = int(p)
-    m, q = 1 << p, 33 - p
+    p, m, q = _hll_check_p(p)
     a_num = _hll_alpha(m) * m * m * float(1 << q)
-    two32 = float(1 << 32)
     return (
         f"WITH r AS ({hll_registers_sql(values_sql, p)}), "
         "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
@@ -899,12 +946,7 @@ def hll_estimate_sql(values_sql: str, p: int = HLL_P) -> str:
         f"{a_num!r} / CAST(({m} - cnt) * {1 << q} + st AS DOUBLE) "
         "AS e_raw FROM a) "
         "SELECT cnt AS buckets_set, zeros, "
-        f"CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN "
-        f"round(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
-        "CAST(zeros AS DOUBLE)), 6) "
-        f"WHEN e_raw > {two32 / 30.0!r} THEN "
-        f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
-        "ELSE round(e_raw, 6) END AS est FROM e"
+        f"{_hll_est_case_sql(m, q)} AS est FROM e"
     )
 
 
@@ -914,44 +956,22 @@ def hll_build_grouped(
     """(g, bucket, rho): a HyperLogLog register table PER GROUP in one
     distributed pass — the per-domain form of :func:`hll_build` (a
     crawl dashboard sketches every domain's distinct-URL count at
-    once, never one job per domain). Same register semantics;
-    mergeable with :func:`hll_merge_grouped`.
+    once, never one job per domain). Same register semantics (ONE
+    shared bucket/rank pipeline); mergeable with
+    :func:`hll_merge_grouped`.
 
     100 TB shape: ONE max hash-agg keyed on (group, bucket) with
     map-side partials — shuffle rows capped at groups x 2^p, and no
     per-group funneling (the agg key carries the bucket, so a
     mega-group spreads across reducers)."""
-    if not 7 <= int(p) <= 16:
-        raise ValueError("p must be in [7, 16]")
-    p = int(p)
-    m, q = 1 << p, 33 - p
-    h32 = hash64(F.concat(F.lit("hll|"), F.col(col))).bitwiseAND(
-        F.lit(4294967295)
-    )
-    return (
+    rows = _hll_register_cols(
         d.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull())
-        .select(F.col(group_col).alias("g"), h32.alias("_h"))
-        .select(
-            "g",
-            F.col("_h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
-            F.shiftright(F.col("_h"), p).alias("_w"),
-        )
-        .select(
-            "g",
-            "bucket",
-            F.least(
-                F.bit_count(
-                    F.col("_w").bitwiseAND(-F.col("_w")) - F.lit(1)
-                )
-                + F.lit(1),
-                F.lit(q),
-            )
-            .cast("int")
-            .alias("rho"),
-        )
-        .groupBy("g", "bucket")
-        .agg(F.max("rho").alias("rho"))
+        .select(F.col(group_col).alias("g"), F.col(col).alias(col)),
+        col,
+        p,
+        "g",
     )
+    return rows.groupBy("g", "bucket").agg(F.max("rho").alias("rho"))
 
 
 def hll_merge_grouped(*sketches: DataFrame) -> DataFrame:
@@ -966,43 +986,12 @@ def hll_merge_grouped(*sketches: DataFrame) -> DataFrame:
 
 def hll_estimate_grouped(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
     """(g, buckets_set, zeros, est): the per-group HLL estimate — the
-    scalar :func:`hll_estimate` formula applied group-wise (identical
-    piecewise corrections, integer register sums, one division per
-    group). Plan: one sketch-sized hash-agg keyed on the group."""
-    if not 7 <= int(p) <= 16:
-        raise ValueError("p must be in [7, 16]")
-    p = int(p)
-    m, q = 1 << p, 33 - p
-    a_num = _hll_alpha(m) * m * m * float(1 << q)
-    two32 = float(1 << 32)
-    cnt = F.count(F.lit(1)).cast("long")
-    sumterm = F.coalesce(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - rho)")),
-        F.lit(0),
-    ).cast("long")
+    scalar :func:`hll_estimate` formula applied group-wise (the SAME
+    shared correction expression, so a fix to one cannot miss the
+    other). Plan: one sketch-sized hash-agg keyed on the group."""
+    cnt, sumterm = _hll_sum_aggs(p)
     agg = sketch.groupBy("g").agg(cnt.alias("_cnt"), sumterm.alias("_st"))
-    zeros = (F.lit(m) - F.col("_cnt")).cast("long")
-    s_scaled = (
-        (F.lit(m) - F.col("_cnt")).cast("long") * F.lit(1 << q)
-        + F.col("_st")
-    ).cast("double")
-    e_raw = F.lit(a_num) / s_scaled
-    est = (
-        F.when(
-            (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
-            F.round(
-                F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-                6,
-            ),
-        )
-        .when(
-            e_raw > F.lit(two32 / 30.0),
-            F.round(
-                -F.lit(two32) * F.log(F.lit(1.0) - e_raw / F.lit(two32)), 6
-            ),
-        )
-        .otherwise(F.round(e_raw, 6))
-    )
+    zeros, est = _hll_est_cols(p)
     return agg.select(
         "g",
         F.col("_cnt").alias("buckets_set"),
@@ -1018,13 +1007,11 @@ def hll_grouped_registers_sql(
     (columns g, v): identical (g, bucket, rho) registers."""
     from talna_spark.pipeline.portable import hash64_sql
 
-    p = int(p)
-    m, q = 1 << p, 33 - p
+    p, m, q = _hll_check_p(p)
     h = hash64_sql("'hll|' || v")
     return (
         f"SELECT g, h & {m - 1} AS bucket, "
-        f"MAX(CAST(LEAST(bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1, "
-        f"{q}) AS INT)) AS rho "
+        f"MAX({_hll_rho_sql(p, q)}) AS rho "
         f"FROM (SELECT g, ({h}) & 4294967295 AS h FROM ({values_sql}) "
         "WHERE v IS NOT NULL AND g IS NOT NULL) GROUP BY 1, 2"
     )
@@ -1033,10 +1020,8 @@ def hll_grouped_registers_sql(
 def hll_estimate_grouped_sql(values_sql: str, p: int = HLL_P) -> str:
     """DuckDB twin of grouped build + estimate: identical
     (g, buckets_set, zeros, est) rows."""
-    p = int(p)
-    m, q = 1 << p, 33 - p
+    p, m, q = _hll_check_p(p)
     a_num = _hll_alpha(m) * m * m * float(1 << q)
-    two32 = float(1 << 32)
     return (
         f"WITH r AS ({hll_grouped_registers_sql(values_sql, p)}), "
         "a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt, "
@@ -1046,10 +1031,5 @@ def hll_estimate_grouped_sql(values_sql: str, p: int = HLL_P) -> str:
         f"{a_num!r} / CAST(({m} - cnt) * {1 << q} + st AS DOUBLE) "
         "AS e_raw FROM a) "
         "SELECT g, cnt AS buckets_set, zeros, "
-        f"CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN "
-        f"round(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
-        "CAST(zeros AS DOUBLE)), 6) "
-        f"WHEN e_raw > {two32 / 30.0!r} THEN "
-        f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
-        "ELSE round(e_raw, 6) END AS est FROM e"
+        f"{_hll_est_case_sql(m, q)} AS est FROM e"
     )

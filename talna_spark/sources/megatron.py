@@ -53,15 +53,21 @@ MMIDX_VERSION = 1
 
 # the public integer dtype codes (fairseq/Megatron indexed_dataset);
 # float codes (6/7) vary across published forks and are not written
-MM_DTYPES: dict[str, tuple[int, type]] = {
-    "uint8": (1, np.uint8),
-    "int8": (2, np.int8),
-    "int16": (3, np.int16),
-    "int32": (4, np.int32),
-    "int64": (5, np.int64),
-    "uint16": (8, np.uint16),
+# dtypes carry an EXPLICIT little-endian byte order: the format is LE
+# (the header is packed with '<'), and native-endian numpy arrays would
+# silently emit/parse byte-swapped sizes/pointers/ids on a big-endian
+# host — shards must be portable across architectures.
+MM_DTYPES: dict[str, tuple[int, np.dtype]] = {
+    "uint8": (1, np.dtype("<u1")),
+    "int8": (2, np.dtype("<i1")),
+    "int16": (3, np.dtype("<i2")),
+    "int32": (4, np.dtype("<i4")),
+    "int64": (5, np.dtype("<i8")),
+    "uint16": (8, np.dtype("<u2")),
 }
 _CODE_TO_NP = {code: np_t for code, np_t in MM_DTYPES.values()}
+_LE_I4 = np.dtype("<i4")
+_LE_I8 = np.dtype("<i8")
 
 
 def _shard_col(key_col: str, n_shards: int) -> F.Column:
@@ -109,7 +115,7 @@ def write_indexed_dataset(
     code, np_t = MM_DTYPES[dtype]
     lo = int(np.iinfo(np_t).min)
     hi = int(np.iinfo(np_t).max)
-    itemsize = np.dtype(np_t).itemsize
+    itemsize = np_t.itemsize
     data = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(ids_col).cast("array<long>").alias("ids"),
@@ -126,10 +132,10 @@ def write_indexed_dataset(
             if state["shard"] is None:
                 return
             state["bin"].close()
-            sizes = np.asarray(state["sizes"], dtype=np.int32)
-            pointers = np.asarray(state["pointers"], dtype=np.int64)
+            sizes = np.asarray(state["sizes"], dtype=_LE_I4)
+            pointers = np.asarray(state["pointers"], dtype=_LE_I8)
             n_seq = len(sizes)
-            doc_idx = np.arange(n_seq + 1, dtype=np.int64)
+            doc_idx = np.arange(n_seq + 1, dtype=_LE_I8)
             idx_tmp = state["idx_tmp"]
             with open(idx_tmp, "wb") as f:
                 f.write(MMIDX_MAGIC)
@@ -240,6 +246,7 @@ def write_indexed_dataset(
 
 
 MM_READ_SCHEMA = "shard string, seq_idx long, n_tokens long, ids array<long>"
+MM_READ_CHUNK_BYTES = 64 << 20  # ranged-read granularity (bounds task memory)
 
 
 def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
@@ -272,11 +279,11 @@ def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
                 np_t = _CODE_TO_NP[code]
                 n_seq, n_docidx = struct.unpack_from("<QQ", raw, 18)
                 off = 34
-                sizes = np.frombuffer(raw, np.int32, n_seq, off)
+                sizes = np.frombuffer(raw, _LE_I4, n_seq, off)
                 off += 4 * n_seq
-                pointers = np.frombuffer(raw, np.int64, n_seq, off)
+                pointers = np.frombuffer(raw, _LE_I8, n_seq, off)
                 off += 8 * n_seq
-                doc_idx = np.frombuffer(raw, np.int64, n_docidx, off)
+                doc_idx = np.frombuffer(raw, _LE_I8, n_docidx, off)
                 off += 8 * n_docidx
                 if off != len(raw):
                     raise ValueError(
@@ -286,7 +293,7 @@ def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
                     n_seq and doc_idx[-1] != n_seq
                 ):
                     raise ValueError(f"{path}: inconsistent doc_idx")
-                itemsize = np.dtype(np_t).itemsize
+                itemsize = np_t.itemsize
                 want = pointers + sizes.astype(np.int64) * itemsize
                 if n_seq and (
                     (pointers[1:] != want[:-1]).any() or pointers[0] != 0
@@ -294,28 +301,57 @@ def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
                     raise ValueError(f"{path}: non-contiguous pointers")
                 local = path[len("file:"):] if path.startswith("file:") else path
                 bin_path = local[: -len(".idx")] + ".bin"
-                with open(bin_path, "rb") as f:
-                    payload = f.read()
-                if len(payload) != (int(want[-1]) if n_seq else 0):
+                expect = int(want[-1]) if n_seq else 0
+                if os.path.getsize(bin_path) != expect:
                     raise ValueError(
-                        f"{bin_path}: size {len(payload)} != index's "
-                        f"{int(want[-1]) if n_seq else 0}"
+                        f"{bin_path}: size {os.path.getsize(bin_path)} "
+                        f"!= index's {expect}"
                     )
                 shard = os.path.basename(local)[: -len(".idx")]
-                ids = [
-                    np.frombuffer(
-                        payload, np_t, int(sz), int(ptr)
-                    ).astype(np.int64)
-                    for sz, ptr in zip(sizes, pointers)
-                ]
-                yield pd.DataFrame(
-                    {
-                        "shard": shard,
-                        "seq_idx": np.arange(n_seq, dtype=np.int64),
-                        "n_tokens": sizes.astype(np.int64),
-                        "ids": ids,
-                    }
-                )
+                # stream the payload: contiguous sequence CHUNKS of
+                # ~CHUNK_BYTES each, one ranged read + one DataFrame per
+                # chunk — per-task memory is bounded by the chunk, never
+                # the shard (the writer's own discipline)
+                with open(bin_path, "rb") as f:
+                    lo_i = 0
+                    while lo_i < n_seq:
+                        hi_i = lo_i
+                        span = 0
+                        while hi_i < n_seq and (
+                            span == 0
+                            or span + int(sizes[hi_i]) * itemsize
+                            <= MM_READ_CHUNK_BYTES
+                        ):
+                            span += int(sizes[hi_i]) * itemsize
+                            hi_i += 1
+                        f.seek(int(pointers[lo_i]))
+                        buf = f.read(span)
+                        if len(buf) != span:
+                            raise ValueError(
+                                f"{bin_path}: short read at sequence "
+                                f"{lo_i}"
+                            )
+                        base = int(pointers[lo_i])
+                        ids = [
+                            np.frombuffer(
+                                buf, np_t, int(sizes[i]),
+                                int(pointers[i]) - base,
+                            ).astype(np.int64)
+                            for i in range(lo_i, hi_i)
+                        ]
+                        yield pd.DataFrame(
+                            {
+                                "shard": shard,
+                                "seq_idx": np.arange(
+                                    lo_i, hi_i, dtype=np.int64
+                                ),
+                                "n_tokens": sizes[lo_i:hi_i].astype(
+                                    np.int64
+                                ),
+                                "ids": ids,
+                            }
+                        )
+                        lo_i = hi_i
 
     return files.mapInPandas(_parse, schema=MM_READ_SCHEMA)
 
