@@ -244,10 +244,26 @@ def aligned_buckets(
 def _greedy_segment_ids(ts_desc: np.ndarray, width: int) -> np.ndarray:
     """Segment a DESC-sorted int64 ts array per the reference's greedy rule.
 
-    Literal port of the loop at src/agg/stream.rs:60-97: the first (newest)
+    Port of the loop at src/agg/stream.rs:60-97: the first (newest)
     point anchors ``end``; a point joins while ``end - ts <= width``
     (inclusive, line 76); otherwise the bucket closes and the point
-    re-anchors. Returns a bucket id per element (0-based, newest bucket 0).
+    RE-ANCHORS the next bucket. Returns a bucket id per element
+    (0-based, newest bucket 0).
+
+    DOCUMENTED DEVIATION (boundary-point semantics, adjudicated r14):
+    the reference's else branch (src/agg/stream.rs:81-86) consumes the
+    bucket-closing point from the reader and returns the taken bucket
+    WITHOUT adding that point anywhere — ``std::mem::take`` resets the
+    bucket to len 0 and the next ``next()`` call initializes from the
+    FOLLOWING reader item, so real talna silently drops one data point
+    (value, len contribution, and timestamp) at every greedy bucket
+    boundary. The reference has no test exercising a boundary (no test
+    calls ``granularity``), and losing data is almost certainly a talna
+    bug. This engine and its oracle twin (oracle.py ``_greedy_runs``)
+    instead RE-ANCHOR: the closing point becomes the first member of the
+    next bucket — the semantics the reference's own comments describe.
+    Pinned by tests/test_greedy.py::test_boundary_point_reanchors; see
+    ``_greedy_segment_ids_drop_boundary`` for the bit-faithful variant.
     """
     n = ts_desc.shape[0]
     ids = np.empty(n, dtype=np.int64)
@@ -261,6 +277,39 @@ def _greedy_segment_ids(ts_desc: np.ndarray, width: int) -> np.ndarray:
     return ids
 
 
+def _greedy_segment_ids_drop_boundary(ts_desc: np.ndarray, width: int) -> np.ndarray:
+    """Bit-faithful variant of :func:`_greedy_segment_ids` reproducing the
+    reference's ACTUAL boundary behavior (src/agg/stream.rs:81-86): the
+    point whose arrival closes a bucket is consumed and DROPPED — it joins
+    no bucket — and the following point initializes the next bucket.
+
+    Returns a bucket id per element, with ``-1`` marking dropped boundary
+    points. Not used by any query path (the shipped semantics re-anchor,
+    see :func:`_greedy_segment_ids`); exists so the deviation is pinned
+    executable, not just prose — tests/test_greedy.py compares the two on
+    the boundary fixture and asserts exactly where they differ.
+    """
+    n = ts_desc.shape[0]
+    ids = np.empty(n, dtype=np.int64)
+    bucket = -1
+    anchor = None
+    for i in range(n):
+        t = ts_desc[i]
+        if anchor is None:
+            # stream.rs:67-73 — initialize bucket from this point
+            bucket += 1
+            anchor = t
+            ids[i] = bucket
+        elif anchor - t <= width:
+            # stream.rs:76-80 — join (anchor == bucket.end, never updated)
+            ids[i] = bucket
+        else:
+            # stream.rs:81-86 — bucket returned, this point lands NOWHERE
+            ids[i] = -1
+            anchor = None
+    return ids
+
+
 def greedy_buckets(
     scan: DataFrame,
     group_col: Column,
@@ -268,7 +317,11 @@ def greedy_buckets(
     width: int,
     max_open_bucket_rows: int = 20_000_000,
 ) -> DataFrame:
-    """B_gr: the reference's data-anchored greedy bucketing (O27), faithful.
+    """B_gr: the reference's data-anchored greedy bucketing (O27), with ONE
+    documented deviation: the bucket-closing point RE-ANCHORS the next
+    bucket here, whereas the reference silently drops it
+    (src/agg/stream.rs:81-86 — see ``_greedy_segment_ids`` for the
+    adjudication; the oracle twin shares the re-anchor semantics).
 
     Physical shape: one shuffle (``repartition(grp)``) hash-co-locates each
     group wholly in one partition; ``sortWithinPartitions(grp, ts DESC)``
@@ -432,7 +485,8 @@ def greedy_buckets_sliced(
 ) -> DataFrame:
     """Two-level parallel form of the reference's greedy bucketing (O27),
     bit-identical to :func:`greedy_buckets` — the scale path for groups
-    too large for one task.
+    too large for one task. (Shares ``greedy_buckets``'s documented
+    re-anchor deviation at bucket boundaries; see ``_greedy_segment_ids``.)
 
     The greedy rule (src/agg/stream.rs:60-97) is a sequential scan, but it
     has a synchronization property: any inter-point gap > width forces a

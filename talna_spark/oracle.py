@@ -369,7 +369,16 @@ def _greedy_runs(ts_desc, width: int):
     (first) timestamp, a point joins while ``anchor - ts <= width``
     (inclusive, stream.rs:76), otherwise the point re-anchors a new run.
     ``tests/test_greedy.py`` cross-checks both ports on the fixtures and
-    on randomized streams."""
+    on randomized streams.
+
+    DOCUMENTED DEVIATION (adjudicated r14, shared with the engine): the
+    reference's else branch (src/agg/stream.rs:81-86) DROPS the
+    bucket-closing point — ``std::mem::take`` returns the bucket, the
+    consumed point joins nothing, and the next call initializes from the
+    following item. Both this oracle and the engine RE-ANCHOR that point
+    as the next bucket's first member instead (the reference silently
+    loses data at every boundary and never tests one); the deviation is
+    pinned executable in aggregate._greedy_segment_ids_drop_boundary."""
     runs: list[tuple[int, int]] = []
     anchor = None
     for i, t in enumerate(ts_desc):

@@ -315,3 +315,64 @@ def test_oracle_imports_nothing_from_engine_aggregate():
         elif isinstance(node, ast.Import):
             for alias in node.names:
                 assert "aggregate" not in alias.name, ast.dump(node)
+
+
+# ---- boundary-point adjudication (VERDICT r13 finding #1, fixed r14) -----
+# The reference DROPS the point that triggers bucket emission
+# (src/agg/stream.rs:81-86: the consumed data_point joins nothing; the next
+# next() call initializes from the FOLLOWING item). Engine and oracle both
+# RE-ANCHOR it — the documented deviation (SURVEY O27). These tests pin the
+# shipped semantics end-to-end AND the exact shape of the divergence.
+
+# Two-bucket boundary fixture: DESC scan anchors at 3S; 2S joins
+# (3S-2S <= S); 0 closes the bucket (3S-0 > S) and — under re-anchor —
+# becomes the SECOND bucket's first (and only) member.
+BOUNDARY_TS = [0, 2 * S, 3 * S]
+
+
+def test_boundary_point_reanchors(spark):
+    rows = [("m", t, float(t // S + 1), {"h": "a"}) for t in BOUNDARY_TS]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.count("m", "h").mode("greedy").granularity(S).collect()
+    buckets = sorted(res["a"], key=lambda b: b.start)
+    # two buckets; the closing point (ts=0) IS the second bucket — under
+    # the reference's drop semantics it would vanish (one bucket of len 2,
+    # and point ts=0 in no bucket at all)
+    assert [(b.start, b.end, b.len) for b in buckets] == [
+        (0, 0, 1),
+        (2 * S, 3 * S, 2),
+    ]
+    assert sum(b.len for b in buckets) == len(BOUNDARY_TS)  # nothing lost
+
+
+def test_drop_boundary_variant_pins_reference_behavior():
+    from talna_spark.aggregate import _greedy_segment_ids_drop_boundary
+
+    ts = np.array(sorted(BOUNDARY_TS, reverse=True), dtype=np.int64)
+    reanchor = _greedy_segment_ids(ts, S)
+    drop = _greedy_segment_ids_drop_boundary(ts, S)
+    # shipped semantics: [3S, 2S] bucket 0, [0] bucket 1
+    assert reanchor.tolist() == [0, 0, 1]
+    # reference semantics: [3S, 2S] bucket 0, ts=0 dropped (-1) — one point
+    # of data silently lost at the boundary
+    assert drop.tolist() == [0, 0, -1]
+
+
+def test_drop_boundary_variant_consecutive_boundaries():
+    # every inter-point gap > width: re-anchor keeps every point (one
+    # bucket each); the reference drops every OTHER point (each dropped
+    # point also resets, so the next one initializes a fresh bucket)
+    ts = np.array([10 * S, 7 * S, 4 * S, 0], dtype=np.int64)
+    assert _greedy_segment_ids(ts, S).tolist() == [0, 1, 2, 3]
+    from talna_spark.aggregate import _greedy_segment_ids_drop_boundary
+
+    assert _greedy_segment_ids_drop_boundary(ts, S).tolist() == [0, -1, 1, -1]
+
+
+def test_drop_boundary_variant_agrees_when_no_boundary():
+    # with no boundary crossing the two semantics are identical
+    from talna_spark.aggregate import _greedy_segment_ids_drop_boundary
+
+    ts = np.array([3 * S, int(2.5 * S), 2 * S], dtype=np.int64)
+    assert _greedy_segment_ids(ts, 2 * S).tolist() == [0, 0, 0]
+    assert _greedy_segment_ids_drop_boundary(ts, 2 * S).tolist() == [0, 0, 0]
