@@ -359,11 +359,24 @@ def main() -> None:
     if os.path.exists(f"{sf_dir}/documents.parquet"):
         pipe = {
             "pipe_dedup_exact": "x05_dedup_exact",
-            "pipe_lsh_pairs": "x07_dedup_lsh_pairs",
             "pipe_bm25": "q39_bm25",
             "pipe_curate": "q41_curate",
             "pipe_mixture": "x23_mixture_sample",
         }
+        # r14 (VERDICT r13 item 2): x07 became a 2-slice union in r13
+        # (full + bbit banding), so timing the driver row re-ran the
+        # pipe_ann_ivf trap bench.py documents below — BENCH_r13's
+        # 1.20->2.80 s "regression" was the rebind, not the operator.
+        # Each slice now gets its own row (the pipe_pq precedent);
+        # pipe_lsh_pairs keeps its historical meaning (full-width only).
+        from talna_spark.pipeline import dedup as _dedup_mod
+
+        qs["_bench_lsh_full"] = _dedup_mod.lsh_near_dup_pairs
+        pipe["pipe_lsh_pairs"] = "_bench_lsh_full"
+        qs["_bench_lsh_bbit"] = lambda spark, sf_dir: (
+            _dedup_mod.lsh_near_dup_pairs(spark, sf_dir, band_bits=8)
+        )
+        pipe["pipe_lsh_bbit"] = "_bench_lsh_bbit"
         # the x23 row is a kind-union; record its slice count so the
         # timing is interpretable across rounds (r6 ADVICE precedent —
         # r9 adds the `alpha` temperature-mixture slice)

@@ -10,6 +10,17 @@ an explicit "module.path:function" spec — the function is called as
 fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
 
+FINDINGS (r14, 2026-08-16, the BENCH_r13 pipe_lsh_pairs 1.20 -> 2.80 s
+"regression"):
+- ROW REBIND, not code (VERDICT r13 What's-wrong #2): r13 made x07 a
+  2-slice union (full + bbit banding) and pipe_lsh_pairs timed the
+  union. The full-width operator alone, interleaved min-of-5, three
+  pairs: r12-final f4ed645 {1.596, 1.715, 1.731} vs HEAD {1.812,
+  1.446, 1.735} — means 1.681 vs 1.664, within 1%. Nothing regressed.
+  bench.py now times each slice in its own row (pipe_lsh_pairs =
+  full-width only, restoring its historical meaning; pipe_lsh_bbit
+  new), the pipe_pq precedent.
+
 FINDINGS (r13, 2026-08-15, the two BENCH_r12 drift rows):
 - pipe_tokenize_pack_byte +51% (6.09 -> 9.21 s): NOT the exact-\p-class
   commit and NOT code. Interleaved min-of-3 A/B, three pairs each:
