@@ -36,6 +36,20 @@ Scale design (the write_webdataset discipline, sources/webdataset.py):
 - shards publish atomically (tmp + rename), .bin strictly BEFORE .idx
   — a reader keyed on .idx presence never sees a torn pair; tmp names
   carry the task attempt id so speculative attempts cannot interleave.
+
+FILESYSTEM CONTRACT — shared POSIX only (unlike every other source in
+this package): WARC/WebDataset take whole-file bytes from Spark's
+``binaryFile`` and work on any Hadoop-compatible FS, but a .bin payload
+can be ~100 GB per shard — whole-file transfer is exactly what the
+mmap format exists to avoid — so the reader RANGED-reads the local
+path with ``open()``/``seek()``, and the writer streams + publishes
+with ``os.replace`` (whose atomicity object stores do not provide).
+Executors must therefore see ``out_dir``/the shards at the SAME POSIX
+path (NFS/Lustre/GPFS — the environment Megatron-LM itself assumes).
+Non-``file:`` URIs (s3://, hdfs://, ...) are REJECTED loudly at both
+ends rather than failing deep in a task; lifting this means routing
+the ranged reads and the rename-publish through a Hadoop
+FileSystem/fsspec seam, not switching to binaryFile.
 """
 
 from __future__ import annotations
@@ -50,6 +64,31 @@ from pyspark.sql import functions as F
 
 MMIDX_MAGIC = b"MMIDIDX\x00\x00"
 MMIDX_VERSION = 1
+
+
+def _require_posix_path(p: str, what: str) -> str:
+    """Enforce the module's shared-POSIX contract (docstring above):
+    reject URI schemes other than ``file:`` LOUDLY — without this, an
+    s3://... out_dir would be created as a literal local directory and
+    an hdfs://... .bin would surface as a baffling FileNotFoundError
+    deep in an executor task. Returns the path with any ``file:``
+    prefix stripped."""
+    if p.startswith("file://"):
+        return p[len("file://"):] or "/"
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]+)://", p)
+    if m:
+        raise ValueError(
+            f"{what} {p!r} uses scheme {m.group(1)!r}: the Megatron "
+            ".bin/.idx sink/source requires a shared POSIX filesystem "
+            "(ranged reads + atomic rename; see talna_spark/sources/"
+            "megatron.py module docstring). Copy shards to POSIX "
+            "storage or route through a Hadoop-FS/fsspec seam."
+        )
+    return p
 
 # the public integer dtype codes (fairseq/Megatron indexed_dataset);
 # float codes (6/7) vary across published forks and are not written
@@ -101,9 +140,15 @@ def write_indexed_dataset(
     corrupt training data); NULL id arrays fail loudly; empty arrays
     are legal zero-length sequences. Returns the manifest DataFrame
     (shard, n_sequences, n_tokens, bin_bytes, idx_bytes) — collect it
-    to force the write and audit the layout."""
+    to force the write and audit the layout.
+
+    ``out_dir`` must be a shared-POSIX path (module docstring); the
+    ``ids`` column must be an array of an INTEGRAL type — a float array
+    would silently truncate fractional token ids in the long cast
+    before the range check could catch anything, so it fails here."""
     if int(n_shards) < 1:
         raise ValueError("n_shards must be >= 1")
+    out_dir = _require_posix_path(str(out_dir), "out_dir")
     if dtype not in MM_DTYPES:
         raise ValueError(
             f"dtype must be one of {sorted(MM_DTYPES)} (integer token "
@@ -112,6 +157,19 @@ def write_indexed_dataset(
     for need in (key_col, ids_col):
         if need not in df.columns:
             raise ValueError(f"write_indexed_dataset input needs {need!r}")
+    from pyspark.sql import types as T
+
+    ids_type = df.schema[ids_col].dataType
+    ok = isinstance(ids_type, T.ArrayType) and isinstance(
+        ids_type.elementType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if not ok:
+        raise ValueError(
+            f"ids column {ids_col!r} must be array of an integral type, "
+            f"got {ids_type.simpleString()}: a lossy cast (float/decimal/"
+            "string) would corrupt token ids before the range check"
+        )
     code, np_t = MM_DTYPES[dtype]
     lo = int(np.iinfo(np_t).min)
     hi = int(np.iinfo(np_t).max)
@@ -255,9 +313,13 @@ def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
     its shard (the format stores no keys; writer order is key-sorted).
     Header corruption, dtype/doc_idx inconsistencies and torn
     bin/pointer layouts fail LOUDLY (tested). Files are the
-    parallelism unit: the small .idx ships via binaryFile, the token
-    payload streams from the sibling .bin executor-side (shared
-    storage at scale, the same contract every file-based source has)."""
+    parallelism unit: the small .idx ships via binaryFile; the token
+    payload RANGED-reads from the sibling .bin executor-side via local
+    ``open()``/``seek()`` — which is why this source, unlike
+    WARC/WebDataset, requires a shared POSIX filesystem (module
+    docstring): a 100 GB .bin cannot ship as one binaryFile blob.
+    Non-``file:`` URIs are rejected loudly, driver-side."""
+    _require_posix_path(str(idx_glob), "idx_glob")
     files = spark.read.format("binaryFile").load(idx_glob).select(
         "path", "content"
     )
@@ -299,7 +361,24 @@ def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
                     (pointers[1:] != want[:-1]).any() or pointers[0] != 0
                 ):
                     raise ValueError(f"{path}: non-contiguous pointers")
-                local = path[len("file:"):] if path.startswith("file:") else path
+                # the driver validated idx_glob, but a non-file
+                # default FS can still hand binaryFile a remote URI —
+                # same loud contract error, not a FileNotFoundError
+                import re as _re
+
+                if path.startswith("file://"):
+                    local = path[len("file://"):]
+                elif path.startswith("file:"):
+                    local = path[len("file:"):]
+                elif _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]+://", path):
+                    raise ValueError(
+                        f"{path}: non-POSIX scheme — the .bin payload "
+                        "is ranged-read locally (megatron.py module "
+                        "docstring); copy shards to shared POSIX "
+                        "storage"
+                    )
+                else:
+                    local = path
                 bin_path = local[: -len(".idx")] + ".bin"
                 expect = int(want[-1]) if n_seq else 0
                 if os.path.getsize(bin_path) != expect:

@@ -213,3 +213,62 @@ def test_idx_single_byte_corruption_never_parses_silently(spark, tmp_path):
             silent.append(i)  # silently DIFFERENT data: the worst case
     open(idx_path, "wb").write(clean)
     assert silent == [], f"byte flips yielding silently different data: {silent}"
+
+
+# ---- filesystem + type contracts (VERDICT r13 item 3 + ADVICE r13) -------
+
+
+def test_writer_rejects_non_posix_out_dir(spark):
+    df = _seqs(spark, [("a", [1, 2])])
+    for uri in ("s3://bucket/shards", "hdfs://nn:9000/shards",
+                "s3a://bucket/x"):
+        with pytest.raises(ValueError, match="shared POSIX filesystem"):
+            write_indexed_dataset(df, uri)
+
+
+def test_reader_rejects_non_posix_glob(spark):
+    for uri in ("s3://bucket/shard-*.idx", "hdfs://nn/x/shard-*.idx"):
+        with pytest.raises(ValueError, match="shared POSIX filesystem"):
+            read_indexed_dataset(spark, uri)
+
+
+def test_writer_accepts_file_uri(spark, tmp_path):
+    # file: URIs are the POSIX contract spelled as a URI — stripped, not
+    # rejected; the shards land at the plain path
+    import os
+
+    d = str(tmp_path / "mm_uri")
+    man = write_indexed_dataset(
+        _seqs(spark, [("a", [1, 2, 3])]), f"file:{d}", n_shards=1
+    ).collect()
+    assert man[0]["n_tokens"] == 3
+    assert os.path.exists(os.path.join(d, "shard-00000.idx"))
+    back = read_indexed_dataset(spark, f"file:{d}/shard-*.idx").collect()
+    assert [list(r["ids"]) for r in back] == [[1, 2, 3]]
+
+
+def test_writer_rejects_fractional_ids(spark):
+    # ADVICE r13: array<double> ids would silently truncate in the long
+    # cast BEFORE the range check — must fail at plan time instead
+    df = spark.createDataFrame(
+        [("a", [1.5, 2.0])], "seq_id string, ids array<double>"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        write_indexed_dataset(df, "/tmp/never-written")
+
+
+def test_writer_rejects_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a", ["1", "2"])], "seq_id string, ids array<string>"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        write_indexed_dataset(df, "/tmp/never-written")
+
+
+def test_writer_accepts_int_ids(spark, tmp_path):
+    # narrower integral element types are lossless into int64 — allowed
+    df = spark.createDataFrame(
+        [("a", [1, 2])], "seq_id string, ids array<int>"
+    )
+    man = write_indexed_dataset(df, str(tmp_path / "mm_int")).collect()
+    assert man[0]["n_tokens"] == 2
