@@ -771,7 +771,7 @@ def _hll_check_p(p: int) -> tuple[int, int, int]:
 
 
 def _hll_register_cols(d: DataFrame, col: str, p: int, *keep) -> DataFrame:
-    """(\*keep, bucket, rho) rows before the max-agg — ONE shared
+    r"""(\*keep, bucket, rho) rows before the max-agg — ONE shared
     implementation of the bucket/rank pipeline for the scalar and
     grouped builds (a correction applied to one cannot miss the
     other)."""
@@ -816,7 +816,16 @@ def _hll_sum_aggs(p: int) -> tuple:
 def _hll_est_cols(p: int) -> tuple:
     """(zeros, est) Columns over the (_cnt, _st) aggregate row — the
     three-branch corrected estimate, shared by the scalar and grouped
-    estimators."""
+    estimators.
+
+    SATURATION -> NULL, explicitly (ADVICE r13, the lc precedent):
+    with every register near max rank, e_raw reaches ~alpha * 2^33 >
+    2^32 and the large-range correction's ln(1 - e_raw/2^32) leaves
+    its domain — Spark would return NULL silently while DuckDB ERRORS,
+    a cross-engine divergence. Both engines now branch to an explicit
+    NULL first: a saturated 32-bit HLL has no usable estimate (the
+    paper's correction tops out at 2^32 distinct) — raise p or count
+    exactly. Pinned by test_hll_saturation_nulls_on_both_engines."""
     _, m, q = _hll_check_p(p)
     a_num = _hll_alpha(m) * m * m * float(1 << q)
     two32 = float(1 << 32)
@@ -834,6 +843,7 @@ def _hll_est_cols(p: int) -> tuple:
                 6,
             ),
         )
+        .when(e_raw >= F.lit(two32), F.lit(None).cast("double"))
         .when(
             e_raw > F.lit(two32 / 30.0),
             F.round(
@@ -853,6 +863,7 @@ def _hll_est_case_sql(m: int, q: int) -> str:
         f"CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN "
         f"round(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
         "CAST(zeros AS DOUBLE)), 6) "
+        f"WHEN e_raw >= {two32!r} THEN NULL "
         f"WHEN e_raw > {two32 / 30.0!r} THEN "
         f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
         "ELSE round(e_raw, 6) END"
@@ -897,7 +908,9 @@ def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
     Deterministic given the registers: the register sum is exact
     BIGINT algebra and the estimate is one division (+ one ln on the
     correction paths), cross-engine identical at 6 dp (the lc
-    precedent). Plan: one sketch-sized aggregate."""
+    precedent). A SATURATED sketch (e_raw >= 2^32 — every register
+    near max rank) estimates NULL explicitly on both engines, like lc;
+    see ``_hll_est_cols``. Plan: one sketch-sized aggregate."""
     cnt, sumterm = _hll_sum_aggs(p)
     agg = sketch.agg(cnt.alias("_cnt"), sumterm.alias("_st"))
     zeros, est = _hll_est_cols(p)

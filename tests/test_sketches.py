@@ -766,3 +766,39 @@ def test_qs_grouped_matches_scalar_merges_and_cross_engine(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_hll_saturation_nulls_on_both_engines(spark):
+    """ADVICE r13: with every register at max rank, e_raw ~ alpha*2^33
+    > 2^32 and the large-range correction's ln argument leaves its
+    domain — previously Spark returned NULL silently while DuckDB
+    ERRORED. Both engines must now return an EXPLICIT NULL (the lc
+    saturation precedent): a saturated 32-bit HLL has no estimate."""
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.sketches import (
+        _hll_alpha,
+        _hll_check_p,
+        _hll_est_case_sql,
+        hll_estimate,
+    )
+
+    p, m, q = _hll_check_p(7)
+    # a fully saturated register table: all m buckets at the rho cap
+    sk = spark.range(m).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(q).cast("int").alias("rho")
+    )
+    row = hll_estimate(sk, p=p).collect()[0]
+    assert row["buckets_set"] == m and row["zeros"] == 0
+    assert row["est"] is None
+    # the SQL twin's CASE takes the same explicit-NULL branch instead
+    # of erroring in ln(): e_raw = alpha*m^2*2^q / (0*2^q + m*2^0)
+    e_raw = _hll_alpha(m) * m * m * float(1 << q) / m
+    assert e_raw >= float(1 << 32)  # the scenario is real, not synthetic
+    con = duckdb.connect()
+    got = con.execute(
+        f"WITH e AS (SELECT CAST({m} AS BIGINT) AS cnt, "
+        f"CAST(0 AS BIGINT) AS zeros, {e_raw!r} AS e_raw) "
+        f"SELECT {_hll_est_case_sql(m, q)} AS est FROM e"
+    ).fetchone()
+    assert got[0] is None
