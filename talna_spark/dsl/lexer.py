@@ -1,10 +1,15 @@
-"""Regex tokenizer for the filter DSL (reference src/query/lexer.rs:3-35,
+r"""Regex tokenizer for the filter DSL (reference src/query/lexer.rs:3-35,
 operator O21), extended with the reference's declared Set syntax
 ``key:[a, b, c]`` (src/query/parser/mod.rs:14-100, planned per README).
 
 Token kinds: NOT ``!``, AND, OR, LPAREN, RPAREN, STAR ``*`` (AllStar,
 whole-expression special case handled by the parser), SET, WILDCARD, EQ.
-Whitespace is skipped (src/query/lexer.rs:8).
+Whitespace is skipped using the reference's EXACT class ``[ \r\t\n\f]``
+(src/query/lexer.rs:4) — NOT Python's ``\s``: the reference lexes a
+vertical tab or a Unicode space (U+00A0, ...) between tokens as an
+ERROR, and so do we (r14 faithfulness audit; pinned in
+tests/test_dsl.py). The whole-string AllStar trim stays Unicode-aware
+in the parser, matching Rust's ``str::trim``.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ VALUE = r"[a-zA-Z0-9_.\-]+"
 # can swallow them because KEY tokens always carry a ':'.
 _TOKEN_RE = re.compile(
     rf"""
-    (?P<WS>\s+)
+    (?P<WS>[\ \r\t\n\f]+)
   | (?P<SET>({KEY}):\[\s*{VALUE}(\s*,\s*{VALUE})*\s*\])
   | (?P<WILDCARD>({KEY}):({VALUE})?\*)
   | (?P<EQ>({KEY}):({VALUE}))

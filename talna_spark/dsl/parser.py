@@ -8,6 +8,21 @@ any malformation raises :class:`InvalidQueryError`.
 The whole-string ``"*"`` AllStar fast path mirrors the special case at
 src/query/filter.rs:155-157 (operator O16): ``*`` is only valid as the
 entire expression, never as an operand inside one.
+
+DOCUMENTED DEVIATIONS (r14 faithfulness audit of filter.rs:154-293):
+
+- Leftover operands ERROR here; the reference's only guard is
+  ``debug_assert_eq!(1, buf.len())`` (filter.rs:290) — a no-op in
+  release builds, so real talna silently returns the LAST parsed
+  subtree for shapes like ``a:b c:d`` (missing operator) or
+  ``a:b (c:d OR e:f)``, discarding the rest of the query (and panics
+  on them in debug builds). A strict InvalidQueryError is the sane
+  semantics; pinned in tests/test_dsl.py.
+- Equal-precedence chains associate LEFT here (classic shunting-yard,
+  ``a OR b OR c`` -> Or(Or(a,b),c)); the reference's Or handler pops
+  only And/Not (filter.rs:198-210), stacking equal-precedence binary
+  ops right-associated. AND/OR set algebra is associative, so the
+  evaluated series sets are identical — AST shape only.
 """
 
 from __future__ import annotations

@@ -54,7 +54,11 @@ _ORC_TOKENS = (
 def _orc_scan(text: str) -> list[tuple]:
     toks, pos = [], 0
     while pos < len(text):
-        if text[pos].isspace():
+        # the grammar's whitespace is EXACTLY the reference lexer's skip
+        # class (src/query/lexer.rs:4) — not Unicode isspace(); a
+        # vertical tab or U+00A0 between tokens is a lex error on both
+        # sides (r14, the engine lexer pins this in tests/test_dsl.py)
+        if text[pos] in " \r\t\n\f":
             pos += 1
             continue
         for kind, rx in _ORC_TOKENS:

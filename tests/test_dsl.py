@@ -98,6 +98,59 @@ def test_invalid(bad):
         P(bad)
 
 
+# ---- r14 faithfulness audit pins (SURVEY O21/O22 deviations) -------------
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "env:prod\x0bAND k:v",   # vertical tab is NOT reference whitespace
+        "env:prod\u00a0AND k:v", # nor is a Unicode space (lexer.rs:4)
+        "env:prod\u2003AND k:v",
+    ],
+)
+def test_whitespace_class_is_the_references(bad):
+    # the reference skips exactly [ \r\t\n\f]; anything else between
+    # tokens is a lex error there and must be one here too
+    with pytest.raises(InvalidQueryError):
+        P(bad)
+
+
+def test_reference_whitespace_chars_all_skip():
+    for ws in (" ", "\r", "\t", "\n", "\f"):
+        node = P(f"env:prod{ws}AND{ws}k:v")
+        assert isinstance(node, And)
+
+
+def test_allstar_trim_is_unicode_like_rust():
+    # Rust str::trim is Unicode-aware, so "\u00a0*\u00a0" IS AllStar in
+    # the reference even though U+00A0 can't appear between tokens
+    assert isinstance(P("\u00a0*\u00a0"), AllStar)
+    assert isinstance(P("  *\t"), AllStar)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "a:b (c:d OR e:f)",  # leftover operand that bypasses adjacency
+        "(a:b OR c:d) e:f",
+    ],
+)
+def test_leftover_operands_error_not_silently_truncate(bad):
+    # DOCUMENTED DEVIATION: the reference's only leftover guard is a
+    # debug_assert (filter.rs:290) — release talna silently returns the
+    # LAST subtree, dropping the rest of the query; we raise instead
+    with pytest.raises(InvalidQueryError):
+        P(bad)
+
+
+def test_postfix_not_matches_reference_rpn_quirk():
+    # "a:b !" assembles to Not(a) through the RPN in BOTH engines (the
+    # reference pops the trailing Not into the queue, filter.rs:244-249)
+    node = P("env:prod !")
+    assert isinstance(node, Not)
+
+
 def test_compile_to_sql_shapes():
     from talna_spark.dsl import compile_to_sql
 
