@@ -186,12 +186,17 @@ def _gen_expr(rng, depth=0):
         return f"!{_gen_expr(rng, depth + 1)}"
     if r < 0.65:
         return f"({_gen_expr(rng, depth + 1)})"
-    op = rng.choice([" AND ", " OR "])
+    # any reference whitespace char separates tokens (lexer.rs:4, r14)
+    w1, w2 = rng.choice(" \r\t\n\f"), rng.choice(" \r\t\n\f")
+    op = rng.choice([f"{w1}AND{w2}", f"{w1}OR{w2}"])
     return _gen_expr(rng, depth + 1) + op + _gen_expr(rng, depth + 1)
 
 
 def _mutate(rng, s):
-    ops = ["(", ")", "!", "*", " AND", " OR", ":", "[", "]", ",", " ", "@"]
+    # includes the NON-whitespace separators both sides must reject
+    # identically: vertical tab and U+00A0 (r14 whitespace-class pin)
+    ops = ["(", ")", "!", "*", " AND", " OR", ":", "[", "]", ",", " ", "@",
+           "\x0b", "\u00a0"]
     i = rng.randrange(len(s) + 1)
     kind = rng.randrange(3)
     if kind == 0:
