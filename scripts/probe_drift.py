@@ -10,6 +10,17 @@ an explicit "module.path:function" spec — the function is called as
 fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
 
+FINDINGS (r14, 2026-08-16, scale1000 q16 warm 139.5 -> 291.6 ms in a
+local pre-driver bench run):
+- LOAD, not code. Interleaved single-run-each A/B on the same box
+  (each = fresh 100M-point warehouse ingest + min-of-7 warm query):
+  r12-final f4ed645 q16_warm 152.2 ms vs HEAD 118.6 ms — HEAD is 22%
+  FASTER than old code today and back in the historical 107-152 ms
+  band; the 291.6 ms reading came from a bench started minutes after
+  a 22-minute full-pytest run (page cache + CPU residue). No engine
+  file on the q16 path changed in r14 (docstrings only). The r13
+  verdict's "watch, act if it persists" is answered: it does not.
+
 FINDINGS (r14, 2026-08-16, the BENCH_r13 pipe_lsh_pairs 1.20 -> 2.80 s
 "regression"):
 - ROW REBIND, not code (VERDICT r13 What's-wrong #2): r13 made x07 a
