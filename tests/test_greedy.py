@@ -330,10 +330,14 @@ def test_oracle_imports_nothing_from_engine_aggregate():
 BOUNDARY_TS = [0, 2 * S, 3 * S]
 
 
-def test_boundary_point_reanchors(spark):
+@pytest.mark.parametrize("sliced", [False, True])
+def test_boundary_point_reanchors(spark, sliced):
     rows = [("m", t, float(t // S + 1), {"h": "a"}) for t in BOUNDARY_TS]
     db = Database.from_points(spark, make_points(spark, rows))
-    res = db.count("m", "h").mode("greedy").granularity(S).collect()
+    q = db.count("m", "h").mode("greedy").granularity(S)
+    if sliced:  # the two-level scale path must share the semantics
+        q = q.greedy_slices(1000 * S)
+    res = q.collect()
     buckets = sorted(res["a"], key=lambda b: b.start)
     # two buckets; the closing point (ts=0) IS the second bucket — under
     # the reference's drop semantics it would vanish (one bucket of len 2,
