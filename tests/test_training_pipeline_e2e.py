@@ -365,3 +365,113 @@ def test_r13_stack_incremental_crawls_prebuilt_bloom(spark):
     n = final.count()
     nd = final.select("text").distinct().count()
     assert n == nd > 0
+
+
+def test_r14_stack_dedup_pack_megatron_shards(spark, tmp_path):
+    """r14 capstone: the pipeline's LAST mile into training tensors —
+    exact-dedup survivors -> BPE token ids -> FFD pack -> concatenate
+    each pack into ONE training sequence -> Megatron .bin/.idx shards
+    -> read back. Pins that (a) the packed-sequence concat is
+    deterministic (members ordered by doc_id), (b) the .bin/.idx sink
+    accepts real pipeline output (array<long> ids pass the r14
+    integral-type gate), and (c) every token survives the whole chain:
+    read-back streams equal the pre-sink sequences id-for-id via the
+    sink's declared placement, and the global token count is conserved
+    from the encoder to the shards' manifest."""
+    from talna_spark.pipeline.bpe import bpe_encode_ids, bpe_train
+    from talna_spark.pipeline.dedup import exact_survivors
+    from talna_spark.pipeline.packing import pack_assign_lengths
+    from talna_spark.sources.megatron import (
+        _shard_col,
+        read_indexed_dataset,
+        write_indexed_dataset,
+    )
+    from pyspark.sql.window import Window as W
+
+    # 1. dedup: keep one doc per distinct text
+    kept = exact_survivors(spark, SF).select(
+        F.col("keep_doc").alias("doc_id")
+    )
+
+    # 2. encode the survivors
+    merges = bpe_train(spark, SF, n_merges=8)
+    enc = (
+        bpe_encode_ids(spark, SF, merges)
+        .join(kept, "doc_id")
+        .filter(F.col("n_bpe_tokens") > 0)
+        .localCheckpoint(eager=False)
+    )
+    n_docs = enc.count()
+    total_tokens = enc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert n_docs > 100 and total_tokens > 0
+
+    # 3. FFD-pack by real BPE length, then build the actual training
+    # sequences: members concatenate in doc_id order within a pack
+    BUDGET = 512
+    assign = pack_assign_lengths(
+        enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+        budget=BUDGET,
+    ).filter(~F.col("oversize"))
+    packed = (
+        assign.join(enc.select("doc_id", "ids"), "doc_id")
+        .groupBy("pack_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "ids"))
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("ids")
+        )
+        .select(F.col("pack_id").cast("string").alias("seq_id"), "ids")
+        .localCheckpoint(eager=False)
+    )
+    n_packs = packed.count()
+    packed_tokens = packed.agg(F.sum(F.size("ids"))).collect()[0][0]
+
+    # 4. write Megatron shards, read back
+    out = str(tmp_path / "mm")
+    man = write_indexed_dataset(
+        packed, out, n_shards=2, dtype="int32", key_col="seq_id"
+    ).collect()
+    assert sum(r["n_sequences"] for r in man) == n_packs
+    assert sum(r["n_tokens"] for r in man) == packed_tokens
+    back = read_indexed_dataset(spark, f"{out}/shard-*.idx")
+
+    # 5. id-for-id equality via the sink's declared placement
+    expect = packed.select(
+        "seq_id",
+        "ids",
+        F.format_string("shard-%05d", _shard_col("seq_id", 2)).alias("shard"),
+    ).withColumn(
+        "seq_idx",
+        F.row_number().over(
+            W.partitionBy("shard").orderBy(F.col("seq_id").asc())
+        )
+        - F.lit(1),
+    )
+    joined = back.join(expect, ["shard", "seq_idx"], "full").select(
+        F.coalesce(F.size(back["ids"]) == F.size(expect["ids"]), F.lit(False)
+                   ).alias("len_ok"),
+        F.coalesce(back["ids"] == expect["ids"], F.lit(False)).alias("ids_ok"),
+    )
+    bad = joined.filter(~F.col("len_ok") | ~F.col("ids_ok")).count()
+    assert bad == 0
+    assert back.count() == n_packs
+    # global conservation: every non-oversize token reaches the shards
+    # (oversize docs are excluded up front; none exist at this budget
+    # on this corpus, so the strict equality also holds — asserted via
+    # the subtraction so a future corpus change fails loudly here, not
+    # as a mystery count drift)
+    oversize_tokens = (
+        pack_assign_lengths(
+            enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+            budget=BUDGET,
+        )
+        .filter(F.col("oversize"))
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)))
+        .collect()[0][0]
+    )
+    assert packed_tokens == total_tokens - oversize_tokens
