@@ -374,7 +374,9 @@ def main() -> None:
         qs["_bench_lsh_full"] = _dedup_mod.lsh_near_dup_pairs
         pipe["pipe_lsh_pairs"] = "_bench_lsh_full"
         qs["_bench_lsh_bbit"] = lambda spark, sf_dir: (
-            _dedup_mod.lsh_near_dup_pairs(spark, sf_dir, band_bits=8)
+            _dedup_mod.lsh_near_dup_pairs(
+                spark, sf_dir, band_bits=entrymod._LSH_BBIT
+            )
         )
         pipe["pipe_lsh_bbit"] = "_bench_lsh_bbit"
         # the x23 row is a kind-union; record its slice count so the
