@@ -203,9 +203,22 @@ def _scale1000_ingest_min2() -> float:
     return runs
 
 
+def _lsh_bbit_run():
+    # bench-identical: the pipe_lsh_bbit row (r14), driver-pinned width
+    import __spark_entry__ as entrymod
+
+    from talna_spark.pipeline.dedup import lsh_near_dup_pairs
+
+    rows = lsh_near_dup_pairs(
+        spark, SF, band_bits=entrymod._LSH_BBIT
+    ).collect()
+    assert rows
+
+
 CUSTOM_ROWS = {
     "tokenize_pack_byte": lambda: min_of(_tokenize_pack_byte_run, 3),
     "clf_train": lambda: min_of(_clf_train_run, 3),
+    "lsh_bbit": lambda: min_of(_lsh_bbit_run, 5),
 }
 
 for row in ROWS:
