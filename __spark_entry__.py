@@ -1667,9 +1667,6 @@ def _x11_ann_sql() -> str:
 _EXT["x11_ann_ivf"] = (_x11_ann, _x11_ann_sql())
 
 
-_LSH_BBIT = 8  # b-bit band keys: 16 effective bits per 2-row band
-
-
 def _x07_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs, two `kind` slices on (doc_a, doc_b, jaccard):
     ``full`` = full-width band keys (the r1 operator), ``bbit`` = b-BIT
@@ -1684,7 +1681,7 @@ def _x07_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind", F.lit("full")
     )
     bbit = _dedup.lsh_near_dup_pairs(
-        spark, sf_dir, band_bits=_LSH_BBIT
+        spark, sf_dir, band_bits=_dedup.LSH_BBIT_DEFAULT
     ).withColumn("kind", F.lit("bbit"))
     return full.unionByName(bbit)
 
@@ -1694,7 +1691,7 @@ def _x07_lsh_sql() -> str:
         f"SELECT *, 'full' AS kind FROM ({_dedup.lsh_near_dup_pairs_sql()}) "
         "UNION ALL "
         f"SELECT *, 'bbit' AS kind "
-        f"FROM ({_dedup.lsh_near_dup_pairs_sql(band_bits=_LSH_BBIT)})"
+        f"FROM ({_dedup.lsh_near_dup_pairs_sql(band_bits=_dedup.LSH_BBIT_DEFAULT)})"
     )
 
 

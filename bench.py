@@ -375,7 +375,7 @@ def main() -> None:
         pipe["pipe_lsh_pairs"] = "_bench_lsh_full"
         qs["_bench_lsh_bbit"] = lambda spark, sf_dir: (
             _dedup_mod.lsh_near_dup_pairs(
-                spark, sf_dir, band_bits=entrymod._LSH_BBIT
+                spark, sf_dir, band_bits=_dedup_mod.LSH_BBIT_DEFAULT
             )
         )
         pipe["pipe_lsh_bbit"] = "_bench_lsh_bbit"

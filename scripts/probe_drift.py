@@ -205,12 +205,10 @@ def _scale1000_ingest_min2() -> float:
 
 def _lsh_bbit_run():
     # bench-identical: the pipe_lsh_bbit row (r14), driver-pinned width
-    import __spark_entry__ as entrymod
-
-    from talna_spark.pipeline.dedup import lsh_near_dup_pairs
+    from talna_spark.pipeline.dedup import LSH_BBIT_DEFAULT, lsh_near_dup_pairs
 
     rows = lsh_near_dup_pairs(
-        spark, SF, band_bits=entrymod._LSH_BBIT
+        spark, SF, band_bits=LSH_BBIT_DEFAULT
     ).collect()
     assert rows
 

@@ -8,8 +8,12 @@ Whitespace is skipped using the reference's EXACT class ``[ \r\t\n\f]``
 (src/query/lexer.rs:4) — NOT Python's ``\s``: the reference lexes a
 vertical tab or a Unicode space (U+00A0, ...) between tokens as an
 ERROR, and so do we (r14 faithfulness audit; pinned in
-tests/test_dsl.py). The whole-string AllStar trim stays Unicode-aware
-in the parser, matching Rust's ``str::trim``.
+tests/test_dsl.py). As of r15 the SAME exact class applies INSIDE the
+Set bracket syntax ``key:[a, b]`` (previously Python's ``\s`` — a
+Unicode superset — leaked in there, per ADVICE), so ``k:[a,<U+00A0>b]``
+is a lex error just like the same byte between tokens. The
+whole-string AllStar trim stays Unicode-aware in the parser, matching
+Rust's ``str::trim``.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ VALUE = r"[a-zA-Z0-9_.\-]+"
 _TOKEN_RE = re.compile(
     rf"""
     (?P<WS>[\ \r\t\n\f]+)
-  | (?P<SET>({KEY}):\[\s*{VALUE}(\s*,\s*{VALUE})*\s*\])
+  | (?P<SET>({KEY}):\[[\ \r\t\n\f]*{VALUE}([\ \r\t\n\f]*,[\ \r\t\n\f]*{VALUE})*[\ \r\t\n\f]*\])
   | (?P<WILDCARD>({KEY}):({VALUE})?\*)
   | (?P<EQ>({KEY}):({VALUE}))
   | (?P<AND>AND\b)
@@ -74,7 +78,7 @@ def tokenize(text: str) -> list[Token]:
             sm = _SET_SPLIT_RE.fullmatch(raw)
             assert sm is not None
             key = sm.group(1)
-            values = tuple(v.strip() for v in sm.group(2).split(","))
+            values = tuple(v.strip(" \r\t\n\f") for v in sm.group(2).split(","))
             tokens.append(Token("SET", key=key, values=values))
         elif kind == "WILDCARD":
             key, _, rest = raw.partition(":")

@@ -18,11 +18,14 @@ DOCUMENTED DEVIATIONS (r14 faithfulness audit of filter.rs:154-293):
   ``a:b (c:d OR e:f)``, discarding the rest of the query (and panics
   on them in debug builds). A strict InvalidQueryError is the sane
   semantics; pinned in tests/test_dsl.py.
-- Equal-precedence chains associate LEFT here (classic shunting-yard,
+- OR chains associate LEFT here (classic shunting-yard,
   ``a OR b OR c`` -> Or(Or(a,b),c)); the reference's Or handler pops
-  only And/Not (filter.rs:198-210), stacking equal-precedence binary
-  ops right-associated. AND/OR set algebra is associative, so the
-  evaluated series sets are identical — AST shape only.
+  only And/Not — never a prior Or (filter.rs:198-211) — so OR chains
+  right-associate there. AND chains are NOT a deviation: the
+  reference's And handler DOES pop ``Item::And`` (filter.rs:183-196),
+  so AND chains associate left on both sides. OR set algebra is
+  associative, so the evaluated series sets are identical — AST shape
+  only (r15 narrowing per ADVICE).
 """
 
 from __future__ import annotations

@@ -38,8 +38,11 @@ from talna_spark.sources.events import METRIC_SQL, TAG_SQL, TS_SQL
 _ORC_KEY = r"[a-zA-Z_-]+"
 _ORC_VAL = r"[a-zA-Z0-9_.\-]+"
 _ORC_TOKENS = (
+    # inside SET brackets the whitespace class is the reference's exact
+    # [ \r\t\n\f] too (r15, matching the engine lexer — Python \s is a
+    # Unicode superset and previously leaked in here on both twins)
     ("SET", _re.compile(
-        rf"({_ORC_KEY}):\[\s*({_ORC_VAL}(?:\s*,\s*{_ORC_VAL})*)\s*\]")),
+        rf"({_ORC_KEY}):\[[ \r\t\n\f]*({_ORC_VAL}(?:[ \r\t\n\f]*,[ \r\t\n\f]*{_ORC_VAL})*)[ \r\t\n\f]*\]")),
     ("WILD", _re.compile(rf"({_ORC_KEY}):((?:{_ORC_VAL})?)\*")),
     ("EQ", _re.compile(rf"({_ORC_KEY}):({_ORC_VAL})")),
     ("AND", _re.compile(r"AND\b")),
@@ -104,7 +107,7 @@ def oracle_filter_sql(text: str, lookup) -> str:
                 "FALSE)"
             )
         # SET -> OR-of-Eq, left-nested like the engine's desugaring
-        vals = [v.strip() for v in tok[2].split(",")]
+        vals = [v.strip(" \r\t\n\f") for v in tok[2].split(",")]
         sql = f"COALESCE({lookup(tok[1])} = '{esc(vals[0])}', FALSE)"
         for v in vals[1:]:
             sql = (

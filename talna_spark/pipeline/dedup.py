@@ -171,6 +171,18 @@ def minhash_signatures_sql() -> str:
 
 
 # ------------------------------------------------------- LSH near-dup pairs
+
+# The default b for b-bit banding (Li & König 2010): 8 low bits per
+# minhash component => 16 effective bits per 2-row band, shrinking the
+# corpus-scale (band, key) shuffle ~4x vs full-width string keys while
+# candidates stay a superset (masking is a projection). ONE definition
+# here; the driver registration (__spark_entry__), bench.py's
+# pipe_lsh_bbit row, and scripts/probe_drift.py all read it so the
+# benched width can never drift from the driver-checked width (r15,
+# was a private cross-module constant read).
+LSH_BBIT_DEFAULT = 8
+
+
 def _jaccard(a, b):
     inter = F.size(F.array_intersect(a, b))
     return inter / (F.size(a) + F.size(b) - inter)

@@ -770,6 +770,21 @@ def _hll_check_p(p: int) -> tuple[int, int, int]:
     return p, 1 << p, 33 - p
 
 
+# Saturation threshold for the large-range correction: NULL at
+# e_raw >= 2^32*(1 - 1e-12), not at 2^32 exactly — the 1e-12 margin
+# (~4500 double-ulps at 2^32) covers the rounding window where
+# e_raw/2^32 could round to exactly 1.0 and ln(0) be reached INSIDE
+# the correction branch (Spark F.log(0) -> NULL, DuckDB ln(0.0) ->
+# error: a cross-engine divergence; ADVICE r14). Strict IEEE754 makes
+# that quotient exact and < 1 for any double e_raw < 2^32, so the
+# margin is DEFENSIVE — it protects against an engine evaluating the
+# division at different precision, at the cost of a relative 1e-12
+# threshold shift (invisible at round(...,6) output precision). ONE
+# constant consumed by BOTH the Column twin (_hll_est_cols) and the
+# SQL twin (_hll_est_case_sql); tests assert both texts carry it.
+HLL_SAT_THRESHOLD = float(1 << 32) * (1.0 - 1e-12)
+
+
 def _hll_register_cols(d: DataFrame, col: str, p: int, *keep) -> DataFrame:
     r"""(\*keep, bucket, rho) rows before the max-agg — ONE shared
     implementation of the bucket/rank pipeline for the scalar and
@@ -825,10 +840,20 @@ def _hll_est_cols(p: int) -> tuple:
     a cross-engine divergence. Both engines now branch to an explicit
     NULL first: a saturated 32-bit HLL has no usable estimate (the
     paper's correction tops out at 2^32 distinct) — raise p or count
-    exactly. Pinned by test_hll_saturation_nulls_on_both_engines."""
+    exactly. Pinned by test_hll_saturation_nulls_on_both_engines.
+
+    The guard covers the ROUNDING WINDOW, not just e_raw >= 2^32
+    (ADVICE r14, see HLL_SAT_THRESHOLD): an e_raw within half an ulp
+    below 2^32 makes e_raw/2^32 round to exactly 1.0, so ln(0) is hit
+    INSIDE the correction branch — Spark F.log(0) yields NULL while
+    DuckDB ln(0.0) raises, re-opening the divergence the r14 guard
+    closed. The 1e-12 displacement of the threshold is invisible at
+    round(..., 6) output precision. Same constant in the SQL twin
+    (_hll_est_case_sql)."""
     _, m, q = _hll_check_p(p)
     a_num = _hll_alpha(m) * m * m * float(1 << q)
     two32 = float(1 << 32)
+    sat = HLL_SAT_THRESHOLD
     zeros = (F.lit(m) - F.col("_cnt")).cast("long")
     s_scaled = (
         (F.lit(m) - F.col("_cnt")).cast("long") * F.lit(1 << q)
@@ -843,7 +868,7 @@ def _hll_est_cols(p: int) -> tuple:
                 6,
             ),
         )
-        .when(e_raw >= F.lit(two32), F.lit(None).cast("double"))
+        .when(e_raw >= F.lit(sat), F.lit(None).cast("double"))
         .when(
             e_raw > F.lit(two32 / 30.0),
             F.round(
@@ -857,13 +882,17 @@ def _hll_est_cols(p: int) -> tuple:
 
 def _hll_est_case_sql(m: int, q: int) -> str:
     """The estimate CASE over (cnt, zeros, e_raw) — ONE text shared by
-    the scalar and grouped SQL twins."""
+    the scalar and grouped SQL twins. The NULL branch uses the same
+    rounding-window guard as _hll_est_cols (HLL_SAT_THRESHOLD) so
+    neither engine can reach ln(1 - e_raw/2^32) with a ratio that
+    rounds to exactly 1.0."""
     two32 = float(1 << 32)
+    sat = HLL_SAT_THRESHOLD
     return (
         f"CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN "
         f"round(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
         "CAST(zeros AS DOUBLE)), 6) "
-        f"WHEN e_raw >= {two32!r} THEN NULL "
+        f"WHEN e_raw >= {sat!r} THEN NULL "
         f"WHEN e_raw > {two32 / 30.0!r} THEN "
         f"round(-{two32!r} * ln(1.0 - e_raw / {two32!r}), 6) "
         "ELSE round(e_raw, 6) END"

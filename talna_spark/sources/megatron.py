@@ -72,9 +72,28 @@ def _require_posix_path(p: str, what: str) -> str:
     s3://... out_dir would be created as a literal local directory and
     an hdfs://... .bin would surface as a baffling FileNotFoundError
     deep in an executor task. Returns the path with any ``file:``
-    prefix stripped."""
+    prefix stripped.
+
+    ``file://`` URIs with an AUTHORITY are handled per RFC 8089 §2
+    (ADVICE r14): an empty or ``localhost`` authority strips to the
+    local path; anything else (``file://nas01/data``) names a REMOTE
+    host this process cannot reach through ``open()`` — rejected
+    loudly rather than silently resolved to the RELATIVE local path
+    ``nas01/data`` (the pre-r15 behavior, pointing at the wrong
+    location)."""
     if p.startswith("file://"):
-        return p[len("file://"):] or "/"
+        rest = p[len("file://"):]
+        if rest.startswith("/") or rest == "":
+            return rest or "/"  # empty authority: file:///path
+        authority, slash, tail = rest.partition("/")
+        if authority == "localhost":
+            return "/" + tail if slash else "/"
+        raise ValueError(
+            f"{what} {p!r} is a file:// URI with non-local authority "
+            f"{authority!r}: this process can only open local/shared-"
+            "POSIX paths. Use file:///abs/path (empty authority), "
+            "file://localhost/abs/path, or a plain path."
+        )
     if p.startswith("file:"):
         return p[len("file:"):]
     import re

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from talna_spark.dsl import (
@@ -205,6 +207,73 @@ def _mutate(rng, s):
         j = rng.randrange(len(s))
         return s[:j] + s[j + 1 :]
     return s[:i] + rng.choice(ops) + s[i:] + rng.choice(ops)
+
+
+def test_set_bracket_whitespace_is_the_exact_class():
+    """ADVICE r14: the r14 whitespace pin covered inter-token skipping
+    but the SET token pattern still used Python \\s (a Unicode
+    superset) INSIDE key:[...], so 'k:[a,\\u00a0b]' lexed while the
+    same byte between tokens was an error. Both engines now apply the
+    reference's exact [ \\r\\t\\n\\f] class inside the brackets too."""
+    from talna_spark.oracle import oracle_filter_sql
+
+    lookup = lambda k: "NULL"  # noqa: E731
+    # every char of the exact class is fine inside the brackets
+    for ws in (" ", "\r", "\t", "\n", "\f"):
+        node = P(f"_k:[x,{ws}y]")
+        oracle_filter_sql(f"_k:[x,{ws}y]", lookup)
+        from talna_spark.dsl import And, Eq, Not, Or  # noqa: F401
+
+        assert isinstance(node, Or)
+    # Unicode-superset members are a lex error on BOTH engines, exactly
+    # like the same byte between tokens (vertical tab, NBSP, EM SPACE)
+    for ws in ("\x0b", " ", " "):
+        q = f"_k:[x,{ws}y]"
+        with pytest.raises(InvalidQueryError):
+            P(q)
+        with pytest.raises(InvalidQueryError):
+            oracle_filter_sql(q, lookup)
+
+
+def _drop_one_operator(rng, s):
+    """Adjacency mutation (r15, VERDICT r14 item 6): remove one random
+    infix AND/OR from a valid expression, leaving its operands adjacent
+    (``a:1 b:2``). Release talna's only guard for this shape is
+    ``debug_assert_eq!(1, buf.len())`` (filter.rs:290) — a release
+    no-op, so it silently returns the LAST subtree; this engine's
+    documented deviation is a strict InvalidQueryError, pinned here
+    against the whole generated family, not just two fixtures.
+    Returns None when the expression has no infix operator to drop."""
+    ops = list(re.finditer(r"[ \r\t\n\f](?:AND|OR)[ \r\t\n\f]", s))
+    if not ops:
+        return None
+    m = rng.choice(ops)
+    return s[: m.start()] + " " + s[m.end() :]
+
+
+def test_dropped_operator_always_errors():
+    import random
+
+    from talna_spark.oracle import oracle_filter_sql
+
+    lookup = lambda k: k if k in ("a", "b", "host") else "NULL"  # noqa: E731
+    rng = random.Random(20260816)
+    n_mutated = 0
+    while n_mutated < 120:
+        s = _gen_expr(rng)
+        try:
+            P(s)
+        except InvalidQueryError:
+            continue  # only mutate expressions that start out valid
+        mutated = _drop_one_operator(rng, s)
+        if mutated is None:
+            continue
+        n_mutated += 1
+        with pytest.raises(InvalidQueryError):
+            P(mutated)
+        # and the independent oracle front-end rejects identically
+        with pytest.raises(InvalidQueryError):
+            oracle_filter_sql(mutated, lookup)
 
 
 def test_oracle_filter_compiler_differential():

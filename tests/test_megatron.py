@@ -247,6 +247,27 @@ def test_writer_accepts_file_uri(spark, tmp_path):
     assert [list(r["ids"]) for r in back] == [[1, 2, 3]]
 
 
+def test_file_uri_authority_handling():
+    """ADVICE r14: 'file://host/path' used to strip to the RELATIVE
+    local path 'host/path' — silently pointing at the wrong location.
+    Per RFC 8089 §2: empty or 'localhost' authority resolves locally;
+    any other authority names a remote host this process cannot
+    open() — rejected loudly."""
+    from talna_spark.sources.megatron import _require_posix_path as rp
+
+    # empty authority / no authority: resolve to the local path
+    assert rp("file:///data/shards", "out_dir") == "/data/shards"
+    assert rp("file://localhost/data/x", "out_dir") == "/data/x"
+    assert rp("file://localhost", "out_dir") == "/"
+    assert rp("file://", "out_dir") == "/"
+    assert rp("file:/data/y", "out_dir") == "/data/y"
+    assert rp("/plain/path", "out_dir") == "/plain/path"
+    # non-local authority: loud rejection, never a relative path
+    for uri in ("file://nas01/data/shards", "file://example.com/x"):
+        with pytest.raises(ValueError, match="non-local authority"):
+            rp(uri, "out_dir")
+
+
 def test_writer_rejects_fractional_ids(spark):
     # ADVICE r13: array<double> ids would silently truncate in the long
     # cast BEFORE the range check — must fail at plan time instead

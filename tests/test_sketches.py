@@ -802,3 +802,63 @@ def test_hll_saturation_nulls_on_both_engines(spark):
         f"SELECT {_hll_est_case_sql(m, q)} AS est FROM e"
     ).fetchone()
     assert got[0] is None
+
+
+def test_hll_saturation_guard_covers_rounding_window(spark):
+    """ADVICE r14: an e_raw close enough below 2^32 that e_raw/2^32
+    rounds to 1.0 would hit ln(0) inside the large-range branch —
+    Spark F.log(0) -> NULL, DuckDB ln(0.0) -> error: the divergence
+    the r13 guard closed, re-openable through rounding. (In strict
+    IEEE754 the quotient of a double < 2^32 by 2^32 is exact and < 1,
+    so the window is unreachable from real register tables — the
+    guard is DEFENSIVE, protecting against any engine evaluating the
+    division at different precision.) The guard branches to NULL at
+    HLL_SAT_THRESHOLD = 2^32*(1-1e-12); both twins consume that ONE
+    constant, and the shared CASE text returns NULL (not an error,
+    not +inf) for an e_raw inside the window on BOTH engines."""
+    import math
+
+    from talna_spark.pipeline.sketches import (
+        HLL_SAT_THRESHOLD,
+        _hll_check_p,
+        _hll_est_case_sql,
+        _hll_est_cols,
+    )
+
+    p, m, q = _hll_check_p(7)
+    case = _hll_est_case_sql(m, q)
+    # one constant, two consumers: the SQL text carries it verbatim...
+    assert repr(HLL_SAT_THRESHOLD) in case
+    # ...and so does the Column twin's unresolved expression tree
+    # (Java renders doubles in scientific notation — compare as floats)
+    import re as _re
+
+    _, est = _hll_est_cols(p)
+    tree_doubles = {
+        float(x) for x in _re.findall(r"\d+\.\d+E-?\d+", est._jc.toString())
+    }
+    assert HLL_SAT_THRESHOLD in tree_doubles
+
+    two32 = float(1 << 32)
+    inside = two32 * (1.0 - 1e-13)   # within the guard window, < 2^32
+    outside = two32 * (1.0 - 1e-11)  # below the guard: correction runs
+    assert HLL_SAT_THRESHOLD <= inside < two32
+    assert outside < HLL_SAT_THRESHOLD
+    for engine in ("duckdb", "spark"):
+        run = (
+            (lambda s: duckdb.connect().execute(s).fetchone())
+            if engine == "duckdb"
+            else (lambda s: tuple(spark.sql(s).collect()[0]))
+        )
+        got_in = run(
+            f"WITH e AS (SELECT CAST({m} AS BIGINT) AS cnt, "
+            f"CAST(0 AS BIGINT) AS zeros, {inside!r} AS e_raw) "
+            f"SELECT {case} AS est FROM e"
+        )
+        assert got_in[0] is None, engine
+        got_out = run(
+            f"WITH e AS (SELECT CAST({m} AS BIGINT) AS cnt, "
+            f"CAST(0 AS BIGINT) AS zeros, {outside!r} AS e_raw) "
+            f"SELECT {case} AS est FROM e"
+        )
+        assert got_out[0] is not None and math.isfinite(got_out[0]), engine
