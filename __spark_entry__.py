@@ -1788,6 +1788,11 @@ _EXT["x25_dedup_against"] = (
 # q17 runs the one-task greedy scan AND the two-level greedy_slices path
 # as kind slices of one registration (same VALUES oracle twice): the
 # driver hash-checks the parallel path's bit-identity every round.
+# kind=dropref (r15) additionally runs the reference's bit-faithful
+# DROP boundary semantics (src/agg/stream.rs:81-86) against its OWN
+# independently-ported oracle (oracle._greedy_runs_drop), so both
+# adjudicated boundary behaviors are hash-checked end-to-end and the
+# deviation is proven to be exactly one dropped point per boundary.
 _GREEDY_BOTH_KEY = "q17_greedy_avg"
 _GREEDY_SLICE_W = 6 * HOUR
 
@@ -1796,25 +1801,36 @@ def _make_greedy_both(spec: tuple) -> Callable[[SparkSession, str], DataFrame]:
     base_fn = _make_query(spec)
     kind, metric, group_by, flt, start, end, gran, _mode = spec
 
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        single = base_fn(spark, sf_dir).withColumn("kind", F.lit("single"))
+    def _builder(spark: SparkSession, sf_dir: str):
         b = (
             getattr(Database.from_events(spark, sf_dir), kind)(metric, group_by)
             .filter(flt)
             .granularity(gran)
             .mode("greedy")
-            .greedy_slices(_GREEDY_SLICE_W)
         )
         if start is not None:
             b = b.start(start)
         if end is not None:
             b = b.end(end)
+        return b
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        single = base_fn(spark, sf_dir).withColumn("kind", F.lit("single"))
         sliced = (
-            b.to_df()
+            _builder(spark, sf_dir)
+            .greedy_slices(_GREEDY_SLICE_W)
+            .to_df()
             .withColumn("value", round6("value"))
             .withColumn("kind", F.lit("sliced"))
         )
-        return single.unionByName(sliced)
+        dropref = (
+            _builder(spark, sf_dir)
+            .greedy_boundary("drop")
+            .to_df()
+            .withColumn("value", round6("value"))
+            .withColumn("kind", F.lit("dropref"))
+        )
+        return single.unionByName(sliced).unionByName(dropref)
 
     return run
 
@@ -1872,10 +1888,18 @@ def oracle_sql() -> dict[str, str]:
             )
             if sql is not None:
                 if name == _GREEDY_BOTH_KEY:
-                    # both physical paths against the same expected rows
+                    # both physical paths against the same expected rows,
+                    # plus the drop-boundary variant against ITS OWN
+                    # independently-ported expected rows (r15)
+                    drop_sql = greedy_events_values_sql(
+                        kind, metric, group_by, flt, start, end, gran,
+                        boundary="drop",
+                    )
                     sql = (
                         f"SELECT *, 'single' AS kind FROM ({sql}) "
-                        f"UNION ALL SELECT *, 'sliced' AS kind FROM ({sql})"
+                        f"UNION ALL SELECT *, 'sliced' AS kind FROM ({sql}) "
+                        f"UNION ALL SELECT *, 'dropref' AS kind "
+                        f"FROM ({drop_sql})"
                     )
                 out[name] = sql
             continue

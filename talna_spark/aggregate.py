@@ -316,12 +316,25 @@ def greedy_buckets(
     kind: str,
     width: int,
     max_open_bucket_rows: int = 20_000_000,
+    boundary: str = "reanchor",
 ) -> DataFrame:
     """B_gr: the reference's data-anchored greedy bucketing (O27), with ONE
     documented deviation: the bucket-closing point RE-ANCHORS the next
     bucket here, whereas the reference silently drops it
     (src/agg/stream.rs:81-86 — see ``_greedy_segment_ids`` for the
     adjudication; the oracle twin shares the re-anchor semantics).
+
+    ``boundary="drop"`` (r15) runs the reference's ACTUAL bit-faithful
+    semantics distributed: the bucket-closing point is consumed and
+    joins NO bucket, and the point after it (re)initializes — the
+    executable form of ``_greedy_segment_ids_drop_boundary``, exposed
+    so the deviation is hash-checked end-to-end under the driver's
+    DuckDB oracle (q17 ``kind=dropref``), proving the two semantics
+    differ by exactly one dropped point per boundary. Drop mode is
+    single-task-per-group only (the drop state machine is not
+    self-synchronizing at a gap: whether a post-gap point anchors or
+    drops depends on whether the PREVIOUS point was itself dropped, so
+    the sliced path's entry-independence argument does not hold).
 
     Physical shape: one shuffle (``repartition(grp)``) hash-co-locates each
     group wholly in one partition; ``sortWithinPartitions(grp, ts DESC)``
@@ -342,10 +355,13 @@ def greedy_buckets(
     a huge group within one ``width`` span): the task fails loudly with a
     pointer to aligned mode instead of OOM-killing the executor.
     """
+    if boundary not in ("reanchor", "drop"):
+        raise ValueError(f"unknown greedy boundary semantics: {boundary!r}")
     kind_b = kind  # capture for the closure
     pq = percentile_q(kind)  # float (not a module ref) — safe to capture
     w = int(width)
     guard = int(max_open_bucket_rows)
+    drop_b = boundary == "drop"
 
     # NOTE: the closure must be self-contained (no talna_spark module
     # references) — executors' Python workers may not have this repo on
@@ -418,6 +434,92 @@ def greedy_buckets(
             raise ValueError(f"unknown aggregation: {kind_b}")
         return out[["grp", "start_ts", "end_ts", "value", "len"]]
 
+    def _boundaries_drop(pdf: pd.DataFrame):
+        # Reference drop semantics (src/agg/stream.rs:81-86) restarted
+        # at every group change: the bucket-closing point joins NOTHING
+        # (keep=False) and resets the anchor; the following point
+        # (re)initializes the next segment. Returns (starts, keep,
+        # open_at_end): segment start indices in ORIGINAL coordinates,
+        # a per-row keep flag, and whether the trailing segment is
+        # still open — False means the batch's last row was dropped,
+        # so every segment is final (a future point cannot join an
+        # anchor that no longer exists).
+        ts_list = pdf["ts"].to_numpy(dtype=np.int64).tolist()
+        grp_list = pd.factorize(pdf["grp"].to_numpy())[0].tolist()
+        n = len(ts_list)
+        keep = [True] * n
+        starts_list = [0]
+        anchor = ts_list[0]
+        g = grp_list[0]
+        for i in range(1, n):
+            t = ts_list[i]
+            gi = grp_list[i]
+            if gi != g or anchor is None:
+                # new group, or first point after a drop: initialize
+                # (stream.rs:67-73 — a group's first point never drops)
+                starts_list.append(i)
+                anchor = t
+                g = gi
+            elif anchor - t <= w:
+                pass  # joins (stream.rs:76-80; anchor never updated)
+            else:
+                # stream.rs:81-86 — bucket returned, point lands NOWHERE
+                keep[i] = False
+                anchor = None
+        return starts_list, keep, anchor is not None
+
+    def _aggregate_drop(
+        pdf: pd.DataFrame, starts, keep
+    ) -> pd.DataFrame:
+        # Dropped boundary points sit BETWEEN segments (never inside
+        # one), so filtering them keeps each segment contiguous; remap
+        # the start indices to kept-row coordinates and reuse the
+        # shared aggregation (identical float summation order).
+        keep_arr = np.asarray(keep, dtype=bool)
+        starts_arr = np.asarray(starts, dtype=np.int64)
+        if keep_arr.all():
+            return _aggregate(pdf, starts_arr)
+        rank = np.cumsum(keep_arr) - 1
+        return _aggregate(
+            pdf.iloc[np.flatnonzero(keep_arr)], rank[starts_arr]
+        )
+
+    def _guard_fail(carry: pd.DataFrame):
+        raise RuntimeError(
+            f"greedy bucketing: a single data-anchored bucket exceeds "
+            f"{guard} rows (group {carry['grp'].iloc[0]!r}, width {w} ns "
+            f"— every point within one width span). This is inherently "
+            f"sequential per the reference semantics "
+            f"(src/agg/stream.rs:60-97); use aligned mode or a smaller "
+            f"granularity for groups this dense."
+        )
+
+    def _bucketize_drop(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            starts, keep, open_end = _boundaries_drop(pdf)
+            if not open_end:
+                # last row of the batch was dropped: all segments final,
+                # and the empty carry makes the next batch's first point
+                # initialize — exactly the reference's post-drop state.
+                yield _aggregate_drop(pdf, starts, keep)
+                continue
+            cut = int(starts[-1])
+            # rows at/after the last start are all kept: a drop there
+            # would have forced either open_end=False or a later start
+            carry = pdf.iloc[cut:]
+            if len(carry) > guard:
+                _guard_fail(carry)
+            if cut:
+                yield _aggregate_drop(pdf.iloc[:cut], starts[:-1], keep[:cut])
+        if carry is not None and not carry.empty:
+            yield _aggregate(carry, np.asarray([0], dtype=np.int64))
+
     def _bucketize(batches):
         carry = None
         for pdf in batches:
@@ -436,14 +538,7 @@ def greedy_buckets(
             cut = int(starts[-1])
             carry = pdf.iloc[cut:]
             if len(carry) > guard:
-                raise RuntimeError(
-                    f"greedy bucketing: a single data-anchored bucket exceeds "
-                    f"{guard} rows (group {carry['grp'].iloc[0]!r}, width {w} ns "
-                    f"— every point within one width span). This is inherently "
-                    f"sequential per the reference semantics "
-                    f"(src/agg/stream.rs:60-97); use aligned mode or a smaller "
-                    f"granularity for groups this dense."
-                )
+                _guard_fail(carry)
             if cut:
                 yield _aggregate(pdf.iloc[:cut], starts[:-1])
         if carry is not None and not carry.empty:
@@ -460,7 +555,9 @@ def greedy_buckets(
         # The reference leaves heap ties arbitrary (src/merge.rs:9-13).
         .sortWithinPartitions("grp", F.desc("ts"), F.asc("value"))
     )
-    return prepared.mapInPandas(_bucketize, schema=RESULT_SCHEMA)
+    return prepared.mapInPandas(
+        _bucketize_drop if drop_b else _bucketize, schema=RESULT_SCHEMA
+    )
 
 
 def _sliced_prepared(scan: DataFrame, group_col: Column, slice_width: int) -> DataFrame:

@@ -311,6 +311,7 @@ class QueryBuilder:
         self._granularity_set = False
         self._mode = "aligned"
         self._greedy_slice_width: Optional[int] = None
+        self._greedy_boundary: str = "reanchor"
         self._gapfill: Optional[str] = None
         self._rolling: Optional[int] = None
         self._zscore: Optional[int] = None
@@ -419,6 +420,24 @@ class QueryBuilder:
         if mode not in ("aligned", "greedy"):
             raise InvalidQueryError(f"unknown bucketing mode: {mode}")
         self._mode = mode
+        return self
+
+    def greedy_boundary(self, boundary: str) -> "QueryBuilder":
+        """Greedy-mode boundary semantics at the bucket-closing point:
+        ``reanchor`` (default — the closing point becomes the next
+        bucket's first member; the adjudicated sane semantics) or
+        ``drop`` (bit-faithful to the reference, src/agg/stream.rs:81-86
+        — the closing point is consumed and joins NO bucket; real talna
+        silently loses one point per boundary). ``drop`` exists so the
+        documented deviation is executable and driver-hash-checked
+        (q17 ``kind=dropref``); it is single-task-per-group only — the
+        drop state machine is not self-synchronizing at a gap, so it
+        cannot combine with :meth:`greedy_slices`. Greedy mode only."""
+        if boundary not in ("reanchor", "drop"):
+            raise InvalidQueryError(
+                f"unknown greedy boundary semantics: {boundary!r}"
+            )
+        self._greedy_boundary = boundary
         return self
 
     def greedy_slices(self, slice_width_ns: int) -> "QueryBuilder":
@@ -611,7 +630,8 @@ class QueryBuilder:
         return (
             "agg", self._kind, self._metric, self._group_by, self._filter,
             self._start, self._end, self._granularity, self._granularity_set,
-            self._mode, self._greedy_slice_width, self._gapfill,
+            self._mode, self._greedy_slice_width, self._greedy_boundary,
+            self._gapfill,
             self._rolling, self._zscore, self._value_pred, self._cube,
             self._calendar,
         )
@@ -749,15 +769,27 @@ class QueryBuilder:
             if self._zscore is not None:
                 raise InvalidQueryError("zscore requires aligned mode")
             if self._greedy_slice_width is not None:
+                if self._greedy_boundary == "drop":
+                    raise InvalidQueryError(
+                        "greedy_boundary('drop') is single-task-per-group "
+                        "only and cannot combine with greedy_slices (the "
+                        "drop state machine is not self-synchronizing at "
+                        "a gap; see QueryBuilder.greedy_boundary)"
+                    )
                 from talna_spark.aggregate import greedy_buckets_sliced
 
                 return greedy_buckets_sliced(
                     scan, group_col, kind, self._granularity,
                     self._greedy_slice_width,
                 )
-            return greedy_buckets(scan, group_col, kind, self._granularity)
+            return greedy_buckets(
+                scan, group_col, kind, self._granularity,
+                boundary=self._greedy_boundary,
+            )
         if self._greedy_slice_width is not None:
             raise InvalidQueryError("greedy_slices requires greedy mode")
+        if self._greedy_boundary != "reanchor":
+            raise InvalidQueryError("greedy_boundary requires greedy mode")
         if self._calendar is not None:
             return aligned_buckets(
                 scan, group_col, kind, None, calendar_unit=self._calendar

@@ -398,6 +398,31 @@ def _greedy_runs(ts_desc, width: int):
     return runs
 
 
+def _greedy_runs_drop(ts_desc, width: int):
+    """Independent oracle-side port of the reference's ACTUAL boundary
+    behavior (src/agg/stream.rs:81-86; the drop semantics adjudicated
+    r14): the point whose arrival closes a bucket is consumed and joins
+    NO run; the point after it initializes the next run. Written
+    independently of the engine's ``_boundaries_drop`` closure in
+    ``aggregate.greedy_buckets`` (plain-Python run list, three-way
+    branch on an Optional anchor — no numpy, no keep mask) so the
+    driver's q17 ``kind=dropref`` row certifies the engine with shared
+    ZERO code. Returns ``[(start_index, length), ...]`` — dropped
+    points lie strictly BETWEEN runs, so each run is contiguous."""
+    runs: list[tuple[int, int]] = []
+    anchor = None
+    for i, t in enumerate(ts_desc):
+        if anchor is None:
+            runs.append((i, 1))  # stream.rs:67-73 — initialize
+            anchor = t
+        elif anchor - t <= width:
+            s, n = runs[-1]      # stream.rs:76-80 — join
+            runs[-1] = (s, n + 1)
+        else:
+            anchor = None        # stream.rs:81-86 — point joins nothing
+    return runs
+
+
 def greedy_events_values_sql(
     kind: str,
     metric: str,
@@ -407,6 +432,7 @@ def greedy_events_values_sql(
     end: Optional[int],
     width: int,
     sf_dir: Optional[str] = None,
+    boundary: str = "reanchor",
 ) -> Optional[str]:
     """Driver-checkable oracle for GREEDY mode (reference O27,
     src/agg/stream.rs:60-97) — the one semantic DuckDB SQL cannot express
@@ -424,8 +450,20 @@ def greedy_events_values_sql(
     driver can run like any other oracle SQL. Returns None when the
     testdata directory is absent (driver then records rows-only).
 
+    ``boundary="drop"`` (r15) computes the expected rows under the
+    reference's bit-faithful drop semantics instead (``_greedy_runs_drop``
+    above), so BOTH adjudicated boundary behaviors are hash-checked
+    end-to-end — the q17 ``kind=dropref`` slice proves the deviation is
+    exactly one dropped point per boundary, executable rather than
+    prose. Drop-run values reduce with the same numpy reduceat
+    primitive as the reanchor path (reduceat's per-segment order is
+    not plain left-to-right, so the primitive must be shared for bit
+    identity); the INDEPENDENT part is the run segmentation.
+
     The driver contract fixes the comparison scale at sf=0.01
     (__spark_entry__ docstring); ``TALNA_ORACLE_SF_DIR`` overrides."""
+    if boundary not in ("reanchor", "drop"):
+        raise ValueError(f"unknown greedy boundary semantics: {boundary!r}")
     import os
 
     import numpy as np
@@ -455,6 +493,48 @@ def greedy_events_values_sql(
 
     out_rows: list[tuple[str, int, int, float, int]] = []
     w = int(width)
+    if boundary == "drop":
+        # segment per _greedy_runs_drop (the independent port), then
+        # aggregate the KEPT rows with the same reduceat calls as the
+        # reanchor oracle below — matching the engine's float reduction
+        # bit-for-bit (reduceat's per-segment reduction order is NOT
+        # plain left-to-right, so sharing the primitive is the point;
+        # independence lives in the run computation, exactly as it does
+        # for the reanchor twin). Dropped points sit strictly between
+        # runs, so the kept-row concat keeps every segment contiguous.
+        for g, gdf in pdf.groupby("grp", sort=True):
+            ts = gdf["ts"].to_numpy(dtype=np.int64)
+            val = gdf["value"].to_numpy(dtype=np.float64)
+            runs = _greedy_runs_drop(ts.tolist(), w)
+            if not runs:
+                continue
+            kval = val[np.concatenate(
+                [np.arange(s, s + n) for s, n in runs]
+            )]
+            lens = np.array([n for _, n in runs], dtype=np.int64)
+            starts = np.concatenate(
+                ([0], np.cumsum(lens)[:-1])
+            ).astype(np.int64)
+            if kind == "avg":
+                vals = np.add.reduceat(kval, starts) / lens
+            elif kind == "sum":
+                vals = np.add.reduceat(kval, starts)
+            elif kind == "min":
+                vals = np.minimum.reduceat(kval, starts)
+            elif kind == "max":
+                vals = np.maximum.reduceat(kval, starts)
+            elif kind == "count":
+                vals = lens.astype("float64")
+            else:
+                raise ValueError(
+                    f"greedy oracle supports the five basics, not {kind}"
+                )
+            for i, (s, n) in enumerate(runs):
+                out_rows.append(
+                    (str(g), int(ts[s + n - 1]), int(ts[s]),
+                     _spark_round6(float(vals[i])), int(n))
+                )
+        return _greedy_values_table(out_rows)
     for g, gdf in pdf.groupby("grp", sort=True):
         ts = gdf["ts"].to_numpy(dtype=np.int64)
         val = gdf["value"].to_numpy(dtype=np.float64)
@@ -481,6 +561,12 @@ def greedy_events_values_sql(
                  _spark_round6(float(vals[i])), int(lens[i]))
             )
 
+    return _greedy_values_table(out_rows)
+
+
+def _greedy_values_table(out_rows) -> str:
+    """Emit expected greedy rows as a DuckDB-runnable VALUES table —
+    shared by both boundary variants of greedy_events_values_sql."""
     cols = (
         "CAST(c0 AS VARCHAR) AS grp, CAST(c1 AS BIGINT) AS start_ts, "
         "CAST(c2 AS BIGINT) AS end_ts, CAST(c3 AS DOUBLE) AS value, "

@@ -380,3 +380,176 @@ def test_drop_boundary_variant_agrees_when_no_boundary():
     ts = np.array([3 * S, int(2.5 * S), 2 * S], dtype=np.int64)
     assert _greedy_segment_ids(ts, 2 * S).tolist() == [0, 0, 0]
     assert _greedy_segment_ids_drop_boundary(ts, 2 * S).tolist() == [0, 0, 0]
+
+
+# ---- drop semantics EXECUTABLE end-to-end (r15, VERDICT r14 item 2) -----
+# greedy_buckets(boundary="drop") runs the reference's bit-faithful drop
+# behavior distributed, and oracle._greedy_runs_drop is its independent
+# second port — the driver hash-checks them as q17 kind=dropref.
+
+
+def _drop_runs_from_ids(seg: np.ndarray) -> list[tuple[int, int]]:
+    """(start, len) runs from the drop variant's id array; -1 elements
+    (dropped boundary points) belong to no run."""
+    out: list[tuple[int, int]] = []
+    for i, s in enumerate(seg.tolist()):
+        if s == -1:
+            continue
+        if out and out[-1][0] + out[-1][1] == i and seg[i - 1] == s:
+            st, n = out[-1]
+            out[-1] = (st, n + 1)
+        else:
+            out.append((i, 1))
+    return out
+
+
+@pytest.mark.parametrize("width", [1, int(0.5 * S), S, 10 * S])
+@pytest.mark.parametrize(
+    "ts_list", [F6_TS, SLICED_TS, BOUNDARY_TS, [0], [5, 5, 5],
+                [0, S, 2 * S, 3 * S]]
+)
+def test_drop_ports_agree_on_fixtures(width, ts_list):
+    from talna_spark.aggregate import _greedy_segment_ids_drop_boundary
+    from talna_spark.oracle import _greedy_runs_drop
+
+    ts = np.array(sorted(ts_list, reverse=True), dtype=np.int64)
+    assert _greedy_runs_drop(ts.tolist(), width) == _drop_runs_from_ids(
+        _greedy_segment_ids_drop_boundary(ts, width)
+    )
+
+
+def test_drop_ports_agree_randomized():
+    from talna_spark.aggregate import _greedy_segment_ids_drop_boundary
+    from talna_spark.oracle import _greedy_runs, _greedy_runs_drop
+
+    rng = np.random.default_rng(15)
+    for _ in range(200):
+        n = int(rng.integers(1, 300))
+        gaps = rng.integers(0, 3 * S, size=n)
+        ts = np.sort(np.cumsum(gaps).astype(np.int64))[::-1].copy()
+        width = int(rng.integers(1, 2 * S))
+        runs = _greedy_runs_drop(ts.tolist(), width)
+        ids = _greedy_segment_ids_drop_boundary(ts, width)
+        assert runs == _drop_runs_from_ids(ids)
+        n_dropped = int((ids == -1).sum())
+        assert sum(ln for _, ln in runs) + n_dropped == len(ts)
+        # structural shape of the deviation: dropped points lie strictly
+        # BETWEEN runs (plus at most one trailing drop) and can never be
+        # consecutive — a drop resets the anchor, so the next point
+        # always initializes. Exactly one point lost per closed bucket.
+        drop_positions = np.flatnonzero(ids == -1)
+        assert not np.any(np.diff(drop_positions) == 1)
+        assert len(runs) - 1 <= n_dropped <= len(runs)
+        # the FIRST divergence from re-anchor is exactly the first drop:
+        # both ports agree up to it (the state machines only diverge
+        # after a boundary is crossed)
+        reanchor_runs = _greedy_runs(ts.tolist(), width)
+        if n_dropped:
+            first = int(drop_positions[0])
+            assert reanchor_runs[0] == runs[0]
+            assert first == runs[0][0] + runs[0][1]
+            assert any(s == first for s, _ in reanchor_runs)
+
+
+def test_greedy_drop_engine_end_to_end(spark):
+    # the distributed drop path on the boundary fixture: ts=0 closes the
+    # [3S, 2S] bucket and joins NOTHING — one bucket, one lost point
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets
+
+    rows = [("m", t, float(t // S + 1), {"h": "a"}) for t in BOUNDARY_TS]
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    got = _collect_buckets(greedy_buckets(pts, grp, "count", S, boundary="drop"))
+    assert got == [("a", 2 * S, 3 * S, 2.0, 2)]
+    # vs re-anchor: same first bucket plus the re-anchored point
+    re_anchor = _collect_buckets(greedy_buckets(pts, grp, "count", S))
+    assert re_anchor == [("a", 0, 0, 1.0, 1), ("a", 2 * S, 3 * S, 2.0, 2)]
+
+
+def test_greedy_drop_engine_carry_across_batches(spark):
+    # every gap > width: drop keeps every OTHER point; tiny Arrow batches
+    # force the carry logic through both its states (open trailing
+    # segment AND batch ending exactly on a dropped point)
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [
+            ("m", int(i * 2.5 * S), float(i), {"h": "a"}) for i in range(100)
+        ]
+        pts = make_points(spark, rows).filter(F.col("metric") == "m")
+        grp = F.col("tags").getItem("h")
+        got = _collect_buckets(
+            greedy_buckets(pts, grp, "count", S, boundary="drop")
+        )
+        # DESC scan: newest point anchors, next (gap 2.5S > S) drops,
+        # following re-anchors, ... -> 50 kept buckets of len 1
+        assert len(got) == 50
+        assert all(ln == 1 for (_, _, _, _, ln) in got)
+        # and the kept timestamps are every other point, newest first
+        kept_ts = sorted((e for (_, _, e, _, _) in got), reverse=True)
+        assert kept_ts == [int(i * 2.5 * S) for i in range(99, -1, -2)]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_greedy_drop_engine_matches_oracle_randomized(spark):
+    # distributed engine vs the oracle's independent drop port on a
+    # randomized multi-group stream, summation order and all
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets
+    from talna_spark.oracle import _greedy_runs_drop
+
+    rng = np.random.default_rng(16)
+    rows = []
+    for h in ("a", "b", "c"):
+        gaps = rng.integers(0, 3 * S, size=120)
+        ts_asc = np.cumsum(gaps).astype(np.int64)
+        for t in ts_asc.tolist():
+            rows.append(("m", int(t), float(rng.normal()), {"h": h}))
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    got = _collect_buckets(greedy_buckets(pts, grp, "sum", S, boundary="drop"))
+
+    expected = []
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(r[3]["h"], r[1], r[2]) for r in rows], columns=["g", "ts", "v"]
+    ).sort_values(["g", "ts", "v"], ascending=[True, False, True])
+    for g, gdf in pdf.groupby("g", sort=True):
+        ts_l = gdf["ts"].tolist()
+        v_arr = gdf["v"].to_numpy(dtype=np.float64)
+        runs = _greedy_runs_drop(ts_l, S)
+        kept = v_arr[np.concatenate([np.arange(s, s + n) for s, n in runs])]
+        lens = np.array([n for _, n in runs])
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        sums = np.add.reduceat(kept, starts)
+        for i, (s, n) in enumerate(runs):
+            expected.append(
+                (g, ts_l[s + n - 1], ts_l[s], float(sums[i]), n)
+            )
+    assert got == sorted(expected)
+
+
+def test_greedy_drop_builder_validation(spark):
+    from talna_spark.errors import InvalidQueryError
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    # drop + sliced: the state machine is not self-synchronizing at a gap
+    with pytest.raises(InvalidQueryError, match="cannot combine"):
+        (db.avg("app.purchase", "user").mode("greedy")
+         .granularity(Duration.MINUTE).greedy_boundary("drop")
+         .greedy_slices(6 * Duration.HOUR).to_df())
+    # drop without greedy mode
+    with pytest.raises(InvalidQueryError, match="greedy mode"):
+        (db.avg("app.purchase", "user").granularity(Duration.MINUTE)
+         .greedy_boundary("drop").to_df())
+    # unknown semantics rejected at the setter
+    with pytest.raises(InvalidQueryError, match="boundary"):
+        db.avg("app.purchase", "user").greedy_boundary("wat")
