@@ -47,9 +47,18 @@ with ``os.replace`` (whose atomicity object stores do not provide).
 Executors must therefore see ``out_dir``/the shards at the SAME POSIX
 path (NFS/Lustre/GPFS — the environment Megatron-LM itself assumes).
 Non-``file:`` URIs (s3://, hdfs://, ...) are REJECTED loudly at both
-ends rather than failing deep in a task; lifting this means routing
-the ranged reads and the rename-publish through a Hadoop
-FileSystem/fsspec seam, not switching to binaryFile.
+ends rather than failing deep in a task — UNLESS a filesystem seam is
+registered for the scheme (r15): :func:`register_fs_seam` routes the
+ranged reads (``open``/``seek``/``read``), the streamed writes, and
+the rename-publish through a pluggable object implementing the small
+:class:`FilesystemSeam` contract (an fsspec AbstractFileSystem slots
+in via :class:`FsspecFilesystemSeam` when fsspec is installed). The
+loud rejection stays the fallback for unregistered schemes, because
+the contract REQUIRES atomic rename — register a seam only for
+filesystems that provide it (HDFS, NFS/Lustre mounts, fsspec local/
+dir/memory); raw object stores (S3 without a rename layer) must keep
+being rejected, never silently given copy+delete "renames" that can
+tear a shard pair under a concurrent reader.
 """
 
 from __future__ import annotations
@@ -105,9 +114,151 @@ def _require_posix_path(p: str, what: str) -> str:
             ".bin/.idx sink/source requires a shared POSIX filesystem "
             "(ranged reads + atomic rename; see talna_spark/sources/"
             "megatron.py module docstring). Copy shards to POSIX "
-            "storage or route through a Hadoop-FS/fsspec seam."
+            "storage, or register a FilesystemSeam for the scheme "
+            "(megatron.register_fs_seam) if the filesystem provides "
+            "ranged reads and ATOMIC rename."
         )
     return p
+
+
+# --------------------------------------------------------- filesystem seam
+class FilesystemSeam:
+    """The small filesystem contract that lifts the shared-POSIX
+    restriction (r15, VERDICT r14 item 3). Subclass (or duck-type) and
+    :func:`register_fs_seam` for a URI scheme; every path the sink/
+    source touches under that scheme then routes through these seven
+    methods instead of ``os``/``open``.
+
+    HARD REQUIREMENT — ``rename`` must be ATOMIC (a reader keyed on
+    .idx presence must never observe a torn shard pair, and the
+    .bin-before-.idx publish ordering relies on it). HDFS, NFS/Lustre/
+    GPFS, and fsspec's local/dir/memory filesystems qualify; raw
+    object-store "rename" (copy + delete) does NOT — leave such
+    schemes unregistered and let the loud rejection stand.
+
+    Instances are captured into executor-side closures by value
+    (cloudpickle), so a seam must be PICKLABLE and must address a
+    filesystem that executors can reach (a per-process in-memory fs
+    works driver-side and in tests, but executors see their own empty
+    copy — use a shared-visibility backend for distributed runs)."""
+
+    def open(self, path: str, mode: str):
+        """Return a file-like for ``path``; binary modes only ('rb'/'wb').
+        The 'rb' handle must support seek()+read() (ranged reads)."""
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        """mkdir -p; must be idempotent."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """ATOMIC rename; replaces ``dst`` if present (os.replace)."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def glob(self, pattern: str) -> list:
+        """Expand a glob pattern to a sorted list of paths (reader-side
+        shard discovery; driver-side only)."""
+        raise NotImplementedError
+
+
+class FsspecFilesystemSeam(FilesystemSeam):
+    """Adapter mounting an ``fsspec.AbstractFileSystem`` behind the
+    seam contract. fsspec is NOT a dependency of this package — pass a
+    constructed filesystem in (import-gated at the call site). The
+    caller owns the atomic-rename judgment: fsspec's local, dir and
+    memory filesystems rename atomically; object-store backends
+    generally do not and should not be mounted here.
+
+    ``strip_scheme`` (default True) removes the registered scheme
+    prefix (``mock://bucket/x`` -> ``bucket/x``) before handing paths
+    to filesystems that expect bare keys (memory/dir); pass False for
+    filesystems that resolve full URIs themselves."""
+
+    def __init__(self, fs, scheme: "str | None" = None,
+                 strip_scheme: bool = True):
+        self._fs = fs
+        self._scheme = scheme
+        self._strip = strip_scheme
+
+    def _p(self, path: str) -> str:
+        if self._strip and self._scheme:
+            pre = f"{self._scheme}://"
+            if path.startswith(pre):
+                return path[len(pre):]
+        return path
+
+    def open(self, path: str, mode: str):
+        return self._fs.open(self._p(path), mode)
+
+    def size(self, path: str) -> int:
+        return int(self._fs.size(self._p(path)))
+
+    def makedirs(self, path: str) -> None:
+        self._fs.makedirs(self._p(path), exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._fs.mv(self._p(src), self._p(dst))
+
+    def remove(self, path: str) -> None:
+        self._fs.rm(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def glob(self, pattern: str) -> list:
+        pre = f"{self._scheme}://" if self._strip and self._scheme else ""
+        return sorted(
+            f"{pre}{p}" if pre and not str(p).startswith(pre) else str(p)
+            for p in self._fs.glob(self._p(pattern))
+        )
+
+
+_FS_SEAMS: dict = {}
+_SCHEME_RE_TEXT = r"^([A-Za-z][A-Za-z0-9+.\-]+)://"
+
+
+def register_fs_seam(scheme: str, seam: FilesystemSeam) -> None:
+    """Route Megatron sink/source I/O for ``scheme://...`` paths through
+    ``seam`` (see :class:`FilesystemSeam` — rename MUST be atomic).
+    ``file:`` and plain paths always use local POSIX and cannot be
+    overridden (their atomicity is already guaranteed)."""
+    s = str(scheme).lower().rstrip(":")
+    if s in ("", "file"):
+        raise ValueError("file:/plain paths are always local POSIX")
+    for need in ("open", "size", "makedirs", "rename", "remove",
+                 "exists", "glob"):
+        if not callable(getattr(seam, need, None)):
+            raise TypeError(f"seam for {s!r} lacks a callable {need}()")
+    _FS_SEAMS[s] = seam
+
+
+def unregister_fs_seam(scheme: str) -> None:
+    _FS_SEAMS.pop(str(scheme).lower().rstrip(":"), None)
+
+
+def _resolve_fs(p: str, what: str):
+    """(path, seam) for ``p``: local POSIX paths (plain or ``file:``)
+    resolve through :func:`_require_posix_path` with seam None (the
+    os/open fast path); a registered scheme returns the path verbatim
+    with its seam; an unregistered scheme raises the loud contract
+    error from ``_require_posix_path``."""
+    import re
+
+    m = re.match(_SCHEME_RE_TEXT, p)
+    if m and m.group(1).lower() != "file":
+        seam = _FS_SEAMS.get(m.group(1).lower())
+        if seam is not None:
+            return p, seam
+    return _require_posix_path(p, what), None
 
 # the public integer dtype codes (fairseq/Megatron indexed_dataset);
 # float codes (6/7) vary across published forks and are not written
@@ -161,13 +312,14 @@ def write_indexed_dataset(
     (shard, n_sequences, n_tokens, bin_bytes, idx_bytes) — collect it
     to force the write and audit the layout.
 
-    ``out_dir`` must be a shared-POSIX path (module docstring); the
+    ``out_dir`` must be a shared-POSIX path (module docstring) or use
+    a scheme with a registered :class:`FilesystemSeam` (r15); the
     ``ids`` column must be an array of an INTEGRAL type — a float array
     would silently truncate fractional token ids in the long cast
     before the range check could catch anything, so it fails here."""
     if int(n_shards) < 1:
         raise ValueError("n_shards must be >= 1")
-    out_dir = _require_posix_path(str(out_dir), "out_dir")
+    out_dir, fs_seam = _resolve_fs(str(out_dir), "out_dir")
     if dtype not in MM_DTYPES:
         raise ValueError(
             f"dtype must be one of {sorted(MM_DTYPES)} (integer token "
@@ -202,6 +354,21 @@ def write_indexed_dataset(
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
 
+        # fs_seam is captured by value (cloudpickle); None = local POSIX
+        # via plain os/open — byte-identical to the pre-seam behavior.
+        if fs_seam is None:
+            fopen, fsize = open, os.path.getsize
+            freplace, fexists, fremove = os.replace, os.path.exists, os.remove
+
+            def fmkdirs(p):
+                os.makedirs(p, exist_ok=True)
+        else:
+            fopen, fsize = fs_seam.open, fs_seam.size
+            freplace, fexists, fremove = (
+                fs_seam.rename, fs_seam.exists, fs_seam.remove
+            )
+            fmkdirs = fs_seam.makedirs
+
         state: dict = {"shard": None}
         manifests: list[tuple] = []
 
@@ -214,7 +381,7 @@ def write_indexed_dataset(
             n_seq = len(sizes)
             doc_idx = np.arange(n_seq + 1, dtype=_LE_I8)
             idx_tmp = state["idx_tmp"]
-            with open(idx_tmp, "wb") as f:
+            with fopen(idx_tmp, "wb") as f:
                 f.write(MMIDX_MAGIC)
                 f.write(struct.pack("<Q", MMIDX_VERSION))
                 f.write(struct.pack("<B", code))
@@ -223,12 +390,12 @@ def write_indexed_dataset(
                 f.write(sizes.tobytes())
                 f.write(pointers.tobytes())
                 f.write(doc_idx.tobytes())
-            bin_bytes = os.path.getsize(state["bin_tmp"])
-            idx_bytes = os.path.getsize(idx_tmp)
+            bin_bytes = fsize(state["bin_tmp"])
+            idx_bytes = fsize(idx_tmp)
             # publish .bin first: a reader keyed on .idx presence never
             # sees an index whose payload is missing
-            os.replace(state["bin_tmp"], os.path.join(out_dir, state["bin_name"]))
-            os.replace(idx_tmp, os.path.join(out_dir, state["idx_name"]))
+            freplace(state["bin_tmp"], os.path.join(out_dir, state["bin_name"]))
+            freplace(idx_tmp, os.path.join(out_dir, state["idx_name"]))
             manifests.append(
                 (
                     state["name"],
@@ -242,7 +409,7 @@ def write_indexed_dataset(
 
         def open_shard(shard_id: int):
             close_shard()
-            os.makedirs(out_dir, exist_ok=True)
+            fmkdirs(out_dir)
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
@@ -256,7 +423,7 @@ def write_indexed_dataset(
                 idx_name=f"{name}.idx",
                 bin_tmp=bin_tmp,
                 idx_tmp=os.path.join(out_dir, f".{name}.idx.{attempt}.tmp"),
-                bin=open(bin_tmp, "wb"),
+                bin=fopen(bin_tmp, "wb"),
                 sizes=[],
                 pointers=[],
                 offset=0,
@@ -295,8 +462,8 @@ def write_indexed_dataset(
                 except Exception:
                     pass
                 for t in (state["bin_tmp"], state["idx_tmp"]):
-                    if os.path.exists(t):
-                        os.remove(t)
+                    if fexists(t):
+                        fremove(t)
             raise
         yield pd.DataFrame(
             manifests,
@@ -337,18 +504,36 @@ def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
     ``open()``/``seek()`` — which is why this source, unlike
     WARC/WebDataset, requires a shared POSIX filesystem (module
     docstring): a 100 GB .bin cannot ship as one binaryFile blob.
-    Non-``file:`` URIs are rejected loudly, driver-side."""
-    _require_posix_path(str(idx_glob), "idx_glob")
-    files = spark.read.format("binaryFile").load(idx_glob).select(
-        "path", "content"
-    )
+    Non-``file:`` URIs are rejected loudly, driver-side — unless the
+    scheme has a registered :class:`FilesystemSeam` (r15): shard
+    discovery then goes through ``seam.glob`` driver-side, the path
+    list parallelizes one-file-per-row (files stay the parallelism
+    unit), and each task reads its .idx whole and RANGED-reads its
+    .bin through ``seam.open``/``seek`` — same chunked memory bound."""
+    idx_glob, fs_seam = _resolve_fs(str(idx_glob), "idx_glob")
+    if fs_seam is None:
+        files = spark.read.format("binaryFile").load(idx_glob).select(
+            "path", "content"
+        )
+    else:
+        shard_paths = [str(p) for p in fs_seam.glob(idx_glob)]
+        if not shard_paths:
+            raise ValueError(f"no .idx files match {idx_glob!r}")
+        files = spark.createDataFrame(
+            [(p, None) for p in shard_paths], "path string, content binary"
+        ).repartition(len(shard_paths), "path")
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
 
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
+                if content is None:
+                    # seam branch: .idx is index-sized — read it whole
+                    with fs_seam.open(path, "rb") as f:
+                        raw = f.read()
+                else:
+                    raw = bytes(content)
                 if raw[:9] != MMIDX_MAGIC:
                     raise ValueError(f"{path}: bad index magic")
                 (ver,) = struct.unpack_from("<Q", raw, 9)
@@ -380,37 +565,43 @@ def read_indexed_dataset(spark: SparkSession, idx_glob: str) -> DataFrame:
                     (pointers[1:] != want[:-1]).any() or pointers[0] != 0
                 ):
                     raise ValueError(f"{path}: non-contiguous pointers")
-                # the driver validated idx_glob, but a non-file
-                # default FS can still hand binaryFile a remote URI —
-                # same loud contract error, not a FileNotFoundError
-                import re as _re
-
-                if path.startswith("file://"):
-                    local = path[len("file://"):]
-                elif path.startswith("file:"):
-                    local = path[len("file:"):]
-                elif _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]+://", path):
-                    raise ValueError(
-                        f"{path}: non-POSIX scheme — the .bin payload "
-                        "is ranged-read locally (megatron.py module "
-                        "docstring); copy shards to shared POSIX "
-                        "storage"
-                    )
-                else:
+                if fs_seam is not None:
                     local = path
+                    getsize, bopen = fs_seam.size, fs_seam.open
+                    shard = path.rsplit("/", 1)[-1][: -len(".idx")]
+                else:
+                    # the driver validated idx_glob, but a non-file
+                    # default FS can still hand binaryFile a remote URI —
+                    # same loud contract error, not a FileNotFoundError
+                    import re as _re
+
+                    if path.startswith("file://"):
+                        local = path[len("file://"):]
+                    elif path.startswith("file:"):
+                        local = path[len("file:"):]
+                    elif _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]+://", path):
+                        raise ValueError(
+                            f"{path}: non-POSIX scheme — the .bin payload "
+                            "is ranged-read locally (megatron.py module "
+                            "docstring); copy shards to shared POSIX "
+                            "storage or register a FilesystemSeam"
+                        )
+                    else:
+                        local = path
+                    getsize, bopen = os.path.getsize, open
+                    shard = os.path.basename(local)[: -len(".idx")]
                 bin_path = local[: -len(".idx")] + ".bin"
                 expect = int(want[-1]) if n_seq else 0
-                if os.path.getsize(bin_path) != expect:
+                if getsize(bin_path) != expect:
                     raise ValueError(
-                        f"{bin_path}: size {os.path.getsize(bin_path)} "
+                        f"{bin_path}: size {getsize(bin_path)} "
                         f"!= index's {expect}"
                     )
-                shard = os.path.basename(local)[: -len(".idx")]
                 # stream the payload: contiguous sequence CHUNKS of
                 # ~CHUNK_BYTES each, one ranged read + one DataFrame per
                 # chunk — per-task memory is bounded by the chunk, never
                 # the shard (the writer's own discipline)
-                with open(bin_path, "rb") as f:
+                with bopen(bin_path, "rb") as f:
                     lo_i = 0
                     while lo_i < n_seq:
                         hi_i = lo_i
