@@ -86,6 +86,75 @@ def main() -> None:
     REPS = 2  # report min-of-N per metric: one IO hiccup otherwise skews
     # the recorded number by 2-5x run-to-run on a shared box
 
+    class RssSampler:
+        """Peak resident memory over THIS process tree (python driver +
+        the local[N] JVM + pyspark daemon/workers), sampled from /proc
+        while the body runs — the honest counterpart of the reference's
+        sysinfo sampler around its 1B-point ingest
+        (billion/src/main.rs:40-62, the BASELINE.md 140 MiB row). No
+        contract threshold: a JVM warehouse engine and a 70 KB Rust
+        binary have incomparable floors; the value is recorded so the
+        number exists (VERDICT r14 item 4). Peak is of the SUM at each
+        sample instant, not the sum of per-process peaks."""
+
+        def __init__(self, interval: float = 0.2):
+            self._interval = interval
+            self.peak_mib = 0.0
+
+        @staticmethod
+        def _tree_rss_kib() -> int:
+            me = os.getpid()
+            parent: dict[int, int] = {}
+            rss: dict[int, int] = {}
+            for d in os.listdir("/proc"):
+                if not d.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{d}/stat") as f:
+                        stat = f.read()
+                    # ppid is field 2 after the ')' (comm may hold spaces)
+                    parent[int(d)] = int(stat.rsplit(")", 1)[1].split()[1])
+                    with open(f"/proc/{d}/status") as f:
+                        for line in f:
+                            if line.startswith("VmRSS:"):
+                                rss[int(d)] = int(line.split()[1])
+                                break
+                except (OSError, IndexError, ValueError):
+                    continue  # raced a process exit
+            kids: dict[int, list[int]] = {}
+            for pid, pp in parent.items():
+                kids.setdefault(pp, []).append(pid)
+            total, stack = 0, [me]
+            while stack:
+                p = stack.pop()
+                total += rss.get(p, 0)
+                stack.extend(kids.get(p, []))
+            return total
+
+        def __enter__(self):
+            import threading
+
+            self._stop = threading.Event()
+
+            def run():
+                while not self._stop.is_set():
+                    self.peak_mib = max(
+                        self.peak_mib, self._tree_rss_kib() / 1024.0
+                    )
+                    self._stop.wait(self._interval)
+
+            self._thread = threading.Thread(target=run, daemon=True)
+            self._thread.start()
+            return self
+
+        def __exit__(self, *exc):
+            self._stop.set()
+            self._thread.join(timeout=5)
+            # one final sample so a body shorter than the interval still
+            # records something
+            self.peak_mib = max(self.peak_mib, self._tree_rss_kib() / 1024.0)
+            return False
+
     def timed(fn, reps: int = REPS) -> float:
         best = float("inf")
         for _ in range(reps):
@@ -219,6 +288,10 @@ def main() -> None:
         # 1.44M vs 0.72M pts/s on identical code)
         os.sync()
         first_runs = []
+        # peak-RSS sampling at the 100M-point scale only (VERDICT r14
+        # item 4 — the regime nearest the reference's 1B-point sampler);
+        # the max accumulates across reps
+        rss_sampler = RssSampler() if mult == 1000 else None
         try:
             for _ in range(reps):  # min-of-N: an IO hiccup otherwise skews 5x
                 if whsN:  # only the newest warehouse is queried below;
@@ -230,7 +303,11 @@ def main() -> None:
                 os.sync()  # settle the prior rep's writeback + unlink churn
                 t0 = time.perf_counter()
                 wdbN = Database.open(spark, whN)
-                wdbN.write_batch(ptsN, persist=False)
+                if rss_sampler is not None:
+                    with rss_sampler:
+                        wdbN.write_batch(ptsN, persist=False)
+                else:
+                    wdbN.write_batch(ptsN, persist=False)
                 runs.append(time.perf_counter() - t0)
                 # cold first call, probed PER REP (r10, VERDICT r9 item
                 # 3): each rep has a fresh warehouse AND a fresh facade,
@@ -253,6 +330,10 @@ def main() -> None:
                 )
                 first_runs.append(time.perf_counter() - t0)
             ingestN = min(runs)
+            if rss_sampler is not None:
+                extra[p + "ingest_peak_rss_mib"] = round(
+                    rss_sampler.peak_mib, 1
+                )
             extra[p + "q16_first_call_sec"] = round(min(first_runs), 4)
             # n_points (= n_points * mult) and scaling-vs-1x (= pps
             # ratio) are derivable — not recorded, the BENCH tail is

@@ -10,6 +10,25 @@ an explicit "module.path:function" spec — the function is called as
 fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
 
+FINDINGS (r15, 2026-08-16, the three largest unexplained BENCH_r14
+drifts — pipe_wds_roundtrip +33%, pipe_mm_roundtrip +25%,
+pipe_mixture +22%, none of whose code changed in r14):
+- LOAD/BAND on all three, not code. Three interleaved A/B process
+  pairs (min-of-5 per row per process), r13-final 1ac8a30 vs HEAD on
+  the same box:
+    wds      r13 {5.07*, 2.18, 1.74}  HEAD {1.95, 1.65, 1.98}
+    mm       r13 {1.91,  1.44, 1.34}  HEAD {1.42, 0.99, 1.17}
+    mixture  r13 {3.47,  3.80, 4.05}  HEAD {3.73, 3.83, 3.99}
+  (*first process of the day paid cold page cache on
+  documents.parquet — excluded from means, and itself evidence of the
+  noise floor.) Warm means: wds 1.96 vs 1.86 (HEAD 5% faster), mm
+  1.56 vs 1.19 (HEAD 24% faster — the r15 seam refactor hoisted the
+  os/open lookups into closure locals; either way no regression),
+  mixture 3.77 vs 3.85 (within 2%). r13 code measures wds 1.7-2.2 s
+  TODAY vs its recorded 1.32 s — the box band moved between rounds,
+  exactly as the r14 q16 A/B found. Nothing on any of the three paths
+  regressed; BENCH_r15 rows are explainable.
+
 FINDINGS (r14, 2026-08-16, scale1000 q16 warm 139.5 -> 291.6 ms in a
 local pre-driver bench run):
 - LOAD, not code. Interleaved single-run-each A/B on the same box
@@ -148,6 +167,10 @@ PIPE_ALIASES = {
     "paragraph_dedup": "talna_spark.pipeline.dedup:paragraph_dedup",
     "bm25": "talna_spark.pipeline.relevance:bm25_topk",
     "curate": "talna_spark.pipeline.curate:curate",
+    # r15 (VERDICT r14 item 1): the three largest unexplained BENCH_r14
+    # drifts, bench-identical closures
+    "wds_roundtrip": "talna_spark.sources.webdataset:roundtrip_layer",
+    "mm_roundtrip": "talna_spark.sources.megatron:mm_roundtrip_layer",
 }
 
 
@@ -213,10 +236,22 @@ def _lsh_bbit_run():
     assert rows
 
 
+def _mixture_run():
+    # bench-identical: pipe_mixture times the r9 5-slice registration
+    # content (doremi excluded — it has its own row since r10)
+    import __spark_entry__ as entrymod
+
+    rows = entrymod._x23_mixture_sample(
+        spark, SF, include_doremi=False
+    ).collect()
+    assert rows
+
+
 CUSTOM_ROWS = {
     "tokenize_pack_byte": lambda: min_of(_tokenize_pack_byte_run, 3),
     "clf_train": lambda: min_of(_clf_train_run, 3),
     "lsh_bbit": lambda: min_of(_lsh_bbit_run, 5),
+    "mixture": lambda: min_of(_mixture_run, 5),
 }
 
 for row in ROWS:
