@@ -537,6 +537,58 @@ def test_greedy_drop_engine_matches_oracle_randomized(spark):
     assert got == sorted(expected)
 
 
+@pytest.mark.parametrize("kind", ["avg", "min", "max", "count", "p95", "stddev"])
+def test_greedy_drop_all_kinds(spark, kind):
+    # every aggregation kind through the drop path equals the value
+    # computed from the plain-Python drop-variant ids on the same data
+    # (the shared _aggregate handles the kind; the keep-mask filter and
+    # start remap must not disturb any of them)
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import (
+        _greedy_segment_ids_drop_boundary,
+        greedy_buckets,
+    )
+
+    ts_list = sorted(SLICED_TS, reverse=True)
+    rows = [("m", t, float(i + 1), {"h": "a"}) for i, t in enumerate(ts_list)]
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    got = _collect_buckets(
+        greedy_buckets(pts, F.col("tags").getItem("h"), kind, S, boundary="drop")
+    )
+    ts = np.array(ts_list, dtype=np.int64)
+    # engine sorts (ts DESC, value ASC); equal-ts rows here are absent
+    vals = np.array([float(i + 1) for i in range(len(ts_list))])
+    ids = _greedy_segment_ids_drop_boundary(ts, S)
+    expected = []
+    for b in range(int(ids.max()) + 1 if len(ids) else 0):
+        sel = ids == b
+        if not sel.any():
+            continue
+        seg_ts, seg_v = ts[sel], vals[sel]
+        if kind == "avg":
+            # reduceat, not ndarray.sum(): the engine reduces each
+            # segment with reduceat, whose reduction order differs from
+            # pairwise summation at the last bit
+            v = float(np.add.reduceat(seg_v, [0])[0] / len(seg_v))
+        elif kind == "min":
+            v = float(seg_v.min())
+        elif kind == "max":
+            v = float(seg_v.max())
+        elif kind == "count":
+            v = float(len(seg_v))
+        elif kind == "p95":
+            v = float(np.percentile(seg_v, 95.0))
+        else:  # stddev, sample; single-point -> NULL
+            v = float(np.std(seg_v, ddof=1)) if len(seg_v) > 1 else None
+        expected.append(
+            ("a", int(seg_ts.min()), int(seg_ts.max()), v, int(len(seg_v)))
+        )
+    assert got == sorted(expected)
+    # and at least one point was dropped on this fixture (it has gaps)
+    assert (ids == -1).any()
+
+
 def test_greedy_drop_builder_validation(spark):
     from talna_spark.errors import InvalidQueryError
 

@@ -83,6 +83,25 @@ def test_no_row_at_a_time_python(spark, wh_db):
     assert "MapInPandas" in greedy or "mapInPandas" in greedy.lower()
 
 
+def test_greedy_drop_plan_matches_reanchor_shape(spark):
+    # the drop-boundary variant (r15, q17 kind=dropref) must run the
+    # SAME physical shape as re-anchor: one hash shuffle on grp, Arrow
+    # mapInPandas, no extra Exchange and no row-at-a-time Python — the
+    # boundary semantics live inside the closure, not in the plan
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    base = db.avg("app.purchase", "user").mode("greedy")
+    re_anchor = plan_of(base.to_df())
+    drop = plan_of(
+        db.avg("app.purchase", "user").mode("greedy")
+        .greedy_boundary("drop").to_df()
+    )
+    for plan in (re_anchor, drop):
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+        assert "hashpartitioning(grp" in plan
+    assert re_anchor.count("Exchange") == drop.count("Exchange")
+
+
 def test_tag_index_path_stays_id_only(spark, wh_db):
     # with the inverted index, the postings evaluation plan joins only
     # series_id columns (8-byte rows) — never tags/values
