@@ -14,6 +14,33 @@ Unicode superset — leaked in there, per ADVICE), so ``k:[a,<U+00A0>b]``
 is a lex error just like the same byte between tokens. The
 whole-string AllStar trim stays Unicode-aware in the parser, matching
 Rust's ``str::trim``.
+
+SET-EXTENSION PROVENANCE (r15 audit of the DORMANT nom parser,
+src/query/parser/mod.rs — the syntax's only reference definition,
+never reachable from the live API): the nom parser differs from the
+live logos lexer on several axes, and this extension deliberately
+follows the LIVE lexer's conventions uniformly rather than the
+dormant module's:
+
+- comma padding: nom ``space0`` = space/tab ONLY (mod.rs:37 —
+  ``[a,\nb]`` would NOT parse there); we accept the live lexer's full
+  ``[ \r\t\n\f]`` class, consistently with inter-token whitespace.
+- bracket-edge padding: nom allows NONE (``tag("[")`` goes straight
+  into the member list, mod.rs:34-42 — ``[ a]`` fails there); we allow
+  the same class at both edges.
+- empty members: nom's ``take_while`` matches zero chars, so
+  ``[,a]`` parses as Set(["", "a"]) and ``[]`` as Set([""]) there —
+  silently matching tag="" values; we require >= 1 chars per member
+  and reject empty sets (a lex error beats a silent ""-Eq).
+- charsets: nom values are Unicode ``char::is_alphanumeric`` + ``_-``
+  WITHOUT dots (mod.rs:23), and nom keys admit digits (mod.rs:90);
+  the live lexer's value class has dots and its key class has no
+  digits — we use the live charsets so a Set member is exactly an Eq
+  value.
+- AST: nom desugars to one N-ARY Or node (mod.rs:66-80); we left-nest
+  binary Ors — set-algebra identical.
+
+Pinned executable in tests/test_dsl.py::test_set_extension_boundaries.
 """
 
 from __future__ import annotations

@@ -235,6 +235,50 @@ def test_set_bracket_whitespace_is_the_exact_class():
             oracle_filter_sql(q, lookup)
 
 
+def test_set_extension_boundaries():
+    """r15 audit of the dormant nom parser (src/query/parser/mod.rs —
+    the Set syntax's only reference definition): our extension follows
+    the LIVE lexer's conventions uniformly (full whitespace class,
+    live charsets, no empty members) — see the lexer module docstring
+    for the axis-by-axis provenance. Both front-ends must agree."""
+    from talna_spark.oracle import oracle_filter_sql
+
+    lookup = lambda k: "NULL"  # noqa: E731
+
+    def both_accept(q):
+        P(q)
+        oracle_filter_sql(q, lookup)
+
+    def both_reject(q):
+        with pytest.raises(InvalidQueryError):
+            P(q)
+        with pytest.raises(InvalidQueryError):
+            oracle_filter_sql(q, lookup)
+
+    # bracket-edge padding: allowed here (the dormant parser allows
+    # none); comma padding may use the full live whitespace class
+    # (the dormant parser's space0 is space/tab only)
+    for q in ("k:[ a ]", "k:[\ta,b\t]", "k:[a ,\rb]", "k:[a,\nb]",
+              "k:[a,\fb]", "k:[a1  ,a2  ,           a3]"):
+        both_accept(q)
+    # empty members: the dormant parser's zero-width take_while parses
+    # '[,a]' as Set(["", "a"]) and '[]' as Set([""]) — silent ""-Eq
+    # matches; we reject all of them as lex errors
+    for q in ("k:[]", "k:[,a]", "k:[a,]", "k:[a,,b]", "k:[ ]"):
+        both_reject(q)
+    # charsets are the LIVE lexer's: dots valid in members (the dormant
+    # parser's identifier has no dots), digits invalid in keys (the
+    # dormant parser's key charset admits them)
+    both_accept("k:[a.b,c]")
+    both_reject("k9:[a,b]")
+    # desugar: left-nested binary Ors of Eq, outermost Or pairs the
+    # accumulated chain with the LAST member
+    from talna_spark.dsl import Eq, Or
+
+    node = P("k:[a,b,c]")
+    assert node == Or(Or(Eq("k", "a"), Eq("k", "b")), Eq("k", "c"))
+
+
 def _drop_one_operator(rng, s):
     """Adjacency mutation (r15, VERDICT r14 item 6): remove one random
     infix AND/OR from a valid expression, leaving its operands adjacent
