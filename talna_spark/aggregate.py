@@ -340,6 +340,27 @@ def greedy_buckets(
     group wholly in one partition; ``sortWithinPartitions(grp, ts DESC)``
     makes every group a contiguous newest-first run — the distributed
     analog of the reference's per-group k-way merge (src/merge.rs:36-76).
+
+    ADJUDICATED REFERENCE BUG (r15 audit — the merge direction): the
+    reference's Merger heap comparator is Reverse-shaped
+    (``other.ts.cmp(&self.ts)``, src/merge.rs:21-24 — the exact shape of
+    ``std::cmp::Reverse``), so it pops the MINIMUM real timestamp among
+    reader heads while each per-series reader yields ts DESC (the ``!ts``
+    key codec, src/db.rs:106/158-160). For any group holding >= 2 series
+    with distinct timestamps the "merged" stream is therefore NOT sorted:
+    it drains whole reader runs ordered by each series' newest point.
+    The greedy aggregator then evaluates ``bucket.end - data_point.ts``
+    on u128 (src/agg/stream.rs:76, lib.rs:108): a rising timestamp at a
+    reader transition UNDERFLOWS — debug builds panic (subtract with
+    overflow), release builds wrap to ~2^128, closing the bucket and
+    DROPPING the point. The only reference test with >= 2 series per
+    group (db.rs:1020-1135, 6 env=prod series) writes every point at
+    ts=0, where order is irrelevant and the diff is always 0 — the bug
+    is unreachable from its suite. This engine implements the documented
+    INTENT (one newest-first stream per group — the global (grp, ts
+    DESC) sort) on both paths; the reference's actual release behavior
+    is pinned executable in
+    tests/test_greedy.py::test_reference_multiseries_merge_adjudication.
     A ``mapInPandas`` pass then segments whole Arrow batches at once,
     carrying only the trailing OPEN BUCKET into the next batch (whether a
     point joins depends solely on the open bucket's ``end`` anchor,

@@ -589,6 +589,100 @@ def test_greedy_drop_all_kinds(spark, kind):
     assert (ids == -1).any()
 
 
+# ---- multi-series merge adjudication (r15 reference audit) --------------
+# The reference's Merger pops MIN real ts (its heap Ord is the exact
+# shape of std::cmp::Reverse, src/merge.rs:21-24) while its per-series
+# readers yield ts DESC (the !ts codec) — so a group with >= 2 series
+# and distinct timestamps gets an UNSORTED stream (whole reader runs,
+# ordered by each series' newest point), and the aggregator's u128
+# `end - ts` (stream.rs:76) underflows at every rising transition:
+# debug panics, release wraps -> closes the bucket and DROPS the point.
+# Its only multi-series-group test (db.rs:1020-1135) writes all points
+# at ts=0 where the bug is invisible. These ports pin the actual
+# release behavior; the engine implements the documented intent (one
+# newest-first stream per group).
+
+
+def _reference_merger_port(readers):
+    """Literal port of src/merge.rs:42-76 — min-heap on real ts (the
+    Reverse-shaped Ord), readers yielding DESC."""
+    import heapq
+
+    heads, iters = [], [iter(r) for r in readers]
+    for i, it in enumerate(iters):
+        v = next(it, None)
+        if v is not None:
+            heapq.heappush(heads, (v, i))
+    out = []
+    while heads:
+        ts, i = heapq.heappop(heads)
+        out.append(ts)
+        v = next(iters[i], None)
+        if v is not None:
+            heapq.heappush(heads, (v, i))
+    return out
+
+
+def _reference_release_buckets(stream, width):
+    """Literal port of src/agg/stream.rs:61-98 under RELEASE semantics:
+    u128 wrapping subtraction — a rising ts closes the bucket and the
+    point joins nothing (the drop behavior)."""
+    buckets, blen, start, end = [], 0, None, None
+    for ts in stream:
+        if blen == 0:
+            blen, start, end = 1, ts, ts
+            continue
+        if (end - ts) % (1 << 128) <= width:
+            blen += 1
+            start = ts
+        else:
+            buckets.append((start, end, blen))
+            blen = 0
+    if blen:
+        buckets.append((start, end, blen))
+    return buckets
+
+
+def test_reference_multiseries_merge_adjudication(spark):
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets
+
+    width = 60
+    r1 = [100, 90, 80]    # series 1, DESC (the reader order)
+    r2 = [200, 150, 120]  # series 2, DESC
+
+    merged = _reference_merger_port([r1, r2])
+    # the "merge" is not sorted: reader 1 drains entirely first because
+    # its newest point (100) is the smaller head
+    assert merged == [100, 90, 80, 200, 150, 120]
+    ref_buckets = _reference_release_buckets(merged, width)
+    # release talna: ts=200 underflows u128 at the transition and is
+    # dropped; the group's buckets are per-reader-run segments
+    assert ref_buckets == [(80, 100, 3), (120, 150, 2)]
+    assert sum(b[2] for b in ref_buckets) == 5  # one of 6 points lost
+
+    # the engine: same two series in ONE group (both tagged h=a, split
+    # into distinct series by tag s), global (grp, ts DESC) sort — the
+    # documented intent: [200,150,120] then [100,90,80] interleave into
+    # one DESC stream; width 60 re-anchors at 120
+    rows = [("m", t, 1.0, {"h": "a", "s": "1"}) for t in r1]
+    rows += [("m", t, 1.0, {"h": "a", "s": "2"}) for t in r2]
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    got = _collect_buckets(
+        greedy_buckets(pts, F.col("tags").getItem("h"), "count", width)
+    )
+    assert got == [("a", 80, 120, 4.0, 4), ("a", 150, 200, 2.0, 2)]
+    assert sum(n for *_, n in got) == 6  # nothing lost
+    # equal-timestamp groups (the reference's only multi-series test
+    # shape, db.rs:1020-1135) hide the bug: order is irrelevant there
+    # and both behaviors agree
+    eq = _reference_release_buckets(
+        _reference_merger_port([[0], [0], [0], [0], [0], [0]]), width
+    )
+    assert eq == [(0, 0, 6)]
+
+
 def test_greedy_drop_builder_validation(spark):
     from talna_spark.errors import InvalidQueryError
 
