@@ -325,12 +325,17 @@ def greedy_buckets(
     adjudication; the oracle twin shares the re-anchor semantics).
 
     ``boundary="drop"`` (r15) runs the reference's ACTUAL bit-faithful
-    semantics distributed: the bucket-closing point is consumed and
-    joins NO bucket, and the point after it (re)initializes — the
-    executable form of ``_greedy_segment_ids_drop_boundary``, exposed
-    so the deviation is hash-checked end-to-end under the driver's
-    DuckDB oracle (q17 ``kind=dropref``), proving the two semantics
-    differ by exactly one dropped point per boundary. Drop mode is
+    boundary semantics distributed: the bucket-closing point is
+    consumed and joins NO bucket, and the point after it
+    (re)initializes — the executable form of
+    ``_greedy_segment_ids_drop_boundary``, exposed so the deviation is
+    hash-checked end-to-end under the driver's DuckDB oracle (q17
+    ``kind=dropref``), proving the two semantics differ by exactly one
+    dropped point per boundary. (Precision: drop mode applies
+    stream.rs:81-86 over the documented-INTENT sorted stream;
+    reproducing full release behavior for multi-series groups would
+    also require the broken merge order adjudicated below — pinned
+    separately in test_reference_multiseries_merge_adjudication.) Drop mode is
     single-task-per-group only (the drop state machine is not
     self-synchronizing at a gap: whether a post-gap point anchors or
     drops depends on whether the PREVIOUS point was itself dropped, so

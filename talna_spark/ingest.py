@@ -107,7 +107,20 @@ def series_key_from_entries(metric: Column, entries: Column) -> Column:
 
 def series_key_col(metric: Column, tags: Column) -> Column:
     """Canonical series key: ``metric#k1:v1;k2:v2`` with keys sorted
-    (reference src/series_key.rs:20-41)."""
+    (reference src/series_key.rs:20-41).
+
+    NOT injective, deliberately bug-compatible (r15 audit): the
+    reference validates no tag charset on write (db.rs:324-351) and
+    never escapes the separators, so a value containing ';'/':'
+    collides with a different tagset — {a: "b;c:d"} and
+    {a: "b", c: "d"} share one key, hence one series_id here too. The
+    reference is WORSE off: it decodes this string back at query time
+    (tag_sets.rs:43-56), silently re-parsing the first tagset as the
+    second, and PANICS on a ';' segment lacking ':'. This engine keeps
+    the tags MAP column as the source of truth (no string round-trip),
+    so filters and grouping see the real values; only the series_id
+    dedup key shares the collision. Pinned executable in
+    tests/test_properties.py::test_series_key_separator_ambiguity_is_reference_shared."""
     return series_key_from_entries(metric, F.sort_array(F.map_entries(tags)))
 
 

@@ -124,6 +124,63 @@ def test_series_key_spark_matches_python(spark):
     assert got == expected
 
 
+def _reference_parse_key_value_pairs(s: str) -> dict:
+    """Literal port of the reference's tagset decoder
+    (src/tag_sets.rs:43-56): split on ';', then each pair splitn(2, ':');
+    a segment without ':' PANICS there ("Invalid parsed tag")."""
+    out = {}
+    for pair in s.split(";"):
+        k, sep, v = pair.partition(":")
+        if not sep:
+            raise RuntimeError(f"Invalid parsed tag: {pair!r}")
+        out[k] = v
+    return out
+
+
+def test_series_key_separator_ambiguity_is_reference_shared(spark):
+    """r15 audit of src/series_key.rs:20-41 + tag_sets.rs:43-56 +
+    db.rs:324-351: the reference validates NO tag charset on write, and
+    its unescaped `metric#k:v;k:v` format is not injective — a tag
+    VALUE containing ';'/':' collides with a different tagset. The
+    reference then decodes the stored string back at query time, so
+    {a: 'b;c:d'} silently RE-PARSES as {a:'b', c:'d'} (wrong tags) and
+    {a: 'b;cd'} PANICS ('Invalid parsed tag'). This engine shares the
+    identity format deliberately (bug-compatible series_id, same
+    collision — documented in database.py and ingest.py) but never
+    round-trips tags through the string: the tags MAP column stays the
+    source of truth, so filtering/grouping on the colliding-but-clean
+    tagset remains correct and nothing ever panics."""
+    import pyspark.sql.functions as F
+
+    from talna_spark.ingest import series_key_col
+
+    adversarial = {"a": "b;c:d"}
+    clean = {"a": "b", "c": "d"}
+    # 1. identity collision — BOTH formats produce the same key
+    assert _py_series_key("m", adversarial) == _py_series_key("m", clean)
+    df = spark.createDataFrame(
+        [("m", adversarial), ("m", clean)],
+        "metric string, tags map<string,string>",
+    )
+    keys = [
+        r[0]
+        for r in df.select(
+            series_key_col(F.col("metric"), F.col("tags"))
+        ).collect()
+    ]
+    assert keys[0] == keys[1] == "m#a:b;c:d"
+    # 2. the reference's decode: the adversarial tagset silently comes
+    # back as the OTHER tagset...
+    assert _reference_parse_key_value_pairs("a:b;c:d") == clean
+    # ...and a ';' whose tail lacks ':' panics at query time there
+    with pytest.raises(RuntimeError, match="Invalid parsed tag"):
+        _reference_parse_key_value_pairs("a:b;cd")
+    # 3. this engine never decodes the string — the map column is the
+    # truth, so a tags-map filter still sees the REAL adversarial value
+    got = df.filter(F.col("tags").getItem("a") == "b;c:d").count()
+    assert got == 1
+
+
 @settings(max_examples=12, deadline=None)
 @given(
     ts=st.lists(
