@@ -235,6 +235,61 @@ def test_set_bracket_whitespace_is_the_exact_class():
             oracle_filter_sql(q, lookup)
 
 
+# ---- cross-metric NOT leak adjudication (r15, sharpens SURVEY O19) ------
+# The reference's Not evaluates as smap.list_all() minus matches
+# (filter.rs:126-137) and start_query (db.rs:183-206) NEVER re-scopes
+# the ids to the queried metric — a NOT reaching the top of the filter
+# un-intersected streams FOREIGN metrics' series, and any of them
+# carrying the group-by tag survives the O25 drop and aggregates into
+# the result. Zero end-to-end NOT tests upstream. This engine scopes
+# NOT to the queried metric on BOTH selection backends.
+
+
+def _reference_not_evaluate(smap_all, tag_index, metric, key, value):
+    """Literal port of Node::Not evaluation (filter.rs:126-137):
+    complement of the metric-scoped Eq postings against ALL series ids
+    in the DB — note `smap_all`, not the metric's universe."""
+    ids = set(smap_all)
+    for sid in tag_index.get(f"{metric}#{key}:{value}", []):
+        ids.discard(sid)
+    return sorted(ids)
+
+
+def test_reference_cross_metric_not_leak_adjudication(spark):
+    from pyspark.sql import functions as F
+
+    from talna_spark.database import Database
+    from tests.conftest import make_points
+
+    # model DB: cpu has series 1 (host=a, env=prod) and 2 (host=a);
+    # mem has series 3 (host=a) — the foreign series with the group tag
+    smap_all = [1, 2, 3]
+    tag_index = {
+        "cpu#env:prod": [1], "cpu#host:a": [1, 2], "mem#host:a": [3],
+        "cpu": [1, 2], "mem": [3],
+    }
+    got = _reference_not_evaluate(smap_all, tag_index, "cpu", "env", "prod")
+    # the reference returns series 3 — a MEM series — for a CPU query;
+    # start_query streams it and group host=a mixes mem points into the
+    # cpu aggregate
+    assert got == [2, 3]
+
+    # this engine: same shape end-to-end — NOT stays inside the metric
+    rows = [
+        ("cpu", 1_000, 10.0, {"host": "a", "env": "prod"}),
+        ("cpu", 2_000, 20.0, {"host": "a"}),
+        ("mem", 3_000, 999.0, {"host": "a"}),
+    ]
+    db = Database.from_points(spark, make_points(spark, rows))
+    res = db.sum("cpu", "host").filter("!env:prod").collect()
+    buckets = res["a"]
+    assert sum(b.len for b in buckets) == 1  # only cpu series 2's point
+    assert sum(b.value for b in buckets) == 20.0  # never 20 + 999
+    # nested under AND both sides agree (the intersection re-scopes):
+    res2 = db.sum("cpu", "host").filter("host:a AND !env:prod").collect()
+    assert sum(b.value for b in res2["a"]) == 20.0
+
+
 def test_set_extension_boundaries():
     """r15 audit of the dormant nom parser (src/query/parser/mod.rs —
     the Set syntax's only reference definition): our extension follows
