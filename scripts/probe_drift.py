@@ -10,6 +10,23 @@ an explicit "module.path:function" spec — the function is called as
 fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
 
+FINDINGS (r15, 2026-08-16, the remaining BENCH_r14 drift rows —
+pipe_bloom_dedup_off +24%, pipe_ivfpq +21%):
+- ivfpq: NOISE. Three interleaved pairs r13-final vs HEAD: r13
+  {2.84, 2.07, 2.01} vs HEAD {2.14, 2.41, 2.00} — means within 8%,
+  HEAD faster, signs mixed.
+- bloom_dedup_off: code EXONERATED, with a methodology lesson. Three
+  interleaved pairs /tmp-r13 vs /root/repo-HEAD read HEAD +13%
+  consistently (r13 {2.56, 2.71, 2.30} vs HEAD {2.96, 2.98, 2.59}) —
+  but the r13..HEAD diff on the entire path (dedup.py + its imports
+  portable/scan) is COMMENT-ONLY, so a code cause is impossible. A
+  location-controlled re-run with BOTH checkouts cloned to /tmp:
+  r13 {2.89, 2.56} vs HEAD {3.01, 2.38} — means within 2%, signs
+  flip. The apparent gap was a checkout-location artifact.
+  PROBE DISCIPLINE: always clone BOTH sides to the same filesystem
+  (/tmp) before interleaving; never compare a /tmp clone against the
+  working tree.
+
 FINDINGS (r15, 2026-08-16, the three largest unexplained BENCH_r14
 drifts — pipe_wds_roundtrip +33%, pipe_mm_roundtrip +25%,
 pipe_mixture +22%, none of whose code changed in r14):
@@ -171,6 +188,7 @@ PIPE_ALIASES = {
     # drifts, bench-identical closures
     "wds_roundtrip": "talna_spark.sources.webdataset:roundtrip_layer",
     "mm_roundtrip": "talna_spark.sources.megatron:mm_roundtrip_layer",
+    "ivfpq": "talna_spark.pipeline.similarity:ivfpq_topk",
 }
 
 
@@ -236,6 +254,22 @@ def _lsh_bbit_run():
     assert rows
 
 
+def _bloom_dedup_off_run():
+    # bench-identical: pipe_bloom_dedup_off (one-shot dedup_against,
+    # prefilter OFF — bench.py's _bench_bloom_dedup with bloom_bits=None)
+    from pyspark.sql import functions as _Fb
+
+    from talna_spark.pipeline.dedup import dedup_against_frames
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    rows = dedup_against_frames(
+        new_d=d.filter(_Fb.col("doc_id") % 3 != 0),
+        ref_d=d.filter(_Fb.col("doc_id") % 3 == 0),
+        bloom_bits=None,
+    ).collect()
+    assert rows
+
+
 def _mixture_run():
     # bench-identical: pipe_mixture times the r9 5-slice registration
     # content (doremi excluded — it has its own row since r10)
@@ -252,6 +286,7 @@ CUSTOM_ROWS = {
     "clf_train": lambda: min_of(_clf_train_run, 3),
     "lsh_bbit": lambda: min_of(_lsh_bbit_run, 5),
     "mixture": lambda: min_of(_mixture_run, 5),
+    "bloom_dedup_off": lambda: min_of(_bloom_dedup_off_run, 5),
 }
 
 for row in ROWS:
