@@ -189,6 +189,13 @@ PIPE_ALIASES = {
     "wds_roundtrip": "talna_spark.sources.webdataset:roundtrip_layer",
     "mm_roundtrip": "talna_spark.sources.megatron:mm_roundtrip_layer",
     "ivfpq": "talna_spark.pipeline.similarity:ivfpq_topk",
+    # r16 (VERDICT r15 item 1): the three largest unexplained BENCH_r15
+    # drifts — lsh_bbit is in CUSTOM_ROWS; these two are plain fn(spark,
+    # SF) closures, bench-identical (pipe_dedup_exact times
+    # x05_dedup_exact = exact_survivors; pipe_pdf_extract times
+    # pdf_extract directly)
+    "dedup_exact": "talna_spark.pipeline.dedup:exact_survivors",
+    "pdf_extract": "talna_spark.pipeline.multimodal:pdf_extract",
 }
 
 
@@ -245,12 +252,18 @@ def _scale1000_ingest_min2() -> float:
 
 
 def _lsh_bbit_run():
-    # bench-identical: the pipe_lsh_bbit row (r14), driver-pinned width
-    from talna_spark.pipeline.dedup import LSH_BBIT_DEFAULT, lsh_near_dup_pairs
+    # bench-identical: the pipe_lsh_bbit row (r14), driver-pinned width.
+    # r16: pre-r15 checkouts keep the width at __spark_entry__._LSH_BBIT
+    # (the r15 diff promoted it to dedup.LSH_BBIT_DEFAULT, same value) —
+    # fall back so the A/B can target 155dee3.
+    from talna_spark.pipeline import dedup as _d
 
-    rows = lsh_near_dup_pairs(
-        spark, SF, band_bits=LSH_BBIT_DEFAULT
-    ).collect()
+    width = getattr(_d, "LSH_BBIT_DEFAULT", None)
+    if width is None:
+        import __spark_entry__ as _em
+
+        width = _em._LSH_BBIT
+    rows = _d.lsh_near_dup_pairs(spark, SF, band_bits=width).collect()
     assert rows
 
 
