@@ -183,8 +183,14 @@ def _gen_expr(rng, depth=0):
             return f"{k}:{rng.choice(['', *vals])}*"
         if kind == 2:
             members = rng.sample(vals, rng.randrange(1, 4))
-            sep = rng.choice([",", ", ", " , "])
-            return f"{k}:[{sep.join(members)}]"
+            # r16 (VERDICT r15 item 4): comma/edge padding draws from the
+            # FULL exact whitespace class [ \r\t\n\f] (was [",", ", ",
+            # " , "]) so the differential corpus covers the r15 lexer fix
+            ws = lambda: rng.choice(["", *" \r\t\n\f"])  # noqa: E731
+            body = ws() + members[0] + ws()
+            for m in members[1:]:
+                body += "," + ws() + m + ws()
+            return f"{k}:[{body}]"
         return f"!{_gen_expr(rng, depth + 1)}"
     if r < 0.65:
         return f"({_gen_expr(rng, depth + 1)})"
@@ -200,7 +206,17 @@ def _mutate(rng, s):
     ops = ["(", ")", "!", "*", " AND", " OR", ":", "[", "]", ",", " ", "@",
            "\x0b", "\u00a0"]
     i = rng.randrange(len(s) + 1)
-    kind = rng.randrange(3)
+    kind = rng.randrange(4)
+    if kind == 3:
+        # bracket-internal invalid whitespace (r16, VERDICT r15 item 4):
+        # U+00A0 / vertical tab INSIDE key:[...] must reject on both
+        # engines exactly like between tokens (the r15 lexer fix)
+        j = s.find("[")
+        close = s.find("]", j) if j != -1 else -1
+        if close > j:
+            p = rng.randrange(j + 1, close + 1)
+            return s[:p] + rng.choice(["\x0b", "\u00a0"]) + s[p:]
+        kind = 0  # no brackets: fall through to a plain insertion
     if kind == 0:
         return s[:i] + rng.choice(ops) + s[i:]
     if kind == 1 and s:
@@ -233,6 +249,38 @@ def test_set_bracket_whitespace_is_the_exact_class():
             P(q)
         with pytest.raises(InvalidQueryError):
             oracle_filter_sql(q, lookup)
+
+
+def test_set_bracket_invalid_ws_generated_family():
+    """r16 (VERDICT r15 item 4): beyond the fixed fixtures above, inject
+    U+00A0 / vertical tab at a RANDOM position inside the brackets of
+    generated valid Set expressions — engine and oracle must both
+    reject every one (the r15 exact-class lexer fix, pinned against a
+    generated family like the dropped-operator precedent)."""
+    import random
+
+    from talna_spark.oracle import oracle_filter_sql
+
+    lookup = lambda k: "NULL"  # noqa: E731
+    rng = random.Random(20260816)
+    n = 0
+    while n < 80:
+        s = _gen_expr(rng)
+        j = s.find("[")
+        close = s.find("]", j) if j != -1 else -1
+        if close <= j:
+            continue
+        try:
+            P(s)
+        except InvalidQueryError:
+            continue  # only mutate expressions that start out valid
+        p = rng.randrange(j + 1, close + 1)
+        bad = s[:p] + rng.choice(["\x0b", "\u00a0"]) + s[p:]
+        n += 1
+        with pytest.raises(InvalidQueryError):
+            P(bad)
+        with pytest.raises(InvalidQueryError):
+            oracle_filter_sql(bad, lookup)
 
 
 # ---- cross-metric NOT leak adjudication (r15, sharpens SURVEY O19) ------
