@@ -10,6 +10,30 @@ an explicit "module.path:function" spec — the function is called as
 fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
 
+FINDINGS (r16, 2026-08-16, the three largest BENCH_r15 drifts —
+pipe_lsh_bbit +36%, pipe_dedup_exact +36%, pipe_pdf_extract +30%,
+none of whose code changed in r15):
+- LOAD/BAND on all three, not code. Three interleaved process pairs
+  (min-of-5 per row per process), r14-final 155dee3 vs HEAD, BOTH
+  sides cloned to /tmp per the r15 location discipline, one discarded
+  warm process first:
+    lsh_bbit    r14 {2.33, 1.44, 1.80}   HEAD {2.32, 1.48, 2.05}
+    dedup_exact r14 {0.85*, 0.25, 0.25}  HEAD {0.37, 0.24, 0.30}
+    pdf_extract r14 {2.67, 2.19, 2.18}   HEAD {1.89, 1.85, 2.37}
+  (*the first measured process of the batch — residual startup/load;
+  the same row read 0.25 in both later r14 processes.) Means: lsh
+  1.86 vs 1.95 (within 5%, signs mixed per pair), dedup 0.25 vs 0.28
+  warm-only (within noise), pdf 2.35 vs 2.04 (HEAD 13% FASTER —
+  consistent with the r15 seam refactor's closure-local hoists).
+  BOTH checkouts measure lsh_bbit at 1.4-2.3 s TODAY vs BENCH_r14's
+  recorded 1.26 s — the box band moved between rounds again, exactly
+  the r14/r15 precedent. Nothing on any of the three paths regressed;
+  BENCH_r15's drift rows are explainable. Ops note: pyspark WORKERS
+  import talna_spark via PYTHONPATH=<target repo>, not the driver's
+  sys.path insert — run probes as `PYTHONPATH=$REPO python
+  scripts/probe_drift.py $REPO ...` or every mapInPandas row dies
+  with ModuleNotFoundError.
+
 FINDINGS (r15, 2026-08-16, the remaining BENCH_r14 drift rows —
 pipe_bloom_dedup_off +24%, pipe_ivfpq +21%):
 - ivfpq: NOISE. Three interleaved pairs r13-final vs HEAD: r13
