@@ -215,11 +215,20 @@ class FsspecFilesystemSeam(FilesystemSeam):
         return bool(self._fs.exists(self._p(path)))
 
     def glob(self, pattern: str) -> list:
+        # re-prefix results with the scheme; backends that return
+        # leading-slash paths (fsspec's MemoryFileSystem yields
+        # '/shards/f.bin') would otherwise produce 'memory:///shards/…'
+        # (ADVICE r15) — normalize so the round trip is exact. open()
+        # still works either way: fsspec's _strip_protocol re-adds the
+        # slash for backends that want it.
         pre = f"{self._scheme}://" if self._strip and self._scheme else ""
-        return sorted(
-            f"{pre}{p}" if pre and not str(p).startswith(pre) else str(p)
-            for p in self._fs.glob(self._p(pattern))
-        )
+        out = []
+        for p in self._fs.glob(self._p(pattern)):
+            p = str(p)
+            if pre and not p.startswith(pre):
+                p = f"{pre}{p.lstrip('/')}"
+            out.append(p)
+        return sorted(out)
 
 
 _FS_SEAMS: dict = {}
@@ -234,6 +243,21 @@ def register_fs_seam(scheme: str, seam: FilesystemSeam) -> None:
     s = str(scheme).lower().rstrip(":")
     if s in ("", "file"):
         raise ValueError("file:/plain paths are always local POSIX")
+    # registration and resolution must agree (ADVICE r15): _resolve_fs
+    # matches schemes with _SCHEME_RE_TEXT (>= 2 chars, letter-first),
+    # so a scheme that pattern can never match would register silently
+    # and then never be consulted — 'x://p' would fall through to being
+    # treated as a plain local relative path. Reject it here, loudly.
+    import re
+
+    if not re.match(_SCHEME_RE_TEXT, f"{s}://"):
+        raise ValueError(
+            f"scheme {scheme!r} can never match the URI pattern "
+            f"{_SCHEME_RE_TEXT!r} used for path resolution (schemes "
+            "must be >= 2 chars, start with a letter, and contain only "
+            "[A-Za-z0-9+.-]) — a seam registered for it would be "
+            "silently ignored"
+        )
     for need in ("open", "size", "makedirs", "rename", "remove",
                  "exists", "glob"):
         if not callable(getattr(seam, need, None)):

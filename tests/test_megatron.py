@@ -383,10 +383,119 @@ def test_seam_registration_validation():
             pass
 
     with pytest.raises(TypeError, match="lacks a callable"):
-        register_fs_seam("x", NotASeam())
+        register_fs_seam("xx", NotASeam())
     with pytest.raises(ValueError, match="local POSIX"):
         register_fs_seam("file", _mock_disk_seam("/tmp"))
     unregister_fs_seam("never-registered")  # idempotent no-op
+    # ADVICE r15: a scheme the resolver's URI pattern can never match
+    # (one char — _SCHEME_RE_TEXT requires >= 2) must fail at
+    # registration, not register silently and then never be consulted
+    # ('x://p' would fall through to a plain local relative path)
+    with pytest.raises(ValueError, match="never match"):
+        register_fs_seam("x", _mock_disk_seam("/tmp"))
+    with pytest.raises(ValueError, match="never match"):
+        register_fs_seam("9ab", _mock_disk_seam("/tmp"))  # digit-first
+
+
+def _fake_fsspec_fs(root: str):
+    """A duck-typed stand-in for ``fsspec.AbstractFileSystem`` (r16,
+    VERDICT r15 item 2): disk-backed under ``root`` so executor
+    processes see shared state, and deliberately MemoryFileSystem-shaped
+    in its path dialect — keys normalize to a leading slash and glob()
+    returns leading-slash paths — so FsspecFilesystemSeam's
+    path-stripping and glob re-prefixing execute in every environment,
+    not just where fsspec happens to be installed. Closure-local class
+    so cloudpickle ships it to executor workers by value."""
+    import glob as _glob
+    import os
+
+    class FakeFsspecFS:
+        def __init__(self, root):
+            self.root = root
+
+        def _local(self, path):
+            # fsspec backends strip the protocol themselves; the seam
+            # hands us scheme-less keys ('bucket/x'), never full URIs
+            assert "://" not in str(path), path
+            return os.path.join(self.root, str(path).lstrip("/"))
+
+        def open(self, path, mode):
+            return open(self._local(path), mode)
+
+        def size(self, path):
+            return os.path.getsize(self._local(path))
+
+        def makedirs(self, path, exist_ok=False):
+            os.makedirs(self._local(path), exist_ok=exist_ok)
+
+        def mv(self, src, dst):
+            os.replace(self._local(src), self._local(dst))
+
+        def rm(self, path):
+            os.remove(self._local(path))
+
+        def exists(self, path):
+            return os.path.exists(self._local(path))
+
+        def glob(self, pattern):
+            pre = os.path.join(self.root, "")
+            # the MemoryFileSystem dialect: leading-slash results
+            return sorted(
+                "/" + p[len(pre):]
+                for p in _glob.glob(self._local(pattern))
+            )
+
+    return FakeFsspecFS(root)
+
+
+def test_fsspec_adapter_roundtrip_without_fsspec(spark, tmp_path):
+    """VERDICT r15 item 2: drive FsspecFilesystemSeam end-to-end with a
+    duck-typed fake filesystem so the adapter's logic (path strip, glob
+    re-prefix) runs with zero environment skips. The fake returns
+    leading-slash glob results (the MemoryFileSystem dialect from
+    ADVICE r15) — glob must yield exact 'fakefs://…' URIs, never the
+    triple-slash 'fakefs:///…'."""
+    from talna_spark.sources.megatron import (
+        FsspecFilesystemSeam,
+        read_indexed_dataset,
+        register_fs_seam,
+        unregister_fs_seam,
+        write_indexed_dataset,
+    )
+
+    fs = _fake_fsspec_fs(str(tmp_path))
+    seam = FsspecFilesystemSeam(fs, scheme="fakefs")
+    register_fs_seam("fakefs", seam)
+    try:
+        # adapter unit surface: strip + publish-ordering primitives
+        seam.makedirs("fakefs://bucket")
+        with seam.open("fakefs://bucket/.g.tmp", "wb") as f:
+            f.write(b"0123456789")
+        seam.rename("fakefs://bucket/.g.tmp", "fakefs://bucket/g.bin")
+        assert seam.exists("fakefs://bucket/g.bin")
+        assert not seam.exists("fakefs://bucket/.g.tmp")
+        assert seam.size("fakefs://bucket/g.bin") == 10
+        with seam.open("fakefs://bucket/g.bin", "rb") as f:
+            f.seek(4)
+            assert f.read(3) == b"456"
+        # the ADVICE r15 normalization, asserted exactly
+        assert seam.glob("fakefs://bucket/*.bin") == [
+            "fakefs://bucket/g.bin"
+        ]
+        # full distributed write -> publish -> glob -> ranged read
+        df = _seqs(spark, [("a", [7, 8]), ("b", [9])])
+        man = write_indexed_dataset(
+            df, "fakefs://bucket/shards", n_shards=2
+        ).collect()
+        assert sum(m["n_tokens"] for m in man) == 3
+        back = read_indexed_dataset(
+            spark, "fakefs://bucket/shards/shard-*.idx"
+        ).collect()
+        assert sorted(x for r in back for x in r["ids"]) == [7, 8, 9]
+        seam.remove("fakefs://bucket/g.bin")
+        assert not seam.exists("fakefs://bucket/g.bin")
+    finally:
+        unregister_fs_seam("fakefs")
 
 
 def test_fsspec_memory_seam_roundtrip(spark, tmp_path):
