@@ -395,11 +395,30 @@ class QueryBuilder:
         return self
 
     def start_relative(self, duration_ns: int) -> "QueryBuilder":
-        # reference src/agg/builder.rs:74-77: now() - duration
+        """Lower bound at ``now() - duration`` (reference
+        src/agg/builder.rs:74-77).
+
+        ADJUDICATED DEVIATION (r16): with ``duration > now()`` the
+        reference's ``timestamp() - window`` underflows u128
+        (builder.rs:75 + time.rs:6-13) — debug builds PANIC; release
+        builds wrap ``min_ts`` to ~u128::MAX and the query silently
+        returns EMPTY. Reachable today with ``Duration.years(62)``
+        (~1.8e18 ns epoch). We raise InvalidQueryError instead —
+        a pre-epoch bound is a caller bug, never a silent empty.
+        Pinned: tests/test_api.py::test_relative_bound_underflow."""
         self._start = _validate_ts(timestamp() - int(duration_ns))
         return self
 
     def end_relative(self, duration_ns: int) -> "QueryBuilder":
+        """Upper bound at ``now() - duration`` (reference
+        src/agg/builder.rs:88-91).
+
+        ADJUDICATED DEVIATION (r16): worse than start_relative — with
+        ``duration > now()`` the reference's release-mode wrap sets
+        ``max_ts`` to ~u128::MAX, so "everything OLDER than 62+ years"
+        (correct answer: nothing) returns EVERYTHING: the semantics
+        silently invert. Debug builds panic. We raise
+        InvalidQueryError. Pinned alongside start_relative."""
         self._end = _validate_ts(timestamp() - int(duration_ns))
         return self
 
@@ -1225,10 +1244,29 @@ class Database:
 
     def write_at(self, metric: str, ts_ns: int, value: float, tags: dict) -> None:
         """Ingest one point at an explicit timestamp (reference
-        ``Database::write_at``, src/db.rs:323-350, O6)."""
+        ``Database::write_at``, src/db.rs:323-350, O6).
+
+        DOCUMENTED DEVIATION (r16 NaN audit): the reference accepts a
+        NaN value silently and its aggregates then disagree with each
+        other (Rust f32::min/max SKIP NaN, sum/avg poison to NaN, count
+        counts it — src/agg/min.rs:6, stream.rs:68-80; zero upstream
+        coverage). This scalar convenience path rejects NaN loudly —
+        the one place validation costs nothing. The bulk
+        :meth:`write_batch` path stays unvalidated by design (an isnan
+        pass over a 100 TB ingest taxes every caller for garbage-in);
+        NaN behavior there is pinned, per mode, in
+        tests/test_api.py::test_nan_value_semantics_pinned."""
+        import math
+
         from talna_spark.schema import POINTS_SCHEMA
 
         validate_metric_name(metric)
+        if math.isnan(float(value)):
+            raise InvalidQueryError(
+                "NaN values are outside the engine's value domain "
+                "(min/max/sum/avg are not well-defined across engines "
+                "for NaN; see write_at docstring)"
+            )
         row = [(metric, _validate_ts(ts_ns), float(value), dict(tags))]
         self.write_batch(self.spark.createDataFrame(row, POINTS_SCHEMA))
 

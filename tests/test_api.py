@@ -55,6 +55,146 @@ def test_relative_bounds(spark, wh):
     assert res["a"][0].value == 3.0
 
 
+def test_relative_bound_underflow(spark, wh):
+    """r16 reference audit (VERDICT r15 item 7): the reference's
+    ``start_relative``/``end_relative`` compute ``timestamp() - window``
+    on u128 (src/agg/builder.rs:75/:89, src/time.rs:6-13). A window
+    larger than the epoch clock (~1.8e18 ns — Duration.years(62)
+    crosses it today, and the reference has ZERO upstream coverage of
+    relative bounds) underflows: debug builds panic ("attempt to
+    subtract with overflow"); release builds wrap. The wrap direction
+    differs per bound:
+
+    - start_relative: min_ts wraps to ~u128::MAX -> silently EMPTY
+      (db.rs:129-133 scans keys with ts >= ~MAX).
+    - end_relative: max_ts wraps to ~u128::MAX -> silently EVERYTHING
+      ("all points older than 62 years ago" should be nothing; the
+      wrapped upper bound admits the whole series instead — the
+      semantics invert).
+
+    Our engine raises InvalidQueryError at the API boundary (a
+    pre-epoch bound is a caller bug); this test pins the deviation."""
+    from talna_spark.errors import InvalidQueryError
+
+    db = Database.open(spark, wh)
+    big = Duration.years(100)  # > now() for the next ~38 years
+    assert big > timestamp()
+    with pytest.raises(InvalidQueryError, match=">= 0"):
+        db.sum("m", "h").start_relative(big)
+    with pytest.raises(InvalidQueryError, match=">= 0"):
+        db.sum("m", "h").end_relative(big)
+
+
+def _rust_aggregate_fold(kind, vals):
+    """Literal port of the reference's aggregation fold for the NaN
+    audit: stream.rs:68-80 seeds ``A::init(first)`` then folds
+    ``A::transform``; min.rs:6/max.rs:6 use Rust ``f32::min``/``max``
+    ("if one of the arguments is NaN, then the other argument is
+    returned" — NaN-SKIPPING); sum/avg accumulate ``+`` (NaN poisons);
+    count adds 1.0 per point regardless (count.rs:9-11)."""
+    import math
+
+    acc = vals[0]
+    for x in vals[1:]:
+        if kind == "min":
+            acc = x if math.isnan(acc) else (acc if math.isnan(x) else min(acc, x))
+        elif kind == "max":
+            acc = x if math.isnan(acc) else (acc if math.isnan(x) else max(acc, x))
+        else:  # sum / avg
+            acc = acc + x
+    if kind == "avg":
+        return acc / len(vals)
+    if kind == "count":
+        return float(len(vals))
+    return acc
+
+
+def test_nan_value_semantics_pinned(spark, wh):
+    """r16 reference audit: NaN data points have ZERO upstream coverage
+    and three different behaviors exist —
+
+    - reference (Rust f32 folds): min/max SKIP NaN, sum/avg poison,
+      count counts it;
+    - our aligned mode (Spark builtins, documented NaN-is-greatest
+      ordering): F.min skips NaN like the reference but F.max returns
+      NaN; sum/avg/count like the reference;
+    - our greedy mode (numpy reduceat): min AND max propagate NaN —
+      and the mapInPandas Arrow boundary then renders the NaN result
+      as SQL NULL (pandas' NaN-is-missing convention), so a poisoned
+      greedy bucket surfaces as value=None, not float('nan').
+
+    The engine's contract: NaN is OUT of the value domain. The scalar
+    write/write_at path rejects it loudly (the only place validation is
+    free); the bulk write_batch path is garbage-in by design (no isnan
+    tax on a 100 TB ingest) and this test pins its exact per-mode
+    behavior so the inconsistency is documented, not latent."""
+    import math
+
+    from tests.conftest import make_points
+
+    db = Database.open(spark, wh)
+    t0 = 1_000_000_000_000
+    rows = [("m", t0, 1.0, {"h": "a"}),
+            ("m", t0 + 10**9, float("nan"), {"h": "a"}),
+            ("m", t0 + 2 * 10**9, 3.0, {"h": "a"})]
+    db.write_batch(make_points(spark, rows))
+
+    def one_bucket(kind, mode):
+        res = (
+            getattr(db, kind)("m", "h")
+            .granularity(Duration.hours(1))
+            .mode(mode)
+            .collect()
+        )
+        (b,) = res["a"]
+        assert b.len == 3  # count/len sees the NaN point in every engine
+        return b.value
+
+    def eq(a, b):
+        if a is None or b is None:
+            return a is b
+        return (math.isnan(a) and math.isnan(b)) or a == b
+
+    nan = float("nan")
+    aligned_expect = {"min": 1.0, "max": nan, "sum": nan, "avg": nan,
+                      "count": 3.0}
+    greedy_expect = {"min": None, "max": None, "sum": None, "avg": None,
+                     "count": 3.0}
+    ref_expect = {"min": 1.0, "max": 3.0, "sum": nan, "avg": nan,
+                  "count": 3.0}
+    desc_vals = [3.0, nan, 1.0]  # the reference folds newest-first
+    for kind in ("min", "max", "sum", "avg", "count"):
+        assert eq(one_bucket(kind, "aligned"), aligned_expect[kind]), kind
+        assert eq(one_bucket(kind, "greedy"), greedy_expect[kind]), kind
+        assert eq(_rust_aggregate_fold(kind, desc_vals), ref_expect[kind]), kind
+
+
+def test_scalar_write_rejects_nan(spark, wh):
+    from talna_spark.errors import InvalidQueryError
+
+    db = Database.open(spark, wh)
+    with pytest.raises(InvalidQueryError, match="NaN"):
+        db.write_at("m", 1_000, float("nan"), {"h": "a"})
+    with pytest.raises(InvalidQueryError, match="NaN"):
+        db.write("m", float("nan"), {"h": "a"})
+    db.write_at("m", 1_000, 1.5, {"h": "a"})  # real values unaffected
+
+
+def test_inverted_bounds_deterministic_empty(spark, wh):
+    """r16 reference audit: with start > end the reference builds an
+    inverted fjall key range (db.rs:142-145 — start key ``!max`` sorts
+    AFTER end key ``!min``); what fjall yields for an inverted range is
+    fjall-defined and unverifiable here (no fjall source in the
+    sandbox). Our engine's contract is pinned instead: deterministic
+    EMPTY, never an error, never spurious rows."""
+    db = Database.open(spark, wh)
+    from tests.conftest import make_points
+
+    db.write_batch(make_points(spark, [("m", 1000, 1.0, {"h": "a"})]))
+    res = db.sum("m", "h").start(2000).end(500).granularity(None).collect()
+    assert res == {}
+
+
 def test_collect_newest_first(spark, wh):
     db = Database.open(spark, wh)
     from tests.conftest import make_points

@@ -175,3 +175,52 @@ def test_compact_facts_preserves_data_and_results(spark):
         assert before == after
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_reference_term_prefix_false_positive_adjudication(spark):
+    """r16 audit, sharpening the r15 SeriesKey non-injectivity family
+    onto the QUERY INDEX: the reference materializes postings under the
+    string term ``{metric}#{key}:{value}`` (tag_index.rs:55-57/93-101)
+    and evaluates wildcards with a raw PREFIX SCAN over those strings
+    (query_prefix, tag_index.rs:122-146). Tag keys are never
+    charset-validated (tagset! is a plain map), so a written key
+    containing ':' — e.g. key 'env:prod', value 'x', term
+    'm#env:prod:x' — is matched by the prefix of an UNRELATED key's
+    wildcard: `env:*` scans prefix 'm#env:' and `env:p*` scans
+    'm#env:p', both of which that term starts with. The reference
+    returns the series for a filter on a tag key it does not have
+    (upstream tests use clean keys only — zero coverage). This engine
+    is immune by construction on BOTH selection backends: the postings
+    table keeps (metric, key, value) as separate columns
+    (tag_index.py:47-57, key equality is exact) and the predicate path
+    reads the tags MAP. A literal port of the reference's term
+    format + prefix scan demonstrates the false positive; the engine
+    paths return only the true match."""
+    wh = tempfile.mkdtemp(prefix="talna_tidx_fp_wh_")
+    try:
+        db = Database.open(spark, wh)
+        db.write_at("m", 1_000, 1.0, {"env": "prod"})          # true match
+        db.write_at("m", 2_000, 2.0, {"env:prod": "x"})        # collider
+        db.compact()  # build the postings index
+
+        # literal port of TagIndex::index term formatting (format_key,
+        # tag_index.rs:93-101) + query_prefix's raw string prefix scan
+        def ref_terms(metric, tags, sid):
+            return [(f"{metric}#{k}:{v}", sid) for k, v in tags.items()]
+
+        terms = ref_terms("m", {"env": "prod"}, 0) + ref_terms(
+            "m", {"env:prod": "x"}, 1
+        )
+        for prefix in ("m#env:", "m#env:p"):  # env:* and env:p* scans
+            hits = sorted(sid for t, sid in terms if t.startswith(prefix))
+            assert hits == [0, 1]  # the reference matches BOTH series
+
+        # engine: both backends return only the series that HAS key 'env'
+        for use_idx in (True, False):
+            dbq = Database.open(spark, wh, use_tag_index=use_idx)
+            for flt in ("env:*", "env:p*"):
+                res = dbq.sum("m", "env").filter(flt).granularity(None).collect()
+                assert list(res) == ["prod"], (use_idx, flt)
+                assert res["prod"][0].value == 1.0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
