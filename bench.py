@@ -100,12 +100,17 @@ def main() -> None:
         def __init__(self, interval: float = 0.2):
             self._interval = interval
             self.peak_mib = 0.0
+            # per-process snapshot AT the peak sample instant (r16,
+            # VERDICT r15 item 3): [(pid, comm, rss_kib), ...]
+            self._peak_procs: list = []
 
         @staticmethod
-        def _tree_rss_kib() -> int:
+        def _tree_sample() -> "tuple[int, list]":
+            """(total_rss_kib, [(pid, comm, rss_kib) per tree process])."""
             me = os.getpid()
             parent: dict[int, int] = {}
             rss: dict[int, int] = {}
+            comm: dict[int, str] = {}
             for d in os.listdir("/proc"):
                 if not d.isdigit():
                     continue
@@ -114,6 +119,7 @@ def main() -> None:
                         stat = f.read()
                     # ppid is field 2 after the ')' (comm may hold spaces)
                     parent[int(d)] = int(stat.rsplit(")", 1)[1].split()[1])
+                    comm[int(d)] = stat[stat.find("(") + 1:stat.rfind(")")]
                     with open(f"/proc/{d}/status") as f:
                         for line in f:
                             if line.startswith("VmRSS:"):
@@ -124,12 +130,61 @@ def main() -> None:
             kids: dict[int, list[int]] = {}
             for pid, pp in parent.items():
                 kids.setdefault(pp, []).append(pid)
-            total, stack = 0, [me]
+            total, procs, stack = 0, [], [me]
             while stack:
                 p = stack.pop()
-                total += rss.get(p, 0)
+                r = rss.get(p, 0)
+                total += r
+                procs.append((p, comm.get(p, "?"), r))
                 stack.extend(kids.get(p, []))
-            return total
+            return total, procs
+
+        def _sample(self) -> None:
+            total, procs = self._tree_sample()
+            mib = total / 1024.0
+            if mib > self.peak_mib:
+                self.peak_mib = mib
+                self._peak_procs = procs
+
+        def breakdown(self) -> dict:
+            """Decompose the peak sample (VERDICT r15 item 3): JVM RSS vs
+            python (driver + pyspark workers) vs other, the top-2
+            processes, and the JVM's effective -Xmx — so the
+            architectural gap vs the reference's 140 MiB Rust binary is
+            explainable in one line, not just present."""
+            jvm = py = other = 0
+            for _pid, c, r in self._peak_procs:
+                if c == "java":
+                    jvm += r
+                elif c.startswith("python"):
+                    py += r
+                else:
+                    other += r
+            top2 = sorted(self._peak_procs, key=lambda t: -t[2])[:2]
+            xmx = None
+            for pid, c, _r in self._peak_procs:
+                if c != "java":
+                    continue
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        args = f.read().split(b"\0")
+                    xmx = next(
+                        (a[4:].decode() for a in args
+                         if a.startswith(b"-Xmx")), None,
+                    )
+                except OSError:
+                    pass
+                break
+            return {
+                "jvm_mib": round(jvm / 1024.0, 1),
+                "python_mib": round(py / 1024.0, 1),
+                "other_mib": round(other / 1024.0, 1),
+                "top2": [
+                    {"comm": c, "rss_mib": round(r / 1024.0, 1)}
+                    for _pid, c, r in top2
+                ],
+                "jvm_xmx": xmx,
+            }
 
         def __enter__(self):
             import threading
@@ -138,9 +193,7 @@ def main() -> None:
 
             def run():
                 while not self._stop.is_set():
-                    self.peak_mib = max(
-                        self.peak_mib, self._tree_rss_kib() / 1024.0
-                    )
+                    self._sample()
                     self._stop.wait(self._interval)
 
             self._thread = threading.Thread(target=run, daemon=True)
@@ -152,7 +205,7 @@ def main() -> None:
             self._thread.join(timeout=5)
             # one final sample so a body shorter than the interval still
             # records something
-            self.peak_mib = max(self.peak_mib, self._tree_rss_kib() / 1024.0)
+            self._sample()
             return False
 
     def timed(fn, reps: int = REPS) -> float:
@@ -245,6 +298,72 @@ def main() -> None:
     for name in headline:
         timings[name] = timed(lambda: qs[name](spark, sf_dir).collect())
 
+    # r16 (VERDICT r15 item 5): the two-level greedy_slices decomposition
+    # (aggregate.greedy_buckets_sliced) is correctness-pinned as q17's
+    # kind=sliced driver slice but had no row demonstrating its
+    # parallelism claim — time it against the one-task-per-group pass on
+    # the SAME q17 spec (multi-group: 10 users), as an explicit pair.
+    # pipe_greedy_single re-times the q17 single-path content under the
+    # pair's own label so the comparison never rebinds if the q17
+    # headline row's meaning evolves.
+    def _greedy_builder():
+        _k, _m, _g, _f, _s, _e, _gr, _md = entrymod._SPEC["q17_greedy_avg"]
+        b = (
+            getattr(Database.from_events(spark, sf_dir), _k)(_m, _g)
+            .filter(_f)
+            .granularity(_gr)
+            .mode("greedy")
+        )
+        if _s is not None:
+            b = b.start(_s)
+        if _e is not None:
+            b = b.end(_e)
+        return b
+
+    timings["pipe_greedy_single"] = timed(
+        lambda: _greedy_builder().to_df().collect()
+    )
+    timings["pipe_greedy_sliced"] = timed(
+        lambda: _greedy_builder()
+        .greedy_slices(entrymod._GREEDY_SLICE_W)
+        .to_df()
+        .collect()
+    )
+    extra["pipe_greedy_slice_width_ns"] = entrymod._GREEDY_SLICE_W
+
+    # ...and the decomposition's REGIME pair: ONE huge group (hour-
+    # shifted x100 purchase copies -> ~2M points in a single group),
+    # width 1 s — BELOW the data's median gap so the greedy rule closes
+    # buckets and pass 1 finalizes segments in parallel (at widths
+    # above the gap structure, no forced reset exists anywhere and the
+    # sliced path degrades to the sequential stitch BY DESIGN —
+    # aggregate.greedy_buckets_sliced docstring). count() not collect():
+    # the result is ~1.15M buckets and driver transfer would mask the
+    # operator. Input localCheckpointed so the pair times the
+    # operators, not the shared scan+explode.
+    from pyspark.sql import functions as _Fg
+
+    from talna_spark.aggregate import greedy_buckets as _gb
+    from talna_spark.aggregate import greedy_buckets_sliced as _gbs
+
+    _HOUR_NS = 3_600_000_000_000
+    pts1g = (
+        points_from_events(spark, sf_dir, parallelism=int(cpus))
+        .filter(_Fg.col("metric") == "app.purchase")
+        .withColumn("_i", _Fg.explode(_Fg.sequence(_Fg.lit(0), _Fg.lit(99))))
+        .withColumn("ts", _Fg.col("ts") + _Fg.col("_i") * _Fg.lit(_HOUR_NS))
+        .drop("_i")
+        .localCheckpoint()
+    )
+    _grp1g = _Fg.lit("all")
+    timings["pipe_greedy1g_single"] = timed(
+        lambda: _gb(pts1g, _grp1g, "avg", 10**9).count()
+    )
+    timings["pipe_greedy1g_sliced"] = timed(
+        lambda: _gbs(pts1g, _grp1g, "avg", 10**9, _HOUR_NS).count()
+    )
+    pts1g.unpersist()
+
     # (d) overhead split: the SAME query plans at sf0.001 (100x less data)
     # measure Spark's fixed per-query job cost — scheduler, py4j, Arrow,
     # file listing. data_sec = sf - sf0.001 is the data-dependent part.
@@ -333,6 +452,9 @@ def main() -> None:
             if rss_sampler is not None:
                 extra[p + "ingest_peak_rss_mib"] = round(
                     rss_sampler.peak_mib, 1
+                )
+                extra[p + "ingest_peak_rss_breakdown"] = (
+                    rss_sampler.breakdown()
                 )
             extra[p + "q16_first_call_sec"] = round(min(first_runs), 4)
             # n_points (= n_points * mult) and scaling-vs-1x (= pps

@@ -619,15 +619,20 @@ def greedy_buckets_sliced(
     entry-independent and final; only the slice's head (rows before its
     first reset) and its open tail bucket depend on neighboring slices.
 
-    - Pass 1 (parallel over (grp, slice), applyInPandas): finalize and
-      aggregate every entry-independent closed segment; emit head rows and
-      open-tail rows as raw "pending" rows (tail rows flagged).
+    - Pass 1 (parallel over (grp, slice) hash partitions, STREAMING
+      mapInPandas with a block carry — r16; the earlier per-block
+      applyInPandas paid ~10 ms of pandas overhead per block, a 200x
+      slowdown on many-small-groups data): finalize and aggregate every
+      entry-independent closed segment; emit head rows and open-tail
+      rows as raw "pending" rows (tail rows flagged).
     - Pass 2 (per grp, mapInPandas with batch carry): one ordered scan
-      over ONLY the pending rows, re-anchoring at each tail-block start
-      (a true boundary — it was computed after a forced reset). Heads
-      chain onto the previous slice's open bucket exactly as the global
-      sequential scan would; the omitted final middles never chain
-      (the forced re-anchor cuts them off).
+      re-anchoring at each tail-block start (a true boundary — it was
+      computed after a forced reset). Heads chain onto the previous
+      slice's open bucket exactly as the global sequential scan would;
+      the omitted final middles never chain (the forced re-anchor cuts
+      them off). Pass-1's finalized buckets ride through as
+      pass-through rows (r16 — one pipeline, pass 1 executes once; the
+      earlier finals/pending union ran it once per branch).
 
     Dense pathological data (no gap > width anywhere) degrades gracefully:
     every row is pending and pass 2 IS the single-task scan, same loud
@@ -638,13 +643,14 @@ def greedy_buckets_sliced(
     ``slice_width`` should be >> width (e.g. >= 100x) so heads/tails stay
     a small fraction; it must be positive and is validated > width.
 
-    Memory bound: pass 1's applyInPandas materializes each whole
-    (grp, slice) block as ONE pandas frame on an executor — rows per
-    (group, slice) must fit executor memory, so ``slice_width`` also
-    caps the per-task working set (~80 bytes/row in the frame). A
-    pathologically dense slice is only caught by the pass-2
-    ``max_open_bucket_rows`` guard AFTER pass 1 has paid that cost;
-    size slices so width << slice_width << (executor_mem / density).
+    Memory bound: pass 1 streams Arrow batches but must hold each
+    (grp, slice) block contiguously (the carry buffers at most one
+    block plus a batch) — rows per (group, slice) must fit executor
+    memory, so ``slice_width`` caps the per-task working set
+    (~80 bytes/row in the frame). A pathologically dense slice is only
+    caught by the pass-2 ``max_open_bucket_rows`` guard AFTER pass 1
+    has paid that cost; size slices so width << slice_width <<
+    (executor_mem / density).
     """
     if int(slice_width) <= int(width):
         raise ValueError(
@@ -706,69 +712,136 @@ def greedy_buckets_sliced(
         "raw double, start_ts long, end_ts long, value double, len long"
     )
 
-    def _pass1(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one whole (grp, slice) block; order is not guaranteed by the
-        # cogroup shuffle — re-pin it
-        pdf = pdf.sort_values(
-            ["ts", "value"], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
-        n = len(pdf)
+    def _pass1_stream(batches):
+        """Streaming pass 1 (r16 rewrite): ONE scan per Arrow batch over
+        partition-sorted rows, (grp, slice) block boundaries handled
+        inline with a carry — the pre-r16 ``groupBy.applyInPandas`` form
+        paid ~10 ms of per-group pandas overhead per block, which on
+        many-small-groups data turned into a 200x slowdown vs the
+        one-task scan (q17 at sf0.1: ~20k one-point blocks, 214 s vs
+        0.95 s) and is exactly the shape that would strangle a 100 TB
+        run with millions of groups. Per-block logic, flags, and float
+        order are unchanged — output is bit-identical (driver-checked
+        as q17 kind=sliced)."""
         cols = ["grp", "slice", "final", "tail", "ts", "raw",
                 "start_ts", "end_ts", "value", "len"]
-        if n == 0:
-            return pd.DataFrame(columns=cols)
-        ts_list = pdf["ts"].to_numpy(dtype=np.int64).tolist()
 
-        def pending(sub: pd.DataFrame, is_tail: bool) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "grp": sub["grp"].to_numpy(),
-                    "slice": sub["slice"].to_numpy(),
-                    "final": False,
-                    "tail": is_tail,
-                    "ts": sub["ts"].to_numpy(),
-                    "raw": sub["value"].to_numpy(),
-                    "start_ts": pd.array([None] * len(sub), dtype="Int64"),
-                    "end_ts": pd.array([None] * len(sub), dtype="Int64"),
-                    "value": np.nan,
-                    "len": pd.array([None] * len(sub), dtype="Int64"),
-                }
-            )
+        def process(pdf: pd.DataFrame):
+            # every (grp, slice) block in pdf is COMPLETE; rows sorted
+            # (grp, slice, ts DESC, value ASC) by the upstream shuffle
+            n = len(pdf)
+            grp_a = pdf["grp"].to_numpy()
+            sl_a = pdf["slice"].to_numpy(dtype=np.int64)
+            ts_a = pdf["ts"].to_numpy(dtype=np.int64)
+            new_block = np.empty(n, dtype=bool)
+            new_block[0] = True
+            new_block[1:] = (grp_a[1:] != grp_a[:-1]) | (sl_a[1:] != sl_a[:-1])
+            bounds = np.flatnonzero(new_block).tolist() + [n]
+            ts_l = ts_a.tolist()
+            pend = np.zeros(n, dtype=bool)
+            tailm = np.zeros(n, dtype=bool)
+            mid_starts: list = []  # absolute starts of CLOSED segments
+            for bi in range(len(bounds) - 1):
+                b0, b1 = bounds[bi], bounds[bi + 1]
+                first_reset = None
+                for i in range(b0 + 1, b1):
+                    if ts_l[i - 1] - ts_l[i] > w:
+                        first_reset = i
+                        break
+                if first_reset is None:
+                    # no forced reset: whole block is entry-dependent head
+                    pend[b0:b1] = True
+                    continue
+                anchor = ts_l[first_reset]
+                last = first_reset
+                for i in range(first_reset + 1, b1):
+                    if anchor - ts_l[i] > w:
+                        mid_starts.append(last)  # segment [last, i) closed
+                        last = i
+                        anchor = ts_l[i]
+                pend[b0:first_reset] = True   # head
+                pend[last:b1] = True          # open tail
+                tailm[last:b1] = True
+            parts = []
+            if pend.any():
+                sub = pdf[pend]
+                # int64 SENTINEL zeros, not nulls, in the long columns:
+                # a nullable long would round-trip Arrow->pandas as
+                # float64 in pass 2 and ns timestamps (> 2^53) would
+                # silently lose precision; the `final` flag is the
+                # discriminator, never these fields
+                parts.append(pd.DataFrame(
+                    {
+                        "grp": sub["grp"].to_numpy(),
+                        "slice": sub["slice"].to_numpy(),
+                        "final": False,
+                        "tail": tailm[pend],
+                        "ts": sub["ts"].to_numpy(),
+                        "raw": sub["value"].to_numpy(),
+                        "start_ts": np.zeros(len(sub), dtype=np.int64),
+                        "end_ts": np.zeros(len(sub), dtype=np.int64),
+                        "value": np.nan,
+                        "len": np.zeros(len(sub), dtype=np.int64),
+                    }
+                )[cols])
+            if mid_starts:
+                # compact the mid rows; segments stay contiguous and the
+                # last closed segment of a block ends exactly where the
+                # next block's first closed segment begins in mid-space,
+                # so one global reduceat reproduces the per-block folds
+                # slice-for-slice (same float order as the one-task path)
+                ms = np.asarray(mid_starts, dtype=np.int64)
+                mid = pdf[~pend].reset_index(drop=True)
+                midpos = np.cumsum(~pend) - 1
+                agg = _agg_frame(mid, midpos[ms])
+                agg.insert(1, "slice", sl_a[ms])
+                agg.insert(2, "final", True)
+                agg.insert(3, "tail", False)
+                agg.insert(4, "ts", np.zeros(len(agg), dtype=np.int64))
+                agg.insert(5, "raw", np.nan)
+                parts.append(agg[cols])
+            if not parts:
+                return None
+            return pd.concat(parts, ignore_index=True)[cols]
 
-        first_reset = None
-        for i in range(1, n):
-            if ts_list[i - 1] - ts_list[i] > w:
-                first_reset = i
-                break
-        if first_reset is None:
-            # no forced reset: the whole slice is entry-dependent head
-            return pending(pdf, False)[cols]
-        starts_list = [first_reset]
-        anchor = ts_list[first_reset]
-        for i in range(first_reset + 1, n):
-            if anchor - ts_list[i] > w:
-                starts_list.append(i)
-                anchor = ts_list[i]
-        head = pending(pdf.iloc[:first_reset], False)
-        tail = pending(pdf.iloc[starts_list[-1]:], True)
-        parts = [head, tail]
-        if len(starts_list) > 1:  # closed, entry-independent segments
-            mid = pdf.iloc[first_reset: starts_list[-1]].reset_index(drop=True)
-            rel = np.asarray(starts_list[:-1], dtype=np.int64) - first_reset
-            agg = _agg_frame(mid, rel)
-            agg.insert(1, "slice", pdf["slice"].iloc[0])
-            agg.insert(2, "final", True)
-            agg.insert(3, "tail", False)
-            agg.insert(4, "ts", pd.array([None] * len(agg), dtype="Int64"))
-            agg.insert(5, "raw", np.nan)
-            parts.append(agg)
-        return pd.concat(parts, ignore_index=True)[cols]
-
-    def _pass2(batches):
-        # sequential stitch over pending rows only, batch-carried like
-        # greedy_buckets._bucketize, with forced re-anchor at tail starts
         carry = None
         for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            grp_a = pdf["grp"].to_numpy()
+            sl_a = pdf["slice"].to_numpy(dtype=np.int64)
+            chg = np.flatnonzero(
+                (grp_a[1:] != grp_a[:-1]) | (sl_a[1:] != sl_a[:-1])
+            )
+            if len(chg) == 0:
+                carry = pdf  # a single (possibly continuing) block — hold
+                continue
+            cut = int(chg[-1]) + 1
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = process(pdf.iloc[:cut].reset_index(drop=True))
+            if out is not None:
+                yield out
+        if carry is not None and not carry.empty:
+            out = process(carry)
+            if out is not None:
+                yield out
+
+    def _pass2(batches):
+        # sequential stitch over pending rows, batch-carried like
+        # greedy_buckets._bucketize, with forced re-anchor at tail
+        # starts. r16: pass-1's FINAL rows now ride through this same
+        # operator as pass-through rows (the pre-r16 union re-executed
+        # pass 1 once per branch) — split them off per batch; filtering
+        # preserves the pending rows' relative order.
+        carry = None
+        for pdf in batches:
+            fin = pdf[pdf["final"]]
+            if len(fin):
+                yield fin[["grp", "start_ts", "end_ts", "value", "len"]]
+            pdf = pdf[~pdf["final"]][["grp", "slice", "tail", "ts", "raw"]]
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
@@ -809,28 +882,35 @@ def greedy_buckets_sliced(
             yield _agg_frame(body, np.asarray([0], dtype=np.int64))
 
     prepared = _sliced_prepared(scan, group_col, slice_width)
-    p1 = prepared.groupBy("grp", "slice").applyInPandas(_pass1, schema=_P1_SCHEMA)
-    # pass 1 runs once, feeding BOTH the final rows and pass 2's input —
-    # persist() would re-read it; localCheckpoint would too. The frame is
-    # tiny relative to the scan (aggregates + boundary rows), so let each
-    # branch recompute: Spark reuses the shuffle output of the groupBy
-    # stage across the two jobs (stage reuse), not the full scan.
-    finals = p1.filter(F.col("final")).select(
-        "grp", "start_ts", "end_ts", "value", "len"
+    # r16: ONE shuffle keyed on (grp, slice) — hash repartition spreads
+    # blocks over all shuffle partitions (a group's slices land on
+    # DIFFERENT tasks: the parallelism claim), sortWithinPartitions pins
+    # the per-block order, and the streaming pass-1 walks each partition
+    # in O(rows) with per-BATCH (not per-block) pandas overhead.
+    p1 = (
+        prepared.repartition("grp", "slice")
+        .sortWithinPartitions("grp", "slice", F.desc("ts"), F.asc("value"))
+        .mapInPandas(_pass1_stream, schema=_P1_SCHEMA)
     )
-    pending = (
-        p1.filter(~F.col("final"))
-        .select("grp", "slice", "tail", "ts", "raw")
-        .repartition("grp")
-        # tail ASC third key: at equal (ts, value) pairs straddling the
-        # head/tail cut the pass-1 relative order (head first) must be
-        # reproduced, or the forced-boundary flag lands one row off
+    # r16: ONE downstream pipeline — final rows ride through pass 2 as
+    # pass-through rows instead of a separate union branch. The pre-r16
+    # union executed pass 1 TWICE (once per branch above the reused
+    # exchange); routing everything through the grp shuffle runs it
+    # once, and the shuffled volume is the same pass-1 output
+    # (aggregates + boundary rows), a small fraction of the scan.
+    # Finals carry ts=0 sentinels so F.desc("ts") clusters them at each
+    # group's end, past every real pending row; pass 2 splits on the
+    # `final` flag, so relative order among finals is irrelevant.
+    # tail ASC third key: at equal (ts, raw) pairs straddling the
+    # head/tail cut the pass-1 relative order (head first) must be
+    # reproduced, or the forced-boundary flag lands one row off.
+    routed = (
+        p1.repartition("grp")
         .sortWithinPartitions(
             "grp", F.desc("ts"), F.asc("raw"), F.asc("tail")
         )
     )
-    stitched = pending.mapInPandas(_pass2, schema=RESULT_SCHEMA)
-    return finals.unionByName(stitched)
+    return routed.mapInPandas(_pass2, schema=RESULT_SCHEMA)
 
 
 def rolling_buckets(agg: DataFrame, width: int, k: int) -> DataFrame:

@@ -158,8 +158,13 @@ def test_sliced_greedy_bit_identical(spark, kind):
 def test_sliced_greedy_group_spans_tasks(spark):
     # the point of the two-level path: ONE group's rows spread over
     # several (grp, slice) shuffle keys — parallel tasks — instead of the
-    # single-task repartition("grp"); and both python passes show in the
-    # plan (FlatMapGroupsInPandas for pass 1, MapInPandas for pass 2)
+    # single-task repartition("grp"). r16: pass 1 is a STREAMING
+    # MapInPandas over a (grp, slice)-hashed, within-partition-sorted
+    # exchange (per-batch pandas overhead), not FlatMapGroupsInPandas
+    # (whose per-block overhead made many-small-groups data 200x slower
+    # than the one-task scan); pass 2 stays MapInPandas keyed on grp.
+    import re
+
     from pyspark.sql import functions as F
 
     from talna_spark.aggregate import _sliced_prepared, greedy_buckets_sliced
@@ -171,9 +176,12 @@ def test_sliced_greedy_group_spans_tasks(spark):
     assert n_keys >= 3, "one group must fan out over several slice keys"
     df = greedy_buckets_sliced(pts, grp, "sum", S, 10 * S)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
-    assert "MapInPandas" in plan
-    assert "hashpartitioning(grp" in plan
+    assert plan.count("MapInPandas") >= 2  # streaming pass 1 + pass 2
+    assert "FlatMapGroupsInPandas" not in plan  # no per-block groups
+    # pass 1's exchange is keyed on BOTH grp and slice (the fan-out)...
+    assert re.search(r"hashpartitioning\(grp#\d+, slice#\d+", plan)
+    # ...and pass 2's on grp alone (the stitch)
+    assert re.search(r"hashpartitioning\(grp#\d+,", plan)
     assert "BatchEvalPython" not in plan
 
 
