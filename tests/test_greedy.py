@@ -185,6 +185,42 @@ def test_sliced_greedy_group_spans_tasks(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_sliced_greedy_carry_across_arrow_batches(spark):
+    """r16: pass 1 streams Arrow batches with a block CARRY — a
+    (grp, slice) block that straddles a batch boundary must be held and
+    processed whole. The fixture-sized tests all fit one default batch
+    (10k rows), so this one forces 7-row batches over a randomized
+    multi-group corpus (mixed gaps above and below width, duplicate
+    timestamps) and requires exact equality with the one-task path, for
+    every aggregation kind."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets, greedy_buckets_sliced
+
+    rng = random.Random(20260816)
+    rows = []
+    for h in ("a", "b", "c"):
+        t = 0
+        for i in range(120):
+            # gaps: mostly sub-width, some forced resets, some ties
+            t += rng.choice([0, int(0.3 * S), int(0.8 * S), 2 * S, 11 * S])
+            rows.append(("m", t, float(rng.randrange(50)), {"h": h}))
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        for kind in ("avg", "sum", "min", "max", "count"):
+            assert _collect_buckets(
+                greedy_buckets_sliced(pts, grp, kind, S, 10 * S)
+            ) == _collect_buckets(greedy_buckets(pts, grp, kind, S)), kind
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_sliced_greedy_dense_degrades_to_sequential(spark):
     # pathological density (no gap > width anywhere): every row is
     # pending, pass 2 IS the sequential scan — still exact
