@@ -180,8 +180,9 @@ def test_sliced_greedy_group_spans_tasks(spark):
     assert "FlatMapGroupsInPandas" not in plan  # no per-block groups
     # pass 1's exchange is keyed on BOTH grp and slice (the fan-out)...
     assert re.search(r"hashpartitioning\(grp#\d+, slice#\d+", plan)
-    # ...and pass 2's on grp alone (the stitch)
-    assert re.search(r"hashpartitioning\(grp#\d+,", plan)
+    # ...and pass 2's on grp alone (the stitch; second arg is the
+    # partition count, so this regex cannot match the pass-1 exchange)
+    assert re.search(r"hashpartitioning\(grp#\d+, \d+\)", plan)
     assert "BatchEvalPython" not in plan
 
 
