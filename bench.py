@@ -105,6 +105,20 @@ def main() -> None:
             self._peak_procs: list = []
 
         @staticmethod
+        def _pss_kib(pid: int) -> int:
+            """Proportional set size — COW-shared pages divided among
+            sharers, so fork-transient JVM copies (see breakdown())
+            count once instead of once per copy. 0 if unreadable."""
+            try:
+                with open(f"/proc/{pid}/smaps_rollup") as f:
+                    for line in f:
+                        if line.startswith("Pss:"):
+                            return int(line.split()[1])
+            except OSError:
+                pass
+            return 0
+
+        @staticmethod
         def _tree_sample() -> "tuple[int, list]":
             """(total_rss_kib, [(pid, comm, rss_kib) per tree process])."""
             me = os.getpid()
@@ -145,6 +159,13 @@ def main() -> None:
             if mib > self.peak_mib:
                 self.peak_mib = mib
                 self._peak_procs = procs
+                # PSS at the same instant (top-3 by RSS covers ~all of
+                # it; full-tree smaps walks every 0.2 s would be costly)
+                self._peak_pss_mib = round(sum(
+                    self._pss_kib(pid)
+                    for pid, _c, _r in
+                    sorted(procs, key=lambda t: -t[2])[:3]
+                ) / 1024.0, 1)
 
         def breakdown(self) -> dict:
             """Decompose the peak sample (VERDICT r15 item 3): JVM RSS vs
@@ -178,11 +199,18 @@ def main() -> None:
             return {
                 "jvm_mib": round(jvm / 1024.0, 1),
                 "python_mib": round(py / 1024.0, 1),
+                # "other" is typically fork-TRANSIENT copies of the JVM
+                # caught mid-spawn of python workers (comm "Executor
+                # task launch worker", RSS identical to the JVM's): COW
+                # pages double-counted by a plain RSS sum. top3_pss_mib
+                # divides shared pages among sharers — the honest
+                # footprint at the same peak instant.
                 "other_mib": round(other / 1024.0, 1),
                 "top2": [
                     {"comm": c, "rss_mib": round(r / 1024.0, 1)}
                     for _pid, c, r in top2
                 ],
+                "top3_pss_mib": getattr(self, "_peak_pss_mib", None),
                 "jvm_xmx": xmx,
             }
 
@@ -332,15 +360,19 @@ def main() -> None:
     extra["pipe_greedy_slice_width_ns"] = entrymod._GREEDY_SLICE_W
 
     # ...and the decomposition's REGIME pair: ONE huge group (hour-
-    # shifted x100 purchase copies -> ~2M points in a single group),
+    # shifted x200 purchase copies -> ~4M points in a single group),
     # width 1 s — BELOW the data's median gap so the greedy rule closes
     # buckets and pass 1 finalizes segments in parallel (at widths
     # above the gap structure, no forced reset exists anywhere and the
     # sliced path degrades to the sequential stitch BY DESIGN —
-    # aggregate.greedy_buckets_sliced docstring). count() not collect():
-    # the result is ~1.15M buckets and driver transfer would mask the
-    # operator. Input localCheckpointed so the pair times the
-    # operators, not the shared scan+explode.
+    # aggregate.greedy_buckets_sliced docstring). The crossover is
+    # group-size dependent: at x100/2M the pair ties (~3.5 s each, the
+    # one-task python loop still fits the noise band); at x200/4M the
+    # sliced path wins (~7.3 vs ~8.8 s measured) and the gap widens
+    # with |group| since the single path is O(n) in ONE task. count()
+    # not collect(): the result is ~1.7M buckets and driver transfer
+    # would mask the operator. Input localCheckpointed so the pair
+    # times the operators, not the shared scan+explode.
     from pyspark.sql import functions as _Fg
 
     from talna_spark.aggregate import greedy_buckets as _gb
@@ -350,7 +382,7 @@ def main() -> None:
     pts1g = (
         points_from_events(spark, sf_dir, parallelism=int(cpus))
         .filter(_Fg.col("metric") == "app.purchase")
-        .withColumn("_i", _Fg.explode(_Fg.sequence(_Fg.lit(0), _Fg.lit(99))))
+        .withColumn("_i", _Fg.explode(_Fg.sequence(_Fg.lit(0), _Fg.lit(199))))
         .withColumn("ts", _Fg.col("ts") + _Fg.col("_i") * _Fg.lit(_HOUR_NS))
         .drop("_i")
         .localCheckpoint()
