@@ -465,7 +465,18 @@ class QueryBuilder:
         boundary rows sequentially (aggregate.greedy_buckets_sliced;
         bit-identical to the one-task scan). Pick a slice width >> the
         bucket width — 100-1000x — so the sequential residue stays small.
-        Greedy mode only."""
+        Greedy mode only.
+
+        Regime guidance (r16, measured — the pipe_greedy* BENCH pairs):
+        the decomposition pays one extra shuffle and a second Arrow
+        pass, so it wins only when single groups are LARGE (locally the
+        crossover sits around ~4M points in one group; the gap then
+        widens with group size, since the default path is O(n) in one
+        task per group). With many small groups the default greedy path
+        is already parallel (groups spread over tasks) and strictly
+        cheaper. Also needs gaps > bucket width inside slices: on data
+        with no such gap anywhere, every row is entry-dependent and the
+        stitch degrades to the sequential scan by design."""
         if int(slice_width_ns) <= 0:
             raise InvalidQueryError("greedy slice width must be positive")
         self._greedy_slice_width = int(slice_width_ns)
