@@ -183,6 +183,9 @@ def test_sliced_greedy_group_spans_tasks(spark):
     # ...and pass 2's on grp alone (the stitch; second arg is the
     # partition count, so this regex cannot match the pass-1 exchange)
     assert re.search(r"hashpartitioning\(grp#\d+, \d+\)", plan)
+    # single pipeline: finals ride through pass 2 as pass-through rows —
+    # a Union here would mean pass 1 executes once per branch again
+    assert "Union" not in plan
     assert "BatchEvalPython" not in plan
 
 
