@@ -15,7 +15,7 @@ pipeline. See SURVEY.md §1.4 for the full mapping.
 
 from talna_spark.database import BinaryQueryBuilder, Database, QueryBuilder
 from talna_spark.duration import Duration
-from talna_spark.errors import InvalidQueryError, TalnaError
+from talna_spark.errors import InvalidQueryError, InvalidValueError, TalnaError
 from talna_spark.metric import validate_metric_name
 
 MINUTE_NS = 60_000_000_000  # default bucket width (reference src/db.rs:21)
@@ -27,6 +27,7 @@ __all__ = [
     "Duration",
     "TalnaError",
     "InvalidQueryError",
+    "InvalidValueError",
     "validate_metric_name",
     "MINUTE_NS",
 ]

@@ -804,30 +804,50 @@ def greedy_buckets_sliced(
                 return None
             return pd.concat(parts, ignore_index=True)[cols]
 
-        carry = None
+        # The open block is accumulated as a LIST of batch frames and
+        # concatenated once per emitted block — concatenating the
+        # growing carry with every incoming batch would copy the whole
+        # block k times when it spans k Arrow batches (quadratic in
+        # block size, exactly the dense-slice pathological case the
+        # memory-bound note above warns about).
+        def _one(frames: list) -> pd.DataFrame:
+            if len(frames) > 1:
+                return pd.concat(frames, ignore_index=True)
+            return frames[0].reset_index(drop=True)
+
+        pending: list = []  # batch frames ending in the still-open block
+        last_key = None     # (grp, slice) of pending's final row
         for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             if pdf.empty:
                 continue
             grp_a = pdf["grp"].to_numpy()
             sl_a = pdf["slice"].to_numpy(dtype=np.int64)
+            if pending and (grp_a[0], int(sl_a[0])) != last_key:
+                # block boundary at the batch junction: pending complete
+                out = process(_one(pending))
+                pending = []
+                if out is not None:
+                    yield out
+            last_key = (grp_a[-1], int(sl_a[-1]))
             chg = np.flatnonzero(
                 (grp_a[1:] != grp_a[:-1]) | (sl_a[1:] != sl_a[:-1])
             )
             if len(chg) == 0:
-                carry = pdf  # a single (possibly continuing) block — hold
+                pending.append(pdf)  # one (possibly continuing) block — hold
                 continue
             cut = int(chg[-1]) + 1
-            carry = pdf.iloc[cut:].reset_index(drop=True)
-            out = process(pdf.iloc[:cut].reset_index(drop=True))
+            pending.append(pdf.iloc[:cut])
+            block = _one(pending)
+            pending = [pdf.iloc[cut:].reset_index(drop=True)]
+            out = process(block)
             if out is not None:
                 yield out
-        if carry is not None and not carry.empty:
-            out = process(carry)
-            if out is not None:
-                yield out
+        if pending:
+            block = _one(pending)
+            if not block.empty:
+                out = process(block)
+                if out is not None:
+                    yield out
 
     def _pass2(batches):
         # sequential stitch over pending rows, batch-carried like

@@ -29,7 +29,7 @@ from talna_spark.aggregate import aligned_buckets, greedy_buckets, rows_to_bucke
 from talna_spark.dsl.compiler import compile_to_column
 from talna_spark.dsl.parser import parse_filter_query
 from talna_spark.duration import Duration
-from talna_spark.errors import InvalidQueryError
+from talna_spark.errors import InvalidQueryError, InvalidValueError
 from talna_spark.metric import validate_metric_name
 from talna_spark.timeutil import timestamp
 
@@ -44,7 +44,7 @@ def _validate_ts(ts_ns) -> int:
     on negatives."""
     ts = int(ts_ns)
     if ts < 0:
-        raise InvalidQueryError(f"timestamps must be >= 0 ns (got {ts})")
+        raise InvalidValueError(f"timestamps must be >= 0 ns (got {ts})")
     return ts
 
 
@@ -1273,7 +1273,7 @@ class Database:
 
         validate_metric_name(metric)
         if math.isnan(float(value)):
-            raise InvalidQueryError(
+            raise InvalidValueError(
                 "NaN values are outside the engine's value domain "
                 "(min/max/sum/avg are not well-defined across engines "
                 "for NaN; see write_at docstring)"

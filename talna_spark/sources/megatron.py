@@ -221,12 +221,16 @@ class FsspecFilesystemSeam(FilesystemSeam):
         # (ADVICE r15) — normalize so the round trip is exact. open()
         # still works either way: fsspec's _strip_protocol re-adds the
         # slash for backends that want it.
+        # ADVICE r16: strip at most ONE leading slash (lstrip('/') would
+        # collapse '//x' into 'x' and mangle UNC-style backend paths),
+        # and never re-prefix a result that already carries a scheme
+        # ('other://...' must not become '<scheme>://other://...').
         pre = f"{self._scheme}://" if self._strip and self._scheme else ""
         out = []
         for p in self._fs.glob(self._p(pattern)):
             p = str(p)
-            if pre and not p.startswith(pre):
-                p = f"{pre}{p.lstrip('/')}"
+            if pre and not p.startswith(pre) and "://" not in p:
+                p = pre + (p[1:] if p.startswith("/") else p)
             out.append(p)
         return sorted(out)
 

@@ -180,6 +180,25 @@ def test_scalar_write_rejects_nan(spark, wh):
     db.write_at("m", 1_000, 1.5, {"h": "a"})  # real values unaffected
 
 
+def test_ingest_validation_error_type(spark, wh):
+    """ADVICE r16: ingest-side validation raises InvalidValueError — a
+    ValueError subclass with an honest name — while REMAINING an
+    InvalidQueryError so every pre-existing catch site keeps matching.
+    Timestamp validation (shared by ingest and the query-bound setters)
+    uses the same type."""
+    from talna_spark.errors import InvalidQueryError, InvalidValueError
+
+    assert issubclass(InvalidValueError, InvalidQueryError)
+    assert issubclass(InvalidValueError, ValueError)
+    db = Database.open(spark, wh)
+    with pytest.raises(InvalidValueError, match="NaN"):
+        db.write_at("m", 1_000, float("nan"), {"h": "a"})
+    with pytest.raises(InvalidValueError, match=">= 0 ns"):
+        db.write_at("m", -1, 1.0, {"h": "a"})
+    with pytest.raises(ValueError):  # the Pythonic catch works too
+        db.write("m", float("nan"), {"h": "a"})
+
+
 def test_inverted_bounds_deterministic_empty(spark, wh):
     """r16 reference audit: with start > end the reference builds an
     inverted fjall key range (db.rs:142-145 — start key ``!max`` sorts

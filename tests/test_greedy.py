@@ -225,6 +225,40 @@ def test_sliced_greedy_carry_across_arrow_batches(spark):
         spark.conf.set(key, old)
 
 
+def test_sliced_greedy_list_carry_junction_flush(spark):
+    """ADVICE r16: pass 1 accumulates the open block as a LIST of batch
+    frames (concat once per block, not once per batch — the per-batch
+    concat was quadratic on a block spanning k batches). Force 1-row
+    Arrow batches so EVERY block boundary is a batch-junction boundary
+    (the new early-flush path) and every multi-row block exercises the
+    list accumulation; results must equal the one-task path exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets, greedy_buckets_sliced
+
+    rng = random.Random(20260817)
+    rows = []
+    for h in ("a", "b"):
+        t = 0
+        for i in range(40):
+            t += rng.choice([0, int(0.5 * S), 2 * S, 11 * S])
+            rows.append(("m", t, float(rng.randrange(50)), {"h": h}))
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    grp = F.col("tags").getItem("h")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        for kind in ("avg", "sum", "count"):
+            assert _collect_buckets(
+                greedy_buckets_sliced(pts, grp, kind, S, 10 * S)
+            ) == _collect_buckets(greedy_buckets(pts, grp, kind, S)), kind
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_sliced_greedy_dense_degrades_to_sequential(spark):
     # pathological density (no gap > width anywhere): every row is
     # pending, pass 2 IS the sequential scan — still exact

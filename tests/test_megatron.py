@@ -498,6 +498,34 @@ def test_fsspec_adapter_roundtrip_without_fsspec(spark, tmp_path):
         unregister_fs_seam("fakefs")
 
 
+def test_fsspec_glob_reprefix_edge_cases():
+    """ADVICE r16: glob re-prefixing must strip at most ONE leading
+    slash ('//x' is a path whose first segment is empty — collapsing it
+    to 'x' mangles UNC-style keys) and must never stack a scheme onto a
+    result that already carries one ('other://y' stays as the backend
+    returned it)."""
+    from talna_spark.sources.megatron import FsspecFilesystemSeam
+
+    class StubFS:
+        def glob(self, pattern):
+            return [
+                "/plain/a.bin",      # MemoryFileSystem dialect
+                "//unc/b.bin",       # empty first segment — keep one '/'
+                "other://y/c.bin",   # foreign scheme — untouched
+                "s://bucket/d.bin",  # already ours — untouched
+                "bare/e.bin",        # bare key — prefixed as-is
+            ]
+
+    seam = FsspecFilesystemSeam(StubFS(), scheme="s")
+    assert seam.glob("s://bucket/*") == sorted([
+        "s://plain/a.bin",
+        "s:///unc/b.bin",
+        "other://y/c.bin",
+        "s://bucket/d.bin",
+        "s://bare/e.bin",
+    ])
+
+
 def test_fsspec_memory_seam_roundtrip(spark, tmp_path):
     """The brief's fsspec parameterization: mount fsspec's memory://
     filesystem behind FsspecFilesystemSeam. fsspec is not a dependency
