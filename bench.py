@@ -585,6 +585,29 @@ def main() -> None:
             extra[p + "q16_plan_build_sec"] = round(
                 (time.perf_counter() - t0) / 3, 4
             )
+            # r17 (VERDICT r16 item 2): scale1000_q16_prepared_sec
+            # drifted +47% in r16 and landed SLOWER than the warehouse
+            # path that executes the same plan — an ordering suspect
+            # (prepared is always measured AFTER ~10 warehouse/overhead
+            # collects). Re-measure the pair once in SWAPPED order, same
+            # timed() min-of-N: if prepared_swap ~ warehouse and
+            # warehouse_swap ~ prepared, the drift is measurement
+            # position at the overhead floor, not the path; if prepared
+            # stays slow in both positions, it is real and gets the
+            # probe_drift treatment.
+            if mult == 1000:
+                q16_df_swap = (
+                    wdbN.avg("app.purchase", "user")
+                    .filter("user:9 OR user:8")
+                    .start(entrymod.T_JAN24)
+                    .to_df()
+                )
+                extra[p + "q16_prepared_swap_sec"] = timed(
+                    lambda: q16_df_swap.collect()
+                )
+                extra[p + "q16_warehouse_swap_sec"] = timed(
+                    lambda: q16(entrymod.T_JAN24)
+                )
         finally:
             for w in whsN:
                 shutil.rmtree(w, ignore_errors=True)
@@ -1029,26 +1052,19 @@ def main() -> None:
     extra["ingest_frac_of_baseline_best"] = round(best_pps / 1_362_000.0, 3)
 
     total = round(sum(timings.values()), 4)
-    # The driver archives only the LAST 2000 chars of stdout (BENCH tail
-    # truncation, VERDICT r9): print compact separators, and re-emit the
-    # headline contract keys at the very END of `extra` so they survive
-    # any truncation no matter how many pipe timings precede them.
-    for k in (
-        "ingest_points_per_sec",
-        "scale10_ingest_points_per_sec",
-        "scale100_ingest_points_per_sec",
-        "scale1000_ingest_points_per_sec",
-        "scale100_q16_warehouse_sec",
-        "scale1000_q16_warehouse_sec",
-        "scale1000_reopen_sec",
-        "ingest_frac_of_baseline_best",
-    ):
-        if k in extra:
-            extra[k] = extra.pop(k)  # move to the end, value unchanged
+    # The driver archives only the LAST ~2000 chars of stdout and parses
+    # the tail's last line; the single verbose JSON line outgrew that
+    # window at r9 and has been unparseable-from-the-artifact since
+    # (VERDICT r16 item 1 — r16's own pipe_greedy rows fell out). r17:
+    # TWO lines. The FULL record prints first (complete, for humans and
+    # raw-stdout readers); the FINAL line is a size-budgeted compact
+    # record — same driver contract keys (metric/value/unit/queries/sf)
+    # — carrying every pipe_* timing and the BASELINE.md contract keys,
+    # so the recorded artifact evidences the round's claims again.
     print(
         json.dumps(
             {
-                "metric": "talna_spark e2e suite",
+                "metric": "talna_spark e2e suite (full record)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -1058,6 +1074,68 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    contract_keys = [
+        "ingest_points_per_sec",
+        "scale10_ingest_points_per_sec",
+        "scale100_ingest_points_per_sec",
+        "scale1000_ingest_points_per_sec",
+        "scale100_q16_warehouse_sec",
+        "scale1000_q16_warehouse_sec",
+        "scale1000_q16_prepared_sec",
+        "scale1000_q16_prepared_swap_sec",
+        "scale1000_q16_warehouse_swap_sec",
+        "scale1000_reopen_sec",
+        "scale1000_facts_bytes_per_point",
+        "scale1000_ingest_peak_rss_mib",
+        "ingest_frac_of_baseline_best",
+    ]
+    def _trim(v):
+        # compact-line precision: ms resolution on timings, whole
+        # points/s on throughputs — full precision stays on the full
+        # record line above
+        if isinstance(v, float):
+            return int(round(v)) if abs(v) >= 1000 else round(v, 3)
+        return v
+
+    compact_extra = {
+        k: _trim(v)
+        for k, v in extra.items()
+        if k.startswith("pipe_") and k.endswith("_sec")
+    }
+    compact_extra.update(
+        (k, _trim(extra[k])) for k in contract_keys if k in extra
+    )
+    compact = {
+        "metric": "talna_spark e2e suite",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: _trim(v) for k, v in timings.items()},
+        "sf": sf,
+        "extra": compact_extra,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # Hard budget with deterministic shedding: drop the LONGEST pipe
+    # keys (they remain on the full line above) and count what was
+    # shed — never silently.
+    BUDGET = 1900
+    shed = 0
+    while len(line) > BUDGET:
+        pipes = [
+            k for k in compact_extra
+            if k.startswith("pipe_") and k.endswith("_sec")
+        ]
+        if not pipes:
+            break
+        compact_extra.pop(max(pipes, key=len))
+        shed += 1
+        compact_extra["pipe_rows_shed"] = shed
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= BUDGET, (
+        f"compact bench line is {len(line)} chars even after shedding "
+        f"every pipe row — the driver tail would truncate it; prune "
+        f"contract/queries keys"
+    )
+    print(line)
     spark.stop()
 
 

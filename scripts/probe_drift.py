@@ -318,7 +318,36 @@ def _mixture_run():
     assert rows
 
 
+def _ingest_base_runs():
+    """Bench-identical BASE ingest (the sf0.1 `ingest` row, VERDICT r16
+    item 2 — ingest_points_per_sec read 32.2k then 13.3k on identical
+    code): ~100k points, fresh warehouse per rep, min-of-2 like
+    bench.py. parallelism=32 matches the bench's source repartition."""
+    pts = points_from_events(spark, SF, parallelism=32)
+    pts.count()
+    runs, whs = [], []
+    try:
+        for _ in range(2):
+            wh = tempfile.mkdtemp(prefix="talna_drift_whbase_")
+            whs.append(wh)
+            t0 = time.perf_counter()
+            dbw = Database.open(spark, wh)
+            dbw.write_batch(pts, persist=False)
+            runs.append(time.perf_counter() - t0)
+    finally:
+        for w in whs:
+            shutil.rmtree(w, ignore_errors=True)
+    return runs
+
+
+def _ingest_base_row():
+    runs = _ingest_base_runs()
+    return {"runs_sec": [round(r, 3) for r in runs],
+            "min2_sec": round(min(runs), 3)}
+
+
 CUSTOM_ROWS = {
+    "ingest_base": _ingest_base_row,
     "tokenize_pack_byte": lambda: min_of(_tokenize_pack_byte_run, 3),
     "clf_train": lambda: min_of(_clf_train_run, 3),
     "lsh_bbit": lambda: min_of(_lsh_bbit_run, 5),

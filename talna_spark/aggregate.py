@@ -598,6 +598,66 @@ def _sliced_prepared(scan: DataFrame, group_col: Column, slice_width: int) -> Da
     )
 
 
+# Measured crossover for the sliced-greedy decomposition (r16 BENCH
+# pipe_greedy1g pair, local[32] — the regime guidance in
+# QueryBuilder.greedy_slices): below ~4M points in the LARGEST group the
+# one-task-per-group path wins (groups already spread over tasks; the
+# decomposition pays an extra shuffle + second Arrow pass); above it the
+# sliced path wins and the gap widens with group size (the single path
+# is O(n) in ONE task). Module constant so tests can lower it.
+GREEDY_AUTO_ROWS = 4_000_000
+
+
+def greedy_auto_decision(
+    scan: DataFrame,
+    group_col: Column,
+    width: int,
+    threshold: "int | None" = None,
+) -> tuple:
+    """Pick the greedy physical path from the data (r17, VERDICT r16
+    item 3): ONE sketch-sized pre-aggregate — per-group count + ts span
+    with map-side partials, reduced to a single driver row (max group
+    size and the span of that largest group via ``max_by``) — then:
+
+    - largest group < :data:`GREEDY_AUTO_ROWS` points -> the default
+      one-task-per-group scan (``greedy_buckets``);
+    - otherwise -> ``greedy_buckets_sliced`` with a slice width sized so
+      the largest group splits into ~4 slices per core (bounded below
+      by 100x the bucket width, the documented heads/tails guidance,
+      and above by span/2 so at least two slices exist).
+
+    Returns ``(use_sliced, slice_width_ns, stats_dict)``; the stats dict
+    records what the decision saw (``max_group_rows``, ``span_ns``,
+    ``threshold``). Cost: one hash-agg over the scan (shuffle volume =
+    #groups after partials) + a 1-row collect — the stats() discipline;
+    at 100 TB this is the same shape as any groupBy count.
+    """
+    thr = GREEDY_AUTO_ROWS if threshold is None else int(threshold)
+    per = scan.groupBy(group_col.alias("grp")).agg(
+        F.count("*").alias("n"),
+        (F.max("ts") - F.min("ts")).alias("span"),
+    )
+    row = per.agg(
+        F.max("n").alias("max_n"),
+        F.max_by("span", "n").alias("span_of_largest"),
+    ).collect()[0]
+    max_n = int(row["max_n"] or 0)
+    span = int(row["span_of_largest"] or 0)
+    stats = {"max_group_rows": max_n, "span_ns": span, "threshold": thr}
+    if max_n < thr:
+        return False, None, stats
+    sc = scan.sparkSession.sparkContext
+    target_slices = max(4 * sc.defaultParallelism, 2)
+    slice_w = max(int(width) * 100, span // target_slices)
+    # a slice width >= the span would make ONE slice (pure overhead);
+    # cap at span/2 when the span allows, floor at width+1 (validated
+    # > width by greedy_buckets_sliced)
+    if span > 2 * (int(width) + 1):
+        slice_w = min(slice_w, span // 2)
+    slice_w = max(slice_w, int(width) + 1)
+    return True, int(slice_w), stats
+
+
 def greedy_buckets_sliced(
     scan: DataFrame,
     group_col: Column,

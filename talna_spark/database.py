@@ -310,7 +310,8 @@ class QueryBuilder:
         self._granularity: Optional[int] = MINUTE_NS
         self._granularity_set = False
         self._mode = "aligned"
-        self._greedy_slice_width: Optional[int] = None
+        self._greedy_slice_width = None  # int ns | "auto" | None
+        self._greedy_auto_choice: Optional[tuple] = None  # last auto build
         self._greedy_boundary: str = "reanchor"
         self._gapfill: Optional[str] = None
         self._rolling: Optional[int] = None
@@ -476,7 +477,30 @@ class QueryBuilder:
         is already parallel (groups spread over tasks) and strictly
         cheaper. Also needs gaps > bucket width inside slices: on data
         with no such gap anywhere, every row is entry-dependent and the
-        stitch degrades to the sequential scan by design."""
+        stitch degrades to the sequential scan by design.
+
+        ``greedy_slices("auto")`` (r17) applies that guidance from the
+        data instead of a hand-picked width: at plan-build time ONE
+        sketch-sized pre-aggregate (per-group count/span with map-side
+        partials, 1-row collect) picks the path —
+        ``aggregate.greedy_auto_decision``. Largest group under
+        ``aggregate.GREEDY_AUTO_ROWS`` (the measured ~4M-point
+        crossover) keeps the default one-task-per-group scan; above it
+        the sliced decomposition runs with a slice width targeting ~4
+        slices per core for the largest group. Both choices are
+        bit-identical; the decision taken by the last real build is
+        recorded on the builder as ``_greedy_auto_choice``
+        (``("single"|"sliced", slice_width_ns, stats)``). Note: auto
+        runs its stats job eagerly inside ``to_df()`` (a cache hit
+        skips it along with the rest of plan building)."""
+        if slice_width_ns == "auto":
+            self._greedy_slice_width = "auto"
+            return self
+        if isinstance(slice_width_ns, str):
+            raise InvalidQueryError(
+                "greedy_slices takes a width in ns or 'auto' "
+                f"(got {slice_width_ns!r})"
+            )
         if int(slice_width_ns) <= 0:
             raise InvalidQueryError("greedy slice width must be positive")
         self._greedy_slice_width = int(slice_width_ns)
@@ -806,11 +830,25 @@ class QueryBuilder:
                         "drop state machine is not self-synchronizing at "
                         "a gap; see QueryBuilder.greedy_boundary)"
                     )
-                from talna_spark.aggregate import greedy_buckets_sliced
+                from talna_spark.aggregate import (
+                    greedy_auto_decision,
+                    greedy_buckets_sliced,
+                )
 
+                slice_w = self._greedy_slice_width
+                if slice_w == "auto":
+                    use_sliced, slice_w, stats = greedy_auto_decision(
+                        scan, group_col, self._granularity
+                    )
+                    if not use_sliced:
+                        self._greedy_auto_choice = ("single", None, stats)
+                        return greedy_buckets(
+                            scan, group_col, kind, self._granularity,
+                            boundary=self._greedy_boundary,
+                        )
+                    self._greedy_auto_choice = ("sliced", slice_w, stats)
                 return greedy_buckets_sliced(
-                    scan, group_col, kind, self._granularity,
-                    self._greedy_slice_width,
+                    scan, group_col, kind, self._granularity, slice_w,
                 )
             return greedy_buckets(
                 scan, group_col, kind, self._granularity,

@@ -293,6 +293,81 @@ def test_sliced_greedy_via_builder_on_events(spark):
     assert len(single) > 100
 
 
+def test_greedy_auto_picks_single_below_threshold(spark):
+    """r17 (VERDICT r16 item 3): greedy_slices("auto") runs one
+    sketch-sized stats pass and keeps the DEFAULT one-task-per-group
+    path when the largest group is under the measured ~4M-point
+    crossover — bit-identical results, the choice recorded on the
+    builder, and NO (grp, slice) exchange in the physical plan."""
+    import re
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    single = _collect_buckets(
+        db.avg("app.purchase", "user")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+        .to_df()
+    )
+    b = (
+        db.avg("app.purchase", "user")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+        .greedy_slices("auto")
+    )
+    df = b.to_df()
+    assert _collect_buckets(df) == single
+    path, slice_w, stats = b._greedy_auto_choice
+    assert path == "single" and slice_w is None
+    assert 0 < stats["max_group_rows"] < stats["threshold"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"hashpartitioning\(grp#\d+, slice#\d+", plan)
+
+
+def test_greedy_auto_picks_sliced_above_threshold(spark, monkeypatch):
+    """Same data, threshold lowered below the largest group: auto must
+    choose the sliced decomposition — still bit-identical, choice
+    recorded with the derived slice width, and the plan carries the
+    (grp, slice) fan-out exchange plus the grp-only stitch exchange."""
+    import re
+
+    import talna_spark.aggregate as agg
+
+    monkeypatch.setattr(agg, "GREEDY_AUTO_ROWS", 10)
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    single = _collect_buckets(
+        db.avg("app.purchase", "user")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+        .to_df()
+    )
+    b = (
+        db.avg("app.purchase", "user")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+        .greedy_slices("auto")
+    )
+    df = b.to_df()
+    assert _collect_buckets(df) == single
+    path, slice_w, stats = b._greedy_auto_choice
+    assert path == "sliced"
+    assert stats["max_group_rows"] >= 10 and stats["threshold"] == 10
+    # derived width: > bucket width (validated downstream), and small
+    # enough that the largest group's span fans out over >= 2 slices
+    assert slice_w > Duration.MINUTE
+    assert slice_w <= max(stats["span_ns"] // 2, Duration.MINUTE + 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(grp#\d+, slice#\d+", plan)
+    assert "Union" not in plan
+
+
+def test_greedy_auto_rejects_other_strings(spark):
+    from talna_spark.errors import InvalidQueryError
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    with pytest.raises(InvalidQueryError, match="'auto'"):
+        db.avg("app.purchase", "user").mode("greedy").greedy_slices("wide")
+
+
 def test_sliced_greedy_requires_greedy_mode(spark):
     from talna_spark.errors import InvalidQueryError
 
