@@ -180,6 +180,32 @@ def test_scalar_write_rejects_nan(spark, wh):
     db.write_at("m", 1_000, 1.5, {"h": "a"})  # real values unaffected
 
 
+def test_grouped_collect_idempotent_r17_audit(spark, wh):
+    """r17 AUDIT closeout (src/agg/group.rs:7-73, VERDICT r16 item 4):
+    the reference's GroupedAggregation is CONSUME-ONCE — `collect(self)`
+    takes ownership (double-collect is a compile error, so that arm is
+    CLEAN by construction) — but its Deref/DerefMut/IntoIterator impls
+    (group.rs:12-45) hand out the live per-group Aggregator iterators,
+    so draining one group partially and THEN collecting silently omits
+    the drained buckets (iterator state is shared; zero upstream
+    coverage of mixed iteration+collect). Its collect is also fail-stop
+    across groups: the first `bucket?` (group.rs:66) aborts the whole
+    map, discarding every completed group. Engine contract pinned here:
+    our collect() re-executes an immutable plan — IDEMPOTENT (equal
+    dicts on repeat calls), no shared iterator state to half-drain, and
+    failures are Spark job failures (no partially-wrong result)."""
+    db = Database.open(spark, wh)
+    db.write_at("m", 1_000, 2.0, {"h": "a"})
+    db.write_at("m", 2_000, 4.0, {"h": "a"})
+    db.write_at("m", 1_500, 8.0, {"h": "b"})
+    b = db.avg("m", "h")
+    first = b.collect()
+    second = b.collect()
+    assert first == second
+    assert sorted(first) == ["a", "b"]
+    assert [bk.len for bk in first["a"]] == [2]
+
+
 def test_ingest_validation_error_type(spark, wh):
     """ADVICE r16: ingest-side validation raises InvalidValueError — a
     ValueError subclass with an honest name — while REMAINING an

@@ -840,6 +840,86 @@ def test_reference_multiseries_merge_adjudication(spark):
     assert eq == [(0, 0, 6)]
 
 
+def _reference_merger_error_port(readers):
+    """Literal port of src/merge.rs:36-76 WITH the Result channel (r17
+    audit, VERDICT r16 item 4 — SeriesStream error propagation through
+    the merge). Readers yield ('ok', ts) | ('err', tag); `advance`
+    mirrors `fail_iter!` (early `Some(Err)`), and `is_initialized` is
+    only set after a fully-clean init pass, exactly as the Rust."""
+    import heapq
+
+    iters = [iter(r) for r in readers]
+    heap: list = []
+    state = {"initialized": False}
+
+    def advance(idx):
+        item = next(iters[idx], None)
+        if item is None:
+            return None
+        kind, v = item
+        if kind == "err":
+            return ("err", v)  # fail_iter!: return Some(Err) early
+        heapq.heappush(heap, (v, idx))
+        return None
+
+    def nxt():
+        if not state["initialized"]:
+            for i in range(len(iters)):
+                e = advance(i)
+                if e is not None:
+                    return e  # is_initialized STAYS false (merge.rs:65-69)
+            state["initialized"] = True
+        if not heap:
+            return None  # heap.pop()? (merge.rs:70)
+        ts, i = heapq.heappop(heap)
+        e = advance(i)
+        if e is not None:
+            return e  # merge.rs:72: head.1 is DISCARDED
+        return ("ok", ts)
+
+    out = []
+    while True:
+        item = nxt()
+        if item is None:
+            return out
+        out.append(item)
+
+
+def test_reference_merge_error_drops_popped_point():
+    """r17 AUDIT (src/merge.rs:70-74, zero upstream error-path
+    coverage): after `heap.pop()` succeeds, `fail_iter!(advance(head.0))`
+    returns the reader's error INSTEAD of the already-popped valid
+    point — the point is consumed and never delivered. Worse, the
+    erroring reader's remaining items are orphaned: nothing re-advances
+    it, so once the heap drains the stream ends silently. A resilient
+    consumer (one that skips Err items and keeps iterating) loses BOTH
+    the popped point and the tail of the erroring series with no
+    further error. Fail-stop consumers (GroupedAggregation::collect's
+    `bucket?`) abort the whole query, so there the loss is subsumed by
+    the failure. Engine equivalence: Spark has no per-item error
+    channel — a corrupt file/row fails the TASK loudly (with retries),
+    so silent point loss of this class is structurally impossible."""
+    # reader A: valid point 100, then an I/O error, then valid 80
+    # reader B: single valid point 90
+    out = _reference_merger_error_port(
+        [[("ok", 100), ("err", "io"), ("ok", 80)], [("ok", 90)]]
+    )
+    # 90 pops first (the r15-adjudicated min-ts heap), then popping 100
+    # triggers advance(A) -> Err: the error REPLACES point 100, and
+    # point 80 is never read — the stream just ends.
+    assert out == [("ok", 90), ("err", "io")]
+    delivered = [ts for k, ts in out if k == "ok"]
+    assert 100 not in delivered and 80 not in delivered
+    # error DURING initialization: is_initialized stays false and the
+    # next call re-initializes — healthy readers get a second in-flight
+    # item (the one-in-flight invariant breaks) but the heap keeps
+    # per-item order, so this arm is lossless and duplicate-free.
+    out2 = _reference_merger_error_port(
+        [[("ok", 10), ("ok", 5)], [("err", "e0"), ("ok", 7)]]
+    )
+    assert out2 == [("err", "e0"), ("ok", 5), ("ok", 7), ("ok", 10)]
+
+
 def test_greedy_drop_builder_validation(spark):
     from talna_spark.errors import InvalidQueryError
 
