@@ -358,6 +358,13 @@ def main() -> None:
         .collect()
     )
     extra["pipe_greedy_slice_width_ns"] = entrymod._GREEDY_SLICE_W
+    # r17 (VERDICT r16 item 3): the auto knob on the same q17 spec —
+    # many small groups, so auto's sketch-sized stats pass picks the
+    # single path; the row prices decision + chosen path against the
+    # explicit pair above (its own label, never a rebind)
+    timings["pipe_greedy_auto"] = timed(
+        lambda: _greedy_builder().greedy_slices("auto").to_df().collect()
+    )
 
     # ...and the decomposition's REGIME pair: ONE huge group (hour-
     # shifted x200 purchase copies -> ~4M points in a single group),

@@ -10,6 +10,38 @@ an explicit "module.path:function" spec — the function is called as
 fn(spark, SF) and .collect()ed, min-of-5, like the bench closure.
 Prints one JSON line.
 
+FINDINGS (r17, 2026-08-16, the VERDICT r16 watch list + the r17 local
+bench's own drift set):
+- The two r16 OVERHEAD-FLOOR ODDITIES did NOT persist (the recorded
+  "probe only if it persists" discipline): scale1000_q16_prepared_sec
+  read 105/116 ms across two r17 bench runs (r16: 157) and the NEW
+  order-swap rows read prepared 100/97 ms vs warehouse 112/101 ms —
+  prepared is again at-or-below the warehouse path in BOTH measurement
+  orders, so the r16 +47% was position-at-the-floor noise, now
+  instrumented. Base ingest_points_per_sec read 34.3k/31.1k (r16:
+  13.3k; r15: 32.2k) — the −59% was a one-round excursion; the
+  ingest_base probe row stands ready if it recurs.
+- The r16 WATCH ROWS are flat in the r17 bench (mm_roundtrip 1.10 vs
+  1.15; bloom_amortized 8.21 vs 7.93; ivfpq 1.81 vs 2.14 — FASTER):
+  no A/B owed.
+- The r17 local bench's own big movers (quality_battery +47%,
+  clf_train +37%, srp_embed +29%, none of whose code changed in r17)
+  are LOAD/BAND: three interleaved location-controlled pairs
+  (r16-final 8e62545 vs HEAD c1c34b1, BOTH cloned to /tmp,
+  PYTHONPATH per the recorded ops note; battery probed as the 8-slice
+  __spark_entry__:_x22_quality_scoring spec on both sides):
+    battery  r16 {6.75, 8.92, 7.79}  HEAD {12.32*, 7.74, 7.93}
+    srp      r16 {0.82, 0.95, 0.94}  HEAD {1.92*,  1.01, 1.04}
+    clf      r16 {4.72, 6.14, 4.82}  HEAD {9.65*,  5.10, 5.71}
+  (*the first HEAD process ran inside a visible load spike — the
+  back-to-back r17 bench runs bracketing it read the battery at 8.6
+  then 14.5 s on identical code, a ±70% same-code swing.) Ex-outlier
+  means: battery 7.82 vs 7.83 (parity), clf 5.23 vs 5.40 (3%), srp
+  0.90 vs 1.02 (inside the ±15% r11 srp band). BOTH checkouts measure
+  the battery at 7.7-8.9 s TODAY vs r16's recorded 5.83 — the box
+  band moved between rounds again (the r14/r15/r16 precedent).
+  Nothing on any path regressed.
+
 FINDINGS (r16, 2026-08-16, the three largest BENCH_r15 drifts —
 pipe_lsh_bbit +36%, pipe_dedup_exact +36%, pipe_pdf_extract +30%,
 none of whose code changed in r15):
