@@ -259,6 +259,47 @@ def test_sliced_greedy_list_carry_junction_flush(spark):
         spark.conf.set(key, old)
 
 
+def test_sliced_greedy_randomized_tiny_batches(spark):
+    """Randomized guard for the r17 list-carry rewrite: many corpora
+    with varied gap structure (dense runs, forced resets, duplicate
+    timestamps, single-point groups) streamed at several tiny Arrow
+    batch sizes, so block boundaries land on every alignment relative
+    to batch junctions. Sliced must equal the one-task path exactly in
+    every configuration."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from talna_spark.aggregate import greedy_buckets, greedy_buckets_sliced
+
+    rng = random.Random(20260818)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        for trial in range(3):
+            rows = []
+            for h in range(rng.randrange(2, 5)):
+                t = rng.randrange(0, 3 * S)
+                for _ in range(rng.randrange(1, 90)):
+                    t += rng.choice(
+                        [0, 1, int(0.4 * S), S, 2 * S, 11 * S, 40 * S]
+                    )
+                    rows.append(
+                        ("m", t, float(rng.randrange(100)), {"h": str(h)})
+                    )
+            pts = make_points(spark, rows).filter(F.col("metric") == "m")
+            grp = F.col("tags").getItem("h")
+            expect = _collect_buckets(greedy_buckets(pts, grp, "sum", S))
+            for batch in (1, 3, 7):
+                spark.conf.set(key, str(batch))
+                got = _collect_buckets(
+                    greedy_buckets_sliced(pts, grp, "sum", S, 10 * S)
+                )
+                assert got == expect, (trial, batch)
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_sliced_greedy_dense_degrades_to_sequential(spark):
     # pathological density (no gap > width anywhere): every row is
     # pending, pass 2 IS the sequential scan — still exact
