@@ -23,6 +23,87 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The driver archives only the LAST ~2000 chars of stdout and parses the
+# tail's last line; the single verbose JSON line outgrew that window at
+# r9 and was unparseable-from-the-artifact through r16 (VERDICT r16
+# item 1 — r16's own pipe_greedy rows fell out). r17: TWO lines. The
+# FULL record prints first (complete, for humans and raw-stdout
+# readers); the FINAL line is this size-budgeted compact record — same
+# driver contract keys (metric/value/unit/queries/sf) — carrying every
+# pipe_* timing and the BASELINE.md contract keys, so the recorded
+# artifact evidences the round's claims again.
+COMPACT_BUDGET = 1900  # driver tail is 2000 chars; headroom for \n etc.
+
+CONTRACT_KEYS = [
+    "ingest_points_per_sec",
+    "scale10_ingest_points_per_sec",
+    "scale100_ingest_points_per_sec",
+    "scale1000_ingest_points_per_sec",
+    "scale100_q16_warehouse_sec",
+    "scale1000_q16_warehouse_sec",
+    "scale1000_q16_prepared_sec",
+    "scale1000_q16_prepared_swap_sec",
+    "scale1000_q16_warehouse_swap_sec",
+    "scale1000_reopen_sec",
+    "scale1000_facts_bytes_per_point",
+    "scale1000_ingest_peak_rss_mib",
+    "ingest_frac_of_baseline_best",
+]
+
+
+def compact_bench_record(
+    timings: dict, extra: dict, sf: float, total: float,
+    budget: int = COMPACT_BUDGET,
+) -> str:
+    """The final bench line: every ``pipe_*_sec`` row from ``extra``
+    plus the BASELINE contract keys, trimmed to 3dp / integer
+    throughputs (full precision stays on the full-record line). Hard
+    budget with deterministic shedding: the LONGEST pipe keys drop
+    first (they remain on the full line) and a ``pipe_rows_shed``
+    counter records how many — never silently. Unit-tested without a
+    Spark session (tests/test_bench_compact.py)."""
+
+    def _trim(v):
+        if isinstance(v, float):
+            return int(round(v)) if abs(v) >= 1000 else round(v, 3)
+        return v
+
+    compact_extra = {
+        k: _trim(v)
+        for k, v in extra.items()
+        if k.startswith("pipe_") and k.endswith("_sec")
+    }
+    compact_extra.update(
+        (k, _trim(extra[k])) for k in CONTRACT_KEYS if k in extra
+    )
+    compact = {
+        "metric": "talna_spark e2e suite",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: _trim(v) for k, v in timings.items()},
+        "sf": sf,
+        "extra": compact_extra,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    shed = 0
+    while len(line) > budget:
+        pipes = [
+            k for k in compact_extra
+            if k.startswith("pipe_") and k.endswith("_sec")
+        ]
+        if not pipes:
+            break
+        compact_extra.pop(max(pipes, key=len))
+        shed += 1
+        compact_extra["pipe_rows_shed"] = shed
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= budget, (
+        f"compact bench line is {len(line)} chars even after shedding "
+        f"every pipe row — the driver tail would truncate it; prune "
+        f"contract/queries keys"
+    )
+    return line
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1059,15 +1140,8 @@ def main() -> None:
     extra["ingest_frac_of_baseline_best"] = round(best_pps / 1_362_000.0, 3)
 
     total = round(sum(timings.values()), 4)
-    # The driver archives only the LAST ~2000 chars of stdout and parses
-    # the tail's last line; the single verbose JSON line outgrew that
-    # window at r9 and has been unparseable-from-the-artifact since
-    # (VERDICT r16 item 1 — r16's own pipe_greedy rows fell out). r17:
-    # TWO lines. The FULL record prints first (complete, for humans and
-    # raw-stdout readers); the FINAL line is a size-budgeted compact
-    # record — same driver contract keys (metric/value/unit/queries/sf)
-    # — carrying every pipe_* timing and the BASELINE.md contract keys,
-    # so the recorded artifact evidences the round's claims again.
+    # two-line output (see compact_bench_record above): full record
+    # first, budgeted compact record LAST for the driver's tail parse
     print(
         json.dumps(
             {
@@ -1081,68 +1155,7 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    contract_keys = [
-        "ingest_points_per_sec",
-        "scale10_ingest_points_per_sec",
-        "scale100_ingest_points_per_sec",
-        "scale1000_ingest_points_per_sec",
-        "scale100_q16_warehouse_sec",
-        "scale1000_q16_warehouse_sec",
-        "scale1000_q16_prepared_sec",
-        "scale1000_q16_prepared_swap_sec",
-        "scale1000_q16_warehouse_swap_sec",
-        "scale1000_reopen_sec",
-        "scale1000_facts_bytes_per_point",
-        "scale1000_ingest_peak_rss_mib",
-        "ingest_frac_of_baseline_best",
-    ]
-    def _trim(v):
-        # compact-line precision: ms resolution on timings, whole
-        # points/s on throughputs — full precision stays on the full
-        # record line above
-        if isinstance(v, float):
-            return int(round(v)) if abs(v) >= 1000 else round(v, 3)
-        return v
-
-    compact_extra = {
-        k: _trim(v)
-        for k, v in extra.items()
-        if k.startswith("pipe_") and k.endswith("_sec")
-    }
-    compact_extra.update(
-        (k, _trim(extra[k])) for k in contract_keys if k in extra
-    )
-    compact = {
-        "metric": "talna_spark e2e suite",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: _trim(v) for k, v in timings.items()},
-        "sf": sf,
-        "extra": compact_extra,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    # Hard budget with deterministic shedding: drop the LONGEST pipe
-    # keys (they remain on the full line above) and count what was
-    # shed — never silently.
-    BUDGET = 1900
-    shed = 0
-    while len(line) > BUDGET:
-        pipes = [
-            k for k in compact_extra
-            if k.startswith("pipe_") and k.endswith("_sec")
-        ]
-        if not pipes:
-            break
-        compact_extra.pop(max(pipes, key=len))
-        shed += 1
-        compact_extra["pipe_rows_shed"] = shed
-        line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= BUDGET, (
-        f"compact bench line is {len(line)} chars even after shedding "
-        f"every pipe row — the driver tail would truncate it; prune "
-        f"contract/queries keys"
-    )
-    print(line)
+    print(compact_bench_record(timings, extra, sf, total))
     spark.stop()
 
 

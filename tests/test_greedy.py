@@ -409,6 +409,23 @@ def test_greedy_auto_rejects_other_strings(spark):
         db.avg("app.purchase", "user").mode("greedy").greedy_slices("wide")
 
 
+def test_greedy_auto_cannot_combine_with_drop(spark):
+    # auto means "maybe sliced", and the drop state machine is not
+    # self-synchronizing at a gap — the combination raises like explicit
+    # greedy_slices even if the decision would have picked single
+    from talna_spark.errors import InvalidQueryError
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    with pytest.raises(InvalidQueryError, match="drop"):
+        (
+            db.avg("app.purchase", "user")
+            .mode("greedy")
+            .greedy_boundary("drop")
+            .greedy_slices("auto")
+            .to_df()
+        )
+
+
 def test_sliced_greedy_requires_greedy_mode(spark):
     from talna_spark.errors import InvalidQueryError
 
