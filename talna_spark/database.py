@@ -311,6 +311,7 @@ class QueryBuilder:
         self._granularity_set = False
         self._mode = "aligned"
         self._greedy_slice_width = None  # int ns | "auto" | None
+        self._greedy_auto_sample: Optional[float] = None  # auto stats sampling
         self._greedy_auto_choice: Optional[tuple] = None  # last auto build
         self._greedy_boundary: str = "reanchor"
         self._gapfill: Optional[str] = None
@@ -460,7 +461,9 @@ class QueryBuilder:
         self._greedy_boundary = boundary
         return self
 
-    def greedy_slices(self, slice_width_ns: int) -> "QueryBuilder":
+    def greedy_slices(
+        self, slice_width_ns, sample_fraction: "float | None" = None,
+    ) -> "QueryBuilder":
         """Greedy mode's scale path: split each group into coarse time
         slices processed as parallel tasks, stitching only entry-dependent
         boundary rows sequentially (aggregate.greedy_buckets_sliced;
@@ -492,10 +495,32 @@ class QueryBuilder:
         recorded on the builder as ``_greedy_auto_choice``
         (``("single"|"sliced", slice_width_ns, stats)``). Note: auto
         runs its stats job eagerly inside ``to_df()`` (a cache hit
-        skips it along with the rest of plan building)."""
+        skips it along with the rest of plan building).
+
+        ``sample_fraction`` (auto only — the 100 TB dial): the exact
+        stats pass re-reads the full filtered scan; because both
+        physical choices are bit-identical, the decision may instead
+        read a seeded Bernoulli sample (counts scaled by 1/fraction
+        before the threshold compare) — ~100x cheaper at fraction=0.01
+        with zero correctness risk; misestimation only ever costs
+        performance (see ``aggregate.greedy_auto_decision``)."""
         if slice_width_ns == "auto":
+            if sample_fraction is not None and not (
+                0.0 < float(sample_fraction) <= 1.0
+            ):
+                raise InvalidQueryError(
+                    "greedy_slices sample_fraction must be in (0, 1] "
+                    f"(got {sample_fraction!r})"
+                )
             self._greedy_slice_width = "auto"
+            self._greedy_auto_sample = (
+                None if sample_fraction is None else float(sample_fraction)
+            )
             return self
+        if sample_fraction is not None:
+            raise InvalidQueryError(
+                "sample_fraction applies to greedy_slices('auto') only"
+            )
         if isinstance(slice_width_ns, str):
             raise InvalidQueryError(
                 "greedy_slices takes a width in ns or 'auto' "
@@ -684,7 +709,8 @@ class QueryBuilder:
         return (
             "agg", self._kind, self._metric, self._group_by, self._filter,
             self._start, self._end, self._granularity, self._granularity_set,
-            self._mode, self._greedy_slice_width, self._greedy_boundary,
+            self._mode, self._greedy_slice_width, self._greedy_auto_sample,
+            self._greedy_boundary,
             self._gapfill,
             self._rolling, self._zscore, self._value_pred, self._cube,
             self._calendar,
@@ -838,7 +864,8 @@ class QueryBuilder:
                 slice_w = self._greedy_slice_width
                 if slice_w == "auto":
                     use_sliced, slice_w, stats = greedy_auto_decision(
-                        scan, group_col, self._granularity
+                        scan, group_col, self._granularity,
+                        sample_fraction=self._greedy_auto_sample,
                     )
                     if not use_sliced:
                         self._greedy_auto_choice = ("single", None, stats)

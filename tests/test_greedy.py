@@ -409,6 +409,71 @@ def test_greedy_auto_rejects_other_strings(spark):
         db.avg("app.purchase", "user").mode("greedy").greedy_slices("wide")
 
 
+def test_greedy_auto_sampled_decision(spark, monkeypatch):
+    """The 100 TB dial: auto's stats pass may read a SEEDED sample and
+    scale counts by 1/fraction before the threshold compare — the
+    decision is approximate but both physical paths are bit-identical,
+    so only performance is at stake. Pin: deterministic (seeded),
+    recorded in stats, correct results in both decision outcomes, and
+    the scaled estimate lands near the true max group size."""
+    import talna_spark.aggregate as agg
+
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    base = (
+        db.avg("app.purchase", "user")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+    )
+    single = _collect_buckets(base.to_df())
+
+    from talna_spark.dsl.parser import parse_filter_query
+
+    def _scan():
+        return base._db._backend.scan(
+            "app.purchase", parse_filter_query("*"), None, None
+        )
+
+    # exact decision for the true max group size
+    _u, _w, exact_stats = agg.greedy_auto_decision(
+        _scan(), base._group_col(), Duration.MINUTE
+    )
+    true_max = exact_stats["max_group_rows"]
+
+    # sampled, threshold forced low -> sliced; results still exact
+    monkeypatch.setattr(agg, "GREEDY_AUTO_ROWS", 2)
+    b = (
+        db.avg("app.purchase", "user")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+        .greedy_slices("auto", sample_fraction=0.5)
+    )
+    assert _collect_buckets(b.to_df()) == single
+    path, _sw, stats = b._greedy_auto_choice
+    assert path == "sliced"
+    assert stats["sample_fraction"] == 0.5
+    # scaled estimate within 3x of truth at fraction=0.5 on ~20-row
+    # groups (loose: Bernoulli variance is high at this tiny sf)
+    assert 0 < stats["max_group_rows"] < 3 * max(true_max, 1) + 10
+    # seeded: the same decision twice sees the same sample
+    _u2, _w2, stats2 = agg.greedy_auto_decision(
+        _scan(), base._group_col(), Duration.MINUTE,
+        threshold=2, sample_fraction=0.5,
+    )
+    assert stats2["max_group_rows"] == stats["max_group_rows"]
+
+    # validation surface
+    from talna_spark.errors import InvalidQueryError
+
+    with pytest.raises(InvalidQueryError, match="sample_fraction"):
+        db.avg("app.purchase", "user").mode("greedy").greedy_slices(
+            "auto", sample_fraction=1.5
+        )
+    with pytest.raises(InvalidQueryError, match="auto"):
+        db.avg("app.purchase", "user").mode("greedy").greedy_slices(
+            Duration.HOUR, sample_fraction=0.5
+        )
+
+
 def test_greedy_auto_cannot_combine_with_drop(spark):
     # auto means "maybe sliced", and the drop state machine is not
     # self-synchronizing at a gap — the combination raises like explicit
