@@ -634,18 +634,22 @@ def greedy_auto_decision(
     a 1-row collect — the stats() discipline.
 
     ``sample_fraction`` (the 100 TB dial): the exact pass re-reads the
-    full filtered scan, doubling read cost when the answer is "single".
-    Because BOTH physical paths are bit-identical, the decision may be
-    APPROXIMATE with zero correctness risk — a seeded Bernoulli sample
-    (seed fixed at 17, so the choice is reproducible run-to-run) scales
-    observed group counts by 1/fraction before the threshold compare.
-    At the ~4M-point crossover even a 1% sample sees ~40k rows of the
-    deciding group (relative error well under the 2x the crossover is
-    flat across), while groups small enough to be missed entirely are
-    orders of magnitude below threshold anyway. Span (a min/max) is
-    estimated from the same sample — slightly shrunken, which only
-    nudges the derived slice width. Misestimation costs performance,
-    never correctness.
+    filtered scan a second time. Because BOTH physical paths are
+    bit-identical, the decision may be APPROXIMATE with zero
+    correctness risk — a seeded Bernoulli sample (seed fixed at 17, so
+    the choice is reproducible run-to-run) scales observed group counts
+    by 1/fraction before the threshold compare. Honest cost model:
+    Spark's ``sample`` sits ABOVE the scan, so the column-pruned I/O
+    (only the group cols + ts leave the parquet reader) is unchanged —
+    what shrinks ~1/fraction is the per-row decode + hash-agg CPU,
+    which dominates a two-column stats pass at scale. At the ~4M-point
+    crossover even a 1% sample sees ~40k rows of the deciding group
+    (relative error well under the 2x band the crossover is flat
+    across), while groups small enough to be missed entirely are orders
+    of magnitude below threshold anyway. Span (a min/max) is estimated
+    from the same sample — slightly shrunken, which only nudges the
+    derived slice width. Misestimation costs performance, never
+    correctness.
     """
     thr = GREEDY_AUTO_ROWS if threshold is None else int(threshold)
     src = scan

@@ -498,12 +498,14 @@ class QueryBuilder:
         skips it along with the rest of plan building).
 
         ``sample_fraction`` (auto only — the 100 TB dial): the exact
-        stats pass re-reads the full filtered scan; because both
-        physical choices are bit-identical, the decision may instead
-        read a seeded Bernoulli sample (counts scaled by 1/fraction
-        before the threshold compare) — ~100x cheaper at fraction=0.01
-        with zero correctness risk; misestimation only ever costs
-        performance (see ``aggregate.greedy_auto_decision``)."""
+        stats pass re-reads the filtered scan; because both physical
+        choices are bit-identical, the decision may instead read a
+        seeded Bernoulli sample (counts scaled by 1/fraction before
+        the threshold compare) with zero correctness risk — the
+        column-pruned scan I/O remains (sampling sits above the
+        reader) but the per-row decode+agg CPU shrinks ~1/fraction;
+        misestimation only ever costs performance (cost model in
+        ``aggregate.greedy_auto_decision``)."""
         if slice_width_ns == "auto":
             if sample_fraction is not None and not (
                 0.0 < float(sample_fraction) <= 1.0
