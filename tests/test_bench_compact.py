@@ -6,9 +6,10 @@ the greedy pairs (inside `queries`), and the BASELINE contract keys.
 """
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import COMPACT_BUDGET, CONTRACT_KEYS, compact_bench_record
 
