@@ -41,6 +41,18 @@ bench's own drift set):
   the battery at 7.7-8.9 s TODAY vs r16's recorded 5.83 — the box
   band moved between rounds again (the r14/r15/r16 precedent).
   Nothing on any path regressed.
+- Addendum (same session, third full-bench run): the degradation is
+  MONOTONE across fresh processes on an otherwise-idle box (battery
+  8.6 -> 14.5 -> 20.6 s, clf 6.7 -> 11.6 -> 15.8 s over ~2.5 h of
+  sustained compute) while JVM-side rows hold steady (q16 warm
+  107-126 ms, scale1000 ingest 2.26-2.32M pts/s, both swap orders
+  flat) — consistent with host-level CPU throttling of sustained
+  Python-worker load (burst-credit exhaustion), not with any code or
+  box-queue effect. Practical rule: Python-heavy rows measured LATE
+  in a long compute session read 2-3x high; trust the
+  earliest-in-session run and the JVM rows, and interleave A/B pairs
+  tightly so both sides share the same throttle state (this probe's
+  pairs did — both sides inflated equally, code exonerated).
 
 FINDINGS (r16, 2026-08-16, the three largest BENCH_r15 drifts —
 pipe_lsh_bbit +36%, pipe_dedup_exact +36%, pipe_pdf_extract +30%,
