@@ -474,6 +474,22 @@ def test_greedy_auto_sampled_decision(spark, monkeypatch):
         )
 
 
+def test_greedy_auto_empty_scan(spark):
+    # a filter matching nothing: the stats row is all-NULL -> max_n
+    # coalesces to 0 -> single path, empty result, no error
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+    b = (
+        db.avg("app.purchase", "user")
+        .filter("user:doesnotexist")
+        .mode("greedy")
+        .granularity(Duration.MINUTE)
+        .greedy_slices("auto")
+    )
+    assert b.to_df().count() == 0
+    path, slice_w, stats = b._greedy_auto_choice
+    assert path == "single" and stats["max_group_rows"] == 0
+
+
 def test_greedy_auto_cannot_combine_with_drop(spark):
     # auto means "maybe sliced", and the drop state machine is not
     # self-synchronizing at a gap — the combination raises like explicit
