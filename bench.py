@@ -97,11 +97,16 @@ def compact_bench_record(
         shed += 1
         compact_extra["pipe_rows_shed"] = shed
         line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= budget, (
-        f"compact bench line is {len(line)} chars even after shedding "
-        f"every pipe row — the driver tail would truncate it; prune "
-        f"contract/queries keys"
-    )
+    if len(line) > budget:
+        # a real exception, not assert: `python -O` strips asserts and
+        # would silently emit an over-budget line for the driver tail
+        # to truncate — the exact parsed:null failure this function
+        # exists to prevent (r17 review finding)
+        raise RuntimeError(
+            f"compact bench line is {len(line)} chars even after "
+            f"shedding every pipe row — the driver tail would truncate "
+            f"it; prune contract/queries keys"
+        )
     return line
 
 

@@ -651,13 +651,18 @@ def greedy_auto_decision(
     derived slice width. Misestimation costs performance, never
     correctness.
     """
+    from talna_spark.errors import InvalidValueError
+
     thr = GREEDY_AUTO_ROWS if threshold is None else int(threshold)
     src = scan
     scale = 1.0
     if sample_fraction is not None:
         frac = float(sample_fraction)
         if not 0.0 < frac <= 1.0:
-            raise ValueError(
+            # InvalidValueError: a ValueError for direct callers AND an
+            # InvalidQueryError for builder-style handlers — one error
+            # surface for the same mistake on both entry points
+            raise InvalidValueError(
                 f"sample_fraction must be in (0, 1] (got {sample_fraction!r})"
             )
         if frac < 1.0:
@@ -678,15 +683,20 @@ def greedy_auto_decision(
         stats["sample_fraction"] = float(sample_fraction)
     if max_n < thr:
         return False, None, stats
+    # fewer than two slices can ever fit this span (every legal slice
+    # width exceeds span/2): the decomposition would pay its extra
+    # shuffle + stitch for ZERO parallelism gain — a huge group packed
+    # into a tiny time span degrades to the sequential scan either way,
+    # so stay on the strictly-cheaper single path (r17 review finding)
+    min_sw = int(width) + 1  # validated > width by greedy_buckets_sliced
+    if span < 2 * min_sw:
+        return False, None, stats
     sc = scan.sparkSession.sparkContext
     target_slices = max(4 * sc.defaultParallelism, 2)
     slice_w = max(int(width) * 100, span // target_slices)
-    # a slice width >= the span would make ONE slice (pure overhead);
-    # cap at span/2 when the span allows, floor at width+1 (validated
-    # > width by greedy_buckets_sliced)
-    if span > 2 * (int(width) + 1):
-        slice_w = min(slice_w, span // 2)
-    slice_w = max(slice_w, int(width) + 1)
+    # cap at span/2 so at least two slices exist; the floor keeps the
+    # width legal (span >= 2*min_sw guarantees span//2 >= min_sw)
+    slice_w = max(min(slice_w, span // 2), min_sw)
     return True, int(slice_w), stats
 
 

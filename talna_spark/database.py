@@ -510,7 +510,7 @@ class QueryBuilder:
             if sample_fraction is not None and not (
                 0.0 < float(sample_fraction) <= 1.0
             ):
-                raise InvalidQueryError(
+                raise InvalidValueError(
                     "greedy_slices sample_fraction must be in (0, 1] "
                     f"(got {sample_fraction!r})"
                 )
@@ -518,6 +518,7 @@ class QueryBuilder:
             self._greedy_auto_sample = (
                 None if sample_fraction is None else float(sample_fraction)
             )
+            self._greedy_auto_choice = None  # set by the next real build
             return self
         if sample_fraction is not None:
             raise InvalidQueryError(
@@ -531,6 +532,12 @@ class QueryBuilder:
         if int(slice_width_ns) <= 0:
             raise InvalidQueryError("greedy slice width must be positive")
         self._greedy_slice_width = int(slice_width_ns)
+        # switching from auto to an explicit width: clear the auto state,
+        # or the plan-cache signature would differ from an identical
+        # fresh builder and the stale choice record would misreport the
+        # last build (r17 review finding)
+        self._greedy_auto_sample = None
+        self._greedy_auto_choice = None
         return self
 
     def calendar(self, unit: str) -> "QueryBuilder":

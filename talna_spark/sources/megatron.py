@@ -221,16 +221,22 @@ class FsspecFilesystemSeam(FilesystemSeam):
         # (ADVICE r15) — normalize so the round trip is exact. open()
         # still works either way: fsspec's _strip_protocol re-adds the
         # slash for backends that want it.
-        # ADVICE r16: strip at most ONE leading slash (lstrip('/') would
-        # collapse '//x' into 'x' and mangle UNC-style backend paths),
-        # and never re-prefix a result that already carries a scheme
-        # ('other://...' must not become '<scheme>://other://...').
+        # ADVICE r16 + r17 review: the re-prefix must ROUND-TRIP through
+        # _p() exactly. A single leading slash is dropped ('/x' ->
+        # 'scheme://x' — the MemoryFileSystem dialect; fsspec's
+        # _strip_protocol re-adds it on open), but a '//'-prefixed path
+        # keeps BOTH slashes ('//unc/x' -> 'scheme:////unc/x', which _p
+        # strips back to '//unc/x' verbatim — dropping one would make
+        # open() target a different key than glob found). Results that
+        # already carry a scheme ('other://...') are never re-prefixed.
         pre = f"{self._scheme}://" if self._strip and self._scheme else ""
         out = []
         for p in self._fs.glob(self._p(pattern)):
             p = str(p)
             if pre and not p.startswith(pre) and "://" not in p:
-                p = pre + (p[1:] if p.startswith("/") else p)
+                if p.startswith("/") and not p.startswith("//"):
+                    p = p[1:]
+                p = pre + p
             out.append(p)
         return sorted(out)
 

@@ -70,9 +70,10 @@ def test_overflow_sheds_longest_pipes_deterministically_and_loudly():
     assert compact_bench_record(timings, extra, 0.1, 1.0) == line
 
 
-def test_budget_assert_fires_when_unfittable():
+def test_budget_raises_when_unfittable():
+    # a real RuntimeError, not assert — `python -O` must not silence it
     import pytest
 
     timings, extra = _fixture(4)
-    with pytest.raises(AssertionError, match="compact bench line"):
+    with pytest.raises(RuntimeError, match="compact bench line"):
         compact_bench_record(timings, extra, 0.1, 1.0, budget=200)

@@ -474,6 +474,63 @@ def test_greedy_auto_sampled_decision(spark, monkeypatch):
         )
 
 
+def test_greedy_auto_state_cleared_on_explicit_width(spark):
+    """r17 review: switching a builder from auto back to an explicit
+    width must clear the auto state — otherwise the plan-cache
+    signature differs from an identical fresh builder (spurious cache
+    miss) and _greedy_auto_choice misreports the last build."""
+    db = Database.from_events(spark, "/root/testdata/sf0.001")
+
+    def fresh():
+        return (
+            db.avg("app.purchase", "user")
+            .mode("greedy")
+            .granularity(Duration.MINUTE)
+        )
+
+    switched = fresh().greedy_slices("auto", sample_fraction=0.5)
+    switched.to_df()
+    assert switched._greedy_auto_choice is not None
+    switched.greedy_slices(6 * Duration.HOUR)
+    assert switched._greedy_auto_sample is None
+    assert switched._greedy_auto_choice is None
+    explicit = fresh().greedy_slices(6 * Duration.HOUR)
+    assert switched._plan_signature() == explicit._plan_signature()
+    # and re-arming auto clears the stale choice until the next build
+    rearmed = fresh().greedy_slices("auto")
+    rearmed.to_df()
+    assert rearmed._greedy_auto_choice is not None
+    rearmed.greedy_slices("auto", sample_fraction=0.5)
+    assert rearmed._greedy_auto_choice is None
+
+
+def test_greedy_auto_small_span_stays_single(spark, monkeypatch):
+    """r17 review: a huge group packed into a tiny time span (span too
+    small for two slices at any legal width) must stay on the single
+    path — the decomposition would pay two extra exchanges for zero
+    parallelism and then degrade to the same sequential stitch."""
+    from pyspark.sql import functions as F
+
+    import talna_spark.aggregate as agg
+
+    # 40 points, span = 39 ns; width 60 ns -> min slice width 61 >
+    # span/2, so no two slices fit; threshold lowered below the group
+    rows = [("m", t, 1.0, {"h": "a"}) for t in range(40)]
+    pts = make_points(spark, rows).filter(F.col("metric") == "m")
+    use, sw, stats = agg.greedy_auto_decision(
+        pts, F.col("tags").getItem("h"), 60, threshold=10
+    )
+    assert use is False and sw is None
+    assert stats["max_group_rows"] == 40  # over threshold, yet single
+    # a span that DOES fit two slices still chooses sliced
+    rows2 = [("m", t * 200, 1.0, {"h": "a"}) for t in range(40)]
+    pts2 = make_points(spark, rows2).filter(F.col("metric") == "m")
+    use2, sw2, _ = agg.greedy_auto_decision(
+        pts2, F.col("tags").getItem("h"), 60, threshold=10
+    )
+    assert use2 is True and 60 < sw2 <= (39 * 200) // 2
+
+
 def test_greedy_auto_empty_scan(spark):
     # a filter matching nothing: the stats row is all-NULL -> max_n
     # coalesces to 0 -> single path, empty result, no error

@@ -499,31 +499,37 @@ def test_fsspec_adapter_roundtrip_without_fsspec(spark, tmp_path):
 
 
 def test_fsspec_glob_reprefix_edge_cases():
-    """ADVICE r16: glob re-prefixing must strip at most ONE leading
-    slash ('//x' is a path whose first segment is empty — collapsing it
-    to 'x' mangles UNC-style keys) and must never stack a scheme onto a
-    result that already carries one ('other://y' stays as the backend
-    returned it)."""
+    """ADVICE r16 + r17 review: glob re-prefixing must ROUND-TRIP
+    through _p() exactly — '//x' (empty first segment, UNC-style) keeps
+    both slashes so open() targets the very key glob found — and must
+    never stack a scheme onto a result that already carries one
+    ('other://y' stays as the backend returned it)."""
     from talna_spark.sources.megatron import FsspecFilesystemSeam
 
     class StubFS:
         def glob(self, pattern):
             return [
                 "/plain/a.bin",      # MemoryFileSystem dialect
-                "//unc/b.bin",       # empty first segment — keep one '/'
+                "//unc/b.bin",       # empty first segment — verbatim
                 "other://y/c.bin",   # foreign scheme — untouched
                 "s://bucket/d.bin",  # already ours — untouched
                 "bare/e.bin",        # bare key — prefixed as-is
             ]
 
     seam = FsspecFilesystemSeam(StubFS(), scheme="s")
-    assert seam.glob("s://bucket/*") == sorted([
+    got = seam.glob("s://bucket/*")
+    assert got == sorted([
         "s://plain/a.bin",
-        "s:///unc/b.bin",
+        "s:////unc/b.bin",
         "other://y/c.bin",
         "s://bucket/d.bin",
         "s://bare/e.bin",
     ])
+    # the round-trip invariant: stripping the scheme recovers the
+    # backend's own key for the multi-slash case (fsspec re-adds the
+    # single slash itself for the Memory dialect)
+    assert seam._p("s:////unc/b.bin") == "//unc/b.bin"
+    assert seam._p("s://plain/a.bin") == "plain/a.bin"
 
 
 def test_fsspec_memory_seam_roundtrip(spark, tmp_path):
