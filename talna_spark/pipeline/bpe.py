@@ -285,6 +285,119 @@ def _apply_merge(
     return wt.select("word", "n", fold.alias("syms"))
 
 
+# r17 optimization (guide §1.2 "the distributed algorithm" + §5 "the
+# driver should do almost no data work" — EXCEPT model-sized work, which
+# is driver work by nature): the per-round training jobs run over the
+# VOCAB-SIZED word table, so when that table fits comfortably on the
+# driver the whole merge loop is a model-sized computation — collect it
+# once and run the loop in-process, replacing 30 rounds x (checkpoint +
+# pair hash-agg + 1-row argmax collect) of fixed per-job latency with
+# ONE job. Above the cap the distributed rounds remain (the 100 TB
+# path: a web-scale pretoken table can exceed driver memory). Both
+# paths are exact-identical: integer pair counts in any order, the
+# same (count DESC, (a, b) ASC) tie-break — Spark compares strings as
+# UTF-8 bytes, which is code-point order, which is Python str order —
+# and the same greedy left-to-right merge application. Pinned by
+# tests/test_bpe.py (the pure-python reference) plus an explicit
+# local-vs-distributed equality test.
+DRIVER_TRAIN_MAX_WORDS = 65_536
+
+
+def _merge_word_syms(syms: list, a: str, b: str, merged: str) -> list:
+    """Greedy left-to-right (a, b) -> merged over one symbol list — the
+    local twin of the JVM ``_apply_merge`` fold ('aaa' + (a,a) -> [aa, a])."""
+    out: list = []
+    i, n = 0, len(syms)
+    while i < n:
+        if syms[i] == a and i + 1 < n and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _local_train_loop(
+    words: list, n_merges: int, pick, merge_name
+) -> list[tuple[str, str]]:
+    """Shared in-process trainer core over a collected word table.
+
+    ``words``: list of [syms_list, n]. ``pick(pair_counts, sym_counts)``
+    returns the winning (a, b) or None (early stop). ``merge_name(a, b)``
+    names the merged symbol (BPE concatenates; WordPiece strips '##').
+    Incremental index (the classic fast-BPE-trainer shape): pair counts,
+    per-symbol counts and a pair -> word-index occurrence index are
+    maintained under each merge, so a round touches only the words that
+    contain the winning pair — counts stay exact integers, so the
+    result is independent of update order."""
+    pair_counts: dict = {}
+    sym_counts: dict = {}
+    where: dict = {}
+    for wi, (syms, n) in enumerate(words):
+        for s in syms:
+            sym_counts[s] = sym_counts.get(s, 0) + n
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            where.setdefault(p, set()).add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        best = pick(pair_counts, sym_counts)
+        if best is None:
+            break
+        a, b = best
+        merges.append((a, b))
+        merged = merge_name(a, b)
+        # the occurrence set may hold stale indices (the word was since
+        # rewritten by another merge and no longer contains (a, b)) —
+        # reprocessing such a word is a no-op net change
+        for wi in where.pop((a, b), ()):
+            syms, n = words[wi]
+            new = _merge_word_syms(syms, a, b, merged)
+            if len(new) == len(syms):
+                continue  # stale index
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] -= n
+            for s in syms:
+                sym_counts[s] -= n
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                where.setdefault(p, set()).add(wi)
+            for s in new:
+                sym_counts[s] = sym_counts.get(s, 0) + n
+            words[wi][0] = new
+    return merges
+
+
+def _local_bpe_merges(words: list, n_merges: int) -> list[tuple[str, str]]:
+    """BPE argmax: max count (>= 2), ties lexicographic on (a, b) —
+    the in-process twin of the distributed orderBy(cnt DESC, a, b)."""
+
+    def pick(pair_counts, _sym_counts):
+        best = None
+        for p, c in pair_counts.items():
+            if c >= 2:
+                k = (-c, p)
+                if best is None or k < best:
+                    best = k
+        return None if best is None else best[1]
+
+    return _local_train_loop(words, n_merges, pick, lambda a, b: a + b)
+
+
+def _collect_word_table(wt: DataFrame, cap: int):
+    """Materialize the word table and return its rows as [[syms, n]]
+    when it holds at most ``cap`` distinct words, else None (the
+    distributed rounds take over). One job either way: head(cap+1)
+    runs the full aggregation but ships at most cap+1 rows."""
+    rows = wt.select("n", "syms").head(cap + 1)
+    if len(rows) > cap:
+        return None
+    return [[list(r["syms"]), int(r["n"])] for r in rows]
+
+
 def bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = 50, mode: str = "word"
 ) -> list[tuple[str, str]]:
@@ -298,10 +411,22 @@ def bpe_train(
     ``mode="byte"`` is GPT-2 byte-level BPE (space-attached pretokens,
     UTF-8 byte alphabet, no marker). The training loop — pair explode,
     one hash aggregate per round, JVM merge fold — is identical; only
-    the initial word table differs."""
+    the initial word table differs.
+
+    Physical path (r17): the corpus scan + word-table aggregate always
+    run distributed; when the resulting table holds at most
+    :data:`DRIVER_TRAIN_MAX_WORDS` distinct words it is collected once
+    and the merge loop runs in-process (model-sized driver work — one
+    Spark job total instead of one per round); larger tables take the
+    per-round distributed loop below. Identical merges either way
+    (tested)."""
     builder = _word_table if mode == "word" else _byte_word_table
     _init_syms_fn(mode)  # validate the mode before any Spark work
-    wt = builder(spark, sf_dir).localCheckpoint(eager=False)
+    wt = builder(spark, sf_dir)
+    words = _collect_word_table(wt, DRIVER_TRAIN_MAX_WORDS)
+    if words is not None:
+        return _local_bpe_merges(words, n_merges)
+    wt = wt.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (

@@ -273,6 +273,92 @@ def _e_step(
     return counts
 
 
+def _posteriors(
+    w: str, logp: dict, max_len: int, unk: float
+) -> list[tuple[str, float]]:
+    """Forward-backward posterior marginals over the segmentation
+    lattice — the module-level twin of the ``_seg`` closure's
+    ``posteriors`` (same fixed ascending iteration order, so the floats
+    match bit-for-bit; the closure inlines its copy for pickling)."""
+    n = len(w)
+    arcs = []  # (i, j, lp)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            p = logp.get(w[i:j])
+            if p is None and j - i == 1:
+                p = unk
+            if p is not None:
+                arcs.append((i, j, p))
+
+    def lse(vals):
+        m = max(vals)
+        if m == float("-inf"):
+            return m
+        return m + math.log(sum(math.exp(v - m) for v in vals))
+
+    alpha = [0.0] + [float("-inf")] * n
+    for j in range(1, n + 1):
+        alpha[j] = lse([alpha[i] + p for (i, jj, p) in arcs if jj == j])
+    beta = [float("-inf")] * n + [0.0]
+    for i in range(n - 1, -1, -1):
+        beta[i] = lse([p + beta[j] for (ii, j, p) in arcs if ii == i])
+    z = alpha[n]
+    return [
+        (w[i:j], math.exp(alpha[i] + p + beta[j] - z)) for (i, j, p) in arcs
+    ]
+
+
+def _seed_candidates_local(
+    words: list, seed_size: int, max_piece_len: int
+) -> dict[str, int]:
+    """In-process twin of :func:`_seed_candidates` over a collected
+    (word, n) table — same substring stream, integer sums, and
+    (count DESC, piece ASC) cut, so the seed pool is identical."""
+    ml = int(max_piece_len)
+    counts: dict[str, int] = {}
+    for w, n in words:
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(L, i + ml) + 1):
+                p = w[i:j]
+                counts[p] = counts.get(p, 0) + n
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    room = max(int(seed_size) - len(chars), 0)
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in counts.items()
+            if len(p) >= 2 and c >= 2
+        ),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:room]
+    seeds = dict(chars)
+    seeds.update(multi)
+    return seeds
+
+
+def _e_step_local(
+    words: list, logp: dict, max_piece_len: int, em: str = "hard"
+) -> dict[str, int]:
+    """In-process twin of :func:`_e_step` over a collected (word, n)
+    table: same Viterbi / forward-backward code, same integer
+    (micro-unit) accounting — identical counts in either mode."""
+    ml = int(max_piece_len)
+    counts = {p: 0 for p in logp}
+    if em == "soft":
+        for w, n in words:
+            for piece, post in _posteriors(w, logp, ml, UNK_LOGP):
+                m = int(math.floor(post * int(n) * 1e6 + 0.5))
+                if m and piece in counts:
+                    counts[piece] += m
+    else:
+        for w, n in words:
+            for piece in _viterbi(w, logp, ml, UNK_LOGP):
+                if piece in counts:
+                    counts[piece] += int(n)
+    return counts
+
+
 def _prune(counts: dict[str, int], keep: int) -> dict[str, int]:
     """Keep the ``keep`` best pieces by (count DESC, piece ASC); single
     characters are never pruned (the coverage floor), and count toward
@@ -317,12 +403,34 @@ def unigram_train(
         raise ValueError("shrink must be in (0, 1)")
     if em not in ("hard", "soft"):
         raise ValueError("em must be 'hard' or 'soft'")
-    wt = _word_table(spark, sf_dir).localCheckpoint(eager=False)
-    counts = _seed_candidates(wt, seed_size, max_piece_len)
+    # r17 (the bpe_train physical-path twin): the corpus scan + word
+    # aggregate always run distributed; a word table at most
+    # bpe.DRIVER_TRAIN_MAX_WORDS distinct words is collected once and
+    # seeding + every EM round run in-process (model-sized driver work
+    # — one Spark job total instead of one per E-step/seed). Larger
+    # tables keep the distributed rounds. Counts are exact integers on
+    # both paths, so the learned model is identical (tested).
+    from talna_spark.pipeline import bpe as _bpe
+
+    wt = _word_table(spark, sf_dir)
+    rows = wt.head(_bpe.DRIVER_TRAIN_MAX_WORDS + 1)
+    if len(rows) <= _bpe.DRIVER_TRAIN_MAX_WORDS:
+        words = [(r["word"], int(r["n"])) for r in rows]
+        counts = _seed_candidates_local(words, seed_size, max_piece_len)
+
+        def estep(lp):
+            return _e_step_local(words, lp, max_piece_len, em=em)
+    else:
+        wt = wt.localCheckpoint(eager=False)
+        counts = _seed_candidates(wt, seed_size, max_piece_len)
+
+        def estep(lp):
+            return _e_step(wt, lp, max_piece_len, em=em)
+
     logp = _m_step(counts)
     while True:
         for _ in range(max(int(em_iters), 1)):
-            counts = _e_step(wt, logp, max_piece_len, em=em)
+            counts = estep(logp)
             logp = _m_step(counts)
         if len(logp) <= vocab_size:
             break

@@ -110,8 +110,47 @@ def wordpiece_train(
     localCheckpoint of the vocab-sized table per merge — instead of
     every _CHECKPOINT_EVERY: otherwise both scans re-evaluate the
     stacked merge folds (measured 21.7 s -> 10.8 s for 30 merges at
-    sf0.1, identical vocabulary)."""
-    wt = _wp_word_table(spark, sf_dir).localCheckpoint(eager=False)
+    sf0.1, identical vocabulary).
+
+    Physical path (r17, the bpe_train twin): word table at most
+    ``DRIVER_TRAIN_MAX_WORDS`` distinct words -> collected once, merge
+    loop in-process (model-sized driver work; the likelihood score is
+    the same double ratio c/(ca*cb) with each exact-integer count cast
+    to double first, ties the same (a, b) order — one Spark job instead
+    of three per round); larger tables take the distributed rounds
+    below. Identical vocabulary either way (tested)."""
+    from talna_spark.pipeline.bpe import (
+        DRIVER_TRAIN_MAX_WORDS,
+        _collect_word_table,
+        _local_train_loop,
+    )
+
+    wt = _wp_word_table(spark, sf_dir)
+    words = _collect_word_table(wt, DRIVER_TRAIN_MAX_WORDS)
+    if words is not None:
+        alphabet = sorted({s for syms, _n in words for s in syms})
+        vocab = list(alphabet)
+        seen = set(vocab)
+
+        def pick(pair_counts, sym_counts):
+            best = None
+            for (a, b), c in pair_counts.items():
+                if c >= 2:
+                    score = float(c) / (
+                        float(sym_counts[a]) * float(sym_counts[b])
+                    )
+                    k = (-score, a, b)
+                    if best is None or k < best:
+                        best = k
+            return None if best is None else (best[1], best[2])
+
+        for a, b in _local_train_loop(words, n_merges, pick, _merge_name):
+            merged = _merge_name(a, b)
+            if merged not in seen:  # two merge paths can yield one name
+                seen.add(merged)
+                vocab.append(merged)
+        return vocab
+    wt = wt.localCheckpoint(eager=False)
     alphabet = sorted(
         r["s"]
         for r in wt.select(F.explode("syms").alias("s")).distinct().collect()

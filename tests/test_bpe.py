@@ -505,3 +505,16 @@ def test_tokenize_pack_byte_mode(spark, byte_corpus_dir):
             p = by_id[doc_id]["pack_id"]
             packs[p] = packs.get(p, 0) + n_tok
     assert all(v <= 64 for v in packs.values())  # budget respected
+
+
+def test_bpe_train_local_matches_distributed(spark, corpus_dir, monkeypatch):
+    # r17: the in-process trainer (word table collected once) and the
+    # per-round distributed loop must learn the SAME merge list — the
+    # cap knob is the only thing that picks the path
+    import talna_spark.pipeline.bpe as bpe_mod
+
+    d, _texts = corpus_dir
+    local = bpe_train(spark, d, n_merges=15)
+    monkeypatch.setattr(bpe_mod, "DRIVER_TRAIN_MAX_WORDS", 0)
+    assert bpe_train(spark, d, n_merges=15) == local
+    assert len(local) > 5

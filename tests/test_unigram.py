@@ -509,3 +509,21 @@ def test_unigram_em_mode_validation(spark, corpus_dir):
     d, _ = corpus_dir
     with pytest.raises(ValueError, match="em"):
         unigram_train(spark, d, em="viterbi")
+
+
+def test_unigram_train_local_matches_distributed(
+    spark, corpus_dir, monkeypatch
+):
+    # r17: in-process vs distributed trainer — identical model in both
+    # EM modes (integer count accounting on both paths)
+    import talna_spark.pipeline.bpe as bpe_mod
+    from talna_spark.pipeline.unigram import unigram_train
+
+    d, _texts = corpus_dir
+    for em in ("hard", "soft"):
+        local = unigram_train(spark, d, em=em)
+        monkeypatch.setattr(bpe_mod, "DRIVER_TRAIN_MAX_WORDS", 0)
+        dist = unigram_train(spark, d, em=em)
+        monkeypatch.setattr(bpe_mod, "DRIVER_TRAIN_MAX_WORDS", 65_536)
+        assert dist == local
+        assert len(local) > 10

@@ -294,3 +294,18 @@ def test_pack_token_ids_wordpiece_mode(spark, corpus_dir):
     for r in packs:
         assert r["oversize"] or r["n_tokens"] <= 32
         assert len(r["ids"]) == r["n_tokens"]
+
+
+def test_wordpiece_train_local_matches_distributed(
+    spark, corpus_dir, monkeypatch
+):
+    # r17: in-process vs distributed trainer — identical vocabulary
+    # (same double score arithmetic, same (a, b) tie order)
+    import talna_spark.pipeline.bpe as bpe_mod
+    from talna_spark.pipeline.wordpiece import wordpiece_train
+
+    d, _texts = corpus_dir
+    local = wordpiece_train(spark, d, n_merges=12)
+    monkeypatch.setattr(bpe_mod, "DRIVER_TRAIN_MAX_WORDS", 0)
+    assert wordpiece_train(spark, d, n_merges=12) == local
+    assert len(local) > 5
