@@ -952,18 +952,12 @@ def greedy_buckets_sliced(
                     yield out
 
     def _pass2(batches):
-        # sequential stitch over pending rows, batch-carried like
-        # greedy_buckets._bucketize, with forced re-anchor at tail
-        # starts. r16: pass-1's FINAL rows now ride through this same
-        # operator as pass-through rows (the pre-r16 union re-executed
-        # pass 1 once per branch) — split them off per batch; filtering
-        # preserves the pending rows' relative order.
+        # sequential stitch over PENDING rows only (r17: finals exit via
+        # the parallel filter branch and never reach this operator),
+        # batch-carried like greedy_buckets._bucketize, with forced
+        # re-anchor at tail starts.
         carry = None
         for pdf in batches:
-            fin = pdf[pdf["final"]]
-            if len(fin):
-                yield fin[["grp", "start_ts", "end_ts", "value", "len"]]
-            pdf = pdf[~pdf["final"]][["grp", "slice", "tail", "ts", "raw"]]
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
@@ -1009,30 +1003,56 @@ def greedy_buckets_sliced(
     # DIFFERENT tasks: the parallelism claim), sortWithinPartitions pins
     # the per-block order, and the streaming pass-1 walks each partition
     # in O(rows) with per-BATCH (not per-block) pandas overhead.
-    p1 = (
+    p1_raw = (
         prepared.repartition("grp", "slice")
         .sortWithinPartitions("grp", "slice", F.desc("ts"), F.asc("value"))
         .mapInPandas(_pass1_stream, schema=_P1_SCHEMA)
     )
-    # r16: ONE downstream pipeline — final rows ride through pass 2 as
-    # pass-through rows instead of a separate union branch. The pre-r16
-    # union executed pass 1 TWICE (once per branch above the reused
-    # exchange); routing everything through the grp shuffle runs it
-    # once, and the shuffled volume is the same pass-1 output
-    # (aggregates + boundary rows), a small fraction of the scan.
-    # Finals carry ts=0 sentinels so F.desc("ts") clusters them at each
-    # group's end, past every real pending row; pass 2 splits on the
-    # `final` flag, so relative order among finals is irrelevant.
-    # tail ASC third key: at equal (ts, raw) pairs straddling the
-    # head/tail cut the pass-1 relative order (head first) must be
-    # reproduced, or the forced-boundary flag lands one row off.
-    routed = (
-        p1.repartition("grp")
+    # r17 (guide §2.4 "remove shuffles outright", measured on the 4M-
+    # point single-group regime): pass-1's FINAL rows are already exact
+    # result rows — yet the r16 single-pipeline shape shuffled ALL of
+    # them into pass 2's one-task-per-group sort and through the Python
+    # boundary a second time, just to be yielded back verbatim. On a
+    # huge group that second funnel (repartition("grp") of ~|buckets|
+    # rows into ONE task + a second Arrow round trip) dominated the
+    # operator (measured: ~1.7M of 1.7M+5k pass-1 output rows were
+    # finals). Now pass 1 is pinned behind a LAZY localCheckpoint
+    # (materialized once, first action — the r16 "pass 1 must execute
+    # once" property by storage instead of by pipeline shape, since
+    # exchange reuse cannot deduplicate the sort+Python work above the
+    # shared exchange), finals exit via a map-only filter+project that
+    # stays parallel and never re-crosses the Python boundary, and the
+    # grp shuffle + pass 2 carry ONLY the pending boundary rows (heads +
+    # open tails — a per-slice-constant fraction). Dense pathological
+    # data (no forced reset anywhere) still degrades to the one-task
+    # pass-2 scan, unchanged. Float order per bucket is untouched
+    # (finals were computed in pass 1 either way; pending rows reach
+    # pass 2 in the same (grp, ts DESC, raw ASC, tail ASC) order — the
+    # tail ASC tie-break still reproduces the pass-1 head/tail cut at
+    # equal (ts, raw) pairs). Checkpoint cost: pass-1 output rows
+    # (aggregates + boundary rows, a fraction of the scan) stored
+    # MEMORY_AND_DISK once — the dedup-lineage discipline.
+    p1 = p1_raw.localCheckpoint(eager=False)
+    finals = p1.filter(F.col("final")).select(
+        "grp", "start_ts", "end_ts", "value", "len"
+    )
+    pending = (
+        # project to the five live columns BEFORE the exchange (guide
+        # §2.3): the final/start_ts/end_ts/value/len sentinels of
+        # pending rows are dead weight past this point
+        p1.filter(~F.col("final"))
+        .select("grp", "slice", "tail", "ts", "raw")
+        .repartition("grp")
         .sortWithinPartitions(
             "grp", F.desc("ts"), F.asc("raw"), F.asc("tail")
         )
     )
-    return routed.mapInPandas(_pass2, schema=RESULT_SCHEMA)
+    out = finals.unionByName(pending.mapInPandas(_pass2, schema=RESULT_SCHEMA))
+    # test seam: the pre-checkpoint pass-1 frame, so plan tests can pin
+    # the (grp, slice) exchange shape that the checkpoint hides from the
+    # final plan string
+    out._talna_sliced_p1 = p1_raw
+    return out
 
 
 def rolling_buckets(agg: DataFrame, width: int, k: int) -> DataFrame:
