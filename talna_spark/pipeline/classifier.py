@@ -70,8 +70,13 @@ def hashed_features(
 
     100 TB shape: one corpus scan, one (doc_id, f) hash-aggregate with
     map-side partials, one doc_id window over id rows. Text never
-    crosses an exchange."""
-    tok = docs.select(
+    crosses an exchange (fan_out is a no-op unless the bench env var
+    explicitly widens single-row-group scans — r17: tokenize+hash is
+    compute-in-scan work, and without it the whole featurize ran on ONE
+    task on the bench file, measured 4.4 s of a 5.5 s training run)."""
+    from talna_spark.pipeline.scan import fan_out
+
+    tok = fan_out(docs).select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     )
     feat = tok.groupBy(
@@ -109,8 +114,14 @@ def char_ngram_features(
     (2) grams are produced by explode(position sequence) + substr in a
     codegen'd projection, NOT a higher-order transform() — HOF lambdas
     evaluate interpreted per element (6.4 s HOF vs 3.6 s codegen warm;
-    what remains is the portable md5 hash itself)."""
-    base = docs.select(
+    what remains is the portable md5 hash itself). r17 adds (3): the
+    char-gram explode + hash is compute-in-scan work, so the input is
+    fan_out-widened (a no-op unless the bench env var is set — on the
+    single-row-group bench file the whole featurize otherwise ran on
+    ONE task)."""
+    from talna_spark.pipeline.scan import fan_out
+
+    base = fan_out(docs).select(
         "doc_id", norm_text(F.col(text_col)).alias("_t")
     ).localCheckpoint(eager=False)
     parts = []
@@ -325,8 +336,15 @@ def train_classifier(
             # resident frames (review r6)
             .persist()
         )
-        # loss + bias gradient in one pass over the n_docs-row frame;
-        # micro-unit ints keep both order-independent.
+        # loss + bias gradient + feature gradient in ONE action per
+        # round (r17, guide §1.2: the loss/bias aggregate and the
+        # gradient hash-agg were two separate collects — two scheduled
+        # jobs of fixed latency per round over the same persisted
+        # scoring frame; a union of the n_features gradient rows with a
+        # sentinel f=-1 loss row halves the per-round job count).
+        # Micro-unit ints keep every sum order-independent, so the
+        # loss history and gradients are bit-identical to the two-job
+        # form.
         eps = 1e-12
         loss_term = F.round(
             -(
@@ -336,12 +354,10 @@ def train_classifier(
             * MICRO
         ).cast("long")
         resid_term = F.round((F.col("p") - F.col("y")) * MICRO).cast("long")
-        agg = scored.agg(
-            F.sum(loss_term).alias("lm"), F.sum(resid_term).alias("rm")
-        ).collect()[0]
-        history.append(agg["lm"] / MICRO / n_docs)
-        g_bias = agg["rm"] / MICRO / n_docs
-        grad_rows = (
+        loss_row = scored.agg(
+            F.sum(loss_term).alias("a"), F.sum(resid_term).alias("b")
+        ).select(F.lit(-1).cast("long").alias("f"), "a", "b")
+        grad_part = (
             feat.join(
                 scored.select(
                     "doc_id", ((F.col("p") - F.col("y"))).alias("r")
@@ -350,14 +366,16 @@ def train_classifier(
             )
             .groupBy("f")
             .agg(
-                F.sum(F.round(F.col("r") * x * MICRO).cast("long")).alias(
-                    "gm"
-                )
+                F.sum(F.round(F.col("r") * x * MICRO).cast("long")).alias("a")
             )
-            .collect()
+            .select("f", "a", F.lit(0).cast("long").alias("b"))
         )
+        rows = grad_part.unionByName(loss_row).collect()
         scored.unpersist()
-        grad = {r["f"]: r["gm"] / MICRO / n_docs for r in grad_rows}
+        agg = next(r for r in rows if r["f"] == -1)
+        history.append(agg["a"] / MICRO / n_docs)
+        g_bias = agg["b"] / MICRO / n_docs
+        grad = {r["f"]: r["a"] / MICRO / n_docs for r in rows if r["f"] >= 0}
         wvec = [
             w - lr * (grad.get(f, 0.0) + l2 * w)
             for f, w in enumerate(wvec)
