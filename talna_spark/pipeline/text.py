@@ -91,7 +91,9 @@ def quality_parts() -> tuple:
 
 
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
     n_tok, punct_ratio, stop_ratio, score = quality_parts()
     return d.select(
         "doc_id",
@@ -872,7 +874,9 @@ def lm_score(
     past executor memory (multilingual char-soup corpora) and lets Spark
     plan a shuffle join on the token key instead.
     """
-    d = _docs(spark, sf_dir)
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(
@@ -1122,7 +1126,9 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM array/string builtins, no UDF, no shuffle, codegen end-to-end
     (same class as quality/lang_id; plan-tested with them).
     """
-    d = _docs(spark, sf_dir)
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
     n, mask, n_failed = gopher_parts()
     return d.select(
         "doc_id",
@@ -1309,7 +1315,9 @@ def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: map-only JVM projection over one corpus scan — no
     UDF, no shuffle, codegen end-to-end (same class as gopher_rules).
     """
-    d = _docs(spark, sf_dir)
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
     kept_frac, mask, n_failed = c4_parts()
     return d.select(
         "doc_id",
@@ -2069,9 +2077,13 @@ def lm_score_trigram_kn(
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
     tri = tris.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("c3"))
-    n3f = tris.groupBy("t1", "t2").agg(
-        F.countDistinct("t3").alias("n3f")
-    )
+    # tri already holds one row per distinct trigram: the follower count
+    # N1+(u,v,.) is a plain COUNT(*) re-aggregate of it — r17, replacing
+    # a second full scan of the positional tris stream with a
+    # countDistinct (the same derivation bi -> n2f/cont uses below; the
+    # re-aggregate shuffles #distinct-trigram id rows instead of
+    # re-reading every position)
+    n3f = tri.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n3f"))
     # bi already holds one row per distinct pair: follower / continuation
     # counts are plain COUNT(*) re-aggregates of it
     n2f = bi.groupBy("t1").agg(F.count(F.lit(1)).alias("n2f"))
