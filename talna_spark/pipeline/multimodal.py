@@ -45,10 +45,23 @@ FEATURE_SCHEMA = (
 )
 
 
+
+def _fan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan behind the shared compute-in-scan fan-out (r17):
+    every codec leg SYNTHESIZES its payloads (deflate, huffman, CRC —
+    real per-doc Python work) and decodes them in a second Arrow pass,
+    both inside the scan stage; on a single-row-group bench source the
+    whole leg otherwise serialized onto ONE task. No-op unless
+    TALNA_MIN_SCAN_TASKS widens the scan (production plan shapes are
+    unchanged — see pipeline/scan.py)."""
+    from talna_spark.pipeline.scan import fan_out
+
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> multimodal layout: (doc_id, media_type, payload binary,
     meta struct). The payload is the utf-8 encoding of the text."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _fan_docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.lit("text/plain").alias("media_type"),
@@ -143,7 +156,7 @@ def _wav_params(doc_id: int) -> tuple[int, int, int]:
 def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize one canonical 16-bit PCM WAV blob per document row
     (binary column + media_type), Arrow-batched."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -300,7 +313,7 @@ def bmp_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte i (row-major, top-down, BGR) has value (doc_id*17 + 11*i) % 256;
     the writer lays rows out bottom-up with 4-byte padding per the BMP
     spec, so the decoder must undo both to recover logical order."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -620,7 +633,7 @@ def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id + y) % 5 actually applied, then the whole stream is
     zlib-deflated into IDAT — a real compressed image, not a container
     around raw bytes."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -912,7 +925,7 @@ def jpeg_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs to clamp(2*q + 128). The oracle recomputes that closed
     form from doc_id arithmetic; the AC/zigzag/IDCT machinery is
     exercised bit-exactly by the coefficient-level unit tests."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
     qt, dc_bits, dc_vals, ac_bits, ac_vals, zz = (
         _JPEG_QT, _JPEG_DC_BITS, _JPEG_DC_VALS, _JPEG_AC_BITS, _JPEG_AC_VALS,
         _JPEG_ZZ,
@@ -1256,7 +1269,7 @@ def avi_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Logical channel byte i (row-major top-down, BGR) of frame f is
     (doc_id*19 + f*29 + 7*i) % 256 — the closed form the oracle
     recomputes."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1498,7 +1511,7 @@ def mjpeg_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     gray level is (doc_id*31 + f*37 + b*17) % 256, so the lossy round
     trip stays exactly predictable per frame (closed form: a flat block
     reconstructs to clamp(2*round_half_away((v-128)/2) + 128))."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
     qt, dc_bits, dc_vals, ac_bits, ac_vals, zz = (
         _JPEG_QT, _JPEG_DC_BITS, _JPEG_DC_VALS, _JPEG_AC_BITS, _JPEG_AC_VALS,
         _JPEG_ZZ,
@@ -1957,7 +1970,7 @@ def flac_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 + doc_id % 4 in a single partition. Sample i is
     ((doc_id*13 + i*7) % 201) - 100 — lossless, so the decoder's output
     equals this closed form exactly."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
     sr = FLAC_SAMPLE_RATE
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2404,7 +2417,7 @@ def make_pdf(text: str, compress: bool) -> bytes:
 def pdf_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PDF blob per document row (even doc_ids FlateDecode-compressed,
     odd raw — both stream paths exercised on every run)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _fan_docs(spark, sf_dir).select("doc_id", "text")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2712,7 +2725,7 @@ def mp3_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     per ISO 11172-3) with zeroed main-data payloads — the frame GRID is
     real and self-describing; the Huffman-coded audio inside is the
     declared perceptual-decode seam."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         brs = _MP3_BITRATES
@@ -2912,7 +2925,7 @@ def gif_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZW stream starts with a clear code and ends with EOI, packed
     LSB-first at growing code width — all of which the decoder must
     undo exactly."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -3226,7 +3239,7 @@ def layer1_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     at (frame f, sample s, subband sb) is
     (doc_id*7 + f*5 + s*3 + sb) % (2^nb - 1). Remaining frame bits are
     zero ancillary data."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _fan_docs(spark, sf_dir).select("doc_id")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def encode(did: int) -> bytes:
