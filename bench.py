@@ -1056,6 +1056,7 @@ def main() -> None:
                 shingles as _shg,
                 tokens as _tok,
             )
+            from talna_spark.pipeline.scan import fan_out as _fan_docs
             from talna_spark.pipeline.sketches import (
                 bk_build,
                 bk_cardinality,
@@ -1066,8 +1067,13 @@ def main() -> None:
                 lc_estimate,
             )
 
+            # r17: fan the input stream out like every other pipe row —
+            # the tokenize + shingle explode feeding all four sketches
+            # otherwise ran on ONE task on the single-row-group bench
+            # file (the operator costs being tracked are the sketch
+            # hash-aggs, not a serialized input prep)
             toks = (
-                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                _fan_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
                 .select(_tok(_Fs.col("text")).alias("_w"))
                 .localCheckpoint(eager=False)
                 .select(_Fs.explode(_shg(_Fs.col("_w"), 3)).alias("v"))

@@ -44,7 +44,12 @@ def _terms(query: str) -> list[str]:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from talna_spark.pipeline.scan import fan_out
+
+    # r17: BM25 tokenizes and scores map-side inside the scan stage —
+    # widen single-row-group sources (no-op unless TALNA_MIN_SCAN_TASKS
+    # is set; integer stats + per-row scoring are partition-independent)
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def bm25_topk(

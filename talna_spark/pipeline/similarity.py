@@ -34,7 +34,17 @@ IVF_TOP_K = 3
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    # r17: every ANN / embedding-dedup leg does its vector math inside
+    # the scan stage (broadcast model side, map-side cosines), so widen
+    # single-row-group sources via the shared compute-in-scan gate
+    # (no-op unless TALNA_MIN_SCAN_TASKS is set; all scoring is
+    # per-row map work with (score, id) tie-breaks, so results are
+    # partitioning-independent)
+    from talna_spark.pipeline.scan import fan_out
+
+    return fan_out(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key="vec_id"
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
 
@@ -1538,8 +1548,10 @@ def srp_embed_documents(
 
     if not 1 <= int(dim) <= 60:
         raise ValueError("dim must be in [1, 60] (sign bits of one hash)")
-    d = docs if docs is not None else spark.read.parquet(
-        f"{sf_dir}/documents.parquet"
+    from talna_spark.pipeline.scan import fan_out
+
+    d = docs if docs is not None else fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
     tok = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
