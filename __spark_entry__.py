@@ -1317,8 +1317,19 @@ def _x22_quality_scoring(
             F.lit(kind).alias("kind"),
         )
 
+    # r17: the LM-family slices (lm, lm2, lm3, pplbucket) share ONE
+    # corpus tokenization (lm_token_base: d/tok/pairs behind lazy
+    # localCheckpoints) instead of re-splitting the text per slice, and
+    # pplbucket reuses the lm slice's scored frame instead of re-running
+    # the whole unigram pass. Every slice's rows are bit-identical to
+    # the self-contained plans (the token stream is the same frame;
+    # pinned in tests/test_text.py) — the oracle twin is unchanged.
+    _lm_base = _text.lm_token_base(spark, sf_dir)
+    _lm_full = _text.lm_score(spark, sf_dir, base=_lm_base).localCheckpoint(
+        eager=False
+    )
     lm = norm(
-        _text.lm_score(spark, sf_dir),
+        _lm_full,
         F.lit(None), F.col("n_tokens"), F.col("xent"), "lm",
     )
     cut = norm(
@@ -1334,11 +1345,11 @@ def _x22_quality_scoring(
         F.col("verdict"), F.col("fail_mask"), F.col("kept_line_frac"), "c4",
     )
     lm2 = norm(
-        _text.lm_score_bigram(spark, sf_dir),
+        _text.lm_score_bigram(spark, sf_dir, base=_lm_base),
         F.lit(None), F.col("n_tokens"), F.col("xent2"), "lm2",
     )
     lm3 = norm(
-        _text.lm_score_trigram_kn(spark, sf_dir),
+        _text.lm_score_trigram_kn(spark, sf_dir, base=_lm_base),
         F.lit(None), F.col("n_tokens"), F.col("xent3"), "lm3",
     )
     clf = norm(
@@ -1352,7 +1363,7 @@ def _x22_quality_scoring(
     if not include_pplbucket:  # bench pins the r9 7-slice content so
         return out             # the quality-battery trend stays comparable
     ppb = norm(
-        _text.perplexity_buckets(spark, sf_dir),
+        _text.perplexity_buckets(spark, sf_dir, lm_xent=_lm_full),
         F.col("bucket"), F.col("xent"), F.col("tail_cut"), "pplbucket",
     )
     return out.unionByName(ppb)

@@ -340,13 +340,19 @@ def doremi_weights(
     of them this adds one (doc_id)-keyed join of two doc-sized score
     frames and ONE #domains-row aggregate. The result is model-sized —
     it broadcasts into :func:`doremi_mixture_sample`."""
-    from talna_spark.pipeline.text import lm_score, lm_score_bigram
+    from talna_spark.pipeline.text import (
+        lm_score, lm_score_bigram, lm_token_base,
+    )
 
     t = float(temperature)
     if not t > 0:
         raise ValueError("temperature must be positive")
-    uni = lm_score(spark, sf_dir).select("doc_id", "xent")
-    bi = lm_score_bigram(spark, sf_dir).select("doc_id", "xent2")
+    # r17: the proxy/reference pair shares ONE corpus tokenization
+    # (lm_token_base) — the token frames are identical to the scorers'
+    # self-contained ones, so both xent columns are bit-identical
+    base = lm_token_base(spark, sf_dir)
+    uni = lm_score(spark, sf_dir, base=base).select("doc_id", "xent")
+    bi = lm_score_bigram(spark, sf_dir, base=base).select("doc_id", "xent2")
     src = _docs_src(spark, sf_dir)
     excess_micro = F.round(
         (F.col("xent") - F.col("xent2")) * 1_000_000

@@ -846,8 +846,61 @@ def repetition_sql() -> str:
 
 
 # ------------------------------------------------- unigram LM scoring
+def lm_token_base(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared tokenized base for the LM scorer family (r17 optimization
+    round, guide §2.3: compute the expensive map work once, not once
+    per consumer). Returns the three frames ``lm_score`` /
+    ``lm_score_bigram`` / ``lm_score_trigram_kn`` otherwise each build
+    internally, every one behind a LAZY ``localCheckpoint`` so passing
+    the same base to several scorers materializes each frame once for
+    all of them:
+
+    - ``d``:     (doc_id, _w) — the tokenized documents (one
+      ``tokens(text)`` split over the corpus, THE dominant repeated map
+      cost at scale);
+    - ``tok``:   (doc_id, token) — the positional unigram stream;
+    - ``pairs``: (doc_id, t1, t2) — the positional bigram stream.
+
+    The scorers' per-model tables (uni/bi/tri aggregates, follower and
+    continuation counts) stay per-scorer: they are model-keyed
+    aggregates, cheap relative to the corpus split, and differ per
+    scorer. 100 TB shape: each frame is a map-only derivation of the
+    one before it; the checkpoints hold id/token rows only (never raw
+    text) and replace k full corpus re-tokenizations with one."""
+    from talna_spark.pipeline.scan import fan_out
+
+    d = (
+        fan_out(_docs(spark, sf_dir))
+        .select("doc_id", tokens(F.col("text")).alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    w = F.col("_w")
+    tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
+        eager=False
+    )
+    pair_structs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(w)),
+            lambda i: F.struct(
+                F.element_at(w, i - 1).alias("t1"),
+                F.element_at(w, i).alias("t2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    pairs = (
+        d.select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    return {"d": d, "tok": tok, "pairs": pairs}
+
+
 def lm_score(
-    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_vocab: bool = True,
+    base: "dict | None" = None,
 ) -> DataFrame:
     """Unigram language-model cross-entropy per document — the classic
     corpus-level quality signal (CCNet/Gopher-style filtering uses a
@@ -873,11 +926,21 @@ def lm_score(
     ``broadcast_vocab=False`` drops the broadcast hint for vocabularies
     past executor memory (multilingual char-soup corpora) and lets Spark
     plan a shuffle join on the token key instead.
+
+    ``base`` (r17): a :func:`lm_token_base` bundle shares the corpus
+    tokenization with the other LM scorers — the token stream is
+    identical either way, so results are bit-identical (pinned in
+    tests/test_text.py); ``None`` keeps the self-contained plan.
     """
     from talna_spark.pipeline.scan import fan_out
 
-    d = fan_out(_docs(spark, sf_dir))
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    if base is not None:
+        tok = base["tok"]
+    else:
+        d = fan_out(_docs(spark, sf_dir))
+        tok = d.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
@@ -970,7 +1033,9 @@ def quality_cutoff_filter_sql() -> str:
 PPL_TERCILES = (1 / 3, 2 / 3)  # head | middle | tail boundaries
 
 
-def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def perplexity_buckets(
+    spark: SparkSession, sf_dir: str, lm_xent: "DataFrame | None" = None
+) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): within
     each domain, documents partition into perplexity TERCILES of the
     LM cross-entropy — 'head' (most fluent third, <= p33), 'middle'
@@ -987,8 +1052,17 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: lm_score's own token-hash-agg plan + ONE
     #sources-row exact-percentile aggregate broadcast back; the bucket
-    label is a map-side compare — no additional corpus shuffle."""
-    xent = lm_score(spark, sf_dir).select("doc_id", "xent")
+    label is a map-side compare — no additional corpus shuffle.
+
+    ``lm_xent`` (r17): an already-computed ``lm_score`` frame (must
+    carry doc_id + xent) shares the unigram pass with a sibling lm
+    consumer (the x22 battery computes lm once for its ``lm`` AND
+    ``pplbucket`` slices); ``None`` keeps the self-contained plan.
+    Same scores either way, so results are bit-identical."""
+    if lm_xent is not None:
+        xent = lm_xent.select("doc_id", "xent")
+    else:
+        xent = lm_score(spark, sf_dir).select("doc_id", "xent")
     d = _docs(spark, sf_dir).select("doc_id", "source")
     scored = d.join(xent, "doc_id")
     p1, p2 = PPL_TERCILES
@@ -1848,6 +1922,7 @@ def lm_score_bigram(
     spark: SparkSession,
     sf_dir: str,
     broadcast_vocab: bool = True,
+    base: "dict | None" = None,
 ) -> DataFrame:
     """Interpolated bigram language-model cross-entropy per document —
     one rung up the KenLM ladder from :func:`lm_score`: position i >= 2
@@ -1862,46 +1937,61 @@ def lm_score_bigram(
     vocabs are token-keyed hash aggregates broadcast back over the
     positional stream (``broadcast_vocab=False`` for vocabularies past
     executor memory); the only wide exchange carries id/token rows.
+
+    ``base`` (r17): a :func:`lm_token_base` bundle shares the tokenized
+    ``d``/``tok``/``pairs`` frames with the other LM scorers — the
+    frames are identical either way, so results are bit-identical
+    (pinned in tests/test_text.py); ``None`` keeps the self-contained
+    plan.
     """
     from talna_spark.pipeline.scan import fan_out
 
-    # with broadcast vocabs the scoring work runs INSIDE the scan
-    # stage, so a single-row-group source file serializes the whole
-    # operator onto one task — the shared TALNA_MIN_SCAN_TASKS fan-out
-    # spreads it (no-op at real scale and in the default configuration)
-    # tokens materialized once behind a lazy localCheckpoint (r12): the
-    # pair-struct transform's element_at(w, i) lambda CAPTURES w, so the
-    # inline split re-ran once per pair position (the captured-expression
-    # class; see dedup._tokenized)
-    d = fan_out(_docs(spark, sf_dir)).select(
-        "doc_id", tokens(F.col("text")).alias("_w")
-    ).localCheckpoint(eager=False)
-    w = F.col("_w")
-    # tok feeds uni (and through it totals/c1/cu); pairs feeds bi AND the
-    # scoring join — materialize both behind lazy localCheckpoints or the
-    # tokenize/split subtree re-evaluates once per consumer (the LSH
-    # planning-pathology class)
-    tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
-        eager=False
-    )
+    if base is not None:
+        d, tok, pairs = base["d"], base["tok"], base["pairs"]
+        w = F.col("_w")
+    else:
+        # with broadcast vocabs the scoring work runs INSIDE the scan
+        # stage, so a single-row-group source file serializes the whole
+        # operator onto one task — the shared TALNA_MIN_SCAN_TASKS
+        # fan-out spreads it (no-op at real scale and in the default
+        # configuration)
+        # tokens materialized once behind a lazy localCheckpoint (r12):
+        # the pair-struct transform's element_at(w, i) lambda CAPTURES
+        # w, so the inline split re-ran once per pair position (the
+        # captured-expression class; see dedup._tokenized)
+        d = fan_out(_docs(spark, sf_dir)).select(
+            "doc_id", tokens(F.col("text")).alias("_w")
+        ).localCheckpoint(eager=False)
+        w = F.col("_w")
+        # tok feeds uni (and through it totals/c1/cu); pairs feeds bi
+        # AND the scoring join — materialize both behind lazy
+        # localCheckpoints or the tokenize/split subtree re-evaluates
+        # once per consumer (the LSH planning-pathology class)
+        tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
+            eager=False
+        )
+        pair_structs = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(w)),
+                lambda i: F.struct(
+                    F.element_at(w, i - 1).alias("t1"),
+                    F.element_at(w, i).alias("t2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+        pairs = (
+            d.select("doc_id", F.explode(pair_structs).alias("p"))
+            .select(
+                "doc_id",
+                F.col("p.t1").alias("t1"),
+                F.col("p.t2").alias("t2"),
+            )
+            .localCheckpoint(eager=False)
+        )
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = uni.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
-    )
-    pair_structs = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size(w)),
-            lambda i: F.struct(
-                F.element_at(w, i - 1).alias("t1"),
-                F.element_at(w, i).alias("t2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
-    pairs = (
-        d.select("doc_id", F.explode(pair_structs).alias("p"))
-        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
-        .localCheckpoint(eager=False)
     )
     bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = uni.select(F.col("token").alias("t1"), F.col("c").alias("c1"))
@@ -1985,7 +2075,10 @@ LM3_DISCOUNT = 0.75  # absolute discount D (the standard KN setting)
 
 
 def lm_score_trigram_kn(
-    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_vocab: bool = True,
+    base: "dict | None" = None,
 ) -> DataFrame:
     """Interpolated trigram Kneser-Ney cross-entropy per document — the
     next rung up the KenLM ladder from :func:`lm_score_bigram`, and a
@@ -2020,36 +2113,51 @@ def lm_score_trigram_kn(
     and the continuation count — "two more hash-aggs" on top of lm2)
     broadcast back over the positional streams; the only wide exchanges
     carry id/token rows; no collect().
+
+    ``base`` (r17): a :func:`lm_token_base` bundle shares the tokenized
+    ``d``/``tok``/``pairs`` frames with the other LM scorers — results
+    bit-identical either way (pinned in tests/test_text.py).
     """
     from talna_spark.pipeline.scan import fan_out
 
     D = float(LM3_DISCOUNT)
-    # tokens materialized once (r12) — same captured-expression fix as
-    # lm_score_bigram: element_at(w, i) in the pair/tri struct lambdas
-    # re-ran the inline split per position
-    d = fan_out(_docs(spark, sf_dir)).select(
-        "doc_id", tokens(F.col("text")).alias("_w")
-    ).localCheckpoint(eager=False)
-    w = F.col("_w")
+    if base is not None:
+        # r17: shared lm_token_base bundle — same frames, same results
+        # (pinned in tests/test_text.py); only the tris stream stays
+        # per-op (no other scorer consumes it)
+        d, tok, pairs = base["d"], base["tok"], base["pairs"]
+        w = F.col("_w")
+    else:
+        # tokens materialized once (r12) — same captured-expression fix
+        # as lm_score_bigram: element_at(w, i) in the pair/tri struct
+        # lambdas re-ran the inline split per position
+        d = fan_out(_docs(spark, sf_dir)).select(
+            "doc_id", tokens(F.col("text")).alias("_w")
+        ).localCheckpoint(eager=False)
+        w = F.col("_w")
 
-    tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
-        eager=False
-    )
-    pair_structs = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size(w)),
-            lambda i: F.struct(
-                F.element_at(w, i - 1).alias("t1"),
-                F.element_at(w, i).alias("t2"),
+        tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
+            eager=False
+        )
+        pair_structs = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(w)),
+                lambda i: F.struct(
+                    F.element_at(w, i - 1).alias("t1"),
+                    F.element_at(w, i).alias("t2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
-    pairs = (
-        d.select("doc_id", F.explode(pair_structs).alias("p"))
-        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
-        .localCheckpoint(eager=False)
-    )
+        ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+        pairs = (
+            d.select("doc_id", F.explode(pair_structs).alias("p"))
+            .select(
+                "doc_id",
+                F.col("p.t1").alias("t1"),
+                F.col("p.t2").alias("t2"),
+            )
+            .localCheckpoint(eager=False)
+        )
     tri_structs = F.when(
         F.size(w) >= 3,
         F.transform(

@@ -1202,3 +1202,29 @@ def test_weighted_sample_proportional_nested_stable_cross_engine(
     want = sorted(map(tuple, con.execute(weighted_docs_sql()).fetchall()))
     assert got == want  # bit-identical incl. the double key
     assert max(r[2] for r in got) <= WS_K
+
+
+def test_lm_family_shared_base_bit_identical(spark):
+    """r17: the lm_token_base bundle (one corpus tokenization shared by
+    the LM scorer family, the x22/doremi fast path) must produce rows
+    bit-identical to each scorer's self-contained plan — the token
+    frames are the same derivation, only materialized once."""
+    from talna_spark.pipeline.text import (
+        lm_score,
+        lm_score_bigram,
+        lm_score_trigram_kn,
+        lm_token_base,
+        perplexity_buckets,
+    )
+
+    base = lm_token_base(spark, SF)
+    for fn in (lm_score, lm_score_bigram, lm_score_trigram_kn):
+        alone = sorted(map(tuple, fn(spark, SF).collect()))
+        shared = sorted(map(tuple, fn(spark, SF, base=base).collect()))
+        assert alone == shared, fn.__name__
+    lm_full = lm_score(spark, SF, base=base)
+    alone = sorted(map(tuple, perplexity_buckets(spark, SF).collect()))
+    shared = sorted(
+        map(tuple, perplexity_buckets(spark, SF, lm_xent=lm_full).collect())
+    )
+    assert alone == shared
