@@ -306,6 +306,12 @@ def semdedup(
             "vec_id", "v", F.col("centroid_id").alias("cluster"),
             (F.col("ccos") + F.lit(0.0)).alias("ccos"),
         )
+        # r17: assigned has THREE consumers (both sides of the pair
+        # self-join plus the final verdict join) — materialize the
+        # scan->crossJoin->window assignment once instead of three times
+        # (lazy localCheckpoint, the repo's multi-consumer discipline;
+        # the frame is deterministic, so results are unchanged)
+        .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     # a is a dup iff an eps-similar, more-typical peer exists in its
