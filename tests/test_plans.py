@@ -345,14 +345,33 @@ def test_chunk_documents_map_only(spark):
 
 
 def test_semdedup_broadcast_assignment_id_only_pairs(spark):
-    # x12/semdedup: centroid assignment reaches the corpus via broadcast;
-    # the within-cluster compare may shuffle (cluster-keyed) but no
-    # Python appears anywhere
-    from talna_spark.pipeline.similarity import semdedup
+    # x12/semdedup: r17 materializes the centroid assignment once behind
+    # a lazy localCheckpoint (it has three consumers), so the verdict
+    # plan consumes the assignment as an ExistingRDD scan — the
+    # broadcast assignment itself is pinned on the pre-checkpoint frame
+    # below. The within-cluster compare may shuffle (cluster-keyed) but
+    # no Python appears anywhere.
+    from pyspark.sql import functions as F
+
+    from talna_spark.pipeline.similarity import (
+        IVF_CENTROIDS, _emb, cosine, semdedup,
+    )
 
     plan = plan_of(semdedup(spark, "/root/testdata/sf0.001"))
-    assert "BroadcastExchange" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed assignment
     assert "BatchEvalPython" not in plan
+    # the assignment frame (what the checkpoint materializes) reaches
+    # the corpus via a broadcast of the centroid side
+    e = _emb(spark, "/root/testdata/sf0.001")
+    c = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = e.join(F.broadcast(c), how="cross").select(
+        "vec_id", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+    )
+    aplan = plan_of(scored)
+    assert "BroadcastExchange" in aplan
+    assert "BatchEvalPython" not in aplan
 
 
 def test_dsir_model_broadcast_no_text_shuffle(spark):
