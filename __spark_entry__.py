@@ -1436,7 +1436,14 @@ def _x23_mixture_sample(
     SOURCES: the k smallest -ln(u)/w race keys per source, weight =
     char length here, a quality score in real pipelines; v1=rank,
     v2=n_chars, v3=the race key)."""
-    mx = _sampling.mixture_sample(spark, sf_dir).select(
+    # r17 (guide §2.3): ONE tokenized (doc_id, source, n_tokens) base
+    # shared by every _mix_scaffold sampler in this union — mixture /
+    # upsample / alpha here, + doremi / tbudget below — instead of one
+    # corpus tokenize pass per slice. Same derivation, materialized
+    # once; bit-identity pinned in
+    # tests/test_curation_ops.py::test_mixture_family_shared_base_bit_identical.
+    mixbase = _sampling.mix_token_base(spark, sf_dir)
+    mx = _sampling.mixture_sample(spark, sf_dir, base=mixbase).select(
         "doc_id",
         F.col("source").alias("s1"),
         F.col("n_tokens").cast("long").alias("v1"),
@@ -1460,7 +1467,7 @@ def _x23_mixture_sample(
         F.lit(0.0).alias("v3"),
         F.lit("reservoir").alias("kind"),
     )
-    up = _sampling.mixture_upsample(spark, sf_dir).select(
+    up = _sampling.mixture_upsample(spark, sf_dir, base=mixbase).select(
         "doc_id",
         F.col("source").alias("s1"),
         F.col("n_tokens").cast("long").alias("v1"),
@@ -1468,7 +1475,7 @@ def _x23_mixture_sample(
         F.col("copies").cast("double").alias("v3"),
         F.lit("upsample").alias("kind"),
     )
-    al = _sampling.alpha_mixture_sample(spark, sf_dir).select(
+    al = _sampling.alpha_mixture_sample(spark, sf_dir, base=mixbase).select(
         "doc_id",
         F.col("source").alias("s1"),
         F.col("n_tokens").cast("long").alias("v1"),
@@ -1481,7 +1488,7 @@ def _x23_mixture_sample(
     )
     if not include_doremi:  # bench pins the r9 5-slice content so the
         return out          # pipe_mixture trend stays comparable
-    do = _sampling.doremi_mixture_sample(spark, sf_dir).select(
+    do = _sampling.doremi_mixture_sample(spark, sf_dir, base=mixbase).select(
         "doc_id",
         F.col("source").alias("s1"),
         F.col("n_tokens").cast("long").alias("v1"),
@@ -1493,7 +1500,7 @@ def _x23_mixture_sample(
     # budgets via the distributed two-phase prefix sum (range buckets of
     # the order hash; see sampling.token_budget_sample), the exact-cut
     # complement of the rate samplers above (v2=cum_before, v3=budget).
-    tb = _sampling.token_budget_sample(spark, sf_dir).select(
+    tb = _sampling.token_budget_sample(spark, sf_dir, base=mixbase).select(
         "doc_id",
         F.col("source").alias("s1"),
         F.col("n_tokens").cast("long").alias("v1"),

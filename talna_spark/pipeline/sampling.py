@@ -108,23 +108,49 @@ def _mix_weight(source_col: F.Column) -> F.Column:
     return (F.lit(1) + num % 3).cast("long")
 
 
+def mix_token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tokenized (doc_id, source, n_tokens) projection for the
+    mixture-sampler family (r17 optimization round, guide §2.3: compute
+    the expensive map work once, not once per consumer), behind one
+    LAZY ``localCheckpoint``. Five samplers build this same frame
+    internally (:func:`mixture_sample`, :func:`alpha_mixture_sample`,
+    :func:`mixture_upsample`, :func:`doremi_mixture_sample`,
+    :func:`token_budget_sample`); passing one base to all of them —
+    the x23 registration does — materializes the corpus tokenize pass
+    ONCE instead of once per sampler. 100 TB shape: the checkpoint
+    holds (id, source, int64) rows only, never raw text."""
+    from talna_spark.pipeline.portable import tokens
+    from talna_spark.pipeline.scan import fan_out
+
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+
+
 def _mix_scaffold(
     spark: SparkSession,
     sf_dir: str,
     weight_col: F.Column | None = None,
     weights_df: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> tuple:
     """Shared front half of the mixture family (sample + upsample +
-    alpha + doremi): the tokenized (doc_id, source, n_tokens) projection
-    behind one lazy localCheckpoint, and the per-source frame with
-    weights and corpus/weight totals. Factored so the samplers cannot
-    drift (review r6) — only the rate/weight expressions differ.
+    alpha + doremi + tbudget): the tokenized (doc_id, source, n_tokens)
+    projection behind one lazy localCheckpoint, and the per-source frame
+    with weights and corpus/weight totals. Factored so the samplers
+    cannot drift (review r6) — only the rate/weight expressions differ.
     ``weight_col`` is evaluated over the per-source frame (columns
     ``source``, ``t_s``) and defaults to the demo source-name weights;
     ``weights_df`` instead broadcast-joins an explicit (source, w_s)
     frame (the learned-table path — :func:`doremi_mixture_sample`).
     Either way ``w_s`` MUST be integer-valued so ``w_all`` is an exact
-    any-order sum (the micro-unit discipline).
+    any-order sum (the micro-unit discipline). ``base`` (r17) is a
+    :func:`mix_token_base` frame shared across samplers — the same
+    derivation, materialized once for all of them; None (the default)
+    keeps every standalone plan byte-identical.
 
     The checkpoint: the projection feeds BOTH the per-domain totals and
     the final join; without a cut Catalyst re-evaluates the tokenize map
@@ -133,15 +159,7 @@ def _mix_scaffold(
     crossJoin of a broadcast sub-aggregate, which would execute the
     upstream a second time). The TALNA_MIN_SCAN_TASKS fan-out spreads a
     single-row-group source; a no-op on real multi-file corpora."""
-    from talna_spark.pipeline.portable import tokens
-    from talna_spark.pipeline.scan import fan_out
-
-    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    d = d.select(
-        "doc_id",
-        "source",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    ).localCheckpoint(eager=False)
+    d = base if base is not None else mix_token_base(spark, sf_dir)
     per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
     if weights_df is not None:
         per_src = per_src.join(F.broadcast(weights_df), "source")
@@ -156,7 +174,9 @@ def _mix_scaffold(
     return d, per_src
 
 
-def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mixture_sample(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """Domain-mixture sampling to a token budget: given per-domain
     weights w_s and a total budget B (here MIX_BUDGET_FRACTION of corpus
     tokens), each domain's target is B * w_s / sum(w), its keep-rate is
@@ -178,7 +198,7 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     at rate 1.0 — visible in the output as keep_ppm = 1000000 — rather
     than failing; upsampling/repetition is a training-loader concern.
     """
-    d, per_src = _mix_scaffold(spark, sf_dir)
+    d, per_src = _mix_scaffold(spark, sf_dir, base=base)
     return _budget_mixture(d, per_src)
 
 
@@ -239,7 +259,10 @@ def alpha_weight_col(alpha: float = 0.5) -> F.Column:
 
 
 def alpha_mixture_sample(
-    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Self-weighted (temperature) mixture sampling: identical budget /
     rate / keep machinery as :func:`mixture_sample`, but the per-domain
@@ -252,7 +275,9 @@ def alpha_mixture_sample(
     100 TB shape: unchanged from mixture_sample — the weight is one
     extra expression over the #domains-row aggregate; zero additional
     corpus work, zero corpus shuffle."""
-    d, per_src = _mix_scaffold(spark, sf_dir, alpha_weight_col(alpha))
+    d, per_src = _mix_scaffold(
+        spark, sf_dir, alpha_weight_col(alpha), base=base
+    )
     return _budget_mixture(d, per_src)
 
 
@@ -387,7 +412,10 @@ def _docs_src(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doremi_mixture_sample(
-    spark: SparkSession, sf_dir: str, temperature: float = DOREMI_TEMP
+    spark: SparkSession,
+    sf_dir: str,
+    temperature: float = DOREMI_TEMP,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Budgeted mixture sampling under the LEARNED :func:`doremi_weights`
     table — identical budget / rate / keep machinery (and the same
@@ -400,7 +428,7 @@ def doremi_mixture_sample(
     tiny aggregate, rates broadcast back, map-side integer ppm compare,
     zero corpus shuffle beyond the LM scorers' own token aggregates."""
     w = doremi_weights(spark, sf_dir, temperature).select("source", "w_s")
-    d, per_src = _mix_scaffold(spark, sf_dir, weights_df=w)
+    d, per_src = _mix_scaffold(spark, sf_dir, weights_df=w, base=base)
     return _budget_mixture(d, per_src)
 
 
@@ -450,7 +478,9 @@ def doremi_mixture_sample_sql(temperature: float = DOREMI_TEMP) -> str:
 
 
 
-def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mixture_upsample(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """The other half of mixture rebalancing: integer-epoch UPSAMPLING.
     :func:`mixture_sample` only *drops* (rates cap at 1.0, "upsampling
     is a loader concern"); real mixture tables repeat small high-weight
@@ -469,7 +499,7 @@ def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer compare, zero corpus shuffle."""
     from talna_spark.pipeline.portable import hash64
 
-    d, per_src = _mix_scaffold(spark, sf_dir)
+    d, per_src = _mix_scaffold(spark, sf_dir, base=base)
     # one full epoch redistributed by weight; fixed evaluation order
     rate = (
         F.col("t_all").cast("double")
@@ -708,6 +738,7 @@ def token_budget_sample(
     spark: SparkSession,
     sf_dir: str,
     budget_fraction: float = MIX_BUDGET_FRACTION,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """HARD-budget per-source sampling: keep each source's documents in
     deterministic ``'tb|'`` id-hash order until the cumulative token
@@ -732,7 +763,7 @@ def token_budget_sample(
     Returns (doc_id, source, n_tokens, cum_before, budget)."""
     from talna_spark.pipeline.portable import hash64
 
-    d, per_src = _mix_scaffold(spark, sf_dir)
+    d, per_src = _mix_scaffold(spark, sf_dir, base=base)
     h = hash64(F.concat(F.lit("tb|"), F.col("doc_id").cast("string")))
     dd = d.withColumn("_h", h).withColumn(
         "_b", F.shiftright(F.col("_h"), 60 - TB_BUCKETS_BITS)

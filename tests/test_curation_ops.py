@@ -1204,6 +1204,34 @@ def test_weighted_sample_proportional_nested_stable_cross_engine(
     assert max(r[2] for r in got) <= WS_K
 
 
+def test_mixture_family_shared_base_bit_identical(spark):
+    """r17: the mix_token_base frame (one corpus tokenization shared by
+    the five _mix_scaffold samplers, the x23 fast path) must produce
+    rows bit-identical to each sampler's self-contained plan — the
+    tokenized projection is the same derivation, only materialized
+    once."""
+    from talna_spark.pipeline.sampling import (
+        alpha_mixture_sample,
+        doremi_mixture_sample,
+        mix_token_base,
+        mixture_sample,
+        mixture_upsample,
+        token_budget_sample,
+    )
+
+    base = mix_token_base(spark, SF)
+    for fn in (
+        mixture_sample,
+        alpha_mixture_sample,
+        mixture_upsample,
+        doremi_mixture_sample,
+        token_budget_sample,
+    ):
+        alone = sorted(map(tuple, fn(spark, SF).collect()))
+        shared = sorted(map(tuple, fn(spark, SF, base=base).collect()))
+        assert alone == shared, fn.__name__
+
+
 def test_lm_family_shared_base_bit_identical(spark):
     """r17: the lm_token_base bundle (one corpus tokenization shared by
     the LM scorer family, the x22/doremi fast path) must produce rows
