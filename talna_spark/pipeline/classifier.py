@@ -60,7 +60,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- features
 def hashed_features(
-    docs: DataFrame, n_features: int, text_col: str = "text"
+    docs: DataFrame,
+    n_features: int,
+    text_col: str = "text",
+    tok: "DataFrame | None" = None,
 ) -> DataFrame:
     """(doc_id, f, tf, n) rows: term frequency per hashed feature bucket
     plus the document's token total (``Σ tf`` per doc — every token
@@ -73,12 +76,19 @@ def hashed_features(
     crosses an exchange (fan_out is a no-op unless the bench env var
     explicitly widens single-row-group scans — r17: tokenize+hash is
     compute-in-scan work, and without it the whole featurize ran on ONE
-    task on the bench file, measured 4.4 s of a 5.5 s training run)."""
+    task on the bench file, measured 4.4 s of a 5.5 s training run).
+
+    ``tok`` (r18): an already-exploded (doc_id, token) stream — e.g.
+    ``signal_token_base(...)["tok"]`` — shares the corpus tokenization
+    with sibling consumers; the derivation is identical (same tokens()
+    split, same explode), so features are bit-identical. ``None`` keeps
+    the self-contained plan."""
     from talna_spark.pipeline.scan import fan_out
 
-    tok = fan_out(docs).select(
-        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
-    )
+    if tok is None:
+        tok = fan_out(docs).select(
+            "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+        )
     feat = tok.groupBy(
         "doc_id", (hash64(F.col("token")) % n_features).alias("f")
     ).agg(F.count(F.lit(1)).alias("tf"))
@@ -182,6 +192,7 @@ def score_documents(
     weights: "dict | list | None" = None,
     bias: float = DEMO_BIAS,
     n_features: int = DEMO_FEATURES,
+    tok: "DataFrame | None" = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, clf_score): the linear quality score per
     document. ``clf_score = sigmoid(bias + Σ_f w[f]·tf[f]/n)``, each
@@ -191,9 +202,13 @@ def score_documents(
 
     Plan: token explode → (doc_id, f) hash-agg → broadcast-join the
     n_features-row weight table → doc_id hash-agg. Map-side scoring
-    against a broadcast model, the production quality-gate shape."""
-    d = docs if docs is not None else _docs(spark, sf_dir)
-    feat = hashed_features(d, n_features)
+    against a broadcast model, the production quality-gate shape.
+
+    ``tok`` (r18): pass-through to :func:`hashed_features` — a shared
+    (doc_id, token) stream replacing the self-contained scan+explode
+    (bit-identical features; ``None`` keeps the self-contained plan)."""
+    d = docs if docs is not None else (_docs(spark, sf_dir) if tok is None else None)
+    feat = hashed_features(d, n_features, tok=tok)
     wdf = weights_df(spark, n_features, weights)
     nano = F.round(
         F.col("w") * (F.col("tf").cast("double") / F.col("n")) * NANO
@@ -263,17 +278,26 @@ def train_classifier(
     micro-nats (exact int accounting, so the history is deterministic
     and partitioning-independent).
 
-    Per iteration (the k-means driver-model shape):
-    1. score: broadcast the weight table in, one doc_id hash-agg of
-       nano-unit terms → per-doc logit; residual r = σ(z) − y.
-    2. gradient: join the n_docs-row residuals back on doc_id (id rows,
-       shuffle join — NOT a broadcast: n_docs is corpus-sized), one
-       feature hash-agg of micro-unit r·x terms → n_features gradient
-       rows collected; w ← w − lr·(g/n_docs + l2·w) on the driver.
+    Per iteration (r18 single-pass shape, guide §2.4 — no per-round
+    corpus shuffle): broadcast the weight table in, compute the per-doc
+    logit as a window sum over the doc_id-clustered cached features
+    (the cache preserves the featurizer's hashpartitioning(doc_id), so
+    the window plans NO Exchange), derive the residual r = σ(z) − y on
+    every feature row in place, and fold loss + bias gradient + feature
+    gradient into ONE n_features-row aggregate (the loss/bias terms ride
+    the doc's min-f row, so no sentinel union and no second action).
+    The only per-round exchange carries n_features partial-agg rows;
+    the r17 shape shuffled the corpus-sized feature rows every round
+    (doc_id hash-agg + residual shuffle join). Micro/nano-unit integer
+    terms keep every sum order-independent, so weights, bias and the
+    loss history are bit-identical to the r17 two-pass form (pinned in
+    tests/test_classifier.py).
 
-    The featurized corpus is localCheckpoint(eager=False)-pinned so the
+    The featurized corpus is persist()-pinned (not localCheckpoint: a
+    checkpoint erases the plan's output partitioning, which would put
+    a per-round doc_id Exchange back under the window) so the
     tokenize+hash subtree runs once, not per-iteration (the shared-base
-    rule from LSH/curate)."""
+    rule from LSH/curate); it is unpersisted before returning."""
     spark = docs.sparkSession
     # one label per doc, deterministically (max y on conflict): a
     # duplicated label row would double its doc's feature rows through
@@ -286,7 +310,7 @@ def train_classifier(
     feat = (
         hashed_features(docs, n_features, text_col)
         .join(lab, "doc_id")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # normalize by the docs the sums actually cover: labels without a
     # matching doc (or docs whose NULL text yields no feature rows) fall
@@ -301,6 +325,7 @@ def train_classifier(
     x = F.col("tf").cast("double") / F.col("n")
     import pandas as pd
 
+    w_doc = Window.partitionBy("doc_id")
     for _ in range(int(iters)):
         # Arrow path: one batch for the n_features-row model table, not
         # n_features py4j row conversions per round
@@ -310,77 +335,61 @@ def train_classifier(
             ).astype({"f": "int64", "w": "float64"})
         )
         nano = F.round(F.col("w") * x * NANO).cast("long")
-        scored = (
-            feat.join(F.broadcast(wdf), "f")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(nano).alias("zn"))
-            .select(
-                "doc_id",
-                "y",
-                (
-                    F.lit(1.0)
-                    / (
-                        F.lit(1.0)
-                        + F.exp(
-                            -(F.col("zn") / F.lit(NANO) + F.lit(bias))
-                        )
-                    )
-                ).alias("p"),
-            )
-            # both per-round actions (loss aggregate, gradient join)
-            # consume this frame: without a cut the scoring pass over
-            # the corpus runs TWICE per round (the curate single-scan
-            # rule). persist/unpersist rather than localCheckpoint so
-            # the round's id-rows leave executor storage when the round
-            # ends — a checkpoint per iteration would accumulate iters
-            # resident frames (review r6)
-            .persist()
+        # per-doc logit via a window sum over the doc_id-clustered cache
+        # (no Exchange: the cached plan's hashpartitioning(doc_id)
+        # satisfies the window); min(f) marks ONE row per doc to carry
+        # the doc-level loss/bias terms — no orderBy, so the window
+        # only sorts by the partition key
+        scored = feat.join(F.broadcast(wdf), "f").select(
+            "y",
+            "f",
+            x.alias("x"),
+            F.sum(nano).over(w_doc).alias("zn"),
+            (F.col("f") == F.min("f").over(w_doc)).alias("first"),
         )
-        # loss + bias gradient + feature gradient in ONE action per
-        # round (r17, guide §1.2: the loss/bias aggregate and the
-        # gradient hash-agg were two separate collects — two scheduled
-        # jobs of fixed latency per round over the same persisted
-        # scoring frame; a union of the n_features gradient rows with a
-        # sentinel f=-1 loss row halves the per-round job count).
-        # Micro-unit ints keep every sum order-independent, so the
-        # loss history and gradients are bit-identical to the two-job
-        # form.
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("zn") / F.lit(NANO) + F.lit(bias)))
+        )
         eps = 1e-12
         loss_term = F.round(
             -(
-                F.col("y") * F.log(F.col("p") + eps)
-                + (1.0 - F.col("y")) * F.log(1.0 - F.col("p") + eps)
+                F.col("y") * F.log(p + eps)
+                + (1.0 - F.col("y")) * F.log(F.lit(1.0) - p + eps)
             )
             * MICRO
         ).cast("long")
-        resid_term = F.round((F.col("p") - F.col("y")) * MICRO).cast("long")
-        loss_row = scored.agg(
-            F.sum(loss_term).alias("a"), F.sum(resid_term).alias("b")
-        ).select(F.lit(-1).cast("long").alias("f"), "a", "b")
-        grad_part = (
-            feat.join(
-                scored.select(
-                    "doc_id", ((F.col("p") - F.col("y"))).alias("r")
-                ),
-                "doc_id",
-            )
-            .groupBy("f")
-            .agg(
-                F.sum(F.round(F.col("r") * x * MICRO).cast("long")).alias("a")
-            )
-            .select("f", "a", F.lit(0).cast("long").alias("b"))
+        resid_term = F.round((p - F.col("y")) * MICRO).cast("long")
+        grad_term = F.round((p - F.col("y")) * F.col("x") * MICRO).cast(
+            "long"
         )
-        rows = grad_part.unionByName(loss_row).collect()
-        scored.unpersist()
-        agg = next(r for r in rows if r["f"] == -1)
-        history.append(agg["a"] / MICRO / n_docs)
-        g_bias = agg["b"] / MICRO / n_docs
-        grad = {r["f"]: r["a"] / MICRO / n_docs for r in rows if r["f"] >= 0}
+        zero = F.lit(0).cast("long")
+        # ONE action per round: the n_features-row aggregate carries the
+        # feature gradient (a) plus the doc-level loss/bias sums (la/lb,
+        # riding each doc's min-f row); the driver folds la/lb across
+        # the collected rows — exact integer sums in any order, so the
+        # split-then-resum is bit-identical to one global sum
+        rows = (
+            scored.groupBy("f")
+            .agg(
+                F.sum(grad_term).alias("a"),
+                F.sum(F.when(F.col("first"), loss_term).otherwise(zero)).alias(
+                    "la"
+                ),
+                F.sum(
+                    F.when(F.col("first"), resid_term).otherwise(zero)
+                ).alias("lb"),
+            )
+            .collect()
+        )
+        history.append(sum(int(r["la"]) for r in rows) / MICRO / n_docs)
+        g_bias = sum(int(r["lb"]) for r in rows) / MICRO / n_docs
+        grad = {r["f"]: r["a"] / MICRO / n_docs for r in rows}
         wvec = [
             w - lr * (grad.get(f, 0.0) + l2 * w)
             for f, w in enumerate(wvec)
         ]
         bias -= lr * g_bias
+    feat.unpersist()
     return {"weights": wvec, "bias": bias, "loss_history": history}
 
 
@@ -403,14 +412,20 @@ def train_multiclass(
     :func:`char_ngram_features`; pass :func:`hashed_features` for a
     word-feature multiclass model.
 
-    All K binary problems train SIMULTANEOUSLY: per iteration one
-    scoring pass (weights in as a broadcast (f, w_0..w_{K-1}) table,
-    one doc_id hash-agg producing K nano-unit logits per doc) and one
-    gradient pass (residual join on doc_id, one feature hash-agg with K
-    micro-unit sums, n_features rows collected). Per-round driver
-    crossing is n_features x K doubles — the model, never the corpus.
-    Same exact-integer accounting as the binary trainer, so the result
-    is deterministic and partitioning-independent.
+    All K binary problems train SIMULTANEOUSLY, in the binary trainer's
+    r18 single-pass round shape (guide §2.4): weights in as a broadcast
+    (f, w_0..w_{K-1}) table, K per-doc logits as window sums over the
+    doc_id-clustered cached features (no per-round Exchange of the
+    corpus — the cache preserves the featurizer's
+    hashpartitioning(doc_id)), residuals derived in place on every
+    feature row, and ONE n_features-row aggregate per round carrying the
+    K feature gradients plus the K doc-level loss/bias sums (riding each
+    doc's min-f row). Per-round driver crossing is n_features x K
+    doubles — the model, never the corpus. The r17 shape ran TWO actions
+    per round (loss agg + residual shuffle join), each shuffling
+    corpus-sized rows. Same exact-integer accounting as the binary
+    trainer — bit-identical results (pinned in tests/test_langid.py) —
+    so the result is deterministic and partitioning-independent.
 
     Returns {"classes": [sorted labels], "weights": {c: list},
     "biases": {c: float}, "n_features": int, "loss_history": list}
@@ -431,10 +446,13 @@ def train_multiclass(
     feat = (
         feats(docs, n_features, text_col)
         .join(lab, "doc_id")
-        .localCheckpoint(eager=False)
+        .persist()  # r18: persist (not localCheckpoint) keeps the
+        # plan's hashpartitioning(doc_id) visible, so the per-round
+        # window plans no Exchange; unpersisted before returning
     )
     n_docs = feat.select("doc_id").distinct().count()
     if n_docs == 0:
+        feat.unpersist()
         raise ValueError("no labeled documents with features")
     K = len(classes)
     wmat = {c: [0.0] * n_features for c in classes}
@@ -444,6 +462,8 @@ def train_multiclass(
     eps = 1e-12
     import pandas as pd
 
+    w_doc = Window.partitionBy("doc_id")
+    zero = F.lit(0).cast("long")
     for _ in range(int(iters)):
         cols = {"f": range(n_features)}
         cols.update({f"w{i}": wmat[c] for i, c in enumerate(classes)})
@@ -452,67 +472,58 @@ def train_multiclass(
                 {"f": "int64", **{f"w{i}": "float64" for i in range(K)}}
             )
         )
-        aggs = [
-            F.sum(F.round(F.col(f"w{i}") * x * NANO).cast("long")).alias(
-                f"zn{i}"
-            )
-            for i in range(K)
+        sel = [
+            "y",
+            "f",
+            x.alias("x"),
+            (F.col("f") == F.min("f").over(w_doc)).alias("first"),
         ]
-        sel = ["doc_id", "y"]
+        for i in range(K):
+            zn = F.sum(
+                F.round(F.col(f"w{i}") * x * NANO).cast("long")
+            ).over(w_doc)
+            sel.append(zn.alias(f"zn{i}"))
+        scored = feat.join(F.broadcast(wdf), "f").select(*sel)
+        round_aggs = []
         for i, c in enumerate(classes):
+            yc = F.when(F.col("y") == c, 1.0).otherwise(0.0)
             p = F.lit(1.0) / (
                 F.lit(1.0)
                 + F.exp(-(F.col(f"zn{i}") / F.lit(NANO) + F.lit(biases[c])))
             )
-            sel.append(p.alias(f"p{i}"))
-        scored = (
-            feat.join(F.broadcast(wdf), "f")
-            .groupBy("doc_id", "y")
-            .agg(*aggs)
-            .select(*sel)
-            .persist()  # two consumers per round (loss agg + grad join)
-        )
-        loss_aggs, resid_cols = [], ["doc_id"]
-        for i, c in enumerate(classes):
-            yc = F.when(F.col("y") == c, 1.0).otherwise(0.0)
-            p = F.col(f"p{i}")
-            loss_aggs.append(
+            loss_term = F.round(
+                -(yc * F.log(p + eps) + (1.0 - yc) * F.log(1.0 - p + eps))
+                * MICRO
+            ).cast("long")
+            resid_term = F.round((p - yc) * MICRO).cast("long")
+            grad_term = F.round((p - yc) * F.col("x") * MICRO).cast("long")
+            round_aggs.append(F.sum(grad_term).alias(f"gm{i}"))
+            round_aggs.append(
+                F.sum(F.when(F.col("first"), loss_term).otherwise(zero)).alias(
+                    f"lm{i}"
+                )
+            )
+            round_aggs.append(
                 F.sum(
-                    F.round(
-                        -(yc * F.log(p + eps) + (1.0 - yc) * F.log(1.0 - p + eps))
-                        * MICRO
-                    ).cast("long")
-                ).alias(f"lm{i}")
+                    F.when(F.col("first"), resid_term).otherwise(zero)
+                ).alias(f"rm{i}")
             )
-            loss_aggs.append(
-                F.sum(F.round((p - yc) * MICRO).cast("long")).alias(f"rm{i}")
-            )
-            resid_cols.append((p - yc).alias(f"r{i}"))
-        agg = scored.agg(*loss_aggs).collect()[0]
+        grad_rows = scored.groupBy("f").agg(*round_aggs).collect()
         history.append(
-            sum(agg[f"lm{i}"] for i in range(K)) / MICRO / n_docs
+            sum(int(r[f"lm{i}"]) for r in grad_rows for i in range(K))
+            / MICRO
+            / n_docs
         )
-        grad_rows = (
-            feat.join(scored.select(*resid_cols), "doc_id")
-            .groupBy("f")
-            .agg(
-                *[
-                    F.sum(
-                        F.round(F.col(f"r{i}") * x * MICRO).cast("long")
-                    ).alias(f"gm{i}")
-                    for i in range(K)
-                ]
-            )
-            .collect()
-        )
-        scored.unpersist()
         for i, c in enumerate(classes):
             grad = {r["f"]: r[f"gm{i}"] / MICRO / n_docs for r in grad_rows}
             wmat[c] = [
                 w - lr * (grad.get(f, 0.0) + l2 * w)
                 for f, w in enumerate(wmat[c])
             ]
-            biases[c] -= lr * (agg[f"rm{i}"] / MICRO / n_docs)
+            biases[c] -= lr * (
+                sum(int(r[f"rm{i}"]) for r in grad_rows) / MICRO / n_docs
+            )
+    feat.unpersist()
     return {
         "classes": classes,
         "weights": wmat,
