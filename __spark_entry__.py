@@ -1318,13 +1318,18 @@ def _x22_quality_scoring(
         )
 
     # r17: the LM-family slices (lm, lm2, lm3, pplbucket) share ONE
-    # corpus tokenization (lm_token_base: d/tok/pairs behind lazy
-    # localCheckpoints) instead of re-splitting the text per slice, and
-    # pplbucket reuses the lm slice's scored frame instead of re-running
-    # the whole unigram pass. Every slice's rows are bit-identical to
-    # the self-contained plans (the token stream is the same frame;
-    # pinned in tests/test_text.py) — the oracle twin is unchanged.
-    _lm_base = _text.lm_token_base(spark, sf_dir)
+    # corpus tokenization (d/tok/pairs behind lazy localCheckpoints)
+    # instead of re-splitting the text per slice, and pplbucket reuses
+    # the lm slice's scored frame instead of re-running the whole
+    # unigram pass. r18 extends the shared base to the WHOLE battery
+    # (signal_token_base): the same single scan also evaluates the
+    # cutoff/gopher/c4 rule columns, and the clf slice consumes the
+    # shared (doc_id, token) stream — one corpus scan + tokenization
+    # for all 8 slices. Every slice's rows are bit-identical to the
+    # self-contained plans (the token stream and rule expressions are
+    # the same derivations materialized once; pinned in
+    # tests/test_curation_ops.py) — the oracle twin is unchanged.
+    _lm_base = _text.signal_token_base(spark, sf_dir)
     _lm_full = _text.lm_score(spark, sf_dir, base=_lm_base).localCheckpoint(
         eager=False
     )
@@ -1333,15 +1338,15 @@ def _x22_quality_scoring(
         F.lit(None), F.col("n_tokens"), F.col("xent"), "lm",
     )
     cut = norm(
-        _text.quality_cutoff_filter(spark, sf_dir),
+        _text.quality_cutoff_filter(spark, sf_dir, base=_lm_base),
         F.col("source"), F.col("quality"), F.col("cutoff"), "cutoff",
     )
     gopher = norm(
-        _text.gopher_rules(spark, sf_dir),
+        _text.gopher_rules(spark, sf_dir, base=_lm_base),
         F.col("verdict"), F.col("fail_mask"), F.col("n_failed"), "gopher",
     )
     c4 = norm(
-        _text.c4_rules(spark, sf_dir),
+        _text.c4_rules(spark, sf_dir, base=_lm_base),
         F.col("verdict"), F.col("fail_mask"), F.col("kept_line_frac"), "c4",
     )
     lm2 = norm(
@@ -1353,7 +1358,7 @@ def _x22_quality_scoring(
         F.lit(None), F.col("n_tokens"), F.col("xent3"), "lm3",
     )
     clf = norm(
-        _classifier.score_documents(spark, sf_dir),
+        _classifier.score_documents(spark, sf_dir, tok=_lm_base["tok"]),
         F.lit(None), F.col("n_tokens"), F.col("clf_score"), "clf",
     )
     out = (
@@ -1363,7 +1368,9 @@ def _x22_quality_scoring(
     if not include_pplbucket:  # bench pins the r9 7-slice content so
         return out             # the quality-battery trend stays comparable
     ppb = norm(
-        _text.perplexity_buckets(spark, sf_dir, lm_xent=_lm_full),
+        _text.perplexity_buckets(
+            spark, sf_dir, lm_xent=_lm_full, src=_lm_base["signals"]
+        ),
         F.col("bucket"), F.col("xent"), F.col("tail_cut"), "pplbucket",
     )
     return out.unionByName(ppb)

@@ -71,12 +71,17 @@ def token_stats_sql() -> str:
 
 
 # -------------------------------------------------------- quality scoring
-def quality_parts() -> tuple:
+def quality_parts(words=None) -> tuple:
     """(n_tokens, punct_ratio, stop_ratio, score) expressions over a
     ``text`` column — shared by :func:`quality` and the single-scan
     curate composition (pipeline.curate computes the score inline on its
-    one corpus scan instead of joining a second scan's output)."""
-    w = tokens(F.col("text"))
+    one corpus scan instead of joining a second scan's output).
+
+    ``words`` (r18): an already-tokenized array column to use instead of
+    re-splitting ``text`` — lets :func:`signal_token_base` evaluate the
+    battery over ONE shared tokenization (the expressions are otherwise
+    identical, so values are bit-identical)."""
+    w = tokens(F.col("text")) if words is None else words
     n_tok = F.size(w)
     punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
     punct_ratio = punct / F.length("text")
@@ -896,6 +901,75 @@ def lm_token_base(spark: SparkSession, sf_dir: str) -> dict:
     return {"d": d, "tok": tok, "pairs": pairs}
 
 
+def signal_token_base(spark: SparkSession, sf_dir: str) -> dict:
+    """Superset of :func:`lm_token_base` for the full quality battery
+    (r18 optimization round, guide §2.3): ONE corpus scan evaluates the
+    tokenization AND the rule-battery signal columns, behind one lazy
+    ``localCheckpoint``, so the battery's non-LM slices (cutoff / gopher
+    / c4) stop re-reading and re-splitting the corpus per slice.
+
+    Returns the ``lm_token_base`` keys (``d`` / ``tok`` / ``pairs`` —
+    drop-in for the LM scorers) plus ``signals``: (doc_id, source, _w,
+    q_quality, g_n_words, g_fail_mask, g_n_failed, c4_kept_line_frac,
+    c4_fail_mask, c4_n_failed). The signal expressions are exactly
+    :func:`quality_parts` / :func:`gopher_parts` / :func:`c4_parts`
+    evaluated over one shared token/line split (the split columns are
+    projected once and referenced by attribute — CollapseProject keeps
+    non-cheap multi-referenced aliases, verified in the r18 plan dumps),
+    so every value is bit-identical to the self-contained operators.
+
+    100 TB shape: the checkpoint holds token arrays + a handful of
+    numeric signal columns per doc (never raw text); it replaces three
+    additional corpus scans + text splits (quality, gopher, c4) and —
+    via the shared ``tok`` stream — the classifier slice's tokenize with
+    map-only derivations of one pass."""
+    from talna_spark.pipeline.scan import fan_out
+
+    raw = fan_out(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "source",
+        "text",
+        tokens(F.col("text")).alias("_w"),
+        F.split(F.col("text"), "\n").alias("_lines"),
+    )
+    w, lines = F.col("_w"), F.col("_lines")
+    _, _, _, q_score = quality_parts(words=w)
+    g_n, g_mask, g_nf = gopher_parts(words=w, lines=lines)
+    c_kept, c_mask, c_nf = c4_parts(lines=lines)
+    d_full = raw.select(
+        "doc_id",
+        "source",
+        "_w",
+        F.round(q_score, 6).alias("q_quality"),
+        g_n.cast("long").alias("g_n_words"),
+        g_mask.alias("g_fail_mask"),
+        g_nf.alias("g_n_failed"),
+        c_kept.cast("double").alias("c4_kept_line_frac"),
+        c_mask.alias("c4_fail_mask"),
+        c_nf.alias("c4_n_failed"),
+    ).localCheckpoint(eager=False)
+    d = d_full.select("doc_id", "_w")
+    tok = d.select("doc_id", F.explode(w).alias("token")).localCheckpoint(
+        eager=False
+    )
+    pair_structs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(w)),
+            lambda i: F.struct(
+                F.element_at(w, i - 1).alias("t1"),
+                F.element_at(w, i).alias("t2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    pairs = (
+        d.select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    return {"d": d, "tok": tok, "pairs": pairs, "signals": d_full}
+
+
 def lm_score(
     spark: SparkSession,
     sf_dir: str,
@@ -930,7 +1004,7 @@ def lm_score(
     ``base`` (r17): a :func:`lm_token_base` bundle shares the corpus
     tokenization with the other LM scorers — the token stream is
     identical either way, so results are bit-identical (pinned in
-    tests/test_text.py); ``None`` keeps the self-contained plan.
+    tests/test_curation_ops.py); ``None`` keeps the self-contained plan.
     """
     from talna_spark.pipeline.scan import fan_out
 
@@ -984,7 +1058,9 @@ def lm_score_sql() -> str:
 CUTOFF_PCT = 0.10  # drop the worst decile per source
 
 
-def quality_cutoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_cutoff_filter(
+    spark: SparkSession, sf_dir: str, base: "dict | None" = None
+) -> DataFrame:
     """Adaptive per-domain quality filtering: instead of one global
     threshold (which empties low-register domains and keeps everything
     from clean ones), each source drops its own worst CUTOFF_PCT
@@ -1001,10 +1077,22 @@ def quality_cutoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side compare. Exact percentile at this grouping is cheap because
     cardinality is #domains, not #docs — for per-token-level quantiles
     the approx_percentile sketch is the scale path (aggregate.py:73).
+
+    ``base`` (r18): a :func:`signal_token_base` bundle supplies the
+    already-scored (doc_id, source, quality) rows from the battery's one
+    shared scan — the quality expression is identical and source rides
+    the same row, so the doc_id join of the self-contained plan (a 1:1
+    join on the unique key) disappears without changing any row;
+    ``None`` keeps the self-contained plan.
     """
-    q = quality(spark, sf_dir).select("doc_id", "quality")
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    scored = d.join(q, "doc_id")
+    if base is not None:
+        scored = base["signals"].select(
+            "doc_id", "source", F.col("q_quality").alias("quality")
+        )
+    else:
+        q = quality(spark, sf_dir).select("doc_id", "quality")
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        scored = d.join(q, "doc_id")
     cuts = scored.groupBy("source").agg(
         F.round(F.percentile("quality", F.lit(CUTOFF_PCT)), 6).alias("cutoff")
     )
@@ -1034,7 +1122,10 @@ PPL_TERCILES = (1 / 3, 2 / 3)  # head | middle | tail boundaries
 
 
 def perplexity_buckets(
-    spark: SparkSession, sf_dir: str, lm_xent: "DataFrame | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    lm_xent: "DataFrame | None" = None,
+    src: "DataFrame | None" = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): within
     each domain, documents partition into perplexity TERCILES of the
@@ -1058,12 +1149,21 @@ def perplexity_buckets(
     carry doc_id + xent) shares the unigram pass with a sibling lm
     consumer (the x22 battery computes lm once for its ``lm`` AND
     ``pplbucket`` slices); ``None`` keeps the self-contained plan.
-    Same scores either way, so results are bit-identical."""
+    Same scores either way, so results are bit-identical.
+
+    ``src`` (r18): an already-materialized (doc_id, source) frame (e.g.
+    the battery's shared :func:`signal_token_base` checkpoint) replacing
+    the two column-pruned docs re-scans of the self-contained plan —
+    same parquet column through the same rows, bit-identical."""
     if lm_xent is not None:
         xent = lm_xent.select("doc_id", "xent")
     else:
         xent = lm_score(spark, sf_dir).select("doc_id", "xent")
-    d = _docs(spark, sf_dir).select("doc_id", "source")
+    d = (
+        src.select("doc_id", "source")
+        if src is not None
+        else _docs(spark, sf_dir).select("doc_id", "source")
+    )
     scored = d.join(xent, "doc_id")
     p1, p2 = PPL_TERCILES
     cuts = scored.groupBy("source").agg(
@@ -1121,13 +1221,17 @@ GOPHER_RULE_NAMES = (  # bit i of fail_mask = rule i violated
 )
 
 
-def gopher_parts() -> tuple:
+def gopher_parts(words=None, lines=None) -> tuple:
     """(n_words, fail_mask, n_failed) Column expressions over a ``text``
     column — shared by :func:`gopher_rules` (directory scan) and the
     streaming gate (talna_spark.streaming.documents), the quality_parts
     pattern: keeping the rules as free-standing map-only expressions is
-    what lets the SAME battery run on batch scans and micro-batches."""
-    w = tokens(F.col("text"))
+    what lets the SAME battery run on batch scans and micro-batches.
+
+    ``words`` / ``lines`` (r18): pre-split token / line array columns so
+    :func:`signal_token_base` shares one split across batteries; the
+    expressions over them are unchanged, so values are bit-identical."""
+    w = tokens(F.col("text")) if words is None else words
     n = F.size(w)
     mean_wlen = F.round(
         F.aggregate(w, F.lit(0).cast("long"),
@@ -1142,7 +1246,8 @@ def gopher_parts() -> tuple:
         - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
     ) / 3
     symbol_ratio = F.round((hash_n + ell_n) / n, 6)
-    lines = F.split(F.col("text"), "\n")
+    if lines is None:
+        lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
     bullet_frac = F.round(
         F.size(
@@ -1181,7 +1286,9 @@ def gopher_parts() -> tuple:
     return n, mask, n_failed
 
 
-def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gopher_rules(
+    spark: SparkSession, sf_dir: str, base: "dict | None" = None
+) -> DataFrame:
     """The Gopher rule battery (Rae et al. 2021, App. A1.1) — the
     hard-rule companion to the soft ``quality`` score, the filter set
     MassiveText/RedPajama/Dolma-class pipelines run verbatim: word count
@@ -1199,9 +1306,25 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: pure map-only projection over one corpus scan — all
     JVM array/string builtins, no UDF, no shuffle, codegen end-to-end
     (same class as quality/lang_id; plan-tested with them).
+
+    ``base`` (r18): a :func:`signal_token_base` bundle supplies the
+    already-evaluated rule columns from the battery's one shared scan
+    (identical expressions → bit-identical values); ``None`` keeps the
+    self-contained plan.
     """
     from talna_spark.pipeline.scan import fan_out
 
+    if base is not None:
+        m = F.col("g_fail_mask")
+        return base["signals"].select(
+            "doc_id",
+            F.col("g_n_words").alias("n_words"),
+            m.alias("fail_mask"),
+            F.col("g_n_failed").alias("n_failed"),
+            F.when(m == 0, F.lit("pass")).otherwise(F.lit("fail")).alias(
+                "verdict"
+            ),
+        )
     d = fan_out(_docs(spark, sf_dir))
     n, mask, n_failed = gopher_parts()
     return d.select(
@@ -1335,16 +1458,21 @@ C4_RULE_NAMES = (  # bit i of fail_mask = rule i violated
 )
 
 
-def c4_parts() -> tuple:
+def c4_parts(lines=None) -> tuple:
     """(kept_line_frac, fail_mask, n_failed) Column expressions over a
     ``text`` column — the gopher_parts pattern, reusable on batch scans
-    and micro-batches alike."""
+    and micro-batches alike.
+
+    ``lines`` (r18): a pre-split line array column so
+    :func:`signal_token_base` shares one line split with gopher_parts;
+    the per-line rules over it are unchanged (bit-identical values)."""
     low = F.lower(F.col("text"))
     L = F.length(low)
     n_sent = sum(
         L - F.length(F.replace(low, F.lit(ch), F.lit(""))) for ch in ".!?"
     )
-    lines = F.split(F.col("text"), "\n")
+    if lines is None:
+        lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
 
     def keep_line(l):
@@ -1374,7 +1502,9 @@ def c4_parts() -> tuple:
     return kept_frac, mask, n_failed
 
 
-def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c4_rules(
+    spark: SparkSession, sf_dir: str, base: "dict | None" = None
+) -> DataFrame:
     """The C4 cleaning battery (Raffel et al. 2020 §2.2) as doc-level
     fail flags: fewer than 3 sentences (terminal-punctuation count);
     'lorem ipsum'; a curly brace; a boilerplate policy phrase; and C4's
@@ -1388,9 +1518,25 @@ def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: map-only JVM projection over one corpus scan — no
     UDF, no shuffle, codegen end-to-end (same class as gopher_rules).
+
+    ``base`` (r18): a :func:`signal_token_base` bundle supplies the
+    already-evaluated rule columns from the battery's one shared scan
+    (identical expressions → bit-identical values); ``None`` keeps the
+    self-contained plan.
     """
     from talna_spark.pipeline.scan import fan_out
 
+    if base is not None:
+        m = F.col("c4_fail_mask")
+        return base["signals"].select(
+            "doc_id",
+            F.col("c4_kept_line_frac").alias("kept_line_frac"),
+            m.alias("fail_mask"),
+            F.col("c4_n_failed").alias("n_failed"),
+            F.when(m == 0, F.lit("pass")).otherwise(F.lit("fail")).alias(
+                "verdict"
+            ),
+        )
     d = fan_out(_docs(spark, sf_dir))
     kept_frac, mask, n_failed = c4_parts()
     return d.select(
@@ -1941,7 +2087,7 @@ def lm_score_bigram(
     ``base`` (r17): a :func:`lm_token_base` bundle shares the tokenized
     ``d``/``tok``/``pairs`` frames with the other LM scorers — the
     frames are identical either way, so results are bit-identical
-    (pinned in tests/test_text.py); ``None`` keeps the self-contained
+    (pinned in tests/test_curation_ops.py); ``None`` keeps the self-contained
     plan.
     """
     from talna_spark.pipeline.scan import fan_out
@@ -2116,14 +2262,14 @@ def lm_score_trigram_kn(
 
     ``base`` (r17): a :func:`lm_token_base` bundle shares the tokenized
     ``d``/``tok``/``pairs`` frames with the other LM scorers — results
-    bit-identical either way (pinned in tests/test_text.py).
+    bit-identical either way (pinned in tests/test_curation_ops.py).
     """
     from talna_spark.pipeline.scan import fan_out
 
     D = float(LM3_DISCOUNT)
     if base is not None:
         # r17: shared lm_token_base bundle — same frames, same results
-        # (pinned in tests/test_text.py); only the tris stream stays
+        # (pinned in tests/test_curation_ops.py); only the tris stream stays
         # per-op (no other scorer consumes it)
         d, tok, pairs = base["d"], base["tok"], base["pairs"]
         w = F.col("_w")
