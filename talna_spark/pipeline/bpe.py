@@ -391,7 +391,11 @@ def _collect_word_table(wt: DataFrame, cap: int):
     """Materialize the word table and return its rows as [[syms, n]]
     when it holds at most ``cap`` distinct words, else None (the
     distributed rounds take over). One job either way: head(cap+1)
-    runs the full aggregation but ships at most cap+1 rows."""
+    runs the full aggregation but ships at most cap+1 rows. Callers
+    pass ``wt`` already behind a lazy localCheckpoint (r18, ADVICE r17):
+    the probe's corpus scan + aggregation then materializes the
+    checkpoint the distributed rounds reuse, instead of being discarded
+    and re-run by round 1 on the above-cap path."""
     rows = wt.select("n", "syms").head(cap + 1)
     if len(rows) > cap:
         return None
@@ -422,11 +426,13 @@ def bpe_train(
     (tested)."""
     builder = _word_table if mode == "word" else _byte_word_table
     _init_syms_fn(mode)  # validate the mode before any Spark work
-    wt = builder(spark, sf_dir)
+    # checkpoint BEFORE the size probe (r18): the probe materializes it,
+    # so the above-cap path's first round reuses the aggregation instead
+    # of re-running the corpus scan (ADVICE r17 / VERDICT item 8)
+    wt = builder(spark, sf_dir).localCheckpoint(eager=False)
     words = _collect_word_table(wt, DRIVER_TRAIN_MAX_WORDS)
     if words is not None:
         return _local_bpe_merges(words, n_merges)
-    wt = wt.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (

@@ -412,7 +412,10 @@ def unigram_train(
     # both paths, so the learned model is identical (tested).
     from talna_spark.pipeline import bpe as _bpe
 
-    wt = _word_table(spark, sf_dir)
+    # checkpoint BEFORE the size probe (r18): the probe materializes it,
+    # so the above-cap path's seeding reuses the aggregation instead of
+    # re-running the corpus scan (ADVICE r17 / VERDICT item 8)
+    wt = _word_table(spark, sf_dir).localCheckpoint(eager=False)
     rows = wt.head(_bpe.DRIVER_TRAIN_MAX_WORDS + 1)
     if len(rows) <= _bpe.DRIVER_TRAIN_MAX_WORDS:
         words = [(r["word"], int(r["n"])) for r in rows]
@@ -421,7 +424,6 @@ def unigram_train(
         def estep(lp):
             return _e_step_local(words, lp, max_piece_len, em=em)
     else:
-        wt = wt.localCheckpoint(eager=False)
         counts = _seed_candidates(wt, seed_size, max_piece_len)
 
         def estep(lp):
