@@ -1312,6 +1312,19 @@ def bloom_to_words(bm: DataFrame, m: int = BLOOM_BITS) -> list[int]:
     return words
 
 
+def _long_array_expr(values) -> "F.Column":
+    """A literal array<bigint> built by ONE parsed SQL expression
+    instead of per-element ``F.lit`` calls (r18, guide §1/§7.3 driver
+    work): constructing the 1024-word bitmap as
+    ``F.array(*[F.lit(w).cast("long") ...])`` costs 2,000+ py4j
+    round-trips per gate expression — measured ~2-4 s of pure
+    driver-side plan construction on a 10-row frame, independent of
+    data size. One ``array(...L, ...)`` string parses in milliseconds
+    and analyzes to the identical literal array (min-long literals
+    parse fine on Spark 4.1 — verified)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
 _POW64 = None
 
 
@@ -1321,11 +1334,8 @@ def _pow64():
         # bit 63 is the sign bit: 1 << 63 as a SIGNED long is -2^63
         # (py4j cannot pass the unsigned 2^63 literal; Spark's own
         # shiftleft(1L, 63) wraps to the same value)
-        _POW64 = F.array(
-            *[
-                F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-                for b in range(64)
-            ]
+        _POW64 = _long_array_expr(
+            [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
         )
     return _POW64
 
@@ -1345,8 +1355,11 @@ def bloom_might_contain(col, words: list[int], m: int = BLOOM_BITS,
     plan-analysis blowup CENTROID_LITERAL_MAX documents. An
     aggregate() fold, NOT forall(): Spark 4.1's ArrayForAll eval NPEs
     unboxing a NULL lambda result on the NULL-value probe rows
-    (repro'd); the fold's null-safe accumulator sidesteps it."""
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    (repro'd); the fold's null-safe accumulator sidesteps it. The
+    bitmap literal is built by one parsed expression, not 1024 F.lit
+    py4j calls (r18, :func:`_long_array_expr` — measured 2.1 -> 0.5 s
+    fixed cost per gate, interleaved)."""
+    arr = _long_array_expr(words)
     positions = F.array(*_bloom_positions(col, m, k))
     return F.aggregate(
         positions,
@@ -1586,7 +1599,15 @@ def exact_dedup_against_bloom(
             "(~10 bits/ref value for ~1% fp at k=4) or pass max_fp=1.0 "
             "to run degraded deliberately"
         )
-    new_hashes = new_d.select("doc_id", F.md5("text").alias("_h"))
+    # r18 (guide §2.3/§5, the semdedup multi-consumer rule): the batch
+    # hash frame feeds the prefilter gate, the flags semi-join AND the
+    # doc_id spine below — up to 4 consumers, each re-scanning the
+    # batch text and re-computing md5. One lazy localCheckpoint holds
+    # (doc_id, 32-char hash) proxy rows — never text — and cuts that
+    # to one scan per batch (§8: decide with small rows).
+    new_hashes = new_d.select(
+        "doc_id", F.md5("text").alias("_h")
+    ).localCheckpoint(eager=False)
     ref_hashes_raw = ref_d.select(F.md5("text").alias("_h"))
     flags = _exact_flags_bloom(new_hashes, ref_hashes_raw, bm, m, k)
     return (
@@ -1643,6 +1664,17 @@ def dedup_against_frames(
     new_hashes = new_d.select("doc_id", F.md5("text").alias("_h"))
     if bloom_bm is not None or bloom_bits:
         m = int(bloom_bits) if bloom_bits else BLOOM_BITS
+        if bloom_bm is None:
+            # r18 (guide §2.3/§5): building in-call gives the ref hash
+            # frame TWO consumers (bitmap build + candidate verify),
+            # i.e. two corpus text scans + md5 passes. A lazy
+            # localCheckpoint of the hash-only proxy rows makes it one.
+            # With a PREBUILT bitmap the verify is the only consumer —
+            # no checkpoint (don't materialize for a single pass).
+            ref_hashes_raw = ref_hashes_raw.localCheckpoint(eager=False)
+        # same rule for the new side: gate + flags semi-join (2-3
+        # consumers inside _exact_flags_bloom)
+        new_hashes = new_hashes.localCheckpoint(eager=False)
         bm = (
             bloom_bm
             if bloom_bm is not None
