@@ -30,6 +30,7 @@ Scale design:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -387,6 +388,109 @@ def _local_bpe_merges(words: list, n_merges: int) -> list[tuple[str, str]]:
     return _local_train_loop(words, n_merges, pick, lambda a, b: a + b)
 
 
+# r18 (VERDICT r17 item 4): two job-count levers on the above-cap
+# (distributed) path. (1) _no_aqe: the per-round query is a fixed
+# join-free shape (vocab-table explode -> hash-agg -> TakeOrdered K);
+# AQE cannot re-plan anything here, but it materializes the one
+# exchange as a separate query-stage JOB, doubling the scheduled jobs
+# of an N-round loop (measured 61 -> 32 jobs for 30 byte merges,
+# identical list). The toggle is scoped to the loop and restored in
+# finally; it is a property of the QUERY SHAPE, not of any data or
+# core count, so it holds at 100 TB (the reduce side is a per-partition
+# top-K; AQE's only possible action is coalescing that cheap stage).
+# (2) batched merges, below: certified top-K prefixes apply several
+# merges under one round when provable (data-dependent — on natural
+# text the top pairs usually share symbols, so most rounds stay
+# single-merge; the lever pays on the skewed/gappy count tables of
+# late training and synthetic corpora). Combined measurement in
+# scripts/probe_bpe_jobs.py: 63 -> 32 jobs for 30 byte merges at
+# sf0.01 (2.1 -> 1.07 jobs/merge), identical merge list.
+@contextmanager
+def _no_aqe(spark):
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+# r18 (VERDICT r17 item 4): on the above-cap (distributed) path, apply
+# SEVERAL merges per scheduled round when greedy order is provable from
+# one pair-count collect. The per-round action is the same TakeOrdered
+# collect, just K rows instead of 1; a driver-side certification then
+# accepts the longest prefix of the ranked pairs that greedy BPE would
+# provably pick in exactly that order, and all accepted merges are
+# applied as stacked JVM folds under ONE lineage checkpoint, so jobs
+# per merge drop by the average batch size. The certification is
+# conservative — when in doubt the batch ends and the next round
+# re-counts — so the merge list is bit-identical by construction, and
+# on natural text most rounds stay single-merge (the top pairs share
+# symbols); see the combined probe numbers above.
+BPE_BATCH_TOP_K = 64
+
+
+def _safe_merge_batch(
+    rows: list, n_left: int, k_requested: int
+) -> list[tuple[str, str]]:
+    """The longest prefix of ``rows`` (the top pair counts, already in
+    greedy order: cnt DESC, (a, b) ASC) that greedy BPE provably picks
+    in exactly that order without recounting. Exactness argument:
+
+    Applying a merge (a, b) -> ab only (1) leaves pairs disjoint from
+    {a, b} untouched, (2) DECREASES pairs overlapping {a, b}, and
+    (3) CREATES occurrences of pairs with the merged name as a symbol —
+    each created occurrence of (x, ab) consumed an old (x, a) adjacency
+    and each (ab, y) an old (b, y), so a created pair's count is
+    bounded by some OLD pair's count that overlaps the merged pair's
+    symbols. After a certified prefix p_1..p_{i-1} (pairwise disjoint,
+    so every overlapping old pair ranks BELOW i):
+
+    - unchanged pairs ranked > i lose to p_i even on count ties (the
+      (a, b) ASC sort already encodes the lexicographic tie-break);
+    - decreased pairs only fall further;
+    - created (or created-augmented, when a merged NAME collides with
+      an existing symbol string) pairs are bounded by
+      old part + created part <= 2 * max(boundary, overlap), where
+      ``boundary`` is the largest count a pair OUTSIDE the collected
+      top-K can have (cnt of row K, or 1 when the collect was
+      exhaustive — every pair below the cnt>=2 filter) and ``overlap``
+      is the largest collected count at ranks > i sharing a symbol —
+      including merged names — with the accepted prefix.
+
+    So p_i is certified iff it is symbol-disjoint from the prefix
+    (merged names included) and cnt(p_i) > 2 * max(boundary, overlap).
+    A SELF-pair (a, a) breaks the created-pair bound (its created
+    occurrences are bounded only by its own count), so it may be
+    accepted but always terminates the batch. The prefix must stay
+    CONSECUTIVE — a skipped overlapping pair could still outrank later
+    rows after its unknown decrease. Row 0 is the exact argmax and is
+    always accepted. Pinned against the in-process trainer on
+    adversarial corpora (runs, ties, merged-name collisions) in
+    tests/test_bpe.py."""
+    boundary = rows[-1][2] if len(rows) >= int(k_requested) else 1
+    a0, b0 = rows[0][0], rows[0][1]
+    accepted = [(a0, b0)]
+    if a0 == b0 or n_left <= 1:
+        return accepted
+    syms = {a0, b0, a0 + b0}
+    for i in range(1, len(rows)):
+        a, b, cnt = rows[i]
+        if a in syms or b in syms or (a + b) in syms:
+            break
+        overlap = max(
+            (c for (x, y, c) in rows[i + 1:] if x in syms or y in syms),
+            default=0,
+        )
+        if cnt <= 2 * max(boundary, overlap):
+            break
+        accepted.append((a, b))
+        if len(accepted) >= int(n_left) or a == b:
+            break
+        syms.update((a, b, a + b))
+    return accepted
+
+
 def _collect_word_table(wt: DataFrame, cap: int):
     """Materialize the word table and return its rows as [[syms, n]]
     when it holds at most ``cap`` distinct words, else None (the
@@ -434,24 +538,43 @@ def bpe_train(
     if words is not None:
         return _local_bpe_merges(words, n_merges)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(wt)
-            .filter(F.col("cnt") >= 2)
-            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        # truncate lineage EVERY round: round i's pair scan otherwise
-        # re-evaluates every merge fold since the last checkpoint (sum
-        # 1..8 = 36 fold passes per 8 rounds instead of 8) — measured
-        # 13.6 s -> 7.1 s for 30 byte-mode merges at sf0.1, identical
-        # merge list; the checkpoint write is of the vocab-sized table
-        wt = _apply_merge(wt, a, b).localCheckpoint(eager=False)
+    # AQE off for the loop (restored after): the round query is a fixed
+    # join-free agg+TakeOrdered shape where AQE's only effect is one
+    # extra scheduled job per round materializing the exchange as a
+    # query stage — 61 -> 32 jobs for 30 byte merges, identical list
+    # (scripts/probe_bpe_jobs.py)
+    with _no_aqe(spark):
+        while len(merges) < int(n_merges):
+            # one TakeOrdered action per ROUND (K rows instead of 1 —
+            # same exchange, same collect); the driver certifies the
+            # longest greedy-provable prefix and applies it all at once
+            # (r18, _safe_merge_batch — jobs per merge drop by the
+            # batch size)
+            top = (
+                _pair_counts(wt)
+                .filter(F.col("cnt") >= 2)
+                .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+                .limit(BPE_BATCH_TOP_K)
+                .collect()
+            )
+            if not top:
+                break
+            batch = _safe_merge_batch(
+                [(r["a"], r["b"], int(r["cnt"])) for r in top],
+                int(n_merges) - len(merges),
+                BPE_BATCH_TOP_K,
+            )
+            for a, b in batch:
+                merges.append((a, b))
+                wt = _apply_merge(wt, a, b)
+            # truncate lineage EVERY round: the next round's pair scan
+            # otherwise re-evaluates every merge fold since the last
+            # checkpoint (sum-of-depths fold passes) — measured 13.6 s
+            # -> 7.1 s for 30 byte-mode merges at sf0.1, identical
+            # merge list; the checkpoint write is of the vocab-sized
+            # table. The in-round fold stack is at most the batch size
+            # deep.
+            wt = wt.localCheckpoint(eager=False)
     return merges
 
 

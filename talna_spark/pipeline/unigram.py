@@ -124,6 +124,11 @@ def _seed_candidates(
         wt.select("n", F.explode(subs).alias("piece"))
         .groupBy("piece")
         .agg(F.sum("n").alias("cnt"))
+        # r18 (guide §2.3): BOTH collects below consume this aggregate
+        # (single-char floor, then top multi-char) — a lazy checkpoint
+        # of the candidate-sized (piece, cnt) rows runs the substring
+        # explode + agg once instead of twice
+        .localCheckpoint(eager=False)
     )
     chars = {
         r["piece"]: int(r["cnt"])
@@ -424,10 +429,16 @@ def unigram_train(
         def estep(lp):
             return _e_step_local(words, lp, max_piece_len, em=em)
     else:
-        counts = _seed_candidates(wt, seed_size, max_piece_len)
+        # AQE off per distributed action (r18, the bpe_train rationale):
+        # seeding and the E-step are join-free agg + collect shapes
+        # where AQE's stage materialization only adds a scheduled job
+        # per action
+        with _bpe._no_aqe(spark):
+            counts = _seed_candidates(wt, seed_size, max_piece_len)
 
         def estep(lp):
-            return _e_step(wt, lp, max_piece_len, em=em)
+            with _bpe._no_aqe(spark):
+                return _e_step(wt, lp, max_piece_len, em=em)
 
     logp = _m_step(counts)
     while True:

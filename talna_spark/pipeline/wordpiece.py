@@ -153,46 +153,64 @@ def wordpiece_train(
                 seen.add(merged)
                 vocab.append(merged)
         return vocab
-    # wt is already checkpointed (materialized by the size probe above)
-    alphabet = sorted(
-        r["s"]
-        for r in wt.select(F.explode("syms").alias("s")).distinct().collect()
-    )
-    vocab = list(alphabet)
-    seen = set(vocab)
-    for _ in range(int(n_merges)):
-        pc = _pair_counts(wt).filter(F.col("cnt") >= 2)
-        sc = _sym_counts(wt)
-        sa = sc.select(F.col("s").alias("a"), F.col("cnt").alias("ca"))
-        sb = sc.select(F.col("s").alias("b"), F.col("cnt").alias("cb"))
-        top = (
-            pc.join(F.broadcast(sa), "a")
-            .join(F.broadcast(sb), "b")
-            .select(
-                "a",
-                "b",
-                (
-                    F.col("cnt").cast("double")
-                    # cast EACH count before multiplying: the int64
-                    # product ca*cb wraps negative past 2^63 (frequent
-                    # symbols at corpus scale each clear 3e9), silently
-                    # corrupting the argmax; double*double just loses
-                    # ulps, which the tie-break tolerates
-                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
-                ).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .collect()
+    from talna_spark.pipeline.bpe import _no_aqe
+
+    # wt is already checkpointed (materialized by the size probe above).
+    # AQE off for the loop (r18, the bpe_train rationale): the round
+    # query is a fixed agg + two vocab-sized broadcasts + TakeOrdered —
+    # nothing AQE can re-plan, but each exchange it materializes as a
+    # query stage is one more scheduled job per round. NOTE the merges
+    # themselves cannot be batched here: the likelihood score's
+    # denominators (symbol counts) change under EVERY merge, including
+    # symbol-disjoint ones — a pair overlapping an applied merge's
+    # symbols can JUMP in score (ca shrinks, score grows), so no
+    # count-table certification like bpe._safe_merge_batch exists.
+    with _no_aqe(spark):
+        alphabet = sorted(
+            r["s"]
+            for r in wt.select(
+                F.explode("syms").alias("s")
+            ).distinct().collect()
         )
-        if not top:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merged = _merge_name(a, b)
-        if merged not in seen:  # two merge paths can yield one name
-            seen.add(merged)
-            vocab.append(merged)
-        wt = _apply_merge(wt, a, b, merged).localCheckpoint(eager=False)
+        vocab = list(alphabet)
+        seen = set(vocab)
+        for _ in range(int(n_merges)):
+            pc = _pair_counts(wt).filter(F.col("cnt") >= 2)
+            sc = _sym_counts(wt)
+            sa = sc.select(F.col("s").alias("a"), F.col("cnt").alias("ca"))
+            sb = sc.select(F.col("s").alias("b"), F.col("cnt").alias("cb"))
+            top = (
+                pc.join(F.broadcast(sa), "a")
+                .join(F.broadcast(sb), "b")
+                .select(
+                    "a",
+                    "b",
+                    (
+                        F.col("cnt").cast("double")
+                        # cast EACH count before multiplying: the int64
+                        # product ca*cb wraps negative past 2^63
+                        # (frequent symbols at corpus scale each clear
+                        # 3e9), silently corrupting the argmax;
+                        # double*double just loses ulps, which the
+                        # tie-break tolerates
+                        / (
+                            F.col("ca").cast("double")
+                            * F.col("cb").cast("double")
+                        )
+                    ).alias("score"),
+                )
+                .orderBy(F.col("score").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merged = _merge_name(a, b)
+            if merged not in seen:  # two merge paths can yield one name
+                seen.add(merged)
+                vocab.append(merged)
+            wt = _apply_merge(wt, a, b, merged).localCheckpoint(eager=False)
     return vocab
 
 

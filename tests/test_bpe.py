@@ -518,3 +518,186 @@ def test_bpe_train_local_matches_distributed(spark, corpus_dir, monkeypatch):
     monkeypatch.setattr(bpe_mod, "DRIVER_TRAIN_MAX_WORDS", 0)
     assert bpe_train(spark, d, n_merges=15) == local
     assert len(local) > 5
+
+
+# --------------------------- r18: batched distributed merges (VERDICT
+# r17 item 4) — the certification must never change the merge list, so
+# every adversarial shape that could fool it is pinned against both the
+# pure-python reference and the in-process trainer.
+def _assert_distributed_matches_local(spark, texts, n_merges, monkeypatch):
+    import talna_spark.pipeline.bpe as bpe_mod
+
+    d = tempfile.mkdtemp(prefix="talna_bpe_batch_")
+    try:
+        pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        want = _ref_train(texts, n_merges)
+        assert bpe_train(spark, d, n_merges=n_merges) == want
+        monkeypatch.setattr(bpe_mod, "DRIVER_TRAIN_MAX_WORDS", 0)
+        assert bpe_train(spark, d, n_merges=n_merges) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_batched_distributed_self_pair_runs(spark, monkeypatch):
+    # long single-symbol runs: merging (a, a) creates (aa, aa) with a
+    # count the batch certification cannot bound — a self-pair must
+    # terminate its batch or the created pair is mis-ordered
+    texts = [
+        "aaaaaaaa aaaaaaa aaaa bbbbbbbb bbbb cc",
+        "aaaaaaaa aaaa bbbbbbbb aabb cccc cc",
+    ]
+    _assert_distributed_matches_local(spark, texts, 12, monkeypatch)
+
+
+def test_batched_distributed_created_pair_outranks(spark, monkeypatch):
+    # 'abab' repetition: after (a, b) -> ab the created (ab, ab) beats
+    # every remaining old pair, so a naive top-k batch would apply the
+    # old runner-up out of order
+    texts = [
+        "abababab ababab xyxy",
+        "abababab abab xy xyz",
+        "ababab zq zq zq zq zq",
+    ]
+    _assert_distributed_matches_local(spark, texts, 10, monkeypatch)
+
+
+def test_batched_distributed_merged_name_collision(spark, monkeypatch):
+    # drive toward ('a','bc') and ('ab','c') both naming 'abc': counts
+    # of pairs with the colliding name must not be double-batched
+    texts = [
+        "abc abc abc abc bcbc bcbc",
+        "ab ab ab ab abc abc",
+        "cab cab bca bca abcabc",
+    ]
+    _assert_distributed_matches_local(spark, texts, 14, monkeypatch)
+
+
+def _sim_batched_merges(words, n_merges, K):
+    """Pure-python mirror of the distributed loop's driver logic: full
+    pair count -> top-K in (cnt DESC, (a, b) ASC) order ->
+    _safe_merge_batch -> apply the accepted prefix. No Spark; the JVM
+    side it skips (_apply_merge fold, checkpoint cadence) is unchanged
+    by batching and covered by the Spark tests above."""
+    from talna_spark.pipeline.bpe import _merge_word_syms, _safe_merge_batch
+
+    words = [[list(s), n] for s, n in words]
+    merges: list = []
+    while len(merges) < n_merges:
+        pc: dict = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        pc = {p: c for p, c in pc.items() if c >= 2}
+        if not pc:
+            break
+        rows = sorted(
+            ((a, b, c) for (a, b), c in pc.items()),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )[:K]
+        for a, b in _safe_merge_batch(rows, n_merges - len(merges), K):
+            merges.append((a, b))
+            for w in words:
+                w[0] = _merge_word_syms(w[0], a, b, a + b)
+    return merges
+
+
+def test_batched_tie_heavy_simulated():
+    # every pair count equal: the lexicographic tie-break alone orders
+    # the merge list, and ties are exactly where the certification must
+    # refuse to batch (created pairs can tie the next candidate)
+    texts = ["ab cd ef gh", "ab cd ef gh", "ij kl mn op", "ij kl mn op"]
+    counts = _ref_word_counts(texts)
+    words = [(list(w) + [EOW], n) for w, n in sorted(counts.items())]
+    for K in (2, 8, 64):
+        assert _sim_batched_merges(words, 8, K) == _ref_train(texts, 8)
+
+
+def test_batched_randomized_simulated():
+    # seeded fuzz: hundreds of random corpora over tiny alphabets hit
+    # run/tie/merged-name-collision shapes the handwritten cases miss
+    # (pure-python — the 4000-corpus version of this fuzz ran clean
+    # during r18 development)
+    import random
+
+    rng = random.Random(18)
+    for _ in range(300):
+        alpha = rng.choice(["ab", "abc", "abcd"])
+        vocab: dict = {}
+        for _ in range(rng.randint(2, 12)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 10)
+        eow = rng.random() < 0.5
+        words = [
+            (list(w) + ([EOW] if eow else []), n)
+            for w, n in sorted(vocab.items())
+        ]
+        K = rng.choice([2, 4, 64])
+        nm = rng.randint(1, 20)
+        texts_equiv = [
+            " ".join([w] * n) for w, n in sorted(vocab.items())
+        ]
+        want = (
+            _ref_train(texts_equiv, nm)
+            if eow
+            else _sim_greedy_reference(words, nm)
+        )
+        assert _sim_batched_merges(words, nm, K) == want
+
+
+def _sim_greedy_reference(words, n_merges):
+    """Stepwise greedy (recount every merge) — the semantic ground
+    truth the batched loop must reproduce exactly."""
+    from talna_spark.pipeline.bpe import _merge_word_syms
+
+    words = [[list(s), n] for s, n in words]
+    merges: list = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        pc = {p: c for p, c in pc.items() if c >= 2}
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        merges.append(best)
+        a, b = best
+        for w in words:
+            w[0] = _merge_word_syms(w[0], a, b, a + b)
+    return merges
+
+
+def test_safe_merge_batch_unit():
+    from talna_spark.pipeline.bpe import _safe_merge_batch
+
+    # overlap stops the prefix (consecutive rule: no skipping)
+    rows = [("a", "b", 100), ("b", "c", 90), ("d", "e", 80)]
+    assert _safe_merge_batch(rows, 10, 64) == [("a", "b")]
+    # disjoint with wide margins batches; boundary=1 (exhaustive collect)
+    rows = [("a", "b", 100), ("c", "d", 50), ("e", "f", 10)]
+    assert _safe_merge_batch(rows, 10, 64) == [
+        ("a", "b"), ("c", "d"), ("e", "f"),
+    ]
+    # the 2x created-pair bound: cnt must EXCEED 2*max(boundary, overlap)
+    # (boundary = cnt of row K when the collect was full): 51 > 2*25
+    # passes, 25 > 2*25 does not
+    rows = [("a", "b", 100), ("c", "d", 51), ("e", "f", 25)]
+    assert _safe_merge_batch(rows, 10, 3) == [("a", "b"), ("c", "d")]
+    rows = [("a", "b", 100), ("c", "d", 50), ("e", "f", 25)]
+    assert _safe_merge_batch(rows, 10, 3) == [("a", "b")]
+    # self-pair first: exact argmax, batch of one
+    rows = [("a", "a", 100), ("c", "d", 10)]
+    assert _safe_merge_batch(rows, 10, 64) == [("a", "a")]
+    # self-pair later: accepted, then terminates
+    rows = [("a", "b", 100), ("c", "c", 40), ("e", "f", 10)]
+    assert _safe_merge_batch(rows, 10, 64) == [("a", "b"), ("c", "c")]
+    # merged-name collision with a later pair's symbol
+    rows = [("a", "b", 100), ("ab", "c", 40)]
+    assert _safe_merge_batch(rows, 10, 64) == [("a", "b")]
+    # n_left caps the batch
+    rows = [("a", "b", 100), ("c", "d", 40)]
+    assert _safe_merge_batch(rows, 1, 64) == [("a", "b")]
