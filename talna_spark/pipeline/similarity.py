@@ -586,20 +586,18 @@ def pq_train_codebooks(
     MSE strictly improving on the seed codebook and by the plumbing
     identity pq_topk(codebooks=seed-sub-vectors) == pq_topk().
 
-    100 TB shape: PQ_M sequential k-means runs, each with the kmeans
-    discipline — centroids driver-side (seeds x PQ_DS doubles), per
-    round one (cluster, dim)-cell aggregate; sub-vector extraction is
-    the map-side explode of :func:`_pq_subs`, filtered per subspace."""
+    100 TB shape (r18, guide §1.2): ALL PQ_M subspaces train together
+    in :func:`_kmeans_by_group` — one hash-ranked init action and one
+    (m, cluster, dim)-cell aggregate per round over the checkpointed
+    sub-vector frame, instead of PQ_M sequential k-means loops that
+    each re-scanned it (8x fewer actions AND 8x fewer corpus passes;
+    assignments bit-identical per row, means within float summation
+    order of the sequential path — tested at 1e-9)."""
     e = _emb(spark, sf_dir)
-    subs = _pq_subs(e).localCheckpoint(eager=False)
-    books = []
-    for m in range(PQ_M):
-        sm = subs.filter(F.col("m") == m).select(
-            "vec_id", F.col("sub").alias("v")
-        )
-        cents, _hist = kmeans_centroids(sm, k=seeds, iters=iters)
-        books.append(cents)
-    return books
+    subs = _pq_subs(e).select(
+        "m", "vec_id", F.col("sub").alias("v")
+    ).localCheckpoint(eager=False)
+    return _kmeans_by_group(spark, subs, PQ_M, k=seeds, iters=iters)
 
 
 IVFPQ_NPROBE = 2
@@ -1048,18 +1046,14 @@ def pq_train_residual_codebooks(
     :func:`pq_train_codebooks`; residuals are a tighter distribution
     than raw vectors (measured: mean |r|^2 0.88 vs |v|^2 1.0 at
     k=16 coarse centroids), which is exactly why residual coding wins
-    at equal bytes."""
+    at equal bytes. All PQ_M subspaces train together (r18,
+    :func:`_kmeans_by_group` — the pq_train_codebooks rationale)."""
     e = _emb(spark, sf_dir)
     res = _trained_residuals(e, centroids)
-    subs = _pq_subs(res.select("vec_id", "v")).localCheckpoint(eager=False)
-    books = []
-    for m in range(PQ_M):
-        sm = subs.filter(F.col("m") == m).select(
-            "vec_id", F.col("sub").alias("v")
-        )
-        cents, _hist = kmeans_centroids(sm, k=seeds, iters=iters)
-        books.append(cents)
-    return books
+    subs = _pq_subs(res.select("vec_id", "v")).select(
+        "m", "vec_id", F.col("sub").alias("v")
+    ).localCheckpoint(eager=False)
+    return _kmeans_by_group(spark, subs, PQ_M, k=seeds, iters=iters)
 
 
 def ivfpq_residual_topk_trained(
@@ -1255,6 +1249,7 @@ def kmeans_centroids(
     mean aggregation over fixed (cluster, dim) cells; empty clusters
     keep their previous centroid. Iteration stops at ``iters`` or when
     inertia improves by less than ``tol`` relative."""
+    from talna_spark.pipeline.bpe import _no_aqe
     from talna_spark.pipeline.portable import hash64
 
     k = int(k)
@@ -1274,29 +1269,140 @@ def kmeans_centroids(
     if len(cents) < k:
         raise ValueError(f"corpus has fewer than k={k} vectors")
     history = []
-    for _ in range(int(iters)):
-        a = assign_centroids(e, cents).select("v", "cid", "d2")
-        cells = (
-            a.select("cid", "d2", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cid", "dim")
-            .agg(F.avg("val").alias("mu"), F.sum("d2").alias("sd2"))
+    # AQE off for the loop (r18, the trainer rationale from bpe._no_aqe):
+    # each round is one map-side assignment + one (cluster, dim)-cell
+    # aggregate + collect — nothing AQE can re-plan, but its query-stage
+    # materialization adds a scheduled job per round
+    with _no_aqe(e.sparkSession):
+        for _ in range(int(iters)):
+            a = assign_centroids(e, cents).select("v", "cid", "d2")
+            cells = (
+                a.select("cid", "d2", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cid", "dim")
+                .agg(F.avg("val").alias("mu"), F.sum("d2").alias("sd2"))
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # empty cluster keeps old
+            inertia = 0.0
+            per_dim = {}
+            for r in cells:
+                per_dim[(r["cid"], r["dim"])] = r["mu"]
+                if r["dim"] == 0:
+                    inertia += r["sd2"]
+            for (cid, dim), mu in per_dim.items():
+                new_cents[cid][dim] = mu
+            cents = new_cents
+            history.append(inertia)
+            if len(history) >= 2 and history[-2] > 0:
+                if (history[-2] - history[-1]) < tol * history[-2]:
+                    break
+    return cents, history
+
+
+def _kmeans_by_group(
+    spark: SparkSession,
+    subs: DataFrame,
+    n_groups: int,
+    k: int,
+    iters: int,
+    tol: float = 1e-4,
+) -> list:
+    """Lloyd's k-means over EVERY group of a (m, vec_id, v) frame in
+    ONE action per round (r18, guide §1.2 step 1): the per-subspace PQ
+    trainers previously ran :func:`kmeans_centroids` once per subspace
+    — PQ_M sequential loops, each re-scanning the sub-vector frame and
+    each paying its own init + per-round collects (8x the actions and
+    8x the corpus passes the algorithm needs). Here all groups advance
+    together: one hash-ranked-init action (a per-group row_number over
+    the same ('km|' + vec_id) ordering the single-group init uses), and
+    per round ONE broadcast of the live groups' centroid tables, one
+    map-side argmin, one (m, cluster, dim)-cell aggregate, one collect.
+
+    Per-row math is IDENTICAL to the single-group path: the same
+    _sq_l2 fold against the group's centroid list (broadcast-joined
+    array instead of a literal, same element order), the same 6-dp
+    rounding, the same first-match = lowest-cluster-id tie-break — so
+    assignments are bit-identical; the per-cell means differ from the
+    sequential run only by float summation order (the documented
+    kmeans tolerance, tested against the sequential path at 1e-9).
+    Groups that hit the ``tol`` stop (or run out of vectors for k) are
+    FROZEN — dropped from the broadcast and the scan — mirroring each
+    sequential loop's early exit. Returns [centroids] indexed by
+    group."""
+    from talna_spark.pipeline.bpe import _no_aqe
+    from talna_spark.pipeline.portable import hash64
+    from pyspark.sql.window import Window
+
+    k = int(k)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy("m").orderBy(
+        F.col("_h").asc(), F.col("vec_id").asc()
+    )
+    with _no_aqe(spark):
+        init = (
+            subs.withColumn(
+                "_h",
+                hash64(
+                    F.concat(F.lit("km|"), F.col("vec_id").cast("string"))
+                ),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("m", "_r", "v")
             .collect()
         )
-        new_cents = [list(c) for c in cents]  # empty cluster keeps old
-        inertia = 0.0
-        per_dim = {}
-        for r in cells:
-            per_dim[(r["cid"], r["dim"])] = r["mu"]
-            if r["dim"] == 0:
-                inertia += r["sd2"]
-        for (cid, dim), mu in per_dim.items():
-            new_cents[cid][dim] = mu
-        cents = new_cents
-        history.append(inertia)
-        if len(history) >= 2 and history[-2] > 0:
-            if (history[-2] - history[-1]) < tol * history[-2]:
+        cents: dict = {m: [None] * k for m in range(int(n_groups))}
+        for r in init:
+            cents[r["m"]][r["_r"] - 1] = list(r["v"])
+        for m in range(int(n_groups)):
+            if any(c is None for c in cents[m]):
+                raise ValueError(
+                    f"group {m} has fewer than k={k} vectors"
+                )
+        history: dict = {m: [] for m in range(int(n_groups))}
+        live = set(range(int(n_groups)))
+        for _ in range(int(iters)):
+            if not live:
                 break
-    return cents, history
+            cdf = spark.createDataFrame(
+                [(m, cents[m]) for m in sorted(live)],
+                "m int, _cc array<array<double>>",
+            )
+            dists = F.transform(
+                F.col("_cc"), lambda c: F.round(_sq_l2(F.col("v"), c), 6)
+            )
+            d2 = F.array_min(dists)
+            cid = (F.array_position(dists, d2) - 1).cast("int")
+            cells = (
+                subs.join(F.broadcast(cdf), "m")  # inner: frozen m's skip
+                .select(
+                    "m",
+                    cid.alias("cid"),
+                    d2.alias("d2"),
+                    F.posexplode("v").alias("dim", "val"),
+                )
+                .groupBy("m", "cid", "dim")
+                .agg(F.avg("val").alias("mu"), F.sum("d2").alias("sd2"))
+                .collect()
+            )
+            inertia = {m: 0.0 for m in live}
+            per_dim: dict = {}
+            for r in cells:
+                per_dim[(r["m"], r["cid"], r["dim"])] = r["mu"]
+                if r["dim"] == 0:
+                    inertia[r["m"]] += r["sd2"]
+            for (m, cid_i, dim), mu in per_dim.items():
+                cents[m][cid_i][dim] = mu
+            done = set()
+            for m in live:
+                h = history[m]
+                h.append(inertia[m])
+                if len(h) >= 2 and h[-2] > 0:
+                    if (h[-2] - h[-1]) < float(tol) * h[-2]:
+                        done.add(m)
+            live -= done
+    return [cents[m] for m in range(int(n_groups))]
 
 
 def _centroid_argmin(cents: list) -> tuple:

@@ -1180,3 +1180,30 @@ def test_ann_model_save_load_round_trip(spark, tmp_path):
     holey.write.mode("overwrite").parquet(p3)
     with pytest.raises(ValueError, match="gaps"):
         S.load_ann_model(spark, p3)
+
+
+def test_kmeans_by_group_matches_sequential(spark):
+    """r18: the grouped PQ trainer (one action per round for all PQ_M
+    subspaces) must reproduce the sequential per-subspace kmeans —
+    assignments are bit-identical by construction (same _sq_l2 fold,
+    same 6-dp rounding, same lowest-cid tie-break), so the centroids
+    may differ only by float summation order (the documented kmeans
+    tolerance)."""
+    from pyspark.sql import functions as F
+
+    import talna_spark.pipeline.similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    e = S._emb(spark, sf)
+    subs = S._pq_subs(e).select(
+        "m", "vec_id", F.col("sub").alias("v")
+    ).localCheckpoint(eager=False)
+    grouped = S._kmeans_by_group(spark, subs, S.PQ_M, k=S.PQ_SEEDS, iters=4)
+    for m in range(S.PQ_M):
+        sm = subs.filter(F.col("m") == m).select("vec_id", "v")
+        seq, _h = S.kmeans_centroids(sm, k=S.PQ_SEEDS, iters=4)
+        assert len(grouped[m]) == len(seq) == S.PQ_SEEDS
+        for a, b in zip(grouped[m], seq):
+            assert all(abs(x - y) < 1e-9 for x, y in zip(a, b)), (
+                m, a, b,
+            )
