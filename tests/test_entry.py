@@ -60,12 +60,20 @@ def test_query_matches_oracle(spark, duck, name):
     cols = sorted(sdf.columns)
     spark_rows = [tuple(r[c] for c in cols) for r in sdf.collect()]
 
+    # non-emptiness rides the oracle run (r18: this replaces the old
+    # standalone test_nonempty_queries sweep, which re-computed every
+    # query a second time — ~3 min of suite wall for zero extra
+    # coverage): an accidentally-empty result must fail HERE, not
+    # vacuously match an accidentally-empty oracle
+    if name == "q20_empty":
+        assert len(spark_rows) == 0, "q20_empty must return 0 rows"
+    else:
+        assert len(spark_rows) > 0, f"{name}: empty result at sf0.001"
+
     oracles = entrymod.oracle_sql()
     if name not in oracles:
         # greedy-mode: weaker rows-only check, like the driver
         assert isinstance(spark_rows, list)
-        if name != "q20_empty":
-            assert len(spark_rows) > 0, f"{name}: expected non-empty result"
         return
 
     odf = duck.execute(oracles[name]).fetch_df()
@@ -98,12 +106,7 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
 
 
-def test_nonempty_queries(spark):
-    """Every query except q20_empty should return rows at sf0.001 — an
-    accidentally-empty result would vacuously 'match' any oracle."""
-    for name, q in entrymod.queries().items():
-        n = q(spark, SF_DIR).count()
-        if name == "q20_empty":
-            assert n == 0, name
-        else:
-            assert n > 0, f"{name} returned 0 rows at sf0.001"
+# (r18: the standalone nonempty-queries sweep folded into
+# test_query_matches_oracle above — every parametrized case now asserts
+# non-emptiness on the rows it already collected, so the second full
+# run of all 50 queries is gone.)

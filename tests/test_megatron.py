@@ -192,26 +192,46 @@ def test_idx_single_byte_corruption_never_parses_silently(spark, tmp_path):
     )
     write_indexed_dataset(df, d, n_shards=1, dtype="int32").collect()
     idx_path = f"{d}/shard-00000.idx"
+    bin_path = f"{d}/shard-00000.bin"
     clean = open(idx_path, "rb").read()
     baseline = sorted(
         (r["seq_idx"], list(r["ids"]))
         for r in read_indexed_dataset(spark, idx_path).collect()
     )
-    silent = []
-    for i in range(len(clean)):
+
+    # every flip is an independent tiny read — write each corrupted
+    # copy to its own dir (the reader pairs shard.idx with its sibling
+    # .bin by name) and run the reads from a small driver thread pool
+    # (guide §2.6: concurrent independent jobs back-fill the scheduler;
+    # serial, this test paid one full Spark job per byte — ~200 jobs)
+    import os
+    import shutil as _sh
+    from concurrent.futures import ThreadPoolExecutor
+
+    bin_clean = open(bin_path, "rb").read()
+
+    def check(i: int):
+        cd = str(tmp_path / f"flip{i}")
+        os.makedirs(cd, exist_ok=True)
         raw = bytearray(clean)
         raw[i] ^= 0xFF
-        open(idx_path, "wb").write(bytes(raw))
+        open(f"{cd}/shard-00000.idx", "wb").write(bytes(raw))
+        open(f"{cd}/shard-00000.bin", "wb").write(bin_clean)
         try:
             got = sorted(
                 (r["seq_idx"], list(r["ids"]))
-                for r in read_indexed_dataset(spark, idx_path).collect()
+                for r in read_indexed_dataset(
+                    spark, f"{cd}/shard-00000.idx"
+                ).collect()
             )
         except Exception:
-            continue  # loud failure: the contract
-        if got != baseline:
-            silent.append(i)  # silently DIFFERENT data: the worst case
-    open(idx_path, "wb").write(clean)
+            return None  # loud failure: the contract
+        finally:
+            _sh.rmtree(cd, ignore_errors=True)
+        return None if got == baseline else i
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        silent = [i for i in pool.map(check, range(len(clean))) if i is not None]
     assert silent == [], f"byte flips yielding silently different data: {silent}"
 
 
