@@ -54,6 +54,30 @@ bench's own drift set):
   tightly so both sides share the same throttle state (this probe's
   pairs did — both sides inflated equally, code exonerated).
 
+FINDINGS (r18, 2026-08-18, the VERDICT r17 item 6 watch list — dsir
+0.59x, wds_roundtrip 0.63x, mm_roundtrip 0.61x, dup_spans 0.81x
+r16->r17 cross-run):
+- LOAD on all four, not code — and this time provably so: every file
+  on the four paths (sources/webdataset.py, sources/megatron.py,
+  pipeline/sampling.py, portable.py, scan.py) is BYTE-IDENTICAL
+  between the r17-verdict tree and r18 HEAD (cmp clean; the only
+  dedup.py diff is the r18 bloom block at lines 1312-1680, untouched
+  by dup_spans), so an A/B can only measure the box. Three
+  location-controlled interleaved pairs (both trees as /tmp git
+  worktrees, min-of-5 per process, r17 first in each pair):
+    dup_spans r17 {1.90, 1.91, 1.39}  HEAD {2.71, 1.36, 2.11}
+    wds       r17 {3.05, 2.00, 1.99}  HEAD {5.24, 1.89, 3.23}
+    mm        r17 {1.76, 1.29, 1.36}  HEAD {2.78, 1.18, 2.21}
+    dsir      r17 {2.23, 1.86, 2.47}  HEAD {2.44, 1.91, 2.27}
+  Signs FLIP between pairs (HEAD faster in pair 2, slower in 1 and 3)
+  with swings up to 2.7x on identical bytes — the sustained-load
+  throttle oscillating at ~minutes period, the r17 monotone-degradation
+  pattern. dsir reads parity straight through. All four exonerated; no
+  fix owed. (This round's throttle was the worst recorded: the
+  round-start full bench on an inherited 4-commit tree read 203 s
+  total vs r17's 20.9 with q16_bench — a pure JVM view-path row — at
+  37.8 s vs 0.63.)
+
 FINDINGS (r16, 2026-08-16, the three largest BENCH_r15 drifts —
 pipe_lsh_bbit +36%, pipe_dedup_exact +36%, pipe_pdf_extract +30%,
 none of whose code changed in r15):
